@@ -1,0 +1,96 @@
+"""Benchmark harness: runs the headline query suite at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed through the same code path the correctness gate
+uses (``__spark_entry__.queries()``) and timed end-to-end including the
+action (count), after one untimed warmup of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline queries: the relational core + the scale-relevant pipeline
+# operators.  The quadratic-at-tiny-vocab pair generators (simhash over
+# word tokens) are correctness-gated but not benched; minhash/jaccard
+# run over shingles and stay sub-quadratic.
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q05_region_revenue",
+    "q_filter_events",
+    "q_regex_extract_json",
+    "q_leaderboard_periods",
+    "q_topn_per_group",
+    "q_dedup_keep_first",
+    "q_resample_daily_gapfill",
+    "q_cumulative_daily",
+    "q_sessionize_gap",
+    "q_near_best_band",
+    "q_asof_join",
+    "q_interval_join",
+    "q_skeleton_left_join",
+    "q_summary_stats",
+    "q_explode_word_counts",
+    "q_exact_dedup_docs",
+    "q_minhash_lsh_pairs",
+    "q_ngram_jaccard_pairs",
+    "q_cosine_topk",
+    "q_lsh_ann_topk",
+    "q_text_quality_by_lang",
+    "q_doc_fingerprint",
+]
+
+
+def main() -> None:
+    from osrs_dashboard_elt_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        app_name="osrs-elt-bench",
+        master=f"local[{CPUS}]",
+        extra_conf={"spark.sql.shuffle.partitions": str(max(int(CPUS), 8))},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # Untimed warmup: JVM + parquet footer reads.
+    qs["q_summary_stats"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Text-analysis column expressions for document pipelines.
+
+Generalizes the reference's string functions (F1-F3, R6) into the text
+operators a training-data pipeline needs: tokenization, quality
+scoring, language-ID heuristic, and document fingerprinting.  All pure
+column expressions (whole-stage codegen) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small English-ish stopword list for quality ratios (deterministic,
+# mirrored in SQL oracles).
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+
+def clean_discord_escapes(col: Column) -> Column:
+    """Strip Discord backslash escapes before punctuation (reference S3,
+    src/1_fetch_data.py:18-20: ``re.sub(r'\\\\([^\\w\\s])', r'\\1')``)."""
+    return F.regexp_replace(col, r"\\([^\w\s])", r"$1")
+
+
+def parse_item_quantity(col: Column) -> tuple[Column, Column]:
+    """'72 x Onyx bolts' -> ('Onyx bolts', 72); plain names -> (name, 1)
+    (reference R6, src/3_transform_data.py:434-453)."""
+    qty = F.regexp_extract(col, r"^(\d+) x ", 1)
+    name = F.when(qty != "", F.regexp_replace(col, r"^\d+ x ", "")).otherwise(col)
+    return name, F.when(qty != "", qty.cast("long")).otherwise(F.lit(1))
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (BPE-ish proxy: words + punctuation runs
+    counted separately would need regexp_extract_all; whitespace is the
+    deterministic baseline)."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def quality_score_cols(col: Column) -> dict[str, Column]:
+    """Deterministic quality features: n_chars, n_tokens, mean token
+    length, stopword ratio, punctuation ratio."""
+    toks = F.split(F.trim(F.lower(col)), r"\s+")
+    n_tok = token_count(col)
+    n_chars = F.length(col)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_punct = n_chars - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    def _dr(c):  # decimal-cast round: engine-stable (see suite.dround)
+        return c.cast("decimal(28,6)").cast("double")
+
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "mean_token_len": _dr(
+            F.when(n_tok > 0, (F.length(F.regexp_replace(col, r"\s+", "")).cast("double")) / n_tok)
+        ),
+        "stopword_ratio": _dr(
+            F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(0.0)
+        ),
+        "punct_ratio": _dr(
+            F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+        ),
+    }
+
+
+def language_id(col: Column) -> Column:
+    """Tiny n-gram-frequency language heuristic: score a text against
+    per-language marker token sets and pick the argmax (deterministic;
+    'und' when nothing matches).  Real pipelines plug a model here via
+    mapInPandas — the operator shape (scan-side classify) is the same.
+    """
+    markers = {
+        "en": ["the", "and", "of", "is"],
+        "es": ["el", "la", "de", "que"],
+        "de": ["der", "die", "und", "das"],
+        "fr": ["le", "la", "et", "les"],
+    }
+    toks = F.split(F.trim(F.lower(col)), r"\s+")
+    scores = [
+        (lang, F.size(F.filter(toks, lambda t: t.isin(*ms))))
+        for lang, ms in markers.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    for lang, s in reversed(scores):  # earlier languages win ties
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def doc_fingerprint(col: Column, mod: int = 2**61 - 1) -> Column:
+    """Order-sensitive rolling document fingerprint: left-fold
+    polynomial hash over token hashes — token reorderings change it,
+    unlike a set-hash.  Cross-engine reproducible (md5-derived token
+    hashes, explicit arithmetic)."""
+    from ..operators.dedup import token_hash32
+
+    toks = F.split(F.trim(F.lower(col)), r"\s+")
+    th = F.transform(toks, token_hash32)
+    return F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(31) + h) % F.lit(mod),
+    )

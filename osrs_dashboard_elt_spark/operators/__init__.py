@@ -1,0 +1,67 @@
+"""Reusable dataflow operators (SURVEY.md §2 inventory, Spark-first)."""
+
+from .asof import asof_join
+from .dedup import (
+    dedup_keep_first,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_params,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    shingles_col,
+    simhash_col,
+    simhash_pairs,
+    token_hash32,
+    tokens_col,
+)
+from .exclusions import (
+    BlacklistEntry,
+    ExclusionWindow,
+    apply_exclusions,
+    blacklist_predicate,
+    contains_all_predicate,
+    scrub_holder_arrays,
+)
+from .interval_join import binned_interval_join, interval_join
+from .remap import MappingRule, apply_mapping, find_conflicts, remap_expr
+from .resample import bucket_col, resample
+from .sessionize import near_best_band, sessionize
+from .similarity import cosine, cosine_topk, dot, hyperplanes, lsh_ann_topk
+from .topn import top_n_per_group
+
+__all__ = [
+    "asof_join",
+    "dedup_keep_first",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "minhash_params",
+    "minhash_signature",
+    "ngram_jaccard_pairs",
+    "shingles_col",
+    "simhash_col",
+    "simhash_pairs",
+    "token_hash32",
+    "tokens_col",
+    "BlacklistEntry",
+    "ExclusionWindow",
+    "apply_exclusions",
+    "blacklist_predicate",
+    "contains_all_predicate",
+    "scrub_holder_arrays",
+    "binned_interval_join",
+    "interval_join",
+    "MappingRule",
+    "apply_mapping",
+    "find_conflicts",
+    "remap_expr",
+    "bucket_col",
+    "resample",
+    "near_best_band",
+    "sessionize",
+    "cosine",
+    "cosine_topk",
+    "dot",
+    "hyperplanes",
+    "lsh_ann_topk",
+    "top_n_per_group",
+]

@@ -1,0 +1,79 @@
+"""Interval (range-validity) join.
+
+Reference J8 (src/3_transform_data.py:146-166): username mapping rules
+carry ``[start, end)`` validity windows and are matched against event
+timestamps.  Two strategies:
+
+- ``interval_join``: plain conditional join ``key-equal AND start <= ts
+  < end``.  When the interval side is small (mapping rules, price
+  windows — always true in this workload) Spark broadcasts it and the
+  range predicate is evaluated stream-side: no shuffle at all.
+
+- ``binned_interval_join``: for two LARGE sides, explode intervals into
+  fixed-width time bins and equi-join on (key, bin) before applying the
+  exact range predicate.  Turns an O(n*m)-per-key nested loop into a
+  hash join at the cost of interval duplication; bin width should be
+  chosen near the median interval length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    start_col: str,
+    end_col: str,
+    on: list[str] | None = None,
+    how: str = "inner",
+    closed: str = "left",
+) -> DataFrame:
+    """Join left rows to right intervals containing ``left_ts``.
+
+    ``closed``: 'left' -> [start, end) (the reference's convention),
+    'both' -> [start, end].
+    """
+    lo = F.col(left_ts) >= F.col(start_col)
+    hi = (
+        F.col(left_ts) < F.col(end_col)
+        if closed == "left"
+        else F.col(left_ts) <= F.col(end_col)
+    )
+    cond = lo & hi
+    for k in on or []:
+        cond = cond & (left[k] == right[k])
+    return left.join(F.broadcast(right), cond, how)
+
+
+def binned_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    start_col: str,
+    end_col: str,
+    bin_width: str = "1 day",
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Equi-join on (keys, time-bin) then exact range filter — the
+    scale path when neither side is broadcastable."""
+    on = on or []
+    bin_l = F.window(F.col(left_ts), bin_width).start.alias("__bin")
+    lb = left.withColumn("__bin", bin_l)
+    rb = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.window(F.col(start_col), bin_width).start,
+                F.window(F.col(end_col), bin_width).start,
+                F.expr(f"interval {bin_width}"),
+            )
+        ),
+    )
+    joined = lb.join(rb, [*on, "__bin"], "inner").drop("__bin")
+    return joined.filter(
+        (F.col(left_ts) >= F.col(start_col)) & (F.col(left_ts) < F.col(end_col))
+    )

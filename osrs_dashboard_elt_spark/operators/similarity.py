@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, per the standard ANN playbook:
+
+- ``cosine_topk``: brute-force exact top-k — a single scan with the
+  score as a JVM column expression (``zip_with`` + left-fold
+  ``aggregate``; no Python in the hot path) followed by a top-k.  At
+  100 TB this is the per-partition map side of a TakeOrdered — Spark
+  computes partial top-k per partition and merges on the driver, so the
+  shuffle is k rows per partition, not the data.
+
+- ``lsh_ann_topk``: random-hyperplane (sign) LSH — bucket vectors by
+  the sign pattern of ``n_planes`` fixed hyperplanes, probe only the
+  query's bucket, exact-rank within it.  Hyperplanes come from a seeded
+  RNG (``hyperplanes``) so an external oracle can reproduce bucketing
+  exactly.  The scale path: bucketing is scan-side, the probe touches
+  ~1/2^n_planes of the data, and multi-probe (flip one bit) trades
+  recall for cost.
+
+Determinism contract: dot products are LEFT FOLDS over index order with
+elements cast to double first — DuckDB's ``list_reduce`` over the same
+values produces bit-identical doubles, so results survive a value-hash
+comparison (scores additionally rounded to 6 decimals).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product of two numeric arrays (double)."""
+    prods = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k rows by cosine similarity to a literal query vector.
+
+    Ties broken by id for determinism.  Score rounded to 6 decimals.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = df.withColumn(
+        "score", cosine(F.col(vec_col), q).cast("decimal(28,6)").cast("double")
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "score")
+    )
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic Rademacher (+/-1) hyperplanes; inline the same
+    literals into a SQL oracle for cross-engine parity."""
+    rng = random.Random(seed)
+    return [[rng.choice((-1, 1)) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """Sign-LSH bucket id: bit j set iff dot(vec, plane_j) > 0."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot(vec, p) > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0)
+        )
+    return bucket
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: exact cosine rank within the query's LSH
+    bucket only.  Returns (id, score, bucket)."""
+    planes = hyperplanes(n_planes, len(query), seed)
+    qb = 0
+    for j, plane in enumerate(planes):
+        if sum(p * v for p, v in zip(plane, query)) > 0:
+            qb |= 1 << j
+    q = F.array(*[F.lit(float(x)) for x in query])
+    bucketed = df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes)).filter(
+        F.col("bucket") == qb
+    )
+    scored = bucketed.withColumn(
+        "score", cosine(F.col(vec_col), q).cast("decimal(28,6)").cast("double")
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "score", "bucket")
+    )

@@ -1,0 +1,1199 @@
+"""The driver-facing query suite: one entry per implemented operator
+family from SURVEY.md §2 (plus the large-scale data-pipeline operators),
+each with a DuckDB oracle SQL string.
+
+Cross-engine determinism rules used throughout (the driver compares
+row-count + schema + order-insensitive value hash at sf=0.01):
+
+- Sums of 2-decimal doubles go through DECIMAL(18,2) (exact) and are
+  cast to double at the end; products (disc price) are rounded to 6
+  decimals per-row first, then summed as DECIMAL(28,10).
+- Averages are computed as exact-decimal-sum / count, rounded.
+- Timestamps and dates are emitted as formatted strings (no tz/dtype
+  ambiguity); the session timezone is pinned to UTC.
+- Spark expressions yielding 32-bit ints (row_number, size) are cast
+  to long to match DuckDB's BIGINT.
+- All content hashing (minhash/simhash/fingerprints) derives from md5,
+  reproducible in both engines; permutation params / hyperplanes come
+  from seeded RNGs and are inlined as literals into BOTH plans.
+- Floating-point reductions are left folds in index order on doubles
+  in both engines (bit-identical), plus a final round(6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.temporal import Period, standard_periods, period_agg_columns
+from .functions.text import STOPWORDS, language_id, quality_score_cols, doc_fingerprint, token_count
+from .operators import (
+    asof_join,
+    dedup_keep_first,
+    exact_dedup,
+    interval_join,
+    minhash_lsh_pairs,
+    minhash_params,
+    near_best_band,
+    ngram_jaccard_pairs,
+    resample,
+    sessionize,
+    simhash_pairs,
+    top_n_per_group,
+    cosine_topk,
+    lsh_ann_topk,
+    hyperplanes,
+    top_n_per_group,
+)
+from .operators.dedup import MINHASH_P, tokens_col, token_hash32
+from .operators.similarity import cosine, dot, lsh_bucket
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+D_FMT_SPARK = "yyyy-MM-dd"
+D_FMT_DUCK = "%Y-%m-%d"
+
+# Fixed anchor for calendar-period queries (events span 2024-01).
+ANCHOR = datetime(2024, 1, 25)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # The events table carries TIMESTAMP(NANOS) parquet timestamps,
+    # which Spark only reads as raw nanosecond longs
+    # (legacy.parquet.nanosAsLong, set in _pin).  Truncate to micros —
+    # integer DIV, matching DuckDB's nanos->micros truncation — and
+    # restore TimestampType.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def _pin(spark: SparkSession) -> None:
+    """Runtime confs we need regardless of who built the session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def dround(c, scale: int = 6):
+    """Cross-engine-stable rounding of a double: cast through DECIMAL
+    (correct rounding of the exact binary value in both Spark and
+    DuckDB) instead of ROUND(), whose float result can differ by 1 ulp
+    between engines."""
+    return c.cast(f"decimal(28,{scale})").cast("double")
+
+
+def dround_sql(e: str, scale: int = 6) -> str:
+    return f"CAST(CAST(({e}) AS DECIMAL(28,{scale})) AS DOUBLE)"
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _pin(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def dec_sum(col, scale="decimal(18,2)"):
+    """Exact sum of a fixed-point double column -> double."""
+    return F.sum(F.col(col).cast(scale) if isinstance(col, str) else col.cast(scale)).cast(
+        "double"
+    )
+
+
+_REV_SPARK = None  # computed inline below
+
+
+def _revenue_col():
+    """extprice*(1-disc) decimal-rounded per row at 6 digits (the cast
+    itself correctly rounds the binary double — no float ROUND), summed
+    exactly."""
+    return F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    ).cast("double")
+
+
+_REV_SQL = (
+    "CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (TPC-H-shaped): scans, filters, joins, aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           {_REV_SQL} AS sum_disc_price,
+           {dround_sql('CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)')} AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '2000-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark, sf_dir):
+    """A1/A2/F7: hash aggregate with map-side partials; filter pushed to
+    the parquet scan (reference does per-row pandas sums)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit(datetime(2000, 1, 1))
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dec_sum("l_quantity").alias("sum_qty"),
+        dec_sum("l_extendedprice").alias("sum_base_price"),
+        _revenue_col().alias("sum_disc_price"),
+        dround(dec_sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q03_top_revenue_orders",
+    oracle=f"""
+    SELECT l_orderkey,
+           {_REV_SQL} AS revenue,
+           strftime(o_orderdate, '{D_FMT_DUCK}') AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate  > TIMESTAMP '1997-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q03_top_revenue_orders(spark, sf_dir):
+    """J-family + A + W2: dimension side broadcast, single shuffle for
+    the aggregate, top-k via TakeOrdered (no global sort)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(datetime(1997, 1, 1))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(datetime(1997, 1, 1))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue_col().alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", D_FMT_SPARK).alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q05_region_revenue",
+    oracle=f"""
+    SELECT n_name, {_REV_SQL} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q05_region_revenue(spark, sf_dir):
+    """Multi-way join: every dimension (region/nation/supplier/customer)
+    broadcast; only the orders-lineitem join shuffles."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1998, 1, 1)))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (supplier.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_revenue_col().alias("revenue"))
+    )
+
+
+@query(
+    "q_filter_events",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, value,
+           strftime(ts, '{TS_FMT_DUCK}') AS ts_str
+    FROM events
+    WHERE event_type IN ('purchase','view')
+      AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+      AND value > 50.0
+    """,
+)
+def q_filter_events(spark, sf_dir):
+    """P1-P5: predicate conjunction fully pushed to the parquet scan."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("event_type").isin("purchase", "view")
+        & (F.col("ts") >= F.lit(datetime(2024, 1, 10)))
+        & (F.col("ts") < F.lit(datetime(2024, 1, 20)))
+        & (F.col("value") > 50.0)
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+    )
+
+
+@query(
+    "q_regex_extract_json",
+    oracle="""
+    SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_regex_extract_json(spark, sf_dir):
+    """R1/R2/F1 analog: regexp extraction + numeric cast + aggregate,
+    all codegen'd JVM expressions (the reference loops rows in Python)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    return (
+        ev.withColumn("k_bucket", k % 10)
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("value").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar periods / leaderboard (A3 conditional aggregation)
+# ---------------------------------------------------------------------------
+
+
+def _period_case_sql(p: Period, then: str, else_: str = "0") -> str:
+    conds = []
+    if p.start is not None:
+        conds.append(f"ts >= TIMESTAMP '{p.start.isoformat(sep=' ')}'")
+    if p.end is not None:
+        conds.append(f"ts < TIMESTAMP '{p.end.isoformat(sep=' ')}'")
+    cond = " AND ".join(conds) if conds else "TRUE"
+    return f"CASE WHEN {cond} THEN {then} ELSE {else_} END"
+
+
+def _leaderboard_oracle() -> str:
+    periods = standard_periods(ANCHOR)
+    cols = []
+    for p in periods:
+        cols.append(
+            f"CAST(SUM({_period_case_sql(p, '1')}) AS BIGINT) AS Count_{p.name}"
+        )
+        cols.append(
+            "CAST(SUM("
+            + _period_case_sql(
+                p, "CAST(value AS DECIMAL(18,2))", "CAST(0 AS DECIMAL(18,2))"
+            )
+            + f") AS DOUBLE) AS Value_{p.name}"
+        )
+    return "SELECT user_id, " + ", ".join(cols) + " FROM events GROUP BY user_id"
+
+
+@query("q_leaderboard_periods", oracle=_leaderboard_oracle())
+def q_leaderboard_periods(spark, sf_dir):
+    """A3 redesigned: the reference loops K periods with K groupbys + K
+    merges; here ONE conditional-aggregation pass produces the whole
+    wide leaderboard (single shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    periods = standard_periods(ANCHOR)
+    cols = []
+    for p in periods:
+        inside = p.contains(F.col("ts"))
+        cols.append(
+            F.sum(F.when(inside, 1).otherwise(0)).cast("long").alias(f"Count_{p.name}")
+        )
+        cols.append(
+            F.sum(
+                F.when(inside, F.col("value").cast("decimal(18,2)")).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            )
+            .cast("double")
+            .alias(f"Value_{p.name}")
+        )
+    return ev.groupBy("user_id").agg(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Windows: top-n, dedup-keep-first, cumulative, resample, sessions, bands
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_topn_per_group",
+    oracle="""
+    SELECT event_id, event_type, value, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 5
+    """,
+)
+def q_topn_per_group(spark, sf_dir):
+    """W1: top-5 per type via one window, no global sort."""
+    ev = _t(spark, sf_dir, "events")
+    out = top_n_per_group(
+        ev,
+        ["event_type"],
+        [F.col("value").desc(), F.col("event_id").asc()],
+        5,
+        rank_col="rank",
+    )
+    return out.select(
+        "event_id", "event_type", "value", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@query(
+    "q_dedup_keep_first",
+    oracle=f"""
+    SELECT user_id, event_type, event_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_str
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+    """,
+)
+def q_dedup_keep_first(spark, sf_dir):
+    """O5: deterministic dropDuplicates (earliest row per key)."""
+    ev = _t(spark, sf_dir, "events")
+    out = dedup_keep_first(
+        ev, ["user_id", "event_type"], [F.col("ts").asc(), F.col("event_id").asc()]
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+    )
+
+
+@query(
+    "q_resample_daily_gapfill",
+    oracle=f"""
+    WITH agg AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+             COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM agg),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM bounds
+    ), types AS (SELECT DISTINCT event_type FROM events)
+    SELECT strftime(s.d, '{D_FMT_DUCK}') AS bucket_date, t.event_type,
+           COALESCE(a.n, 0) AS n_events,
+           CAST(COALESCE(a.v, 0) AS DOUBLE) AS total_value
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN agg a ON a.d = s.d AND a.event_type = t.event_type
+    """,
+)
+def q_resample_daily_gapfill(spark, sf_dir):
+    """T1: tumbling daily buckets per type WITH empty-bucket gap fill
+    (pandas-resample parity via calendar spine)."""
+    ev = _t(spark, sf_dir, "events")
+    out = resample(
+        ev,
+        "ts",
+        "1 day",
+        {
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.sum(F.col("value").cast("decimal(18,2)")),
+        },
+        group_cols=["event_type"],
+        gap_fill=True,
+    )
+    return out.select(
+        F.date_format("bucket", D_FMT_SPARK).alias("bucket_date"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "q_cumulative_daily",
+    oracle=f"""
+    WITH agg AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(d, '{D_FMT_DUCK}') AS bucket_date,
+           n AS n_events,
+           CAST(SUM(n) OVER w AS BIGINT) AS cum_events,
+           CAST(SUM(v) OVER w AS DOUBLE) AS cum_value
+    FROM agg
+    WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_cumulative_daily(spark, sf_dir):
+    """W3: cumulative sums over the daily series (decimal until the
+    final cast so the running sum is exact)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("d", D_FMT_SPARK).alias("bucket_date"),
+        F.col("n").alias("n_events"),
+        F.sum("n").over(w).cast("long").alias("cum_events"),
+        F.sum("v").over(w).cast("double").alias("cum_value"),
+    )
+
+
+@query(
+    "q_sessionize_gap",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM x
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+           strftime(MAX(ts), '{TS_FMT_DUCK}') AS session_end
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize_gap(spark, sf_dir):
+    """W6 analog: gap-based sessionization (30 min), lag -> flag ->
+    running sum; one shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "ts", ["user_id"], gap_seconds=1800.0)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), TS_FMT_SPARK).alias("session_start"),
+        F.date_format(F.max("ts"), TS_FMT_SPARK).alias("session_end"),
+    ).select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "n_events",
+        "session_start",
+        "session_end",
+    )
+
+
+@query(
+    "q_near_best_band",
+    oracle="""
+    WITH m AS (SELECT event_type, MIN(value) AS best FROM events GROUP BY 1),
+    b AS (
+      SELECT e.event_type, m.best, e.user_id
+      FROM events e JOIN m USING (event_type)
+      WHERE e.value <= m.best + 5.0
+    ), d AS (SELECT DISTINCT event_type, best, user_id FROM b)
+    SELECT event_type, CAST(CAST(best AS DECIMAL(28,6)) AS DOUBLE) AS best_value,
+           string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id) AS holders,
+           COUNT(*) AS n_holders
+    FROM d GROUP BY event_type, best
+    """,
+)
+def q_near_best_band(spark, sf_dir):
+    """W6/A8/A9: near-best band + sorted holder-set assembly
+    (array_sort/array_join replaces the reference's python list ops)."""
+    ev = _t(spark, sf_dir, "events")
+    band = near_best_band(ev, ["event_type"], "value", 5.0, best_col="best")
+    return (
+        band.groupBy("event_type", "best")
+        .agg(F.sort_array(F.collect_set("user_id")).alias("hs"))
+        .select(
+            "event_type",
+            dround(F.col("best")).alias("best_value"),
+            F.array_join(
+                F.transform(F.col("hs"), lambda u: u.cast("string")), ","
+            ).alias("holders"),
+            F.size("hs").cast("long").alias("n_holders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of + interval joins (J1/J8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+      COALESCE(
+        (SELECT s.event_id FROM events s
+          WHERE s.event_type = 'signup' AND s.user_id = e.user_id AND s.ts <= e.ts
+          ORDER BY s.ts DESC, s.event_id DESC LIMIT 1),
+        (SELECT s.event_id FROM events s
+          WHERE s.event_type = 'signup' AND s.user_id = e.user_id AND s.ts > e.ts
+          ORDER BY s.ts ASC, s.event_id ASC LIMIT 1)
+      ) AS signup_event_id
+    FROM events e WHERE e.event_type = 'purchase'
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    """J1: the reference resolves prices with 1-3 SQL point lookups PER
+    ROW; here one union+window pass — latest at-or-before, else earliest
+    after (tier order preserved via coalesce)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event_id")
+    )
+    out = asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        values=["signup_event_id"],
+        direction="nearest",
+        tiebreak=["signup_event_id"],
+    )
+    return out.select("event_id", "user_id", "signup_event_id")
+
+
+@query(
+    "q_interval_join",
+    oracle="""
+    SELECT s.event_id AS signup_event_id,
+           COUNT(*) AS n_clicks,
+           CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+    FROM events s
+    JOIN events c
+      ON c.user_id = s.user_id
+     AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 2 HOUR
+    WHERE s.event_type = 'signup' AND c.event_type = 'click'
+    GROUP BY s.event_id
+    """,
+)
+def q_interval_join(spark, sf_dir):
+    """J8: validity-interval join ([signup, signup+2h) x clicks); the
+    interval side broadcasts so the range predicate never shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_val"),
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    joined = interval_join(
+        clicks, signups, "click_ts", "start_ts", "end_ts", on=["user_id"]
+    )
+    return joined.groupBy("signup_event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        dec_sum("click_val").alias("click_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skeleton joins / set ops / unions (J3-J6, O7-O9, F11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_skeleton_left_join",
+    oracle="""
+    SELECT n_name,
+           COUNT(c_custkey) AS n_customers,
+           CAST(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_acctbal
+    FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_skeleton_left_join(spark, sf_dir):
+    """J3: group-skeleton left join + fillna(0) (every nation appears
+    even with zero customers)."""
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        nation.join(cust, cust.c_nationkey == nation.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.coalesce(dec_sum("c_acctbal"), F.lit(0.0)).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "q_set_except",
+    oracle="""
+    SELECT DISTINCT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000
+    """,
+)
+def q_set_except(spark, sf_dir):
+    """O8: set difference (customers with orders but none above the
+    threshold)."""
+    orders = _t(spark, sf_dir, "orders")
+    all_c = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    big_c = (
+        orders.filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return all_c.exceptAll(big_c)
+
+
+@query(
+    "q_derived_union_counts",
+    oracle="""
+    WITH u AS (
+      SELECT event_type FROM events
+      UNION ALL
+      SELECT 'big_' || event_type FROM events
+      WHERE event_type = 'purchase' AND value >= 100.0
+    )
+    SELECT event_type, COUNT(*) AS n FROM u GROUP BY 1
+    """,
+)
+def q_derived_union_counts(spark, sf_dir):
+    """F11/O7: conditionally derived category rows unioned with the
+    source (the reference's maxed-skill derivation)."""
+    ev = _t(spark, sf_dir, "events")
+    derived = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 100.0)
+    ).select(F.concat(F.lit("big_"), F.col("event_type")).alias("event_type"))
+    return (
+        ev.select("event_type")
+        .unionByName(derived)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_summary_stats",
+    oracle=f"""
+    SELECT COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT event_type) AS n_types,
+           strftime(MIN(ts), '{TS_FMT_DUCK}') AS min_ts,
+           strftime(MAX(ts), '{TS_FMT_DUCK}') AS max_ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    """,
+)
+def q_summary_stats(spark, sf_dir):
+    """A5/A6: scalar aggregates incl. exact distinct counts."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.date_format(F.min("ts"), TS_FMT_SPARK).alias("min_ts"),
+        F.date_format(F.max("ts"), TS_FMT_SPARK).alias("max_ts"),
+        dec_sum("value").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text / documents: explode, dedup family, quality, lang-id, fingerprints
+# ---------------------------------------------------------------------------
+
+_TOK_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
+
+
+@query(
+    "q_explode_word_counts",
+    oracle=f"""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest({_TOK_SQL}) AS word FROM documents)
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def q_explode_word_counts(spark, sf_dir):
+    """R4: split + explode + count (row multiplication); top-20 via
+    TakeOrdered."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda w: w != F.lit("")
+            )
+        ).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_exact_dedup_docs",
+    oracle="""
+    SELECT md5(text) AS digest, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_exact_dedup_docs(spark, sf_dir):
+    """Exact dedup at scale: group on the md5 digest so the shuffle
+    carries 32-byte keys, not document bodies."""
+    docs = _t(spark, sf_dir, "documents").withColumn("digest", F.md5("text"))
+    out = exact_dedup(docs, ["digest"], "doc_id", keep="min")
+    return out.select("digest", "canonical_doc_id", "dup_count")
+
+
+def _ngram_jaccard_oracle(n: int, threshold: float) -> str:
+    return f"""
+    WITH w AS (SELECT doc_id, {_TOK_SQL} AS words FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(words) - {n - 1}),
+               i -> {" || ' ' || ".join(f"words[i+{j}]" for j in range(n))}
+             )) AS shingles
+      FROM w WHERE len(words) >= {n}
+    ), sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    posts AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(CAST(CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) AS DECIMAL(28,6)) AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= {threshold}
+    """
+
+
+@query("q_ngram_jaccard_pairs", oracle=_ngram_jaccard_oracle(3, 0.5))
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join
+    (the scalable exact path; stop-shingle capping available for skew)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+_TOKHASH_SQL = "list_transform({toks}, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)"
+
+
+def _shingles_sql(n: int) -> str:
+    """DuckDB expression for distinct n-word shingles of ``text``."""
+    joined = " || ' ' || ".join(f"words[i+{j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform(generate_series(1, len({_TOK_SQL}) - {n - 1}), "
+        f"i -> {joined}))".replace("words[", f"({_TOK_SQL})[")
+    )
+
+
+def _minhash_oracle(num_perm: int, bands: int, seed: int, shingle_n: int) -> str:
+    params = minhash_params(num_perm, seed)
+    rows = num_perm // bands
+    sig_exprs = ",\n           ".join(
+        f"list_aggregate(list_transform(th, h -> ({a} * h + {b}) % {MINHASH_P}), 'min') AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_exprs = ",\n           ".join(
+        "(" + " || '_' || ".join(
+            f"CAST(s{b * rows + r} AS VARCHAR)" for r in range(rows)
+        ) + f") AS band{b}"
+        for b in range(bands)
+    )
+    band_joins = "\n      UNION\n".join(
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM banded a "
+        f"JOIN banded b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(bands)
+    )
+    toks_hash = _TOKHASH_SQL.format(toks=_shingles_sql(shingle_n))
+    return f"""
+    WITH th AS (
+      SELECT doc_id, {toks_hash} AS th FROM documents
+      WHERE len({_shingles_sql(shingle_n)}) > 0
+    ), sig AS (
+      SELECT doc_id,
+           {sig_exprs}
+      FROM th
+    ), banded AS (
+      SELECT doc_id,
+           {band_exprs}
+      FROM sig
+    )
+    SELECT DISTINCT id_a, id_b FROM (
+      {band_joins}
+    )
+    """
+
+
+@query("q_minhash_lsh_pairs", oracle=_minhash_oracle(16, 4, 42, 3))
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH candidate pairs over 3-gram shingles: signatures are
+    scan-side column expressions; banding turns all-pairs into an
+    equi-join.  Shingles (not word tokens) keep signatures
+    discriminative on small vocabularies.  All hash params seeded +
+    md5-derived -> bit-identical in the SQL oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=16, bands=4, seed=42, shingle_n=3
+    )
+
+
+def _simhash_oracle(bits: int, max_hamming: int) -> str:
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    toks_hash = _TOKHASH_SQL.format(toks="list_distinct(" + _TOK_SQL + ")")
+    vote_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    chunk_rows = "\n        UNION ALL\n".join(
+        f"SELECT doc_id, fp, {i} AS ci, (fp >> {i * chunk_bits}) & {mask} AS cv FROM fps"
+        for i in range(n_chunks)
+    )
+    return f"""
+    WITH th AS (SELECT doc_id, {toks_hash} AS th FROM documents),
+    fps AS (SELECT doc_id, CAST({vote_terms} AS BIGINT) AS fp FROM th),
+    chunks AS (
+        {chunk_rows}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fp_a, b.fp AS fp_b
+      FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
+    """
+
+
+@query("q_simhash_pairs", oracle=_simhash_oracle(32, 3))
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs with pigeonhole chunk blocking."""
+    docs = _t(spark, sf_dir, "documents")
+    out = simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=3)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+_DOT_SQL = (
+    "list_reduce(list_transform(generate_series(1, {dim}), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST({q}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _get_query_vec(spark, sf_dir, vec_id: int) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row[0]]
+
+
+def _get_query_vec_duckdb(sf_dir: str, vec_id: int) -> list[float]:
+    """Same vector via DuckDB (float32 parquet values -> exact doubles
+    either way), so oracle generation never needs a SparkSession."""
+    import duckdb
+
+    con = duckdb.connect()
+    row = con.execute(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' WHERE vec_id = {vec_id}"
+    ).fetchone()
+    con.close()
+    return [float(x) for x in row[0]]
+
+
+def _cosine_topk_oracle(vec_id: int, k: int, dim: int = 64) -> str:
+    dot_q = _DOT_SQL.format(dim=dim, q="q.qv")
+    norm_a = (
+        f"sqrt(list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))"
+    )
+    norm_q = (
+        f"sqrt(list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x, y) -> x + y))"
+    )
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {vec_id})
+    SELECT a.vec_id, CAST(CAST({dot_q} / ({norm_a} * {norm_q}) AS DECIMAL(28,6)) AS DOUBLE) AS score
+    FROM embeddings a CROSS JOIN q
+    ORDER BY score DESC, a.vec_id
+    LIMIT {k}
+    """
+
+
+@query("q_cosine_topk", oracle=_cosine_topk_oracle(0, 20))
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-k: score is a JVM left-fold column
+    expression; top-k is TakeOrdered (k rows per partition shuffled,
+    not the data)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _get_query_vec(spark, sf_dir, 0)
+    return cosine_topk(emb, "embedding", qv, k=20, id_col="vec_id")
+
+
+def _lsh_ann_oracle(sf_dir: str, vec_id: int, k: int, n_planes: int, seed: int) -> str:
+    qv = _get_query_vec_duckdb(sf_dir, vec_id)
+    dim = len(qv)
+    planes = hyperplanes(n_planes, dim, seed)
+    qb = 0
+    for j, plane in enumerate(planes):
+        if sum(p * v for p, v in zip(plane, qv)) > 0:
+            qb |= 1 << j
+    q_lit = "[" + ", ".join(repr(x) for x in qv) + "]"
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * ({plane}[i])), (x, y) -> x + y) > 0 "
+        "THEN {bit} ELSE 0 END)".format(
+            dim=dim,
+            plane="[" + ", ".join(f"{float(x)!r}" for x in plane) + "]",
+            bit=1 << j,
+        )
+        for j, plane in enumerate(planes)
+    )
+    dot_q = _DOT_SQL.format(dim=dim, q=q_lit)
+    norm_a = (
+        f"sqrt(list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))"
+    )
+    norm_q = (
+        f"sqrt(list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST({q_lit}[i] AS DOUBLE) * CAST({q_lit}[i] AS DOUBLE)), (x, y) -> x + y))"
+    )
+    return f"""
+    WITH scored AS (
+      SELECT a.vec_id,
+             CAST({bucket_terms} AS BIGINT) AS bucket,
+             CAST(CAST({dot_q} / ({norm_a} * {norm_q}) AS DECIMAL(28,6)) AS DOUBLE) AS score
+      FROM embeddings a
+    )
+    SELECT vec_id, score, bucket FROM scored
+    WHERE bucket = {qb}
+    ORDER BY score DESC, vec_id
+    LIMIT {k}
+    """
+
+
+@query("q_lsh_ann_topk")  # oracle attached lazily in build_oracles()
+def q_lsh_ann_topk(spark, sf_dir):
+    """Sign-LSH approximate top-k: bucket scan-side, probe only the
+    query's bucket (~1/2^planes of the data), exact rank inside."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _get_query_vec(spark, sf_dir, 7)
+    return lsh_ann_topk(emb, "embedding", qv, k=10, id_col="vec_id", n_planes=4, seed=42)
+
+
+# ---------------------------------------------------------------------------
+# Text quality / language-id / fingerprints
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@query(
+    "q_text_quality_by_lang",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             length(text) AS n_chars,
+             len({_TOK_SQL}) AS n_tokens,
+             CAST(CAST(CASE WHEN len({_TOK_SQL}) > 0
+               THEN CAST(len(list_filter({_TOK_SQL}, t -> list_contains({_STOP_SQL}, t))) AS DOUBLE) / len({_TOK_SQL})
+               ELSE 0.0 END AS DECIMAL(28,6)) AS DOUBLE) AS stopword_ratio,
+             CAST(CAST(CASE WHEN length(text) > 0
+               THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+               ELSE 0.0 END AS DECIMAL(28,6)) AS DOUBLE) AS punct_ratio
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           {dround_sql('CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*)')} AS avg_tokens,
+           {dround_sql('CAST(SUM(CAST(stopword_ratio AS DECIMAL(18,10))) AS DOUBLE) / COUNT(*)')} AS avg_stopword_ratio,
+           {dround_sql('CAST(SUM(CAST(punct_ratio AS DECIMAL(18,10))) AS DOUBLE) / COUNT(*)')} AS avg_punct_ratio
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_text_quality_by_lang(spark, sf_dir):
+    """Quality scoring (length/stopword/punct ratios) aggregated per
+    language — all codegen'd expressions, ratio averages via exact
+    decimal sums."""
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score_cols(F.col("text"))
+    per_doc = docs.select(
+        "lang",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["punct_ratio"].alias("punct_ratio"),
+    )
+    n = F.count(F.lit(1))
+    return per_doc.groupBy("lang").agg(
+        n.alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        dround(F.sum("n_tokens").cast("double") / n).alias("avg_tokens"),
+        dround(
+            F.sum(F.col("stopword_ratio").cast("decimal(18,10)")).cast("double") / n
+        ).alias("avg_stopword_ratio"),
+        dround(
+            F.sum(F.col("punct_ratio").cast("decimal(18,10)")).cast("double") / n
+        ).alias("avg_punct_ratio"),
+    )
+
+
+_LANG_MARKERS_SQL = {
+    "en": "['the', 'and', 'of', 'is']",
+    "es": "['el', 'la', 'de', 'que']",
+    "de": "['der', 'die', 'und', 'das']",
+    "fr": "['le', 'la', 'et', 'les']",
+}
+
+
+def _lang_id_oracle() -> str:
+    scores = ",\n             ".join(
+        f"len(list_filter(toks, t -> list_contains({ms}, t))) AS s_{lang}"
+        for lang, ms in _LANG_MARKERS_SQL.items()
+    )
+    langs = list(_LANG_MARKERS_SQL)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{l} = best AND best > 0 THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    return f"""
+    WITH t AS (SELECT lang, {_TOK_SQL} AS toks FROM documents),
+    s AS (SELECT lang,
+             {scores}
+          FROM t),
+    b AS (SELECT lang, {best} AS best, * FROM s)
+    SELECT lang, {case} AS predicted_lang, COUNT(*) AS n
+    FROM b GROUP BY 1, 2
+    """
+
+
+@query("q_language_id", oracle=_lang_id_oracle())
+def q_language_id(spark, sf_dir):
+    """Marker-token language-ID heuristic vs the labeled lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", language_id(F.col("text")).alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_FP_MOD = 2147483647
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOK_SQL}) AS BIGINT) AS n_tokens,
+           list_reduce(
+             {_TOKHASH_SQL.format(toks=_TOK_SQL)},
+             (a, b) -> (a * 31 + b) % {_FP_MOD}
+           ) % {_FP_MOD} AS fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling (polynomial) document fingerprint +
+    token count; md5-derived, cross-engine exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        (doc_fingerprint(F.col("text"), mod=_FP_MOD) % _FP_MOD).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entry points consumed by __spark_entry__.py
+# ---------------------------------------------------------------------------
+
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def build_oracles(sf_dir: str | None = None) -> dict[str, str]:
+    """Most oracles are static; the LSH-ANN oracle embeds the query
+    vector read (via DuckDB) from ``sf_dir``.  Falls back to dropping
+    that entry (rows-only check) if unavailable."""
+    oracles = dict(ORACLES)
+    if sf_dir is not None:
+        try:
+            oracles["q_lsh_ann_topk"] = _lsh_ann_oracle(sf_dir, 7, 10, 4, 42)
+        except Exception:
+            pass
+    return oracles
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The smoke-check query: the single-pass multi-period leaderboard
+    (the reference's flagship report shape) over the events table."""
+    return q_leaderboard_periods(spark, sf_dir)
