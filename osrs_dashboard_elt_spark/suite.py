@@ -1197,3 +1197,96 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The smoke-check query: the single-pass multi-period leaderboard
     (the reference's flagship report shape) over the events table."""
     return q_leaderboard_periods(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# The parse engine (R1-R5) driven end-to-end: messages synthesized
+# deterministically FROM the events table, parsed by the full
+# config-driven dispatch plan, checked against an oracle that computes
+# the expected extraction directly from events.
+# ---------------------------------------------------------------------------
+
+_PARSE_ORACLE = """
+    WITH k AS (
+      SELECT event_id, user_id, event_type,
+             CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS coins
+      FROM events
+    )
+    SELECT event_id AS raw_log_id,
+      CASE event_type WHEN 'purchase' THEN 'Valuable Drop'
+                      WHEN 'signup' THEN 'Clan Invite'
+                      WHEN 'click' THEN 'Level Up' END AS Broadcast_Type,
+      'user_' || CAST(user_id AS VARCHAR) AS Username,
+      CASE WHEN event_type = 'purchase' THEN 'Item ' || CAST(k AS VARCHAR) END AS Item_Name,
+      CASE WHEN event_type = 'purchase' THEN coins END AS Item_Value,
+      CASE WHEN event_type = 'purchase' THEN 'Mob ' || CAST(k % 7 AS VARCHAR) END AS Source_Mob,
+      CASE WHEN event_type = 'signup' THEN 'user_' || CAST(k % 50 AS VARCHAR) END AS Action_By,
+      CASE WHEN event_type = 'click' THEN 'Attack' END AS Skill,
+      CASE WHEN event_type = 'click' THEN k % 99 + 1 END AS New_Level
+    FROM k WHERE event_type IN ('purchase', 'signup', 'click')
+"""
+
+
+@query("q_parse_engine", oracle=_PARSE_ORACLE)
+def q_parse_engine(spark, sf_dir):
+    """Flagship R1-R5 dispatch at scale: synthesize broadcast-grammar
+    messages from events (deterministic templates per event_type, incl.
+    chat rows and unparseable noise), run the FULL ~40-variant
+    first-match-wins parse plan, return the typed broadcast stream.
+    The oracle computes the expected extraction directly from events —
+    an independent check of the whole parse DAG."""
+    from .config import default_config
+    from .plans import build_parse_plan
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    coins = (F.col("value").cast("decimal(18,2)") * 100).cast("long").cast("string")
+    uid = F.col("user_id").cast("string")
+    ks = k.cast("string")
+    msg = (
+        F.when(
+            F.col("event_type") == "purchase",
+            F.concat(
+                F.lit("user_"), uid, F.lit(" received a drop: Item "), ks,
+                F.lit(" ("), coins, F.lit(" coins) from Mob "),
+                (k % 7).cast("string"), F.lit("."),
+            ),
+        )
+        .when(
+            F.col("event_type") == "signup",
+            F.concat(
+                F.lit("user_"), uid, F.lit(" has been invited into the clan by user_"),
+                (k % 50).cast("string"), F.lit("."),
+            ),
+        )
+        .when(
+            F.col("event_type") == "click",
+            F.concat(
+                F.lit("user_"), uid, F.lit(" has reached Attack level "),
+                (k % 99 + 1).cast("string"), F.lit("."),
+            ),
+        )
+        .when(
+            F.col("event_type") == "view",
+            F.concat(F.lit("<:Rank:1>**user_"), uid, F.lit("**: message "), ks),
+        )
+        .otherwise(F.concat(F.lit("unstructured noise "), ks))
+    )
+    raw = ev.select(
+        F.col("event_id").alias("id"),
+        F.col("ts").alias("timestamp"),
+        msg.alias("raw_content"),
+    )
+    streams = build_parse_plan(raw, default_config())
+    return streams.broadcasts.select(
+        "raw_log_id",
+        "Broadcast_Type",
+        "Username",
+        "Item_Name",
+        "Item_Value",
+        "Source_Mob",
+        "Action_By",
+        "Skill",
+        "New_Level",
+    )

@@ -1,0 +1,289 @@
+"""Unit tests for the operator library's order-sensitive semantics
+(SURVEY.md §5 property list): as-of tier order, later-rule-wins remap,
+idempotent dedup-append, gap-filled resample, near-best banding,
+duration parsing, exclusion arities."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from osrs_dashboard_elt_spark.functions.durations import duration_seconds
+from osrs_dashboard_elt_spark.operators import (
+    BlacklistEntry,
+    ExclusionWindow,
+    MappingRule,
+    apply_exclusions,
+    apply_mapping,
+    asof_join,
+    blacklist_predicate,
+    find_conflicts,
+    interval_join,
+    near_best_band,
+    resample,
+    sessionize,
+    top_n_per_group,
+)
+
+
+def ts(day, hour=0, minute=0, second=0):
+    return datetime(2024, 1, day, hour, minute, second)
+
+
+# --------------------------------------------------------------------------
+# As-of join: exact -> latest-before -> earliest-after (J1 tier order)
+# --------------------------------------------------------------------------
+
+
+def test_asof_tier_order(spark):
+    probes = spark.createDataFrame(
+        [(1, "a", ts(10)), (2, "b", ts(10)), (3, "c", ts(10))],
+        "id long, k string, t timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("a", ts(10), 100),  # exact -> wins over the earlier quote
+            ("a", ts(5), 50),
+            ("b", ts(4), 40),    # latest before
+            ("b", ts(2), 20),
+            ("b", ts(12), 120),  # after (must lose to before)
+            ("c", ts(15), 150),  # only after -> forward fallback
+            ("c", ts(20), 200),
+        ],
+        "k string, qt timestamp, v long",
+    )
+    out = asof_join(
+        probes, quotes, on="k", left_ts="t", right_ts="qt",
+        values=["v"], direction="nearest",
+    )
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert got == {1: 100, 2: 40, 3: 150}
+
+
+def test_asof_no_match_is_null(spark):
+    probes = spark.createDataFrame([(1, "z", ts(10))], "id long, k string, t timestamp")
+    quotes = spark.createDataFrame([("a", ts(5), 1)], "k string, qt timestamp, v long")
+    out = asof_join(
+        probes, quotes, on="k", left_ts="t", right_ts="qt",
+        values=["v"], direction="nearest",
+    ).collect()
+    assert out[0]["v"] is None
+
+
+def test_asof_backward_only(spark):
+    probes = spark.createDataFrame([(1, "c", ts(10))], "id long, k string, t timestamp")
+    quotes = spark.createDataFrame([("c", ts(15), 150)], "k string, qt timestamp, v long")
+    out = asof_join(
+        probes, quotes, on="k", left_ts="t", right_ts="qt",
+        values=["v"], direction="backward",
+    ).collect()
+    assert out[0]["v"] is None  # no forward fallback
+
+
+# --------------------------------------------------------------------------
+# Temporal remap: later-rule-wins (W4) + conflict detection (W5)
+# --------------------------------------------------------------------------
+
+
+def test_remap_later_rule_wins(spark):
+    rules = [
+        MappingRule("First", ("OldName",)),
+        MappingRule("Second", ("OldName",)),  # later -> wins
+    ]
+    df = spark.createDataFrame([("OldName", ts(5))], "Username string, T timestamp")
+    out = apply_mapping(df, "T", ["Username"], rules).collect()
+    assert out[0]["Username"] == "Second"
+
+
+def test_remap_validity_window(spark):
+    rules = [
+        MappingRule("New", ("Old",), start=ts(10), end=ts(20)),
+    ]
+    df = spark.createDataFrame(
+        [(1, "Old", ts(5)), (2, "Old", ts(10)), (3, "Old", ts(19, 23)), (4, "Old", ts(20))],
+        "id long, Username string, T timestamp",
+    )
+    got = {r["id"]: r["Username"] for r in apply_mapping(df, "T", ["Username"], rules).collect()}
+    assert got == {1: "Old", 2: "New", 3: "New", 4: "Old"}  # [start, end)
+
+
+def test_remap_multiple_columns(spark):
+    rules = [MappingRule("N", ("O",))]
+    df = spark.createDataFrame(
+        [("O", "O", "X", ts(5))], "Username string, Action_By string, Opponent string, T timestamp"
+    )
+    row = apply_mapping(df, "T", ["Username", "Action_By", "Opponent"], rules).collect()[0]
+    assert (row["Username"], row["Action_By"], row["Opponent"]) == ("N", "N", "X")
+
+
+def test_conflict_detection():
+    rules = [
+        MappingRule("A", ("x",), start=ts(1), end=ts(10)),
+        MappingRule("B", ("x",), start=ts(5), end=ts(15)),  # overlaps
+        MappingRule("C", ("y",), start=ts(1), end=ts(10)),  # different source
+        MappingRule("D", ("x",), start=ts(10), end=ts(20)),  # adjacent, no overlap
+    ]
+    conflicts = find_conflicts(rules)
+    assert [(i, j) for i, j, _ in conflicts] == [(0, 1), (1, 3)]
+
+
+# --------------------------------------------------------------------------
+# Dedup-append idempotency (S4): re-running ingest on an overlapping
+# window is a no-op
+# --------------------------------------------------------------------------
+
+
+def test_dedup_append_idempotent(spark, tmp_path):
+    from osrs_dashboard_elt_spark.sources.parquet import dedup_append
+
+    target = str(tmp_path / "raw_logs")
+    batch1 = spark.createDataFrame(
+        [(ts(1), "m1"), (ts(2), "m2")], "timestamp timestamp, raw_content string"
+    )
+    dedup_append(spark, batch1, target, keys=["timestamp", "raw_content"])
+    # overlapping re-fetch: m2 again + new m3
+    batch2 = spark.createDataFrame(
+        [(ts(2), "m2"), (ts(3), "m3")], "timestamp timestamp, raw_content string"
+    )
+    dedup_append(spark, batch2, target, keys=["timestamp", "raw_content"])
+    dedup_append(spark, batch2, target, keys=["timestamp", "raw_content"])  # no-op
+    got = sorted(r["raw_content"] for r in spark.read.parquet(target).collect())
+    assert got == ["m1", "m2", "m3"]
+
+
+# --------------------------------------------------------------------------
+# Resample gap fill (T1) + near-best band (W6) + sessionize
+# --------------------------------------------------------------------------
+
+
+def test_resample_emits_empty_buckets(spark):
+    df = spark.createDataFrame(
+        [(ts(1), 1.0), (ts(4), 2.0)], "t timestamp, v double"
+    )
+    out = resample(
+        df, "t", "1 day", {"n": F.count(F.lit(1))}, gap_fill=True
+    ).orderBy("bucket").collect()
+    assert len(out) == 4  # days 1,2,3,4 — gaps 2,3 emitted
+    assert [r["n"] for r in out] == [1, 0, 0, 1]
+
+
+def test_near_best_band_nulls_dropped(spark):
+    df = spark.createDataFrame(
+        [("t", 10.0), ("t", 10.4), ("t", 11.0), ("t", None)],
+        "task string, sec double",
+    )
+    out = near_best_band(df, ["task"], "sec", 0.5).collect()
+    assert sorted(r["sec"] for r in out) == [10.0, 10.4]
+
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame(
+        [(1, ts(1, 10, 0)), (1, ts(1, 10, 10)), (1, ts(1, 11, 0)), (2, ts(1, 10))],
+        "u long, t timestamp",
+    )
+    out = sessionize(df, "t", ["u"], gap_seconds=600.0).collect()
+    sessions = {(r["u"], r["t"]): r["session_id"] for r in out}
+    assert sessions[(1, ts(1, 10, 0))] == 1
+    assert sessions[(1, ts(1, 10, 10))] == 1
+    assert sessions[(1, ts(1, 11, 0))] == 2
+    assert sessions[(2, ts(1, 10))] == 1
+
+
+# --------------------------------------------------------------------------
+# Durations (R8): H:M:S / M:S.f / S, invalid -> null, 0:00 sentinel
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "s,expected",
+    [
+        ("0:54.6", 54.6),
+        ("1:15:45", 4545.0),
+        ("90", 90.0),
+        ("2:00", 120.0),
+        ("garbage", None),
+        ("", None),
+        ("1:2:3:4", None),
+    ],
+)
+def test_duration_seconds(spark, s, expected):
+    df = spark.createDataFrame([(s,)], "d string")
+    got = df.select(duration_seconds(F.col("d")).alias("s")).collect()[0]["s"]
+    if expected is None:
+        assert got is None
+    else:
+        assert got == pytest.approx(expected)
+
+
+def test_duration_zero_sentinel(spark):
+    df = spark.createDataFrame([("0:00",)], "d string")
+    got = df.select(
+        duration_seconds(F.col("d"), treat_zero_as_null=True).alias("s")
+    ).collect()[0]["s"]
+    assert got is None
+
+
+# --------------------------------------------------------------------------
+# Exclusions (P6-P8)
+# --------------------------------------------------------------------------
+
+
+def test_exclusion_windows(spark):
+    df = spark.createDataFrame(
+        [(1, ts(5), "Pet"), (2, ts(5), "Level Up"), (3, ts(25), "Pet")],
+        "id long, T timestamp, Broadcast_Type string",
+    )
+    wins = [ExclusionWindow(ts(1), ts(10), ("Pet",))]
+    got = {r["id"] for r in apply_exclusions(df, "T", "Broadcast_Type", wins).collect()}
+    assert got == {2, 3}
+
+
+def test_exclusion_all_broadcasts(spark):
+    df = spark.createDataFrame(
+        [(1, ts(5), "Pet"), (2, ts(5), "Level Up"), (3, ts(25), "Pet")],
+        "id long, T timestamp, Broadcast_Type string",
+    )
+    wins = [ExclusionWindow(ts(1), ts(10), ("All Broadcasts",))]
+    got = {r["id"] for r in apply_exclusions(df, "T", "Broadcast_Type", wins).collect()}
+    assert got == {3}
+
+
+def test_blacklist_arities(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "cheat", "Zulrah", 50.0),
+            (2, "cheat2", "Zulrah", 50.0),
+            (3, "cheat2", "Jad", 50.0),
+            (4, "fast", "Zulrah", 10.0),
+            (5, "fast", "Zulrah", 100.0),
+        ],
+        "id long, u string, task string, sec double",
+    )
+    entries = [
+        BlacklistEntry("cheat"),                      # user-wide
+        BlacklistEntry("cheat2", "Zulrah"),           # user+task
+        BlacklistEntry("fast", "Zulrah", 20.0),       # faster-than cutoff
+    ]
+    pred = blacklist_predicate(F.col("u"), F.col("task"), F.col("sec"), entries)
+    kept = {r["id"] for r in df.filter(~pred).collect()}
+    assert kept == {3, 5}
+
+
+def test_top_n_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("a", 2), ("b", 9)], "g string, v long"
+    )
+    out = top_n_per_group(df, ["g"], [F.col("v").desc()], 2).collect()
+    got = sorted((r["g"], r["v"]) for r in out)
+    assert got == [("a", 2), ("a", 3), ("b", 9)]
+
+
+def test_interval_join_half_open(spark):
+    left = spark.createDataFrame([(1, ts(5)), (2, ts(10))], "id long, t timestamp")
+    right = spark.createDataFrame(
+        [("w1", ts(1), ts(10))], "name string, s timestamp, e timestamp"
+    )
+    out = interval_join(left, right, "t", "s", "e").collect()
+    assert [r["id"] for r in out] == [1]  # end exclusive
