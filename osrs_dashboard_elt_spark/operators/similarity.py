@@ -89,6 +89,43 @@ def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
     return bucket
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.25,
+    n_planes: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked.
+
+    Scale path for near-dup detection over embeddings: bucket every
+    vector by sign-LSH (scan-side column expression), self-join ONLY
+    within buckets (equi-join — shuffle on the bucket key instead of a
+    cross join), exact cosine on the surviving ~1/2^n_planes pairs.
+    Returns (id_a, id_b, score) with id_a < id_b, score rounded to 6
+    decimals.  Replaces the all-pairs O(n^2) scan the reference-style
+    pandas approach would need.
+    """
+    planes = hyperplanes(n_planes, dim, seed)
+    b = df.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
+    )
+    pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.withColumn(
+        "score",
+        cosine(F.col("vec_a"), F.col("vec_b")).cast("decimal(28,6)").cast("double"),
+    )
+    return scored.filter(F.col("score") >= threshold).select("id_a", "id_b", "score")
+
+
 def lsh_ann_topk(
     df: DataFrame,
     vec_col: str,

@@ -1290,3 +1290,272 @@ def q_parse_engine(spark, sf_dir):
         "Skill",
         "New_Level",
     )
+
+
+# ---------------------------------------------------------------------------
+# Identity layer: temporal remapping (W4) + exclusion/blacklist rules (P6-P8)
+# ---------------------------------------------------------------------------
+
+_REMAP_RULES = [
+    # (target, sources, start, end) — r1 overlaps r0 on user_2 in
+    # [01-10, 01-20): later rule wins there (beta).
+    ("alpha", ("user_1", "user_2", "user_3"), datetime(2024, 1, 1), datetime(2024, 1, 20)),
+    ("beta", ("user_2", "user_10"), datetime(2024, 1, 10), datetime(2024, 1, 31)),
+    ("alpha", ("user_5",), None, None),
+]
+
+
+def _remap_oracle() -> str:
+    """CASE chain in REVERSE rule order = later-rule-wins."""
+    whens = []
+    for target, sources, start, end in reversed(_REMAP_RULES):
+        src = ", ".join(f"'{s}'" for s in sources)
+        conds = [f"name IN ({src})"]
+        if start is not None:
+            conds.append(f"ts >= TIMESTAMP '{start.isoformat(sep=' ')}'")
+        if end is not None:
+            conds.append(f"ts < TIMESTAMP '{end.isoformat(sep=' ')}'")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{target}'")
+    case = "CASE " + " ".join(whens) + " ELSE name END"
+    return f"""
+    WITH named AS (
+      SELECT 'user_' || CAST(user_id AS VARCHAR) AS name, ts, value FROM events
+    )
+    SELECT {case} AS canonical_name,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM named GROUP BY 1
+    """
+
+
+@query("q_temporal_remap", oracle=_remap_oracle())
+def q_temporal_remap(spark, sf_dir):
+    """W4: temporal (SCD-style) username remapping with later-rule-wins
+    precedence compiled into one when-chain — single scan, no shuffle
+    until the final aggregate (the reference loops rules × rows in
+    pandas, mutating in place)."""
+    from .operators.remap import MappingRule, apply_mapping
+
+    rules = [
+        MappingRule(target=t, sources=s, start=st, end=en)
+        for t, s, st, en in _REMAP_RULES
+    ]
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("name"),
+        "ts",
+        "value",
+    )
+    remapped = apply_mapping(ev, "ts", ["name"], rules)
+    return (
+        remapped.groupBy(F.col("name").alias("canonical_name"))
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("value").alias("total_value"))
+    )
+
+
+_EXCL_WINDOWS = [
+    # (start, end_inclusive, types) — () means All Broadcasts.
+    (datetime(2024, 1, 5), datetime(2024, 1, 7), ()),
+    (datetime(2024, 1, 12), datetime(2024, 1, 14), ("purchase", "click")),
+]
+
+_BLACKLIST = [
+    # (user_id, event_type | None, max_value | None): drop the user's
+    # rows (optionally one type; optionally only rows BELOW max_value —
+    # the reference's "faster than cutoff" suspected-cheat arity).
+    (7, None, None),
+    (8, "purchase", None),
+    (9, "purchase", 50.0),
+]
+
+
+def _exclusion_oracle() -> str:
+    win_preds = []
+    for start, end, types in _EXCL_WINDOWS:
+        p = (
+            f"(ts >= TIMESTAMP '{start.isoformat(sep=' ')}'"
+            f" AND ts <= TIMESTAMP '{end.isoformat(sep=' ')}'"
+        )
+        if types:
+            tl = ", ".join(f"'{t}'" for t in types)
+            p += f" AND event_type IN ({tl})"
+        win_preds.append(p + ")")
+    bl_preds = []
+    for uid, etype, max_v in _BLACKLIST:
+        p = f"(user_id = {uid}"
+        if etype is not None:
+            p += f" AND event_type = '{etype}'"
+        if max_v is not None:
+            p += f" AND value < {max_v}"
+        bl_preds.append(p + ")")
+    dropped = " OR ".join(win_preds + bl_preds)
+    return f"""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events WHERE NOT ({dropped}) GROUP BY event_type
+    """
+
+
+@query("q_exclusion_rules", oracle=_exclusion_oracle())
+def q_exclusion_rules(spark, sf_dir):
+    """P6+P8: time×type exclusion windows plus the 3-arity blacklist,
+    folded into ONE negated predicate that Catalyst pushes into the
+    parquet scan — zero extra passes (the reference re-filters the
+    whole frame once per rule)."""
+    from .operators.exclusions import (
+        BlacklistEntry,
+        ExclusionWindow,
+        blacklist_predicate,
+        exclusion_predicate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    windows = [ExclusionWindow(start=s, end=e, types=t) for s, e, t in _EXCL_WINDOWS]
+    entries = [
+        BlacklistEntry(user=str(u), task=et, max_time=mv) for u, et, mv in _BLACKLIST
+    ]
+    drop = exclusion_predicate(
+        F.col("ts"), F.col("event_type"), windows
+    ) | blacklist_predicate(
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.col("value"),
+        entries,
+    )
+    return (
+        ev.filter(~drop)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("value").alias("total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Durations (R8): parse H:M:S / M:S.f strings -> seconds, round-trip
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_duration_parse",
+    oracle="""
+    WITH k AS (
+      SELECT event_id,
+             CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
+      FROM events
+    ), s AS (
+      SELECT event_id, k % 3 AS mode,
+        CASE k % 3
+          WHEN 0 THEN CAST(k % 9 AS VARCHAR) || ':' ||
+                      CAST((k // 7) % 60 AS VARCHAR) || ':' ||
+                      CAST(k % 60 AS VARCHAR)
+          WHEN 1 THEN CAST(k % 60 AS VARCHAR) || ':' ||
+                      CAST((k // 3) % 60 AS VARCHAR) || '.' ||
+                      CAST(k % 10 AS VARCHAR)
+          ELSE 'not a duration'
+        END AS dur
+      FROM k
+    ), p AS (
+      SELECT event_id, dur,
+        CASE WHEN regexp_matches(dur, '^\\d+(:\\d+)?(:\\d+)?(\\.\\d+)?$') THEN
+          CASE len(string_split(dur, ':'))
+            WHEN 1 THEN CAST(string_split(dur, ':')[1] AS DOUBLE)
+            WHEN 2 THEN CAST(string_split(dur, ':')[1] AS DOUBLE) * 60
+                      + CAST(string_split(dur, ':')[2] AS DOUBLE)
+            WHEN 3 THEN CAST(string_split(dur, ':')[1] AS DOUBLE) * 3600
+                      + CAST(string_split(dur, ':')[2] AS DOUBLE) * 60
+                      + CAST(string_split(dur, ':')[3] AS DOUBLE)
+          END
+        END AS seconds
+      FROM s
+    )
+    SELECT event_id, dur, seconds FROM p
+    """,
+)
+def q_duration_parse(spark, sf_dir):
+    """R8: duration-string parse as a pure column expression (split +
+    arithmetic inside whole-stage codegen; the reference is a per-row
+    python function with float('inf') sentinels — here invalid -> NULL).
+    Strings synthesized deterministically from events; the oracle
+    parses them independently with the same fold order (bit-identical
+    doubles)."""
+    from .functions.durations import duration_seconds
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    dur = (
+        F.when(
+            k % 3 == 0,
+            F.concat(
+                (k % 9).cast("string"), F.lit(":"),
+                ((k / 7).cast("long") % 60).cast("string"), F.lit(":"),
+                (k % 60).cast("string"),
+            ),
+        )
+        .when(
+            k % 3 == 1,
+            F.concat(
+                (k % 60).cast("string"), F.lit(":"),
+                ((k / 3).cast("long") % 60).cast("string"), F.lit("."),
+                (k % 10).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("not a duration"))
+    )
+    return ev.select(
+        "event_id", dur.alias("dur")
+    ).withColumn("seconds", duration_seconds(F.col("dur")))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (LSH-blocked)
+# ---------------------------------------------------------------------------
+
+
+def _embedding_neardup_oracle(
+    threshold: float, n_planes: int, seed: int, dim: int = 64
+) -> str:
+    planes = hyperplanes(n_planes, dim, seed)
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * ({plane}[i])), (x, y) -> x + y) > 0 "
+        "THEN {bit} ELSE 0 END)".format(
+            dim=dim,
+            plane="[" + ", ".join(f"{float(x)!r}" for x in plane) + "]",
+            bit=1 << j,
+        )
+        for j, plane in enumerate(planes)
+    )
+    pair_dot = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)), (u, v) -> u + v)"
+    )
+
+    def _norm(side: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({side}.embedding[i] AS DOUBLE) * CAST({side}.embedding[i] AS DOUBLE)), (u, v) -> u + v))"
+        )
+
+    return f"""
+    WITH b AS (
+      SELECT a.vec_id, a.embedding, CAST({bucket_terms} AS BIGINT) AS bucket
+      FROM embeddings a
+    ), scored AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             CAST(CAST({pair_dot} / ({_norm('x')} * {_norm('y')}) AS DECIMAL(28,6)) AS DOUBLE) AS score
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT id_a, id_b, score FROM scored WHERE score >= {threshold}
+    """
+
+
+@query("q_embedding_neardup", oracle=_embedding_neardup_oracle(0.25, 4, 42))
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: sign-LSH blocking turns the
+    O(n^2) all-pairs scan into an equi-join on the bucket key (shuffle
+    carries bucket ids, not a cross product); exact cosine only inside
+    buckets."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from .operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.25, n_planes=4, seed=42
+    )
