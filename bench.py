@@ -50,6 +50,15 @@ BENCH_QUERIES = [
     "q_lsh_ann_topk",
     "q_text_quality_by_lang",
     "q_doc_fingerprint",
+    "q_parse_engine",
+    "q_temporal_remap",
+    "q_exclusion_rules",
+    "q_duration_parse",
+    "q_embedding_neardup",
+    "q_report_timeseries_multi",
+    "q_report_collection_log",
+    "q_report_personal_bests",
+    "q_report_recent_achievements",
 ]
 
 

@@ -1547,6 +1547,267 @@ def _embedding_neardup_oracle(
     """
 
 
+# ---------------------------------------------------------------------------
+# Report generators (the reference's gold tables, 3_transform_data.py)
+# ---------------------------------------------------------------------------
+
+_TS_FREQS = ["6 hours", "1 day", "1 week"]
+
+
+def _ts_bucket_sql(freq: str) -> str:
+    if freq == "6 hours":
+        return "make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)"
+    unit = {"1 day": "day", "1 week": "week"}[freq]
+    return f"date_trunc('{unit}', ts)"
+
+
+def _ts_report_oracle() -> str:
+    per_freq = []
+    for freq in _TS_FREQS:
+        b = _ts_bucket_sql(freq)
+        interval = f"INTERVAL {freq.upper()}"
+        per_freq.append(f"""
+    SELECT '{freq}' AS Frequency, s.bucket,
+           COALESCE(a.n, 0) AS Count,
+           COALESCE(a.v, CAST(0 AS DECIMAL(18,2))) AS Total_Value
+    FROM (
+      SELECT unnest(generate_series(lo, hi, {interval})) AS bucket
+      FROM (SELECT MIN({b}) AS lo, MAX({b}) AS hi FROM events)
+    ) s LEFT JOIN (
+      SELECT {b} AS bucket, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY 1
+    ) a USING (bucket)""")
+    union = "\n    UNION ALL\n".join(per_freq)
+    return f"""
+    WITH buckets AS (
+    {union}
+    )
+    SELECT Frequency, strftime(bucket, '{TS_FMT_DUCK}') AS date_str,
+           CAST(Count AS BIGINT) AS Count,
+           CAST(Total_Value AS DOUBLE) AS Total_Value,
+           CAST(SUM(Count) OVER w AS BIGINT) AS Cumulative_Count,
+           CAST(SUM(Total_Value) OVER w AS DOUBLE) AS Cumulative_Value
+    FROM buckets
+    WINDOW w AS (PARTITION BY Frequency ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+
+@query("q_report_timeseries_multi", oracle=_ts_report_oracle())
+def q_report_timeseries_multi(spark, sf_dir):
+    """T1+W3 end-to-end: the reference's multi-frequency timeseries
+    report — gap-filled tumbling buckets per frequency (6h epoch-
+    aligned; day/week calendar-aligned) with exact-decimal cumulative
+    sums, unioned under a Frequency tag."""
+    from .reports import timeseries_report
+
+    ev = _t(spark, sf_dir, "events")
+    out = timeseries_report(ev, "ts", _TS_FREQS, "value")
+    return out.select(
+        "Frequency",
+        F.date_format("Date", TS_FMT_SPARK).alias("date_str"),
+        "Count",
+        F.col("Total_Value").cast("double").alias("Total_Value"),
+        "Cumulative_Count",
+        F.col("Cumulative_Value").cast("double").alias("Cumulative_Value"),
+    )
+
+
+_CLOG_GROUPS = {
+    "Group A": [f"Item {i}" for i in range(10)],
+    "Group B": [f"Item {i}" for i in range(10, 20)],
+}
+_CLOG_HIST = {"Item 3": 5, "Item 25": 7}
+
+
+def _clog_oracle() -> str:
+    grouped_vals = ", ".join(
+        f"('{g}', '{i}')" for g, items in _CLOG_GROUPS.items() for i in items
+    )
+    hist_vals = ", ".join(f"('{k}', {v})" for k, v in _CLOG_HIST.items())
+    return f"""
+    WITH src AS (
+      SELECT CAST(user_id AS VARCHAR) AS u,
+             CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k,
+             ts, event_id
+      FROM events
+    ), parsed AS (
+      SELECT u, 'Item ' || CAST(k % 30 AS VARCHAR) AS item,
+             CASE WHEN k % 4 = 0 THEN 1 ELSE k % 9 + 2 END AS qty,
+             ts, event_id
+      FROM src
+    ), deduped AS (
+      SELECT * FROM parsed
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY u, item ORDER BY ts, event_id) = 1
+    ), counts AS (
+      SELECT item, COUNT(*) AS n_holders, SUM(qty) AS total_quantity
+      FROM deduped GROUP BY 1
+    ), grouped(item_group, item) AS (VALUES {grouped_vals}),
+    ungrouped AS (
+      SELECT 'Other' AS item_group, item
+      FROM (SELECT DISTINCT item FROM deduped EXCEPT SELECT item FROM grouped)
+    ), skeleton AS (SELECT * FROM grouped UNION ALL SELECT * FROM ungrouped),
+    hist(item, historical_count) AS (VALUES {hist_vals})
+    SELECT s.item_group AS Item_Group, s.item AS Item_Name,
+           COALESCE(c.n_holders, 0) AS n_holders,
+           COALESCE(c.total_quantity, 0) AS total_quantity,
+           COALESCE(h.historical_count, 0) AS historical_count,
+           COALESCE(h.historical_count, 0) + COALESCE(c.total_quantity, 0) AS total_with_historical
+    FROM skeleton s
+    LEFT JOIN counts c ON c.item = s.item
+    LEFT JOIN hist h ON h.item = s.item
+    """
+
+
+@query("q_report_collection_log", oracle=_clog_oracle())
+def q_report_collection_log(spark, sf_dir):
+    """O5+R6+A4+J3-J5 end-to-end: the collection-log report — quantity
+    parse, per-(user,item) dedup keeping the earliest, item counts onto
+    the configured group skeleton with ungrouped items routed to
+    'Other', plus broadcast historical seed counts.  The oracle derives
+    expected names/quantities arithmetically, independently checking
+    the regex parse."""
+    from .reports import collection_log_report
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    item_raw = F.when(
+        k % 4 == 0, F.concat(F.lit("Item "), (k % 30).cast("string"))
+    ).otherwise(
+        F.concat(
+            (k % 9 + 2).cast("string"), F.lit(" x Item "), (k % 30).cast("string")
+        )
+    )
+    src = ev.select(
+        F.col("user_id").cast("string").alias("u"),
+        item_raw.alias("item_raw"),
+        "ts",
+        "event_id",
+    )
+    return collection_log_report(
+        spark,
+        src,
+        user_col="u",
+        item_raw_col="item_raw",
+        ts_col="ts",
+        order_cols=["event_id"],
+        groups=_CLOG_GROUPS,
+        historical_counts=_CLOG_HIST,
+    )
+
+
+_PB_ORACLE = f"""
+    WITH src AS (
+      SELECT event_type AS task, 'u' || CAST(user_id % 25 AS VARCHAR) AS u,
+             value AS s, ts FROM events
+    ), m AS (SELECT task, MIN(s) AS best FROM src GROUP BY 1),
+    band AS (
+      SELECT src.*, m.best FROM src JOIN m USING (task)
+      WHERE src.s <= m.best + 1.0
+    ), f AS (SELECT task, MIN(ts) AS first_ts FROM band GROUP BY 1),
+    d AS (
+      SELECT DISTINCT b.task, b.best, b.u
+      FROM band b JOIN f USING (task)
+      WHERE epoch_us(b.ts) <= epoch_us(f.first_ts) + 86400000000
+    ), agg AS (
+      SELECT task, CAST(CAST(best AS DECIMAL(28,6)) AS DOUBLE) AS best_seconds,
+             string_agg(u, ',' ORDER BY u) AS All_Holders,
+             COUNT(*) AS n_holders
+      FROM d GROUP BY task, best
+    )
+    SELECT a.task AS Task, a.best_seconds,
+           strftime(f.first_ts, '{TS_FMT_DUCK}') AS record_ts_str,
+           a.All_Holders, a.n_holders
+    FROM agg a JOIN f ON f.task = a.task
+    UNION ALL
+    SELECT 'legacy_task', NULL, NULL, '', 0
+"""
+
+
+@query("q_report_personal_bests", oracle=_PB_ORACLE)
+def q_report_personal_bests(spark, sf_dir):
+    """W6+A8+A9+J6 end-to-end: the personal-bests report — near-best
+    band per task, the earliest band record definitive, co-holders
+    within the grouping window (compared in exact microseconds),
+    sorted holder CSV, and back-filled placeholder rows for configured
+    historical tasks with no data."""
+    from .reports import personal_bests_report
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        F.col("event_type").alias("task"),
+        F.concat(F.lit("u"), (F.col("user_id") % 25).cast("string")).alias("u"),
+        F.col("value").alias("s"),
+        "ts",
+    )
+    out = personal_bests_report(
+        spark,
+        src,
+        task_col="task",
+        user_col="u",
+        seconds_col="s",
+        ts_col="ts",
+        threshold=1.0,
+        grouping_window_seconds=86400.0,
+        historical_tasks=["legacy_task", "purchase"],
+    )
+    return out.select(
+        "Task",
+        dround(F.col("best_seconds")).alias("best_seconds"),
+        F.date_format("record_ts", TS_FMT_SPARK).alias("record_ts_str"),
+        "All_Holders",
+        "n_holders",
+    )
+
+
+@query(
+    "q_report_recent_achievements",
+    oracle=f"""
+    WITH u AS (
+      SELECT event_type, event_id, ts FROM events
+      UNION ALL
+      SELECT 'Maxed Click', event_id, ts FROM events
+      WHERE event_type = 'click' AND value >= 99.0
+    )
+    SELECT event_type, event_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_str,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY ts DESC, event_id) AS rn
+      FROM u
+    ) WHERE rn <= 3
+    """,
+)
+def q_report_recent_achievements(spark, sf_dir):
+    """F11+W1 end-to-end: recent-achievements report — derived
+    category rows (the maxed-skill analog) unioned in, then top-3 per
+    type newest-first via one window."""
+    from .reports import recent_achievements_report
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "ts")
+    full = _t(spark, sf_dir, "events")
+    derived = [
+        (
+            (F.col("event_type") == "click") & (F.col("value") >= 99.0),
+            "Maxed Click",
+        )
+    ]
+    out = recent_achievements_report(
+        full.select("event_type", "event_id", "ts", "value"),
+        "event_type",
+        "ts",
+        3,
+        derived=derived,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "event_type",
+        "event_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 @query("q_embedding_neardup", oracle=_embedding_neardup_oracle(0.25, 4, 42))
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs: sign-LSH blocking turns the
