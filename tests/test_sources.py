@@ -1,0 +1,106 @@
+"""Source/sink primitives (SURVEY.md §2.1 S2/S4/S9/S12): idempotent
+dedup-append, watermark scans, blue/green publish."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from osrs_dashboard_elt_spark.sources import (
+    dedup_append,
+    filter_newer_than_watermarks,
+    incremental_scan,
+    max_watermark,
+    publish_blue_green,
+    read_new_since,
+    read_published,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _raw_logs(spark, rows):
+    return spark.createDataFrame(rows, "timestamp timestamp, raw_content string")
+
+
+def test_dedup_append_idempotent(spark, tmp_path):
+    """Re-running an overlapping batch is a no-op (reference T2: the
+    overlap-window re-fetch relies on INSERT OR IGNORE)."""
+    target = str(tmp_path / "raw_logs")
+    keys = ["timestamp", "raw_content"]
+    b1 = _raw_logs(
+        spark,
+        [(_ts("2025-01-01T10:00:00"), "msg-a"), (_ts("2025-01-01T10:05:00"), "msg-b")],
+    )
+    assert dedup_append(spark, b1, target, keys) == 2
+    # Overlapping batch: one dup, one new, one in-batch dup.
+    b2 = _raw_logs(
+        spark,
+        [
+            (_ts("2025-01-01T10:05:00"), "msg-b"),
+            (_ts("2025-01-01T10:10:00"), "msg-c"),
+            (_ts("2025-01-01T10:10:00"), "msg-c"),
+        ],
+    )
+    assert dedup_append(spark, b2, target, keys) == 1
+    # Exact re-run: zero appended, table unchanged.
+    assert dedup_append(spark, b2, target, keys) == 0
+    assert spark.read.parquet(target).count() == 3
+
+
+def test_watermark_scan_with_overlap(spark, tmp_path):
+    target = str(tmp_path / "raw_logs")
+    rows = [
+        (_ts("2025-01-01T10:00:00"), "a"),
+        (_ts("2025-01-01T11:00:00"), "b"),
+        (_ts("2025-01-01T12:00:00"), "c"),
+    ]
+    dedup_append(spark, _raw_logs(spark, rows), target, ["timestamp", "raw_content"])
+    wm = max_watermark(spark, target, "timestamp")
+    assert wm == _ts("2025-01-01T12:00:00")
+
+    src = _raw_logs(spark, rows + [(_ts("2025-01-01T13:00:00"), "d")])
+    assert read_new_since(spark, target, "timestamp", wm).count() == 0
+    new = incremental_scan(src, "timestamp", wm, overlap_seconds=3600.0)
+    # overlap window re-reads "c" (11:00 < ts) plus the new "d"
+    assert {r["raw_content"] for r in new.collect()} == {"c", "d"}
+    assert max_watermark(spark, str(tmp_path / "missing"), "timestamp") is None
+
+
+def test_per_key_watermark_filter(spark):
+    """S9: only rows strictly newer than their key's max pass; unseen
+    keys pass through."""
+    existing = spark.createDataFrame(
+        [(1, _ts("2025-01-02T00:00:00")), (1, _ts("2025-01-03T00:00:00")),
+         (2, _ts("2025-01-05T00:00:00"))],
+        "item_id int, timestamp timestamp",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, _ts("2025-01-03T00:00:00")),  # equal -> dropped
+            (1, _ts("2025-01-04T00:00:00")),  # newer -> kept
+            (2, _ts("2025-01-04T00:00:00")),  # older -> dropped
+            (3, _ts("2025-01-01T00:00:00")),  # unseen key -> kept
+        ],
+        "item_id int, timestamp timestamp",
+    )
+    out = filter_newer_than_watermarks(batch, existing, "item_id", "timestamp")
+    got = {(r["item_id"], r["timestamp"]) for r in out.collect()}
+    assert got == {(1, _ts("2025-01-04T00:00:00")), (3, _ts("2025-01-01T00:00:00"))}
+
+
+def test_blue_green_publish_flips_colors(spark, tmp_path):
+    root = str(tmp_path / "report")
+    v1 = spark.range(3).withColumn("v", F.lit("one"))
+    c1 = publish_blue_green(v1, root)
+    assert read_published(spark, root).count() == 3
+
+    v2 = spark.range(5).withColumn("v", F.lit("two"))
+    c2 = publish_blue_green(v2, root)
+    assert c2 != c1
+    got = read_published(spark, root)
+    assert got.count() == 5
+    assert got.select("v").distinct().collect()[0]["v"] == "two"
