@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "q_lsh_ann_topk",
     "q_text_quality_by_lang",
     "q_doc_fingerprint",
+    "q_media_features",
+    "q_media_frame_sample",
     "q_parse_engine",
     "q_temporal_remap",
     "q_exclusion_rules",

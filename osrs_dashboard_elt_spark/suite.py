@@ -1820,3 +1820,61 @@ def q_embedding_neardup(spark, sf_dir):
     return embedding_neardup_pairs(
         emb, "vec_id", "embedding", threshold=0.25, n_planes=4, seed=42
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns: binary blobs + typed metadata over mapInPandas
+# ---------------------------------------------------------------------------
+
+_MEDIA_FEATURES_ORACLE = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       CAST(11 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(doc_id % 64 + 1 AS INT) AS width,
+       CAST(doc_id % 48 + 1 AS INT) AS height,
+       CAST(doc_id % 30 + 1 AS INT) AS n_frames,
+       CAST(list_sum(list_transform(string_split(text, ''),
+                                    x -> ord(x))) AS BIGINT) AS byte_sum
+FROM documents
+"""
+
+
+@query("q_media_features", oracle=_MEDIA_FEATURES_ORACLE)
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: synthesize deterministic binary
+    media blobs JVM-side (documents text as payload, FMM1 header),
+    then decode header + payload stats with ONE Arrow-batched
+    mapInPandas pass.  The oracle recomputes every feature from the
+    source text, independently checking the byte round-trip through
+    the JVM -> Arrow -> pandas boundary."""
+    from .multimodal import attach_fake_media, extract_media_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_media_features(attach_fake_media(docs))
+
+
+_FRAME_SAMPLE_ORACLE = """
+SELECT doc_id,
+       CAST(doc_id % 30 + 1 AS INT) AS n_frames,
+       CAST(unnest(range(0, doc_id % 30 + 1, 7)) AS INT) AS frame_idx
+FROM documents
+WHERE doc_id % 3 = 2
+"""
+
+
+@query("q_media_frame_sample", oracle=_FRAME_SAMPLE_ORACLE)
+def q_media_frame_sample(spark, sf_dir):
+    """Frame-sampling plan for video rows: sequence+explode over the
+    metadata struct only — the physical plan never touches the blob
+    column (metadata/bytes split is what makes 100 TB media tables
+    prunable)."""
+    from .multimodal import attach_fake_media, sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_fake_media(docs)
+    out = sample_frames(media, every_nth=7)
+    return out.select(
+        "doc_id", F.col("n_frames").cast("int").alias("n_frames"),
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+    )
