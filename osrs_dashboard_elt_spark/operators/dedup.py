@@ -68,13 +68,60 @@ def tokens_col(text: str | Column, lowercase: bool = True) -> Column:
 
 def shingles_col(text: str | Column, n: int = 3) -> Column:
     """Distinct n-word shingles (space-joined, lowercased) of a text
-    column."""
+    column.
+
+    PERF: only use this when ``text`` is already a plain attribute or
+    the row count is small — expressions inside the ``transform``
+    lambda are re-evaluated per element, so an inlined split would run
+    once per shingle index (O(words^2) regex work per doc).
+    ``with_shingles`` is the staged, scan-friendly form.
+    """
     c = F.col(text) if isinstance(text, str) else text
     words = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != F.lit(""))
     idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
     )
+
+
+def with_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int | None = 3,
+    out: str = "toks",
+) -> DataFrame:
+    """(id, distinct token/shingle array) with the tokenization STAGED
+    as its own projection: the split+filter runs once per row and the
+    shingle lambda only reads the materialized attribute.  (Catalyst's
+    CollapseProject keeps the stage separate because the word array is
+    referenced more than once and is not cheap; inlining it into the
+    per-index lambda — what the single-expression form does — costs
+    O(words^2) regex evaluations per document.)
+
+    ``n=None`` -> word tokens instead of n-word shingles.
+
+    NOTE: rows with empty arrays are NOT filtered here — a
+    ``filter(size > 0)`` would be pushed below the projections and
+    re-inline the whole shingle expression (including the quadratic
+    form) into the Filter node.  Downstream ``explode`` drops empty
+    arrays anyway; callers needing the filter should apply it after a
+    shuffle boundary.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    staged = df.select(F.col(id_col).alias("id"), words.alias("__words"))
+    if n is None:
+        toks = F.array_distinct(F.col("__words"))
+    else:
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.size("__words") - (n - 1), F.lit(0))
+        )
+        toks = F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("__words"), i, n)))
+        )
+    return staged.select("id", toks.alias(out))
 
 
 def exact_dedup(
@@ -138,51 +185,76 @@ def minhash_lsh_pairs(
     set from words to n-word shingles.
     """
     rows = num_perm // bands
-    toks = (
-        shingles_col(text_col, shingle_n) if shingle_n else tokens_col(text_col)
+    base = with_shingles(df, id_col, text_col, shingle_n)
+    # Signatures via explode + hash-aggregate, not per-row array
+    # lambdas: one md5 per (doc, token) posting, then num_perm
+    # fully-codegen'd MIN aggregates with map-side partial combine.
+    # (Higher-order-function lambdas run interpreted and re-evaluate
+    # their body per element — the aggregate shape stays inside
+    # whole-stage codegen and shuffles only (id, 16 longs).)
+    # explode_outer, not explode: InferFiltersFromGenerate synthesizes
+    # a size(..)>0 filter below the projection for inner explode,
+    # re-inlining the whole (quadratic) shingle expression into the
+    # Filter node.  The outer variant skips the rule; the cheap
+    # isNotNull on the GENERATED attribute restores inner semantics.
+    tok_posts = (
+        base.select("id", F.explode_outer("toks").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .select("id", token_hash32(F.col("tok")).alias("h"))
     )
-    base = df.select(F.col(id_col).alias("id"), toks.alias("toks")).filter(
-        F.size("toks") > 0
-    )
-    sig = minhash_signature(F.col("toks"), num_perm, seed)
-    banded = base.select(
-        "id",
-        "toks",
+    sig = tok_posts.groupBy("id").agg(
         *[
-            F.concat_ws("_", *[c.cast("string") for c in sig[b * rows : (b + 1) * rows]]).alias(
-                f"band{b}"
-            )
-            for b in range(bands)
-        ],
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"s{i}")
+            for i, (a, b) in enumerate(minhash_params(num_perm, seed))
+        ]
     )
-    pair_frames = []
-    for b in range(bands):
-        l = banded.select(
-            F.col("id").alias("id_a"),
-            F.col("toks").alias("toks_a"),
-            F.col(f"band{b}").alias("bk"),
-        )
-        r = banded.select(
-            F.col("id").alias("id_b"),
-            F.col("toks").alias("toks_b"),
-            F.col(f"band{b}").alias("bk"),
-        )
-        pair_frames.append(
-            l.join(r, "bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
-        )
-    pairs = pair_frames[0]
-    for p in pair_frames[1:]:
-        pairs = pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    # One posting table (id, band_idx, band_key) via explode — NOT one
+    # self-join per band: a single equi-join on (bi, bk) whose two
+    # sides are plan-identical, so Spark computes the signature stage
+    # ONCE and reuses the shuffle exchange for the other side.  The
+    # join carries only (id, bi, bk) — token arrays never shuffle here.
+    posts = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bi"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"s{b * rows + r}").cast("string")
+                                for r in range(rows)
+                            ],
+                        ).alias("bk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "c.bi", "c.bk")
+    pairs = (
+        posts.alias("a")
+        .join(posts.alias("b"), ["bi", "bk"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     if verify_threshold is None:
-        return pairs.select("id_a", "id_b")
+        return pairs
+    # Exact-Jaccard verification only for surviving candidates: join
+    # the (small) pair set back to the token arrays instead of
+    # dragging the arrays through the LSH join.
+    ta = base.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = base.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    verified = pairs.join(ta, "id_a").join(tb, "id_b")
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size("toks_a") + F.size("toks_b") - inter
     jac = inter.cast("double") / union.cast("double")
     # Filter on the RAW quotient (bit-identical across engines), then
     # decimal-cast-round for the reported score.
     return (
-        pairs.withColumn("__jac", jac)
+        verified.withColumn("__jac", jac)
         .filter(F.col("__jac") >= verify_threshold)
         .select(
             "id_a",
@@ -206,11 +278,16 @@ def ngram_jaccard_pairs(
     Jaccard from inclusion-exclusion.  ``max_doc_freq`` drops shingles
     occurring in more than N docs (stop-shingle skew guard; changes
     recall, documented)."""
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_col(text_col, n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    posts = sh.select("id", F.explode("sh").alias("shingle"))
+    sh = with_shingles(df, id_col, text_col, n, out="sh")
+    # explode_outer + isNotNull: see minhash_lsh_pairs — avoids the
+    # InferFiltersFromGenerate re-inlining of the shingle expression
+    posts = sh.select("id", F.explode_outer("sh").alias("shingle")).filter(
+        F.col("shingle").isNotNull()
+    )
+    # shingle arrays are distinct per doc, so sizes fall out of the
+    # posting table with a map-side-combined count — no second
+    # tokenization pass over the text
+    sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_doc_freq is not None:
         keep = (
             posts.groupBy("shingle")
@@ -243,11 +320,11 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_col(tokens: Column, bits: int = 32) -> Column:
-    """SimHash fingerprint of a distinct-token array as a column
-    expression (no shuffle): per bit, sum +1/-1 over token hashes; the
-    fingerprint sets bits with positive sums."""
-    th = F.transform(tokens, token_hash32)
+def simhash_from_hashes(th: Column, bits: int = 32) -> Column:
+    """SimHash fingerprint from a pre-hashed token array.  ``th``
+    should be a plain attribute — each of the ``bits`` vote aggregates
+    walks the array once, so an inlined hash expression would be
+    re-evaluated ``bits`` times."""
     fp = F.lit(0).cast("long")
     for b in range(bits):
         vote = F.aggregate(
@@ -260,6 +337,13 @@ def simhash_col(tokens: Column, bits: int = 32) -> Column:
         )
         fp = fp + F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0))
     return fp
+
+
+def simhash_col(tokens: Column, bits: int = 32) -> Column:
+    """SimHash fingerprint of a distinct-token array as a column
+    expression (no shuffle): per bit, sum +1/-1 over token hashes; the
+    fingerprint sets bits with positive sums."""
+    return simhash_from_hashes(F.transform(tokens, token_hash32), bits)
 
 
 def simhash_pairs(
@@ -276,10 +360,17 @@ def simhash_pairs(
     on (chunk_idx, chunk_value), verify with bit_count(xor)."""
     n_chunks = max_hamming + 1
     chunk_bits = bits // n_chunks
-    base = df.select(
-        F.col(id_col).alias("id"),
-        simhash_col(tokens_col(text_col), bits).alias("fp"),
+    # Stage: tokens -> hashed array -> fingerprint, each its own
+    # projection so the md5 transform runs once per row, not once per
+    # vote aggregate.  (No empty-array filter: an empty doc hashes to
+    # fp=0, matching the unfiltered all-docs semantics.)
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_col(text_col).alias("toks")
     )
+    hashed = toks.select(
+        "id", F.transform(F.col("toks"), token_hash32).alias("th")
+    )
+    base = hashed.select("id", simhash_from_hashes(F.col("th"), bits).alias("fp"))
     chunks = base.select(
         "id",
         "fp",

@@ -154,8 +154,12 @@ def _explode_users(df: DataFrame, user_col: str) -> DataFrame:
     # commas become the same separator as 'and'
     normalized = F.regexp_replace(repaired, r",\s*", " and ")
     users = F.split(normalized, r" and ")
+    # explode_outer: inner explode makes InferFiltersFromGenerate
+    # synthesize a size(split(..))>0 filter that duplicates the two
+    # regexp_replaces per row; the existing isNotNull filter below
+    # already restores inner semantics.
     return (
-        df.withColumn(user_col, F.explode(users))
+        df.withColumn(user_col, F.explode_outer(users))
         .withColumn(user_col, F.nullif(F.trim(F.col(user_col)), F.lit("")))
         .filter(F.col(user_col).isNotNull())
     )

@@ -771,13 +771,17 @@ def q_explode_word_counts(spark, sf_dir):
     """R4: split + explode + count (row multiplication); top-20 via
     TakeOrdered."""
     docs = _t(spark, sf_dir, "documents")
+    # explode_outer: inner explode triggers InferFiltersFromGenerate,
+    # which duplicates the split+filter per row in a pushed-down
+    # size(..)>0 predicate; the isNotNull on the generated attribute
+    # restores inner semantics for free.
     words = docs.select(
-        F.explode(
+        F.explode_outer(
             F.filter(
                 F.split(F.lower("text"), r"\s+"), lambda w: w != F.lit("")
             )
         ).alias("word")
-    )
+    ).filter(F.col("word").isNotNull())
     return (
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
