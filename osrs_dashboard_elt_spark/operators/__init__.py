@@ -3,6 +3,7 @@
 from .asof import asof_join
 from .dedup import (
     dedup_keep_first,
+    dedup_keep_first_asc,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_params,
@@ -32,6 +33,7 @@ from .topn import top_n_per_group
 __all__ = [
     "asof_join",
     "dedup_keep_first",
+    "dedup_keep_first_asc",
     "exact_dedup",
     "minhash_lsh_pairs",
     "minhash_params",

@@ -142,12 +142,40 @@ def dedup_keep_first(
     """Deterministic dropDuplicates: keep the first row of each key
     group under ``order_cols`` (reference O5 keeps first occurrence;
     Spark's dropDuplicates keeps an arbitrary row — a window makes it
-    reproducible)."""
+    reproducible).  Handles arbitrary asc/desc order columns; for
+    all-ascending orders prefer ``dedup_keep_first_asc`` (hash
+    aggregate with map-side combine instead of shuffle+sort)."""
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def dedup_keep_first_asc(
+    df: DataFrame, key_cols: list[str], order_cols: list[str | Column]
+) -> DataFrame:
+    """Keep the first row per key under ASCENDING ``order_cols`` as a
+    single hash aggregate: ``min(struct(order..., payload...))`` is
+    lexicographic, so the group minimum IS the first row.  Unlike the
+    window form this never sorts and combines map-side — the shuffle
+    carries one partial row per (partition, key) instead of every row.
+    Output column order matches the input."""
+    payload = [c for c in df.columns if c not in key_cols]
+    ordered = [
+        (F.col(c) if isinstance(c, str) else c).alias(f"__k{i}")
+        for i, c in enumerate(order_cols)
+    ]
+    s = F.min(
+        F.struct(*ordered, *[F.col(c).alias(f"__p_{c}") for c in payload])
+    ).alias("__s")
+    agged = df.groupBy(*key_cols).agg(s)
+    return agged.select(
+        *[
+            F.col(f"__s.__p_{c}").alias(c) if c in payload else F.col(c)
+            for c in df.columns
+        ]
     )
 
 

@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.temporal import Period, period_agg_columns
-from ..operators.dedup import dedup_keep_first
+from ..operators.dedup import dedup_keep_first_asc
 from ..operators.resample import resample
 from ..operators.sessionize import near_best_band
 from ..operators.topn import top_n_per_group
@@ -151,10 +151,10 @@ def collection_log_report(
         F.col(ts_col).alias("__ts"),
         *[F.col(c).alias(f"__o_{i}") for i, c in enumerate(order_cols)],
     )
-    deduped = dedup_keep_first(
+    deduped = dedup_keep_first_asc(
         parsed,
         ["Username", "Item_Name"],
-        [F.col("__ts").asc()] + [F.col(f"__o_{i}").asc() for i in range(len(order_cols))],
+        ["__ts"] + [f"__o_{i}" for i in range(len(order_cols))],
     )
     counts = deduped.groupBy("Item_Name").agg(
         F.count(F.lit(1)).alias("n_holders"),
@@ -165,7 +165,9 @@ def collection_log_report(
         (g, item) for g, items in groups.items() for item in items
     ]
     skeleton = spark.createDataFrame(grouped_rows, ["Item_Group", "Item_Name"])
-    observed = deduped.select("Item_Name").distinct()
+    # observed items from the (already tiny) counts aggregate — NOT
+    # from deduped, which would re-run the dedup window a second time
+    observed = counts.select("Item_Name")
     ungrouped = observed.join(
         F.broadcast(skeleton.select("Item_Name")), "Item_Name", "left_anti"
     ).select(F.lit(other_group).alias("Item_Group"), "Item_Name")

@@ -32,7 +32,7 @@ from .functions.temporal import Period, standard_periods, period_agg_columns
 from .functions.text import STOPWORDS, language_id, quality_score_cols, doc_fingerprint, token_count
 from .operators import (
     asof_join,
-    dedup_keep_first,
+    dedup_keep_first_asc,
     exact_dedup,
     interval_join,
     minhash_lsh_pairs,
@@ -405,9 +405,7 @@ def q_topn_per_group(spark, sf_dir):
 def q_dedup_keep_first(spark, sf_dir):
     """O5: deterministic dropDuplicates (earliest row per key)."""
     ev = _t(spark, sf_dir, "events")
-    out = dedup_keep_first(
-        ev, ["user_id", "event_type"], [F.col("ts").asc(), F.col("event_id").asc()]
-    )
+    out = dedup_keep_first_asc(ev, ["user_id", "event_type"], ["ts", "event_id"])
     return out.select(
         "user_id",
         "event_type",
