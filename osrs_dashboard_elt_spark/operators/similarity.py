@@ -35,10 +35,15 @@ def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
 
+def dot_raw(a: Column, b: Column) -> Column:
+    """Left-fold dot product of two arrays ALREADY cast to double."""
+    prods = F.zip_with(a, b, lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Left-fold dot product of two numeric arrays (double)."""
-    prods = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y)
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    return dot_raw(_as_double(a), _as_double(b))
 
 
 def norm(a: Column) -> Column:
@@ -78,15 +83,21 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
     return [[rng.choice((-1, 1)) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
-    """Sign-LSH bucket id: bit j set iff dot(vec, plane_j) > 0."""
+def lsh_bucket_raw(vecd: Column, planes: list[list[int]]) -> Column:
+    """Sign-LSH bucket id over a pre-cast double array: bit j set iff
+    dot(vec, plane_j) > 0."""
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
         p = F.array(*[F.lit(float(x)) for x in plane])
-        bucket = bucket + F.when(dot(vec, p) > 0, F.lit(2**j).cast("long")).otherwise(
-            F.lit(0)
-        )
+        bucket = bucket + F.when(
+            dot_raw(vecd, p) > 0, F.lit(2**j).cast("long")
+        ).otherwise(F.lit(0))
     return bucket
+
+
+def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """Sign-LSH bucket id: bit j set iff dot(vec, plane_j) > 0."""
+    return lsh_bucket_raw(_as_double(vec), planes)
 
 
 def embedding_neardup_pairs(
@@ -109,19 +120,32 @@ def embedding_neardup_pairs(
     pandas approach would need.
     """
     planes = hyperplanes(n_planes, dim, seed)
-    b = df.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
+    # Stage per-VECTOR work before the pair join: the double-cast array
+    # and its norm are computed once per vector here; scoring a pair is
+    # then ONE zip_with fold + a division.  (Inlining cosine() on the
+    # pair would recompute both norms — two extra array folds — for
+    # every candidate pair.)
+    vecd = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vd")
+    )
+    b = vecd.select(
+        "id",
+        "vd",
+        F.sqrt(dot_raw(F.col("vd"), F.col("vd"))).alias("nrm"),
+        lsh_bucket_raw(F.col("vd"), planes).alias("bucket"),
     )
     left = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+        F.col("id").alias("id_a"), F.col("vd").alias("vd_a"), F.col("nrm").alias("n_a"), "bucket"
     )
     right = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
+        F.col("id").alias("id_b"), F.col("vd").alias("vd_b"), F.col("nrm").alias("n_b"), "bucket"
     )
     pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
     scored = pairs.withColumn(
         "score",
-        cosine(F.col("vec_a"), F.col("vec_b")).cast("decimal(28,6)").cast("double"),
+        (dot_raw(F.col("vd_a"), F.col("vd_b")) / (F.col("n_a") * F.col("n_b")))
+        .cast("decimal(28,6)")
+        .cast("double"),
     )
     return scored.filter(F.col("score") >= threshold).select("id_a", "id_b", "score")
 
