@@ -1,0 +1,184 @@
+"""Property tests (SURVEY.md §5.3) for the order-sensitive semantics:
+later-rule-wins remapping, keep-first dedup equivalence, duration
+parsing, and MinHash banding — each against an independent Python
+model."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from osrs_dashboard_elt_spark.functions.durations import duration_seconds
+from osrs_dashboard_elt_spark.operators.dedup import (
+    MINHASH_P,
+    dedup_keep_first,
+    dedup_keep_first_asc,
+    minhash_lsh_pairs,
+    minhash_params,
+)
+from osrs_dashboard_elt_spark.operators.remap import (
+    MappingRule,
+    apply_mapping,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _t0(day: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(days=day)
+
+
+_NAMES = ["u0", "u1", "u2", "u3"]
+
+_rules_st = st.lists(
+    st.tuples(
+        st.sampled_from(["t0", "t1", "u0"]),  # target (may equal a source)
+        st.lists(st.sampled_from(_NAMES), min_size=1, max_size=3, unique=True),
+        st.one_of(st.none(), st.integers(0, 20)),  # start day
+        st.one_of(st.none(), st.integers(0, 20)),  # end day
+    ),
+    max_size=4,
+)
+_events_st = st.lists(
+    st.tuples(st.sampled_from(_NAMES), st.integers(0, 20)), min_size=1, max_size=12
+)
+
+
+@SETTINGS
+@given(rules=_rules_st, events=_events_st)
+def test_remap_later_rule_wins_model(spark, rules, events):
+    """The compiled when-chain matches a Python model that scans rules
+    in REVERSE order and applies the first match to the original
+    value (later-rule-wins, reference config doc :96-97)."""
+    mrules = [
+        MappingRule(
+            target=t,
+            sources=tuple(srcs),
+            start=None if s is None else _t0(s),
+            end=None if e is None else _t0(e),
+        )
+        for t, srcs, s, e in rules
+    ]
+
+    def model(name: str, day: int) -> str:
+        for t, srcs, s, e in reversed(rules):
+            if name in srcs and (s is None or day >= s) and (e is None or day < e):
+                return t
+        return name
+
+    df = spark.createDataFrame(
+        [(n, _t0(d)) for n, d in events], "Username string, ts timestamp"
+    )
+    out = apply_mapping(df, "ts", ["Username"], mrules)
+    got = [(r["Username"]) for r in out.orderBy("ts", "Username").collect()]
+    # compare as multisets keyed by input order-independent sort
+    want = sorted(model(n, d) for n, d in events)
+    assert sorted(got) == want
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # key
+            st.integers(0, 5),  # order value (ties likely)
+            st.integers(0, 100),  # payload
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_dedup_keep_first_asc_equals_window_form(spark, rows):
+    """The hash-aggregate keep-first (min of ordered struct) picks the
+    same rows as the window row_number form whenever the full
+    (order, payload) tuple disambiguates ties."""
+    df = spark.createDataFrame(rows, "k int, o int, v int")
+    agg = {
+        (r["k"], r["o"], r["v"])
+        for r in dedup_keep_first_asc(df, ["k"], ["o", "v"]).collect()
+    }
+    win = {
+        (r["k"], r["o"], r["v"])
+        for r in dedup_keep_first(
+            df, ["k"], [F.col("o").asc(), F.col("v").asc()]
+        ).collect()
+    }
+    assert agg == win
+
+
+@SETTINGS
+@given(
+    parts=st.lists(st.integers(0, 99), min_size=1, max_size=3),
+    frac=st.one_of(st.none(), st.integers(0, 99)),
+)
+def test_duration_parse_model(spark, parts, frac):
+    s = ":".join(str(p) for p in parts)
+    if frac is not None:
+        s += f".{frac:02d}"
+    mults = [1, 60, 3600]
+    want = sum(p * m for p, m in zip(reversed(parts), mults))
+    if frac is not None:
+        want += frac / 100.0
+    df = spark.createDataFrame([(s,)], "d string")
+    got = df.select(duration_seconds(F.col("d")).alias("s")).collect()[0]["s"]
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def _py_token_hash(tok: str) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=3, max_size=8),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_minhash_banding_matches_python_model(spark, docs):
+    """LSH candidate pairs == a Python model computing the same
+    md5-derived minhash signatures and band keys (any shared band)."""
+    num_perm, bands, seed, n = 8, 4, 7, 2
+    rows = num_perm // bands
+    params = minhash_params(num_perm, seed)
+
+    def shingles(words):
+        return list(dict.fromkeys(
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        ))
+
+    def sig(words):
+        hs = [_py_token_hash(t) for t in shingles(words)]
+        return [min((a * h + b) % MINHASH_P for h in hs) for a, b in params]
+
+    sigs = {i: sig(w) for i, w in enumerate(docs)}
+    want = set()
+    for i in sigs:
+        for j in sigs:
+            if i >= j:
+                continue
+            for b in range(bands):
+                if sigs[i][b * rows : (b + 1) * rows] == sigs[j][b * rows : (b + 1) * rows]:
+                    want.add((i, j))
+                    break
+
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in enumerate(docs)], "id long, text string"
+    )
+    out = minhash_lsh_pairs(
+        df, "id", "text", num_perm=num_perm, bands=bands, seed=seed, shingle_n=n
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == want
