@@ -178,3 +178,76 @@ def lsh_ann_topk(
         .limit(k)
         .select(id_col, "score", "bucket")
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    centroids_norm: list[list[float]],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF cell assignment: cell = argmin-index among max-dot centroids.
+
+    ``centroids_norm`` are UNIT-NORM centroid vectors (normalize driver
+    side) — argmax dot(v, c/|c|) == argmax cosine(v, c) because |v| is
+    a common positive factor.  Ties resolve to the smallest centroid
+    index via first-match-at-max, which an external SQL oracle can
+    reproduce with GREATEST + a CASE chain over identical doubles.
+
+    Scale shape: assignment is scan-side (C folds per row, no shuffle);
+    the cell column then partitions/clusters the table so a probe scans
+    only ``nprobe/C`` of the data.  At 100 TB the centroid list comes
+    from a k-means(sample) job and is broadcast; a fixed deterministic
+    pick keeps this oracle-checkable.
+    """
+    vd = _as_double(F.col(vec_col))
+    staged = df.select("*", vd.alias("__vd"))
+    scores = [
+        dot_raw(F.col("__vd"), F.array(*[F.lit(float(x)) for x in c])).alias(
+            f"__s{i}"
+        )
+        for i, c in enumerate(centroids_norm)
+    ]
+    staged = staged.select("*", *scores)
+    m = F.greatest(*[F.col(f"__s{i}") for i in range(len(centroids_norm))])
+    cell = None
+    for i in range(len(centroids_norm)):
+        cond = F.col(f"__s{i}") == m
+        cell = F.when(cond, i) if cell is None else cell.when(cond, i)
+    out = staged.select(
+        *[c for c in df.columns], cell.cast("int").alias("cell")
+    )
+    return out
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    centroids_norm: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` cells nearest the
+    query (computed driver-side), exact cosine rank within them.
+    Returns (id, score, cell)."""
+    qscores = [
+        sum(float(v) * float(c) for v, c in zip(query, cn))
+        for cn in centroids_norm
+    ]
+    best = max(qscores)
+    order = sorted(range(len(qscores)), key=lambda i: (-qscores[i], i))
+    probe = order[:nprobe]
+
+    assigned = ivf_assign(df, vec_col, centroids_norm, id_col)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    hits = assigned.filter(F.col("cell").isin(probe))
+    scored = hits.withColumn(
+        "score", cosine(F.col(vec_col), q).cast("decimal(28,6)").cast("double")
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "score", "cell")
+    )

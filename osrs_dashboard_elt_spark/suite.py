@@ -1192,6 +1192,10 @@ def build_oracles(sf_dir: str | None = None) -> dict[str, str]:
             oracles["q_lsh_ann_topk"] = _lsh_ann_oracle(sf_dir, 7, 10, 4, 42)
         except Exception:
             pass
+        try:
+            oracles["q_ivf_ann_topk"] = _ivf_oracle(sf_dir)
+        except Exception:
+            pass
     return oracles
 
 
@@ -1879,4 +1883,99 @@ def q_media_frame_sample(spark, sf_dir):
     return out.select(
         "doc_id", F.col("n_frames").cast("int").alias("n_frames"),
         F.col("frame_idx").cast("int").alias("frame_idx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (the second ANN scale path, alongside sign-LSH)
+# ---------------------------------------------------------------------------
+
+_IVF_C, _IVF_K, _IVF_NPROBE, _IVF_QID = 8, 10, 2, 11
+
+
+def _ivf_centroids_duckdb(sf_dir: str) -> list[list[float]]:
+    """Deterministic centroid pick (vec_id < C), unit-normalized driver
+    side.  The SAME python-normalized doubles are inlined as literals
+    into both the Spark plan and the oracle SQL, so normalization
+    arithmetic can't diverge between engines."""
+    import duckdb
+    import math
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"WHERE vec_id < {_IVF_C} ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    out = []
+    for _, emb in rows:
+        v = [float(x) for x in emb]
+        nrm = math.sqrt(sum(x * x for x in v))
+        out.append([x / nrm for x in v])
+    return out
+
+
+def _ivf_oracle(sf_dir: str) -> str:
+    cents = _ivf_centroids_duckdb(sf_dir)
+    qv = _get_query_vec_duckdb(sf_dir, _IVF_QID)
+    dim = len(qv)
+
+    def dot_lit(vec_lits: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST(a.embedding[i] AS DOUBLE) * ({vec_lits}[i])), (x, y) -> x + y)"
+        )
+
+    s_exprs = [
+        dot_lit("[" + ", ".join(repr(x) for x in c) + "]") for c in cents
+    ]
+    s_cols = ",\n             ".join(f"{e} AS s{i}" for i, e in enumerate(s_exprs))
+    m = "GREATEST(" + ", ".join(f"s{i}" for i in range(len(cents))) + ")"
+    cell_case = "CASE " + " ".join(
+        f"WHEN s{i} = {m} THEN {i}" for i in range(len(cents))
+    ) + " END"
+    qs = [sum(float(v) * float(c) for v, c in zip(qv, cn)) for cn in cents]
+    probe = sorted(range(len(qs)), key=lambda i: (-qs[i], i))[:_IVF_NPROBE]
+    q_lit = "[" + ", ".join(repr(x) for x in qv) + "]"
+    dot_q = _DOT_SQL.format(dim=dim, q=q_lit)
+    norm_a = (
+        f"sqrt(list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))"
+    )
+    norm_q = (
+        f"sqrt(list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST({q_lit}[i] AS DOUBLE) * CAST({q_lit}[i] AS DOUBLE)), (x, y) -> x + y))"
+    )
+    return f"""
+    WITH s AS (
+      SELECT a.vec_id, a.embedding,
+             {s_cols}
+      FROM embeddings a
+    ), assigned AS (
+      SELECT vec_id, embedding, CAST({cell_case} AS INT) AS cell FROM s
+    )
+    SELECT a.vec_id,
+           CAST(CAST({dot_q} / ({norm_a} * {norm_q}) AS DECIMAL(28,6)) AS DOUBLE) AS score,
+           a.cell
+    FROM assigned a
+    WHERE a.cell IN ({", ".join(str(p) for p in probe)})
+    ORDER BY score DESC, a.vec_id
+    LIMIT {_IVF_K}
+    """
+
+
+@query("q_ivf_ann_topk")  # oracle attached lazily in build_oracles()
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF approximate top-k (second ANN scale path): deterministic
+    unit-norm centroids, scan-side argmax-dot cell assignment, probe
+    the nprobe nearest cells, exact cosine rank inside.  At scale the
+    cell column becomes the table's partition key so a probe is a
+    partition-pruned scan."""
+    from .operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids_duckdb(sf_dir)
+    qv = _get_query_vec(spark, sf_dir, _IVF_QID)
+    return ivf_ann_topk(
+        emb, "embedding", qv, cents, k=_IVF_K, nprobe=_IVF_NPROBE, id_col="vec_id"
     )
