@@ -1979,3 +1979,47 @@ def q_ivf_ann_topk(spark, sf_dir):
     return ivf_ann_topk(
         emb, "embedding", qv, cents, k=_IVF_K, nprobe=_IVF_NPROBE, id_col="vec_id"
     )
+
+
+_GM_ORACLE = """
+    WITH k AS (
+      SELECT event_id, user_id,
+             CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_id AS raw_log_id,
+           CASE WHEN k % 2 = 0 THEN '(IM) Valuable Drop'
+                ELSE '(HCIM) Valuable Drop' END AS Broadcast_Type,
+           'user_' || CAST(user_id AS VARCHAR) AS Username,
+           'Item ' || CAST(k AS VARCHAR) AS Item_Name
+    FROM k
+"""
+
+
+@query("q_parse_game_mode", oracle=_GM_ORACLE)
+def q_parse_game_mode(spark, sf_dir):
+    """R3 oracle-checked: game-mode emoji prefixes route through the
+    full parse plan — the mode strips before dispatch and prepends
+    '(Mode) ' to the matched Broadcast_Type."""
+    from .config import default_config
+    from .plans import build_parse_plan
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    uid = F.col("user_id").cast("string")
+    prefix = F.when(k % 2 == 0, F.lit("<:Ironman:101>")).otherwise(
+        F.lit("<:Hardcore_ironman:102>")
+    )
+    msg = F.concat(
+        prefix, F.lit("user_"), uid, F.lit(" received a drop: Item "),
+        k.cast("string"), F.lit("."),
+    )
+    raw = ev.select(
+        F.col("event_id").alias("id"),
+        F.col("ts").alias("timestamp"),
+        msg.alias("raw_content"),
+    )
+    streams = build_parse_plan(raw, default_config())
+    return streams.broadcasts.select(
+        "raw_log_id", "Broadcast_Type", "Username", "Item_Name"
+    )
