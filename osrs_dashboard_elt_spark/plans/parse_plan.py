@@ -238,6 +238,10 @@ def build_parse_plan(
     )
     ok = _required_ok(F.col("__variant"), {k: F.col(k) for k in extracted}, cfg)
     parsed = parsed.withColumn("__bc_ok", (F.col("__variant") >= 0) & ok)
+    # __stripped fed the variant/extraction expressions above and is
+    # dead weight past this point — drop it BEFORE the persist so the
+    # cached rows don't carry a second copy of every message body.
+    parsed = parsed.drop("__stripped")
     if cache:
         from pyspark import StorageLevel
 
