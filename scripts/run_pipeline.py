@@ -1,0 +1,186 @@
+"""End-to-end pipeline driver: the Spark re-expression of the
+reference's ``run_all_etl.py`` orchestration (SURVEY.md §3.1).
+
+The reference runs four subprocess stages that hand data to each other
+through SQLite files (fetch -> parse -> transform -> post); here every
+stage is an in-process DataFrame job and the handoff is
+bronze/silver/gold parquet:
+
+  stage 1  ingest     raw messages -> bronze/raw_logs (idempotent
+                      dedup-append on the natural key; re-runs are
+                      no-ops — reference src/1_fetch_data.py:147-174)
+  stage 2  parse      bronze -> silver chat / clan_broadcasts /
+                      unparsed_logs via the compiled parse plan
+                      (reference src/2_parse_engine.py)
+  stage 3  transform  silver -> gold report tables, published
+                      blue/green so readers never see a half-written
+                      table (reference src/3_transform_data.py:771-798)
+
+Usage:
+    python scripts/run_pipeline.py [sf_dir] [out_dir]
+
+Defaults: sf_dir=/root/testdata/sf0.001, out_dir=a temp directory.
+Raw messages are synthesized deterministically from the events table
+(the same grammar the correctness suite verifies against DuckDB).
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def synthesize_raw_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic message corpus from the events table — same
+    grammar as the oracle-checked q_parse_engine."""
+    from osrs_dashboard_elt_spark.suite import _pin, _t
+
+    _pin(spark)  # nanos-timestamp parquet handling + UTC
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    coins = (F.col("value").cast("decimal(18,2)") * 100).cast("long").cast("string")
+    uid = F.col("user_id").cast("string")
+    ks = k.cast("string")
+    msg = (
+        F.when(
+            F.col("event_type") == "purchase",
+            F.concat(
+                F.lit("user_"), uid, F.lit(" received a drop: Item "), ks,
+                F.lit(" ("), coins, F.lit(" coins) from Mob "),
+                (k % 7).cast("string"), F.lit("."),
+            ),
+        )
+        .when(
+            F.col("event_type") == "signup",
+            F.concat(
+                F.lit("user_"), uid,
+                F.lit(" has achieved a new Fight Duration personal best: "),
+                (k % 9 + 1).cast("string"), F.lit(":"),
+                F.lpad((k % 60).cast("string"), 2, "0"),
+            ),
+        )
+        .when(
+            F.col("event_type") == "click",
+            F.concat(
+                F.lit("user_"), uid, F.lit(" has reached Attack level "),
+                (k % 99 + 1).cast("string"), F.lit("."),
+            ),
+        )
+        .when(
+            F.col("event_type") == "view",
+            F.concat(F.lit("<:Rank:1>**user_"), uid, F.lit("**: message "), ks),
+        )
+        .otherwise(F.concat(F.lit("unstructured noise "), ks))
+    )
+    return ev.select(
+        F.col("event_id").alias("id"),
+        F.col("ts").alias("timestamp"),
+        msg.alias("raw_content"),
+    )
+
+
+def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, float]:
+    from osrs_dashboard_elt_spark.config import default_config
+    from osrs_dashboard_elt_spark.functions.durations import duration_seconds
+    from osrs_dashboard_elt_spark.functions.temporal import standard_periods
+    from osrs_dashboard_elt_spark.plans import build_parse_plan
+    from osrs_dashboard_elt_spark.reports import (
+        leaderboard_report,
+        personal_bests_report,
+        recent_achievements_report,
+        timeseries_report,
+    )
+    from osrs_dashboard_elt_spark.sources import dedup_append, publish_blue_green
+    from osrs_dashboard_elt_spark.suite import ANCHOR
+
+    timings: dict[str, float] = {}
+
+    # -- stage 1: ingest (idempotent) ---------------------------------
+    t0 = time.time()
+    raw = synthesize_raw_messages(spark, sf_dir)
+    appended = dedup_append(
+        spark, raw, f"{out_dir}/bronze/raw_logs", ["timestamp", "raw_content"]
+    )
+    timings["ingest"] = time.time() - t0
+    print(f"[ingest]    +{appended} rows -> bronze/raw_logs")
+
+    # -- stage 2: parse ----------------------------------------------
+    t0 = time.time()
+    # content-derived surrogate id: stable across runs and partitionings
+    # (monotonically_increasing_id would renumber on every read, which
+    # breaks the idempotent silver appends keyed on raw_log_id)
+    bronze = spark.read.parquet(f"{out_dir}/bronze/raw_logs").withColumn(
+        "id", F.xxhash64("timestamp", "raw_content")
+    )
+    streams = build_parse_plan(bronze, default_config())
+    n_chat = dedup_append(
+        spark, streams.chat, f"{out_dir}/silver/chat", ["raw_log_id"]
+    )
+    n_bc = dedup_append(
+        spark,
+        streams.broadcasts,
+        f"{out_dir}/silver/clan_broadcasts",
+        ["raw_log_id", "Username"],
+    )
+    n_dead = dedup_append(
+        spark, streams.unparsed, f"{out_dir}/silver/unparsed_logs", ["raw_log_id"]
+    )
+    timings["parse"] = time.time() - t0
+    print(f"[parse]     +{n_chat} chat, +{n_bc} broadcasts, +{n_dead} dead-letter")
+
+    # -- stage 3: transform + blue/green publish ----------------------
+    t0 = time.time()
+    bc = spark.read.parquet(f"{out_dir}/silver/clan_broadcasts")
+    periods = standard_periods(ANCHOR)
+    reports = {
+        "leaderboard_drops": leaderboard_report(
+            bc.filter(F.col("Broadcast_Type") == "Valuable Drop"),
+            "Username", "Timestamp", periods, value_col="Item_Value",
+        ),
+        "timeseries_drops": timeseries_report(
+            bc.filter(F.col("Broadcast_Type") == "Valuable Drop").withColumn(
+                "v", F.coalesce(F.col("Item_Value").cast("double"), F.lit(0.0))
+            ),
+            "Timestamp", ["1 day", "1 week"], "v",
+        ),
+        "personal_bests": personal_bests_report(
+            spark,
+            bc.filter(F.col("Broadcast_Type") == "Personal Best").withColumn(
+                "seconds", duration_seconds(F.col("PB_Time"))
+            ),
+            "Task_Name", "Username", "seconds", "Timestamp",
+            threshold=0.0, grouping_window_seconds=10.0,
+        ),
+        "recent_achievements": recent_achievements_report(
+            bc.select("Broadcast_Type", "Username", "Timestamp"),
+            "Broadcast_Type", "Timestamp", 5,
+        ),
+    }
+    for name, df in reports.items():
+        color = publish_blue_green(df, f"{out_dir}/gold/{name}")
+        print(f"[transform] gold/{name} -> {color} ({df.columns})")
+    timings["transform"] = time.time() - t0
+    return timings
+
+
+def main() -> None:
+    from osrs_dashboard_elt_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="osrs_elt_")
+    spark = get_spark(app_name="osrs-elt-pipeline", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings = run_pipeline(spark, sf_dir, out_dir)
+    total = sum(timings.values())
+    stages = ", ".join(f"{k}={v:.1f}s" for k, v in timings.items())
+    print(f"[done] {stages}; total={total:.1f}s; output at {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
