@@ -1,0 +1,125 @@
+"""Config-declared schemas -> Spark StructTypes (SURVEY.md §1.1-1.2).
+
+The reference declares its typed event-table schemas as config data,
+not code (``[database_schema]``, reference src/config.example.toml:
+367-371, consumed for DDL at src/2_parse_engine.py:329-340), with only
+three storage types: TEXT, INTEGER, BIGINT — timestamps are ISO strings
+re-parsed to tz-aware datetimes on every read
+(src/3_transform_data.py:817-818).
+
+Here the same declaration compiles to a ``StructType`` with REAL types:
+timestamp columns become ``TimestampType`` (normalized UTC once at
+ingest, eliminating the re-parse-on-read), INTEGER/BIGINT become
+int/long, everything else string.  The canonical silver schemas below
+mirror the reference's three tables column-for-column.
+
+Also here: the key/value metadata tables (``run_metadata``,
+``dashboard_config`` — reference src/3_transform_data.py:55-98), whose
+list/dict values are JSON-encoded strings in a stringly-typed k/v
+table; ``kv_table`` reproduces that with ``to_json`` semantics
+driver-side (the values are config-sized, not data-sized).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# reference storage types -> Spark types; timestamp-named TEXT columns
+# are promoted to real timestamps (§1.2 "schema-declared, not inferred")
+_TYPE_MAP = {
+    "TEXT": T.StringType(),
+    "INTEGER": T.IntegerType(),
+    "BIGINT": T.LongType(),
+}
+_TIMESTAMP_COLUMNS = {"Timestamp", "timestamp"}
+
+
+def struct_from_config(schema: dict[str, str]) -> T.StructType:
+    """``{column: "TEXT"|"INTEGER"|"BIGINT"}`` -> StructType, promoting
+    timestamp-named columns to TimestampType."""
+    fields = []
+    for name, decl in schema.items():
+        if name in _TIMESTAMP_COLUMNS:
+            dtype: T.DataType = T.TimestampType()
+        else:
+            dtype = _TYPE_MAP[decl.upper()]
+        fields.append(T.StructField(name, dtype))
+    return T.StructType(fields)
+
+
+# The reference's declared tables (src/config.example.toml:367-371),
+# column-for-column, with ONE deliberate divergence: raw_log_id is
+# BIGINT here (the reference used an AUTOINCREMENT int; a 32-bit id
+# caps at 2B rows and our surrogate keys are 64-bit content hashes).
+CLAN_BROADCASTS_DECL = {
+    "raw_log_id": "BIGINT",
+    "Timestamp": "TEXT",
+    "Content": "TEXT",
+    "Username": "TEXT",
+    "Broadcast_Type": "TEXT",
+    "Item_Name": "TEXT",
+    "Item_Value": "BIGINT",
+    "Collection_Log_Progress": "TEXT",
+    "Skill": "TEXT",
+    "Task_Name": "TEXT",
+    "New_Level": "INTEGER",
+    "Tier": "TEXT",
+    "PB_Time": "TEXT",
+    "Source_Mob": "TEXT",
+    "Opponent": "TEXT",
+    "Pet_Name": "TEXT",
+    "Pet_KC": "INTEGER",
+    "Pet_KC_Type": "TEXT",
+    "Action_By": "TEXT",
+    "New_Group_Lives": "TEXT",
+}
+CHAT_DECL = {
+    "raw_log_id": "BIGINT",
+    "Timestamp": "TEXT",
+    "MessageType": "TEXT",
+    "Rank": "TEXT",
+    "Status": "TEXT",
+    "Username": "TEXT",
+    "Content": "TEXT",
+}
+UNPARSED_LOGS_DECL = {
+    "raw_log_id": "BIGINT",
+    "timestamp": "TEXT",
+    "raw_content": "TEXT",
+    "failure_reason": "TEXT",
+}
+
+CLAN_BROADCASTS_SCHEMA = struct_from_config(CLAN_BROADCASTS_DECL)
+CHAT_SCHEMA = struct_from_config(CHAT_DECL)
+UNPARSED_LOGS_SCHEMA = struct_from_config(UNPARSED_LOGS_DECL)
+
+
+def conform(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Cast/pad ``df`` onto a declared schema: missing columns become
+    typed nulls, present columns are cast, extras are dropped, column
+    order follows the declaration (the reference's INSERT-by-name
+    against config DDL behaves the same way)."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for f in schema.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def kv_table(spark: SparkSession, values: dict[str, Any]) -> DataFrame:
+    """Stringly-typed key/value metadata table; non-string values are
+    JSON-encoded exactly like the reference's dashboard_config
+    (src/3_transform_data.py:89-96)."""
+    rows = [
+        (k, v if isinstance(v, str) else json.dumps(v))
+        for k, v in values.items()
+    ]
+    return spark.createDataFrame(rows, "key string, value string")

@@ -118,18 +118,30 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, fl
     bronze = spark.read.parquet(f"{out_dir}/bronze/raw_logs").withColumn(
         "id", F.xxhash64("timestamp", "raw_content")
     )
+    from osrs_dashboard_elt_spark.schema import (
+        CHAT_SCHEMA,
+        CLAN_BROADCASTS_SCHEMA,
+        UNPARSED_LOGS_SCHEMA,
+        conform,
+    )
+
     streams = build_parse_plan(bronze, default_config())
+    # silver tables land on the DECLARED schemas (reference
+    # [database_schema]): missing columns pad as typed nulls, extras
+    # drop, casts apply — same contract as the reference's config DDL
     n_chat = dedup_append(
-        spark, streams.chat, f"{out_dir}/silver/chat", ["raw_log_id"]
+        spark, conform(streams.chat, CHAT_SCHEMA),
+        f"{out_dir}/silver/chat", ["raw_log_id"]
     )
     n_bc = dedup_append(
         spark,
-        streams.broadcasts,
+        conform(streams.broadcasts, CLAN_BROADCASTS_SCHEMA),
         f"{out_dir}/silver/clan_broadcasts",
         ["raw_log_id", "Username"],
     )
     n_dead = dedup_append(
-        spark, streams.unparsed, f"{out_dir}/silver/unparsed_logs", ["raw_log_id"]
+        spark, conform(streams.unparsed, UNPARSED_LOGS_SCHEMA),
+        f"{out_dir}/silver/unparsed_logs", ["raw_log_id"]
     )
     timings["parse"] = time.time() - t0
     print(f"[parse]     +{n_chat} chat, +{n_bc} broadcasts, +{n_dead} dead-letter")
