@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "q_filter_events",
     "q_regex_extract_json",
     "q_leaderboard_periods",
+    "q_grouping_sets_rollup",
     "q_topn_per_group",
     "q_dedup_keep_first",
     "q_resample_daily_gapfill",

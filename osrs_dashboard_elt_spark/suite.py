@@ -2023,3 +2023,33 @@ def q_parse_game_mode(spark, sf_dir):
     return streams.broadcasts.select(
         "raw_log_id", "Broadcast_Type", "Username", "Item_Name"
     )
+
+
+_GSETS_ORACLE = """
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+"""
+
+
+@query("q_grouping_sets_rollup", oracle=_GSETS_ORACLE)
+def q_grouping_sets_rollup(spark, sf_dir):
+    """A3's grouping-sets analog (SURVEY.md §2.5): per-(type, day),
+    per-type, and grand-total aggregates in ONE pass — Spark expands
+    the sets with a single Expand + hash aggregate instead of three
+    scans unioned."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__ev_gsets")
+    return spark.sql(
+        """
+        SELECT event_type,
+               date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM __ev_gsets
+        GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+        """
+    )
