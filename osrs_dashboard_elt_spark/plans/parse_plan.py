@@ -129,6 +129,40 @@ def _required_ok(variant_idx: Column, cols: dict[str, Column], cfg: ParseConfig)
     return expr
 
 
+def _required_ok_by_variant(content: Column, variant_idx: Column, cfg: ParseConfig) -> Column:
+    """Per-VARIANT required-column validation: one when-branch per
+    variant, so a row evaluates only its matched variant's required
+    extractions (~2 regex runs) instead of materializing every output
+    column first.  Identical verdicts to ``_required_ok`` over the
+    full extraction."""
+    expr = None
+    idx = 0
+    for group in cfg.groups:
+        for variant in group.variants:
+            ok = F.lit(True)
+            pos = 0
+            for col_name in variant.columns:
+                pos += 1
+                if col_name == "_" or col_name not in group.required:
+                    continue
+                val = F.nullif(
+                    F.trim(F.regexp_extract(content, variant.regex, pos)), F.lit("")
+                )
+                ok = ok & val.isNotNull()
+            # a required column the variant does not capture is null by
+            # definition -> validation fails for that variant (matching
+            # _required_ok, which only checks columns some variant maps)
+            captured = {c for c in variant.columns if c != "_"}
+            all_cols = set(cfg.all_columns())
+            for rc in group.required:
+                if rc in all_cols and rc not in captured:
+                    ok = F.lit(False)
+            cond = variant_idx == idx
+            expr = F.when(cond, ok) if expr is None else expr.when(cond, ok)
+            idx += 1
+    return expr.otherwise(F.lit(False)) if expr is not None else F.lit(False)
+
+
 def _game_mode(content: Column, cfg: ParseConfig) -> Column:
     """Mode tag from the leading emoji token, or null."""
     if not cfg.game_modes:
@@ -178,56 +212,107 @@ def build_parse_plan(
 
     ``raw`` columns: (id, timestamp, raw_content).
 
-    ``cache`` persists the single parsed projection before the three
-    route filters.  This is load-bearing twice over: (a) the input is
-    parsed ONCE for all three outputs instead of three times, and (b)
-    the persistence barrier stops filter pushdown from inlining the
-    ~40-variant CaseWhen forest into each route predicate — without a
-    barrier Catalyst collapses the staged projections and the
-    duplicated expression tree explodes codegen/driver memory.
+    ``cache`` persists a COMPACT routing core — (id, ts, content,
+    route flags, variant index, mode) — before the three route
+    filters.  The barrier is load-bearing twice over: (a) the routing
+    decision is computed ONCE for all three outputs, and (b) it stops
+    filter pushdown from inlining the ~40-variant CaseWhen forest into
+    each route predicate — without a barrier Catalyst collapses the
+    staged projections and the duplicated expression tree explodes
+    codegen/driver memory.
+
+    Column EXTRACTION deliberately happens AFTER the route filters:
+    each consumer re-derives its columns from the cached content, so
+    extraction regexes run only on the rows that routed to that output
+    and the wide extraction projection never materializes into the
+    cache (at sf0.1 this is ~3x cheaper than caching the full
+    extraction for every row).
     """
     content = clean_discord_escapes(F.col(content_col))
 
     # --- chat: tried first, exactly like the reference ---------------
-    chat_cols = {}
-    pos = 0
-    for c in cfg.chat.columns:
-        pos += 1
-        chat_cols[c] = F.nullif(
-            F.trim(F.regexp_extract(content, cfg.chat.regex, pos)), F.lit("")
-        )
+    def chat_extract(src: Column) -> dict[str, Column]:
+        out = {}
+        pos = 0
+        for c in cfg.chat.columns:
+            pos += 1
+            out[c] = F.nullif(
+                F.trim(F.regexp_extract(src, cfg.chat.regex, pos)), F.lit("")
+            )
+        return out
+
     is_chat = content.rlike(cfg.chat.regex)
+    chat_req = chat_extract(content)
     chat_ok = F.lit(True)
     for rc in cfg.chat.required:
-        chat_ok = chat_ok & chat_cols[rc].isNotNull()
+        chat_ok = chat_ok & chat_req[rc].isNotNull()
 
     # --- broadcasts: strip game-mode prefix, then dispatch -----------
     mode = _game_mode(content, cfg)
-    stripped = F.when(
-        mode.isNotNull(), F.regexp_replace(content, r"^(?:<:\w+:\d+>\s*)+", "")
-    ).otherwise(content)
 
-    base = raw.select(
+    def strip_mode(src: Column, mode_col: Column) -> Column:
+        return F.when(
+            mode_col.isNotNull(), F.regexp_replace(src, r"^(?:<:\w+:\d+>\s*)+", "")
+        ).otherwise(src)
+
+    stripped = strip_mode(content, mode)
+
+    # staged projections: each stage's expensive expressions are real
+    # columns the next stage references as ATTRIBUTES.  Inlining would
+    # re-run the producer per consumer reference — e.g. the stripped
+    # content inside all 40 dispatch rlikes, or the 40-rlike variant
+    # chain inside every required-check branch condition.
+    core = raw.select(
         F.col(id_col).alias("raw_log_id"),
         F.col(ts_col).alias("Timestamp"),
         content.alias("Content"),
         is_chat.alias("__is_chat"),
         chat_ok.alias("__chat_ok"),
-        *[v.alias(f"__chat_{k}") for k, v in chat_cols.items()],
         mode.alias("__mode"),
-        stripped.alias("__stripped"),
+        stripped.alias("__stripped0"),
     )
-    vidx = _variant_index(F.col("__stripped"), cfg)
-    base = base.withColumn("__variant", vidx)
-    extracted = _extract_columns(F.col("__stripped"), F.col("__variant"), cfg)
+    core = core.select(
+        "*", _variant_index(F.col("__stripped0"), cfg).alias("__variant")
+    )
+    core = core.select(
+        "*",
+        _required_ok_by_variant(
+            F.col("__stripped0"), F.col("__variant"), cfg
+        ).alias("__req_ok"),
+    )
+    core = core.withColumn(
+        "__bc_ok", (F.col("__variant") >= 0) & F.col("__req_ok")
+    ).drop("__stripped0", "__req_ok")
+    if cache:
+        from pyspark import StorageLevel
 
+        core = core.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # --- chat output: extraction post-filter, chat rows only ---------
+    chat_out_cols = chat_extract(F.col("Content"))
+    chat = core.filter(F.col("__is_chat") & F.col("__chat_ok")).select(
+        "raw_log_id",
+        "Timestamp",
+        F.lit("Chat").alias("MessageType"),
+        *[v.alias(c) for c, v in chat_out_cols.items() if c != "_"],
+    )
+
+    # --- broadcasts output: extraction post-filter -------------------
+    routed = core.filter(~F.col("__is_chat") & F.col("__bc_ok"))
+    re_stripped = strip_mode(F.col("Content"), F.col("__mode"))
+    # stage the stripped content as a column so the ~13 per-column
+    # extraction chains reference an attribute, not 13 copies of the
+    # regexp_replace
+    routed = routed.withColumn("__stripped", re_stripped)
+    extracted = _extract_columns(F.col("__stripped"), F.col("__variant"), cfg)
     btype = _broadcast_type(F.col("__variant"), cfg)
     # Total Level constant patch (reference src/2_parse_engine.py:205-206)
     skill = extracted.get("Skill", F.lit(None))
     extracted["Skill"] = F.when(btype == "Total Level", F.lit("Total")).otherwise(skill)
-
-    parsed = base.select(
-        "*",
+    broadcasts = routed.select(
+        "raw_log_id",
+        "Timestamp",
+        "Content",
         F.when(
             F.col("__mode").isNotNull() & btype.isNotNull(),
             F.concat(F.lit("("), F.col("__mode"), F.lit(") "), btype),
@@ -236,44 +321,16 @@ def build_parse_plan(
         .alias("Broadcast_Type"),
         *[v.alias(k) for k, v in extracted.items()],
     )
-    ok = _required_ok(F.col("__variant"), {k: F.col(k) for k in extracted}, cfg)
-    parsed = parsed.withColumn("__bc_ok", (F.col("__variant") >= 0) & ok)
-    # __stripped fed the variant/extraction expressions above and is
-    # dead weight past this point — drop it BEFORE the persist so the
-    # cached rows don't carry a second copy of every message body.
-    parsed = parsed.drop("__stripped")
-    if cache:
-        from pyspark import StorageLevel
-
-        parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
-
-    chat = parsed.filter(F.col("__is_chat") & F.col("__chat_ok")).select(
-        "raw_log_id",
-        "Timestamp",
-        F.lit("Chat").alias("MessageType"),
-        *[
-            F.col(f"__chat_{c}").alias(c)
-            for c in cfg.chat.columns
-            if c != "_"
-        ],
-    )
-
-    broadcasts = parsed.filter(~F.col("__is_chat") & F.col("__bc_ok")).select(
-        "raw_log_id",
-        "Timestamp",
-        "Content",
-        "Broadcast_Type",
-        *cfg.all_columns(),
-    )
     if explode_multi_user and cfg.multi_user_column in broadcasts.columns:
         broadcasts = _explode_users(broadcasts, cfg.multi_user_column)
 
+    # --- dead letter -------------------------------------------------
     failure = (
         F.when(F.col("__is_chat") & ~F.col("__chat_ok"), "chat_missing_required")
         .when(F.col("__variant") == -1, "no_pattern_match")
         .otherwise("missing_required_columns")
     )
-    unparsed = parsed.filter(
+    unparsed = core.filter(
         ~(F.col("__is_chat") & F.col("__chat_ok")) & ~(~F.col("__is_chat") & F.col("__bc_ok"))
     ).select(
         "raw_log_id",
