@@ -5,6 +5,7 @@ from .ingest import (
     RAW_LOG_SCHEMA,
     read_raw_stream,
     start_parse_pipeline,
+    streaming_session_rollup,
     streaming_windowed_rollup,
     with_late_data_dedup,
 )
@@ -13,6 +14,7 @@ __all__ = [
     "RAW_LOG_SCHEMA",
     "read_raw_stream",
     "start_parse_pipeline",
+    "streaming_session_rollup",
     "streaming_windowed_rollup",
     "with_late_data_dedup",
 ]

@@ -139,3 +139,34 @@ def streaming_windowed_rollup(
         .select(F.col("w.start").alias("bucket_start"), *[F.col(c) for c in
                 (["n_events"] + (["total_value"] if value_col else []))])
     )
+
+
+def streaming_session_rollup(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    lateness: str = "30 minutes",
+    ts_col: str = "timestamp",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """W6's true streaming analog: event-time SESSION windows — a
+    session closes after ``gap`` of inactivity per key (the reference's
+    grouping-window is a batch approximation of this;
+    src/3_transform_data.py:662-710).  Works identically on batch
+    DataFrames (session_window is engine-native either way); in
+    streaming, the watermark bounds session state.
+
+    Returns (key..., session_start, session_end, n_events).
+    """
+    keys = key_cols or []
+    win = F.session_window(F.col(ts_col), gap)
+    grouped = (
+        events.withWatermark(ts_col, lateness)
+        if events.isStreaming
+        else events
+    ).groupBy(win.alias("w"), *keys)
+    return grouped.agg(F.count(F.lit(1)).alias("n_events")).select(
+        *keys,
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )

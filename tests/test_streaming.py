@@ -99,3 +99,40 @@ def test_streaming_windowed_rollup_plan(spark, tmp_path):
     assert got == {
         ("2025-01-01 10:00:00", 4),
     }
+
+
+def test_streaming_session_rollup_batch_and_stream(spark, tmp_path):
+    """session_window groups events separated by <= gap; compiles as a
+    streaming plan and computes correct sessions in batch."""
+    from osrs_dashboard_elt_spark.streaming import streaming_session_rollup
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # user A: two bursts separated by > 5 min; user B: one burst
+    rows = [
+        (1, "2025-01-01T10:00:00.000Z", "A"),
+        (2, "2025-01-01T10:02:00.000Z", "A"),
+        (3, "2025-01-01T10:20:00.000Z", "A"),
+        (4, "2025-01-01T10:21:00.000Z", "B"),
+    ]
+    _write_batch(src, "b1.json", [(i, ts, c) for i, ts, c in rows])
+
+    import osrs_dashboard_elt_spark.streaming.ingest as ing
+
+    stream = read_raw_stream(spark, str(src))
+    assert streaming_session_rollup(
+        stream, gap="5 minutes", key_cols=["raw_content"]
+    ).isStreaming
+
+    batch = spark.read.schema(ing.RAW_LOG_SCHEMA).json(str(src))
+    got = {
+        (r["raw_content"], str(r["session_start"]), r["n_events"])
+        for r in streaming_session_rollup(
+            batch, gap="5 minutes", key_cols=["raw_content"]
+        ).collect()
+    }
+    assert got == {
+        ("A", "2025-01-01 10:00:00", 2),
+        ("A", "2025-01-01 10:20:00", 1),
+        ("B", "2025-01-01 10:21:00", 1),
+    }
