@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "q03_top_revenue_orders",
     "q05_region_revenue",
     "q_filter_events",
+    "q_report_detailed",
     "q_regex_extract_json",
     "q_leaderboard_periods",
     "q_grouping_sets_rollup",

@@ -2053,3 +2053,76 @@ def q_grouping_sets_rollup(spark, sf_dir):
         GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
         """
     )
+
+
+_DETAILED_ORACLE = f"""
+    SELECT event_id, event_type, strftime(ts, '{TS_FMT_DUCK}') AS ts_str,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-22 00:00:00'
+"""
+
+
+@query("q_report_detailed", oracle=_DETAILED_ORACLE)
+def q_report_detailed(spark, sf_dir):
+    """P2+P5+O1 end-to-end: the detailed report — IN-list type filter
+    plus half-open time range, both pushed into the parquet scan; the
+    newest-first sort is the output-order contract (order-insensitive
+    under the value-hash compare)."""
+    from .reports import detailed_report
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts",
+        F.col("value").cast("decimal(18,2)").cast("double").alias("value"),
+    )
+    out = detailed_report(
+        ev, "event_type", ["purchase", "signup"], "ts",
+        start=datetime(2024, 1, 8), end=datetime(2024, 1, 22),
+    )
+    return out.select(
+        "event_id", "event_type",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"), "value",
+    )
+
+
+_NAME_CHANGE_ORACLE = """
+    WITH k AS (
+      SELECT event_id,
+             CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT event_id AS message_id,
+           'user_' || CAST(k % 97 AS VARCHAR) AS old_name,
+           'user_' || CAST(k % 89 + 100 AS VARCHAR) AS new_name
+    FROM k
+"""
+
+
+@query("q_name_change_parse", oracle=_NAME_CHANGE_ORACLE)
+def q_name_change_parse(spark, sf_dir):
+    """R7 (reference src/6_fetch_name_changes.py:89-111): name-change
+    embeds 'old → new' parsed with two regexp_extracts after a title
+    filter — the entity-resolution dimension feeding the W4 temporal
+    remap.  Embed descriptions are synthesized from events; non-matching
+    titles drop."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    title = F.when(F.col("event_type") == "signup", F.lit("Name Changed")).otherwise(
+        F.lit("Other Embed")
+    )
+    desc = F.concat(
+        F.lit("user_"), (k % 97).cast("string"),
+        F.lit(" → "),
+        F.lit("user_"), (k % 89 + 100).cast("string"),
+    )
+    embeds = ev.select(
+        F.col("event_id").alias("message_id"), title.alias("title"), desc.alias("description")
+    )
+    rx = r"^(.+?)\s*→\s*(.+)$"
+    return embeds.filter(F.col("title") == "Name Changed").select(
+        "message_id",
+        F.regexp_extract("description", rx, 1).alias("old_name"),
+        F.regexp_extract("description", rx, 2).alias("new_name"),
+    )
