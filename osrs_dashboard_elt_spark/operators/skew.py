@@ -1,0 +1,77 @@
+"""Skew mitigation: salted joins and two-phase salted aggregation.
+
+The reference never shuffles (single-process pandas), but at 100 TB a
+hot key — one username generating half the broadcasts, one stop-shingle
+in a posting list — lands an entire join/agg partition on one executor.
+AQE's skew-join splitting (on in ``session.py``) handles moderate skew
+at runtime; these operators are the explicit fallback for EXTREME skew
+or for when the skewed side feeds an aggregation AQE can't split.
+
+- ``salted_join``: the big side appends a deterministic salt derived
+  from a caller-chosen spread column (NOT random — results must be
+  reproducible); the small side is replicated once per salt via
+  ``explode``.  The join key becomes (keys..., salt), so a hot key's
+  rows spread across ``n_salts`` reducers.  Output rows are identical
+  to the unsalted join.
+- ``salted_agg``: two-phase aggregation — partial aggregate on
+  (keys..., salt), final aggregate on keys.  Caller supplies the
+  partial and final aggregate pairs (sum/sum, count/sum, min/min, ...).
+
+Cost model: salting multiplies the small side by ``n_salts`` (keep it
+broadcast-sized) and adds one extra partial-agg stage; only reach for
+it when one key's share of rows >> 1/parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    spread_col: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where the big side's hot keys are spread across
+    ``n_salts`` sub-partitions.  ``spread_col`` must be a column on the
+    big side with high cardinality within a key group (an event id, a
+    timestamp) — its hash picks the salt deterministically."""
+    salted_big = big.withColumn(
+        _SALT, F.pmod(F.xxhash64(F.col(spread_col)), F.lit(n_salts)).cast("int")
+    )
+    salted_small = small.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_big.join(salted_small, [*keys, _SALT], how).drop(_SALT)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    spread_col: str,
+    partial_aggs: dict[str, Column],
+    final_aggs: dict[str, Column],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    ``partial_aggs``: name -> aggregate over the raw rows, computed per
+    (keys..., salt).  ``final_aggs``: name -> aggregate over the
+    partial columns (referenced BY NAME), computed per keys.  E.g.
+    count: partial ``count(1) as c`` then final ``sum(c) as c``.
+    """
+    salted = df.withColumn(
+        _SALT, F.pmod(F.xxhash64(F.col(spread_col)), F.lit(n_salts)).cast("int")
+    )
+    partial = salted.groupBy(*keys, _SALT).agg(
+        *[c.alias(name) for name, c in partial_aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[c.alias(name) for name, c in final_aggs.items()]
+    )

@@ -1,0 +1,66 @@
+"""Salted join / salted aggregation: result equivalence with the
+unsalted forms, and the salt actually spreads hot keys."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osrs_dashboard_elt_spark.operators.skew import salted_agg, salted_join
+
+
+def _skewed(spark):
+    # key "hot" has 900 rows, others 10 each
+    rows = [(i, "hot" if i < 900 else f"k{i % 10}", i * 3) for i in range(1000)]
+    return spark.createDataFrame(rows, "event_id long, k string, v long")
+
+
+def test_salted_join_equals_plain_join(spark):
+    big = _skewed(spark)
+    small = spark.createDataFrame(
+        [("hot", "H"), ("k0", "Z"), ("k5", "F")], "k string, label string"
+    )
+    plain = {
+        (r["event_id"], r["label"])
+        for r in big.join(small, "k").select("event_id", "label").collect()
+    }
+    salted = {
+        (r["event_id"], r["label"])
+        for r in salted_join(big, small, ["k"], "event_id", n_salts=4)
+        .select("event_id", "label")
+        .collect()
+    }
+    assert salted == plain and len(plain) > 0
+
+
+def test_salted_join_spreads_hot_key(spark):
+    big = _skewed(spark)
+    salts = (
+        big.withColumn("s", F.pmod(F.xxhash64("event_id"), F.lit(4)))
+        .filter("k = 'hot'")
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert salts == 4  # the hot key occupies every salt bucket
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    df = _skewed(spark)
+    plain = {
+        (r["k"], r["n"], r["total"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    salted = {
+        (r["k"], r["n"], r["total"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            "event_id",
+            partial_aggs={"n": F.count(F.lit(1)), "total": F.sum("v")},
+            final_aggs={"n": F.sum("n"), "total": F.sum("total")},
+            n_salts=4,
+        ).collect()
+    }
+    assert salted == plain
