@@ -49,6 +49,13 @@ def synthesize_raw_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks = k.cast("string")
     msg = (
         F.when(
+            (F.col("event_type") == "purchase") & (k % 5 == 0),
+            # no listed value -> exercises the as-of price enrichment
+            F.concat(
+                F.lit("user_"), uid, F.lit(" received a drop: Item "), ks, F.lit("."),
+            ),
+        )
+        .when(
             F.col("event_type") == "purchase",
             F.concat(
                 F.lit("user_"), uid, F.lit(" received a drop: Item "), ks,
@@ -146,9 +153,41 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, fl
     timings["parse"] = time.time() - t0
     print(f"[parse]     +{n_chat} chat, +{n_bc} broadcasts, +{n_dead} dead-letter")
 
+    # -- stage 2.5: as-of price enrichment (J1 + P10) ------------------
+    # The reference resolves missing item values with 1-3 SQL point
+    # lookups PER ROW (src/2_parse_engine.py:16-63) — its biggest scale
+    # bug.  Here: ONE as-of join against a price series for exactly the
+    # rows that need it (null Item_Value), union back.
+    t0 = time.time()
+    from osrs_dashboard_elt_spark.operators.asof import asof_join
+
+    bc_all = spark.read.parquet(f"{out_dir}/silver/clan_broadcasts")
+    quotes = (
+        bc_all.filter(F.col("Item_Value").isNotNull())
+        .groupBy("Item_Name", F.date_trunc("day", "Timestamp").alias("quote_ts"))
+        .agg(F.avg("Item_Value").cast("long").alias("quoted_value"))
+    )
+    needs = bc_all.filter(
+        (F.col("Broadcast_Type") == "Valuable Drop") & F.col("Item_Value").isNull()
+    )
+    enriched = asof_join(
+        needs.drop("Item_Value"), quotes, "Item_Name", "Timestamp", "quote_ts",
+        values=["quoted_value"], direction="nearest",
+    ).withColumn("Item_Value", F.col("quoted_value")).drop("quoted_value")
+    rest = bc_all.join(enriched.select("raw_log_id", "Username"), ["raw_log_id", "Username"], "left_anti")
+    publish_blue_green(
+        rest.unionByName(enriched.select(*rest.columns)),
+        f"{out_dir}/silver/clan_broadcasts_enriched",
+    )
+    n_enriched = enriched.count()
+    timings["enrich"] = time.time() - t0
+    print(f"[enrich]    {n_enriched} null-value drops priced via as-of join")
+
     # -- stage 3: transform + blue/green publish ----------------------
     t0 = time.time()
-    bc = spark.read.parquet(f"{out_dir}/silver/clan_broadcasts")
+    from osrs_dashboard_elt_spark.sources import read_published
+
+    bc = read_published(spark, f"{out_dir}/silver/clan_broadcasts_enriched")
     periods = standard_periods(ANCHOR)
     reports = {
         "leaderboard_drops": leaderboard_report(
