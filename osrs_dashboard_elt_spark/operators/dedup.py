@@ -300,51 +300,73 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+    """Exact n-gram Jaccard near-dup pairs via an inverted index,
+    single-scan shape: each posting carries its document's shingle
+    count, postings group by shingle into a sorted (id, n_sh) array,
+    and the i<j pairs are generated from that array directly — one
+    documents scan, two shuffles (by shingle, by pair), zero joins.
+    (The textbook posting-list SELF-join tokenizes the corpus once per
+    join side and needs two more joins to attach sizes.)
 
-    shingle -> posting list self-join counts common shingles per pair;
-    Jaccard from inclusion-exclusion.  ``max_doc_freq`` drops shingles
-    occurring in more than N docs (stop-shingle skew guard; changes
-    recall, documented)."""
+    ``max_doc_freq`` drops shingles occurring in more than N docs
+    (stop-shingle guard; changes recall, documented).  It is applied
+    after the per-shingle collect, i.e. inside the same shuffle; for
+    corpora with extreme stop-shingle skew, pre-filter the posting
+    table against a broadcast stop-shingle list instead so no reducer
+    materializes the hot posting array."""
     sh = with_shingles(df, id_col, text_col, n, out="sh")
     # explode_outer + isNotNull: see minhash_lsh_pairs — avoids the
     # InferFiltersFromGenerate re-inlining of the shingle expression
-    posts = sh.select("id", F.explode_outer("sh").alias("shingle")).filter(
-        F.col("shingle").isNotNull()
+    posts = sh.select(
+        "id", F.size("sh").alias("n_sh"), F.explode_outer("sh").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+    # shingle arrays are distinct per doc -> (shingle, id) unique, so
+    # collect_list needs no dedup; array_sort orders structs by id
+    # (first field), giving id_a < id_b for free in the i<j generation
+    grouped = posts.groupBy("shingle").agg(
+        F.array_sort(F.collect_list(F.struct("id", "n_sh"))).alias("ids")
     )
-    # shingle arrays are distinct per doc, so sizes fall out of the
-    # posting table with a map-side-combined count — no second
-    # tokenization pass over the text
-    sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_doc_freq is not None:
-        keep = (
-            posts.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("shingle")
+        grouped = grouped.filter(F.size("ids") <= max_doc_freq)
+    # all (i, j>i) pairs of the posting array; slice is 1-based, i is
+    # 0-based -> elements strictly after i start at position i+2.
+    # "ids" is a real attribute, so the lambda reads it, not a
+    # re-evaluated expression (see with_shingles PERF notes).
+    pair_arr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        posts = posts.join(keep, "shingle")
-    common = (
-        posts.alias("a")
-        .join(posts.alias("b"), "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
     )
-    out = (
-        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "sh_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "sh_b"), "id_b")
-        .withColumn(
-            "__jac",
-            F.col("common").cast("double")
-            / (F.col("sh_a") + F.col("sh_b") - F.col("common")).cast("double"),
+    ex = (
+        grouped.select(F.explode_outer(pair_arr).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.a.n_sh").alias("sh_a"),
+            F.col("p.b.n_sh").alias("sh_b"),
         )
+    )
+    # sh_a/sh_b are functionally dependent on the ids; grouping on
+    # them keeps the sizes without any join back
+    common = ex.groupBy("id_a", "id_b", "sh_a", "sh_b").agg(
+        F.count(F.lit(1)).alias("common")
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("sh_a") + F.col("sh_b") - F.col("common")
+    ).cast("double")
+    return (
+        common.withColumn("__jac", jac)
         .filter(F.col("__jac") >= threshold)
-    )
-    return out.select(
-        "id_a",
-        "id_b",
-        F.col("__jac").cast("decimal(28,6)").cast("double").alias("jaccard"),
+        .select(
+            "id_a",
+            "id_b",
+            F.col("__jac").cast("decimal(28,6)").cast("double").alias("jaccard"),
+        )
     )
 
 
