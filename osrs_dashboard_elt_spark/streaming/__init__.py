@@ -9,10 +9,13 @@ from .ingest import (
     streaming_windowed_rollup,
     with_late_data_dedup,
 )
+from .stateful import changelog_via_stream, running_best_changelog
 
 __all__ = [
     "RAW_LOG_SCHEMA",
+    "changelog_via_stream",
     "read_raw_stream",
+    "running_best_changelog",
     "start_parse_pipeline",
     "streaming_session_rollup",
     "streaming_windowed_rollup",
