@@ -47,14 +47,16 @@ def seconds_to_duration(col: Column) -> Column:
     """Format double seconds as 'H:MM:SS.f' / 'M:SS.f' (reference
     formats times back into embeds); fractional part kept to 1 decimal
     when non-integral."""
-    total = col
-    h = F.floor(total / 3600).cast("long")
-    m = F.floor((total % 3600) / 60).cast("long")
-    s = total % 60
-    s_int = F.floor(s).cast("long")
-    frac = F.round(s - s_int, 1)
+    # Round to tenths FIRST, then decompose — so 59.96s carries into
+    # the minute (1:00.0) instead of formatting as 59.10.
+    tenths = F.round(col * 10).cast("long")
+    sec_total = F.floor(tenths / 10).cast("long")
+    frac = tenths % 10
+    h = F.floor(sec_total / 3600).cast("long")
+    m = F.floor((sec_total % 3600) / 60).cast("long")
+    s_int = sec_total % 60
     s_str = F.when(
-        frac > 0, F.concat(F.lpad(s_int.cast("string"), 2, "0"), F.lit("."), (frac * 10).cast("int").cast("string"))
+        frac > 0, F.concat(F.lpad(s_int.cast("string"), 2, "0"), F.lit("."), frac.cast("string"))
     ).otherwise(F.lpad(s_int.cast("string"), 2, "0"))
     return F.when(
         h > 0,

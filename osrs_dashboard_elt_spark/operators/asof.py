@@ -11,18 +11,23 @@ executed per-row with SQL round trips:
 Per-row lookups are the reference's biggest scale bug; here the whole
 join is ONE union + window pass:
 
-- union the (tagged) left probe rows with the right quote rows,
+- union the (tagged) left probe rows with the right quote rows, the
+  LEFT PAYLOAD CARRIED THROUGH the union (quote rows null-padded), so
+  the result needs no re-join and no synthetic row id,
 - a single shuffle partitioned by the key, sorted by time,
 - ``last(value, ignorenulls=True)`` over the backward frame resolves
   "latest quote at-or-before" (tier 1+2 collapse: an exact-date quote IS
   the latest at-or-before quote),
-- the mirrored ``first`` over the forward frame resolves tier 3,
+- the mirrored scan over the forward frame resolves tier 3,
 - ``coalesce(backward, forward)`` applies the tier priority.
 
 This is the standard scalable as-of pattern: no range join, no
-per-row lookups, one shuffle, linear scan per partition.  Skewed keys
-are handled by AQE skew-join splitting (frames are per-key so the split
-is safe).
+per-row lookups, ONE shuffle total, linear scan per partition, and no
+dependence on nondeterministic row ids (safe under AQE re-planning and
+task retry — the round-1 ``monotonically_increasing_id`` re-join shape
+could silently mis-join when the upstream plan was nondeterministic).
+Skewed keys are handled by AQE skew-join splitting (frames are per-key
+so the split is safe).
 """
 
 from __future__ import annotations
@@ -31,7 +36,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _MARK = "__asof_is_probe"
-_ROW = "__asof_row_id"
 
 
 def asof_join(
@@ -54,7 +58,8 @@ def asof_join(
         exact -> latest-before -> earliest-after tier order).
 
     ``values`` columns from ``right`` are appended to ``left`` (with
-    ``suffix``); all left columns pass through unchanged.
+    ``suffix``); all left columns pass through unchanged.  Left column
+    names must not collide with the suffixed value names.
 
     ``tiebreak``: right-side columns (must be in ``values``) ordering
     quotes that share a timestamp — backward picks the LAST by
@@ -65,30 +70,38 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
 
     left_cols = left.columns
-    probe = left.withColumn(_MARK, F.lit(1)).withColumn(
-        _ROW, F.monotonically_increasing_id()
-    )
-    quotes = right.select(
-        *[F.col(k) for k in keys],
-        F.col(right_ts).alias(left_ts),
-        *[F.col(v) for v in values],
-    ).withColumn(_MARK, F.lit(0)).withColumn(_ROW, F.lit(None).cast("long"))
+    clash = [v + suffix for v in values if v + suffix in left_cols]
+    if clash:
+        raise ValueError(f"left columns collide with output values: {clash}")
+    passthrough = [c for c in left_cols if c not in keys and c != left_ts]
 
-    probe_u = probe.select(
-        *keys, left_ts, _MARK, _ROW,
-        *[F.lit(None).cast(quotes.schema[v].dataType).alias(v) for v in values],
+    # Probe rows carry the full left payload and null value slots;
+    # quote rows carry real values and a null-padded left payload.
+    probe_u = left.select(
+        *keys,
+        left_ts,
+        F.lit(1).alias(_MARK),
+        *passthrough,
+        *[F.lit(None).cast(right.schema[v].dataType).alias(v) for v in values],
     )
-    # Quote rows sort before probe rows at equal timestamps (_MARK 0 < 1)
-    # so "at-or-before" is inclusive of an exact-timestamp quote.
-    u = quotes.select(probe_u.columns).unionByName(probe_u)
+    quotes_u = right.select(
+        *keys,
+        F.col(right_ts).alias(left_ts),
+        F.lit(0).alias(_MARK),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in passthrough],
+        *values,
+    )
+    u = quotes_u.unionByName(probe_u)
 
     tb = tiebreak or []
-    # Nulls (probe rows) must not disturb the quote ordering: probes
-    # already sort after/before quotes via _MARK at equal timestamps.
+    # At equal timestamps quote rows (mark 0) must be scanned BEFORE
+    # probe rows in BOTH directions so an exact-timestamp quote is
+    # visible to the probe's frame: backward scans ts asc, forward
+    # scans ts desc, and _MARK ascends in both.
     back_order = [F.col(left_ts).asc(), F.col(_MARK).asc()] + [
         F.col(t).asc_nulls_last() for t in tb
     ]
-    fwd_order = [F.col(left_ts).desc(), F.col(_MARK).desc()] + [
+    fwd_order = [F.col(left_ts).desc(), F.col(_MARK).asc()] + [
         F.col(t).desc_nulls_last() for t in tb
     ]
     w_back = (
@@ -114,12 +127,9 @@ def asof_join(
             expr = F.coalesce(back, fwd)
         out_vals.append(expr.alias(v + suffix))
 
-    resolved = u.select(F.col(_ROW), F.col(_MARK), *out_vals).filter(
-        F.col(_MARK) == 1
-    ).drop(_MARK)
-
     return (
-        probe.select(*left_cols, _ROW)
-        .join(resolved, _ROW, "inner")
-        .drop(_ROW)
+        u.select(*keys, left_ts, _MARK, *passthrough, *out_vals)
+        .filter(F.col(_MARK) == 1)
+        .drop(_MARK)
+        .select(*left_cols, *[v + suffix for v in values])
     )

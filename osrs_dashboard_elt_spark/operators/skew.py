@@ -41,7 +41,19 @@ def salted_join(
     """Equi-join where the big side's hot keys are spread across
     ``n_salts`` sub-partitions.  ``spread_col`` must be a column on the
     big side with high cardinality within a key group (an event id, a
-    timestamp) — its hash picks the salt deterministically."""
+    timestamp) — its hash picks the salt deterministically.
+
+    Only ``inner`` and ``left`` are supported: with ``right``/``full``
+    an unmatched small-side row would surface once per salt replica,
+    and ``left_semi``/``left_anti`` would probe only one replica —
+    all would silently diverge from the unsalted join.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: other "
+            "join types are not equivalent to the unsalted join under "
+            "small-side replication"
+        )
     salted_big = big.withColumn(
         _SALT, F.pmod(F.xxhash64(F.col(spread_col)), F.lit(n_salts)).cast("int")
     )

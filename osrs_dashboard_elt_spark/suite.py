@@ -1646,7 +1646,8 @@ def _clog_oracle() -> str:
       SELECT * FROM parsed
       QUALIFY ROW_NUMBER() OVER (PARTITION BY u, item ORDER BY ts, event_id) = 1
     ), counts AS (
-      SELECT item, COUNT(*) AS n_holders, SUM(qty) AS total_quantity
+      SELECT item, COUNT(*) AS n_holders,
+             CAST(SUM(qty) AS BIGINT) AS total_quantity
       FROM deduped GROUP BY 1
     ), grouped(item_group, item) AS (VALUES {grouped_vals}),
     ungrouped AS (
@@ -1657,8 +1658,8 @@ def _clog_oracle() -> str:
     SELECT s.item_group AS Item_Group, s.item AS Item_Name,
            COALESCE(c.n_holders, 0) AS n_holders,
            COALESCE(c.total_quantity, 0) AS total_quantity,
-           COALESCE(h.historical_count, 0) AS historical_count,
-           COALESCE(h.historical_count, 0) + COALESCE(c.total_quantity, 0) AS total_with_historical
+           CAST(COALESCE(h.historical_count, 0) AS BIGINT) AS historical_count,
+           CAST(COALESCE(h.historical_count, 0) + COALESCE(c.total_quantity, 0) AS BIGINT) AS total_with_historical
     FROM skeleton s
     LEFT JOIN counts c ON c.item = s.item
     LEFT JOIN hist h ON h.item = s.item

@@ -82,6 +82,58 @@ def test_asof_backward_only(spark):
     assert out[0]["v"] is None  # no forward fallback
 
 
+def test_asof_forward_includes_exact_timestamp_quote(spark):
+    """direction='forward' contract: right_ts >= left_ts is INCLUSIVE —
+    an exact-timestamp quote must win over a later one (round-1 ADVICE:
+    the mark sort order excluded it)."""
+    probes = spark.createDataFrame([(1, "a", ts(10))], "id long, k string, t timestamp")
+    quotes = spark.createDataFrame(
+        [("a", ts(10), 100), ("a", ts(15), 150)],
+        "k string, qt timestamp, v long",
+    )
+    out = asof_join(
+        probes, quotes, on="k", left_ts="t", right_ts="qt",
+        values=["v"], direction="forward",
+    ).collect()
+    assert out[0]["v"] == 100
+
+
+def test_asof_forward_tiebreak_picks_first(spark):
+    probes = spark.createDataFrame([(1, "a", ts(10))], "id long, k string, t timestamp")
+    quotes = spark.createDataFrame(
+        [("a", ts(12), 300), ("a", ts(12), 100), ("a", ts(12), 200)],
+        "k string, qt timestamp, v long",
+    )
+    out = asof_join(
+        probes, quotes, on="k", left_ts="t", right_ts="qt",
+        values=["v"], direction="forward", tiebreak=["v"],
+    ).collect()
+    assert out[0]["v"] == 100  # forward picks FIRST by tiebreak
+
+
+def test_asof_stable_under_nondeterministic_upstream(spark):
+    """Single-pass shape must not depend on row ids: a repartitioned /
+    shuffled probe side yields the same result (round-1 shape re-joined
+    on monotonically_increasing_id, which could silently mis-join)."""
+    probes = spark.createDataFrame(
+        [(i, "k" + str(i % 7), ts(1 + i % 25)) for i in range(200)],
+        "id long, k string, t timestamp",
+    ).repartition(13, "t")  # nondeterministic row order per partition
+    quotes = spark.createDataFrame(
+        [("k" + str(j), ts(5 * (1 + j % 5)), 10 * j) for j in range(7)],
+        "k string, qt timestamp, v long",
+    )
+    out = asof_join(
+        probes, quotes, on="k", left_ts="t", right_ts="qt",
+        values=["v"], direction="nearest",
+    )
+    rows = out.collect()
+    assert len(rows) == 200  # no dropped/duplicated probe rows
+    assert {r["id"] for r in rows} == set(range(200))
+    # every probe keyed to an existing quote key resolves non-null
+    assert all(r["v"] is not None for r in rows)
+
+
 # --------------------------------------------------------------------------
 # Temporal remap: later-rule-wins (W4) + conflict detection (W5)
 # --------------------------------------------------------------------------
@@ -223,6 +275,26 @@ def test_duration_zero_sentinel(spark):
         duration_seconds(F.col("d"), treat_zero_as_null=True).alias("s")
     ).collect()[0]["s"]
     assert got is None
+
+
+@pytest.mark.parametrize(
+    "secs,expected",
+    [
+        (59.96, "1:00"),       # tenths round to 600 -> carry into minutes
+        (59.94, "0:59.9"),
+        (3599.96, "1:00:00"),  # carry into hours
+        (54.6, "0:54.6"),
+        (4545.0, "1:15:45"),
+        (120.0, "2:00"),
+        (0.0, "0:00"),
+    ],
+)
+def test_seconds_to_duration_carry(spark, secs, expected):
+    from osrs_dashboard_elt_spark.functions.durations import seconds_to_duration
+
+    df = spark.createDataFrame([(secs,)], "s double")
+    got = df.select(seconds_to_duration(F.col("s")).alias("d")).collect()[0]["d"]
+    assert got == expected
 
 
 # --------------------------------------------------------------------------

@@ -44,6 +44,23 @@ def test_salted_join_spreads_hot_key(spark):
     assert salts == 4  # the hot key occupies every salt bucket
 
 
+def test_salted_join_rejects_nonequivalent_how(spark):
+    import pytest
+
+    big = _skewed(spark)
+    small = spark.createDataFrame([("hot", "H")], "k string, label string")
+    for how in ("right", "full", "left_semi", "left_anti"):
+        with pytest.raises(ValueError):
+            salted_join(big, small, ["k"], "event_id", how=how)
+
+
+def test_salted_join_left_keeps_unmatched_big_rows(spark):
+    big = _skewed(spark)
+    small = spark.createDataFrame([("hot", "H")], "k string, label string")
+    out = salted_join(big, small, ["k"], "event_id", n_salts=4, how="left")
+    assert out.count() == 1000  # every big row survives exactly once
+
+
 def test_salted_agg_equals_plain_agg(spark):
     df = _skewed(spark)
     plain = {
