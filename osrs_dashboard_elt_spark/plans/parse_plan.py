@@ -27,6 +27,12 @@ At 100 TB: the whole parse is scan -> project -> filter, fully inside
 whole-stage codegen; it scales linearly with input and parallelizes
 per file split.  ~40 variants x ~10 columns of CaseWhen is well within
 codegen limits (falls back to interpreted projection gracefully).
+
+Driver-side compile cost: the CaseWhen forests are built as SQL
+expression STRINGS and parsed with one ``F.expr`` call per output
+column — building them as chained ``.when()`` Column objects costs
+thousands of py4j round trips (~8s of driver time for the 42-variant
+library; measured, see git history) for the identical plan.
 """
 
 from __future__ import annotations
@@ -52,24 +58,29 @@ class ParsedStreams:
     unparsed: DataFrame
 
 
-def _variant_index(content: Column, cfg: ParseConfig) -> Column:
+def _q(s: str) -> str:
+    """Spark-SQL single-quoted string literal (backslash-escaping)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _variant_index(src: str, cfg: ParseConfig) -> Column:
     """0-based global variant index in config order; -1 = no match.
-    The when-chain order IS the first-match-wins semantics."""
-    expr = None
+    The CASE order IS the first-match-wins semantics."""
+    branches = []
     idx = 0
     for group in cfg.groups:
         for variant in group.variants:
-            cond = content.rlike(variant.regex)
-            expr = F.when(cond, idx) if expr is None else expr.when(cond, idx)
+            branches.append(f"WHEN {src} RLIKE {_q(variant.regex)} THEN {idx}")
             idx += 1
-    return (expr.otherwise(-1) if expr is not None else F.lit(-1)).cast("int")
+    if not branches:
+        return F.lit(-1).cast("int")
+    return F.expr("CAST(CASE " + " ".join(branches) + " ELSE -1 END AS INT)")
 
 
-def _extract_columns(content: Column, variant_idx: Column, cfg: ParseConfig) -> dict[str, Column]:
-    """Per output column: when(variant==i, regexp_extract(group pos))."""
-    out: dict[str, Column] = {}
-    idx = 0
+def _extract_columns(src: str, variant_col: str, cfg: ParseConfig) -> dict[str, Column]:
+    """Per output column: CASE WHEN variant=i THEN regexp_extract(pos)."""
     specs: list[tuple[int, str, str, int]] = []  # (idx, regex, col, pos)
+    idx = 0
     for group in cfg.groups:
         for variant in group.variants:
             pos = 0
@@ -79,98 +90,94 @@ def _extract_columns(content: Column, variant_idx: Column, cfg: ParseConfig) -> 
                     continue
                 specs.append((idx, variant.regex, col_name, pos))
             idx += 1
+    out: dict[str, Column] = {}
     for col_name in cfg.all_columns():
-        expr = None
-        for i, rx, c, pos in specs:
-            if c != col_name:
-                continue
-            val = F.regexp_extract(content, rx, pos)
-            cond = variant_idx == i
-            expr = F.when(cond, val) if expr is None else expr.when(cond, val)
-        col = expr.otherwise(F.lit(None)) if expr is not None else F.lit(None)
-        # Empty extraction = absent optional group -> null, then trim.
-        col = F.nullif(F.trim(col), F.lit(""))
+        branches = [
+            f"WHEN {variant_col} = {i} THEN regexp_extract({src}, {_q(rx)}, {pos})"
+            for i, rx, c, pos in specs
+            if c == col_name
+        ]
+        if branches:
+            sql = "nullif(trim(CASE " + " ".join(branches) + " END), '')"
+        else:
+            sql = "CAST(NULL AS STRING)"
         if col_name in cfg.numeric_columns:
-            col = F.regexp_replace(col, ",", "").cast("long")
-        out[col_name] = col
+            sql = f"CAST(regexp_replace({sql}, ',', '') AS BIGINT)"
+        out[col_name] = F.expr(sql)
     return out
 
 
-def _broadcast_type(variant_idx: Column, cfg: ParseConfig) -> Column:
-    expr = None
+def _broadcast_type(variant_col: str, cfg: ParseConfig) -> Column:
+    """Variant ranges are contiguous per group -> one BETWEEN branch
+    per group (22 branches, not 42)."""
+    branches = []
     idx = 0
     for group in cfg.groups:
-        for _ in group.variants:
-            cond = variant_idx == idx
-            expr = (
-                F.when(cond, group.broadcast_type)
-                if expr is None
-                else expr.when(cond, group.broadcast_type)
-            )
-            idx += 1
-    return expr.otherwise(F.lit(None)) if expr is not None else F.lit(None)
+        lo, hi = idx, idx + len(group.variants) - 1
+        branches.append(
+            f"WHEN {variant_col} BETWEEN {lo} AND {hi} THEN {_q(group.broadcast_type)}"
+        )
+        idx += len(group.variants)
+    if not branches:
+        return F.lit(None).cast("string")
+    return F.expr("CASE " + " ".join(branches) + " END")
 
 
-def _required_ok(variant_idx: Column, cols: dict[str, Column], cfg: ParseConfig) -> Column:
-    """Row passes validation iff every required column of its matched
-    group is non-null (nulls already cover blank-after-trim)."""
-    expr = F.lit(False)
-    idx = 0
-    for group in cfg.groups:
-        group_cond = F.lit(False)
-        for _ in group.variants:
-            group_cond = group_cond | (variant_idx == idx)
-            idx += 1
-        ok = F.lit(True)
-        for rc in group.required:
-            if rc in cols:
-                ok = ok & cols[rc].isNotNull()
-        expr = F.when(group_cond, ok).otherwise(expr)
-    return expr
-
-
-def _required_ok_by_variant(content: Column, variant_idx: Column, cfg: ParseConfig) -> Column:
-    """Per-VARIANT required-column validation: one when-branch per
+def _required_ok_by_variant(src: str, variant_col: str, cfg: ParseConfig) -> Column:
+    """Per-VARIANT required-column validation: one CASE branch per
     variant, so a row evaluates only its matched variant's required
     extractions (~2 regex runs) instead of materializing every output
-    column first.  Identical verdicts to ``_required_ok`` over the
-    full extraction."""
-    expr = None
+    column first."""
+    branches = []
     idx = 0
+    all_cols = set(cfg.all_columns())
     for group in cfg.groups:
         for variant in group.variants:
-            ok = F.lit(True)
+            required = group.variant_required(variant)
+            conds = []
             pos = 0
             for col_name in variant.columns:
                 pos += 1
-                if col_name == "_" or col_name not in group.required:
+                if col_name == "_" or col_name not in required:
                     continue
-                val = F.nullif(
-                    F.trim(F.regexp_extract(content, variant.regex, pos)), F.lit("")
+                conds.append(
+                    f"nullif(trim(regexp_extract({src}, {_q(variant.regex)}, {pos})), '') IS NOT NULL"
                 )
-                ok = ok & val.isNotNull()
             # a required column the variant does not capture is null by
-            # definition -> validation fails for that variant (matching
-            # _required_ok, which only checks columns some variant maps)
+            # definition -> validation fails for that variant
             captured = {c for c in variant.columns if c != "_"}
-            all_cols = set(cfg.all_columns())
-            for rc in group.required:
-                if rc in all_cols and rc not in captured:
-                    ok = F.lit(False)
-            cond = variant_idx == idx
-            expr = F.when(cond, ok) if expr is None else expr.when(cond, ok)
+            if any(rc in all_cols and rc not in captured for rc in required):
+                ok = "false"
+            elif conds:
+                ok = "(" + " AND ".join(conds) + ")"
+            else:
+                ok = "true"
+            branches.append(f"WHEN {variant_col} = {idx} THEN {ok}")
             idx += 1
-    return expr.otherwise(F.lit(False)) if expr is not None else F.lit(False)
+    if not branches:
+        return F.lit(False)
+    return F.expr("CASE " + " ".join(branches) + " ELSE false END")
 
 
 def _game_mode(content: Column, cfg: ParseConfig) -> Column:
-    """Mode tag from the leading emoji token, or null."""
+    """Mode tag from the leading icon token(s), or null.
+
+    Two rule forms (config.GameModeRule): first-emoji NAME membership
+    (id-portable), and literal prefix match — the reference's
+    ``content.startswith("".join(icons))`` semantics
+    (src/2_parse_engine.py:92-114), covering AND-sequences of icons.
+    First matching rule in config order wins.
+    """
     if not cfg.game_modes:
         return F.lit(None).cast("string")
     emoji = F.regexp_extract(content, _EMOJI_RX, 1)
     expr = None
     for rule in cfg.game_modes:
-        cond = emoji.isin(*rule.emojis)
+        cond = F.lit(False)
+        if rule.emojis:
+            cond = cond | emoji.isin(*rule.emojis)
+        for prefix in rule.prefixes:
+            cond = cond | content.startswith(F.lit(prefix))
         expr = F.when(cond, rule.mode) if expr is None else expr.when(cond, rule.mode)
     return expr.otherwise(F.lit(None))
 
@@ -190,12 +197,17 @@ def _explode_users(df: DataFrame, user_col: str) -> DataFrame:
     users = F.split(normalized, r" and ")
     # explode_outer: inner explode makes InferFiltersFromGenerate
     # synthesize a size(split(..))>0 filter that duplicates the two
-    # regexp_replaces per row; the existing isNotNull filter below
-    # already restores inner semantics.
+    # regexp_replaces per row; the filter below restores inner
+    # semantics for rows that HAD a username.  Rows whose variant
+    # captures no username at all (e.g. the Bin mention patterns) pass
+    # through as a single null-username row.
+    had_user = "__had_user"
     return (
-        df.withColumn(user_col, F.explode_outer(users))
+        df.withColumn(had_user, u.isNotNull())
+        .withColumn(user_col, F.explode_outer(users))
         .withColumn(user_col, F.nullif(F.trim(F.col(user_col)), F.lit("")))
-        .filter(F.col(user_col).isNotNull())
+        .filter(~F.col(had_user) | F.col(user_col).isNotNull())
+        .drop(had_user)
     )
 
 
@@ -272,12 +284,12 @@ def build_parse_plan(
         stripped.alias("__stripped0"),
     )
     core = core.select(
-        "*", _variant_index(F.col("__stripped0"), cfg).alias("__variant")
+        "*", _variant_index("__stripped0", cfg).alias("__variant")
     )
     core = core.select(
         "*",
         _required_ok_by_variant(
-            F.col("__stripped0"), F.col("__variant"), cfg
+            "__stripped0", "__variant", cfg
         ).alias("__req_ok"),
     )
     core = core.withColumn(
@@ -304,8 +316,8 @@ def build_parse_plan(
     # extraction chains reference an attribute, not 13 copies of the
     # regexp_replace
     routed = routed.withColumn("__stripped", re_stripped)
-    extracted = _extract_columns(F.col("__stripped"), F.col("__variant"), cfg)
-    btype = _broadcast_type(F.col("__variant"), cfg)
+    extracted = _extract_columns("__stripped", "__variant", cfg)
+    btype = _broadcast_type("__variant", cfg)
     # Total Level constant patch (reference src/2_parse_engine.py:205-206)
     skill = extracted.get("Skill", F.lit(None))
     extracted["Skill"] = F.when(btype == "Total Level", F.lit("Total")).otherwise(skill)

@@ -2013,7 +2013,8 @@ def q_parse_game_mode(spark, sf_dir):
     )
     msg = F.concat(
         prefix, F.lit("user_"), uid, F.lit(" received a drop: Item "),
-        k.cast("string"), F.lit("."),
+        k.cast("string"), F.lit(" ("), (k % 1000 + 1).cast("string"),
+        F.lit(" coins)."),
     )
     raw = ev.select(
         F.col("event_id").alias("id"),
@@ -2126,4 +2127,186 @@ def q_name_change_parse(spark, sf_dir):
         "message_id",
         F.regexp_extract("description", rx, 1).alias("old_name"),
         F.regexp_extract("description", rx, 2).alias("new_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pattern-grammar coverage (R1-R8 x full library): a golden corpus with
+# >=1 message per reachable regex variant (40 of 41 — the reference's
+# Bin "Infernal cape" entry is shadowed by Valuable Drop's
+# "received an item" variant in both engines' first-match-wins order,
+# exercised here via id 4).  The Spark side runs the real parse plan;
+# the oracle is the hand-written expected extraction as a VALUES
+# table — a cross-engine-hashed golden test of all 42 regexes.
+# ---------------------------------------------------------------------------
+
+_G_COLS = (
+    "Broadcast_Type", "Username", "Item_Name", "Item_Value",
+    "Collection_Log_Progress", "Skill", "Task_Name", "New_Level", "Tier",
+    "PB_Time", "Source_Mob", "Opponent", "Pet_Name", "Pet_KC",
+    "Pet_KC_Type", "Action_By", "New_Group_Lives",
+)
+_G_LONG_COLS = {"Item_Value", "New_Level", "Pet_KC"}
+
+# (id, message, expected-broadcast-dict | "chat" | "unparsed")
+GRAMMAR_CORPUS: list[tuple[int, str, object]] = [
+    (1, "Alice received a drop: Twisted bow (1,486,480,000 coins) from Chambers of Xeric.",
+     {"Broadcast_Type": "Valuable Drop", "Username": "Alice", "Item_Name": "Twisted bow",
+      "Item_Value": 1486480000, "Source_Mob": "Chambers of Xeric"}),
+    (2, "Bob received a drop: Dragon dagger (17,394 coins)",
+     {"Broadcast_Type": "Valuable Drop", "Username": "Bob", "Item_Name": "Dragon dagger",
+      "Item_Value": 17394}),
+    (3, "Carol received a rare drop: Draconic visage",
+     {"Broadcast_Type": "Valuable Drop", "Username": "Carol", "Item_Name": "Draconic visage"}),
+    (4, "Dave received an item: Infernal cape",  # shadows Bin[0], like the reference
+     {"Broadcast_Type": "Valuable Drop", "Username": "Dave", "Item_Name": "Infernal cape"}),
+    (5, "Erin received a clue item: 3rd age platebody (210,000,000 coins).",
+     {"Broadcast_Type": "Clue Scroll Item", "Username": "Erin",
+      "Item_Name": "3rd age platebody", "Item_Value": 210000000}),
+    (6, "Frank received a new collection log item: Zamorakian spear (123/1568)",
+     {"Broadcast_Type": "Collection Log", "Username": "Frank",
+      "Item_Name": "Zamorakian spear", "Collection_Log_Progress": "123/1568"}),
+    (7, "Grace received special loot from a raid: Dexterous prayer scroll.",
+     {"Broadcast_Type": "Raid Loot", "Username": "Grace",
+      "Item_Name": "Dexterous prayer scroll"}),
+    (8, "Heidi has a funny feeling like she's being followed: Pet snakeling at 1,219 kills.",
+     {"Broadcast_Type": "Pet", "Username": "Heidi", "Pet_Name": "Pet snakeling",
+      "Pet_KC": 1219, "Pet_KC_Type": "kills"}),
+    (9, "Ivan feels something weird sneaking into his backpack: Abyssal orphan at 850 kills.",
+     {"Broadcast_Type": "Pet", "Username": "Ivan", "Pet_Name": "Abyssal orphan",
+      "Pet_KC": 850, "Pet_KC_Type": "kills"}),
+    (10, "Judy has a funny feeling like she's being followed: Baby mole at 2,000 kills (Herbiboar count)",
+     {"Broadcast_Type": "Pet", "Username": "Judy", "Pet_Name": "Baby mole",
+      "Pet_KC": 2000, "Pet_KC_Type": "kills"}),
+    (11, "Karl feels like he just acquired something special: Smolcano",
+     {"Broadcast_Type": "Pet", "Username": "Karl", "Pet_Name": "Smolcano"}),
+    (12, "Leo has a funny feeling like he's being followed: Herbi.",
+     {"Broadcast_Type": "Pet", "Username": "Leo", "Pet_Name": "Herbi"}),
+    (13, "Mia has a funny feeling like she would have been followed: Pet rock",
+     {"Broadcast_Type": "Pet", "Username": "Mia", "Pet_Name": "Pet rock"}),
+    (14, "Noah has reached Attack level 99.",
+     {"Broadcast_Type": "Level Up", "Username": "Noah", "Skill": "Attack",
+      "New_Level": 99}),
+    (15, "Olivia has reached the highest possible combat level of 126!",
+     {"Broadcast_Type": "Level Up", "Username": "Olivia", "Skill": "combat",
+      "New_Level": 126}),
+    (16, "Peggy has reached a total level of 2277.",
+     {"Broadcast_Type": "Total Level", "Username": "Peggy", "New_Level": 2277,
+      "Skill": "Total"}),
+    (17, "Quentin has reached the highest possible total level of 2277!",
+     {"Broadcast_Type": "Total Level", "Username": "Quentin", "New_Level": 2277,
+      "Skill": "Total"}),
+    (18, "Rita has reached 200,000,000 XP in Fishing.",
+     {"Broadcast_Type": "XP Milestone", "Username": "Rita", "New_Level": 200000000,
+      "Skill": "Fishing"}),
+    (19, "Sam has completed a quest: Dragon Slayer II.",
+     {"Broadcast_Type": "Quest", "Username": "Sam", "Task_Name": "Dragon Slayer II"}),
+    (20, "Tina has completed the Elite Lumbridge & Draynor diary.",
+     {"Broadcast_Type": "Diary", "Username": "Tina", "Tier": "Elite",
+      "Task_Name": "Lumbridge & Draynor"}),
+    (21, "Uma has completed a master combat task: Perfect Olm (Solo).",
+     {"Broadcast_Type": "Combat Task", "Username": "Uma", "Tier": "master",
+      "Task_Name": "Perfect Olm (Solo)"}),
+    (22, "Vince has achieved a new Zulrah personal best: 0:54.60",
+     {"Broadcast_Type": "Personal Best", "Username": "Vince", "Task_Name": "Zulrah",
+      "PB_Time": "0:54.60"}),
+    (23, "Wes has defeated Xena and received (1,250,000 coins) worth of loot!",
+     {"Broadcast_Type": "PvP Kill", "Username": "Wes", "Opponent": "Xena",
+      "Item_Value": 1250000}),
+    (24, "Yara has defeated Zane, causing him to lose (750,000 coins) worth of loot!",
+     {"Broadcast_Type": "PvP Kill", "Username": "Yara", "Opponent": "Zane",
+      "Item_Value": 750000}),
+    (25, "Abe has been defeated by Bea in The Wilderness and lost (500,000 coins) worth of loot.",
+     {"Broadcast_Type": "PvP Death", "Username": "Abe", "Opponent": "Bea",
+      "Item_Value": 500000}),
+    (26, "Cal has been defeated by Dot in The Wilderness",
+     {"Broadcast_Type": "PvP Death", "Username": "Cal", "Opponent": "Dot"}),
+    (27, "Eli has been defeated by Fay and lost (250,000 coins) worth of loot.",
+     {"Broadcast_Type": "PvP Death", "Username": "Eli", "Opponent": "Fay",
+      "Item_Value": 250000}),
+    (28, "Gus has been defeated by Hal and lost an extraordinary amount of loot.",
+     {"Broadcast_Type": "PvP Death", "Username": "Gus", "Opponent": "Hal",
+      "Item_Name": "an extraordinary amount of loot"}),
+    (29, "Ian has been defeated by Jan.",
+     {"Broadcast_Type": "PvP Death", "Username": "Ian", "Opponent": "Jan"}),
+    (30, "Kim has unlocked the Grandmaster tier of rewards from Combat Achievements!",
+     {"Broadcast_Type": "Combat Achievement Tier", "Username": "Kim",
+      "Tier": "Grandmaster"}),
+    (31, "Lars has been invited into the clan by Maya.",
+     {"Broadcast_Type": "Clan Invite", "Username": "Lars", "Action_By": "Maya"}),
+    (32, "Nina has expelled Omar from the clan.",
+     {"Broadcast_Type": "Clan Expelled", "Username": "Omar", "Action_By": "Nina"}),
+    (33, "Pete has left the clan.",
+     {"Broadcast_Type": "Clan Left", "Username": "Pete"}),
+    (34, "Quin has died and lost a life. Quin's group has 2/3 lives left.",
+     {"Broadcast_Type": "HC Life Lost", "Username": "Quin", "New_Group_Lives": "2/3"}),
+    (35, "Rob has died and lost their Hardcore Ironman status.",
+     {"Broadcast_Type": "HC Life Lost", "Username": "Rob"}),
+    (36, "Sue has deposited 5,000,000 coins into the coffer.",
+     {"Broadcast_Type": "Clan Coffer Deposit", "Username": "Sue",
+      "Item_Value": 5000000}),
+    (37, "Tom has withdrawn 2,500,000 coins from the coffer.",
+     {"Broadcast_Type": "Clan Coffer Withdraw", "Username": "Tom",
+      "Item_Value": 2500000}),
+    (38, "Uli has deposited one coin into the coffer.",
+     {"Broadcast_Type": "Bin", "Username": "Uli"}),
+    (39, "<@123456789>",
+     {"Broadcast_Type": "Bin"}),
+    (40, "<@987654321> hello there",
+     {"Broadcast_Type": "Bin"}),
+    (41, "<:Officer:100><:Away:2>**Vera**: gz!", "chat"),
+    (42, "complete gibberish 12345", "unparsed"),
+    (43, "<:Ironman:99>Walt received a drop: Elysian sigil (600,000,000 coins)",
+     {"Broadcast_Type": "(IM) Valuable Drop", "Username": "Walt",
+      "Item_Name": "Elysian sigil", "Item_Value": 600000000}),
+]
+
+
+def _grammar_oracle() -> str:
+    rows = []
+    for rid, _msg, exp in GRAMMAR_CORPUS:
+        if not isinstance(exp, dict):
+            continue
+        cells = [str(rid)]
+        for c in _G_COLS:
+            v = exp.get(c)
+            if v is None:
+                cells.append("NULL")
+            elif c in _G_LONG_COLS:
+                cells.append(str(v))
+            else:
+                cells.append("'" + str(v).replace("'", "''") + "'")
+        rows.append("(" + ", ".join(cells) + ")")
+    typed = []
+    for c in _G_COLS:
+        if c in _G_LONG_COLS:
+            typed.append(f"CAST({c} AS BIGINT) AS {c}")
+        else:
+            typed.append(f"CAST({c} AS VARCHAR) AS {c}")
+    return (
+        "SELECT CAST(id AS BIGINT) AS raw_log_id, "
+        + ", ".join(typed)
+        + " FROM (VALUES "
+        + ", ".join(rows)
+        + f") t(id, {', '.join(_G_COLS)})"
+    )
+
+
+@query("q_pattern_grammar", oracle=_grammar_oracle())
+def q_pattern_grammar(spark, sf_dir):
+    """Every reachable regex variant of the full 42-pattern library
+    parsed by the real plan vs the hand-written expected extraction
+    (reference grammar: config.example.toml:377-538)."""
+    from .config import default_config
+    from .plans import build_parse_plan
+
+    raw = spark.createDataFrame(
+        [(rid, ANCHOR, msg) for rid, msg, _ in GRAMMAR_CORPUS],
+        "id long, timestamp timestamp, raw_content string",
+    )
+    streams = build_parse_plan(raw, default_config())
+    return streams.broadcasts.select(
+        "raw_log_id",
+        *[F.col(c).cast("long" if c in _G_LONG_COLS else "string").alias(c)
+          for c in _G_COLS],
     )

@@ -29,7 +29,7 @@ CORPUS = [
                    "Item_Value": 17394, "Source_Mob": None}),
     (3, "Carol received a new collection log item: Zamorakian spear (123/1568)",
      "broadcast", {"Broadcast_Type": "Collection Log",
-                   "Collection_Log_Progress": "123", "Item_Name": "Zamorakian spear"}),
+                   "Collection_Log_Progress": "123/1568", "Item_Name": "Zamorakian spear"}),
     (4, "Dave has achieved a new Zulrah personal best: 0:54.6",
      "broadcast", {"Broadcast_Type": "Personal Best", "Task_Name": "Zulrah",
                    "PB_Time": "0:54.6"}),
@@ -52,13 +52,14 @@ CORPUS = [
      "broadcast", {"Broadcast_Type": "Pet", "Pet_Name": "Pet snakeling",
                    "Pet_KC": 1219, "Pet_KC_Type": "kills"}),
     (12, "Quentin has completed the Elite Lumbridge & Draynor diary.",
-     "broadcast", {"Broadcast_Type": "Diary Complete", "Tier": "Elite",
+     "broadcast", {"Broadcast_Type": "Diary", "Tier": "Elite",
                    "Task_Name": "Lumbridge & Draynor"}),
-    (13, "Rupert has defeated Sybil and received an extraordinary amount of loot!",
-     "broadcast", {"Broadcast_Type": "PvP Kill", "Opponent": "Sybil",
+    (13, "Rupert has been defeated by Sybil and lost an extraordinary amount of loot.",
+     "broadcast", {"Broadcast_Type": "PvP Death", "Opponent": "Sybil",
+                   "Item_Name": "an extraordinary amount of loot",
                    "Item_Value": None}),
     (14, "Trent has deposited 1,000,000 coins into the coffer.",
-     "broadcast", {"Broadcast_Type": "Coffer Deposit", "Item_Value": 1000000}),
+     "broadcast", {"Broadcast_Type": "Clan Coffer Deposit", "Item_Value": 1000000}),
 ]
 
 
