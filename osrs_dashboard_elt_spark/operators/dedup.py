@@ -19,8 +19,16 @@ Scale shapes:
   banding turns all-pairs into an equi-join on (band, band-key) — the
   only shuffle, sized by candidate collisions, with frequent-bucket
   capping available for adversarial skew.
-- n-gram Jaccard: inverted-index self-join on shingles; optional
-  ``max_doc_freq`` drops stop-shingles (the skew killer at scale).
+- n-gram Jaccard: inverted-index self-join on shingles;
+  ``max_doc_freq`` (ON by default) drops stop-shingles (the skew
+  killer at scale) via a broadcast hot-list pre-filter.
+- hot-bucket guards: every blocking join (LSH bands, SimHash chunks,
+  shingle postings) can cap its bucket size — a degenerate bucket of
+  m rows emits O(m^2) candidates, so one hot key (empty docs, a stop
+  shingle, an adversarial corpus) otherwise dominates the whole job.
+  Dropping a bucket trades recall for a hard bound; the guards are
+  implemented as a broadcast anti-join against the (tiny) hot-key
+  aggregate so no reducer ever materializes the hot bucket.
 """
 
 from __future__ import annotations
@@ -29,6 +37,25 @@ import random
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _drop_hot_keys(
+    posts: DataFrame, key_cols: list[str], max_size: int
+) -> DataFrame:
+    """Remove all rows of keys occurring more than ``max_size`` times.
+
+    The hot-key list is a full aggregate of ``posts`` but its OUTPUT is
+    tiny (only keys above the cap), so it broadcasts; the anti-join
+    then filters map-side.  This costs a second evaluation of the
+    ``posts`` lineage — the price of never shuffling a hot bucket to a
+    single reducer."""
+    hot = (
+        posts.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_size)
+        .select(*key_cols)
+    )
+    return posts.join(F.broadcast(hot), key_cols, "left_anti")
 
 # Prime just above 2**32: (a*h + b) % P stays within int64 for
 # 32-bit h and a,b < P — identical arithmetic in Spark and DuckDB.
@@ -204,6 +231,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     verify_threshold: float | None = None,
     shingle_n: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding.
 
@@ -211,6 +239,12 @@ def minhash_lsh_pairs(
     With ``verify_threshold`` the candidates are verified with exact
     token-set Jaccard and filtered.  ``shingle_n`` switches the token
     set from words to n-word shingles.
+
+    ``max_bucket_size`` drops band buckets holding more than N docs
+    before the self-join (candidate output per bucket is O(N^2); a
+    bucket of exact-identical signatures — usually exact duplicates
+    that belong in ``exact_dedup`` upstream — otherwise floods the
+    join).  Dropping loses those buckets' recall; None = uncapped.
     """
     rows = num_perm // bands
     base = with_shingles(df, id_col, text_col, shingle_n)
@@ -261,6 +295,8 @@ def minhash_lsh_pairs(
             )
         ).alias("c"),
     ).select("id", "c.bi", "c.bk")
+    if max_bucket_size is not None:
+        posts = _drop_hot_keys(posts, ["bi", "bk"], max_bucket_size)
     pairs = (
         posts.alias("a")
         .join(posts.alias("b"), ["bi", "bk"])
@@ -298,7 +334,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted index,
     single-scan shape: each posting carries its document's shingle
@@ -308,26 +344,30 @@ def ngram_jaccard_pairs(
     (The textbook posting-list SELF-join tokenizes the corpus once per
     join side and needs two more joins to attach sizes.)
 
-    ``max_doc_freq`` drops shingles occurring in more than N docs
-    (stop-shingle guard; changes recall, documented).  It is applied
-    after the per-shingle collect, i.e. inside the same shuffle; for
-    corpora with extreme stop-shingle skew, pre-filter the posting
-    table against a broadcast stop-shingle list instead so no reducer
-    materializes the hot posting array."""
+    ``max_doc_freq`` (default 1000) drops shingles occurring in more
+    than N docs — the stop-shingle guard: one shingle shared by d docs
+    would otherwise build a d(d-1)/2-struct pair array in a SINGLE
+    reducer row (executor OOM at scale) while contributing only
+    near-zero-Jaccard pairs.  Applied as a broadcast hot-shingle
+    pre-filter BEFORE the groupBy, so the hot posting array is never
+    materialized; costs one extra (cheap, aggregate-only) pass over
+    the postings.  Recall: pairs whose entire overlap is stop-shingles
+    are missed — at any meaningful threshold those score ~0 anyway.
+    ``None`` disables the guard."""
     sh = with_shingles(df, id_col, text_col, n, out="sh")
     # explode_outer + isNotNull: see minhash_lsh_pairs — avoids the
     # InferFiltersFromGenerate re-inlining of the shingle expression
     posts = sh.select(
         "id", F.size("sh").alias("n_sh"), F.explode_outer("sh").alias("shingle")
     ).filter(F.col("shingle").isNotNull())
+    if max_doc_freq is not None:
+        posts = _drop_hot_keys(posts, ["shingle"], max_doc_freq)
     # shingle arrays are distinct per doc -> (shingle, id) unique, so
     # collect_list needs no dedup; array_sort orders structs by id
     # (first field), giving id_a < id_b for free in the i<j generation
     grouped = posts.groupBy("shingle").agg(
         F.array_sort(F.collect_list(F.struct("id", "n_sh"))).alias("ids")
     )
-    if max_doc_freq is not None:
-        grouped = grouped.filter(F.size("ids") <= max_doc_freq)
     # all (i, j>i) pairs of the posting array; slice is 1-based, i is
     # 0-based -> elements strictly after i start at position i+2.
     # "ids" is a real attribute, so the lambda reads it, not a
@@ -402,21 +442,38 @@ def simhash_pairs(
     text_col: str,
     bits: int = 32,
     max_hamming: int = 3,
+    drop_empty: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= ``max_hamming``.
 
     Pigeonhole blocking: split the fingerprint into ``max_hamming + 1``
     chunks; any pair within distance k agrees on >= 1 chunk -> equi-join
-    on (chunk_idx, chunk_value), verify with bit_count(xor)."""
+    on (chunk_idx, chunk_value), verify with bit_count(xor).
+
+    ``drop_empty`` (default True) routes zero-token docs OUT of the
+    blocking join: every empty doc hashes to fp=0, so e empty docs
+    form one degenerate bucket emitting e(e-1)/2 candidates per chunk.
+    Empty docs are trivially exact duplicates of each other — that's
+    ``exact_dedup``'s job, not a similarity join's.
+
+    ``max_bucket_size`` additionally caps any (chunk, value) bucket
+    (broadcast hot-list anti-join, recall trade documented at
+    module level); None = uncapped.  NOTE: at billions of docs a
+    32-bit fingerprint's 8-bit chunks only take 256 values — use
+    bits=64 so the blocking stays selective."""
     n_chunks = max_hamming + 1
     chunk_bits = bits // n_chunks
     # Stage: tokens -> hashed array -> fingerprint, each its own
     # projection so the md5 transform runs once per row, not once per
-    # vote aggregate.  (No empty-array filter: an empty doc hashes to
-    # fp=0, matching the unfiltered all-docs semantics.)
+    # vote aggregate.
     toks = df.select(
         F.col(id_col).alias("id"), tokens_col(text_col).alias("toks")
     )
+    if drop_empty:
+        # post-projection filter on the staged attribute (pushing it
+        # into the scan would re-inline the tokenization expression)
+        toks = toks.filter(F.size("toks") > 0)
     hashed = toks.select(
         "id", F.transform(F.col("toks"), token_hash32).alias("th")
     )
@@ -438,6 +495,8 @@ def simhash_pairs(
             )
         ).alias("c"),
     ).select("id", "fp", "c.ci", "c.cv")
+    if max_bucket_size is not None:
+        chunks = _drop_hot_keys(chunks, ["ci", "cv"], max_bucket_size)
     cand = (
         chunks.alias("a")
         .join(chunks.alias("b"), ["ci", "cv"])

@@ -19,6 +19,8 @@ pattern here:
 
 from __future__ import annotations
 
+from datetime import datetime, timedelta
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -31,11 +33,29 @@ def _target_exists(spark: SparkSession, path: str) -> bool:
         return False
 
 
+def prune_to_window(
+    df: DataFrame, ts_col: str, lo, hi, lateness_seconds: float = 0.0
+) -> DataFrame:
+    """Restrict a scan to ``[lo - lateness, hi + lateness]`` on
+    ``ts_col``.  The bounds are literals, so the predicate pushes into
+    the parquet scan (row-group min/max skipping; partition pruning
+    when the table is partitioned on a ts-derived column)."""
+    if isinstance(lo, datetime):
+        slack = timedelta(seconds=lateness_seconds)
+    else:
+        slack = lateness_seconds
+    return df.filter(
+        (F.col(ts_col) >= F.lit(lo - slack)) & (F.col(ts_col) <= F.lit(hi + slack))
+    )
+
+
 def dedup_append(
     spark: SparkSession,
     batch: DataFrame,
     target_path: str,
     keys: list[str],
+    ts_col: str | None = None,
+    lateness_seconds: float = 0.0,
 ) -> int:
     """Idempotently append ``batch`` to ``target_path``: rows whose
     ``keys`` already exist are dropped (reference S4: per-row INSERT OR
@@ -43,17 +63,40 @@ def dedup_append(
 
     Re-running with an overlapping batch is a no-op — the property the
     reference's overlap-window re-fetch relies on (T2).
+
+    ``ts_col`` window-prunes the existing-side scan: only target rows
+    inside the batch's [min(ts) - lateness, max(ts) + lateness] range
+    are anti-joined.  Without it every micro-batch re-scans the FULL
+    bronze table — fatal at 100 TB.  Correctness requires the
+    timestamp to be part of the row identity (a re-fetched duplicate
+    carries the same event timestamp — true for the reference's
+    overlap re-fetch, T2); ``lateness_seconds`` adds slack for
+    clock-skewed duplicates.
     """
-    batch = batch.dropDuplicates(keys)
+    deduped = batch.dropDuplicates(keys)
+    out = deduped
     if _target_exists(spark, target_path):
-        existing = spark.read.parquet(target_path).select(*keys)
-        batch = batch.join(existing, keys, "left_anti")
+        existing = spark.read.parquet(target_path)
+        if ts_col is not None:
+            # cache the deduped batch: it feeds both the bounds agg and
+            # the anti-join probe side
+            deduped = deduped.cache()
+            out = deduped
+            bounds = deduped.agg(
+                F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+            ).collect()[0]
+            if bounds["lo"] is not None:
+                existing = prune_to_window(
+                    existing, ts_col, bounds["lo"], bounds["hi"], lateness_seconds
+                )
+        out = deduped.join(existing.select(*keys), keys, "left_anti")
     # Materialize the anti-join BEFORE opening the writer: the write
     # must not re-scan the target while appending to it.
-    rows = batch.cache().count()
+    rows = out.cache().count()
     if rows:
-        batch.write.mode("append").parquet(target_path)
-    batch.unpersist()
+        out.write.mode("append").parquet(target_path)
+    out.unpersist()
+    deduped.unpersist()
     return rows
 
 

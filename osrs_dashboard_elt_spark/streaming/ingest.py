@@ -94,7 +94,13 @@ def start_parse_pipeline(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         streams = build_parse_plan(batch_df, cfg)
-        dedup_append(spark, streams.chat, f"{out_root}/chat", ["raw_log_id"])
+        # ts_col window-prunes the existing-side anti-join scan: the
+        # id is a content hash that includes the timestamp, so a
+        # replayed duplicate always lands inside the batch's ts range
+        dedup_append(
+            spark, streams.chat, f"{out_root}/chat", ["raw_log_id"],
+            ts_col="Timestamp",
+        )
         dedup_append(
             spark,
             streams.broadcasts,
@@ -102,8 +108,12 @@ def start_parse_pipeline(
             # multi-user explode makes raw_log_id non-unique: the
             # exploded Username completes the natural key
             ["raw_log_id", "Username"],
+            ts_col="Timestamp",
         )
-        dedup_append(spark, streams.unparsed, f"{out_root}/unparsed_logs", ["raw_log_id"])
+        dedup_append(
+            spark, streams.unparsed, f"{out_root}/unparsed_logs",
+            ["raw_log_id"], ts_col="timestamp",
+        )
         if on_batch is not None:
             on_batch(batch_id)
 

@@ -803,7 +803,7 @@ def q_exact_dedup_docs(spark, sf_dir):
     return out.select("digest", "canonical_doc_id", "dup_count")
 
 
-def _ngram_jaccard_oracle(n: int, threshold: float) -> str:
+def _ngram_jaccard_oracle(n: int, threshold: float, max_doc_freq: int = 1000) -> str:
     return f"""
     WITH w AS (SELECT doc_id, {_TOK_SQL} AS words FROM documents),
     sh AS (
@@ -814,7 +814,11 @@ def _ngram_jaccard_oracle(n: int, threshold: float) -> str:
              )) AS shingles
       FROM w WHERE len(words) >= {n}
     ), sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
-    posts AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    posts AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh
+      ) QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {max_doc_freq}
+    ),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
       FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -914,7 +918,10 @@ def _simhash_oracle(bits: int, max_hamming: int) -> str:
         for i in range(n_chunks)
     )
     return f"""
-    WITH th AS (SELECT doc_id, {toks_hash} AS th FROM documents),
+    WITH th AS (
+      SELECT * FROM (SELECT doc_id, {toks_hash} AS th FROM documents)
+      WHERE len(th) > 0
+    ),
     fps AS (SELECT doc_id, CAST({vote_terms} AS BIGINT) AS fp FROM th),
     chunks AS (
         {chunk_rows}

@@ -112,7 +112,8 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, fl
     t0 = time.time()
     raw = synthesize_raw_messages(spark, sf_dir)
     appended = dedup_append(
-        spark, raw, f"{out_dir}/bronze/raw_logs", ["timestamp", "raw_content"]
+        spark, raw, f"{out_dir}/bronze/raw_logs", ["timestamp", "raw_content"],
+        ts_col="timestamp",
     )
     timings["ingest"] = time.time() - t0
     print(f"[ingest]    +{appended} rows -> bronze/raw_logs")
@@ -138,17 +139,18 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, fl
     # drop, casts apply — same contract as the reference's config DDL
     n_chat = dedup_append(
         spark, conform(streams.chat, CHAT_SCHEMA),
-        f"{out_dir}/silver/chat", ["raw_log_id"]
+        f"{out_dir}/silver/chat", ["raw_log_id"], ts_col="Timestamp",
     )
     n_bc = dedup_append(
         spark,
         conform(streams.broadcasts, CLAN_BROADCASTS_SCHEMA),
         f"{out_dir}/silver/clan_broadcasts",
         ["raw_log_id", "Username"],
+        ts_col="Timestamp",
     )
     n_dead = dedup_append(
         spark, conform(streams.unparsed, UNPARSED_LOGS_SCHEMA),
-        f"{out_dir}/silver/unparsed_logs", ["raw_log_id"]
+        f"{out_dir}/silver/unparsed_logs", ["raw_log_id"], ts_col="timestamp",
     )
     timings["parse"] = time.time() - t0
     print(f"[parse]     +{n_chat} chat, +{n_bc} broadcasts, +{n_dead} dead-letter")

@@ -1,0 +1,143 @@
+"""Hot-bucket guards in the dedup family (adversarial corpora).
+
+At scale one degenerate blocking bucket — a stop shingle in every doc,
+empty docs all hashing to simhash fp=0, a bucket of identical minhash
+signatures — emits O(bucket^2) candidates and sinks the job.  These
+tests build exactly those corpora and prove the guards bound the
+candidate volume while leaving honest pairs intact.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osrs_dashboard_elt_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard: stop-shingle guard (default ON)
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_stop_shingle_guard_bounds_pairs(spark):
+    """200 docs share one stop shingle but are otherwise unique: the
+    guard drops the hot shingle, so NO near-zero-Jaccard pairs are
+    emitted from it (unguarded: 19,900 candidate pairs)."""
+    rows = [
+        (i, f"the common prefix unique{i} word{i} tail{i} end{i}")
+        for i in range(200)
+    ]
+    docs = _docs(spark, rows)
+    guarded = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.0, max_doc_freq=50
+    )
+    assert guarded.count() == 0
+    unguarded = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.0, max_doc_freq=None
+    )
+    assert unguarded.count() == 200 * 199 // 2
+
+
+def test_ngram_guard_keeps_honest_pairs(spark):
+    """Real near-dups (sharing many non-hot shingles) survive the
+    guard with identical scores."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),  # 3 of 4 shingles shared
+        (3, "completely different text goes here now"),
+    ]
+    docs = _docs(spark, rows)
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)] == pytest.approx(3 / 5)
+
+
+def test_ngram_guard_default_matches_unguarded_on_clean_corpus(spark):
+    """With no shingle above the default cap the guard is a no-op."""
+    rows = [(i, f"doc number {i} has words {i % 7} and {i % 5}") for i in range(40)]
+    docs = _docs(spark, rows)
+    a = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.3)
+    b = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.3, max_doc_freq=None
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# SimHash: empty docs routed out of the fp=0 bucket (default ON)
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_empty_docs_routed_out(spark):
+    """100 empty docs would all land in the fp=0 bucket and emit
+    4,950 hamming-0 pairs; drop_empty (default) removes them without
+    touching real pairs."""
+    rows = [(i, "   ") for i in range(100)]
+    rows += [(1000, "identical real text body"), (1001, "identical real text body")]
+    docs = _docs(spark, rows)
+    out = simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1000, 1001)}
+    legacy = simhash_pairs(
+        docs, "doc_id", "text", bits=32, max_hamming=3, drop_empty=False
+    )
+    assert legacy.count() == 100 * 99 // 2 + 1
+
+
+def test_simhash_bucket_cap_bounds_candidates(spark):
+    """60 identical docs form one degenerate bucket per chunk; a cap
+    below the bucket size suppresses it entirely (recall trade),
+    leaving disjoint honest pairs intact."""
+    rows = [(i, "same exact document body here") for i in range(60)]
+    rows += [
+        (2000, "quite different other text entirely"),
+        (2001, "quite different other text entirely"),
+    ]
+    docs = _docs(spark, rows)
+    capped = simhash_pairs(
+        docs, "doc_id", "text", bits=32, max_hamming=3, max_bucket_size=10
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(2000, 2001)}
+    uncapped = simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=3)
+    assert uncapped.count() == 60 * 59 // 2 + 1
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH: band-bucket cap
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_bucket_cap_bounds_candidates(spark):
+    """50 identical docs share every band bucket (identical
+    signatures); the cap drops those buckets so candidates stay
+    bounded, while a distinct near-dup pair still surfaces."""
+    rows = [(i, "the very same document text appears again and again") for i in range(50)]
+    rows += [
+        (3000, "zebra yak xylophone walrus vulture unicorn tapir seal"),
+        (3001, "zebra yak xylophone walrus vulture unicorn tapir rhino"),
+    ]
+    docs = _docs(spark, rows)
+    capped = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=16, bands=4, shingle_n=3,
+        max_bucket_size=10,
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    assert all(a >= 3000 for a, _ in pairs)  # hot cluster fully suppressed
+    assert (3000, 3001) in pairs
+    uncapped = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=16, bands=4, shingle_n=3
+    )
+    assert uncapped.count() >= 50 * 49 // 2

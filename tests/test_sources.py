@@ -104,3 +104,59 @@ def test_blue_green_publish_flips_colors(spark, tmp_path):
     got = read_published(spark, root)
     assert got.count() == 5
     assert got.select("v").distinct().collect()[0]["v"] == "two"
+
+
+def test_dedup_append_window_pruned_idempotent(spark, tmp_path):
+    """With ts_col the existing-side scan restricts to the batch's ts
+    range — idempotency is preserved (a replayed duplicate carries the
+    same timestamp) and out-of-window history is never touched."""
+    target = str(tmp_path / "raw_logs")
+    keys = ["timestamp", "raw_content"]
+    b1 = _raw_logs(
+        spark,
+        [(_ts("2025-01-01T10:00:00"), "msg-a"), (_ts("2025-01-02T10:00:00"), "msg-b")],
+    )
+    assert dedup_append(spark, b1, target, keys, ts_col="timestamp") == 2
+    # overlap replay + one new row, pruned to the b2 window
+    b2 = _raw_logs(
+        spark,
+        [
+            (_ts("2025-01-02T10:00:00"), "msg-b"),
+            (_ts("2025-01-02T11:00:00"), "msg-c"),
+        ],
+    )
+    assert dedup_append(spark, b2, target, keys, ts_col="timestamp") == 1
+    assert dedup_append(spark, b2, target, keys, ts_col="timestamp") == 0
+    assert spark.read.parquet(target).count() == 3
+    # lateness slack widens the window without changing the outcome
+    assert (
+        dedup_append(
+            spark, b2, target, keys, ts_col="timestamp", lateness_seconds=3600
+        )
+        == 0
+    )
+
+
+def test_prune_to_window_pushes_into_scan(spark, tmp_path):
+    """The window predicate must reach the parquet scan as
+    PushedFilters (row-group skipping at scale), not a post-scan
+    Filter only."""
+    from osrs_dashboard_elt_spark.sources.parquet import prune_to_window
+
+    target = str(tmp_path / "t")
+    _raw_logs(
+        spark, [(_ts("2025-01-01T10:00:00"), "a"), (_ts("2025-01-03T10:00:00"), "b")]
+    ).write.parquet(target)
+    pruned = prune_to_window(
+        spark.read.parquet(target),
+        "timestamp",
+        _ts("2025-01-01T00:00:00"),
+        _ts("2025-01-02T00:00:00"),
+        lateness_seconds=60,
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    # (the PushedFilters list is elided in toString — match prefixes)
+    assert "GreaterThanOrEqual(timestamp" in plan
+    assert "LessThanOrEqual(" in plan
+    assert pruned.count() == 1
