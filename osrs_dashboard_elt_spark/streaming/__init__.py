@@ -4,17 +4,27 @@ pipeline (SURVEY.md §2.9)."""
 from .ingest import (
     RAW_LOG_SCHEMA,
     read_raw_stream,
+    retry_unparsed,
     start_parse_pipeline,
     streaming_session_rollup,
     streaming_windowed_rollup,
     with_late_data_dedup,
 )
 from .stateful import changelog_via_stream, running_best_changelog
+from .upsert_sink import (
+    ExternalUpsertSink,
+    LocalJsonTransport,
+    NotFoundError,
+)
 
 __all__ = [
+    "ExternalUpsertSink",
+    "LocalJsonTransport",
+    "NotFoundError",
     "RAW_LOG_SCHEMA",
     "changelog_via_stream",
     "read_raw_stream",
+    "retry_unparsed",
     "running_best_changelog",
     "start_parse_pipeline",
     "streaming_session_rollup",

@@ -127,6 +127,61 @@ def start_parse_pipeline(
     return writer.start()
 
 
+def retry_unparsed(
+    spark: SparkSession, out_root: str, cfg: ParseConfig
+) -> dict[str, int]:
+    """T3 re-drive: re-parse the dead-letter table under a (possibly
+    updated) config, append successes, drain them from the table
+    (reference src/2_parse_engine.py:355-395: re-read unparsed ids,
+    re-parse, INSERT OR IGNORE successes, DELETE drained rows).
+
+    The dead-letter rows carry their raw content, so no bronze re-read
+    is needed; appends reuse the idempotent ``dedup_append``, making
+    the whole re-drive safe to re-run.  The shrunken dead-letter table
+    is swapped in via stage-then-replace (local-FS rename; on a real
+    cluster a Delta/Iceberg overwrite commit takes this seam).
+
+    Returns ``{"retried": n, "recovered": n, "still_dead": n}``.
+    """
+    import os
+    import shutil
+
+    dead_path = f"{out_root}/unparsed_logs"
+    try:
+        dead = spark.read.parquet(dead_path)
+    except Exception:
+        return {"retried": 0, "recovered": 0, "still_dead": 0}
+    raw = dead.select(
+        F.col("raw_log_id").alias("id"),
+        F.col("timestamp"),
+        F.col("raw_content"),
+    )
+    streams = build_parse_plan(raw, cfg)
+    n_retried = raw.count()
+    dedup_append(
+        spark, streams.chat, f"{out_root}/chat", ["raw_log_id"],
+        ts_col="Timestamp",
+    )
+    dedup_append(
+        spark,
+        streams.broadcasts,
+        f"{out_root}/clan_broadcasts",
+        ["raw_log_id", "Username"],
+        ts_col="Timestamp",
+    )
+    # rows that STILL fail stay dead-lettered (fresh failure_reason)
+    staging = dead_path + "__staging"
+    streams.unparsed.write.mode("overwrite").parquet(staging)
+    n_still = spark.read.parquet(staging).count()
+    shutil.rmtree(dead_path)
+    os.replace(staging, dead_path)
+    return {
+        "retried": n_retried,
+        "recovered": n_retried - n_still,
+        "still_dead": n_still,
+    }
+
+
 def streaming_windowed_rollup(
     raw_events: DataFrame,
     freq: str = "6 hours",

@@ -136,3 +136,51 @@ def test_streaming_session_rollup_batch_and_stream(spark, tmp_path):
         ("A", "2025-01-01 10:20:00", 1),
         ("B", "2025-01-01 10:21:00", 1),
     }
+
+
+def test_retry_unparsed_drains_dead_letter(spark, tmp_path):
+    """T3 re-drive (reference 2_parse_engine.py:355-395): a corpus
+    parsed under a crippled config dead-letters; retried under the
+    full config, the recoverable rows drain into their routed tables
+    and only genuine garbage stays."""
+    from dataclasses import replace
+
+    from osrs_dashboard_elt_spark.streaming import retry_unparsed
+
+    src = tmp_path / "incoming"
+    out = tmp_path / "silver"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    rows = [
+        (1, "2025-01-01T10:00:00.000Z", "user_1 received a drop: Item 5 (1,200 coins) from Mob 3."),
+        (2, "2025-01-01T10:01:00.000Z", "user_2 has reached Attack level 70."),
+        (3, "2025-01-01T10:02:00.000Z", "totally unparseable nonsense"),
+    ]
+    _write_batch(src, "b1.json", rows)
+
+    full_cfg = default_config()
+    # crippled config: only the Valuable Drop group survives -> the
+    # level-up message dead-letters alongside the real garbage
+    crippled = replace(full_cfg, groups=full_cfg.groups[:1])
+    raw = with_late_data_dedup(read_raw_stream(spark, str(src)))
+    q = start_parse_pipeline(raw, crippled, str(out), str(ckpt), available_now=True)
+    q.awaitTermination(120)
+
+    assert spark.read.parquet(str(out / "clan_broadcasts")).count() == 1
+    dead = spark.read.parquet(str(out / "unparsed_logs"))
+    assert dead.count() == 2
+
+    stats = retry_unparsed(spark, str(out), full_cfg)
+    assert stats == {"retried": 2, "recovered": 1, "still_dead": 1}
+    bc = spark.read.parquet(str(out / "clan_broadcasts"))
+    assert bc.count() == 2
+    assert bc.filter("Broadcast_Type = 'Level Up'").count() == 1
+    dead2 = spark.read.parquet(str(out / "unparsed_logs")).collect()
+    assert len(dead2) == 1
+    assert dead2[0]["raw_content"] == "totally unparseable nonsense"
+
+    # re-driving again is a no-op (idempotent appends, stable dead set)
+    stats2 = retry_unparsed(spark, str(out), full_cfg)
+    assert stats2 == {"retried": 1, "recovered": 0, "still_dead": 1}
+    assert spark.read.parquet(str(out / "clan_broadcasts")).count() == 2
