@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "q_report_collection_log",
     "q_report_personal_bests",
     "q_report_recent_achievements",
+    "q_incremental_append",
+    "q_per_key_watermark",
 ]
 
 

@@ -231,14 +231,14 @@ def build_parse_plan(
     filter pushdown from inlining the ~40-variant CaseWhen forest into
     each route predicate — without a barrier Catalyst collapses the
     staged projections and the duplicated expression tree explodes
-    codegen/driver memory.
+    codegen/driver memory (measured: OOMs a 1g driver at sf0.01).
 
     Column EXTRACTION deliberately happens AFTER the route filters:
-    each consumer re-derives its columns from the cached content, so
-    extraction regexes run only on the rows that routed to that output
-    and the wide extraction projection never materializes into the
-    cache (at sf0.1 this is ~3x cheaper than caching the full
-    extraction for every row).
+    each consumer re-derives its columns from the staged content, so
+    extraction regexes run only on the rows that routed to that
+    output and the wide extraction projection never feeds the cache
+    (at sf0.1 this is ~3x cheaper than caching the full extraction
+    for every row).
     """
     content = clean_discord_escapes(F.col(content_col))
 

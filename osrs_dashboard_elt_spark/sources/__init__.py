@@ -10,6 +10,8 @@ from .io import (
 from .parquet import (
     dedup_append,
     max_watermark,
+    new_rows_against,
+    prune_to_window,
     per_key_watermark,
     publish_overwrite,
     read_new_since,
@@ -20,6 +22,8 @@ __all__ = [
     "filter_newer_than_watermarks",
     "incremental_scan",
     "max_watermark",
+    "new_rows_against",
+    "prune_to_window",
     "per_key_watermark",
     "publish_blue_green",
     "publish_overwrite",

@@ -49,6 +49,18 @@ def prune_to_window(
     )
 
 
+def new_rows_against(
+    batch: DataFrame, existing: DataFrame, keys: list[str]
+) -> DataFrame:
+    """The pure S4 core: batch rows whose ``keys`` are not already in
+    ``existing`` (in-batch duplicates collapse first).  ``existing``
+    should arrive window-pruned (``prune_to_window``) when a timestamp
+    contract allows it."""
+    return batch.dropDuplicates(keys).join(
+        existing.select(*keys), keys, "left_anti"
+    )
+
+
 def dedup_append(
     spark: SparkSession,
     batch: DataFrame,
@@ -89,7 +101,7 @@ def dedup_append(
                 existing = prune_to_window(
                     existing, ts_col, bounds["lo"], bounds["hi"], lateness_seconds
                 )
-        out = deduped.join(existing.select(*keys), keys, "left_anti")
+        out = new_rows_against(deduped, existing, keys)
     # Materialize the anti-join BEFORE opening the writer: the write
     # must not re-scan the target while appending to it.
     rows = out.cache().count()
