@@ -26,7 +26,7 @@ from .exclusions import (
 from .interval_join import binned_interval_join, interval_join
 from .remap import MappingRule, apply_mapping, find_conflicts, remap_expr
 from .resample import bucket_col, resample
-from .skew import salted_agg, salted_join
+from .skew import ensure_min_partitions, salted_agg, salted_join
 from .sessionize import near_best_band, sessionize
 from .similarity import cosine, cosine_topk, dot, hyperplanes, lsh_ann_topk
 from .topn import top_n_per_group
@@ -58,6 +58,7 @@ __all__ = [
     "find_conflicts",
     "remap_expr",
     "bucket_col",
+    "ensure_min_partitions",
     "resample",
     "near_best_band",
     "salted_agg",

@@ -38,6 +38,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .skew import ensure_min_partitions
+
 
 def _drop_hot_keys(
     posts: DataFrame, key_cols: list[str], max_size: int
@@ -138,7 +140,12 @@ def with_shingles(
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
     )
-    staged = df.select(F.col(id_col).alias("id"), words.alias("__words"))
+    # Tokenization + everything downstream (minhash folds, posting
+    # explodes) is CPU-bound — don't let a single-split input serialize
+    # it on one core (no-op on already-split scans).
+    staged = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"), words.alias("__words")
+    )
     if n is None:
         toks = F.array_distinct(F.col("__words"))
     else:
@@ -467,7 +474,7 @@ def simhash_pairs(
     # Stage: tokens -> hashed array -> fingerprint, each its own
     # projection so the md5 transform runs once per row, not once per
     # vote aggregate.
-    toks = df.select(
+    toks = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"), tokens_col(text_col).alias("toks")
     )
     if drop_empty:

@@ -30,6 +30,32 @@ from pyspark.sql import functions as F
 _SALT = "__salt"
 
 
+def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Parallelism floor for CPU-bound stages.
+
+    A small-at-rest input (one parquet file, a broadcast table) arrives
+    as 1-2 scan splits, so a regex parse / shingle explode / embedding
+    fold downstream runs on ONE core regardless of cluster size —
+    partition count is set by input BYTES, but these stages are bounded
+    by per-row CPU.  Round-robin repartition to ``target`` (default
+    ``sparkContext.defaultParallelism``) when the input has fewer
+    partitions; no-op when the scan is already split (the 100-TB case —
+    a real corpus arrives as thousands of splits) or the input is a
+    streaming DataFrame (foreachBatch batches are already distributed;
+    ``.rdd`` is not available on unbounded plans).
+
+    Cost when it fires: one shuffle of the input rows — by design only
+    taken when the input is small.
+    """
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    t = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < t:
+        return df.repartition(t)
+    return df
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

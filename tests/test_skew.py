@@ -81,3 +81,28 @@ def test_salted_agg_equals_plain_agg(spark):
         ).collect()
     }
     assert salted == plain
+
+
+def test_ensure_min_partitions_floors_small_input(spark):
+    from osrs_dashboard_elt_spark.operators.skew import ensure_min_partitions
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "x long").coalesce(1)
+    target = spark.sparkContext.defaultParallelism
+    out = ensure_min_partitions(df)
+    assert out.rdd.getNumPartitions() == target
+    # rows unchanged
+    assert sorted(r["x"] for r in out.collect()) == list(range(100))
+
+
+def test_ensure_min_partitions_noop_when_already_split(spark):
+    from osrs_dashboard_elt_spark.operators.skew import ensure_min_partitions
+
+    target = spark.sparkContext.defaultParallelism
+    df = spark.createDataFrame([(i,) for i in range(100)], "x long").repartition(
+        target + 4
+    )
+    out = ensure_min_partitions(df)
+    # no extra repartition: partition count preserved, and the plan has
+    # exactly the one RoundRobinPartitioning we created
+    assert out.rdd.getNumPartitions() == target + 4
+    assert out is df
