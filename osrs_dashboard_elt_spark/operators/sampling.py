@@ -1,0 +1,226 @@
+"""Deterministic sampling / splitting / rebalancing for training-data
+pipelines.
+
+At 100 TB, random sampling via ``df.sample()`` is the wrong tool for
+corpus curation: it is non-reproducible across retries (task re-execution
+re-draws), non-joinable (the same document lands in different samples in
+different runs), and stateful.  Everything here is a pure function of a
+key column through the repo-wide md5-derived 32-bit hash
+(``operators.dedup.token_hash32``) — so a sample is:
+
+- **re-runnable**: same key -> same bucket, forever, on any engine;
+- **join-stable**: a doc sampled into ``train`` stays in ``train`` in
+  every downstream job that re-derives the split instead of persisting it;
+- **oracle-checkable**: DuckDB reproduces every decision bit-for-bit
+  (``('0x' || substr(md5(k),1,8))::BIGINT % buckets``).
+
+Scale shapes (all verified via .explain):
+
+- ``hash_sample`` / ``split_assign`` are single column expressions — a
+  scan-side filter / projection.  No shuffle, no RNG state, and the
+  sample filter sits directly above the parquet scan so column pruning
+  and (for partition-keyed samples) partition pruning still apply.
+- ``domain_mix_thresholds`` is one tiny aggregate (|domains| rows) whose
+  output broadcast-joins back; the quota arithmetic is pure int64 so
+  both engines compute identical thresholds from identical counts.
+- ``shuffle_order`` is a column; a global training-order sort with it is
+  Spark's classic total-order shape (range partition by sampled bounds)
+  — the cheapest possible global shuffle, and deterministic.
+
+The reference has no sampling surface (its corpus fits a Raspberry Pi);
+this family is part of the LLM-pipeline extension mandated by SURVEY §6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import token_hash32
+
+#: Bucket resolution for all sampling decisions.  10k buckets = 0.01%
+#: granularity; fractions are snapped to an integer bucket count so the
+#: accept test is pure integer compare (no float crossing engines).
+BUCKETS = 10_000
+
+
+def sample_bucket(key: Column, seed: int = 42) -> Column:
+    """Deterministic bucket in ``[0, BUCKETS)`` for a key.
+
+    DuckDB: ``('0x' || substr(md5('<seed>|' || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 10000``
+    """
+    tagged = F.concat_ws("|", F.lit(str(seed)), key.cast("string"))
+    return token_hash32(tagged) % BUCKETS
+
+
+def sample_bucket_sql(key_sql: str, seed: int = 42) -> str:
+    """The DuckDB expression matching :func:`sample_bucket`."""
+    return (
+        f"('0x' || substr(md5('{seed}|' || CAST({key_sql} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {BUCKETS}"
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: int = 42
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by key hash.
+
+    The filter is a scan-side predicate (one md5 per row, no shuffle);
+    ``fraction`` is snapped to 1/BUCKETS granularity.
+    """
+    thr = int(round(fraction * BUCKETS))
+    return df.filter(sample_bucket(F.col(key_col), seed) < F.lit(thr))
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+    out: str = "split",
+) -> DataFrame:
+    """Assign each row a deterministic train/val/test-style split label.
+
+    ``weights`` maps label -> weight (normalized internally).  Labels
+    are laid out on the bucket line in the dict's insertion order; the
+    LAST label absorbs rounding remainder so every bucket is owned.
+    Pure projection — no shuffle, no persisted split table needed
+    (though persisting one is cheap: it's (key, label)).
+    """
+    total = sum(weights.values())
+    labels = list(weights)
+    b = sample_bucket(F.col(key_col), seed)
+    expr: Column | None = None
+    cum = 0.0
+    for lab in labels[:-1]:
+        cum += weights[lab] / total
+        thr = int(round(cum * BUCKETS))
+        branch = b < F.lit(thr)
+        expr = F.when(branch, lab) if expr is None else expr.when(branch, lab)
+    last = F.lit(labels[-1])
+    return df.withColumn(out, last if expr is None else expr.otherwise(last))
+
+
+def split_case_sql(key_sql: str, weights: dict[str, float], seed: int = 42) -> str:
+    """DuckDB CASE expression matching :func:`split_assign`."""
+    total = sum(weights.values())
+    labels = list(weights)
+    bucket = sample_bucket_sql(key_sql, seed)
+    cases, cum = [], 0.0
+    for lab in labels[:-1]:
+        cum += weights[lab] / total
+        cases.append(f"WHEN ({bucket}) < {int(round(cum * BUCKETS))} THEN '{lab}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{labels[-1]}' END"
+
+
+def length_bucket(
+    n_tokens: Column, boundaries: list[int]
+) -> Column:
+    """Sequence-length bucket label for packing/batching: boundaries
+    ``[b1, b2, ...]`` produce labels ``"<b1"``, ``"b1-b2"``, ...,
+    ``">=bn"``.  A chained-when projection — stays in codegen; at scale
+    this is the groupBy key for per-bucket batch assembly, so buckets
+    (not raw lengths) become the shuffle key: bounded cardinality.
+    """
+    expr = None
+    lo = None
+    for b in boundaries:
+        lab = f"<{b}" if lo is None else f"{lo}-{b}"
+        cond = n_tokens < F.lit(b)
+        expr = F.when(cond, lab) if expr is None else expr.when(cond, lab)
+        lo = b
+    return expr.otherwise(F.lit(f">={boundaries[-1]}"))
+
+
+def length_bucket_sql(n_tokens_sql: str, boundaries: list[int]) -> str:
+    cases, lo = [], None
+    for b in boundaries:
+        lab = f"<{b}" if lo is None else f"{lo}-{b}"
+        cases.append(f"WHEN ({n_tokens_sql}) < {b} THEN '{lab}'")
+        lo = b
+    return "CASE " + " ".join(cases) + f" ELSE '>={boundaries[-1]}' END"
+
+
+def domain_mix_thresholds(
+    df: DataFrame,
+    domain_col: str,
+    target_ppm: dict[str, int],
+    budget_frac_ppm: int,
+) -> DataFrame:
+    """Per-domain accept thresholds hitting a target domain mix.
+
+    Given a corpus with per-domain counts ``n_d``, a total budget of
+    ``budget_frac_ppm/1e6`` of all rows, and target shares
+    ``target_ppm[d]`` (parts-per-million, summing to <= 1e6), compute
+    an integer bucket threshold per domain::
+
+        budget   = floor(N_total * budget_frac_ppm / 1e6)
+        desired  = floor(budget * target_ppm[d] / 1e6)
+        thr[d]   = least(BUCKETS, floor(desired * BUCKETS / n_d))
+
+    All int64 arithmetic — DuckDB reproduces thresholds exactly from
+    the same table.  Result: (domain, n_domain, thr) — |domains| rows,
+    always broadcastable.  Domains absent from ``target_ppm`` get
+    thr=0 (dropped).  A domain with fewer rows than desired saturates
+    at BUCKETS (takes everything; no oversampling — upweighting is a
+    training-loader concern, not a data op).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_domain")
+    )
+    # n_total = sum of the per-domain counts: a global window over the
+    # |domains|-row aggregate output, so no second scan and no join
+    # (a crossJoin with a 1-row total would plan as a nested-loop join).
+    n_total = F.sum("n_domain").over(Window.partitionBy())
+    tgt = F.create_map(
+        *[x for d, p in target_ppm.items() for x in (F.lit(d), F.lit(p))]
+    )
+    budget = F.floor(n_total * budget_frac_ppm / 1_000_000)
+    desired = F.floor(budget * F.coalesce(tgt[F.col("domain")], F.lit(0)) / 1_000_000)
+    return counts.select(
+        "domain",
+        "n_domain",
+        F.least(
+            F.lit(BUCKETS).cast("long"),
+            F.floor(desired * BUCKETS / F.col("n_domain")),
+        ).alias("thr"),
+    )
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    target_ppm: dict[str, int],
+    budget_frac_ppm: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministically subsample ``df`` toward a target domain mix.
+
+    One tiny aggregate -> broadcast join -> scan-side hash filter.  The
+    big side is never shuffled.
+    """
+    thr = domain_mix_thresholds(df, domain_col, target_ppm, budget_frac_ppm)
+    return (
+        df.join(
+            F.broadcast(thr.withColumnRenamed("domain", domain_col)),
+            domain_col,
+        )
+        .filter(sample_bucket(F.col(key_col), seed) < F.col("thr"))
+        .drop("n_domain", "thr")
+    )
+
+
+def shuffle_order(key: Column, seed: int = 42) -> Column:
+    """Deterministic global-shuffle sort key: full md5 hex of the
+    seeded key.  ``df.orderBy(shuffle_order(...))`` is a reproducible
+    'random' training order — a range-partitioned total sort, the
+    plan Spark already does best, and identical on re-run (resumable
+    training epochs without persisting an order table).
+
+    DuckDB: ``md5('<seed>|' || CAST(k AS VARCHAR))``.
+    """
+    return F.md5(F.concat_ws("|", F.lit(str(seed)), key.cast("string")))

@@ -2461,3 +2461,194 @@ def q_running_best_changelog(spark, sf_dir):
         F.date_format("record_ts", TS_FMT_SPARK).alias("record_ts"),
         "prev_best",
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data sampling family (operators/sampling.py).  No reference
+# analog (SURVEY §6 LLM-pipeline extension); every decision is a pure
+# md5-hash function so DuckDB replays it bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_SAMPLING_SEED = 42
+
+
+@query(
+    "q_hash_sample",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE ('0x' || substr(md5('{_SAMPLING_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 2000
+    GROUP BY lang
+    """,
+)
+def q_hash_sample(spark, sf_dir):
+    """Deterministic 20% corpus sample by doc_id hash: a scan-side
+    filter (no shuffle, no RNG state), re-runnable and join-stable —
+    the 100-TB-safe replacement for df.sample()."""
+    from .operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_sample(docs, "doc_id", 0.2, seed=_SAMPLING_SEED)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_oracle() -> str:
+    from .operators.sampling import split_case_sql
+
+    case = split_case_sql("doc_id", _SPLIT_WEIGHTS, seed=_SAMPLING_SEED)
+    return f"""
+    SELECT {case} AS split, lang, COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """
+
+
+@query("q_train_val_test_split", oracle=_split_oracle())
+def q_train_val_test_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment as a pure
+    projection over the key hash — no persisted split table, every
+    job re-derives the same labels."""
+    from .operators.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        split_assign(docs, "doc_id", _SPLIT_WEIGHTS, seed=_SAMPLING_SEED)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_LEN_BOUNDS = [20, 50, 80]
+
+
+@query(
+    "q_length_buckets",
+    oracle=f"""
+    WITH t AS (SELECT CAST(len({_TOK_SQL}) AS BIGINT) AS n_tokens FROM documents)
+    SELECT {{case}} AS len_bucket, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM t GROUP BY 1
+    """.format(
+        case="CASE WHEN (n_tokens) < 20 THEN '<20' "
+        "WHEN (n_tokens) < 50 THEN '20-50' "
+        "WHEN (n_tokens) < 80 THEN '50-80' ELSE '>=80' END"
+    ),
+)
+def q_length_buckets(spark, sf_dir):
+    """Sequence-length bucketing for batch packing: token count ->
+    bounded-cardinality bucket label, the groupBy key for per-bucket
+    batch assembly (shuffle keyed on buckets, not raw lengths)."""
+    from .functions.text import token_count
+    from .operators.sampling import length_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = token_count(F.lower(F.col("text")))
+    return (
+        docs.select(
+            length_bucket(n_tok, _LEN_BOUNDS).alias("len_bucket"),
+            n_tok.alias("n_tokens"),
+        )
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+_MIX_TARGET_PPM = {"src0": 300_000, "src1": 250_000, "src2": 200_000, "src3": 150_000, "src4": 100_000}
+_MIX_BUDGET_PPM = 600_000
+
+
+def _domain_mix_oracle() -> str:
+    from .operators.sampling import sample_bucket_sql
+
+    bucket = sample_bucket_sql("d.doc_id", seed=_SAMPLING_SEED)
+    tgt_cases = " ".join(
+        f"WHEN '{d}' THEN {p}" for d, p in _MIX_TARGET_PPM.items()
+    )
+    return f"""
+    WITH counts AS (
+      SELECT source AS domain, COUNT(*) AS n_domain
+      FROM documents GROUP BY 1
+    ),
+    total AS (SELECT COUNT(*) AS n_total FROM documents),
+    thr AS (
+      SELECT domain, n_domain,
+             LEAST(10000, CAST(FLOOR(
+               FLOOR(FLOOR(n_total * {_MIX_BUDGET_PPM} / 1000000)
+                     * (CASE domain {tgt_cases} ELSE 0 END) / 1000000)
+               * 10000 / n_domain) AS BIGINT)) AS thr
+      FROM counts, total
+    )
+    SELECT d.source AS domain, COUNT(*) AS n_kept
+    FROM documents d JOIN thr ON thr.domain = d.source
+    WHERE ({bucket}) < thr.thr
+    GROUP BY 1
+    """
+
+
+@query("q_domain_mix_sample", oracle=_domain_mix_oracle())
+def q_domain_mix_sample(spark, sf_dir):
+    """Rebalance the corpus toward a target domain mix (50/30/20
+    web/books/code at a 60% budget): one |domains|-row aggregate,
+    broadcast back, scan-side hash filter — the big side never
+    shuffles.  Integer quota arithmetic, cross-engine exact."""
+    from .operators.sampling import domain_mix_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = domain_mix_sample(
+        docs,
+        "source",
+        "doc_id",
+        _MIX_TARGET_PPM,
+        _MIX_BUDGET_PPM,
+        seed=_SAMPLING_SEED,
+    )
+    return kept.groupBy(F.col("source").alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+
+
+@query(
+    "q_global_shuffle_order",
+    oracle=f"""
+    WITH o AS (
+      SELECT doc_id, lang,
+             md5('{_SAMPLING_SEED}|' || CAST(doc_id AS VARCHAR)) AS ord
+      FROM documents
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY ord, doc_id) AS BIGINT) AS pos,
+           doc_id, lang
+    FROM o ORDER BY ord, doc_id LIMIT 25
+    """,
+)
+def q_global_shuffle_order(spark, sf_dir):
+    """Deterministic global training-shuffle: total sort by seeded md5
+    (range-partitioned sort, Spark's native shape) — identical order on
+    every re-run, so epoch resume needs no persisted order table.
+    Emits the first 25 positions with their rank."""
+    from pyspark.sql import Window
+
+    from .operators.sampling import shuffle_order
+
+    docs = _t(spark, sf_dir, "documents")
+    o = docs.select(
+        "doc_id", "lang", shuffle_order(F.col("doc_id"), _SAMPLING_SEED).alias("ord")
+    )
+    w = Window.orderBy("ord", "doc_id")
+    return (
+        o.withColumn("pos", F.row_number().over(w).cast("long"))
+        .orderBy("ord", "doc_id")
+        .limit(25)
+        .select("pos", "doc_id", "lang")
+    )
