@@ -219,6 +219,34 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, fl
         color = publish_blue_green(df, f"{out_dir}/gold/{name}")
         print(f"[transform] gold/{name} -> {color} ({df.columns})")
     timings["transform"] = time.time() - t0
+
+    # -- stage 4: run summary (S15) + notify (S14) --------------------
+    # Reference scripts end by writing summaries/<script>_summary_<ts>.txt
+    # and POSTing the same text to a webhook (shared_utils.py:32-42,
+    # :128-147).  Transport is unconfigured here (no network) so notify
+    # skips, exactly like the reference's placeholder-URL rule.
+    from osrs_dashboard_elt_spark.observability import (
+        notify,
+        render_run_summary,
+        webhook_transport,
+        write_summary_file,
+    )
+
+    summary = render_run_summary(
+        "OSRS Dashboard ELT (Spark)",
+        "run_pipeline",
+        {
+            "New Raw Messages Added": appended,
+            "New Chat Messages Added": n_chat,
+            "New Broadcasts Added": n_bc,
+            "Dead-Lettered (Unparsed)": n_dead,
+            "Drops Priced via As-Of Join": n_enriched,
+        },
+    )
+    run_ts = time.strftime("%Y-%m-%d_%H-%M-%S")
+    path = write_summary_file("run_pipeline", summary, f"{out_dir}/summaries", run_ts)
+    notify(summary, webhook_transport(None))  # unconfigured -> skipped
+    print(f"[summary]   {path}")
     return timings
 
 

@@ -1,0 +1,120 @@
+"""S14/S15 observability: one-scan Observation metrics, reference-
+format summary rendering, atomic summary files, notify truncation,
+and the streaming SummaryListener end-to-end."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from osrs_dashboard_elt_spark.observability import (
+    ObservedMetrics,
+    SummaryListener,
+    notify,
+    render_run_summary,
+    webhook_transport,
+    write_summary_file,
+)
+
+
+def test_observed_metrics_single_action(spark):
+    obs = ObservedMetrics()
+    df = spark.range(100).withColumn("ok", F.col("id") % 4 == 0)
+    df = obs.observe(
+        df,
+        "parse",
+        rows=F.count(F.lit(1)),
+        parsed=F.sum(F.when(F.col("ok"), 1).otherwise(0)),
+    )
+    assert df.count() == 100  # the one action
+    m = obs.get()
+    assert m == {"parse": {"rows": 100, "parsed": 25}}
+
+
+def test_observed_metrics_multi_stage_and_dup_guard(spark):
+    obs = ObservedMetrics()
+    a = obs.observe(spark.range(10), "a", rows=F.count(F.lit(1)))
+    b = obs.observe(spark.range(7), "b", rows=F.count(F.lit(1)))
+    a.collect()
+    b.collect()
+    assert obs.get() == {"a": {"rows": 10}, "b": {"rows": 7}}
+    try:
+        obs.observe(spark.range(1), "a", rows=F.count(F.lit(1)))
+        raise AssertionError("expected duplicate-stage ValueError")
+    except ValueError:
+        pass
+
+
+def test_render_run_summary_reference_format():
+    ok = render_run_summary(
+        "OSRS Dashboard", "parse_engine", {"Messages Processed": 42}
+    )
+    assert ok.startswith("**✅ OSRS Dashboard: parse_engine Complete**")
+    assert "- Messages Processed: `42`" in ok
+    bad = render_run_summary("P", "s", {}, ok=False, error="boom")
+    assert bad.startswith("**❌ P: s FAILED**")
+    assert "```boom```" in bad
+
+
+def test_write_summary_file_atomic(tmp_path):
+    d = str(tmp_path / "summaries")
+    p = write_summary_file("parse_engine", "hello", d, "2025-01-01_00-00-00")
+    assert os.path.basename(p) == "parse_engine_summary_2025-01-01_00-00-00.txt"
+    with open(p, encoding="utf-8") as f:
+        assert f.read() == "hello"
+    # no stray temp files left behind
+    assert [f for f in os.listdir(d) if f.endswith(".tmp")] == []
+
+
+def test_notify_truncates_and_skips():
+    sent: list[str] = []
+    assert notify("hi", sent.append) is True
+    assert sent == ["hi"]
+    long = "x" * 2500
+    notify(long, sent.append)
+    assert len(sent[-1]) == 1993 and sent[-1].endswith("...")
+    assert notify("dropped", None) is False  # unconfigured -> skip
+
+
+def test_webhook_transport_unconfigured_is_none():
+    assert webhook_transport(None) is None
+    assert webhook_transport("") is None
+    assert webhook_transport("https://x/YOUR_WEBHOOK_URL_HERE") is None
+
+
+def test_summary_listener_end_to_end(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps({"id": i}) for i in range(5)) + "\n"
+    )
+
+    got: dict[str, str] = {}
+    lis = SummaryListener("TestProj", sink=lambda name, text: got.update({name: text}))
+    spark.streams.addListener(lis)
+    try:
+        q = (
+            spark.readStream.schema("id long")
+            .json(str(src))
+            .writeStream.format("noop")
+            .queryName("obs_test")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener events are delivered asynchronously post-termination
+        for _ in range(100):
+            if "obs_test" in got:
+                break
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(lis)
+
+    assert "obs_test" in got
+    text = got["obs_test"]
+    assert text.startswith("**✅ TestProj: obs_test Complete**")
+    assert "- Input Rows: `5`" in text
