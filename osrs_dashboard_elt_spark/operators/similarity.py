@@ -257,3 +257,81 @@ def ivf_ann_topk(
         .limit(k)
         .select(id_col, "score", "cell")
     )
+
+
+def query_bucket(query: list[float], planes: list[list[int]]) -> int:
+    """Driver-side sign-LSH bucket of a literal query vector — the
+    same bit rule as :func:`lsh_bucket` (bit j set iff dot > 0)."""
+    qb = 0
+    for j, plane in enumerate(planes):
+        if sum(p * v for p, v in zip(plane, query)) > 0:
+            qb |= 1 << j
+    return qb
+
+
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str,
+    n_planes: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> None:
+    """Materialize an embedding table AT REST partitioned by its
+    sign-LSH bucket: ``path/bucket=<b>/part-*.parquet``.
+
+    This is the scale story for LSH probes: ``lsh_ann_topk`` over a
+    flat table must scan every row to compute its bucket before it
+    can discard it; against this layout the probe's ``bucket = qb``
+    predicate becomes a PARTITION filter, so Spark lists (and reads)
+    only ~1/2^n_planes of the files — the same at-rest contract as
+    the IVF ``cell`` column (see ``ivf_assign``).  Repartitioning by
+    bucket before the write keeps it to one file per bucket per
+    shuffle partition rather than (input partitions x buckets) small
+    files.
+    """
+    sample = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    d = dim if dim is not None else int(sample["d"])
+    planes = hyperplanes(n_planes, d, seed)
+    bucketed = df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    (
+        bucketed.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def lsh_ann_topk_at_rest(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    seed: int = 42,
+    multi_probe: bool = False,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a :func:`write_lsh_index` table: partition-pruned scan of
+    the query's bucket (plus all Hamming-distance-1 buckets when
+    ``multi_probe`` — the standard recall/cost dial), exact cosine
+    rank within.  Same (id, score, bucket) surface as
+    ``lsh_ann_topk``; identical results on the same data/planes by
+    construction, since the bucket rule is the one function.
+    """
+    planes = hyperplanes(n_planes, len(query), seed)
+    qb = query_bucket(query, planes)
+    probes = [qb] + (
+        [qb ^ (1 << j) for j in range(n_planes)] if multi_probe else []
+    )
+    df = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = df.withColumn(
+        "score", cosine(F.col(vec_col), q).cast("decimal(28,6)").cast("double")
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "score", F.col("bucket").cast("long").alias("bucket"))
+    )
