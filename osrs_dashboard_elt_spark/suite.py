@@ -2652,3 +2652,74 @@ def q_global_shuffle_order(spark, sf_dir):
         .limit(25)
         .select("pos", "doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination (operators/decontaminate.py).  LLM-pipeline
+# extension (SURVEY §6): no reference analog.
+# ---------------------------------------------------------------------------
+
+_DECON_N = 4  # shingle width; every test doc has >= 10 words
+
+
+def _decon_cte() -> str:
+    sh = _shingles_sql(_DECON_N)
+    return f"""
+    WITH ev AS (
+      SELECT DISTINCT ('0x' || substr(md5(s), 1, 8))::BIGINT AS shingle_hash
+      FROM (SELECT unnest({sh}) AS s FROM documents WHERE doc_id % 10 = 0)
+    ),
+    tr AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS shingle_hash
+      FROM (SELECT doc_id, unnest({sh}) AS s FROM documents WHERE doc_id % 10 <> 0)
+    ),
+    hits AS (
+      SELECT doc_id AS id, COUNT(DISTINCT shingle_hash) AS n_hits
+      FROM tr JOIN ev USING (shingle_hash)
+      GROUP BY 1
+    )
+    """
+
+
+@query(
+    "q_contamination_report",
+    oracle=_decon_cte() + "SELECT id, n_hits FROM hits WHERE n_hits >= 1",
+)
+def q_contamination_report(spark, sf_dir):
+    """Eval-overlap audit: train docs sharing >=1 distinct 4-gram with
+    the eval slice (doc_id % 10 == 0).  Scale shape: eval shingle
+    hashes are one tiny distinct agg broadcast to the train scan; only
+    matching (id, shingle) rows reach the one shuffle."""
+    from .operators.decontaminate import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    return contamination_report(tr, ev, "doc_id", "text", n=_DECON_N, min_hits=1)
+
+
+@query(
+    "q_decontaminate_by_lang",
+    oracle=_decon_cte()
+    + """
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE doc_id % 10 <> 0
+      AND doc_id NOT IN (SELECT id FROM hits WHERE n_hits >= 3)
+    GROUP BY lang
+    """,
+)
+def q_decontaminate_by_lang(spark, sf_dir):
+    """The drop operator end-to-end: train minus docs with >=3 eval
+    4-gram hits (>=3 filters incidental single-phrase overlap; true
+    near-dups of eval docs score tens of hits), summarized per lang."""
+    from .operators.decontaminate import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    clean = decontaminate(tr, ev, "doc_id", "text", n=_DECON_N, min_hits=3)
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
