@@ -66,6 +66,13 @@ BENCH_QUERIES = [
     "q_report_recent_achievements",
     "q_incremental_append",
     "q_per_key_watermark",
+    "q_hash_sample",
+    "q_train_val_test_split",
+    "q_length_buckets",
+    "q_domain_mix_sample",
+    "q_global_shuffle_order",
+    "q_contamination_report",
+    "q_decontaminate_by_lang",
 ]
 
 

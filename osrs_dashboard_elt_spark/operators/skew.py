@@ -30,28 +30,48 @@ from pyspark.sql import functions as F
 _SALT = "__salt"
 
 
-def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
+def ensure_min_partitions(
+    df: DataFrame, target: int | None = None, max_bytes: int | None = None
+) -> DataFrame:
     """Parallelism floor for CPU-bound stages.
 
-    A small-at-rest input (one parquet file, a broadcast table) arrives
-    as 1-2 scan splits, so a regex parse / shingle explode / embedding
-    fold downstream runs on ONE core regardless of cluster size —
-    partition count is set by input BYTES, but these stages are bounded
-    by per-row CPU.  Round-robin repartition to ``target`` (default
-    ``sparkContext.defaultParallelism``) when the input has fewer
-    partitions; no-op when the scan is already split (the 100-TB case —
-    a real corpus arrives as thousands of splits) or the input is a
-    streaming DataFrame (foreachBatch batches are already distributed;
-    ``.rdd`` is not available on unbounded plans).
+    A small-at-rest input (one parquet file with one row group, a tiny
+    dimension) arrives as a single scan split, so a regex parse /
+    shingle explode / embedding fold downstream runs on ONE core
+    regardless of cluster size — partition count is set by input
+    BYTES, but these stages are bounded by per-row CPU.  When the
+    OPTIMIZER's size estimate says the input is below one scan split
+    (``spark.sql.files.maxPartitionBytes``, or ``max_bytes``),
+    round-robin repartition to ``target`` (default
+    ``defaultParallelism``); otherwise no-op — a big input already
+    arrives as many splits, and reshuffling it to chase parallelism
+    would be a full-data shuffle (the 100-TB anti-pattern).
 
-    Cost when it fires: one shuffle of the input rows — by design only
-    taken when the input is small.
+    The decision reads ``optimizedPlan().stats().sizeInBytes`` — pure
+    planner metadata.  It deliberately does NOT consult
+    ``df.rdd.getNumPartitions()``: converting to an RDD under AQE
+    materializes every upstream query stage eagerly, so a floor on a
+    post-join input would silently EXECUTE THE QUERY TWICE (measured:
+    2-3x wall on affected suite queries).
+
+    Cost when it fires: one shuffle of <= one split's worth of rows.
+    Streaming inputs pass through (foreachBatch batches are already
+    distributed).
     """
     if df.isStreaming:
         return df
-    sc = df.sparkSession.sparkContext
-    t = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < t:
+    sess = df.sparkSession
+    t = target or sess.sparkContext.defaultParallelism
+    if max_bytes is None:
+        max_bytes = int(
+            sess._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = int(raw if isinstance(raw, int) else raw.toString())
+    except Exception:
+        return df
+    if size <= max_bytes:
         return df.repartition(t)
     return df
 

@@ -83,10 +83,17 @@ def test_salted_agg_equals_plain_agg(spark):
     assert salted == plain
 
 
-def test_ensure_min_partitions_floors_small_input(spark):
+def test_ensure_min_partitions_floors_small_input(spark, tmp_path):
     from osrs_dashboard_elt_spark.operators.skew import ensure_min_partitions
 
-    df = spark.createDataFrame([(i,) for i in range(100)], "x long").coalesce(1)
+    # must be a FILE scan: the floor keys on planner size stats, which
+    # are exact for file sources (RDD-backed frames report unknown
+    # size and pass through untouched)
+    p = str(tmp_path / "floor_in")
+    spark.createDataFrame([(i,) for i in range(100)], "x long").coalesce(
+        1
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
     target = spark.sparkContext.defaultParallelism
     out = ensure_min_partitions(df)
     assert out.rdd.getNumPartitions() == target
@@ -94,15 +101,35 @@ def test_ensure_min_partitions_floors_small_input(spark):
     assert sorted(r["x"] for r in out.collect()) == list(range(100))
 
 
-def test_ensure_min_partitions_noop_when_already_split(spark):
+def test_ensure_min_partitions_unknown_stats_passthrough(spark):
     from osrs_dashboard_elt_spark.operators.skew import ensure_min_partitions
 
-    target = spark.sparkContext.defaultParallelism
-    df = spark.createDataFrame([(i,) for i in range(100)], "x long").repartition(
-        target + 4
-    )
-    out = ensure_min_partitions(df)
-    # no extra repartition: partition count preserved, and the plan has
-    # exactly the one RoundRobinPartitioning we created
-    assert out.rdd.getNumPartitions() == target + 4
+    # RDD-backed input: size unknown (Long.MaxValue) -> no reshuffle
+    df = spark.createDataFrame([(i,) for i in range(100)], "x long").coalesce(1)
+    assert ensure_min_partitions(df) is df
+
+
+def test_ensure_min_partitions_noop_when_large(spark):
+    from osrs_dashboard_elt_spark.operators.skew import ensure_min_partitions
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "x long")
+    # force the "estimated size exceeds one scan split" branch: a big
+    # input already arrives as many splits, so the floor must not add
+    # a full-data shuffle
+    out = ensure_min_partitions(df, max_bytes=1)
     assert out is df
+
+
+def test_ensure_min_partitions_never_converts_to_rdd(spark):
+    # the decision must come from planner stats: df.rdd under AQE
+    # executes every upstream stage eagerly (the query would run twice)
+    from unittest import mock
+
+    from osrs_dashboard_elt_spark.operators.skew import ensure_min_partitions
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "x long")
+    with mock.patch.object(
+        type(df), "rdd", property(lambda self: (_ for _ in ()).throw(AssertionError("df.rdd touched")))
+    ):
+        ensure_min_partitions(df)
+        ensure_min_partitions(df, max_bytes=1)
