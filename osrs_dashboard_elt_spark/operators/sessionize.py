@@ -32,7 +32,11 @@ def sessionize(
     when the gap since the previous row exceeds ``gap_seconds``."""
     w = Window.partitionBy(*partition_cols).orderBy(F.col(ts).asc())
     prev = F.lag(F.col(ts)).over(w)
-    gap = F.col(ts).cast("double") - prev.cast("double")
+    # cast through TIMESTAMP first: direct TIMESTAMP_NTZ -> DOUBLE is
+    # illegal, and the tz interpretation cancels in the difference
+    gap = F.col(ts).cast("timestamp").cast("double") - prev.cast("timestamp").cast(
+        "double"
+    )
     is_new = F.when(prev.isNull() | (gap > gap_seconds), 1).otherwise(0)
     run = Window.partitionBy(*partition_cols).orderBy(F.col(ts).asc()).rowsBetween(
         Window.unboundedPreceding, 0

@@ -237,8 +237,9 @@ def personal_bests_report(
     band = band.withColumn("first_ts", F.min("__ts").over(w))
     if not append_later_matchers:
         band = band.filter(
-            F.col("__ts").cast("double")
-            <= F.col("first_ts").cast("double") + F.lit(grouping_window_seconds)
+            F.col("__ts").cast("timestamp").cast("double")
+            <= F.col("first_ts").cast("timestamp").cast("double")
+            + F.lit(grouping_window_seconds)
         )
     agged = band.groupBy("Task").agg(
         F.min("best").alias("best_seconds"),

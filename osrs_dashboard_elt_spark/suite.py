@@ -72,6 +72,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # restore TimestampType.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Tz-naive parquet timestamps read as TIMESTAMP_NTZ when the session
+    # has NTZ inference on.  Normalize to TIMESTAMP: the session tz is
+    # pinned UTC (_pin), so the wall clock — and therefore DuckDB parity,
+    # which treats naive parquet timestamps as-is — is unchanged, and
+    # every downstream timestamp op sees one type regardless of who
+    # built the session.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -80,6 +89,10 @@ def _pin(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Read tz-naive parquet timestamps as session-tz TIMESTAMP (UTC,
+    # pinned above) rather than TIMESTAMP_NTZ — one timestamp type
+    # everywhere; _t also casts defensively for already-read plans.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def dround(c, scale: int = 6):
