@@ -119,10 +119,23 @@ def attach_fake_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     return df.withColumn("media_blob", blob).withColumn("media", meta)
 
 
-def extract_media_features(df: DataFrame, id_col: str = "doc_id", blob_col: str = "media_blob") -> DataFrame:
+def extract_media_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "media_blob",
+    min_parallelism: int | None = None,
+) -> DataFrame:
     """Decode headers + payload stats from the blobs with ONE
     Arrow-batched pass (``mapInPandas``).  Projects only (id, blob)
-    so the scan prunes every other column."""
+    so the scan prunes every other column.
+
+    ``min_parallelism``: opt-in parallelism floor (see
+    ``operators.ensure_min_partitions``) for REAL codecs where decode
+    is 10ms+/blob and a single-split input would serialize it on one
+    core.  Off by default: the floor's repartition shuffles every blob,
+    which costs more than this header-only decode (measured 0.55s ->
+    2.9s at sf0.1), and is a no-op at scale where the corpus already
+    arrives as many splits."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -140,11 +153,10 @@ def extract_media_features(df: DataFrame, id_col: str = "doc_id", blob_col: str 
                 rows, columns=[f.name for f in MEDIA_FEATURE_SCHEMA.fields]
             )
 
-    # floor parallelism: the Python decode is CPU-bound, and a
-    # single-split input would serialize every blob through one worker
-    return ensure_min_partitions(df.select(id_col, blob_col)).mapInPandas(
-        gen, MEDIA_FEATURE_SCHEMA
-    )
+    staged = df.select(id_col, blob_col)
+    if min_parallelism is not None:
+        staged = ensure_min_partitions(staged, target=min_parallelism)
+    return staged.mapInPandas(gen, MEDIA_FEATURE_SCHEMA)
 
 
 def decode_image(blob: bytes):
@@ -167,6 +179,7 @@ def resize_images(
     max_side: int,
     id_col: str = "doc_id",
     blob_col: str = "media_blob",
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Resize pass over image blobs (``mapInPandas``).  With no codec
     in the container, the fake format 'resizes' by clamping the header
@@ -197,9 +210,12 @@ def resize_images(
                 {id_col: ids, "media_blob": blobs, "width": ws, "height": hs}
             )
 
-    return ensure_min_partitions(df.select(id_col, blob_col)).mapInPandas(
-        gen, out_schema
-    )
+    staged = df.select(id_col, blob_col)
+    if min_parallelism is not None:
+        # real resize is CPU-bound per blob — opt-in floor, same
+        # trade-off as extract_media_features
+        staged = ensure_min_partitions(staged, target=min_parallelism)
+    return staged.mapInPandas(gen, out_schema)
 
 
 def sample_frames(

@@ -38,7 +38,6 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .skew import ensure_min_partitions
 
 
 def _drop_hot_keys(
@@ -140,10 +139,7 @@ def with_shingles(
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
     )
-    # Tokenization + everything downstream (minhash folds, posting
-    # explodes) is CPU-bound — don't let a single-split input serialize
-    # it on one core (no-op on already-split scans).
-    staged = ensure_min_partitions(df).select(
+    staged = df.select(
         F.col(id_col).alias("id"), words.alias("__words")
     )
     if n is None:
@@ -474,7 +470,7 @@ def simhash_pairs(
     # Stage: tokens -> hashed array -> fingerprint, each its own
     # projection so the md5 transform runs once per row, not once per
     # vote aggregate.
-    toks = ensure_min_partitions(df).select(
+    toks = df.select(
         F.col(id_col).alias("id"), tokens_col(text_col).alias("toks")
     )
     if drop_empty:

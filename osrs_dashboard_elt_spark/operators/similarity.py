@@ -30,7 +30,6 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .skew import ensure_min_partitions
 
 
 def _as_double(arr: Column) -> Column:
@@ -68,9 +67,7 @@ def cosine_topk(
     Ties broken by id for determinism.  Score rounded to 6 decimals.
     """
     q = F.array(*[F.lit(float(x)) for x in query])
-    # score fold is CPU-bound (3 array folds per row) — parallelism
-    # floor so a single-split table doesn't rank on one core
-    scored = ensure_min_partitions(df).withColumn(
+    scored = df.withColumn(
         "score", cosine(F.col(vec_col), q).cast("decimal(28,6)").cast("double")
     )
     return (
@@ -129,7 +126,7 @@ def embedding_neardup_pairs(
     # then ONE zip_with fold + a division.  (Inlining cosine() on the
     # pair would recompute both norms — two extra array folds — for
     # every candidate pair.)
-    vecd = ensure_min_partitions(df).select(
+    vecd = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vd")
     )
     b = vecd.select(
@@ -171,9 +168,7 @@ def lsh_ann_topk(
         if sum(p * v for p, v in zip(plane, query)) > 0:
             qb |= 1 << j
     q = F.array(*[F.lit(float(x)) for x in query])
-    # bucketing runs n_planes folds over EVERY row (the probe filter
-    # depends on it) — floor the parallelism before computing it
-    bucketed = ensure_min_partitions(df).withColumn(
+    bucketed = df.withColumn(
         "bucket", lsh_bucket(F.col(vec_col), planes)
     ).filter(F.col("bucket") == qb)
     scored = bucketed.withColumn(
@@ -207,7 +202,7 @@ def ivf_assign(
     pick keeps this oracle-checkable.
     """
     vd = _as_double(F.col(vec_col))
-    staged = ensure_min_partitions(df).select("*", vd.alias("__vd"))
+    staged = df.select("*", vd.alias("__vd"))
     scores = [
         dot_raw(F.col("__vd"), F.array(*[F.lit(float(x)) for x in c])).alias(
             f"__s{i}"

@@ -54,6 +54,16 @@ def ensure_min_partitions(
     post-join input would silently EXECUTE THE QUERY TWICE (measured:
     2-3x wall on affected suite queries).
 
+    OPT-IN ONLY.  Even the cheap probe + repartition is a net loss for
+    stages whose per-row cost is small (JVM regex, array folds, header
+    decodes): the shuffle of the raw rows costs more than the single-
+    core compute it parallelizes (measured at sf0.1: q_parse_engine
+    1.46s -> 6.24s, media features 0.55s -> 2.9s with the floor
+    applied).  It pays only for genuinely heavy per-row Python — a
+    real image/audio codec at 10ms+/row — which is why no built-in
+    operator applies it by default; ``extract_media_features`` /
+    ``resize_images`` expose it as ``min_parallelism``.
+
     Cost when it fires: one shuffle of <= one split's worth of rows.
     Streaming inputs pass through (foreachBatch batches are already
     distributed).

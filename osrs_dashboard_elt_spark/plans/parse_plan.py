@@ -44,7 +44,6 @@ from pyspark.sql import functions as F
 
 from ..config import ParseConfig
 from ..functions.text import clean_discord_escapes
-from ..operators.skew import ensure_min_partitions
 
 # Leading emoji token like <:Ironman:1234>
 _EMOJI_RX = r"^<:(\w+):\d+>\s*"
@@ -241,10 +240,12 @@ def build_parse_plan(
     (at sf0.1 this is ~3x cheaper than caching the full extraction
     for every row).
     """
-    # The dispatch is regex-bound, not IO-bound: a single-file input
-    # (one scan split) would run all ~42 rlikes on one core.  Floor the
-    # parallelism before parsing; no-op on already-split inputs.
-    raw = ensure_min_partitions(raw)
+    # NO parallelism floor here: a repartition barrier before the
+    # dispatch costs a full shuffle of the raw text (measured ~4.8s
+    # extra at sf0.1 — 1.46s -> 6.24s for q_parse_engine) and buys
+    # nothing at scale, where the corpus already arrives as many scan
+    # splits.  Callers with a genuinely single-split input can pre-
+    # apply operators.ensure_min_partitions themselves.
     content = clean_discord_escapes(F.col(content_col))
 
     # --- chat: tried first, exactly like the reference ---------------
