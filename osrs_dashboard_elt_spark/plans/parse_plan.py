@@ -63,14 +63,89 @@ def _q(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
+def _required_literals(pattern: str) -> list[str]:
+    """Literal substrings every match of ``pattern`` must contain.
+
+    Walks the regex AST (stdlib parser): top-level and group-nested
+    LITERAL runs are required; branches (``a|b``), optional/char-class
+    parts, and >=1 repeats contribute only what is provably present in
+    ANY match.  Conservative by construction — on a parse failure
+    (Java-only syntax) or an ignore-case flag it returns [] and the
+    caller skips gating.  This is the classic prefilter trick (cf.
+    RE2's required-literal extraction): a cheap ``contains`` check
+    skips the expensive regex for rows that cannot match it.
+    """
+    import re as _re
+
+    try:
+        import re._parser as _sre  # py3.11+
+    except ImportError:  # pragma: no cover - older stdlib layout
+        import sre_parse as _sre
+    try:
+        tree = _sre.parse(pattern)
+    except Exception:
+        return []
+    if tree.state.flags & _re.IGNORECASE:
+        return []
+    out: list[str] = []
+
+    def walk(seq) -> None:
+        run: list[str] = []
+
+        def flush() -> None:
+            if run:
+                out.append("".join(run))
+                run.clear()
+
+        for op, av in seq:
+            name = str(op)
+            if name == "LITERAL":
+                run.append(chr(av))
+            elif name == "SUBPATTERN":
+                flush()
+                walk(av[3])
+            elif name in ("MAX_REPEAT", "MIN_REPEAT"):
+                flush()
+                lo, _hi, sub = av
+                if lo >= 1:
+                    walk(sub)
+            else:
+                # BRANCH / IN / ANY / AT / CATEGORY / ... — nothing
+                # provably required beyond what surrounds it
+                flush()
+        flush()
+
+    walk(tree)
+    return out
+
+
+def _gate_literal(pattern: str, min_len: int = 4) -> str | None:
+    """Longest required literal worth gating on, or None."""
+    lits = [l for l in _required_literals(pattern) if len(l) >= min_len]
+    return max(lits, key=len) if lits else None
+
+
+def _gated_rlike(src: str, regex: str) -> str:
+    """``contains(...) AND src RLIKE regex`` when a required literal
+    exists — the AND short-circuits in codegen, so the regex runs only
+    on rows that pass the (~10x cheaper) substring scan."""
+    cond = f"{src} RLIKE {_q(regex)}"
+    lit = _gate_literal(regex)
+    if lit is not None:
+        cond = f"(contains({src}, {_q(lit)}) AND {cond})"
+    return cond
+
+
 def _variant_index(src: str, cfg: ParseConfig) -> Column:
     """0-based global variant index in config order; -1 = no match.
-    The CASE order IS the first-match-wins semantics."""
+    The CASE order IS the first-match-wins semantics (the contains
+    gates never change which regexes CAN match, only skip ones that
+    cannot)."""
     branches = []
     idx = 0
     for group in cfg.groups:
         for variant in group.variants:
-            branches.append(f"WHEN {src} RLIKE {_q(variant.regex)} THEN {idx}")
+            branches.append(f"WHEN {_gated_rlike(src, variant.regex)} THEN {idx}")
             idx += 1
     if not branches:
         return F.lit(-1).cast("int")
@@ -260,6 +335,11 @@ def build_parse_plan(
         return out
 
     is_chat = content.rlike(cfg.chat.regex)
+    _chat_gate = _gate_literal(cfg.chat.regex)
+    if _chat_gate is not None:
+        # same prefilter as the variant dispatch: skip the chat regex
+        # for rows that can't contain its required literal
+        is_chat = content.contains(_chat_gate) & is_chat
     chat_req = chat_extract(content)
     chat_ok = F.lit(True)
     for rc in cfg.chat.required:

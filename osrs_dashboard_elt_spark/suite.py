@@ -63,7 +63,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+# Analyzed-relation cache: re-running spark.read.parquet per query
+# re-reads footers and re-analyzes (~0.3-1.5s of driver time each);
+# the lazy DataFrame is immutable, so one per (session, path) serves
+# every query.  Keyed on id(spark) so a fresh session (new JVM or
+# restarted gateway) never sees a stale handle.
+_T_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), f"{sf_dir}/{name}.parquet")
+    cached = _T_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _t_load(spark, sf_dir, name)
+    _T_CACHE[key] = df
+    return df
+
+
+def _t_load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # The events table carries TIMESTAMP(NANOS) parquet timestamps,
     # which Spark only reads as raw nanosecond longs

@@ -141,3 +141,36 @@ def test_minhash_bucket_cap_bounds_candidates(spark):
         docs, "doc_id", "text", num_perm=16, bands=4, shingle_n=3
     )
     assert uncapped.count() >= 50 * 49 // 2
+
+
+def test_shingles_short_and_empty_docs(spark):
+    """Docs with fewer than n words (incl. empty/whitespace-only) must
+    yield NO shingles — the old sequence(1,0)->slice(_,0,n) form
+    crashed the job on them."""
+    from osrs_dashboard_elt_spark.operators.dedup import shingles_col, with_shingles
+
+    df = spark.createDataFrame(
+        [
+            (1, "only two"),
+            (2, "a b c d e"),
+            (3, ""),
+            (4, "   \t  "),
+            (5, "one two three"),
+            (6, "  x \t y  z  w  v "),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.id: sorted(r.toks) for r in with_shingles(df, "doc_id", "text", 4).collect()}
+    assert got == {
+        1: [],
+        2: ["a b c d", "b c d e"],
+        3: [],
+        4: [],
+        5: [],
+        6: ["x y z w", "y z w v"],
+    }
+    got_col = {
+        r.doc_id: sorted(r.s)
+        for r in df.select("doc_id", shingles_col("text", 4).alias("s")).collect()
+    }
+    assert got_col == got
