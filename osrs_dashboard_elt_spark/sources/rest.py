@@ -1,0 +1,220 @@
+"""REST time-series source as a real PySpark custom data source (S7).
+
+The reference fetches the OSRS-wiki price API one item per request on a
+cron box and appends to SQLite (`src/4_fetch_item_prices.py:54-82`
+``get_wiki_timeseries``, ``:131-143`` table shape, ``:206-219``
+per-item watermark append).  Re-expressed Spark-first, the fetch layer
+IS a data source: ``spark.read.format("rest_timeseries")`` plans one
+input partition per chunk of item ids, so a 10k-item catalog fans out
+across the cluster while each task stays a polite, rate-limited HTTP
+client.  Everything downstream (watermark filtering, dedup append,
+as-of joins) is the existing relational pipeline — the source's only
+job is to turn paginated GETs into partitioned rows.
+
+Scale + politeness model:
+
+- **Partitioning**: ``items_per_partition`` ids per task (default 50).
+  Parallelism = ceil(items / chunk); at 1000 executors the catalog
+  fetch is embarrassingly parallel and each task holds O(chunk) rows.
+- **Rate limiting**: a token bucket per partition
+  (``rate_limit_rps``, default 2.0 req/s).  The GLOBAL request rate is
+  ``rate_limit_rps × concurrent tasks`` — size one against the other;
+  the docstring math is the contract, mirroring the reference's
+  explicit per-request politeness sleep.
+- **Transport injection**: HTTP happens behind a
+  ``transport(url, headers) -> list[dict]`` callable resolved from a
+  dotted ``module:function`` option, so executors import it locally
+  (options must be strings).  The default is this module's
+  deterministic fake (no network in tests); ``requests_transport``
+  is the real client (import-guarded — the reference requires a
+  descriptive User-Agent, enforced here too).
+
+The fake transport derives every field from ``md5(item_id:epoch)`` so
+a SQL oracle can reproduce the exact rows cross-engine — that is what
+makes the source hash-checkable end-to-end in the driver gate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+# Matches the reference item_prices table (4_fetch_item_prices.py:131-143)
+# minus item_name (a broadcast-dimension join concern, S8 — not the
+# fetcher's).  timestamp is epoch seconds exactly as the API returns it.
+PRICE_SCHEMA = StructType(
+    [
+        StructField("item_id", IntegerType(), False),
+        StructField("timestamp", LongType(), False),
+        StructField("avg_high_price", LongType(), True),
+        StructField("avg_low_price", LongType(), True),
+        StructField("high_price_volume", LongType(), True),
+        StructField("low_price_volume", LongType(), True),
+    ]
+)
+
+# Fixed anchor for the deterministic fake series: 2024-01-01 00:00 UTC.
+FAKE_EPOCH0 = 1704067200
+FAKE_STEP = 86400
+
+
+def fake_point(item_id: int, ts: int) -> tuple[int, int, int, int]:
+    """(avg_high, avg_low, high_vol, low_vol) for one fake sample —
+    every field a function of ``md5(f"{item_id}:{ts}")`` so DuckDB can
+    rebuild it:  ``CAST(('0x' || substr(md5(item_id || ':' || ts), 1,
+    8)) AS BIGINT)`` then the same mod/div arithmetic."""
+    h = int(hashlib.md5(f"{item_id}:{ts}".encode()).hexdigest()[:8], 16)
+    return (h % 100000, (h // 7) % 100000, h % 1000, (h // 13) % 1000)
+
+
+def fake_transport(url: str, headers: dict[str, str]) -> list[dict]:
+    """Deterministic stand-in for the wiki API: parses ``id=`` and
+    ``n=`` from the URL and emits that many daily samples."""
+    params = dict(
+        kv.split("=", 1) for kv in url.split("?", 1)[1].split("&") if "=" in kv
+    )
+    item_id = int(params["id"])
+    n = int(params.get("n", "30"))
+    out = []
+    for i in range(n):
+        ts = FAKE_EPOCH0 + i * FAKE_STEP
+        hi, lo, hv, lv = fake_point(item_id, ts)
+        out.append(
+            {
+                "timestamp": ts,
+                "avgHighPrice": hi,
+                "avgLowPrice": lo,
+                "highPriceVolume": hv,
+                "lowPriceVolume": lv,
+            }
+        )
+    return out
+
+
+def requests_transport(url: str, headers: dict[str, str]) -> list[dict]:
+    """Real HTTP client (reference get_wiki_timeseries semantics:
+    raise on HTTP error, `.data` payload, 15s timeout)."""
+    import requests  # import-guarded: not all containers ship it
+
+    resp = requests.get(url, headers=headers, timeout=15)
+    resp.raise_for_status()
+    return resp.json().get("data", [])
+
+
+def _resolve_transport(spec: str):
+    mod_name, _, fn_name = spec.partition(":")
+    mod = __import__(mod_name, fromlist=[fn_name])
+    return getattr(mod, fn_name)
+
+
+class TokenBucket:
+    """Per-task request throttle: ``rate`` tokens/s, burst of 1.
+    ``acquire`` sleeps just enough to honor the rate; a monotonic
+    clock so wall-clock adjustments can't burst through."""
+
+    def __init__(self, rate: float, clock=time.monotonic, sleep=time.sleep):
+        self.min_interval = 1.0 / rate if rate > 0 else 0.0
+        self._clock = clock
+        self._sleep = sleep
+        self._next_ok = clock()
+
+    def acquire(self) -> float:
+        """Block until a request is allowed; returns seconds slept."""
+        now = self._clock()
+        wait = self._next_ok - now
+        if wait > 0:
+            self._sleep(wait)
+            now = self._next_ok
+        self._next_ok = now + self.min_interval
+        return max(wait, 0.0)
+
+
+@dataclass
+class _ItemChunk(InputPartition):
+    item_ids: Sequence[int]
+
+
+class RestTimeSeriesReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.items = [int(x) for x in str(options.get("items", "")).split(",") if x.strip()]
+        if not self.items:
+            raise ValueError("rest_timeseries: 'items' option (comma-separated ids) is required")
+        self.chunk = int(options.get("items_per_partition", 50))
+        self.timestep = options.get("timestep", "24h")
+        self.n_points = int(options.get("n_points", 30))
+        self.rate = float(options.get("rate_limit_rps", 2.0))
+        self.base_url = options.get(
+            "base_url", "https://prices.runescape.wiki/api/v1/osrs/timeseries"
+        )
+        self.user_agent = options.get("user_agent", "")
+        self.transport_spec = options.get(
+            "transport", "osrs_dashboard_elt_spark.sources.rest:fake_transport"
+        )
+        if (
+            self.transport_spec.endswith(":requests_transport")
+            and not self.user_agent
+        ):
+            # the wiki API requires a descriptive User-Agent
+            # (reference 4_fetch_item_prices.py:59-61) — fail at plan
+            # time, not after N tasks have hit the API anonymously
+            raise ValueError("rest_timeseries: 'user_agent' is required for the real transport")
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            _ItemChunk(self.items[i : i + self.chunk])
+            for i in range(0, len(self.items), self.chunk)
+        ]
+
+    def read(self, partition: _ItemChunk) -> Iterator[tuple]:
+        transport = _resolve_transport(self.transport_spec)
+        bucket = TokenBucket(self.rate)
+        headers = {"User-Agent": self.user_agent} if self.user_agent else {}
+        for item_id in partition.item_ids:
+            bucket.acquire()
+            url = (
+                f"{self.base_url}?timestep={self.timestep}&id={item_id}"
+                f"&n={self.n_points}"
+            )
+            for row in transport(url, headers):
+                yield (
+                    item_id,
+                    int(row["timestamp"]),
+                    row.get("avgHighPrice"),
+                    row.get("avgLowPrice"),
+                    row.get("highPriceVolume"),
+                    row.get("lowPriceVolume"),
+                )
+
+
+class RestTimeSeriesDataSource(DataSource):
+    """``spark.read.format("rest_timeseries")`` after
+    ``spark.dataSource.register(RestTimeSeriesDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rest_timeseries"
+
+    def schema(self) -> StructType:
+        return PRICE_SCHEMA
+
+    def reader(self, schema: StructType) -> RestTimeSeriesReader:
+        return RestTimeSeriesReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration (re-registering replaces)."""
+    spark.dataSource.register(RestTimeSeriesDataSource)

@@ -2754,3 +2754,68 @@ def q_decontaminate_by_lang(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S7: REST time-series custom data source (rest_timeseries format)
+# ---------------------------------------------------------------------------
+
+_REST_ITEMS = [2, 4357, 6585, 11802, 13652]
+_REST_POINTS = 30
+
+
+def _rest_oracle() -> str:
+    """Rebuild the deterministic fake feed in SQL: every field derives
+    from md5(item_id:epoch), so the oracle reconstructs the exact rows
+    the source's partitions yield — an end-to-end check of the data
+    source path (partition planning, transport, row shaping)."""
+    items = ", ".join(f"({i})" for i in _REST_ITEMS)
+    return f"""
+    WITH items(item_id) AS (VALUES {items}),
+    pts AS (SELECT CAST(i AS BIGINT) AS i FROM range({_REST_POINTS}) t(i)),
+    feed AS (
+      SELECT item_id,
+             1704067200 + i * 86400 AS ts,
+             ('0x' || substr(md5(item_id || ':' || CAST(1704067200 + i * 86400 AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM items, pts
+    )
+    SELECT item_id,
+           COUNT(*) AS n_samples,
+           CAST(MIN(ts) AS BIGINT) AS first_ts,
+           CAST(MAX(ts) AS BIGINT) AS last_ts,
+           CAST(SUM(h % 100000) AS BIGINT) AS sum_high,
+           CAST(SUM((h // 7) % 100000) AS BIGINT) AS sum_low,
+           CAST(SUM(h % 1000) AS BIGINT) AS sum_high_vol,
+           CAST(SUM((h // 13) % 1000) AS BIGINT) AS sum_low_vol
+    FROM feed
+    GROUP BY item_id
+    """
+
+
+@query("q_rest_timeseries", oracle=_rest_oracle())
+def q_rest_timeseries(spark, sf_dir):
+    """S7 as a first-class Spark data source: one input partition per
+    item chunk, per-task token-bucket rate limiting, injected
+    transport (deterministic fake here; requests client in prod).
+    Reference: src/4_fetch_item_prices.py:54-82 (fetch), :131-143
+    (table shape).  The aggregate consumes the feed relationally —
+    proving the source output joins the existing pipeline."""
+    from .sources.rest import register
+
+    register(spark)
+    feed = (
+        spark.read.format("rest_timeseries")
+        .option("items", ",".join(str(i) for i in _REST_ITEMS))
+        .option("n_points", _REST_POINTS)
+        .option("items_per_partition", 2)
+        .load()
+    )
+    return feed.groupBy("item_id").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.min("timestamp").alias("first_ts"),
+        F.max("timestamp").alias("last_ts"),
+        F.sum("avg_high_price").alias("sum_high"),
+        F.sum("avg_low_price").alias("sum_low"),
+        F.sum("high_price_volume").alias("sum_high_vol"),
+        F.sum("low_price_volume").alias("sum_low_vol"),
+    )
