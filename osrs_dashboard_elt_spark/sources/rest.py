@@ -45,6 +45,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
     IntegerType,
@@ -200,9 +201,48 @@ class RestTimeSeriesReader(DataSourceReader):
                 )
 
 
+class RestTimeSeriesStreamReader(SimpleDataSourceStreamReader):
+    """The reference polls the API from cron (run_all_etl.py);
+    Spark-natively that is a STREAM: each micro-batch fetches the next
+    ``points_per_batch`` samples per item, the offset is the sample
+    index, and replay between committed offsets re-fetches
+    deterministically (the fake transport is a pure function of
+    (item, ts), so ``readBetweenOffsets`` is exact; a real API replay
+    re-GETs the same window).  Watermarks/dedup downstream come from
+    the existing streaming ingest operators."""
+
+    def __init__(self, options: dict):
+        self.items = [int(x) for x in str(options.get("items", "")).split(",") if x.strip()]
+        if not self.items:
+            raise ValueError("rest_timeseries: 'items' option is required")
+        self.points_per_batch = int(options.get("points_per_batch", 5))
+        self.max_points = int(options.get("max_points", 30))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def _rows(self, lo: int, hi: int) -> list[tuple]:
+        out = []
+        for item_id in self.items:
+            for i in range(lo, hi):
+                ts = FAKE_EPOCH0 + i * FAKE_STEP
+                hi_p, lo_p, hv, lv = fake_point(item_id, ts)
+                out.append((item_id, ts, hi_p, lo_p, hv, lv))
+        return out
+
+    def read(self, start: dict):
+        lo = start["i"]
+        hi = min(lo + self.points_per_batch, self.max_points)
+        return iter(self._rows(lo, hi)), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["i"], end["i"]))
+
+
 class RestTimeSeriesDataSource(DataSource):
-    """``spark.read.format("rest_timeseries")`` after
-    ``spark.dataSource.register(RestTimeSeriesDataSource)``."""
+    """``spark.read.format("rest_timeseries")`` (batch) or
+    ``spark.readStream.format("rest_timeseries")`` (micro-batch
+    poller) after ``spark.dataSource.register(RestTimeSeriesDataSource)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -213,6 +253,9 @@ class RestTimeSeriesDataSource(DataSource):
 
     def reader(self, schema: StructType) -> RestTimeSeriesReader:
         return RestTimeSeriesReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> RestTimeSeriesStreamReader:
+        return RestTimeSeriesStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -101,3 +101,36 @@ def test_feeds_relational_pipeline(spark, priced):
     wm = priced.groupBy("item_id").agg(F.max("timestamp").alias("wm"))
     joined = priced.join(wm, "item_id").filter(F.col("timestamp") == F.col("wm"))
     assert joined.count() == 3
+
+
+def test_stream_reader_polls_in_batches(spark, tmp_path):
+    """readStream form: offsets advance by points_per_batch, replay
+    between offsets is deterministic, stream drains at max_points."""
+    register(spark)
+    import time as _time
+
+    q = (
+        spark.readStream.format("rest_timeseries")
+        .option("items", "2,4357")
+        .option("points_per_batch", "4")
+        .option("max_points", "10")
+        .load()
+        .writeStream.format("memory")
+        .queryName("rest_stream_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    out = spark.sql("SELECT * FROM rest_stream_t")
+    try:
+        # 2 items x 10 points arrive across micro-batches of 4+4+2
+        deadline = _time.monotonic() + 120
+        while out.count() < 20 and _time.monotonic() < deadline:
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    assert out.count() == 20
+    assert out.select("timestamp").distinct().count() == 10
+    row = out.filter(
+        (F.col("item_id") == 2) & (F.col("timestamp") == FAKE_EPOCH0 + 9 * FAKE_STEP)
+    ).collect()[0]
+    assert (row.avg_high_price, row.avg_low_price) == fake_point(2, FAKE_EPOCH0 + 9 * FAKE_STEP)[:2]
