@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "q_global_shuffle_order",
     "q_contamination_report",
     "q_decontaminate_by_lang",
+    "q_rest_timeseries",
 ]
 
 

@@ -2808,6 +2808,8 @@ def q_rest_timeseries(spark, sf_dir):
         .option("items", ",".join(str(i) for i in _REST_ITEMS))
         .option("n_points", _REST_POINTS)
         .option("items_per_partition", 2)
+        # fake transport — don't pay politeness sleeps in the gate
+        .option("rate_limit_rps", 1000)
         .load()
     )
     return feed.groupBy("item_id").agg(
