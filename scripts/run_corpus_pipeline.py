@@ -1,0 +1,190 @@
+"""End-to-end training-corpus pipeline: the LLM-data operators composed.
+
+    documents.parquet
+      -> annotate  (language id, quality score, token count  — one projection)
+      -> filter    (quality floor + language allowlist)
+      -> exact dedup      (md5 digest keep-first; 32-byte shuffle keys)
+      -> near-dup removal (MinHash+LSH verified pairs; drop the higher
+                           id of each pair — min-id survivor per edge)
+      -> decontaminate    (broadcast eval-shingle probe, >= min_hits)
+      -> split + order    (deterministic hash split; seeded global
+                           shuffle order for the train slice)
+      -> parquet outputs per split + run-summary file
+
+Every stage is declarative DataFrame code; stage metrics ride the
+final write via ``Observation`` (zero extra scans except the two
+aggregates the dedup/decon operators inherently need).  Deterministic
+end to end: md5-derived sampling/ordering, seeded minhash params —
+re-running produces byte-identical splits (asserted in
+``tests/test_corpus_pipeline.py``).
+
+Scale notes: the only shuffles are the dedup hash-aggs, the LSH band
+join, the decon hit count, and the final range partition for the
+train order — each carries digests/matches, never the corpus
+bulk-bytes more than once.  The eval set and flagged-id lists ride
+broadcast joins.
+
+Usage: python scripts/run_corpus_pipeline.py <sf_dir> <out_dir>
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osrs_dashboard_elt_spark.functions.text import (
+    language_id,
+    quality_score_cols,
+    token_count,
+)
+from osrs_dashboard_elt_spark.observability import (
+    ObservedMetrics,
+    render_run_summary,
+    write_summary_file,
+)
+from osrs_dashboard_elt_spark.operators.decontaminate import contamination_report
+from osrs_dashboard_elt_spark.operators.dedup import dedup_keep_first_asc, minhash_lsh_pairs
+from osrs_dashboard_elt_spark.operators.sampling import shuffle_order, split_assign
+
+MIN_TOKENS = 5
+MIN_STOPWORD_RATIO = 0.05
+MAX_PUNCT_RATIO = 0.3
+LANGS = ("en", "de", "fr", "es")
+SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+NEARDUP_THRESHOLD = 0.7
+DECON_MIN_HITS = 3
+
+
+def run(
+    spark: SparkSession,
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    out_dir: str,
+) -> dict:
+    obs = ObservedMetrics()
+
+    # 1. annotate: one projection, no shuffle
+    q = quality_score_cols(F.col("text"))
+    ann = docs.select(
+        "doc_id",
+        "text",
+        F.col("source").alias("domain"),
+        language_id(F.col("text")).alias("lang"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["punct_ratio"].alias("punct_ratio"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+
+    # 2. quality + language gate (scan-side predicate): enough tokens,
+    # natural-language stopword density, not punctuation soup
+    kept = ann.filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("stopword_ratio") >= MIN_STOPWORD_RATIO)
+        & (F.col("punct_ratio") <= MAX_PUNCT_RATIO)
+        & F.col("lang").isin(*LANGS)
+    )
+
+    # 3. exact dedup on content digest: the shuffle key is the 32-byte
+    # md5, never the text
+    exact = dedup_keep_first_asc(
+        kept.withColumn("__digest", F.md5("text")),
+        ["__digest"],
+        ["doc_id"],
+    ).drop("__digest")
+
+    # 4. near-dup removal: verified LSH pairs -> drop every id that
+    # pairs with a lower id (min-id survivor per edge; transitive
+    # chains resolve to the cluster minimum over repeated application,
+    # and a single pass already removes every pair violation)
+    pairs = minhash_lsh_pairs(
+        exact.select("doc_id", "text"),
+        "doc_id",
+        "text",
+        shingle_n=3,  # phrase shingles — token sets saturate Jaccard
+        # on a small shared vocabulary and over-flag
+        verify_threshold=NEARDUP_THRESHOLD,
+    )
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    neat = exact.join(losers, "doc_id", "left_anti")
+
+    # 5. decontaminate against the eval corpus
+    flagged = contamination_report(
+        neat, eval_docs, "doc_id", "text", min_hits=DECON_MIN_HITS
+    ).select(F.col("id").alias("doc_id"))
+    clean = neat.join(flagged, "doc_id", "left_anti")
+
+    # 6. deterministic split + training order
+    final = split_assign(clean, "doc_id", SPLITS).withColumn(
+        "__ord", shuffle_order(F.col("doc_id"))
+    )
+    final = obs.observe(
+        final,
+        "corpus",
+        rows=F.count(F.lit(1)),
+        train=F.sum(F.when(F.col("split") == "train", 1).otherwise(0)),
+        val=F.sum(F.when(F.col("split") == "val", 1).otherwise(0)),
+        test=F.sum(F.when(F.col("split") == "test", 1).otherwise(0)),
+        tokens=F.sum("n_tokens"),
+    )
+
+    # 7. one write per split.  ORDER MATTERS for the metrics: val/test
+    # write first so the Observation freezes on a plain filter+write
+    # pass — the train write's repartitionByRange runs an extra
+    # range-boundary SAMPLING job over the same subtree, which would
+    # double every observed count if it were the first action.
+    for split in ("val", "test"):
+        final.filter(F.col("split") == split).write.mode("overwrite").parquet(
+            f"{out_dir}/{split}"
+        )
+    # train range-partitioned + sorted by the seeded order key so
+    # downstream readers stream it in training order
+    (
+        final.filter(F.col("split") == "train")
+        .repartitionByRange(8, "__ord")
+        .sortWithinPartitions("__ord")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/train")
+    )
+
+    metrics = obs.get()["corpus"]
+    summary = render_run_summary(
+        "corpus-pipeline",
+        "run_corpus_pipeline",
+        {
+            "input_docs": docs.count(),
+            "after_gates": kept.count(),
+            "after_exact_dedup": exact.count(),
+            "after_neardup": neat.count(),
+            "after_decontamination": metrics["rows"],
+            "train/val/test": f"{metrics['train']}/{metrics['val']}/{metrics['test']}",
+            "total_tokens": metrics["tokens"],
+        },
+    )
+    write_summary_file("run_corpus_pipeline", summary, out_dir, run_ts="latest")
+    return metrics
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2]
+    from osrs_dashboard_elt_spark.session import get_spark
+    from osrs_dashboard_elt_spark import suite
+
+    spark = get_spark(app_name="corpus-pipeline")
+    suite._pin(spark)
+    docs = suite._t(spark, sf_dir, "documents")
+    # eval slice: the held-out benchmark stand-in (same convention as
+    # the suite's decontamination queries)
+    eval_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    train_docs = docs.filter(F.col("doc_id") % 10 != 0)
+    metrics = run(spark, train_docs, eval_docs, out_dir)
+    print(f"[corpus] {metrics}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

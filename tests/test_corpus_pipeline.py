@@ -1,0 +1,55 @@
+"""Composed training-corpus pipeline: invariants + determinism."""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "scripts"))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run(spark, out_dir: str) -> dict:
+    from run_corpus_pipeline import run
+    from osrs_dashboard_elt_spark import suite
+
+    docs = suite._t(spark, SF_DIR, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    return run(spark, tr, ev, out_dir)
+
+
+def test_corpus_pipeline_invariants_and_determinism(spark, tmp_path):
+    m1 = _run(spark, str(tmp_path / "a"))
+    # observed metrics are self-consistent (the Observation rides a
+    # non-sampling action; a repartitionByRange-first write would
+    # double them)
+    assert m1["rows"] == m1["train"] + m1["val"] + m1["test"]
+    assert m1["rows"] > 0 and m1["tokens"] > 0
+
+    out = spark.read.parquet(str(tmp_path / "a" / "train"))
+    val = spark.read.parquet(str(tmp_path / "a" / "val"))
+    test = spark.read.parquet(str(tmp_path / "a" / "test"))
+    assert out.count() == m1["train"]
+    assert val.count() == m1["val"]
+    assert test.count() == m1["test"]
+    # splits partition the survivors (no doc in two splits)
+    ids = out.select("doc_id").union(val.select("doc_id")).union(test.select("doc_id"))
+    assert ids.count() == ids.distinct().count() == m1["rows"]
+    # train order key is materialized, strictly increasing across the
+    # range-partitioned files when read back sorted
+    ords = [r["__ord"] for r in out.orderBy("__ord").select("__ord").collect()]
+    assert ords == sorted(ords) and len(set(ords)) == len(ords)
+    # summary file exists with the reference format
+    summary = (tmp_path / "a" / "run_corpus_pipeline_summary_latest.txt").read_text()
+    assert summary.startswith("**✅") and "after_neardup" in summary
+
+    # byte-determinism of the surviving corpus: second run, same rows
+    m2 = _run(spark, str(tmp_path / "b"))
+    assert m2 == m1
+    a = spark.read.parquet(str(tmp_path / "a" / "train")).orderBy("doc_id").collect()
+    b = spark.read.parquet(str(tmp_path / "b" / "train")).orderBy("doc_id").collect()
+    assert a == b
