@@ -182,3 +182,88 @@ def changelog_via_stream(
     )
     q.awaitTermination(timeout_sec)
     return spark.table(qname)
+
+
+# ---------------------------------------------------------------------------
+# transformWithState form (Spark 4 stateful-processor API)
+# ---------------------------------------------------------------------------
+
+
+def running_best_changelog_tws(
+    events: DataFrame,
+    key_col: str = "Task",
+    seconds_col: str = "seconds",
+    user_col: str = "Username",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Same change-log semantics as ``running_best_changelog``, on the
+    current-generation ``transformWithStateInPandas`` API: typed
+    ``ValueState`` instead of a monolithic state tuple, explicit
+    processor lifecycle, and (unused here) timers/list/map state for
+    richer operators.  Streaming runs need the RocksDB state store
+    provider (`spark.sql.streaming.stateStore.providerClass`).
+
+    RUNTIME DEPENDENCY: the transformWithState state server speaks
+    protobuf between JVM and Python (``pyspark/sql/streaming/proto``),
+    so executing this requires ``google.protobuf`` — absent from this
+    container, present on standard cluster images.  Plan construction
+    and schema are environment-independent and tested; the
+    ``applyInPandasWithState`` form above is the executable-everywhere
+    implementation and the one the oracle gate checks."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    src = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(seconds_col).cast("double").alias("seconds"),
+        F.col(user_col).cast("string").alias("holder"),
+        F.col(ts_col).alias("ts"),
+    )
+
+    class RunningBest(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._best = handle.getValueState("best", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            stored = self._best.get()
+            best, holder = stored if stored is not None else (None, None)
+            group = pd.concat(list(rows), ignore_index=True)
+            if group.empty:
+                return
+            group = group.sort_values(
+                ["ts", "seconds", "holder"], kind="mergesort", ignore_index=True
+            )
+            out_best, out_holder, out_ts, out_prev = [], [], [], []
+            for seconds, h, ts in zip(group["seconds"], group["holder"], group["ts"]):
+                if pd.isna(seconds):
+                    continue
+                if best is None or seconds < best:
+                    out_best.append(seconds)
+                    out_holder.append(h)
+                    out_ts.append(ts)
+                    out_prev.append(best)
+                    best, holder = float(seconds), h
+            if best is not None:
+                self._best.update((best, holder))
+            if out_best:
+                yield pd.DataFrame(
+                    {
+                        "key": key[0],
+                        "best_seconds": pd.array(out_best, dtype="Float64"),
+                        "holder": out_holder,
+                        "record_ts": out_ts,
+                        "prev_best": pd.array(out_prev, dtype="Float64"),
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return src.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=RunningBest(),
+        outputStructType=OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
