@@ -103,7 +103,12 @@ def _required_literals(pattern: str) -> list[str]:
                 run.append(chr(av))
             elif name == "SUBPATTERN":
                 flush()
-                walk(av[3])
+                # av = (group, add_flags, del_flags, subpattern): a
+                # scoped (?i:...) group sets add_flags, NOT the global
+                # tree.state.flags — literals inside it are not
+                # case-required, so skip the subtree entirely
+                if not (av[1] & _re.IGNORECASE):
+                    walk(av[3])
             elif name in ("MAX_REPEAT", "MIN_REPEAT"):
                 flush()
                 lo, _hi, sub = av

@@ -83,16 +83,19 @@ def fake_point(item_id: int, ts: int) -> tuple[int, int, int, int]:
 
 
 def fake_transport(url: str, headers: dict[str, str]) -> list[dict]:
-    """Deterministic stand-in for the wiki API: parses ``id=`` and
-    ``n=`` from the URL and emits that many daily samples."""
+    """Deterministic stand-in for the wiki API: parses ``id=``, ``n=``
+    and the optional ``from=`` epoch from the URL and emits ``n``
+    daily samples starting there (the API's 5m/1h ``from`` paging,
+    which the stream reader uses for offset windows)."""
     params = dict(
         kv.split("=", 1) for kv in url.split("?", 1)[1].split("&") if "=" in kv
     )
     item_id = int(params["id"])
     n = int(params.get("n", "30"))
+    start = int(params.get("from", FAKE_EPOCH0))
     out = []
     for i in range(n):
-        ts = FAKE_EPOCH0 + i * FAKE_STEP
+        ts = start + i * FAKE_STEP
         hi, lo, hv, lv = fake_point(item_id, ts)
         out.append(
             {
@@ -204,12 +207,13 @@ class RestTimeSeriesReader(DataSourceReader):
 class RestTimeSeriesStreamReader(SimpleDataSourceStreamReader):
     """The reference polls the API from cron (run_all_etl.py);
     Spark-natively that is a STREAM: each micro-batch fetches the next
-    ``points_per_batch`` samples per item, the offset is the sample
-    index, and replay between committed offsets re-fetches
-    deterministically (the fake transport is a pure function of
-    (item, ts), so ``readBetweenOffsets`` is exact; a real API replay
-    re-GETs the same window).  Watermarks/dedup downstream come from
-    the existing streaming ingest operators."""
+    ``points_per_batch`` samples per item through the SAME injected
+    transport as the batch reader, the offset is the sample index, and
+    replay between committed offsets re-GETs the identical
+    ``from=``-paged window (exact for the pure-function fake; the real
+    API's 5m/1h endpoints honor ``from`` the same way).
+    Watermarks/dedup downstream come from the existing streaming
+    ingest operators."""
 
     def __init__(self, options: dict):
         self.items = [int(x) for x in str(options.get("items", "")).split(",") if x.strip()]
@@ -217,17 +221,48 @@ class RestTimeSeriesStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("rest_timeseries: 'items' option is required")
         self.points_per_batch = int(options.get("points_per_batch", 5))
         self.max_points = int(options.get("max_points", 30))
+        self.timestep = options.get("timestep", "24h")
+        self.rate = float(options.get("rate_limit_rps", 2.0))
+        self.base_url = options.get(
+            "base_url", "https://prices.runescape.wiki/api/v1/osrs/timeseries"
+        )
+        self.user_agent = options.get("user_agent", "")
+        self.transport_spec = options.get(
+            "transport", "osrs_dashboard_elt_spark.sources.rest:fake_transport"
+        )
+        if (
+            self.transport_spec.endswith(":requests_transport")
+            and not self.user_agent
+        ):
+            raise ValueError("rest_timeseries: 'user_agent' is required for the real transport")
 
     def initialOffset(self) -> dict:
         return {"i": 0}
 
     def _rows(self, lo: int, hi: int) -> list[tuple]:
+        if hi <= lo:
+            return []
+        transport = _resolve_transport(self.transport_spec)
+        bucket = TokenBucket(self.rate)
+        headers = {"User-Agent": self.user_agent} if self.user_agent else {}
         out = []
         for item_id in self.items:
-            for i in range(lo, hi):
-                ts = FAKE_EPOCH0 + i * FAKE_STEP
-                hi_p, lo_p, hv, lv = fake_point(item_id, ts)
-                out.append((item_id, ts, hi_p, lo_p, hv, lv))
+            bucket.acquire()
+            url = (
+                f"{self.base_url}?timestep={self.timestep}&id={item_id}"
+                f"&from={FAKE_EPOCH0 + lo * FAKE_STEP}&n={hi - lo}"
+            )
+            for row in transport(url, headers):
+                out.append(
+                    (
+                        item_id,
+                        int(row["timestamp"]),
+                        row.get("avgHighPrice"),
+                        row.get("avgLowPrice"),
+                        row.get("highPriceVolume"),
+                        row.get("lowPriceVolume"),
+                    )
+                )
         return out
 
     def read(self, start: dict):

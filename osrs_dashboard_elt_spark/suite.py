@@ -22,6 +22,7 @@ row-count + schema + order-insensitive value hash at sf=0.01):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from datetime import datetime
 
@@ -65,18 +66,31 @@ ORACLES: dict[str, str] = {}
 
 # Analyzed-relation cache: re-running spark.read.parquet per query
 # re-reads footers and re-analyzes (~0.3-1.5s of driver time each);
-# the lazy DataFrame is immutable, so one per (session, path) serves
-# every query.  Keyed on id(spark) so a fresh session (new JVM or
-# restarted gateway) never sees a stale handle.
-_T_CACHE: dict[tuple[int, str], DataFrame] = {}
+# the lazy DataFrame is immutable, so one per (session, file version)
+# serves every query.  Keyed on id(spark) so a fresh session (new JVM
+# or restarted gateway) never sees a stale handle, and on the file's
+# (mtime, size) so a rewritten path re-resolves its listing/schema
+# instead of serving dead part-file references.  Unstat-able paths
+# (remote filesystems) fall back to path-only keying.
+_T_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        version: tuple = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        version = ()
+    key = (id(spark), path, version)
     cached = _T_CACHE.get(key)
     if cached is not None:
         return cached
     df = _t_load(spark, sf_dir, name)
+    # drop superseded versions of the same path so the cache stays
+    # bounded at one entry per live (session, path)
+    for k in [k for k in _T_CACHE if k[:2] == (id(spark), path)]:
+        del _T_CACHE[k]
     _T_CACHE[key] = df
     return df
 

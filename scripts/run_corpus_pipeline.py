@@ -29,9 +29,10 @@ Usage: python scripts/run_corpus_pipeline.py <sf_dir> <out_dir>
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -67,34 +68,49 @@ def run(
 ) -> dict:
     obs = ObservedMetrics()
 
-    # 1. annotate: one projection, no shuffle
+    # 1. annotate: one projection, no shuffle.  Funnel counts ride the
+    # final writes as Observation metrics at each stage boundary —
+    # no .count() actions, so the corpus is never re-scanned for
+    # bookkeeping.
     q = quality_score_cols(F.col("text"))
-    ann = docs.select(
-        "doc_id",
-        "text",
-        F.col("source").alias("domain"),
-        language_id(F.col("text")).alias("lang"),
-        q["stopword_ratio"].alias("stopword_ratio"),
-        q["punct_ratio"].alias("punct_ratio"),
-        token_count(F.col("text")).alias("n_tokens"),
+    ann = obs.observe(
+        docs.select(
+            "doc_id",
+            "text",
+            F.col("source").alias("domain"),
+            language_id(F.col("text")).alias("lang"),
+            q["stopword_ratio"].alias("stopword_ratio"),
+            q["punct_ratio"].alias("punct_ratio"),
+            token_count(F.col("text")).alias("n_tokens"),
+        ),
+        "input",
+        rows=F.count(F.lit(1)),
     )
 
     # 2. quality + language gate (scan-side predicate): enough tokens,
     # natural-language stopword density, not punctuation soup
-    kept = ann.filter(
-        (F.col("n_tokens") >= MIN_TOKENS)
-        & (F.col("stopword_ratio") >= MIN_STOPWORD_RATIO)
-        & (F.col("punct_ratio") <= MAX_PUNCT_RATIO)
-        & F.col("lang").isin(*LANGS)
+    kept = obs.observe(
+        ann.filter(
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("stopword_ratio") >= MIN_STOPWORD_RATIO)
+            & (F.col("punct_ratio") <= MAX_PUNCT_RATIO)
+            & F.col("lang").isin(*LANGS)
+        ),
+        "gates",
+        rows=F.count(F.lit(1)),
     )
 
     # 3. exact dedup on content digest: the shuffle key is the 32-byte
     # md5, never the text
-    exact = dedup_keep_first_asc(
-        kept.withColumn("__digest", F.md5("text")),
-        ["__digest"],
-        ["doc_id"],
-    ).drop("__digest")
+    exact = obs.observe(
+        dedup_keep_first_asc(
+            kept.withColumn("__digest", F.md5("text")),
+            ["__digest"],
+            ["doc_id"],
+        ).drop("__digest"),
+        "exact_dedup",
+        rows=F.count(F.lit(1)),
+    )
 
     # 4. near-dup removal: verified LSH pairs -> drop every id that
     # pairs with a lower id (min-id survivor per edge; transitive
@@ -109,7 +125,11 @@ def run(
         verify_threshold=NEARDUP_THRESHOLD,
     )
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    neat = exact.join(losers, "doc_id", "left_anti")
+    neat = obs.observe(
+        exact.join(losers, "doc_id", "left_anti"),
+        "neardup",
+        rows=F.count(F.lit(1)),
+    )
 
     # 5. decontaminate against the eval corpus
     flagged = contamination_report(
@@ -131,45 +151,55 @@ def run(
         tokens=F.sum("n_tokens"),
     )
 
-    # 7. one write per split.  ORDER MATTERS for the metrics: val/test
-    # write first so the Observation freezes on a plain filter+write
-    # pass — the train write's repartitionByRange runs an extra
-    # range-boundary SAMPLING job over the same subtree, which would
+    # 7. persist the survivors ONCE, then one write per split — the
+    # dedup/LSH/decontamination subtree runs a single time and the
+    # three writes read the cache.  ORDER MATTERS for the metrics:
+    # val/test write first so every Observation freezes on a plain
+    # filter+write pass — the train write's repartitionByRange runs an
+    # extra range-boundary SAMPLING job over its subtree, which would
     # double every observed count if it were the first action.
-    for split in ("val", "test"):
-        final.filter(F.col("split") == split).write.mode("overwrite").parquet(
-            f"{out_dir}/{split}"
+    final = final.persist()
+    try:
+        for split in ("val", "test"):
+            final.filter(F.col("split") == split).write.mode("overwrite").parquet(
+                f"{out_dir}/{split}"
+            )
+        # train range-partitioned + sorted by the seeded order key so
+        # downstream readers stream it in training order
+        (
+            final.filter(F.col("split") == "train")
+            .repartitionByRange(8, "__ord")
+            .sortWithinPartitions("__ord")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/train")
         )
-    # train range-partitioned + sorted by the seeded order key so
-    # downstream readers stream it in training order
-    (
-        final.filter(F.col("split") == "train")
-        .repartitionByRange(8, "__ord")
-        .sortWithinPartitions("__ord")
-        .write.mode("overwrite")
-        .parquet(f"{out_dir}/train")
-    )
 
-    metrics = obs.get()["corpus"]
-    summary = render_run_summary(
-        "corpus-pipeline",
-        "run_corpus_pipeline",
-        {
-            "input_docs": docs.count(),
-            "after_gates": kept.count(),
-            "after_exact_dedup": exact.count(),
-            "after_neardup": neat.count(),
-            "after_decontamination": metrics["rows"],
-            "train/val/test": f"{metrics['train']}/{metrics['val']}/{metrics['test']}",
-            "total_tokens": metrics["tokens"],
-        },
-    )
-    write_summary_file("run_corpus_pipeline", summary, out_dir, run_ts="latest")
-    return metrics
+        stages = obs.get()
+        metrics = stages["corpus"]
+        summary = render_run_summary(
+            "corpus-pipeline",
+            "run_corpus_pipeline",
+            {
+                "input_docs": stages["input"]["rows"],
+                "after_gates": stages["gates"]["rows"],
+                "after_exact_dedup": stages["exact_dedup"]["rows"],
+                "after_neardup": stages["neardup"]["rows"],
+                "after_decontamination": metrics["rows"],
+                "train/val/test": f"{metrics['train']}/{metrics['val']}/{metrics['test']}",
+                "total_tokens": metrics["tokens"],
+            },
+        )
+        write_summary_file("run_corpus_pipeline", summary, out_dir, run_ts="latest")
+        return dict(metrics, funnel={k: v["rows"] for k, v in stages.items()})
+    finally:
+        final.unpersist()
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    if len(sys.argv) < 3:
+        print("usage: python scripts/run_corpus_pipeline.py <sf_dir> <out_dir>")
+        return 2
+    sf_dir = sys.argv[1]
     out_dir = sys.argv[2]
     from osrs_dashboard_elt_spark.session import get_spark
     from osrs_dashboard_elt_spark import suite

@@ -164,3 +164,18 @@ def test_missing_required_dead_letter(spark):
     un = streams.unparsed.collect()
     assert len(un) == 1
     assert un[0]["failure_reason"] == "chat_missing_required"
+
+
+def test_gate_literal_skips_scoped_ignorecase_groups():
+    """(?i:...) sets add_flags on the SUBPATTERN, not the global tree
+    flags — literals inside it are not case-required and must not
+    become contains() gates (they would veto rows the regex matches)."""
+    from osrs_dashboard_elt_spark.plans.parse_plan import _gate_literal
+
+    # scoped-ignorecase literal must not gate; the outer literal may
+    assert _gate_literal(r"(?i:Collection Log) slotted") == " slotted"
+    assert _gate_literal(r"(?i:Collection Log)") is None
+    # global inline flag -> no gates at all
+    assert _gate_literal(r"(?i)Collection Log slot") is None
+    # plain literals still gate
+    assert _gate_literal(r"^(.+?) received a drop: (.+)$") == " received a drop: "
