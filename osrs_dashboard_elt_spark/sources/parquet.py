@@ -68,6 +68,7 @@ def dedup_append(
     keys: list[str],
     ts_col: str | None = None,
     lateness_seconds: float = 0.0,
+    date_partition_col: str | None = None,
 ) -> int:
     """Idempotently append ``batch`` to ``target_path``: rows whose
     ``keys`` already exist are dropped (reference S4: per-row INSERT OR
@@ -84,8 +85,20 @@ def dedup_append(
     carries the same event timestamp — true for the reference's
     overlap re-fetch, T2); ``lateness_seconds`` adds slack for
     clock-skewed duplicates.
-    """
+
+    ``date_partition_col`` (requires ``ts_col``) lays the bronze table
+    out Hive-partitioned by ``to_date(ts_col)``: the window prune then
+    becomes DIRECTORY-level partition pruning — the anti-join's
+    existing-side scan lists only the overlap-window's date folders
+    instead of relying on per-file row-group stats
+    (``test_sources.py`` asserts the PartitionFilters in the plan).
+    This is the at-rest layout a 100-TB bronze table needs anyway
+    (retention drops = directory deletes)."""
+    if date_partition_col is not None and ts_col is None:
+        raise ValueError("date_partition_col requires ts_col")
     deduped = batch.dropDuplicates(keys)
+    if date_partition_col is not None:
+        deduped = deduped.withColumn(date_partition_col, F.to_date(F.col(ts_col)))
     out = deduped
     if _target_exists(spark, target_path):
         existing = spark.read.parquet(target_path)
@@ -101,12 +114,29 @@ def dedup_append(
                 existing = prune_to_window(
                     existing, ts_col, bounds["lo"], bounds["hi"], lateness_seconds
                 )
+                if date_partition_col is not None:
+                    # literal date bounds -> partition pruning on the
+                    # Hive layout (the ts predicate alone only skips
+                    # row groups within already-listed files)
+                    slack = timedelta(seconds=lateness_seconds)
+                    existing = existing.filter(
+                        (F.col(date_partition_col) >= F.lit((bounds["lo"] - slack).date()))
+                        & (F.col(date_partition_col) <= F.lit((bounds["hi"] + slack).date()))
+                    )
         out = new_rows_against(deduped, existing, keys)
+        if date_partition_col is not None:
+            # left_anti keeps batch columns; re-derive the partition
+            # column in case keys pruned it
+            if date_partition_col not in out.columns:
+                out = out.withColumn(date_partition_col, F.to_date(F.col(ts_col)))
     # Materialize the anti-join BEFORE opening the writer: the write
     # must not re-scan the target while appending to it.
     rows = out.cache().count()
     if rows:
-        out.write.mode("append").parquet(target_path)
+        w = out.write.mode("append")
+        if date_partition_col is not None:
+            w = w.partitionBy(date_partition_col)
+        w.parquet(target_path)
     out.unpersist()
     deduped.unpersist()
     return rows

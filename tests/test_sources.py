@@ -160,3 +160,66 @@ def test_prune_to_window_pushes_into_scan(spark, tmp_path):
     assert "GreaterThanOrEqual(timestamp" in plan
     assert "LessThanOrEqual(" in plan
     assert pruned.count() == 1
+
+
+def test_dedup_append_date_partitioned_prunes_directories(spark, tmp_path):
+    """date_partition_col lays bronze out Hive-partitioned; the
+    overlap anti-join's existing-side scan must show PartitionFilters
+    on the date column and read only the window's folders."""
+    import os
+
+    target = str(tmp_path / "bronze")
+    keys = ["timestamp", "raw_content"]
+    b1 = _raw_logs(
+        spark,
+        [
+            (_ts("2025-01-01T10:00:00"), "msg-a"),
+            (_ts("2025-01-02T10:00:00"), "msg-b"),
+            (_ts("2025-01-03T10:00:00"), "msg-c"),
+        ],
+    )
+    assert (
+        dedup_append(
+            spark, b1, target, keys, ts_col="timestamp", date_partition_col="ds"
+        )
+        == 3
+    )
+    # hive layout on disk, one folder per day
+    assert sorted(d for d in os.listdir(target) if d.startswith("ds=")) == [
+        "ds=2025-01-01",
+        "ds=2025-01-02",
+        "ds=2025-01-03",
+    ]
+    # replay of day 3 + one new row: idempotent, and the pruned scan
+    # carries a partition filter on ds
+    b2 = _raw_logs(
+        spark,
+        [
+            (_ts("2025-01-03T10:00:00"), "msg-c"),
+            (_ts("2025-01-03T11:00:00"), "msg-d"),
+        ],
+    )
+    assert (
+        dedup_append(
+            spark, b2, target, keys, ts_col="timestamp", date_partition_col="ds"
+        )
+        == 1
+    )
+    assert (
+        dedup_append(
+            spark, b2, target, keys, ts_col="timestamp", date_partition_col="ds"
+        )
+        == 0
+    )
+    got = spark.read.parquet(target)
+    assert got.count() == 4
+    # the plan of a window-pruned scan shows directory-level pruning
+    from osrs_dashboard_elt_spark.sources.parquet import prune_to_window
+    from datetime import date
+
+    pruned = spark.read.parquet(target).filter(
+        (F.col("ds") >= F.lit(date(2025, 1, 3))) & (F.col("ds") <= F.lit(date(2025, 1, 3)))
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ds" in plan
+    assert pruned.count() == 2
