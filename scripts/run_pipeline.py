@@ -111,9 +111,12 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, fl
     # -- stage 1: ingest (idempotent) ---------------------------------
     t0 = time.time()
     raw = synthesize_raw_messages(spark, sf_dir)
+    # bronze lands Hive-partitioned by day: the overlap anti-join
+    # prunes to the batch's date folders, and retention is a directory
+    # delete — the layout a 100-TB bronze table needs
     appended = dedup_append(
         spark, raw, f"{out_dir}/bronze/raw_logs", ["timestamp", "raw_content"],
-        ts_col="timestamp",
+        ts_col="timestamp", date_partition_col="ds",
     )
     timings["ingest"] = time.time() - t0
     print(f"[ingest]    +{appended} rows -> bronze/raw_logs")
