@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "q_contamination_report",
     "q_decontaminate_by_lang",
     "q_rest_timeseries",
+    "q_binned_interval_join",
+    "q_salted_agg",
+    "q_salted_join",
 ]
 
 

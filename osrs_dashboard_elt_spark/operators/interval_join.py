@@ -49,6 +49,25 @@ def interval_join(
     return left.join(F.broadcast(right), cond, how)
 
 
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _width_seconds(bin_width: str) -> int:
+    n, _, unit = bin_width.strip().partition(" ")
+    try:
+        return int(n) * _UNIT_SECONDS[unit.lower()]
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"bin_width must be '<n> <unit>' with unit in {sorted(_UNIT_SECONDS)}; got {bin_width!r}"
+        ) from None
+
+
 def binned_interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -59,19 +78,27 @@ def binned_interval_join(
     on: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join on (keys, time-bin) then exact range filter — the
-    scale path when neither side is broadcastable."""
+    scale path when neither side is broadcastable.
+
+    Bins are integer ``floor(epoch / width)`` — plain codegen
+    arithmetic; ``F.window`` can't be used here because an interval
+    needs its start AND end bins in one projection, and Spark rejects
+    multiple time-window expressions per plan node (the previous
+    window()-based form raised on every call).  An interval explodes
+    to one row per overlapped bin (choose ``bin_width`` near the
+    median interval length to bound the duplication)."""
     on = on or []
-    bin_l = F.window(F.col(left_ts), bin_width).start.alias("__bin")
-    lb = left.withColumn("__bin", bin_l)
+
+    def _bin(c: str):
+        # cast through TIMESTAMP: legal from both TIMESTAMP and
+        # TIMESTAMP_NTZ, and the epoch offset cancels between sides
+        return F.floor(
+            F.col(c).cast("timestamp").cast("double") / _width_seconds(bin_width)
+        ).cast("long")
+
+    lb = left.withColumn("__bin", _bin(left_ts))
     rb = right.withColumn(
-        "__bin",
-        F.explode(
-            F.sequence(
-                F.window(F.col(start_col), bin_width).start,
-                F.window(F.col(end_col), bin_width).start,
-                F.expr(f"interval {bin_width}"),
-            )
-        ),
+        "__bin", F.explode(F.sequence(_bin(start_col), _bin(end_col)))
     )
     joined = lb.join(rb, [*on, "__bin"], "inner").drop("__bin")
     return joined.filter(

@@ -2835,3 +2835,113 @@ def q_rest_timeseries(spark, sf_dir):
         F.sum("high_price_volume").alias("sum_high_vol"),
         F.sum("low_price_volume").alias("sum_low_vol"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scale-path variants under oracle: binned interval join, salted skew ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_binned_interval_join",
+    oracle="""
+    SELECT s.event_id AS signup_event_id,
+           COUNT(*) AS n_clicks,
+           CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+    FROM events s
+    JOIN events c
+      ON c.user_id = s.user_id
+     AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 2 HOUR
+    WHERE s.event_type = 'signup' AND c.event_type = 'click'
+    GROUP BY s.event_id
+    """,
+)
+def q_binned_interval_join(spark, sf_dir):
+    """J8 scale path: when neither side broadcasts, bin both sides to
+    time buckets and equi-join on (keys, bin) + exact range filter —
+    a shuffled hash join instead of a broadcast range join.  Same
+    oracle as q_interval_join: the two plans must agree row for row."""
+    from .operators.interval_join import binned_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_val"),
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    joined = binned_interval_join(
+        clicks, signups, "click_ts", "start_ts", "end_ts",
+        bin_width="1 hour", on=["user_id"],
+    )
+    return joined.groupBy("signup_event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        dec_sum("click_val").alias("click_value"),
+    )
+
+
+@query(
+    "q_salted_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation on a low-cardinality (= skewed by
+    construction) key: partial aggregate per (key, salt), final per
+    key.  Oracle is the PLAIN group-by — salting must be invisible in
+    the result."""
+    from .operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev.withColumn("__v", F.col("value").cast("decimal(18,2)")),
+        keys=["event_type"],
+        spread_col="event_id",
+        partial_aggs={"c": F.count(F.lit(1)), "s": F.sum("__v")},
+        final_aggs={"n": F.sum("c"), "total_value": F.sum("s")},
+        n_salts=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "q_salted_join",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_salted_join(spark, sf_dir):
+    """Deterministically salted fact-to-dim join: the big side spreads
+    each key over 8 salts (hash of l_orderkey), the small side
+    replicates once per salt.  Oracle is the PLAIN join — the salt
+    must not change a single row."""
+    from .operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_orderkey", "l_extendedprice"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li, part, keys=["p_partkey"], spread_col="l_orderkey", n_salts=8
+    )
+    return joined.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dec_sum("l_extendedprice").alias("revenue"),
+    )

@@ -359,3 +359,47 @@ def test_interval_join_half_open(spark):
     )
     out = interval_join(left, right, "t", "s", "e").collect()
     assert [r["id"] for r in out] == [1]  # end exclusive
+
+
+def test_binned_interval_join_matches_broadcast_form(spark):
+    """The scale path must agree row-for-row with the broadcast range
+    join, including intervals spanning multiple bins and ts exactly on
+    bin/interval boundaries."""
+    from datetime import datetime
+    from osrs_dashboard_elt_spark.operators.interval_join import (
+        binned_interval_join,
+        interval_join,
+    )
+
+    left = spark.createDataFrame(
+        [(i, datetime(2024, 1, 1, h, m)) for i, (h, m) in enumerate(
+            [(0, 0), (0, 30), (1, 0), (2, 15), (5, 0), (23, 59)]
+        )],
+        "id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 1, 0)),
+            ("b", datetime(2024, 1, 1, 0, 30), datetime(2024, 1, 1, 5, 0)),
+            ("c", datetime(2024, 1, 1, 22, 0), datetime(2024, 1, 2, 2, 0)),
+        ],
+        "iv string, start_ts timestamp, end_ts timestamp",
+    )
+    broad = interval_join(left, right, "ts", "start_ts", "end_ts")
+    binned = binned_interval_join(
+        left, right, "ts", "start_ts", "end_ts", bin_width="1 hour"
+    )
+    key = lambda df: sorted((r.id, r.iv) for r in df.collect())
+    assert key(binned) == key(broad)
+    # [start, end): ts == end excluded, ts == start included
+    assert (0, "a") in key(binned) and (2, "a") not in key(binned)
+
+
+def test_binned_interval_join_rejects_bad_width(spark):
+    from osrs_dashboard_elt_spark.operators.interval_join import _width_seconds
+
+    import pytest as _pytest
+
+    assert _width_seconds("2 hours") == 7200
+    with _pytest.raises(ValueError, match="bin_width"):
+        _width_seconds("fortnight")
