@@ -141,16 +141,22 @@ def _gated_rlike(src: str, regex: str) -> str:
     return cond
 
 
-def _variant_index(src: str, cfg: ParseConfig) -> Column:
+def _variant_index(src: str, cfg: ParseConfig, gated: bool = True) -> Column:
     """0-based global variant index in config order; -1 = no match.
     The CASE order IS the first-match-wins semantics (the contains
     gates never change which regexes CAN match, only skip ones that
-    cannot)."""
+    cannot — property-tested against the ungated form).  ``gated=False``
+    emits plain RLIKEs (test/measurement hook)."""
     branches = []
     idx = 0
     for group in cfg.groups:
         for variant in group.variants:
-            branches.append(f"WHEN {_gated_rlike(src, variant.regex)} THEN {idx}")
+            cond = (
+                _gated_rlike(src, variant.regex)
+                if gated
+                else f"{src} RLIKE {_q(variant.regex)}"
+            )
+            branches.append(f"WHEN {cond} THEN {idx}")
             idx += 1
     if not branches:
         return F.lit(-1).cast("int")

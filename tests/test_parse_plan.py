@@ -179,3 +179,60 @@ def test_gate_literal_skips_scoped_ignorecase_groups():
     assert _gate_literal(r"(?i)Collection Log slot") is None
     # plain literals still gate
     assert _gate_literal(r"^(.+?) received a drop: (.+)$") == " received a drop: "
+
+
+def test_gated_dispatch_equals_ungated_on_adversarial_corpus(spark):
+    """The prefilter contract, tested directly: for every message —
+    real templates, case-flips, truncations, literal fragments,
+    random unicode — the gated variant index equals the ungated one."""
+    import random
+
+    from osrs_dashboard_elt_spark.config import default_config
+    from osrs_dashboard_elt_spark.plans.parse_plan import (
+        _gate_literal,
+        _variant_index,
+    )
+
+    cfg = default_config()
+    rng = random.Random(42)
+    base = [
+        "player one received a drop: Dragon claws (18,000,000 coins) from Corp.",
+        "<:Iron:1>player two has reached Attack level 99.",
+        "p3 has achieved a new Chambers of Xeric personal best: 16:32.40",
+        "someone has been defeated by X in The Wilderness and lost (5 coins) worth of loot.",
+        "a has deposited one coin into the coffer.",
+        "<:A:1><:B:2>**chatter**: hello world",
+        "<@728615641245941770>",
+        "unstructured noise 42",
+        "",
+    ]
+    # every gate literal itself, embedded in junk — the adversarial
+    # case: gate passes, regex must still arbitrate
+    gates = [
+        _gate_literal(v.regex)
+        for g in cfg.groups
+        for v in g.variants
+        if _gate_literal(v.regex)
+    ]
+    msgs = list(base)
+    for lit in gates:
+        msgs.append(f"junk{lit}junk")
+        msgs.append(lit)
+    for m in list(base):
+        if m:
+            msgs.append(m.upper())
+            msgs.append(m.lower())
+            msgs.append(m[: len(m) // 2])
+            msgs.append(m + " trailing")
+    msgs += [
+        "".join(rng.choice(" abcdefgh:()<>*.,0123456789é中") for _ in range(rng.randrange(0, 80)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(m,) for m in msgs], "content string")
+    out = df.select(
+        _variant_index("content", cfg, gated=True).alias("g"),
+        _variant_index("content", cfg, gated=False).alias("u"),
+        "content",
+    )
+    diff = out.filter(F.col("g") != F.col("u")).collect()
+    assert not diff, [(r.content, r.g, r.u) for r in diff[:5]]
