@@ -330,3 +330,59 @@ def lsh_ann_topk_at_rest(
         .limit(k)
         .select(id_col, "score", F.col("bucket").cast("long").alias("bucket"))
     )
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str,
+    centroids_norm: list[list[float]],
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize an embedding table AT REST partitioned by its IVF
+    cell: ``path/cell=<c>/part-*.parquet`` — the cell-column contract
+    ``ivf_assign`` documents, made physical.  A probe's
+    ``cell IN (nprobe cells)`` predicate becomes a PARTITION filter,
+    so Spark lists only ~nprobe/C of the files; same layout story as
+    :func:`write_lsh_index`, with the cell list coming from k-means
+    centroids instead of random hyperplanes."""
+    assigned = ivf_assign(df, vec_col, centroids_norm, id_col)
+    (
+        assigned.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_ann_topk_at_rest(
+    spark,
+    path: str,
+    query: list[float],
+    centroids_norm: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a :func:`write_ivf_index` table: partition-pruned scan of
+    the ``nprobe`` cells nearest the query (ranked driver-side exactly
+    like ``ivf_ann_topk``), exact cosine rank within.  Identical
+    results to the flat-table form on the same data/centroids — the
+    assignment rule is the one function."""
+    qscores = [
+        sum(float(v) * float(c) for v, c in zip(query, cn))
+        for cn in centroids_norm
+    ]
+    order = sorted(range(len(qscores)), key=lambda i: (-qscores[i], i))
+    probe = order[:nprobe]
+    df = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = df.withColumn(
+        "score", cosine(F.col(vec_col), q).cast("decimal(28,6)").cast("double")
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "score", F.col("cell").cast("int").alias("cell"))
+    )

@@ -108,3 +108,70 @@ def test_multi_probe_widens_recall(spark, tmp_path_factory):
     )
     mp.collect()
     assert _scan_metrics(mp)["numPartitions"] <= N_PLANES + 1
+
+
+# ---------------------------------------------------------------------------
+# IVF at-rest: same contract, cell-partitioned layout
+# ---------------------------------------------------------------------------
+
+
+def _centroids(spark, n=4):
+    import math
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(F.col("vec_id") < n)
+        .orderBy("vec_id")
+        .collect()
+    )
+    out = []
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        nrm = math.sqrt(sum(x * x for x in v)) or 1.0
+        out.append([x / nrm for x in v])
+    return out
+
+
+def _ivf_index(spark, tmp_path_factory, cents):
+    from osrs_dashboard_elt_spark.operators.similarity import write_ivf_index
+
+    path = str(tmp_path_factory.getbasetemp() / "ivf_index")
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    write_ivf_index(df, path, "embedding", cents)
+    return path
+
+
+def test_ivf_at_rest_matches_flat_probe(spark, tmp_path_factory):
+    from osrs_dashboard_elt_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_ann_topk_at_rest,
+    )
+
+    cents = _centroids(spark)
+    path = _ivf_index(spark, tmp_path_factory, cents)
+    q = _query_vec(spark)
+    flat = ivf_ann_topk(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
+        "embedding", q, cents, k=10, nprobe=2,
+    ).collect()
+    rest = ivf_ann_topk_at_rest(spark, path, q, cents, k=10, nprobe=2).collect()
+    assert [(r.vec_id, r.score, r.cell) for r in rest] == [
+        (r.vec_id, r.score, r.cell) for r in flat
+    ]
+
+
+def test_ivf_probe_partition_prunes(spark, tmp_path_factory):
+    import re
+
+    from osrs_dashboard_elt_spark.operators.similarity import ivf_ann_topk_at_rest
+
+    cents = _centroids(spark)
+    path = _ivf_index(spark, tmp_path_factory, cents)
+    q = _query_vec(spark)
+    probe = ivf_ann_topk_at_rest(spark, path, q, cents, k=10, nprobe=2)
+    probe.collect()
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert pf and "cell" in pf.group(0), plan
+    metrics = _scan_metrics(probe)
+    assert metrics["numPartitions"] <= 2
