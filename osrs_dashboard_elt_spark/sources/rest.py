@@ -50,6 +50,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import (
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -296,3 +297,73 @@ class RestTimeSeriesDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration (re-registering replaces)."""
     spark.dataSource.register(RestTimeSeriesDataSource)
+
+
+# ---------------------------------------------------------------------------
+# S8: cached item-mapping dimension (fetch /mapping, parquet cache,
+# force-refresh on miss) — reference 4_fetch_item_prices.py:17-52
+# ---------------------------------------------------------------------------
+
+MAPPING_SCHEMA = StructType(
+    [
+        StructField("item_id", IntegerType(), False),
+        StructField("item_name", StringType(), True),
+    ]
+)
+
+
+def fake_mapping_transport(url: str, headers: dict[str, str]) -> list[dict]:
+    """Deterministic /mapping stand-in: 100 items, names derived from
+    the id."""
+    return [{"id": i, "name": f"Item {i}"} for i in range(100)]
+
+
+def cached_item_mapping(
+    spark,
+    cache_path: str,
+    transport: str = "osrs_dashboard_elt_spark.sources.rest:fake_mapping_transport",
+    user_agent: str = "",
+    required_ids: Sequence[int] | None = None,
+    force_refresh: bool = False,
+) -> "DataFrame":
+    """The id→name dimension with the reference's cache discipline:
+
+    - serve the parquet cache when present (broadcast-sized — callers
+      join it with ``F.broadcast``);
+    - fetch via the injected transport and (re)write the cache when
+      missing, unreadable, or ``force_refresh``;
+    - ``required_ids``: the reference forces an update when a
+      configured item is absent from the cache — same rule here, one
+      tiny ``isin``+count probe against the cached dimension.
+
+    The fetch itself is DRIVER-side (one request, one small payload),
+    exactly like the reference; only the resulting dimension is a
+    DataFrame.  Returns the mapping DataFrame."""
+    from pyspark.sql import DataFrame  # local: avoid module import cycle
+
+    def _read_cache():
+        try:
+            df = spark.read.schema(MAPPING_SCHEMA).parquet(cache_path)
+            df.first()  # force a read so corrupt caches fail HERE
+            return df
+        except Exception:
+            return None
+
+    cached = None if force_refresh else _read_cache()
+    if cached is not None and required_ids:
+        ids = list(dict.fromkeys(int(i) for i in required_ids))
+        found = cached.filter(cached.item_id.isin(ids)).count()
+        if found < len(ids):
+            cached = None  # miss -> force refresh, reference rule
+    if cached is not None:
+        return cached
+
+    fn = _resolve_transport(transport)
+    headers = {"User-Agent": user_agent} if user_agent else {}
+    rows = [
+        (int(item["id"]), item.get("name"))
+        for item in fn("https://prices.runescape.wiki/api/v1/osrs/mapping", headers)
+    ]
+    df = spark.createDataFrame(rows, MAPPING_SCHEMA)
+    df.write.mode("overwrite").parquet(cache_path)
+    return spark.read.schema(MAPPING_SCHEMA).parquet(cache_path)

@@ -134,3 +134,42 @@ def test_stream_reader_polls_in_batches(spark, tmp_path):
         (F.col("item_id") == 2) & (F.col("timestamp") == FAKE_EPOCH0 + 9 * FAKE_STEP)
     ).collect()[0]
     assert (row.avg_high_price, row.avg_low_price) == fake_point(2, FAKE_EPOCH0 + 9 * FAKE_STEP)[:2]
+
+
+def test_cached_item_mapping_cache_discipline(spark, tmp_path):
+    """S8: serve the parquet cache; fetch+rewrite on missing cache,
+    force_refresh, or a required id absent from the cache."""
+    import os
+
+    from osrs_dashboard_elt_spark.sources.rest import cached_item_mapping
+
+    cache = str(tmp_path / "item_mapping")
+    calls = {"n": 0}
+
+    # counting transport via a module-level hook
+    import osrs_dashboard_elt_spark.sources.rest as rest_mod
+
+    def counting(url, headers):
+        calls["n"] += 1
+        return rest_mod.fake_mapping_transport(url, headers)
+
+    rest_mod._counting_mapping_transport = counting
+    spec = "osrs_dashboard_elt_spark.sources.rest:_counting_mapping_transport"
+    try:
+        m1 = cached_item_mapping(spark, cache, transport=spec)
+        assert m1.count() == 100 and calls["n"] == 1
+        # cache hit: no new fetch
+        m2 = cached_item_mapping(spark, cache, transport=spec)
+        assert m2.count() == 100 and calls["n"] == 1
+        # required ids present: still no fetch
+        cached_item_mapping(spark, cache, transport=spec, required_ids=[1, 2, 3])
+        assert calls["n"] == 1
+        # a configured id missing from the cache forces the update
+        cached_item_mapping(spark, cache, transport=spec, required_ids=[1, 999])
+        assert calls["n"] == 2
+        # explicit force
+        cached_item_mapping(spark, cache, transport=spec, force_refresh=True)
+        assert calls["n"] == 3
+        assert os.path.isdir(cache)
+    finally:
+        del rest_mod._counting_mapping_transport
