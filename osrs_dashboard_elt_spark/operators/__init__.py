@@ -28,7 +28,18 @@ from .remap import MappingRule, apply_mapping, find_conflicts, remap_expr
 from .resample import bucket_col, resample
 from .skew import ensure_min_partitions, salted_agg, salted_join
 from .sessionize import near_best_band, sessionize
-from .similarity import cosine, cosine_topk, dot, hyperplanes, lsh_ann_topk
+from .similarity import (
+    cosine,
+    cosine_topk,
+    dot,
+    hyperplanes,
+    ivf_ann_topk,
+    ivf_ann_topk_at_rest,
+    lsh_ann_topk,
+    lsh_ann_topk_at_rest,
+    write_ivf_index,
+    write_lsh_index,
+)
 from .topn import top_n_per_group
 
 __all__ = [
@@ -69,5 +80,10 @@ __all__ = [
     "dot",
     "hyperplanes",
     "lsh_ann_topk",
+    "write_lsh_index",
+    "write_ivf_index",
+    "lsh_ann_topk_at_rest",
+    "ivf_ann_topk_at_rest",
+    "ivf_ann_topk",
     "top_n_per_group",
 ]

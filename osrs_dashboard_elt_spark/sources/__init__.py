@@ -1,6 +1,7 @@
 """Sources & sinks: parquet read/write, idempotent dedup-append,
-watermarks, atomic publish."""
+watermarks, atomic publish, bucketed tables, REST data source."""
 
+from .bucketed import is_bucketed_on, read_bucketed, write_bucketed
 from .io import (
     filter_newer_than_watermarks,
     incremental_scan,
@@ -16,17 +17,28 @@ from .parquet import (
     publish_overwrite,
     read_new_since,
 )
+from .rest import (
+    RestTimeSeriesDataSource,
+    cached_item_mapping,
+    register as register_rest_source,
+)
 
 __all__ = [
+    "RestTimeSeriesDataSource",
+    "cached_item_mapping",
     "dedup_append",
     "filter_newer_than_watermarks",
     "incremental_scan",
+    "is_bucketed_on",
     "max_watermark",
     "new_rows_against",
     "prune_to_window",
     "per_key_watermark",
     "publish_blue_green",
     "publish_overwrite",
+    "read_bucketed",
     "read_new_since",
     "read_published",
+    "register_rest_source",
+    "write_bucketed",
 ]

@@ -10,7 +10,11 @@ from .ingest import (
     streaming_windowed_rollup,
     with_late_data_dedup,
 )
-from .stateful import changelog_via_stream, running_best_changelog
+from .stateful import (
+    changelog_via_stream,
+    running_best_changelog,
+    running_best_changelog_tws,
+)
 from .upsert_sink import (
     ExternalUpsertSink,
     LocalJsonTransport,
@@ -26,6 +30,7 @@ __all__ = [
     "read_raw_stream",
     "retry_unparsed",
     "running_best_changelog",
+    "running_best_changelog_tws",
     "start_parse_pipeline",
     "streaming_session_rollup",
     "streaming_windowed_rollup",
