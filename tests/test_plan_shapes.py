@@ -71,3 +71,11 @@ def test_leaderboard_is_single_aggregation_pass(spark, all_queries):
     assert "Join" not in plan, plan
     # one shuffle only (partial->final aggregate)
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_parse_dispatch_keeps_prefilter_gates(spark, all_queries):
+    """The variant dispatch must keep its contains() prefilter gates
+    in the physical plan — losing them (a refactor emitting plain
+    RLIKEs) silently doubles regex work per row."""
+    plan = _executed_plan(all_queries["q_parse_engine"](spark, SF_DIR))
+    assert "Contains(" in plan or "contains(" in plan, plan[:2000]
