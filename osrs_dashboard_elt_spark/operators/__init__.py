@@ -41,6 +41,7 @@ from .similarity import (
     write_lsh_index,
 )
 from .topn import top_n_per_group
+from .zorder import column_ranges, write_zordered, zorder_key
 
 __all__ = [
     "asof_join",
@@ -86,4 +87,7 @@ __all__ = [
     "ivf_ann_topk_at_rest",
     "ivf_ann_topk",
     "top_n_per_group",
+    "column_ranges",
+    "write_zordered",
+    "zorder_key",
 ]
