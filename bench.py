@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "q_binned_interval_join",
     "q_salted_agg",
     "q_salted_join",
+    "q_pii_redaction",
 ]
 
 

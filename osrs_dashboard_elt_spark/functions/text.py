@@ -104,3 +104,43 @@ def doc_fingerprint(col: Column, mod: int = 2**61 - 1) -> Column:
         F.lit(0).cast("long"),
         lambda acc, h: (acc * F.lit(31) + h) % F.lit(mod),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+# Deliberately RE2-compatible (no lookaround/backrefs) and ASCII-safe,
+# so the DuckDB oracle applies the IDENTICAL patterns: redaction must
+# be auditable cross-engine before it runs over a real corpus.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # IPv4 dotted quad (octet-ish: 1-3 digits; over-matching beats
+    # under-matching for redaction)
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    # long digit runs (card/account numbers), tolerate spaces/dashes
+    (r"\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{2,4}\b", "<NUMBER>"),
+    # phone-ish: intl prefix or area code, 7+ digits with separators
+    (r"\+?[0-9]{1,3}[ .-]?\(?[0-9]{2,4}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{3,4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, IPv4s, long digit runs, and phone-shaped
+    numbers with typed placeholder tokens, applying the patterns in
+    ``PII_PATTERNS`` order (earlier redactions can consume text later
+    patterns would have matched — the order IS the contract, identical
+    in the SQL oracle)."""
+    out = col
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_flags(col: Column) -> dict[str, Column]:
+    """Per-category detection flags (pre-redaction audit columns)."""
+    names = ["email", "ip", "number", "phone"]
+    return {
+        f"has_{n}": col.rlike(p)
+        for n, (p, _t) in zip(names, PII_PATTERNS)
+    }

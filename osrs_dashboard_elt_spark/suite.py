@@ -2945,3 +2945,71 @@ def q_salted_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_items"),
         dec_sum("l_extendedprice").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data hygiene) under oracle
+# ---------------------------------------------------------------------------
+
+
+def _pii_oracle() -> str:
+    from .functions.text import PII_PATTERNS
+
+    # synthesize PII into deterministic docs exactly like the query,
+    # then apply the SAME patterns in the SAME order with RE2
+    # DuckDB standard strings are NOT backslash-escaped: the pattern
+    # goes in verbatim, only quotes double
+    expr = "txt"
+    for pat, token in PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{lit}', '{token}', 'g')"
+    return f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+               WHEN 1 THEN text || ' from host 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+               WHEN 2 THEN text || ' card 4111 1111 1111 1111 on file'
+               ELSE text
+             END AS txt
+      FROM documents
+    )
+    SELECT doc_id,
+           md5({expr}) AS redacted_md5,
+           ({expr} <> txt) AS changed
+    FROM seeded
+    """
+
+
+@query("q_pii_redaction", oracle=_pii_oracle())
+def q_pii_redaction(spark, sf_dir):
+    """PII redaction as pure scan-side regexp_replace chains; the
+    oracle applies the IDENTICAL RE2-compatible patterns in the same
+    order, so the md5 of every redacted document must agree — a
+    cross-engine audit of the redaction rules themselves."""
+    from .functions.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.col("text"), F.lit(" from host 10.2."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.col("text"), F.lit(" card 4111 1111 1111 1111 on file")),
+        )
+        .otherwise(F.col("text"))
+        .alias("txt"),
+    )
+    red = redact_pii(F.col("txt"))
+    return seeded.select(
+        "doc_id",
+        F.md5(red).alias("redacted_md5"),
+        (red != F.col("txt")).alias("changed"),
+    )

@@ -403,3 +403,32 @@ def test_binned_interval_join_rejects_bad_width(spark):
     assert _width_seconds("2 hours") == 7200
     with _pytest.raises(ValueError, match="bin_width"):
         _width_seconds("fortnight")
+
+
+def test_redact_pii_categories_and_order(spark):
+    from osrs_dashboard_elt_spark.functions.text import pii_flags, redact_pii
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "mail me at a.b+c@test.org today"),
+        (2, "server 192.168.0.1 down"),
+        (3, "card 4111 1111 1111 1111 ok"),
+        (4, "call +1 (555) 123-4567 now"),
+        (5, "clean text, nothing here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r.id: r.red
+        for r in df.select("id", redact_pii(F.col("t")).alias("red")).collect()
+    }
+    assert got[1] == "mail me at <EMAIL> today"
+    assert got[2] == "server <IP> down"
+    assert got[3] == "card <NUMBER> ok"
+    assert got[4] == "call <PHONE> now"
+    assert got[5] == "clean text, nothing here"
+    flags = df.select(
+        "id", *[c.alias(n) for n, c in pii_flags(F.col("t")).items()]
+    ).collect()
+    by_id = {r.id: (r.has_email, r.has_ip, r.has_number, r.has_phone) for r in flags}
+    assert by_id[1][0] and by_id[2][1] and by_id[3][2] and by_id[4][3]
+    assert by_id[5] == (False, False, False, False)
