@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "q_salted_agg",
     "q_salted_join",
     "q_pii_redaction",
+    "q_repetition_scores",
 ]
 
 

@@ -3013,3 +3013,52 @@ def q_pii_redaction(spark, sf_dir):
         F.md5(red).alias("redacted_md5"),
         (red != F.col("txt")).alias("changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition scoring (Gopher-style quality filter) under oracle
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_repetition_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t
+      WHERE len(ws) >= 2 AND ws[1] <> ''
+    ),
+    counts AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM grams GROUP BY doc_id, bg
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(CAST(MAX(c) AS DOUBLE) / SUM(c) AS DECIMAL(28,6)) :: DOUBLE AS top_bigram_frac
+    FROM counts
+    GROUP BY doc_id
+    """,
+)
+def q_repetition_scores(spark, sf_dir):
+    """Gopher-style repetition signal: the fraction of a document's
+    word bigrams taken by its single most frequent bigram — high
+    values flag boilerplate/spam for the quality gate.  Bigrams come
+    from the same codegen token-boundary regex as the dedup shingles
+    (NOT distinct — repetition is the point), counted with two hash
+    aggregates; no windows, no joins."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    pat = r"(?<=^| )(?=([^ ]+ [^ ]+))"
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(norm, F.lit(pat), 1)).alias("bg"),
+    )
+    counts = grams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        dround(F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac"),
+    )
