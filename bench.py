@@ -79,6 +79,14 @@ BENCH_QUERIES = [
     "q_salted_join",
     "q_pii_redaction",
     "q_repetition_scores",
+    "q_derived_union_counts",
+    "q_language_id",
+    "q_name_change_parse",
+    "q_parse_game_mode",
+    "q_pattern_grammar",
+    "q_running_best_changelog",
+    "q_set_except",
+    "q_simhash_pairs",
 ]
 
 

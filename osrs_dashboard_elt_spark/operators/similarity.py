@@ -1,35 +1,49 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two tiers, per the standard ANN playbook:
+Tiers, per the standard ANN playbook:
 
 - ``cosine_topk``: brute-force exact top-k — a single scan with the
-  score as a JVM column expression (``zip_with`` + left-fold
-  ``aggregate``; no Python in the hot path) followed by a top-k.  At
-  100 TB this is the per-partition map side of a TakeOrdered — Spark
-  computes partial top-k per partition and merges on the driver, so the
-  shuffle is k rows per partition, not the data.
+  score as a JVM column expression followed by a top-k.  At 100 TB this
+  is the per-partition map side of a TakeOrdered — Spark computes
+  partial top-k per partition and merges on the driver, so the shuffle
+  is k rows per partition, not the data.
 
-- ``lsh_ann_topk``: random-hyperplane (sign) LSH — bucket vectors by
-  the sign pattern of ``n_planes`` fixed hyperplanes, probe only the
-  query's bucket, exact-rank within it.  Hyperplanes come from a seeded
-  RNG (``hyperplanes``) so an external oracle can reproduce bucketing
-  exactly.  The scale path: bucketing is scan-side, the probe touches
-  ~1/2^n_planes of the data, and multi-probe (flip one bit) trades
-  recall for cost.
+- ``lsh_ann_topk`` / ``ivf_ann_topk``: blocked probes — bucket vectors
+  by sign-LSH / IVF cell (scan-side expressions), probe only the
+  query's bucket(s), exact-rank within.  ``*_at_rest`` variants probe
+  bucket-partitioned parquet layouts with partition pruning.
 
-Determinism contract: dot products are LEFT FOLDS over index order with
-elements cast to double first — DuckDB's ``list_reduce`` over the same
-values produces bit-identical doubles, so results survive a value-hash
-comparison (scores additionally rounded to 6 decimals).
+- ``embedding_neardup_pairs``: banded sign-LSH near-duplicate blocking
+  with a hot-bucket guard (see its docstring for the scale story).
+
+Determinism contract: every dot product is a LEFT FOLD over index
+order with elements cast to double first — DuckDB's
+``list_dot_product`` over the same values produces bit-identical
+doubles, so results survive a value-hash comparison (scores
+additionally rounded to 6 decimals).
+
+Execution-mode note (measured in this repo): higher-order-function
+lambdas (``zip_with``/``aggregate``/``transform``) evaluate INTERPRETED
+per element, and building deep Column trees from Python pays one Py4J
+round-trip per node.  Every hot-path dot product here is therefore
+generated as an unrolled SQL STRING (one ``F.expr`` call, JVM-side
+parse, whole-stage codegen) over a once-projected ``ARRAY<DOUBLE>``
+column, with +/-1 plane multiplies folded into the chain's sign — the
+addition chain associates left-to-right exactly like the fold, so
+values are bit-identical and the cross-engine oracles are unaffected,
+while the serialized expression tree (hence each stage's broadcast
+task binary) stays small.  The Column-based ``dot``/``cosine`` forms
+remain for arbitrary-length arrays.
 """
 
 from __future__ import annotations
 
+import math
 import random
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
 
 
 def _as_double(arr: Column) -> Column:
@@ -37,7 +51,10 @@ def _as_double(arr: Column) -> Column:
 
 
 def dot_raw(a: Column, b: Column) -> Column:
-    """Left-fold dot product of two arrays ALREADY cast to double."""
+    """Left-fold dot product of two arrays ALREADY cast to double.
+
+    Interpreted HOF form — use the SQL-fragment generators below in
+    hot paths; this remains for arbitrary/unknown-length arrays."""
     prods = F.zip_with(a, b, lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -55,6 +72,100 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# ---------------------------------------------------------------------------
+# Unrolled SQL-fragment generators (codegen hot path)
+# ---------------------------------------------------------------------------
+
+
+def _dlit(x: float) -> str:
+    """Exact double literal: repr() round-trips IEEE doubles and the
+    string->double cast is correctly rounded, so the parsed value is
+    bit-identical to the Python float."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def vd_cast(vec_col: str) -> Column:
+    """The one cast the fragment generators below assume: the raw
+    ``array<float>`` column widened to ``array<double>`` (exact, one
+    codegen Cast node).  Project this ONCE and point the fragments at
+    the projected name — a single shared node keeps the serialized
+    expression tree (and the per-stage task binary) small."""
+    return F.col(vec_col).cast("array<double>")
+
+
+def dot_sql(a: str, b: str, dim: int) -> str:
+    """Unrolled ``0.0 + a1*b1 + a2*b2 + ...`` over two ARRAY<DOUBLE>
+    exprs — left-assoc addition, the same order as the left fold, so
+    every intermediate double matches ``dot_raw`` and DuckDB
+    ``list_dot_product``."""
+    terms = " + ".join(
+        f"element_at({a}, {i + 1}) * element_at({b}, {i + 1})"
+        for i in range(dim)
+    )
+    return f"({_dlit(0.0)} + {terms})"
+
+
+def plane_dot_sql(a: str, plane: Sequence[float]) -> str:
+    """Unrolled dot of an ARRAY<DOUBLE> expr against a LITERAL vector.
+
+    For +/-1 (Rademacher) planes the multiply folds into the chain's
+    sign — ``acc + x*1.0`` and ``acc + x*(-1.0)`` are bit-identical to
+    ``acc + x`` / ``acc - x`` in IEEE arithmetic — which halves the
+    expression tree again."""
+    if all(abs(float(p)) == 1.0 for p in plane):
+        parts = [_dlit(0.0)]
+        for i, p in enumerate(plane):
+            op = "+" if float(p) > 0 else "-"
+            parts.append(f"{op} element_at({a}, {i + 1})")
+        return "(" + " ".join(parts) + ")"
+    terms = " + ".join(
+        f"element_at({a}, {i + 1}) * {_dlit(p)}" for i, p in enumerate(plane)
+    )
+    return f"({_dlit(0.0)} + {terms})"
+
+
+def norm_sql(a: str, dim: int) -> str:
+    return f"SQRT({dot_sql(a, a, dim)})"
+
+
+def _fold_norm(vec: Sequence[float]) -> float:
+    """Driver-side norm with the SAME left-fold order as the SQL
+    oracle (``sqrt(list_dot_product(q, q))``) — Python floats are
+    IEEE doubles, so the result is bit-identical."""
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def query_cosine_sql(a: str, query: Sequence[float]) -> str:
+    """Cosine of array expr ``a`` against a literal query vector; the
+    query's norm is folded driver-side (same fold order => same
+    double) and inlined as a literal."""
+    dim = len(query)
+    return (
+        f"({plane_dot_sql(a, query)}"
+        f" / ({norm_sql(a, dim)} * {_dlit(_fold_norm(query))}))"
+    )
+
+
+def lsh_bucket_sql(a: str, planes: Sequence[Sequence[float]]) -> str:
+    """Sign-LSH bucket id of array expr ``a``: bit j set iff
+    dot(vec, plane_j) > 0 — all unrolled, fully codegen."""
+    terms = " + ".join(
+        f"(CASE WHEN {plane_dot_sql(a, plane)} > {_dlit(0.0)}"
+        f" THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j, plane in enumerate(planes)
+    )
+    return f"({terms})"
+
+
+def _score6(expr_sql: str) -> Column:
+    """Round a double score expression to 6 decimals via the exact
+    decimal cast both engines agree on."""
+    return F.expr(expr_sql).cast("decimal(28,6)").cast("double")
+
+
 def cosine_topk(
     df: DataFrame,
     vec_col: str,
@@ -66,9 +177,8 @@ def cosine_topk(
 
     Ties broken by id for determinism.  Score rounded to 6 decimals.
     """
-    q = F.array(*[F.lit(float(x)) for x in query])
-    scored = df.withColumn(
-        "score", cosine(F.col(vec_col), q).cast("decimal(28,6)").cast("double")
+    scored = df.withColumn("__vd", vd_cast(vec_col)).withColumn(
+        "score", _score6(query_cosine_sql("__vd", query))
     )
     return (
         scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
@@ -85,8 +195,9 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
 
 
 def lsh_bucket_raw(vecd: Column, planes: list[list[int]]) -> Column:
-    """Sign-LSH bucket id over a pre-cast double array: bit j set iff
-    dot(vec, plane_j) > 0."""
+    """Sign-LSH bucket id over a pre-cast double array Column (HOF
+    fold form — kept for arbitrary Column inputs; hot paths use
+    :func:`lsh_bucket_sql`)."""
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
         p = F.array(*[F.lit(float(x)) for x in plane])
@@ -106,47 +217,123 @@ def embedding_neardup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.25,
-    n_planes: int = 4,
+    n_planes: int = 18,
     seed: int = 42,
     dim: int = 64,
+    bands: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-blocked.
+    """Embedding-cosine near-duplicate pairs, banded-sign-LSH blocked.
 
-    Scale path for near-dup detection over embeddings: bucket every
-    vector by sign-LSH (scan-side column expression), self-join ONLY
-    within buckets (equi-join — shuffle on the bucket key instead of a
-    cross join), exact cosine on the surviving ~1/2^n_planes pairs.
+    Scale path for near-dup detection over embeddings, with the same
+    blocking discipline as ``minhash_lsh_pairs``:
+
+    - ``n_planes`` sign bits are split into ``bands`` bands of
+      ``r = n_planes // bands`` planes; a candidate pair is any two
+      vectors agreeing on ALL r bits of SOME band (OR-union across
+      bands, deduped).  Buckets per band number ``2^r`` — the bucket
+      population is O(n / 2^r), not O(n / 2^n_planes) of a single
+      monolithic table, so r is the bucket-size dial and bands is the
+      recall dial (recall = 1 - (1 - p^r)^bands for bit-agreement
+      probability p).  A single 4-plane table (16 buckets total) puts
+      ~n^2/16 pairs through the join at corpus scale; 3 bands x 6
+      planes holds 64 buckets per band with 3 chances to collide.
+    - ``max_bucket_size`` drops degenerate (band, key) buckets — a
+      near-duplicate-heavy or adversarial corpus otherwise sends one
+      O(m^2) bucket to a single reducer.  The guard is the broadcast
+      anti-join of ``dedup._drop_hot_keys``: the hot-key list is tiny,
+      so no reducer ever materializes the hot bucket.  None = uncapped.
+    - The pair join carries ONLY (id, band, key) — vectors never
+      travel through the candidate shuffle.  Survivors join back to
+      the (id, vector, norm) table for exact cosine scoring, so the
+      per-pair cost is one unrolled multiply-add chain + a division.
+
     Returns (id_a, id_b, score) with id_a < id_b, score rounded to 6
     decimals.  Replaces the all-pairs O(n^2) scan the reference-style
     pandas approach would need.
     """
+    if n_planes % bands:
+        raise ValueError("bands must divide n_planes")
+    from pyspark.sql import Window
+
     planes = hyperplanes(n_planes, dim, seed)
-    # Stage per-VECTOR work before the pair join: the double-cast array
-    # and its norm are computed once per vector here; scoring a pair is
-    # then ONE zip_with fold + a division.  (Inlining cosine() on the
-    # pair would recompute both norms — two extra array folds — for
-    # every candidate pair.)
-    vecd = df.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vd")
-    )
-    b = vecd.select(
+    r = n_planes // bands
+    vecs = df.select(F.col(id_col).alias("id"), vd_cast(vec_col).alias("v"))
+    band_cols = [
+        F.expr(lsh_bucket_sql("v", planes[bi * r : (bi + 1) * r])).alias(
+            f"bk{bi}"
+        )
+        for bi in range(bands)
+    ]
+    staged = vecs.select("id", *band_cols)
+    posts = staged.select(
         "id",
-        "vd",
-        F.sqrt(dot_raw(F.col("vd"), F.col("vd"))).alias("nrm"),
-        lsh_bucket_raw(F.col("vd"), planes).alias("bucket"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("bi"), F.col(f"bk{bi}").alias("bk")
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "c.bi", "c.bk")
+    # Hot-bucket cap as a WINDOW count over the join's own shuffle key
+    # — not the broadcast anti-join ``dedup._drop_hot_keys`` uses.  The
+    # window partitions on (bi, bk), exactly the key the self-join
+    # shuffles on, so the guard rides the exchange the join needs
+    # anyway and the (expensive) bucket projection is evaluated ONCE;
+    # the anti-join form would re-evaluate the whole posts lineage for
+    # the hot-key aggregate and (with a broadcast self-join) once more
+    # per join side.  Scale-safe: a hot bucket lands m ROWS on one
+    # reducer to be counted — never the m^2 candidate pairs, which the
+    # filter prevents from being generated at all.
+    if max_bucket_size is not None:
+        w = Window.partitionBy("bi", "bk")
+        posts = (
+            posts.withColumn("__bc", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bc") <= max_bucket_size)
+            .drop("__bc")
+        )
+    # Materialize the (tiny: id, band, key) capped posting table once
+    # — the self-join otherwise plans the expensive bucket projection
+    # once per side (exchange reuse is not guaranteed under AQE), and
+    # lineage truncation keeps the big unrolled expressions out of
+    # every downstream stage's task binary.  At cluster scale this is
+    # the standard stage-materialization of a multiply-referenced
+    # intermediate; posts are ~bands rows per document.
+    posts = posts.localCheckpoint(eager=False)
+    cand = (
+        posts.alias("a")
+        .join(posts.alias("b").hint("shuffle_hash"), ["bi", "bk"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    left = b.select(
-        F.col("id").alias("id_a"), F.col("vd").alias("vd_a"), F.col("nrm").alias("n_a"), "bucket"
+    # Stage per-VECTOR work outside the pair join: the norm is
+    # computed once per vector side, not once per candidate pair.
+    # Score on pre-NORMALIZED vectors: one norm per vector (computed
+    # once — the (id, v, nrm) table is checkpointed so neither join
+    # side re-evaluates the chain), a cheap unrolled unit-scaling from
+    # the STORED nrm attribute, then a pair's score is a single
+    # unrolled dot (dim terms, no division) instead of
+    # dot/(n_a*n_b) (twice the chain, re-evaluated in the pushed
+    # join condition).  The oracle mirrors the same normalize-then-
+    # dot arithmetic, so the doubles agree bit-for-bit.
+    withn = vecs.select(
+        "id", "v", F.expr(norm_sql("v", dim)).alias("nrm")
+    ).localCheckpoint(eager=False)
+    unit = (
+        "array("
+        + ", ".join(f"element_at(v, {i + 1}) / nrm" for i in range(dim))
+        + ")"
     )
-    right = b.select(
-        F.col("id").alias("id_b"), F.col("vd").alias("vd_b"), F.col("nrm").alias("n_b"), "bucket"
-    )
-    pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    scored = pairs.withColumn(
-        "score",
-        (dot_raw(F.col("vd_a"), F.col("vd_b")) / (F.col("n_a") * F.col("n_b")))
-        .cast("decimal(28,6)")
-        .cast("double"),
+    uvec = withn.select("id", F.expr(unit).alias("u"))
+    va = uvec.select(F.col("id").alias("id_a"), F.col("u").alias("u_a"))
+    vb = uvec.select(F.col("id").alias("id_b"), F.col("u").alias("u_b"))
+    scored = cand.join(va, "id_a").join(vb, "id_b").withColumn(
+        "score", _score6(dot_sql("u_a", "u_b", dim))
     )
     return scored.filter(F.col("score") >= threshold).select("id_a", "id_b", "score")
 
@@ -163,16 +350,18 @@ def lsh_ann_topk(
     """Approximate top-k: exact cosine rank within the query's LSH
     bucket only.  Returns (id, score, bucket)."""
     planes = hyperplanes(n_planes, len(query), seed)
-    qb = 0
-    for j, plane in enumerate(planes):
-        if sum(p * v for p, v in zip(plane, query)) > 0:
-            qb |= 1 << j
-    q = F.array(*[F.lit(float(x)) for x in query])
-    bucketed = df.withColumn(
-        "bucket", lsh_bucket(F.col(vec_col), planes)
-    ).filter(F.col("bucket") == qb)
+    qb = query_bucket(query, planes)
+    # Same materialize-once rationale as ``ivf_ann_topk``: without it
+    # the bucket chain is pushed into the scan filter and evaluated
+    # again for the output column.
+    bucketed = (
+        df.withColumn("__vd", vd_cast(vec_col))
+        .withColumn("bucket", F.expr(lsh_bucket_sql("__vd", planes)))
+        .localCheckpoint(eager=False)
+        .filter(F.col("bucket") == qb)
+    )
     scored = bucketed.withColumn(
-        "score", cosine(F.col(vec_col), q).cast("decimal(28,6)").cast("double")
+        "score", _score6(query_cosine_sql("__vd", query))
     )
     return (
         scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
@@ -195,30 +384,29 @@ def ivf_assign(
     index via first-match-at-max, which an external SQL oracle can
     reproduce with GREATEST + a CASE chain over identical doubles.
 
-    Scale shape: assignment is scan-side (C folds per row, no shuffle);
-    the cell column then partitions/clusters the table so a probe scans
-    only ``nprobe/C`` of the data.  At 100 TB the centroid list comes
-    from a k-means(sample) job and is broadcast; a fixed deterministic
-    pick keeps this oracle-checkable.
+    Scale shape: assignment is scan-side (C unrolled dots per row, no
+    shuffle); the cell column then partitions/clusters the table so a
+    probe scans only ``nprobe/C`` of the data.  At 100 TB the centroid
+    list comes from a k-means(sample) job and is broadcast; a fixed
+    deterministic pick keeps this oracle-checkable.
+
+    The argmax is ``array_position(arr, array_max(arr))`` over ONE
+    array of the C dots — first-index-at-max, the same tie rule as a
+    GREATEST + CASE chain, but O(C·dim) expression nodes instead of
+    the O(C²·dim) blow-up projection collapse makes of a CASE chain
+    that references every score in every branch.
     """
-    vd = _as_double(F.col(vec_col))
-    staged = df.select("*", vd.alias("__vd"))
-    scores = [
-        dot_raw(F.col("__vd"), F.array(*[F.lit(float(x)) for x in c])).alias(
-            f"__s{i}"
-        )
-        for i, c in enumerate(centroids_norm)
-    ]
-    staged = staged.select("*", *scores)
-    m = F.greatest(*[F.col(f"__s{i}") for i in range(len(centroids_norm))])
-    cell = None
-    for i in range(len(centroids_norm)):
-        cond = F.col(f"__s{i}") == m
-        cell = F.when(cond, i) if cell is None else cell.when(cond, i)
-    out = staged.select(
-        *[c for c in df.columns], cell.cast("int").alias("cell")
+    arr = (
+        "ARRAY("
+        + ", ".join(plane_dot_sql("__vd", c) for c in centroids_norm)
+        + ")"
     )
-    return out
+    cell = f"CAST(array_position({arr}, array_max({arr})) - 1 AS INT)"
+    return (
+        df.withColumn("__vd", vd_cast(vec_col))
+        .withColumn("cell", F.expr(cell))
+        .select(*df.columns, "cell")
+    )
 
 
 def ivf_ann_topk(
@@ -237,15 +425,20 @@ def ivf_ann_topk(
         sum(float(v) * float(c) for v, c in zip(query, cn))
         for cn in centroids_norm
     ]
-    best = max(qscores)
     order = sorted(range(len(qscores)), key=lambda i: (-qscores[i], i))
     probe = order[:nprobe]
 
-    assigned = ivf_assign(df, vec_col, centroids_norm, id_col)
-    q = F.array(*[F.lit(float(x)) for x in query])
+    # Materialize the assignment once: the probe filter is otherwise
+    # pushed into the scan (the whole unrolled cell expression per
+    # row) AND re-evaluated for the output column.  The flat form is
+    # the oracle baseline; ``ivf_ann_topk_at_rest`` is the scale path
+    # (partition pruning instead of a full assignment pass).
+    assigned = ivf_assign(df, vec_col, centroids_norm, id_col).localCheckpoint(
+        eager=False
+    )
     hits = assigned.filter(F.col("cell").isin(probe))
-    scored = hits.withColumn(
-        "score", cosine(F.col(vec_col), q).cast("decimal(28,6)").cast("double")
+    scored = hits.withColumn("__vd", vd_cast(vec_col)).withColumn(
+        "score", _score6(query_cosine_sql("__vd", query))
     )
     return (
         scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
@@ -256,7 +449,7 @@ def ivf_ann_topk(
 
 def query_bucket(query: list[float], planes: list[list[int]]) -> int:
     """Driver-side sign-LSH bucket of a literal query vector — the
-    same bit rule as :func:`lsh_bucket` (bit j set iff dot > 0)."""
+    same bit rule as :func:`lsh_bucket_sql` (bit j set iff dot > 0)."""
     qb = 0
     for j, plane in enumerate(planes):
         if sum(p * v for p, v in zip(plane, query)) > 0:
@@ -288,7 +481,9 @@ def write_lsh_index(
     sample = df.select(F.size(F.col(vec_col)).alias("d")).first()
     d = dim if dim is not None else int(sample["d"])
     planes = hyperplanes(n_planes, d, seed)
-    bucketed = df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    bucketed = df.withColumn("__vd", vd_cast(vec_col)).withColumn(
+        "bucket", F.expr(lsh_bucket_sql("__vd", planes))
+    ).drop("__vd")
     (
         bucketed.repartition("bucket")
         .write.mode("overwrite")
@@ -321,9 +516,8 @@ def lsh_ann_topk_at_rest(
         [qb ^ (1 << j) for j in range(n_planes)] if multi_probe else []
     )
     df = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
-    q = F.array(*[F.lit(float(x)) for x in query])
-    scored = df.withColumn(
-        "score", cosine(F.col(vec_col), q).cast("decimal(28,6)").cast("double")
+    scored = df.withColumn("__vd", vd_cast(vec_col)).withColumn(
+        "score", _score6(query_cosine_sql("__vd", query))
     )
     return (
         scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
@@ -377,9 +571,8 @@ def ivf_ann_topk_at_rest(
     order = sorted(range(len(qscores)), key=lambda i: (-qscores[i], i))
     probe = order[:nprobe]
     df = spark.read.parquet(path).filter(F.col("cell").isin(probe))
-    q = F.array(*[F.lit(float(x)) for x in query])
-    scored = df.withColumn(
-        "score", cosine(F.col(vec_col), q).cast("decimal(28,6)").cast("double")
+    scored = df.withColumn("__vd", vd_cast(vec_col)).withColumn(
+        "score", _score6(query_cosine_sql("__vd", query))
     )
     return (
         scored.orderBy(F.col("score").desc(), F.col(id_col).asc())

@@ -45,6 +45,11 @@ def zorder_key(
     bucketed: list[Column] = []
     for c in cols:
         lo, hi = ranges[c]
+        if lo is None or hi is None:
+            # all-NULL column (column_ranges returns None bounds):
+            # nothing to cluster on — constant bucket.
+            bucketed.append(F.lit(0).cast("long"))
+            continue
         span = float(hi) - float(lo)
         if span <= 0:
             bucketed.append(F.lit(0).cast("long"))
@@ -53,7 +58,11 @@ def zorder_key(
         b = F.least(
             F.greatest(F.floor(scaled).cast("long"), F.lit(0)), F.lit(levels)
         )
-        bucketed.append(b)
+        # NULL values get bucket 0 (the nulls-first range) instead of
+        # nulling the whole interleaved key via bitwiseOR(NULL) —
+        # which would collapse EVERY null-bearing row into one
+        # partition regardless of its other columns' values.
+        bucketed.append(F.coalesce(b, F.lit(0).cast("long")))
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, b in enumerate(bucketed):

@@ -60,11 +60,28 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
-def is_bucketed_on(spark: SparkSession, table: str, keys: list[str]) -> bool:
-    """True if ``table``'s bucket spec covers exactly ``keys`` — the
-    precondition for a shuffle-free join on them."""
+def is_bucketed_on(
+    spark: SparkSession,
+    table: str,
+    keys: list[str],
+    n_buckets: int | None = None,
+) -> bool:
+    """True if ``table``'s bucket spec covers exactly ``keys`` — and,
+    when ``n_buckets`` is given, that bucket count.  The count is part
+    of the co-location contract (see module docstring): two tables
+    bucketed on the same keys but different counts still shuffle on
+    join, so callers verifying a shuffle-free join should pass it."""
     rows = spark.sql(f"DESCRIBE EXTENDED {table}").collect()
     info = {r.col_name: (r.data_type or "") for r in rows}
     cols = info.get("Bucket Columns", "")
     got = [c.strip(" `") for c in cols.strip("[]").split(",") if c.strip(" `")]
-    return got == list(keys)
+    if got != list(keys):
+        return False
+    if n_buckets is not None:
+        try:
+            declared = int(str(info.get("Num Buckets", "")).strip())
+        except ValueError:
+            return False
+        if declared != n_buckets:
+            return False
+    return True

@@ -117,11 +117,24 @@ def dedup_append(
                 if date_partition_col is not None:
                     # literal date bounds -> partition pruning on the
                     # Hive layout (the ts predicate alone only skips
-                    # row groups within already-listed files)
-                    slack = timedelta(seconds=lateness_seconds)
+                    # row groups within already-listed files).  A
+                    # DateType ts_col collects as datetime.date, which
+                    # supports neither the timedelta slack's sub-day
+                    # precision nor .date() — branch like
+                    # prune_to_window does.
+                    if isinstance(bounds["lo"], datetime):
+                        slack = timedelta(seconds=lateness_seconds)
+                        d_lo = (bounds["lo"] - slack).date()
+                        d_hi = (bounds["hi"] + slack).date()
+                    else:
+                        slack_days = timedelta(
+                            days=-(-lateness_seconds // 86400)
+                        )
+                        d_lo = bounds["lo"] - slack_days
+                        d_hi = bounds["hi"] + slack_days
                     existing = existing.filter(
-                        (F.col(date_partition_col) >= F.lit((bounds["lo"] - slack).date()))
-                        & (F.col(date_partition_col) <= F.lit((bounds["hi"] + slack).date()))
+                        (F.col(date_partition_col) >= F.lit(d_lo))
+                        & (F.col(date_partition_col) <= F.lit(d_hi))
                     )
         out = new_rows_against(deduped, existing, keys)
         if date_partition_col is not None:

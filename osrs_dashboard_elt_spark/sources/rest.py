@@ -352,7 +352,15 @@ def cached_item_mapping(
     cached = None if force_refresh else _read_cache()
     if cached is not None and required_ids:
         ids = list(dict.fromkeys(int(i) for i in required_ids))
-        found = cached.filter(cached.item_id.isin(ids)).count()
+        # countDistinct, not count: a duplicated cached row for one
+        # required id must not mask another id's absence.
+        from pyspark.sql import functions as F
+
+        found = (
+            cached.filter(cached.item_id.isin(ids))
+            .select(F.countDistinct("item_id").alias("n"))
+            .collect()[0]["n"]
+        )
         if found < len(ids):
             cached = None  # miss -> force refresh, reference rule
     if cached is not None:

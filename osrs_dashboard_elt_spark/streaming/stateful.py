@@ -195,6 +195,7 @@ def running_best_changelog_tws(
     seconds_col: str = "seconds",
     user_col: str = "Username",
     ts_col: str = "ts",
+    require_runtime: bool = True,
 ) -> DataFrame:
     """Same change-log semantics as ``running_best_changelog``, on the
     current-generation ``transformWithStateInPandas`` API: typed
@@ -209,7 +210,27 @@ def running_best_changelog_tws(
     container, present on standard cluster images.  Plan construction
     and schema are environment-independent and tested; the
     ``applyInPandasWithState`` form above is the executable-everywhere
-    implementation and the one the oracle gate checks."""
+    implementation and the one the oracle gate checks.
+
+    ``require_runtime=True`` (default) probes for the protobuf
+    dependency at CALL time and raises an actionable ImportError —
+    without it a missing dependency only surfaces as an opaque worker
+    crash mid-query.  Pass ``require_runtime=False`` to build the
+    (environment-independent) plan without the runtime, e.g. for plan
+    inspection or schema checks."""
+    if require_runtime:
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError as exc:
+            raise ImportError(
+                "running_best_changelog_tws requires google.protobuf "
+                "(the transformWithState JVM<->Python state server "
+                "speaks protobuf). Install `protobuf` / use a cluster "
+                "image with pyspark's connect extras, or use "
+                "running_best_changelog (applyInPandasWithState), "
+                "which has identical semantics and no extra "
+                "dependency."
+            ) from exc
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

@@ -82,14 +82,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         version: tuple = (st.st_mtime_ns, st.st_size)
     except OSError:
         version = ()
-    key = (id(spark), path, version)
+    # applicationId is a stable session identity: unlike id(spark) it
+    # can't alias a new session after a stopped one is GC'd, and it
+    # lets entries from dead sessions be evicted below.
+    app = spark.sparkContext.applicationId
+    key = (app, path, version)
     cached = _T_CACHE.get(key)
     if cached is not None:
         return cached
     df = _t_load(spark, sf_dir, name)
-    # drop superseded versions of the same path so the cache stays
-    # bounded at one entry per live (session, path)
-    for k in [k for k in _T_CACHE if k[:2] == (id(spark), path)]:
+    # drop superseded versions of the same path AND all entries from
+    # other (stopped) sessions so the cache stays bounded at one entry
+    # per (live session, path)
+    for k in [k for k in _T_CACHE if k[:2] == (app, path) or k[0] != app]:
         del _T_CACHE[k]
     _T_CACHE[key] = df
     return df
@@ -1564,33 +1569,63 @@ def q_duration_parse(spark, sf_dir):
 
 
 def _embedding_neardup_oracle(
-    threshold: float, n_planes: int, seed: int, dim: int = 64
+    threshold: float,
+    n_planes: int,
+    seed: int,
+    dim: int = 64,
+    bands: int = 1,
+    max_bucket_size: int | None = None,
 ) -> str:
+    """Mirrors ``embedding_neardup_pairs`` banded blocking exactly:
+    per-band bucket keys, hot-bucket drop, OR-union candidate dedup,
+    join-back exact-cosine scoring."""
     planes = hyperplanes(n_planes, dim, seed)
-    bucket_terms = " + ".join(
-        "(CASE WHEN list_dot_product(list_transform(a.embedding, "
-        "x -> CAST(x AS DOUBLE)), {plane}) > 0 THEN {bit} ELSE 0 END)".format(
-            plane="[" + ", ".join(f"{float(x)!r}" for x in plane) + "]",
-            bit=1 << j,
+    r = n_planes // bands
+
+    def _band_terms(bi: int) -> str:
+        return " + ".join(
+            "(CASE WHEN list_dot_product(vd, {plane}) > 0 THEN {bit} ELSE 0 END)".format(
+                plane="[" + ", ".join(f"{float(x)!r}" for x in plane) + "]",
+                bit=1 << j,
+            )
+            for j, plane in enumerate(planes[bi * r : (bi + 1) * r])
         )
-        for j, plane in enumerate(planes)
-    )
-    pair_dot = (
-        "list_dot_product(list_transform(x.embedding, v -> CAST(v AS DOUBLE)), "
-        "list_transform(y.embedding, v -> CAST(v AS DOUBLE)))"
-    )
 
-    def _norm(side: str) -> str:
-        return _norm_sql(f"{side}.embedding")
-
+    posts = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, {bi} AS bi, CAST({_band_terms(bi)} AS BIGINT) AS bk FROM v"
+        for bi in range(bands)
+    )
+    cap_cte = (
+        f"""capped AS (
+      SELECT vec_id, bi, bk FROM (
+        SELECT vec_id, bi, bk, COUNT(*) OVER (PARTITION BY bi, bk) AS c
+        FROM posts
+      ) WHERE c <= {max_bucket_size}
+    )"""
+        if max_bucket_size is not None
+        else "capped AS (SELECT vec_id, bi, bk FROM posts)"
+    )
     return f"""
-    WITH b AS (
-      SELECT a.vec_id, a.embedding, CAST({bucket_terms} AS BIGINT) AS bucket
-      FROM embeddings a
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+      FROM embeddings
+    ), posts AS (
+{posts}
+    ), {cap_cte}, cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM capped x JOIN capped y
+        ON x.bi = y.bi AND x.bk = y.bk AND x.vec_id < y.vec_id
+    ), u AS (
+      SELECT vec_id,
+             list_transform(vd, x -> x / sqrt(list_dot_product(vd, vd))) AS uv
+      FROM v
     ), scored AS (
-      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-             CAST(CAST({pair_dot} / ({_norm('x')} * {_norm('y')}) AS DECIMAL(28,6)) AS DOUBLE) AS score
-      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      SELECT c.id_a, c.id_b,
+             CAST(CAST(list_dot_product(a.uv, b.uv)
+                  AS DECIMAL(28,6)) AS DOUBLE) AS score
+      FROM cand c
+      JOIN u a ON c.id_a = a.vec_id
+      JOIN u b ON c.id_b = b.vec_id
     )
     SELECT id_a, id_b, score FROM scored WHERE score >= {threshold}
     """
@@ -1858,17 +1893,30 @@ def q_report_recent_achievements(spark, sf_dir):
     )
 
 
-@query("q_embedding_neardup", oracle=_embedding_neardup_oracle(0.25, 4, 42))
+@query(
+    "q_embedding_neardup",
+    oracle=_embedding_neardup_oracle(
+        0.25, 18, 42, bands=3, max_bucket_size=100
+    ),
+)
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs: sign-LSH blocking turns the
-    O(n^2) all-pairs scan into an equi-join on the bucket key (shuffle
-    carries bucket ids, not a cross product); exact cosine only inside
-    buckets."""
+    """Embedding-cosine near-dup pairs: banded sign-LSH blocking (3
+    bands x 6 planes = 64 buckets/band) turns the O(n^2) all-pairs
+    scan into an equi-join carrying only (id, band, key); degenerate
+    buckets are dropped by a broadcast hot-key guard; exact cosine
+    runs only on deduped candidates via join-back."""
     emb = _t(spark, sf_dir, "embeddings")
     from .operators.similarity import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        emb, "vec_id", "embedding", threshold=0.25, n_planes=4, seed=42
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=0.25,
+        n_planes=18,
+        seed=42,
+        bands=3,
+        max_bucket_size=100,
     )
 
 

@@ -174,3 +174,54 @@ def test_shingles_short_and_empty_docs(spark):
         for r in df.select("doc_id", shingles_col("text", 4).alias("s")).collect()
     }
     assert got_col == got
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup: banded sign-LSH hot-bucket cap
+# ---------------------------------------------------------------------------
+
+
+def _vecs(spark, rows, dim):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        f"vec_id long, embedding array<float>",
+    )
+
+
+def test_embedding_neardup_hot_bucket_cap(spark):
+    """An adversarial near-duplicate-heavy corpus: 120 copies of one
+    vector (all land in the same bucket of every band — 7,140 pairs
+    from one reducer if unguarded) plus a handful of honest near-dup
+    pairs elsewhere.  The cap drops the degenerate buckets entirely
+    while honest pairs survive."""
+    from osrs_dashboard_elt_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    dim = 8
+    hot = [(i, [1.0] * dim) for i in range(120)]
+    # honest near-dups: two tight pairs far from the hot direction
+    honest = [
+        (200, [1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0]),
+        (201, [1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -0.9]),
+        (300, [-1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0]),
+        (301, [-0.9, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0]),
+    ]
+    df = _vecs(spark, hot + honest, dim)
+
+    uncapped = embedding_neardup_pairs(
+        df, "vec_id", "embedding", threshold=0.9,
+        n_planes=6, bands=3, dim=dim, max_bucket_size=None,
+    )
+    capped = embedding_neardup_pairs(
+        df, "vec_id", "embedding", threshold=0.9,
+        n_planes=6, bands=3, dim=dim, max_bucket_size=50,
+    )
+
+    n_uncapped = uncapped.count()
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    # unguarded: the hot bucket floods the join with all 120*119/2 pairs
+    assert n_uncapped >= 120 * 119 // 2
+    # guarded: degenerate bucket dropped, honest pairs intact
+    assert (200, 201) in got and (300, 301) in got
+    assert all(a >= 200 for a, _ in got), got

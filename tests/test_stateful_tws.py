@@ -49,8 +49,9 @@ def _events(spark):
 def test_tws_plan_compiles_batch_and_stream(spark, tmp_path):
     """The operator must produce an analyzable plan with the change-log
     schema in both execution modes — catches API drift even where the
-    runtime can't execute."""
-    batch_out = running_best_changelog_tws(_events(spark))
+    runtime can't execute (require_runtime=False skips the protobuf
+    probe; plan construction is environment-independent)."""
+    batch_out = running_best_changelog_tws(_events(spark), require_runtime=False)
     assert batch_out.schema == OUT_SCHEMA
     assert not batch_out.isStreaming
 
@@ -59,9 +60,19 @@ def test_tws_plan_compiles_batch_and_stream(spark, tmp_path):
     stream = spark.readStream.schema(
         "Task string, seconds double, Username string, ts timestamp"
     ).json(str(src))
-    stream_out = running_best_changelog_tws(stream)
+    stream_out = running_best_changelog_tws(stream, require_runtime=False)
     assert stream_out.isStreaming
     assert stream_out.schema == OUT_SCHEMA
+
+
+def test_tws_default_requires_runtime_loudly(spark):
+    """Without protobuf the DEFAULT call must fail at call time with an
+    actionable message naming the dependency and the drop-in
+    alternative — not as an opaque worker crash mid-query."""
+    if _tws_runtime_available():
+        pytest.skip("protobuf present: the loud-failure path can't fire")
+    with pytest.raises(ImportError, match="google.protobuf.*running_best_changelog"):
+        running_best_changelog_tws(_events(spark))
 
 
 @pytest.mark.skipif(
