@@ -297,6 +297,16 @@ def _explode_users(df: DataFrame, user_col: str) -> DataFrame:
     )
 
 
+# Compiled-plan cache: building the ~40-variant CaseWhen forest costs
+# ~1 s of driver time per call (42 F.expr parses + Column tree
+# assembly), paid identically for identical inputs.  Keyed on (session
+# id, semantic hash of the input plan, schema, config fingerprint,
+# options); bounded FIFO so per-micro-batch misses (foreachBatch input
+# plans embed source offsets) can't grow it.
+_PLAN_CACHE: dict[tuple, ParsedStreams] = {}
+_PLAN_CACHE_MAX = 8
+
+
 def build_parse_plan(
     raw: DataFrame,
     cfg: ParseConfig,
@@ -326,6 +336,27 @@ def build_parse_plan(
     (at sf0.1 this is ~3x cheaper than caching the full extraction
     for every row).
     """
+    key: tuple | None = None
+    if not raw.isStreaming:
+        try:
+            key = (
+                raw.sparkSession.sparkContext.applicationId,
+                raw.semanticHash(),
+                str(raw.schema),
+                repr(cfg),
+                id_col,
+                ts_col,
+                content_col,
+                explode_multi_user,
+                cache,
+            )
+        except Exception:
+            key = None
+        if key is not None:
+            hit = _PLAN_CACHE.get(key)
+            if hit is not None:
+                return hit
+
     # NO parallelism floor here: a repartition barrier before the
     # dispatch costs a full shuffle of the raw text (measured ~4.8s
     # extra at sf0.1 — 1.46s -> 6.24s for q_parse_engine) and buys
@@ -447,4 +478,12 @@ def build_parse_plan(
         F.col("Content").alias("raw_content"),
         failure.alias("failure_reason"),
     )
-    return ParsedStreams(chat=chat, broadcasts=broadcasts, unparsed=unparsed)
+    result = ParsedStreams(chat=chat, broadcasts=broadcasts, unparsed=unparsed)
+    if key is not None:
+        # evict other sessions' entries, then FIFO-bound this one's
+        for k in [k for k in _PLAN_CACHE if k[0] != key[0]]:
+            del _PLAN_CACHE[k]
+        while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            del _PLAN_CACHE[next(iter(_PLAN_CACHE))]
+        _PLAN_CACHE[key] = result
+    return result

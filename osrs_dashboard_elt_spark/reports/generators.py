@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.temporal import Period, period_agg_columns
+from ..literals import literal_frame
 from ..operators.dedup import dedup_keep_first_asc
 from ..operators.resample import resample
 from ..operators.sessionize import near_best_band
@@ -173,7 +174,7 @@ def collection_log_report(
     grouped_rows = [
         (g, item) for g, items in groups.items() for item in items
     ]
-    skeleton = spark.createDataFrame(grouped_rows, ["Item_Group", "Item_Name"])
+    skeleton = literal_frame(spark, grouped_rows, ["Item_Group", "Item_Name"])
     # observed items from the (already tiny) counts aggregate — NOT
     # from deduped, which would re-run the dedup window a second time
     observed = counts.select("Item_Name")
@@ -190,8 +191,8 @@ def collection_log_report(
     )
     hist = historical_counts or {}
     if hist:
-        hist_df = spark.createDataFrame(
-            list(hist.items()), ["Item_Name", "historical_count"]
+        hist_df = literal_frame(
+            spark, list(hist.items()), ["Item_Name", "historical_count"]
         )
         out = out.join(F.broadcast(hist_df), "Item_Name", "left")
     else:
@@ -263,7 +264,7 @@ def personal_bests_report(
         F.size("holders").cast("long").alias("n_holders"),
     )
     if historical_tasks:
-        hist = spark.createDataFrame([(t,) for t in historical_tasks], ["Task"])
+        hist = literal_frame(spark, [(t,) for t in historical_tasks], ["Task"])
         missing = hist.join(out.select("Task"), "Task", "left_anti").select(
             "Task",
             F.lit(None).cast(out.schema["best_seconds"].dataType).alias("best_seconds"),

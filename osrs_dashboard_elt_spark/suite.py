@@ -2385,7 +2385,10 @@ def q_pattern_grammar(spark, sf_dir):
     from .config import default_config
     from .plans import build_parse_plan
 
-    raw = spark.createDataFrame(
+    from .literals import literal_frame
+
+    raw = literal_frame(
+        spark,
         [(rid, ANCHOR, msg) for rid, msg, _ in GRAMMAR_CORPUS],
         "id long, timestamp timestamp, raw_content string",
     )
