@@ -1,0 +1,130 @@
+"""Pipeline orchestration policy: stage elision + per-stage failure
+tolerance (reference ``src/run_all_etl.py:117-133,145-155``).
+
+The reference's runner applies two rules this module re-expresses:
+
+- **Elision by age**: the price-fetch stage is skipped when its last
+  SUCCESSFUL run is younger than ``min_time_between_runs`` hours,
+  tracked in ``ETL_state.json`` under
+  ``{stage: {"last_successful_run_utc": iso}}``.  An unreadable or
+  corrupt state file means "run everything" (reference: warns and
+  proceeds).
+- **Failure tolerance**: the price stage may fail without aborting the
+  pipeline (its result is recorded and the run continues); any other
+  stage's failure aborts.
+
+Both are data-independent driver-side policy, so they live apart from
+the Spark stages themselves; ``scripts/run_pipeline.py`` wires them
+around its DataFrame jobs.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable, Iterable, Mapping
+from dataclasses import dataclass
+from datetime import datetime, timedelta, timezone
+from pathlib import Path
+
+
+@dataclass
+class StageResult:
+    name: str
+    status: str  # "ok" | "skipped" | "failed"
+    seconds: float = 0.0
+    detail: str = ""
+
+
+def _utcnow() -> datetime:
+    return datetime.now(timezone.utc)
+
+
+def last_success(state_path: str | Path, stage: str) -> datetime | None:
+    """Parse the stage's last successful run from the state file;
+    None on missing/corrupt state (-> run the stage), mirroring the
+    reference's warn-and-run-everything handling."""
+    p = Path(state_path)
+    try:
+        if not p.exists() or p.stat().st_size == 0:
+            return None
+        state = json.loads(p.read_text())
+        raw = state.get(stage, {}).get("last_successful_run_utc")
+        if not raw:
+            return None
+        ts = datetime.fromisoformat(raw)
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        return ts
+    except (json.JSONDecodeError, KeyError, ValueError, OSError):
+        return None
+
+
+def should_skip_by_age(
+    state_path: str | Path,
+    stage: str,
+    min_hours: float,
+    now: datetime | None = None,
+) -> bool:
+    """True when the stage ran successfully less than ``min_hours``
+    ago (reference run_all_etl.py:122-131)."""
+    last = last_success(state_path, stage)
+    if last is None:
+        return False
+    now = now or _utcnow()
+    return now < last + timedelta(hours=min_hours)
+
+
+def record_success(
+    state_path: str | Path, stage: str, now: datetime | None = None
+) -> None:
+    """Persist the stage's successful run time, preserving other
+    stages' entries (reference run_all_etl.py:157-165)."""
+    p = Path(state_path)
+    try:
+        state = json.loads(p.read_text()) if p.exists() and p.stat().st_size else {}
+    except (json.JSONDecodeError, OSError):
+        state = {}
+    entry = state.setdefault(stage, {})
+    entry["last_successful_run_utc"] = (now or _utcnow()).isoformat()
+    p.parent.mkdir(parents=True, exist_ok=True)
+    tmp = p.with_suffix(p.suffix + ".tmp")
+    tmp.write_text(json.dumps(state, indent=2))
+    tmp.replace(p)
+
+
+def run_stages(
+    stages: Iterable[tuple[str, Callable[[], object]]],
+    state_path: str | Path,
+    elide_after_hours: Mapping[str, float] | None = None,
+    tolerate_failure: Iterable[str] = (),
+    now: datetime | None = None,
+) -> list[StageResult]:
+    """Run ``(name, thunk)`` stages in order under the reference's
+    policy: stages named in ``elide_after_hours`` are skipped when
+    fresh; stages named in ``tolerate_failure`` record a failure and
+    the run continues; any other failure re-raises (aborts).
+    Successful elidable stages update the state file."""
+    elide = dict(elide_after_hours or {})
+    tolerated = set(tolerate_failure)
+    results: list[StageResult] = []
+    for name, thunk in stages:
+        if name in elide and should_skip_by_age(state_path, name, elide[name], now):
+            results.append(
+                StageResult(name, "skipped", 0.0, f"fresh (<{elide[name]}h)")
+            )
+            continue
+        t0 = time.time()
+        try:
+            thunk()
+        except Exception as exc:  # noqa: BLE001 - policy layer
+            if name in tolerated:
+                results.append(
+                    StageResult(name, "failed", time.time() - t0, str(exc)[:200])
+                )
+                continue
+            raise
+        results.append(StageResult(name, "ok", time.time() - t0))
+        if name in elide:
+            record_success(state_path, name, now)
+    return results

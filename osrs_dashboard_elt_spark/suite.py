@@ -984,11 +984,14 @@ def _simhash_oracle(bits: int, max_hamming: int) -> str:
     """
 
 
-@query("q_simhash_pairs", oracle=_simhash_oracle(32, 3))
+@query("q_simhash_pairs", oracle=_simhash_oracle(48, 3))
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs with pigeonhole chunk blocking."""
+    """SimHash near-dup pairs with pigeonhole chunk blocking.  48-bit
+    fingerprints: 12-bit chunks give 4096-value blocking keys (a
+    32-bit fp's 8-bit chunks only take 256 values, so at corpus scale
+    every bucket is n/256 — the docstring's own scale warning)."""
     docs = _t(spark, sf_dir, "documents")
-    out = simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=3)
+    out = simhash_pairs(docs, "doc_id", "text", bits=48, max_hamming=3)
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )

@@ -92,10 +92,24 @@ def synthesize_raw_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, float]:
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    min_hours_between_price_runs: float = 24.0,
+    fail_enrich_for_test: bool = False,
+) -> dict[str, float]:
+    """Run the staged pipeline under the reference's orchestration
+    policy (run_all_etl.py:117-133,145-155): the price-enrichment
+    stage is SKIPPED when its last successful run is younger than
+    ``min_hours_between_price_runs`` (state in ``ETL_state.json``)
+    and may FAIL without aborting the pipeline; every other stage
+    aborts on failure.  ``fail_enrich_for_test`` injects a failure
+    into the enrich stage to exercise the tolerance path."""
     from osrs_dashboard_elt_spark.config import default_config
     from osrs_dashboard_elt_spark.functions.durations import duration_seconds
     from osrs_dashboard_elt_spark.functions.temporal import standard_periods
+    from osrs_dashboard_elt_spark.orchestration import run_stages
     from osrs_dashboard_elt_spark.plans import build_parse_plan
     from osrs_dashboard_elt_spark.reports import (
         leaderboard_report,
@@ -106,150 +120,194 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, fl
     from osrs_dashboard_elt_spark.sources import dedup_append, publish_blue_green
     from osrs_dashboard_elt_spark.suite import ANCHOR
 
-    timings: dict[str, float] = {}
+    counters: dict[str, int] = {}
 
     # -- stage 1: ingest (idempotent) ---------------------------------
-    t0 = time.time()
-    raw = synthesize_raw_messages(spark, sf_dir)
-    # bronze lands Hive-partitioned by day: the overlap anti-join
-    # prunes to the batch's date folders, and retention is a directory
-    # delete — the layout a 100-TB bronze table needs
-    appended = dedup_append(
-        spark, raw, f"{out_dir}/bronze/raw_logs", ["timestamp", "raw_content"],
-        ts_col="timestamp", date_partition_col="ds",
-    )
-    timings["ingest"] = time.time() - t0
-    print(f"[ingest]    +{appended} rows -> bronze/raw_logs")
+    def stage_ingest():
+        raw = synthesize_raw_messages(spark, sf_dir)
+        # bronze lands Hive-partitioned by day: the overlap anti-join
+        # prunes to the batch's date folders, and retention is a
+        # directory delete — the layout a 100-TB bronze table needs
+        counters["appended"] = dedup_append(
+            spark, raw, f"{out_dir}/bronze/raw_logs", ["timestamp", "raw_content"],
+            ts_col="timestamp", date_partition_col="ds",
+        )
+        print(f"[ingest]    +{counters['appended']} rows -> bronze/raw_logs")
 
-    # -- stage 2: parse ----------------------------------------------
-    t0 = time.time()
-    # content-derived surrogate id: stable across runs and partitionings
-    # (monotonically_increasing_id would renumber on every read, which
-    # breaks the idempotent silver appends keyed on raw_log_id)
-    bronze = spark.read.parquet(f"{out_dir}/bronze/raw_logs").withColumn(
-        "id", F.xxhash64("timestamp", "raw_content")
-    )
-    from osrs_dashboard_elt_spark.schema import (
-        CHAT_SCHEMA,
-        CLAN_BROADCASTS_SCHEMA,
-        UNPARSED_LOGS_SCHEMA,
-        conform,
-    )
+    def stage_parse():
+        # content-derived surrogate id: stable across runs and
+        # partitionings (monotonically_increasing_id would renumber on
+        # every read, which breaks the idempotent silver appends keyed
+        # on raw_log_id)
+        bronze = spark.read.parquet(f"{out_dir}/bronze/raw_logs").withColumn(
+            "id", F.xxhash64("timestamp", "raw_content")
+        )
+        from osrs_dashboard_elt_spark.schema import (
+            CHAT_SCHEMA,
+            CLAN_BROADCASTS_SCHEMA,
+            UNPARSED_LOGS_SCHEMA,
+            conform,
+        )
 
-    streams = build_parse_plan(bronze, default_config())
-    # silver tables land on the DECLARED schemas (reference
-    # [database_schema]): missing columns pad as typed nulls, extras
-    # drop, casts apply — same contract as the reference's config DDL
-    n_chat = dedup_append(
-        spark, conform(streams.chat, CHAT_SCHEMA),
-        f"{out_dir}/silver/chat", ["raw_log_id"], ts_col="Timestamp",
-    )
-    n_bc = dedup_append(
-        spark,
-        conform(streams.broadcasts, CLAN_BROADCASTS_SCHEMA),
-        f"{out_dir}/silver/clan_broadcasts",
-        ["raw_log_id", "Username"],
-        ts_col="Timestamp",
-    )
-    n_dead = dedup_append(
-        spark, conform(streams.unparsed, UNPARSED_LOGS_SCHEMA),
-        f"{out_dir}/silver/unparsed_logs", ["raw_log_id"], ts_col="timestamp",
-    )
-    timings["parse"] = time.time() - t0
-    print(f"[parse]     +{n_chat} chat, +{n_bc} broadcasts, +{n_dead} dead-letter")
+        streams = build_parse_plan(bronze, default_config())
+        # silver tables land on the DECLARED schemas (reference
+        # [database_schema]): missing columns pad as typed nulls,
+        # extras drop, casts apply — same contract as the reference's
+        # config DDL
+        counters["n_chat"] = dedup_append(
+            spark, conform(streams.chat, CHAT_SCHEMA),
+            f"{out_dir}/silver/chat", ["raw_log_id"], ts_col="Timestamp",
+        )
+        counters["n_bc"] = dedup_append(
+            spark,
+            conform(streams.broadcasts, CLAN_BROADCASTS_SCHEMA),
+            f"{out_dir}/silver/clan_broadcasts",
+            ["raw_log_id", "Username"],
+            ts_col="Timestamp",
+        )
+        counters["n_dead"] = dedup_append(
+            spark, conform(streams.unparsed, UNPARSED_LOGS_SCHEMA),
+            f"{out_dir}/silver/unparsed_logs", ["raw_log_id"], ts_col="timestamp",
+        )
+        print(
+            f"[parse]     +{counters['n_chat']} chat, +{counters['n_bc']} "
+            f"broadcasts, +{counters['n_dead']} dead-letter"
+        )
 
     # -- stage 2.5: as-of price enrichment (J1 + P10) ------------------
     # The reference resolves missing item values with 1-3 SQL point
     # lookups PER ROW (src/2_parse_engine.py:16-63) — its biggest scale
     # bug.  Here: ONE as-of join against a price series for exactly the
-    # rows that need it (null Item_Value), union back.
-    t0 = time.time()
-    from osrs_dashboard_elt_spark.operators.asof import asof_join
+    # rows that need it (null Item_Value), union back.  This is the
+    # price stage: elidable by age and tolerated on failure, like the
+    # reference's 4_fetch_item_prices.py.
+    def stage_enrich():
+        if fail_enrich_for_test:
+            raise RuntimeError("injected price-stage failure (test)")
+        from osrs_dashboard_elt_spark.operators.asof import asof_join
 
-    bc_all = spark.read.parquet(f"{out_dir}/silver/clan_broadcasts")
-    quotes = (
-        bc_all.filter(F.col("Item_Value").isNotNull())
-        .groupBy("Item_Name", F.date_trunc("day", "Timestamp").alias("quote_ts"))
-        .agg(F.avg("Item_Value").cast("long").alias("quoted_value"))
-    )
-    needs = bc_all.filter(
-        (F.col("Broadcast_Type") == "Valuable Drop") & F.col("Item_Value").isNull()
-    )
-    enriched = asof_join(
-        needs.drop("Item_Value"), quotes, "Item_Name", "Timestamp", "quote_ts",
-        values=["quoted_value"], direction="nearest",
-    ).withColumn("Item_Value", F.col("quoted_value")).drop("quoted_value")
-    rest = bc_all.join(enriched.select("raw_log_id", "Username"), ["raw_log_id", "Username"], "left_anti")
-    publish_blue_green(
-        rest.unionByName(enriched.select(*rest.columns)),
-        f"{out_dir}/silver/clan_broadcasts_enriched",
-    )
-    n_enriched = enriched.count()
-    timings["enrich"] = time.time() - t0
-    print(f"[enrich]    {n_enriched} null-value drops priced via as-of join")
+        bc_all = spark.read.parquet(f"{out_dir}/silver/clan_broadcasts")
+        quotes = (
+            bc_all.filter(F.col("Item_Value").isNotNull())
+            .groupBy("Item_Name", F.date_trunc("day", "Timestamp").alias("quote_ts"))
+            .agg(F.avg("Item_Value").cast("long").alias("quoted_value"))
+        )
+        needs = bc_all.filter(
+            (F.col("Broadcast_Type") == "Valuable Drop") & F.col("Item_Value").isNull()
+        )
+        enriched = asof_join(
+            needs.drop("Item_Value"), quotes, "Item_Name", "Timestamp", "quote_ts",
+            values=["quoted_value"], direction="nearest",
+        ).withColumn("Item_Value", F.col("quoted_value")).drop("quoted_value")
+        rest = bc_all.join(
+            enriched.select("raw_log_id", "Username"),
+            ["raw_log_id", "Username"],
+            "left_anti",
+        )
+        publish_blue_green(
+            rest.unionByName(enriched.select(*rest.columns)),
+            f"{out_dir}/silver/clan_broadcasts_enriched",
+        )
+        counters["n_enriched"] = enriched.count()
+        print(
+            f"[enrich]    {counters['n_enriched']} null-value drops priced "
+            "via as-of join"
+        )
 
     # -- stage 3: transform + blue/green publish ----------------------
-    t0 = time.time()
-    from osrs_dashboard_elt_spark.sources import read_published
+    def stage_transform():
+        from osrs_dashboard_elt_spark.sources import read_published
 
-    bc = read_published(spark, f"{out_dir}/silver/clan_broadcasts_enriched")
-    periods = standard_periods(ANCHOR)
-    reports = {
-        "leaderboard_drops": leaderboard_report(
-            bc.filter(F.col("Broadcast_Type") == "Valuable Drop"),
-            "Username", "Timestamp", periods, value_col="Item_Value",
-        ),
-        "timeseries_drops": timeseries_report(
-            bc.filter(F.col("Broadcast_Type") == "Valuable Drop").withColumn(
-                "v", F.coalesce(F.col("Item_Value").cast("double"), F.lit(0.0))
+        # consume the enriched publish when it exists; fall back to the
+        # raw silver table when the (tolerated) price stage has never
+        # succeeded — the pipeline completes without fresh prices,
+        # matching the reference's continue-on-price-failure rule
+        try:
+            bc = read_published(spark, f"{out_dir}/silver/clan_broadcasts_enriched")
+        except Exception:
+            bc = spark.read.parquet(f"{out_dir}/silver/clan_broadcasts")
+        periods = standard_periods(ANCHOR)
+        reports = {
+            "leaderboard_drops": leaderboard_report(
+                bc.filter(F.col("Broadcast_Type") == "Valuable Drop"),
+                "Username", "Timestamp", periods, value_col="Item_Value",
             ),
-            "Timestamp", ["1 day", "1 week"], "v",
-        ),
-        "personal_bests": personal_bests_report(
-            spark,
-            bc.filter(F.col("Broadcast_Type") == "Personal Best").withColumn(
-                "seconds", duration_seconds(F.col("PB_Time"))
+            "timeseries_drops": timeseries_report(
+                bc.filter(F.col("Broadcast_Type") == "Valuable Drop").withColumn(
+                    "v", F.coalesce(F.col("Item_Value").cast("double"), F.lit(0.0))
+                ),
+                "Timestamp", ["1 day", "1 week"], "v",
             ),
-            "Task_Name", "Username", "seconds", "Timestamp",
-            threshold=0.0, grouping_window_seconds=10.0,
-        ),
-        "recent_achievements": recent_achievements_report(
-            bc.select("Broadcast_Type", "Username", "Timestamp"),
-            "Broadcast_Type", "Timestamp", 5,
-        ),
-    }
-    for name, df in reports.items():
-        color = publish_blue_green(df, f"{out_dir}/gold/{name}")
-        print(f"[transform] gold/{name} -> {color} ({df.columns})")
-    timings["transform"] = time.time() - t0
+            "personal_bests": personal_bests_report(
+                spark,
+                bc.filter(F.col("Broadcast_Type") == "Personal Best").withColumn(
+                    "seconds", duration_seconds(F.col("PB_Time"))
+                ),
+                "Task_Name", "Username", "seconds", "Timestamp",
+                threshold=0.0, grouping_window_seconds=10.0,
+            ),
+            "recent_achievements": recent_achievements_report(
+                bc.select("Broadcast_Type", "Username", "Timestamp"),
+                "Broadcast_Type", "Timestamp", 5,
+            ),
+        }
+        for name, df in reports.items():
+            color = publish_blue_green(df, f"{out_dir}/gold/{name}")
+            print(f"[transform] gold/{name} -> {color} ({df.columns})")
 
     # -- stage 4: run summary (S15) + notify (S14) --------------------
     # Reference scripts end by writing summaries/<script>_summary_<ts>.txt
     # and POSTing the same text to a webhook (shared_utils.py:32-42,
     # :128-147).  Transport is unconfigured here (no network) so notify
     # skips, exactly like the reference's placeholder-URL rule.
-    from osrs_dashboard_elt_spark.observability import (
-        notify,
-        render_run_summary,
-        webhook_transport,
-        write_summary_file,
-    )
+    def stage_summary():
+        from osrs_dashboard_elt_spark.observability import (
+            notify,
+            render_run_summary,
+            webhook_transport,
+            write_summary_file,
+        )
 
-    summary = render_run_summary(
-        "OSRS Dashboard ELT (Spark)",
-        "run_pipeline",
-        {
-            "New Raw Messages Added": appended,
-            "New Chat Messages Added": n_chat,
-            "New Broadcasts Added": n_bc,
-            "Dead-Lettered (Unparsed)": n_dead,
-            "Drops Priced via As-Of Join": n_enriched,
-        },
+        summary = render_run_summary(
+            "OSRS Dashboard ELT (Spark)",
+            "run_pipeline",
+            {
+                "New Raw Messages Added": counters.get("appended", 0),
+                "New Chat Messages Added": counters.get("n_chat", 0),
+                "New Broadcasts Added": counters.get("n_bc", 0),
+                "Dead-Lettered (Unparsed)": counters.get("n_dead", 0),
+                "Drops Priced via As-Of Join": counters.get(
+                    "n_enriched", "skipped/failed"
+                ),
+            },
+        )
+        run_ts = time.strftime("%Y-%m-%d_%H-%M-%S")
+        path = write_summary_file(
+            "run_pipeline", summary, f"{out_dir}/summaries", run_ts
+        )
+        notify(summary, webhook_transport(None))  # unconfigured -> skipped
+        print(f"[summary]   {path}")
+
+    # Reference policy (run_all_etl.py:117-133,145-155): "enrich" (the
+    # price stage) is elidable by age and tolerated on failure; every
+    # other stage aborts the run.
+    results = run_stages(
+        [
+            ("ingest", stage_ingest),
+            ("parse", stage_parse),
+            ("enrich", stage_enrich),
+            ("transform", stage_transform),
+            ("summary", stage_summary),
+        ],
+        state_path=f"{out_dir}/ETL_state.json",
+        elide_after_hours={"enrich": min_hours_between_price_runs},
+        tolerate_failure={"enrich"},
     )
-    run_ts = time.strftime("%Y-%m-%d_%H-%M-%S")
-    path = write_summary_file("run_pipeline", summary, f"{out_dir}/summaries", run_ts)
-    notify(summary, webhook_transport(None))  # unconfigured -> skipped
-    print(f"[summary]   {path}")
+    timings: dict[str, float] = {}
+    for r in results:
+        timings[r.name] = r.seconds
+        if r.status != "ok":
+            print(f"[{r.name}]    {r.status}: {r.detail}")
     return timings
 
 

@@ -41,3 +41,25 @@ def test_pipeline_end_to_end_and_idempotent(spark, tmp_path):
     for t, n in counts_before.items():
         assert spark.read.parquet(f"{out}/{t}").count() == n, t
     assert read_published(spark, f"{out}/gold/leaderboard_drops").count() == lb.count()
+
+
+def test_pipeline_survives_price_stage_failure(spark, tmp_path):
+    """Reference policy: the price stage may fail without aborting —
+    gold still publishes (from the un-enriched silver fallback), and
+    no success timestamp is recorded so the next run retries enrich."""
+    import json
+
+    out = str(tmp_path / "lake")
+    run_pipeline(spark, SF_DIR, out, fail_enrich_for_test=True)
+
+    from osrs_dashboard_elt_spark.sources import read_published
+
+    lb = read_published(spark, f"{out}/gold/leaderboard_drops")
+    assert lb.count() > 0  # transform ran despite the enrich failure
+    state_path = f"{out}/ETL_state.json"
+    import os
+
+    state = (
+        json.load(open(state_path)) if os.path.exists(state_path) else {}
+    )
+    assert "enrich" not in state  # failure must not register success
