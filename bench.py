@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "q_running_best_changelog",
     "q_set_except",
     "q_simhash_pairs",
+    "q_streaming_windowed_rollup",
+    "q_streaming_session_rollup",
 ]
 
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import re
 import tomllib
+from collections.abc import Sequence
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 from typing import Any
@@ -732,3 +733,94 @@ def dump_config(cfg: EngineConfig) -> str:
         out.append("]")
 
     return "\n".join(out) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# TOML validation report (reference src/Validate_toml.py:13-55)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ValidationIssue:
+    """One problem found while validating a TOML config file.
+
+    kind: 'missing' | 'decode' | 'shape'.  Decode issues carry the
+    1-based line/column parsed from the TOMLDecodeError (the
+    reference's compatibility regex) and a two-line caret context
+    excerpt when the file is readable."""
+
+    path: str
+    kind: str
+    message: str
+    line: int | None = None
+    col: int | None = None
+    context: str | None = None
+
+
+_TOML_LOC_RX = re.compile(r"\(at line (\d+), column (\d+)\)")
+
+
+def _decode_context(path: str, line: int, col: int) -> str | None:
+    try:
+        with open(path, "r", encoding="utf-8") as f:
+            lines = f.readlines()
+        bad = lines[line - 1].rstrip("\n")
+        return f"| {bad}\n| {' ' * (col - 1)}^"
+    except (OSError, IndexError):
+        return None
+
+
+def validate_toml_files(
+    paths: Sequence[str],
+    shape_loaders: dict[str, Any] | None = None,
+) -> list[ValidationIssue]:
+    """Validate every file, collecting ALL problems instead of raising
+    on the first (the reference validator walks its whole file list
+    and pretty-prints each failure with line/col + a caret excerpt —
+    Validate_toml.py:20-52; plain ``load_config`` still raises).
+
+    ``shape_loaders`` optionally maps a path to a loader callable
+    (e.g. ``load_config_dict``) run on the decoded dict, so schema
+    problems (missing [patterns].Chat, bad durations, regex dialect)
+    are reported alongside syntax errors."""
+    issues: list[ValidationIssue] = []
+    for path in paths:
+        try:
+            with open(path, "rb") as f:
+                decoded = tomllib.load(f)
+        except FileNotFoundError:
+            issues.append(
+                ValidationIssue(path, "missing", f"File not found at '{path}'")
+            )
+            continue
+        except tomllib.TOMLDecodeError as e:
+            msg = str(e)
+            m = _TOML_LOC_RX.search(msg)
+            line = int(m.group(1)) if m else None
+            col = int(m.group(2)) if m else None
+            ctx = _decode_context(path, line, col) if m else None
+            issues.append(
+                ValidationIssue(path, "decode", msg, line, col, ctx)
+            )
+            continue
+        loader = (shape_loaders or {}).get(path)
+        if loader is not None:
+            try:
+                loader(decoded)
+            except Exception as e:  # noqa: BLE001 - collected, not raised
+                issues.append(ValidationIssue(path, "shape", str(e)))
+    return issues
+
+
+def format_validation_report(issues: Sequence[ValidationIssue]) -> str:
+    """Human-readable report in the reference validator's voice."""
+    if not issues:
+        return "All TOML files valid."
+    out: list[str] = []
+    for i in issues:
+        out.append(f"{i.path}: [{i.kind}] {i.message}")
+        if i.line is not None:
+            out.append(f"   -> Occurred at Line {i.line}, Column {i.col}")
+        if i.context:
+            out.extend("   " + ln for ln in i.context.splitlines())
+    return "\n".join(out)

@@ -2562,6 +2562,82 @@ def q_running_best_changelog(spark, sf_dir):
     )
 
 
+_WINDOWED_ROLLUP_ORACLE = f"""
+    SELECT strftime(make_timestamp((epoch_us(ts) // 21600000000) * 21600000000),
+                    '{TS_FMT_DUCK}') AS bucket_str,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+"""
+
+
+@query("q_streaming_windowed_rollup", oracle=_WINDOWED_ROLLUP_ORACLE)
+def q_streaming_windowed_rollup(spark, sf_dir):
+    """T1's streaming operator (`streaming_windowed_rollup`) run in its
+    batch-equivalent mode: the SAME function computes event-time
+    tumbling 6h windows on the batch table, oracled against DuckDB's
+    epoch-aligned buckets — so the streaming rollup's windowing and
+    aggregation semantics are hash-pinned, not just smoke-tested."""
+    from .streaming.ingest import streaming_windowed_rollup
+
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    out = streaming_windowed_rollup(ev, freq="6 hours", ts_col="ts", value_col="v")
+    return out.select(
+        F.date_format("bucket_start", TS_FMT_SPARK).alias("bucket_str"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+_SESSION_ROLLUP_GAP_MIN = 30
+_SESSION_ROLLUP_ORACLE = f"""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN ts >= COALESCE(
+                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                    TIMESTAMP '1900-01-01'
+                  ) + INTERVAL {_SESSION_ROLLUP_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start_str,
+           strftime(MAX(ts) + INTERVAL {_SESSION_ROLLUP_GAP_MIN} MINUTE,
+                    '{TS_FMT_DUCK}') AS session_end_str,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+"""
+
+
+@query("q_streaming_session_rollup", oracle=_SESSION_ROLLUP_ORACLE)
+def q_streaming_session_rollup(spark, sf_dir):
+    """W6's true streaming analog (`streaming_session_rollup`,
+    engine-native session_window) in batch-equivalent mode: per-user
+    sessions closing after 30 minutes of inactivity, oracled against
+    the classic lag->boundary->running-sum sessionization — pinning
+    session start/end (= last event + gap) and per-session counts."""
+    from .streaming.ingest import streaming_session_rollup
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    out = streaming_session_rollup(
+        ev, gap=f"{_SESSION_ROLLUP_GAP_MIN} minutes", ts_col="ts",
+        key_cols=["user_id"],
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", TS_FMT_SPARK).alias("session_start_str"),
+        F.date_format("session_end", TS_FMT_SPARK).alias("session_end_str"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data sampling family (operators/sampling.py).  No reference
 # analog (SURVEY §6 LLM-pipeline extension); every decision is a pure

@@ -322,3 +322,58 @@ def test_load_reference_historical_clog():
     gm = h.group_map()
     assert any("Abyssal whip" in items for items in gm.values())
     assert (("Onyx bolt",)) in h.exclude_rules
+
+
+# ---------------------------------------------------------------------------
+# TOML validation report (reference src/Validate_toml.py:13-55)
+# ---------------------------------------------------------------------------
+
+
+def test_validate_toml_collects_all_issues(tmp_path):
+    """One malformed file, one missing file, one shape-invalid file:
+    the report contains ALL three with line/col + caret context for
+    the decode error — not just the first failure."""
+    from osrs_dashboard_elt_spark.config_loader import (
+        format_validation_report,
+        load_config_dict,
+        validate_toml_files,
+    )
+
+    bad = tmp_path / "broken.toml"
+    bad.write_text('[section]\nkey = "unclosed\n')
+    missing = str(tmp_path / "nope.toml")
+    shape = tmp_path / "shape.toml"
+    shape.write_text("[api_settings]\nx = 1\n")  # valid TOML, no [patterns].Chat
+
+    issues = validate_toml_files(
+        [str(bad), missing, str(shape)],
+        shape_loaders={str(shape): load_config_dict},
+    )
+    kinds = [(i.path, i.kind) for i in issues]
+    assert kinds == [
+        (str(bad), "decode"),
+        (missing, "missing"),
+        (str(shape), "shape"),
+    ]
+    decode = issues[0]
+    assert decode.line == 2 and decode.col is not None
+    assert decode.context is not None and "^" in decode.context
+    assert 'key = "unclosed' in decode.context
+
+    report = format_validation_report(issues)
+    assert "Occurred at Line 2" in report
+    assert "File not found" in report
+    assert "Chat" in report  # shape error names the missing entry
+
+
+def test_validate_toml_clean_files_no_issues(tmp_path):
+    from osrs_dashboard_elt_spark.config_loader import (
+        format_validation_report,
+        validate_toml_files,
+    )
+
+    ok = tmp_path / "ok.toml"
+    ok.write_text("[a]\nb = 1\n")
+    issues = validate_toml_files([str(ok)])
+    assert issues == []
+    assert format_validation_report(issues) == "All TOML files valid."
