@@ -172,14 +172,26 @@ def changelog_via_stream(
     )
     out = running_best_changelog(stream, "key", "seconds", "holder", "ts")
     qname = f"pb_changelog_{uuid.uuid4().hex[:12]}"
-    q = (
-        out.writeStream.queryName(qname)
-        .format("memory")
-        .outputMode("append")
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # The stateful shuffle's partition count is baked into the (fresh)
+    # checkpoint at first start, and each partition carries a state
+    # store + an Arrow Python worker — 32 of each for a handful of
+    # keys is pure setup overhead.  Pin a small count for THIS query's
+    # start and restore the session value right after; the one-shot
+    # stream never restarts, so the pinned value stays consistent with
+    # its checkpoint for the query's whole life.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.queryName(qname)
+            .format("memory")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     q.awaitTermination(timeout_sec)
     return spark.table(qname)
 
