@@ -141,6 +141,36 @@ def _gated_rlike(src: str, regex: str) -> str:
     return cond
 
 
+# Column-level memo for the cfg-derived expression forests.  Unlike
+# _PLAN_CACHE (keyed on the INPUT plan), these unresolved Column trees
+# depend only on (source column name, config) — they are reusable
+# across different input DataFrames, so e.g. a second parse query over
+# differently-synthesized raw content still skips the ~40-branch
+# F.expr parses.  Keyed on the session (Py4J expression handles don't
+# outlive the JVM); bounded FIFO.
+_COL_CACHE: dict[tuple, object] = {}
+_COL_CACHE_MAX = 64
+
+
+def _cfg_memo(tag: str, cfg: ParseConfig, extra: tuple, build):
+    try:
+        from pyspark.sql import SparkSession
+
+        sess = SparkSession.getActiveSession()
+        app = sess.sparkContext.applicationId if sess else None
+    except Exception:
+        app = None
+    key = (app, tag, repr(cfg), extra)
+    hit = _COL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    val = build()
+    while len(_COL_CACHE) >= _COL_CACHE_MAX:
+        del _COL_CACHE[next(iter(_COL_CACHE))]
+    _COL_CACHE[key] = val
+    return val
+
+
 def _variant_index(src: str, cfg: ParseConfig, gated: bool = True) -> Column:
     """0-based global variant index in config order; -1 = no match.
     The CASE order IS the first-match-wins semantics (the contains
@@ -160,7 +190,10 @@ def _variant_index(src: str, cfg: ParseConfig, gated: bool = True) -> Column:
             idx += 1
     if not branches:
         return F.lit(-1).cast("int")
-    return F.expr("CAST(CASE " + " ".join(branches) + " ELSE -1 END AS INT)")
+    return _cfg_memo(
+        "variant_index", cfg, (src, gated),
+        lambda: F.expr("CAST(CASE " + " ".join(branches) + " ELSE -1 END AS INT)"),
+    )
 
 
 def _extract_columns(src: str, variant_col: str, cfg: ParseConfig) -> dict[str, Column]:
@@ -176,21 +209,24 @@ def _extract_columns(src: str, variant_col: str, cfg: ParseConfig) -> dict[str, 
                     continue
                 specs.append((idx, variant.regex, col_name, pos))
             idx += 1
-    out: dict[str, Column] = {}
-    for col_name in cfg.all_columns():
-        branches = [
-            f"WHEN {variant_col} = {i} THEN regexp_extract({src}, {_q(rx)}, {pos})"
-            for i, rx, c, pos in specs
-            if c == col_name
-        ]
-        if branches:
-            sql = "nullif(trim(CASE " + " ".join(branches) + " END), '')"
-        else:
-            sql = "CAST(NULL AS STRING)"
-        if col_name in cfg.numeric_columns:
-            sql = f"CAST(regexp_replace({sql}, ',', '') AS BIGINT)"
-        out[col_name] = F.expr(sql)
-    return out
+    def _build() -> dict[str, Column]:
+        out: dict[str, Column] = {}
+        for col_name in cfg.all_columns():
+            branches = [
+                f"WHEN {variant_col} = {i} THEN regexp_extract({src}, {_q(rx)}, {pos})"
+                for i, rx, c, pos in specs
+                if c == col_name
+            ]
+            if branches:
+                sql = "nullif(trim(CASE " + " ".join(branches) + " END), '')"
+            else:
+                sql = "CAST(NULL AS STRING)"
+            if col_name in cfg.numeric_columns:
+                sql = f"CAST(regexp_replace({sql}, ',', '') AS BIGINT)"
+            out[col_name] = F.expr(sql)
+        return out
+
+    return dict(_cfg_memo("extract_columns", cfg, (src, variant_col), _build))
 
 
 def _broadcast_type(variant_col: str, cfg: ParseConfig) -> Column:
@@ -242,7 +278,10 @@ def _required_ok_by_variant(src: str, variant_col: str, cfg: ParseConfig) -> Col
             idx += 1
     if not branches:
         return F.lit(False)
-    return F.expr("CASE " + " ".join(branches) + " ELSE false END")
+    return _cfg_memo(
+        "required_ok", cfg, (src, variant_col),
+        lambda: F.expr("CASE " + " ".join(branches) + " ELSE false END"),
+    )
 
 
 def _game_mode(content: Column, cfg: ParseConfig) -> Column:
