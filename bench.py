@@ -21,10 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-# Headline queries: the relational core + the scale-relevant pipeline
-# operators.  The quadratic-at-tiny-vocab pair generators (simhash over
-# word tokens) are correctness-gated but not benched; minhash/jaccard
-# run over shingles and stay sub-quadratic.
+# Headline queries: the FULL oracle-checked set — BENCH and
+# CORRECTNESS cover the same names, so every correctness row has a
+# matching timing.
 BENCH_QUERIES = [
     "q01_pricing_summary",
     "q03_top_revenue_orders",
@@ -89,6 +88,8 @@ BENCH_QUERIES = [
     "q_simhash_pairs",
     "q_streaming_windowed_rollup",
     "q_streaming_session_rollup",
+    "q_doc_chunks",
+    "q_pack_sequences",
 ]
 
 

@@ -1,6 +1,7 @@
 """Reusable dataflow operators (SURVEY.md §2 inventory, Spark-first)."""
 
 from .asof import asof_join
+from .chunking import chunk_documents
 from .dedup import (
     dedup_keep_first,
     dedup_keep_first_asc,
@@ -24,6 +25,7 @@ from .exclusions import (
     scrub_holder_arrays,
 )
 from .interval_join import binned_interval_join, interval_join
+from .packing import pack_chunks, pack_summary
 from .remap import MappingRule, apply_mapping, find_conflicts, remap_expr
 from .resample import bucket_col, resample
 from .skew import ensure_min_partitions, salted_agg, salted_join
@@ -45,6 +47,9 @@ from .zorder import column_ranges, write_zordered, zorder_key
 
 __all__ = [
     "asof_join",
+    "chunk_documents",
+    "pack_chunks",
+    "pack_summary",
     "dedup_keep_first",
     "dedup_keep_first_asc",
     "exact_dedup",

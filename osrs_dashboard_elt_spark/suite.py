@@ -2562,6 +2562,109 @@ def q_running_best_changelog(spark, sf_dir):
     )
 
 
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 32, 8
+_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
+_DOC_CHUNKS_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+    ), s AS (
+      SELECT doc_id, toks, n,
+             UNNEST(range(0, CAST((n - 1) // {_CHUNK_STRIDE} AS BIGINT) * {_CHUNK_STRIDE} + 1,
+                          {_CHUNK_STRIDE})) AS start
+      FROM b
+    )
+    SELECT doc_id AS id,
+           CAST(start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(toks, start + 1, start + {_CHUNK_TOKENS}), ' ') AS chunk_text,
+           CAST(len(list_slice(toks, start + 1, start + {_CHUNK_TOKENS})) AS BIGINT) AS n_tokens
+    FROM s
+    WHERE start = 0 OR n > start + {_CHUNK_OVERLAP}
+"""
+
+
+@query("q_doc_chunks", oracle=_DOC_CHUNKS_ORACLE)
+def q_doc_chunks(spark, sf_dir):
+    """Training-data chunking: fixed token windows with overlap (the
+    pretraining shape preceding packing/tokenization).  Pure per-row
+    generate — tokenize once, sequence the window starts, explode,
+    slice — zero shuffle; trailing windows that are strict suffixes of
+    their predecessor are dropped.  Integer window arithmetic and
+    token re-joins make the oracle exact."""
+    from .operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "doc_id", "text",
+        chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP,
+    )
+
+
+_PACK_SEQ_LEN = 64
+_PACK_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS toks,
+             lang
+      FROM documents
+    ), b AS (
+      SELECT doc_id, toks, lang, len(toks) AS n FROM t WHERE len(toks) > 0
+    ), s AS (
+      SELECT doc_id, toks, lang, n,
+             UNNEST(range(0, CAST((n - 1) // {_CHUNK_STRIDE} AS BIGINT) * {_CHUNK_STRIDE} + 1,
+                          {_CHUNK_STRIDE})) AS start
+      FROM b
+    ), c AS (
+      SELECT doc_id AS id, lang,
+             CAST(start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+             CAST(len(list_slice(toks, start + 1, start + {_CHUNK_TOKENS})) AS BIGINT) AS n_tokens
+      FROM s
+      WHERE start = 0 OR n > start + {_CHUNK_OVERLAP}
+    ), o AS (
+      SELECT lang, id, chunk_idx, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seq_offset
+      FROM c
+    )
+    SELECT lang, id, chunk_idx, n_tokens,
+           CAST(seq_offset AS BIGINT) AS seq_offset,
+           CAST(seq_offset // {_PACK_SEQ_LEN} AS BIGINT) AS seq_id
+    FROM o
+"""
+
+
+@query("q_pack_sequences", oracle=_PACK_ORACLE)
+def q_pack_sequences(spark, sf_dir):
+    """Chunk -> pack: the training-sequence assignment downstream of
+    q_doc_chunks.  Chunks are packed per language shard in (doc,
+    chunk) order — seq_id = floor(tokens_before / seq_len) under a
+    per-shard running count (streaming-concat packing; one shuffle on
+    the shard key, integer-exact)."""
+    from .operators.chunking import chunk_documents
+    from .operators.packing import pack_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs, "doc_id", "text",
+        chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP,
+    ).drop("chunk_text")
+    sharded = chunks.join(
+        F.broadcast(docs.select(F.col("doc_id").alias("id"), "lang")), "id"
+    )
+    packed = pack_chunks(
+        sharded, "lang", ["id", "chunk_idx"], "n_tokens", _PACK_SEQ_LEN
+    )
+    return packed.select(
+        "lang", "id", "chunk_idx", "n_tokens",
+        F.col("seq_offset").cast("long").alias("seq_offset"),
+        "seq_id",
+    )
+
+
 _WINDOWED_ROLLUP_ORACLE = f"""
     SELECT strftime(make_timestamp((epoch_us(ts) // 21600000000) * 21600000000),
                     '{TS_FMT_DUCK}') AS bucket_str,

@@ -432,3 +432,83 @@ def test_redact_pii_categories_and_order(spark):
     by_id = {r.id: (r.has_email, r.has_ip, r.has_number, r.has_phone) for r in flags}
     assert by_id[1][0] and by_id[2][1] and by_id[3][2] and by_id[4][3]
     assert by_id[5] == (False, False, False, False)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (operators/chunking.py)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_edges(spark):
+    """Window arithmetic edge cases: empty doc -> nothing; doc shorter
+    than a chunk -> one whole-doc window; exact stride boundary; a
+    trailing window that is a strict suffix of its predecessor is
+    dropped; overlap tokens shared between consecutive windows."""
+    import pytest as _pytest
+
+    from osrs_dashboard_elt_spark.literals import literal_frame
+    from osrs_dashboard_elt_spark.operators.chunking import chunk_documents
+
+    def words(n, p="w"):
+        return " ".join(f"{p}{i}" for i in range(n))
+
+    docs = literal_frame(
+        spark,
+        [
+            (1, ""),                 # empty -> no chunks
+            (2, "   \t  "),          # whitespace only -> no chunks
+            (3, words(5)),           # < chunk -> single window of 5
+            (4, words(8)),           # == chunk -> single window
+            (5, words(9)),           # 9 = stride(6)+3 > overlap(2) -> 2 windows
+            (6, words(7)),           # trailing start=6, 7 <= 6+2 -> suffix, dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=8, overlap=2)
+    rows = {(r.id, r.chunk_idx): (r.chunk_text, r.n_tokens) for r in out.collect()}
+    ids = {k[0] for k in rows}
+    assert 1 not in ids and 2 not in ids
+    assert rows[(3, 0)] == (words(5), 5)
+    assert rows[(4, 0)] == (words(8), 8)
+    # doc 5: window 0 = tokens 0..7, window 1 = tokens 6..8 (overlap w6,w7)
+    assert rows[(5, 0)][1] == 8
+    assert rows[(5, 1)] == ("w6 w7 w8", 3)
+    assert (5, 2) not in rows
+    # doc 6: start=6 window would be (w6,) — entirely inside window 0 -> dropped
+    assert rows[(6, 0)][1] == 7 and (6, 1) not in rows
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=8, overlap=5)
+
+
+def test_pack_chunks_streaming_concat(spark):
+    """Packing: per-shard running token count, seq_id = floor(before /
+    seq_len); chunks never split, sequences may overflow by < one
+    chunk; shards pack independently."""
+    from osrs_dashboard_elt_spark.literals import literal_frame
+    from osrs_dashboard_elt_spark.operators.packing import pack_chunks, pack_summary
+
+    chunks = literal_frame(
+        spark,
+        [
+            ("en", 1, 0, 60), ("en", 1, 1, 60), ("en", 2, 0, 60),
+            ("de", 9, 0, 100), ("de", 9, 1, 30),
+        ],
+        "lang string, id long, chunk_idx long, n_tokens long",
+    )
+    packed = pack_chunks(chunks, "lang", ["id", "chunk_idx"], "n_tokens", 128)
+    got = {
+        (r.lang, r.id, r.chunk_idx): (r.seq_offset, r.seq_id)
+        for r in packed.collect()
+    }
+    assert got[("en", 1, 0)] == (0, 0)
+    assert got[("en", 1, 1)] == (60, 0)
+    assert got[("en", 2, 0)] == (120, 0)   # first token lands in seq 0 (overflow)
+    assert got[("de", 9, 0)] == (0, 0)
+    assert got[("de", 9, 1)] == (100, 0)
+    summary = {
+        (r.lang, r.seq_id): (r.n_chunks, r.n_tokens)
+        for r in pack_summary(packed, "lang", "n_tokens").collect()
+    }
+    assert summary[("en", 0)] == (3, 180)
+    assert summary[("de", 0)] == (2, 130)
