@@ -117,6 +117,9 @@ def main() -> None:
         "q_parse_engine",
         "q_media_features",
         "q_rest_timeseries",  # python-datasource runner startup (~7s once)
+        "q_embedding_neardup",  # unrolled-dot codegen compilation
+        "q_simhash_pairs",  # per-bit aggregate codegen compilation
+        "q_running_best_changelog",  # streaming engine + state-store spin-up
     ):
         try:
             qs[warm_q](spark, warm_dir).count()
