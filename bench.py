@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "q_streaming_session_rollup",
     "q_doc_chunks",
     "q_pack_sequences",
+    "q_dedup_clusters",
 ]
 
 

@@ -2,6 +2,7 @@
 
 from .asof import asof_join
 from .chunking import chunk_documents
+from .components import connected_components, dedup_clusters
 from .dedup import (
     dedup_keep_first,
     dedup_keep_first_asc,
@@ -48,6 +49,8 @@ from .zorder import column_ranges, write_zordered, zorder_key
 __all__ = [
     "asof_join",
     "chunk_documents",
+    "connected_components",
+    "dedup_clusters",
     "pack_chunks",
     "pack_summary",
     "dedup_keep_first",

@@ -903,7 +903,11 @@ def _shingles_sql(n: int) -> str:
     )
 
 
-def _minhash_oracle(num_perm: int, bands: int, seed: int, shingle_n: int) -> str:
+def _minhash_oracle(
+    num_perm: int, bands: int, seed: int, shingle_n: int
+) -> tuple[str, str, str]:
+    """Returns (full oracle SQL, its CTE list, its final SELECT) so the
+    dedup-cluster oracle can reuse the exact pair derivation."""
     params = minhash_params(num_perm, seed)
     rows = num_perm // bands
     sig_exprs = ",\n           ".join(
@@ -922,8 +926,7 @@ def _minhash_oracle(num_perm: int, bands: int, seed: int, shingle_n: int) -> str
         for b in range(bands)
     )
     toks_hash = _TOKHASH_SQL.format(toks=_shingles_sql(shingle_n))
-    return f"""
-    WITH th AS (
+    ctes = f"""th AS (
       SELECT doc_id, {toks_hash} AS th FROM documents
       WHERE len({_shingles_sql(shingle_n)}) > 0
     ), sig AS (
@@ -934,14 +937,15 @@ def _minhash_oracle(num_perm: int, bands: int, seed: int, shingle_n: int) -> str
       SELECT doc_id,
            {band_exprs}
       FROM sig
-    )
-    SELECT DISTINCT id_a, id_b FROM (
+    )"""
+    final = f"""SELECT DISTINCT id_a, id_b FROM (
       {band_joins}
-    )
-    """
+    )"""
+    full = "WITH " + ctes + "\n    " + final
+    return full, ctes, final
 
 
-@query("q_minhash_lsh_pairs", oracle=_minhash_oracle(16, 4, 42, 3))
+@query("q_minhash_lsh_pairs", oracle=_minhash_oracle(16, 4, 42, 3)[0])
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH candidate pairs over 3-gram shingles: signatures are
     scan-side column expressions; banding turns all-pairs into an
@@ -951,6 +955,48 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         docs, "doc_id", "text", num_perm=16, bands=4, seed=42, shingle_n=3
+    )
+
+
+def _dedup_clusters_oracle() -> str:
+    _, ctes, final = _minhash_oracle(16, 4, 42, 3)
+    return f"""
+    WITH RECURSIVE {ctes}, pairs AS (
+      {final}
+    ), e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.label FROM reach r JOIN e ON e.dst = r.id
+    )
+    SELECT id AS doc_id,
+           CAST(MIN(label) AS BIGINT) AS cluster_id,
+           MIN(label) = id AS is_canonical
+    FROM reach GROUP BY id
+    """
+
+
+@query("q_dedup_clusters", oracle=_dedup_clusters_oracle())
+def q_dedup_clusters(spark, sf_dir):
+    """Pairs -> CLUSTERS: iterative min-label connected components over
+    the MinHash near-dup edges (the step Spark lacks natively), with
+    the component minimum as the deterministic cluster id and the
+    keep-lowest-id member canonical.  The oracle replays the exact
+    pair derivation, then closes it transitively with a recursive
+    CTE — an independent fixpoint computation checking the iterative
+    DataFrame loop."""
+    from .operators.components import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=16, bands=4, seed=42, shingle_n=3
+    )
+    out = dedup_clusters(docs, pairs, "doc_id")
+    return out.select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id"), "is_canonical"
     )
 
 

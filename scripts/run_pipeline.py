@@ -288,6 +288,56 @@ def run_pipeline(
         notify(summary, webhook_transport(None))  # unconfigured -> skipped
         print(f"[summary]   {path}")
 
+    # -- stage 5: post PBs (reference 5_post_pbs_to_discord.py) -------
+    # Conditional per config like the reference's run_post_pbs_script
+    # flag; renders the gold personal-bests table into per-group embed
+    # pages and drives the external-id upsert sink (LocalJsonTransport
+    # as the in-repo transport — the Discord client stays out of the
+    # engine).  Re-runs EDIT the same external documents in place.
+    def stage_post_pbs():
+        from osrs_dashboard_elt_spark.functions.durations import (
+            seconds_to_duration,
+        )
+        from osrs_dashboard_elt_spark.reports.embeds import (
+            GroupDef,
+            RecordDef,
+            render_pb_pages,
+        )
+        from osrs_dashboard_elt_spark.sources import read_published
+        from osrs_dashboard_elt_spark.streaming.upsert_sink import (
+            ExternalUpsertSink,
+            LocalJsonTransport,
+        )
+
+        pb = read_published(spark, f"{out_dir}/gold/personal_bests")
+        groups = [
+            GroupDef(
+                "Personal Bests",
+                records=tuple(
+                    RecordDef(r["Task"])
+                    for r in pb.select("Task").orderBy("Task").collect()
+                ),
+            )
+        ]
+        shaped = pb.select(
+            "Task",
+            seconds_to_duration(F.col("best_seconds")).alias("Time"),
+            F.coalesce(F.col("All_Holders"), F.lit("")).alias("Holder"),
+            F.date_format("record_ts", "yyyy-MM-dd").alias("Date"),
+            F.lit("Personal Bests").alias("Group"),
+        )
+        pages = render_pb_pages(
+            spark, shaped, groups,
+            other_group_name="Miscellaneous PBs", recent_count=3,
+        )
+        sink = ExternalUpsertSink(
+            LocalJsonTransport(f"{out_dir}/discord_docs"),
+            f"{out_dir}/discord_state.json",
+            key_col="group_title",
+        )
+        stats = sink.process_batch(pages, 0)
+        print(f"[post_pbs]  pages upserted: {stats}")
+
     # Reference policy (run_all_etl.py:117-133,145-155): "enrich" (the
     # price stage) is elidable by age and tolerated on failure; every
     # other stage aborts the run.
@@ -297,6 +347,7 @@ def run_pipeline(
             ("parse", stage_parse),
             ("enrich", stage_enrich),
             ("transform", stage_transform),
+            ("post_pbs", stage_post_pbs),
             ("summary", stage_summary),
         ],
         state_path=f"{out_dir}/ETL_state.json",

@@ -512,3 +512,26 @@ def test_pack_chunks_streaming_concat(spark):
     }
     assert summary[("en", 0)] == (3, 180)
     assert summary[("de", 0)] == (2, 130)
+
+
+def test_connected_components_chain_and_isolates(spark):
+    """A 5-node chain needs multiple propagation rounds (label 1 must
+    travel 4 hops); isolated vertices stay singleton; two separate
+    components keep distinct ids."""
+    from osrs_dashboard_elt_spark.literals import literal_frame
+    from osrs_dashboard_elt_spark.operators.components import dedup_clusters
+
+    docs = literal_frame(spark, [(i,) for i in [1, 2, 3, 4, 5, 7, 10, 11, 20]], ["id"])
+    pairs = literal_frame(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+        "id_a long, id_b long",
+    )
+    out = dedup_clusters(docs, pairs, "id")
+    got = {r.id: (r.cluster_id, r.is_canonical) for r in out.collect()}
+    assert {got[i][0] for i in (1, 2, 3, 4, 5)} == {1}
+    assert got[10][0] == 10 and got[11][0] == 10
+    assert got[7] == (7, True) and got[20] == (20, True)
+    assert [i for i, (c, canon) in got.items() if canon] == sorted(
+        [1, 7, 10, 20]
+    ) or {i for i, (c, canon) in got.items() if canon} == {1, 7, 10, 20}
