@@ -311,6 +311,15 @@ def embedding_neardup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Explicit-width repartition before scoring: AQE coalesces the
+    # candidate exchange by SIZE, and (id, id) pairs are tiny — but the
+    # scoring projection is CPU-dense (an unrolled dim-term chain per
+    # pair), so size-based coalescing serializes it onto one core.  An
+    # explicit partition count is preserved by AQE, and the id_a
+    # distribution feeds the first score join's requirement.
+    cand = cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "id_a"
+    )
     # Stage per-VECTOR work outside the pair join: the norm is
     # computed once per vector side, not once per candidate pair.
     # Score on pre-NORMALIZED vectors: one norm per vector (computed
