@@ -91,6 +91,16 @@ BENCH_QUERIES = [
     "q_doc_chunks",
     "q_pack_sequences",
     "q_dedup_clusters",
+    "q13_customer_order_dist",
+    "q18_large_orders",
+    "q_brand_supplier_counts",
+    "q_rolling_range_window",
+    "q_retention_cohorts",
+    "q_unpivot_metrics",
+    "q_pivot_event_values",
+    "q_scd2_history",
+    "q_outlier_zscore",
+    "q_percentile_stats",
 ]
 
 

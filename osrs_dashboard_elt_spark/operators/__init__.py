@@ -43,11 +43,18 @@ from .similarity import (
     write_ivf_index,
     write_lsh_index,
 )
+from .outliers import zscore_outliers
+from .rolling import rolling_range_agg
+from .scd2 import scd2_as_of, scd2_compress
 from .topn import top_n_per_group
 from .zorder import column_ranges, write_zordered, zorder_key
 
 __all__ = [
     "asof_join",
+    "rolling_range_agg",
+    "scd2_as_of",
+    "scd2_compress",
+    "zscore_outliers",
     "chunk_documents",
     "connected_components",
     "dedup_clusters",

@@ -3341,3 +3341,376 @@ def q_repetition_scores(spark, sf_dir):
         F.sum("c").alias("n_bigrams"),
         dround(F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: outer-join aggregates, semi-join HAVING, distinct-count +
+# anti-join, RANGE-frame rolling windows, cohort retention, unpivot,
+# pivot, SCD2 history, z-score outliers, exact percentiles.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q13_customer_order_dist",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q13_customer_order_dist(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT OUTER join with an extra join-side
+    predicate (the filter must stay in the join condition, not a WHERE
+    — a WHERE would turn the outer join inner), then a two-level
+    aggregate.  Orders-per-customer counts non-null join matches; the
+    second groupBy is a tiny hash agg on the distribution."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_totalprice, total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey  = o_custkey
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: group-HAVING as a semi-join driver.  The
+    lineitem aggregate runs once (partial map-side sums), its tiny
+    survivor set is broadcast into orders, and customer is broadcast
+    last — the 60k-row fact table is the only shuffle input, and at
+    100 TB the HAVING survivor set stays broadcast-sized by
+    construction (few orders exceed the threshold)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dec_sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", D_FMT_SPARK).alias("order_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "q_brand_supplier_counts",
+    oracle="""
+    SELECT p_brand, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_size < 15
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand
+    """,
+)
+def q_brand_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape: COUNT(DISTINCT) per group with a NOT-IN
+    exclusion.  The exclusion list (suppliers in arrears) is tiny, so
+    it runs as a broadcast anti-join before the distinct aggregate;
+    part is filtered then broadcast.  The distinct-agg is Spark's
+    two-phase expand (partial distinct per partition, then merge) —
+    no row ever shuffles twice."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(
+            F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+_ROLLING_ORACLE = f"""
+    SELECT event_id, user_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_str,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS rolling_sum,
+           COUNT(*) OVER w AS rolling_cnt
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id
+      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+    )
+"""
+
+
+@query("q_rolling_range_window", oracle=_ROLLING_ORACLE)
+def q_rolling_range_window(spark, sf_dir):
+    """W-family, RANGE frame: trailing 7-day sum/count per user for
+    every event, in ONE window pass (single Exchange on user_id + one
+    sort; the frame is a sliding two-pointer, O(rows)).  The reference
+    re-filters pandas frames per anchor date — one scan per anchor.
+    RANGE (not ROWS) makes equal-timestamp rows peers, so the result
+    is deterministic under ties; the windowed sum is exact decimal.
+    See operators/rolling.py for the scale notes."""
+    from .operators.rolling import rolling_range_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_range_agg(
+        ev, key="user_id", ts_col="ts", value_col="value",
+        window_seconds=604800,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        "rolling_sum",
+        "rolling_cnt",
+    )
+
+
+_RETENTION_ORACLE = """
+    WITH activity AS (
+      SELECT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM activity GROUP BY user_id
+    )
+    SELECT strftime(CAST(cohort_wk AS DATE), '%Y-%m-%d') AS cohort_week,
+           CAST(floor(date_diff('day', cohort_wk, wk) / 7.0) AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+    GROUP BY cohort_wk, week_offset
+"""
+
+
+@query("q_retention_cohorts", oracle=_RETENTION_ORACLE)
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-active week,
+    distinct-counted at each later week offset.  Two aggregates share
+    the user_id partitioning: the cohort assignment (min week per
+    user) is itself small — broadcast back onto the weekly activity.
+    Monday-start week truncation matches DuckDB's date_trunc."""
+    ev = _t(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    cohorts = activity.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        activity.join(F.broadcast(cohorts), "user_id")
+        .groupBy(
+            "cohort_wk",
+            F.expr("datediff(wk, cohort_wk) div 7").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .select(
+            F.date_format("cohort_wk", D_FMT_SPARK).alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+    )
+
+
+_UNPIVOT_ORACLE = """
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS metric_value FROM base
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS metric_value FROM base
+"""
+
+
+@query("q_unpivot_metrics", oracle=_UNPIVOT_ORACLE)
+def q_unpivot_metrics(spark, sf_dir):
+    """O-family wide->long reshape: Spark's native ``unpivot`` (the
+    Expand operator — each input row fans out JVM-side, no shuffle
+    beyond the feeding aggregate, no Python)."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag").agg(
+        dec_sum("l_quantity").alias("sum_qty"),
+        dec_sum("l_extendedprice").alias("sum_price"),
+    )
+    return base.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )
+
+
+_PIVOT_ORACLE = """
+    SELECT CAST(ts AS DATE) :: VARCHAR AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'click')    AS DOUBLE) AS click,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'error')    AS DOUBLE) AS error,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'purchase') AS DOUBLE) AS purchase,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'signup')   AS DOUBLE) AS signup,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'view')     AS DOUBLE) AS view
+    FROM events GROUP BY day
+"""
+
+
+@query("q_pivot_event_values", oracle=_PIVOT_ORACLE)
+def q_pivot_event_values(spark, sf_dir):
+    """A-family long->wide reshape: ``groupBy().pivot()`` with the
+    value list given EXPLICITLY — omitting it costs an extra job to
+    collect distinct pivot values (a full scan) before planning.  With
+    the list, this compiles to one hash aggregate of conditional sums,
+    exactly the FILTER-aggregate form of the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("ts").cast("date").cast("string").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(dec_sum("value"))
+    )
+
+
+_SCD2_ORACLE = """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderdate AS ts, o_orderstatus AS attr,
+             LAG(o_orderstatus) OVER w AS prev,
+             ROW_NUMBER() OVER w AS rn
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderstatus)
+    ),
+    runs AS (
+      SELECT o_custkey, ts, attr FROM ordered
+      WHERE rn = 1 OR attr IS DISTINCT FROM prev
+    )
+    SELECT o_custkey, attr AS o_orderstatus,
+           strftime(ts, '%Y-%m-%d') AS valid_from,
+           strftime(LEAD(ts) OVER w2, '%Y-%m-%d') AS valid_to,
+           CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version
+    FROM runs
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY ts, attr)
+"""
+
+
+@query("q_scd2_history", oracle=_SCD2_ORACLE)
+def q_scd2_history(spark, sf_dir):
+    """SCD type-2 compression of a change-log (orders' status per
+    customer) into validity intervals: run starts via lag() under a
+    NULL-safe compare, valid_to via lead(), versions via row_number —
+    all in one partitionBy(key) window family (single shuffle).  See
+    operators/scd2.py; an as-of date query over the result is the J8
+    interval join."""
+    from .operators.scd2 import scd2_compress
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").alias("ts"),
+        "o_orderstatus",
+    )
+    hist = scd2_compress(
+        orders, key="o_custkey", attr="o_orderstatus", ts_col="ts"
+    )
+    return hist.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.date_format("valid_from", D_FMT_SPARK).alias("valid_from"),
+        F.date_format("valid_to", D_FMT_SPARK).alias("valid_to"),
+        "version",
+    )
+
+
+_ZSCORE_ORACLE = f"""
+    WITH m AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS ssq,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type HAVING COUNT(*) >= 2
+    ),
+    g AS (
+      SELECT event_type, s / n AS mean,
+             sqrt((ssq - s * s / n) / (n - 1)) AS sd
+      FROM m WHERE (ssq - s * s / n) / (n - 1) > 0
+    )
+    SELECT event_id, e.event_type, value,
+           {dround_sql('(value - mean) / sd')} AS z
+    FROM events e JOIN g USING (event_type)
+    WHERE abs((value - mean) / sd) > 2.5
+"""
+
+
+@query("q_outlier_zscore", oracle=_ZSCORE_ORACLE)
+def q_outlier_zscore(spark, sf_dir):
+    """Group-wise z-score outlier gate with EXACT decimal moments, so
+    mean/stddev are bit-identical across engines and partitionings
+    (built-in stddev_samp is a fold whose last ulp depends on merge
+    order).  Tiny moments table broadcast back onto the facts — the
+    fact rows never shuffle.  See operators/outliers.py."""
+    from .operators.outliers import zscore_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    out = zscore_outliers(
+        ev, key="event_type", value_col="value", threshold=2.5
+    )
+    return out.select(
+        "event_id", "event_type", "value", dround(F.col("z")).alias("z")
+    )
+
+
+_PCT_ORACLE = f"""
+    SELECT event_type,
+           {dround_sql('quantile_cont(value, 0.25)')} AS p25,
+           {dround_sql('quantile_cont(value, 0.50)')} AS p50,
+           {dround_sql('quantile_cont(value, 0.90)')} AS p90,
+           {dround_sql('quantile_cont(value, 0.99)')} AS p99
+    FROM events GROUP BY event_type
+"""
+
+
+@query("q_percentile_stats", oracle=_PCT_ORACLE)
+def q_percentile_stats(spark, sf_dir):
+    """A-family exact percentiles: Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the (n-1)*p linear-interpolation
+    definition; the decimal-round absorbs the one-ulp interpolation
+    difference.  (At 100 TB you'd reach for approx_percentile's
+    mergeable sketch; the exact form is the correctness baseline the
+    sketch is judged against.)"""
+    ev = _t(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.expr(
+            "percentile(value, array(0.25D, 0.50D, 0.90D, 0.99D))"
+        ).alias("p")
+    )
+    return pct.select(
+        "event_type",
+        dround(F.col("p")[0]).alias("p25"),
+        dround(F.col("p")[1]).alias("p50"),
+        dround(F.col("p")[2]).alias("p90"),
+        dround(F.col("p")[3]).alias("p99"),
+    )

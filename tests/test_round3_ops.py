@@ -1,0 +1,153 @@
+"""Edge cases for the round-3 operators: SCD2 compression, RANGE-frame
+rolling aggregates, z-score outliers."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from osrs_dashboard_elt_spark.operators import (
+    rolling_range_agg,
+    scd2_as_of,
+    scd2_compress,
+    zscore_outliers,
+)
+
+
+def _ts(d, h=0):
+    return datetime(2024, 1, d, h)
+
+
+class TestScd2:
+    def rows(self, spark, data):
+        return spark.createDataFrame(data, "k string, ts timestamp, a string")
+
+    def test_compresses_runs(self, spark):
+        df = self.rows(
+            spark,
+            [
+                ("u", _ts(1), "A"),
+                ("u", _ts(2), "A"),
+                ("u", _ts(3), "B"),
+                ("u", _ts(4), "B"),
+                ("u", _ts(5), "A"),
+            ],
+        )
+        out = scd2_compress(df, key="k", attr="a", ts_col="ts")
+        got = sorted(
+            (r.version, r.a, r.valid_from, r.valid_to)
+            for r in out.collect()
+        )
+        assert got == [
+            (1, "A", _ts(1), _ts(3)),
+            (2, "B", _ts(3), _ts(5)),
+            (3, "A", _ts(5), None),
+        ]
+
+    def test_null_first_attr_starts_run(self, spark):
+        df = self.rows(spark, [("u", _ts(1), None), ("u", _ts(2), "A")])
+        out = scd2_compress(df, key="k", attr="a", ts_col="ts")
+        got = sorted((r.version, r.a) for r in out.collect())
+        assert got == [(1, None), (2, "A")]
+
+    def test_null_transitions_register(self, spark):
+        df = self.rows(
+            spark,
+            [("u", _ts(1), "A"), ("u", _ts(2), None), ("u", _ts(3), "A")],
+        )
+        out = scd2_compress(df, key="k", attr="a", ts_col="ts")
+        assert out.count() == 3
+
+    def test_as_of_slice(self, spark):
+        df = self.rows(
+            spark, [("u", _ts(1), "A"), ("u", _ts(5), "B"), ("v", _ts(2), "C")]
+        )
+        hist = scd2_compress(df, key="k", attr="a", ts_col="ts")
+        at = scd2_as_of(hist, F.lit(_ts(3)))
+        got = {(r.k, r.a) for r in at.collect()}
+        assert got == {("u", "A"), ("v", "C")}
+
+    def test_single_partition_shuffle(self, spark):
+        df = self.rows(spark, [("u", _ts(1), "A"), ("u", _ts(2), "B")])
+        plan = scd2_compress(df, key="k", attr="a", ts_col="ts")._jdf.queryExecution().executedPlan().toString()
+        # both window passes hash-partition on the key; only one
+        # Exchange may appear (the second window reuses the first's
+        # partitioning)
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestRolling:
+    def test_frame_boundaries_inclusive(self, spark):
+        # window_seconds=10: events at t, t+10 share a frame; t+11 not
+        df = spark.createDataFrame(
+            [
+                (1, "u", datetime(2024, 1, 1, 0, 0, 0), 1.0),
+                (2, "u", datetime(2024, 1, 1, 0, 0, 10), 2.0),
+                (3, "u", datetime(2024, 1, 1, 0, 0, 21), 4.0),
+            ],
+            "id long, k string, ts timestamp, v double",
+        )
+        out = rolling_range_agg(
+            df, key="k", ts_col="ts", value_col="v", window_seconds=10
+        )
+        got = {r.id: (r.rolling_sum, r.rolling_cnt) for r in out.collect()}
+        assert got == {1: (1.0, 1), 2: (3.0, 2), 3: (4.0, 1)}
+
+    def test_ties_are_peers(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "u", datetime(2024, 1, 1), 1.0),
+                (2, "u", datetime(2024, 1, 1), 2.0),
+            ],
+            "id long, k string, ts timestamp, v double",
+        )
+        out = rolling_range_agg(
+            df, key="k", ts_col="ts", value_col="v", window_seconds=5
+        )
+        # RANGE frame: both rows see both peers regardless of order
+        for r in out.collect():
+            assert (r.rolling_sum, r.rolling_cnt) == (3.0, 2)
+
+    def test_keys_isolated(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "u", datetime(2024, 1, 1), 1.0),
+                (2, "v", datetime(2024, 1, 1), 5.0),
+            ],
+            "id long, k string, ts timestamp, v double",
+        )
+        out = rolling_range_agg(
+            df, key="k", ts_col="ts", value_col="v", window_seconds=60
+        )
+        got = {r.id: r.rolling_sum for r in out.collect()}
+        assert got == {1: 1.0, 2: 5.0}
+
+
+class TestZscore:
+    def test_flags_only_outliers(self, spark):
+        rows = [(i, "g", 10.0) for i in range(20)] + [(99, "g", 1000.0)]
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        out = zscore_outliers(df, key="g", value_col="v", threshold=2.5)
+        got = [r.id for r in out.collect()]
+        assert got == [99]
+
+    def test_zero_variance_group_silent(self, spark):
+        df = spark.createDataFrame(
+            [(1, "g", 5.0), (2, "g", 5.0)], "id long, g string, v double"
+        )
+        out = zscore_outliers(df, key="g", value_col="v")
+        assert out.count() == 0
+
+    def test_singleton_group_silent(self, spark):
+        df = spark.createDataFrame([(1, "g", 5.0)], "id long, g string, v double")
+        out = zscore_outliers(df, key="g", value_col="v")
+        assert out.count() == 0
+
+    def test_broadcast_moments(self, spark):
+        df = spark.createDataFrame(
+            [(i, "g", float(i)) for i in range(10)],
+            "id long, g string, v double",
+        )
+        plan = zscore_outliers(df, key="g", value_col="v")._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
