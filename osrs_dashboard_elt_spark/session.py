@@ -30,6 +30,12 @@ _DEFAULTS = {
     # price series, mapping rules) -> broadcast aggressively.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.shuffle.partitions": "32",
+    # The default 100-entry whole-stage-codegen class cache thrashes on
+    # a multi-query workload (this suite alone compiles several hundred
+    # codegen units; a long-lived cluster serves thousands) — each
+    # eviction re-pays a Janino compile on the next run of that plan.
+    # Entries are compiled classes (~KBs); 10k is still tiny memory.
+    "spark.sql.codegen.cache.maxEntries": "10000",
 }
 
 

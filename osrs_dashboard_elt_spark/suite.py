@@ -3714,3 +3714,35 @@ def q_percentile_stats(spark, sf_dir):
         dround(F.col("p")[2]).alias("p90"),
         dround(F.col("p")[3]).alias("p99"),
     )
+
+
+_HLL_P = 9
+
+
+@query(
+    "q_hll_distinct_users",
+    oracle=None,  # set below: generated from the same parameters
+)
+def q_hll_distinct_users(spark, sf_dir):
+    """Mergeable-sketch distinct count: HyperLogLog re-derived as pure
+    relational algebra (md5 bucketing, MAX-merged registers, integer-
+    scaled harmonic sum) so the ESTIMATE ITSELF is oracle-checkable
+    bit-for-bit — unlike approx_count_distinct, whose hashing is
+    engine-private.  At 100 TB this is the scale path for per-group
+    cardinality: registers merge map-side; at most 2^p rows per group
+    ever shuffle.  See operators/sketches.py."""
+    from .operators.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_distinct(ev, "event_type", "user_id", p=_HLL_P)
+
+
+def _install_hll_oracle():
+    from .operators.sketches import hll_oracle_sql
+
+    ORACLES["q_hll_distinct_users"] = hll_oracle_sql(
+        "events", ["event_type"], "user_id", p=_HLL_P
+    )
+
+
+_install_hll_oracle()

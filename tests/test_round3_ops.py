@@ -151,3 +151,35 @@ class TestZscore:
         )
         plan = zscore_outliers(df, key="g", value_col="v")._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestHll:
+    def test_estimate_within_error(self, spark):
+        from osrs_dashboard_elt_spark.operators.sketches import hll_distinct
+
+        df = spark.range(0, 5000).select(
+            (F.col("id") % 4).alias("g"), F.expr("id div 4").alias("v")
+        )
+        out = hll_distinct(df, "g", "v", p=9)
+        # exactly 1250 true distinct per group; p=9 -> ~4.6% std error
+        for r in out.collect():
+            assert abs(r.approx_distinct - 1250) / 1250 < 0.15
+
+    def test_merge_invariance(self, spark):
+        """The sketch is mergeable: estimate must not depend on input
+        partitioning (MAX-merged registers are order/partition-free)."""
+        from osrs_dashboard_elt_spark.operators.sketches import hll_distinct
+
+        df = spark.range(0, 2000).select(
+            F.lit("g").alias("g"), (F.col("id") % 700).alias("v")
+        )
+        a = hll_distinct(df.repartition(1), "g", "v", p=7).collect()[0]
+        b = hll_distinct(df.repartition(16), "g", "v", p=7).collect()[0]
+        assert a.approx_distinct == b.approx_distinct
+
+    def test_small_range_branch(self, spark):
+        from osrs_dashboard_elt_spark.operators.sketches import hll_distinct
+
+        df = spark.range(0, 10).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+        out = hll_distinct(df, "g", "v", p=9).collect()[0]
+        assert abs(out.approx_distinct - 10) < 2
