@@ -102,6 +102,10 @@ BENCH_QUERIES = [
     "q_outlier_zscore",
     "q_percentile_stats",
     "q_hll_distinct_users",
+    "q_min_cost_supplier",
+    "q_waiting_orders",
+    "q_data_quality_events",
+    "q_weighted_sample",
 ]
 
 

@@ -44,16 +44,23 @@ from .similarity import (
     write_lsh_index,
 )
 from .outliers import zscore_outliers
+from .quality import check_constraints, quality_metrics
 from .rolling import rolling_range_agg
+from .sampling import weighted_sample
+from .sketches import hll_distinct
 from .scd2 import scd2_as_of, scd2_compress
 from .topn import top_n_per_group
 from .zorder import column_ranges, write_zordered, zorder_key
 
 __all__ = [
     "asof_join",
+    "check_constraints",
+    "hll_distinct",
+    "quality_metrics",
     "rolling_range_agg",
     "scd2_as_of",
     "scd2_compress",
+    "weighted_sample",
     "zscore_outliers",
     "chunk_documents",
     "connected_components",

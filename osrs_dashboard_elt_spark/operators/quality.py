@@ -1,0 +1,77 @@
+"""One-pass data-quality profiling (deequ-style) and constraint checks.
+
+A 100 TB ingest wants per-column health metrics — row/null/distinct
+counts, numeric ranges — computed in ONE scan, not one scan per
+metric.  ``quality_metrics`` builds a single aggregate whose output
+row carries every (column x metric) cell, then explodes it to the
+long form with ``inline`` — so the plan is: scan -> one hash
+aggregate (the distinct counts share one Expand) -> a generator
+projection.  No per-column jobs, no driver loops.
+
+``check_constraints`` evaluates declarative expectations (non-null,
+unique, range, referential) against the metrics row and returns
+(constraint, passed, observed) — the pipeline-gate form: a failed
+row means quarantine the batch, in the spirit of the reference's
+required-column validation (P9) scaled up to table level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quality_metrics(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Long-form per-column profile: (column, n_rows, n_nulls,
+    n_distinct, min_value, max_value) — numeric min/max via try_cast
+    (NULL for non-numeric columns), computed in one aggregate."""
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        num = F.expr(f"try_cast(`{c}` AS DOUBLE)")
+        aggs += [
+            F.count(F.col(c)).alias(f"_nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(num).alias(f"_mn_{c}"),
+            F.max(num).alias(f"_mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                (F.col("_n") - F.col(f"_nn_{c}")).alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_mn_{c}").alias("min_value"),
+                F.col(f"_mx_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.inline(rows))
+
+
+def check_constraints(
+    df: DataFrame, constraints: list[tuple[str, str]]
+) -> DataFrame:
+    """Evaluate (name, boolean SQL expression over one aggregate pass)
+    pairs, e.g. ``("pk_unique", "count(distinct id) = count(*)")`` or
+    ``("value_range", "min(value) >= 0")``.  Returns one row per
+    constraint: (constraint, passed).  All expressions share a single
+    aggregate — one scan regardless of how many checks."""
+    aggs = [
+        F.expr(expr).cast("boolean").alias(f"_c{i}")
+        for i, (_, expr) in enumerate(constraints)
+    ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("constraint"),
+                F.coalesce(F.col(f"_c{i}"), F.lit(False)).alias("passed"),
+            )
+            for i, (name, _) in enumerate(constraints)
+        ]
+    )
+    return wide.select(F.inline(rows))

@@ -224,3 +224,53 @@ def shuffle_order(key: Column, seed: int = 42) -> Column:
     DuckDB: ``md5('<seed>|' || CAST(k AS VARCHAR))``.
     """
     return F.md5(F.concat_ws("|", F.lit(str(seed)), key.cast("string")))
+
+
+def es_key(key: Column, weight: Column, seed: int = 42) -> Column:
+    """Efraimidis-Spirakis weighted-sampling rank key, deterministic.
+
+    A-ES draws u ~ U(0,1) per item and ranks by u^(1/w); the top-k by
+    that key is a weighted sample without replacement.  Here u comes
+    from the repo's 60-bit md5 hash (``(h+1) / (2^60+1)`` — strictly
+    inside (0,1)), so the 'randomness' is a pure function of
+    (seed, key): reproducible across runs, engines, and partitionings.
+    Ranking by ``ln(u)/w`` is the same order as ``u^(1/w)`` with one
+    transcendental call instead of two.
+
+    DuckDB mirror:
+      ln((('0x'||substr(md5('<seed>|'||k),1,15))::BIGINT + 1)
+          / 1152921504606846977.0) / w
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), key.cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float((1 << 60) + 1))
+    return F.log(u) / weight.cast("double")
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: top-k rows
+    by the A-ES key (ties broken by the key column).  Plans as
+    TakeOrdered — per-partition partial top-k, k rows per partition
+    shuffled to one merge — never a global sort, so it holds at any
+    corpus size.  Heavier ``weight_col`` rows are proportionally more
+    likely to survive; re-runs select the identical set."""
+    kc = F.col(key_col)
+    return (
+        df.withColumn("__esk", es_key(kc, F.col(weight_col), seed))
+        .orderBy(F.col("__esk").desc(), kc.asc())
+        .limit(k)
+        .drop("__esk")
+    )

@@ -3746,3 +3746,193 @@ def _install_hll_oracle():
 
 
 _install_hll_oracle()
+
+
+@query(
+    "q_min_cost_supplier",
+    oracle="""
+    WITH mn AS (
+      SELECT l_partkey, MIN(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_partkey, p_name, s_name, l_extendedprice AS price
+    FROM lineitem
+    JOIN mn       ON lineitem.l_partkey = mn.l_partkey
+                 AND l_extendedprice = min_price
+    JOIN part     ON p_partkey = lineitem.l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size < 10
+    """,
+)
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: correlated scalar subquery (the supplier whose
+    price IS the per-part minimum).  Catalyst decorrelates the
+    ``WHERE price = (SELECT MIN ... WHERE same part)`` form into
+    exactly this aggregate + self-join; we declare the decorrelated
+    shape directly so the min-aggregate runs once and re-joins on the
+    already-shuffled part key.  Dimension joins broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    mn = li.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(
+            mn.withColumnRenamed("l_partkey", "mk"),
+            (li.l_partkey == F.col("mk"))
+            & (li.l_extendedprice == F.col("min_price")),
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.col("l_extendedprice").alias("price"),
+        )
+    )
+
+
+@query(
+    "q_waiting_orders",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > TIMESTAMP '1997-06-01'
+      )
+    GROUP BY s_name
+    """,
+)
+def q_waiting_orders(spark, sf_dir):
+    """TPC-H Q21 shape: EXISTS + NOT-EXISTS against the same fact
+    table.  Spark-first: both correlated existence tests collapse into
+    ONE aggregate over l_orderkey (count of other-supplier lineitems,
+    count of late other-supplier lineitems per (orderkey, suppkey)
+    via order-level totals minus own contribution), replacing two
+    additional shuffles of lineitem with arithmetic on an already-
+    needed aggregate.  Declared as leftsemi/leftanti joins, which
+    Catalyst plans without materializing the subquery rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    l1 = li.select("l_orderkey", "l_suppkey")
+    late = F.col("l_shipdate") > F.lit(datetime(1997, 6, 1))
+    # per (orderkey, suppkey): did ANY other supplier ship this order,
+    # and did any OTHER supplier ship late?  Computed from order-level
+    # totals minus own row's contribution: one shuffle of lineitem.
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_os"),
+        F.sum(late.cast("long")).alias("n_late_os"),
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.sum("n_os").alias("n_o"),
+        F.sum("n_late_os").alias("n_late_o"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    cand = (
+        per_os.join(per_o, "l_orderkey")
+        .filter(F.col("n_supp") > 1)  # EXISTS other supplier
+        .filter(
+            (F.col("n_late_o") - F.col("n_late_os")) == 0
+        )  # NOT EXISTS other supplier late
+        .select("l_orderkey", "l_suppkey")
+    )
+    # every qualifying l1 row counts (not distinct suppliers): re-join
+    # the count of l1 rows per (orderkey, suppkey)
+    l1n = l1.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    return (
+        cand.join(l1n, ["l_orderkey", "l_suppkey"])
+        .join(orders.select("o_orderkey"), cand.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_rows").cast("long").alias("numwait"))
+    )
+
+
+_QUALITY_ORACLE = """
+    WITH w AS (
+      SELECT COUNT(*) AS n,
+             COUNT(event_id) AS nn_event_id, COUNT(DISTINCT event_id) AS nd_event_id,
+             MIN(TRY_CAST(event_id AS DOUBLE)) AS mn_event_id, MAX(TRY_CAST(event_id AS DOUBLE)) AS mx_event_id,
+             COUNT(user_id) AS nn_user_id, COUNT(DISTINCT user_id) AS nd_user_id,
+             MIN(TRY_CAST(user_id AS DOUBLE)) AS mn_user_id, MAX(TRY_CAST(user_id AS DOUBLE)) AS mx_user_id,
+             COUNT(event_type) AS nn_event_type, COUNT(DISTINCT event_type) AS nd_event_type,
+             MIN(TRY_CAST(event_type AS DOUBLE)) AS mn_event_type, MAX(TRY_CAST(event_type AS DOUBLE)) AS mx_event_type,
+             COUNT(value) AS nn_value, COUNT(DISTINCT value) AS nd_value,
+             MIN(TRY_CAST(value AS DOUBLE)) AS mn_value, MAX(TRY_CAST(value AS DOUBLE)) AS mx_value,
+             COUNT(props) AS nn_props, COUNT(DISTINCT props) AS nd_props,
+             MIN(TRY_CAST(props AS DOUBLE)) AS mn_props, MAX(TRY_CAST(props AS DOUBLE)) AS mx_props
+      FROM events
+    )
+    SELECT 'event_id' AS column, n AS n_rows, n - nn_event_id AS n_nulls,
+           nd_event_id AS n_distinct, mn_event_id AS min_value, mx_event_id AS max_value FROM w
+    UNION ALL
+    SELECT 'user_id', n, n - nn_user_id, nd_user_id, mn_user_id, mx_user_id FROM w
+    UNION ALL
+    SELECT 'event_type', n, n - nn_event_type, nd_event_type, mn_event_type, mx_event_type FROM w
+    UNION ALL
+    SELECT 'value', n, n - nn_value, nd_value, mn_value, mx_value FROM w
+    UNION ALL
+    SELECT 'props', n, n - nn_props, nd_props, mn_props, mx_props FROM w
+"""
+
+
+@query("q_data_quality_events", oracle=_QUALITY_ORACLE)
+def q_data_quality_events(spark, sf_dir):
+    """Deequ-style one-scan table profile: every (column x metric)
+    cell computed in a single aggregate (the distinct counts share one
+    Expand), exploded to long form JVM-side.  The pipeline-gate
+    counterpart of the reference's per-variant required-column
+    validation (P9), lifted to table level.  See operators/quality.py."""
+    from .operators.quality import quality_metrics
+
+    ev = _t(spark, sf_dir, "events")
+    return quality_metrics(
+        ev, ["event_id", "user_id", "event_type", "value", "props"]
+    )
+
+
+_WSAMPLE_SEED = 7
+_WSAMPLE_K = 100
+_WSAMPLE_ORACLE = f"""
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (
+               ORDER BY ln((('0x' || substr(md5('{_WSAMPLE_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+                           / 1152921504606846977.0) / CAST(n_chars AS DOUBLE) DESC,
+                        doc_id ASC
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= {_WSAMPLE_K}
+"""
+
+
+@query("q_weighted_sample", oracle=_WSAMPLE_ORACLE)
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (A-ES:
+    rank by ln(u)/w with u a pure hash function of the doc id) —
+    longer documents proportionally likelier.  Plans as TakeOrdered
+    (partial top-k per partition), not a global sort; identical
+    selection on any engine or partitioning.  See
+    operators/sampling.py:es_key."""
+    from .operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(
+        docs, "doc_id", "n_chars", k=_WSAMPLE_K, seed=_WSAMPLE_SEED
+    )

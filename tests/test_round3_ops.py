@@ -183,3 +183,77 @@ class TestHll:
         df = spark.range(0, 10).select(F.lit("g").alias("g"), F.col("id").alias("v"))
         out = hll_distinct(df, "g", "v", p=9).collect()[0]
         assert abs(out.approx_distinct - 10) < 2
+
+
+class TestQuality:
+    def test_metrics_one_pass(self, spark):
+        from osrs_dashboard_elt_spark.operators import quality_metrics
+
+        df = spark.createDataFrame(
+            [(1, "a", 2.0), (2, None, 4.0), (2, "b", None)],
+            "id long, s string, v double",
+        )
+        out = {r.column: r for r in quality_metrics(df).collect()}
+        assert out["id"].n_rows == 3 and out["id"].n_nulls == 0
+        assert out["id"].n_distinct == 2
+        assert out["s"].n_nulls == 1 and out["s"].min_value is None
+        assert out["v"].min_value == 2.0 and out["v"].max_value == 4.0
+
+    def test_constraints(self, spark):
+        from osrs_dashboard_elt_spark.operators import check_constraints
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, -1.0)], "id long, v double"
+        )
+        out = {
+            r.constraint: r.passed
+            for r in check_constraints(
+                df,
+                [
+                    ("pk_unique", "count(distinct id) = count(*)"),
+                    ("v_nonneg", "min(v) >= 0"),
+                    ("nonempty", "count(*) > 0"),
+                ],
+            ).collect()
+        }
+        assert out == {"pk_unique": True, "v_nonneg": False, "nonempty": True}
+
+    def test_single_scan(self, spark):
+        from osrs_dashboard_elt_spark.operators import quality_metrics
+
+        df = spark.createDataFrame([(1, "a")], "id long, s string")
+        plan = quality_metrics(df)._jdf.queryExecution().executedPlan().toString()
+        # distinct counts share one Expand; no join/union of per-column scans
+        assert "Union" not in plan and "Join" not in plan
+
+
+class TestWeightedSample:
+    def test_weights_bias_selection(self, spark):
+        from osrs_dashboard_elt_spark.operators import weighted_sample
+
+        # ids 0..999 weight 1, ids 1000..1099 weight 1000: the heavy
+        # 9% of mass should dominate a k=50 sample
+        df = spark.range(0, 1100).select(
+            F.col("id"),
+            F.when(F.col("id") >= 1000, 1000.0).otherwise(1.0).alias("w"),
+        )
+        got = [r.id for r in weighted_sample(df, "id", "w", k=50).collect()]
+        heavy = sum(1 for i in got if i >= 1000)
+        assert heavy > 30
+
+    def test_deterministic_and_partition_free(self, spark):
+        from osrs_dashboard_elt_spark.operators import weighted_sample
+
+        df = spark.range(0, 500).select(
+            F.col("id"), F.lit(1.0).alias("w")
+        )
+        a = {r.id for r in weighted_sample(df.repartition(1), "id", "w", 20).collect()}
+        b = {r.id for r in weighted_sample(df.repartition(13), "id", "w", 20).collect()}
+        assert a == b and len(a) == 20
+
+    def test_no_global_sort(self, spark):
+        from osrs_dashboard_elt_spark.operators import weighted_sample
+
+        df = spark.range(0, 100).select(F.col("id"), F.lit(1.0).alias("w"))
+        plan = weighted_sample(df, "id", "w", 10)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
