@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "q_waiting_orders",
     "q_data_quality_events",
     "q_weighted_sample",
+    "q_histogram_quantiles",
+    "q_funnel_conversion",
 ]
 
 

@@ -47,7 +47,7 @@ from .outliers import zscore_outliers
 from .quality import check_constraints, quality_metrics
 from .rolling import rolling_range_agg
 from .sampling import weighted_sample
-from .sketches import hll_distinct
+from .sketches import histogram_quantile, hll_distinct
 from .scd2 import scd2_as_of, scd2_compress
 from .topn import top_n_per_group
 from .zorder import column_ranges, write_zordered, zorder_key
@@ -55,6 +55,7 @@ from .zorder import column_ranges, write_zordered, zorder_key
 __all__ = [
     "asof_join",
     "check_constraints",
+    "histogram_quantile",
     "hll_distinct",
     "quality_metrics",
     "rolling_range_agg",

@@ -156,3 +156,135 @@ def hll_oracle_sql(
              END AS DECIMAL(28,4)) AS DOUBLE) AS {out_col}
     FROM g
     """
+
+
+def histogram_quantile(
+    df: DataFrame,
+    keys: str | list[str],
+    value_col: str,
+    quantiles: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Mergeable quantile estimate from a fixed-width histogram.
+
+    Exact ``percentile`` shuffles every value per group; the scale
+    form is a bounded sketch.  A fixed-[lo, hi) equi-width histogram
+    is the simplest mergeable one — bin counts add across partitions
+    and windows — and unlike t-digest/KLL its estimate is a pure
+    function of the bin counts, so it is bit-reproducible across
+    engines and merge orders (the property the oracle gate checks).
+
+    Estimate: the classic grouped-data interpolation.  With ``F(b)``
+    the cumulative count through bin ``b`` and target rank
+    ``r = q * (n - 1)`` (the same convention as ``percentile``), the
+    answer is ``left_edge(b*) + width * (r - F(b*-1)) / cnt(b*)``
+    where ``b*`` is the first bin with ``F(b*) > r``.
+
+    Error ≤ one bin width — choose ``n_bins`` for the precision the
+    consumer needs.  Values outside [lo, hi) clamp into the end bins.
+    Two hash aggregates, both with map-side partials; at most
+    ``n_bins`` rows per group ever shuffle.
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")
+        ),
+    )
+    counts = (
+        df.select(*ks, bin_.alias("bin"))
+        .groupBy(*ks, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # per group: sorted (bin, cnt) pairs -> cumulative walk in ONE
+    # array expression (groups are small: <= n_bins elements)
+    packed = counts.groupBy(*ks).agg(
+        F.sort_array(
+            F.collect_list(F.struct("bin", "cnt"))
+        ).alias("bins"),
+        F.sum("cnt").alias("n"),
+    )
+    outs = []
+    for q in quantiles:
+        # rank r = q*(n-1); find first bin with cumulative > r, then
+        # interpolate within it.  aggregate() walks the sorted bins
+        # carrying (cum_before, found_flag, answer).
+        r = f"({q!r} * (CAST(n AS DOUBLE) - 1.0))"
+        expr = f"""
+        CAST(CAST(
+          aggregate(
+            bins,
+            named_struct('cum', CAST(0 AS BIGINT), 'done', false, 'ans', CAST(0.0 AS DOUBLE)),
+            (acc, b) -> IF(
+              acc.done,
+              acc,
+              IF(
+                CAST(acc.cum + b.cnt AS DOUBLE) > {r},
+                named_struct(
+                  'cum', acc.cum + b.cnt,
+                  'done', true,
+                  'ans', {lo!r} + CAST(b.bin AS DOUBLE) * {width!r}
+                         + {width!r} * (({r} - CAST(acc.cum AS DOUBLE))
+                                        / CAST(b.cnt AS DOUBLE))
+                ),
+                named_struct('cum', acc.cum + b.cnt, 'done', false, 'ans', acc.ans)
+              )
+            ),
+            acc -> acc.ans
+          )
+        AS DECIMAL(28,6)) AS DOUBLE)
+        """
+        outs.append(F.expr(expr).alias(f"hq_{str(q).replace('.', '_')}"))
+    return packed.select(*ks, *outs)
+
+
+def histogram_quantile_oracle_sql(
+    table: str,
+    keys: list[str],
+    value_expr: str,
+    quantiles: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> str:
+    """DuckDB mirror of ``histogram_quantile`` — same binning, same
+    cumulative interpolation, same rounding, via window cumsums."""
+    kl = ", ".join(keys)
+    width = (hi - lo) / n_bins
+    qcols = []
+    for q in quantiles:
+        name = f"hq_{str(q).replace('.', '_')}"
+        r = f"({q!r} * (CAST(n AS DOUBLE) - 1.0))"
+        qcols.append(
+            f"""CAST(CAST(
+              MIN(CASE WHEN CAST(cum AS DOUBLE) > {r}
+                        AND CAST(cum - cnt AS DOUBLE) <= {r}
+                   THEN {lo!r} + CAST(bin AS DOUBLE) * {width!r}
+                        + {width!r} * (({r} - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE))
+                   END)
+            AS DECIMAL(28,6)) AS DOUBLE) AS {name}"""
+        )
+    return f"""
+    WITH binned AS (
+      SELECT {kl},
+             LEAST({n_bins - 1}, GREATEST(0,
+               CAST(FLOOR((CAST({value_expr} AS DOUBLE) - {lo!r}) / {width!r}) AS INT))) AS bin
+      FROM {table}
+    ),
+    counts AS (
+      SELECT {kl}, bin, COUNT(*) AS cnt FROM binned GROUP BY {kl}, bin
+    ),
+    walk AS (
+      SELECT {kl}, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY {kl} ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY {kl}) AS n
+      FROM counts
+    )
+    SELECT {kl}, {", ".join(qcols)}
+    FROM walk GROUP BY {kl}, n
+    """

@@ -3936,3 +3936,78 @@ def q_weighted_sample(spark, sf_dir):
     return weighted_sample(
         docs, "doc_id", "n_chars", k=_WSAMPLE_K, seed=_WSAMPLE_SEED
     )
+
+
+_HQ_PARAMS = dict(quantiles=[0.5, 0.95], lo=0.0, hi=200.0, n_bins=256)
+
+
+@query("q_histogram_quantiles", oracle=None)  # installed below
+def q_histogram_quantiles(spark, sf_dir):
+    """Mergeable quantile sketch: fixed-width histogram + grouped-data
+    interpolation — the bounded-state scale form of q_percentile_stats
+    (exact percentile shuffles every value; this shuffles <= n_bins
+    rows per group, and bin counts merge across partitions/windows by
+    addition).  Estimate is a pure function of the bin counts: bit-
+    reproducible across engines, checked by the oracle.  See
+    operators/sketches.py."""
+    from .operators.sketches import histogram_quantile
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram_quantile(ev, "event_type", "value", **_HQ_PARAMS)
+
+
+def _install_hq_oracle():
+    from .operators.sketches import histogram_quantile_oracle_sql
+
+    ORACLES["q_histogram_quantiles"] = histogram_quantile_oracle_sql(
+        "events", ["event_type"], "value", **_HQ_PARAMS
+    )
+
+
+_install_hq_oracle()
+
+
+_FUNNEL_ORACLE = """
+    WITH steps AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    flags AS (
+      SELECT user_id,
+             (t_view IS NOT NULL) AS s1,
+             (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view) AS s2,
+             (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view
+              AND t_purchase IS NOT NULL AND t_purchase > t_click) AS s3
+      FROM steps
+    )
+    SELECT CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+           CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+    FROM flags
+"""
+
+
+@query("q_funnel_conversion", oracle=_FUNNEL_ORACLE)
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered-sequence funnel (view -> click -> purchase): the
+    strictly-increasing first-occurrence chain per user, counted per
+    stage.  ONE conditional aggregate per user computes every step's
+    first timestamp (no per-step joins or window passes), then a tiny
+    count — the standard funnel shape at warehouse scale."""
+    ev = _t(spark, sf_dir, "events")
+    steps = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & F.col("t_purchase").isNotNull() & (F.col("t_purchase") > F.col("t_click"))
+    return steps.agg(
+        F.sum(s1.cast("long")).alias("n_view"),
+        F.sum(s2.cast("long")).alias("n_view_click"),
+        F.sum(s3.cast("long")).alias("n_view_click_purchase"),
+    )

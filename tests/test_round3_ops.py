@@ -257,3 +257,39 @@ class TestWeightedSample:
         df = spark.range(0, 100).select(F.col("id"), F.lit(1.0).alias("w"))
         plan = weighted_sample(df, "id", "w", 10)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestHistogramQuantile:
+    def test_accuracy_vs_exact(self, spark):
+        from osrs_dashboard_elt_spark.operators.sketches import histogram_quantile
+
+        df = spark.range(0, 10000).select(
+            F.lit("g").alias("g"), (F.col("id") % 1000).cast("double").alias("v")
+        )
+        out = histogram_quantile(
+            df, "g", "v", [0.5, 0.9], lo=0.0, hi=1000.0, n_bins=100
+        ).collect()[0]
+        # bin width 10 -> estimate within one bin of the exact value
+        assert abs(out.hq_0_5 - 499.5) <= 10
+        assert abs(out.hq_0_9 - 899.1) <= 10
+
+    def test_merge_invariance(self, spark):
+        from osrs_dashboard_elt_spark.operators.sketches import histogram_quantile
+
+        df = spark.range(0, 3000).select(
+            F.lit("g").alias("g"), (F.col("id") % 321).cast("double").alias("v")
+        )
+        a = histogram_quantile(df.repartition(1), "g", "v", [0.5], 0.0, 400.0, 64).collect()[0]
+        b = histogram_quantile(df.repartition(16), "g", "v", [0.5], 0.0, 400.0, 64).collect()[0]
+        assert a.hq_0_5 == b.hq_0_5
+
+    def test_out_of_range_clamps(self, spark):
+        from osrs_dashboard_elt_spark.operators.sketches import histogram_quantile
+
+        df = spark.createDataFrame(
+            [("g", -50.0), ("g", 5.0), ("g", 999.0)], "g string, v double"
+        )
+        out = histogram_quantile(df, "g", "v", [0.0, 1.0], 0.0, 10.0, 10).collect()[0]
+        # p0 lands in bin 0 (clamped -50), p100 in the top bin (clamped 999)
+        assert 0.0 <= out.hq_0_0 <= 1.0
+        assert 9.0 <= out.hq_1_0 <= 10.0
