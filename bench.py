@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "q_weighted_sample",
     "q_histogram_quantiles",
     "q_funnel_conversion",
+    "q_incremental_agg",
 ]
 
 

@@ -47,6 +47,7 @@ from .outliers import zscore_outliers
 from .quality import check_constraints, quality_metrics
 from .rolling import rolling_range_agg
 from .sampling import weighted_sample
+from .incremental import agg_state, finalize, hll_state, merge_hll_states, merge_states
 from .sketches import histogram_quantile, hll_distinct
 from .scd2 import scd2_as_of, scd2_compress
 from .topn import top_n_per_group
@@ -54,6 +55,11 @@ from .zorder import column_ranges, write_zordered, zorder_key
 
 __all__ = [
     "asof_join",
+    "agg_state",
+    "finalize",
+    "hll_state",
+    "merge_hll_states",
+    "merge_states",
     "check_constraints",
     "histogram_quantile",
     "hll_distinct",

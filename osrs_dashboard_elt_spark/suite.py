@@ -4011,3 +4011,36 @@ def q_funnel_conversion(spark, sf_dir):
         F.sum(s2.cast("long")).alias("n_view_click"),
         F.sum(s3.cast("long")).alias("n_view_click_purchase"),
     )
+
+
+_INC_AGG_ORACLE = """
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) / COUNT(*) AS DECIMAL(28,6)) AS DOUBLE) AS avg_v,
+           MIN(value) AS min_v,
+           MAX(value) AS max_v
+    FROM events
+"""
+
+
+@query("q_incremental_agg", oracle=_INC_AGG_ORACLE + " GROUP BY event_type")
+def q_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance, proven exact: the gold aggregate
+    is built by folding three DISJOINT time-slice batches through
+    mergeable partial states (count/sum-decimal/min/max), and the
+    oracle recomputes from the full history — the two must agree
+    bit-for-bit.  At 100 TB only the newest batch is ever scanned;
+    merging k states costs one union + one hash aggregate.  See
+    operators/incremental.py."""
+    from .operators.incremental import agg_state, finalize, merge_states
+
+    ev = _t(spark, sf_dir, "events")
+    cut1, cut2 = datetime(2024, 1, 11), datetime(2024, 1, 21)
+    batches = [
+        ev.filter(F.col("ts") < cut1),
+        ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
+        ev.filter(F.col("ts") >= cut2),
+    ]
+    states = [agg_state(b, "event_type", "value") for b in batches]
+    return finalize(merge_states(states, "event_type"), "event_type")

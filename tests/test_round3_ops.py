@@ -293,3 +293,42 @@ class TestHistogramQuantile:
         # p0 lands in bin 0 (clamped -50), p100 in the top bin (clamped 999)
         assert 0.0 <= out.hq_0_0 <= 1.0
         assert 9.0 <= out.hq_1_0 <= 10.0
+
+
+class TestIncremental:
+    def test_merge_equals_full(self, spark):
+        from osrs_dashboard_elt_spark.operators.incremental import (
+            agg_state,
+            finalize,
+            merge_states,
+        )
+
+        df = spark.range(0, 1000).select(
+            (F.col("id") % 3).alias("g"), (F.col("id") % 17).cast("double").alias("v")
+        )
+        parts = [df.filter(F.col("id") % 4 == i) for i in range(4)]
+        inc = finalize(
+            merge_states([agg_state(p, "g", "v") for p in parts], "g"), "g"
+        )
+        full = finalize(agg_state(df, "g", "v"), "g")
+        a = sorted(map(tuple, inc.collect()))
+        b = sorted(map(tuple, full.collect()))
+        assert a == b
+
+    def test_hll_state_merge_equals_full(self, spark):
+        from osrs_dashboard_elt_spark.operators.incremental import (
+            hll_state,
+            merge_hll_states,
+        )
+
+        df = spark.range(0, 2000).select(
+            F.lit("g").alias("g"), (F.col("id") % 700).alias("v")
+        )
+        parts = [df.filter(F.col("id") % 3 == i) for i in range(3)]
+        merged = merge_hll_states(
+            [hll_state(p, "g", "v", p=7) for p in parts], "g"
+        )
+        full = hll_state(df, "g", "v", p=7)
+        a = sorted(map(tuple, merged.collect()))
+        b = sorted(map(tuple, full.collect()))
+        assert a == b
