@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "q_histogram_quantiles",
     "q_funnel_conversion",
     "q_incremental_agg",
+    "q_token_vocab",
+    "q_duplicate_ngram_spans",
 ]
 
 
@@ -124,12 +126,6 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
-    # Untimed warmup at the smallest SF: JVM/JIT, parquet footer
-    # reads, whole-stage-codegen compilation of the parse forests
-    # (identical generated code -> codegen cache hit at bench SF), and
-    # the Arrow Python-worker pool for mapInPandas stages.  Steady-
-    # state measurement; the one-time session costs are not what a
-    # long-lived cluster pays per query.
     # Steady-state protocol (JMH-style): each query is warmed UNTIMED
     # at the smallest SF immediately before its timed run at SF_DIR.
     # The warm run compiles the query's whole-stage-codegen units,

@@ -4044,3 +4044,101 @@ def q_incremental_agg(spark, sf_dir):
     ]
     states = [agg_state(b, "event_type", "value") for b in batches]
     return finalize(merge_states(states, "event_type"), "event_type")
+
+
+_VOCAB_K = 500
+_VOCAB_ORACLE = f"""
+    SELECT token, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) - 1 AS BIGINT) AS token_id
+    FROM (
+      SELECT word AS token, COUNT(*) AS n
+      FROM (SELECT unnest({_TOK_SQL}) AS word FROM documents)
+      GROUP BY word
+    )
+    ORDER BY n DESC, token ASC
+    LIMIT {_VOCAB_K}
+"""
+
+
+@query("q_token_vocab", oracle=_VOCAB_ORACLE)
+def q_token_vocab(spark, sf_dir):
+    """Frequency-ranked vocabulary induction (the counting core of
+    BPE/WordPiece training): explode -> count -> deterministic rank
+    (count desc, token asc) -> contiguous ids.  The count aggregate
+    partial-combines map-side; the rank is a top-k (TakeOrdered keeps
+    k rows per partition), then ids come from ONE final ordered pass
+    over k rows — the full corpus is never globally sorted."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode_outer(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    topk = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(
+        _VOCAB_K
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return topk.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("long")
+    )
+
+
+_DUPSPAN_N = 8
+_DUPSPAN_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOK_SQL} AS ws FROM documents
+    ),
+    spans AS (
+      SELECT doc_id,
+             array_to_string(ws[i : i + {_DUPSPAN_N - 1}], ' ') AS span
+      FROM toks, UNNEST(range(1, len(ws) - {_DUPSPAN_N - 2})) AS t(i)
+      WHERE len(ws) >= {_DUPSPAN_N}
+    ),
+    dspans AS (
+      SELECT DISTINCT doc_id, span FROM spans
+    )
+    SELECT span,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM dspans
+    GROUP BY span
+    HAVING COUNT(*) >= 2
+"""
+
+
+@query("q_duplicate_ngram_spans", oracle=_DUPSPAN_ORACLE)
+def q_duplicate_ngram_spans(spark, sf_dir):
+    """Exact substring-duplication detection (the fixed-width n-gram
+    form of Lee et al.'s dedup-for-memorization): every 8-token span
+    occurring in 2+ distinct documents.  Single scan -> generate
+    (sliding spans as one codegen expression) -> per-doc distinct ->
+    count; no joins.  At 100 TB, hash the span to a 60-bit key first
+    so the shuffle carries fixed-width integers, and only matched
+    hashes rehydrate text (same discipline as the decontamination
+    probe)."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    n = _DUPSPAN_N
+    spans = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - F.lit(n - 1)),
+                    lambda i: F.array_join(F.slice("ws", i, n), " "),
+                )
+            ).alias("span"),
+        )
+        .distinct()
+    )
+    return (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
