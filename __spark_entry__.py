@@ -11,6 +11,7 @@ module only adapts it to the driver contract.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 from osrs_dashboard_elt_spark import suite
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
-ORACLE_SF_DIR = "/root/testdata/sf0.01"
+# The two ANN oracles embed the query vector read from this dir; the
+# env override lets scripts/verify_local.py probe other scale factors
+# with a matching oracle.  The driver sets no env -> sf0.01 default.
+ORACLE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "q_incremental_agg",
     "q_token_vocab",
     "q_duplicate_ngram_spans",
+    "q_boilerplate_removal",
 ]
 
 

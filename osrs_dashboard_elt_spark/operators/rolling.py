@@ -48,6 +48,11 @@ def rolling_range_agg(
         .rangeBetween(-window_seconds, 0)
     )
     dec = F.col(value_col).cast(decimal_type)
-    return df.withColumn(sum_col, F.sum(dec).over(w).cast("double")).withColumn(
-        cnt_col, F.count(F.lit(1)).over(w).cast("long")
+    # one select, not chained withColumns: both window functions then
+    # land in a SINGLE Window node (chaining planned two Window+Sort
+    # passes over the same partitioning)
+    return df.select(
+        "*",
+        F.sum(dec).over(w).cast("double").alias(sum_col),
+        F.count(F.lit(1)).over(w).cast("long").alias(cnt_col),
     )

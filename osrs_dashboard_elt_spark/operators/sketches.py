@@ -186,6 +186,12 @@ def histogram_quantile(
     consumer needs.  Values outside [lo, hi) clamp into the end bins.
     Two hash aggregates, both with map-side partials; at most
     ``n_bins`` rows per group ever shuffle.
+
+    Cross-engine caveat: pick (lo, hi, n_bins) so the bin width is NOT
+    exactly representable in binary (e.g. width 0.8, not 0.78125).  A
+    dyadic width makes interpolated values able to land EXACTLY on a
+    decimal-rounding midpoint, where Spark (half-up) and DuckDB
+    (half-even) round apart by one ulp of the last kept digit.
     """
     ks = [keys] if isinstance(keys, str) else list(keys)
     width = (hi - lo) / n_bins

@@ -3938,7 +3938,11 @@ def q_weighted_sample(spark, sf_dir):
     )
 
 
-_HQ_PARAMS = dict(quantiles=[0.5, 0.95], lo=0.0, hi=200.0, n_bins=256)
+# n_bins=250 -> width 0.8, NOT exactly representable in binary: bin
+# arithmetic then cannot produce exact decimal-rounding midpoints,
+# where Spark (half-up) and DuckDB (half-even) disagree.  A dyadic
+# width (e.g. 256 bins over [0,200] -> 0.78125) hits one at sf0.001.
+_HQ_PARAMS = dict(quantiles=[0.5, 0.95], lo=0.0, hi=200.0, n_bins=250)
 
 
 @query("q_histogram_quantiles", oracle=None)  # installed below
@@ -4141,4 +4145,106 @@ def q_duplicate_ngram_spans(spark, sf_dir):
         spans.groupBy("span")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
+    )
+
+
+_BP_SEG = 5
+_BP_DF = 2
+_BOILERPLATE_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOK_SQL} AS ws FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, source, i AS seg_idx,
+             array_to_string(ws[i : i + {_BP_SEG - 1}], ' ') AS seg
+      FROM toks, UNNEST(range(1, len(ws) + 1, {_BP_SEG})) AS t(i)
+    ),
+    freq AS (
+      SELECT source, seg, COUNT(DISTINCT doc_id) AS df
+      FROM segs GROUP BY source, seg
+    ),
+    flagged AS (
+      SELECT source, seg FROM freq WHERE df >= {_BP_DF}
+    ),
+    kept AS (
+      SELECT s.doc_id, s.seg_idx, s.seg
+      FROM segs s ANTI JOIN flagged f
+        ON s.source = f.source AND s.seg = f.seg
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS cleaned_md5,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (
+      SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           r.cleaned_md5,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           t.n_segs - COALESCE(r.n_kept, 0) AS n_dropped
+    FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
+@query("q_boilerplate_removal", oracle=_BOILERPLATE_ORACLE)
+def q_boilerplate_removal(spark, sf_dir):
+    """C4/RefinedWeb-style boilerplate removal: segment every document
+    (non-overlapping {seg}-token pseudo-lines), count each segment's
+    document frequency WITHIN its source, drop segments shared by >=
+    {df} documents of that source, and rebuild the cleaned text in
+    original order (md5-compared per document).  Shape at scale: the
+    segment frequency table is the only shuffle beyond the rebuild
+    groupBy; flagged segments are a small fraction — broadcast into
+    the anti-join — and documents never leave their partitions until
+    the final per-doc rebuild."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    segs = (
+        docs.select("doc_id", "source", ws.alias("ws"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws"), F.lit(_BP_SEG)),
+                    lambda i: F.struct(
+                        i.alias("seg_idx"),
+                        F.array_join(F.slice("ws", i, _BP_SEG), " ").alias(
+                            "seg"
+                        ),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "source", "s.seg_idx", "s.seg")
+    )
+    freq = segs.groupBy("source", "seg").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    flagged = freq.filter(F.col("df") >= _BP_DF).select("source", "seg")
+    kept = segs.join(F.broadcast(flagged), ["source", "seg"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda x: x.seg,
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "cleaned_md5",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        (F.col("n_segs") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_dropped"
+        ),
     )

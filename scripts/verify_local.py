@@ -12,6 +12,7 @@ Usage: python scripts/verify_local.py [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 import traceback
@@ -20,7 +21,9 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+# override with SPARK_GRAFT_ORACLE_SF_DIR to probe that no query has
+# sf-bound constants (e.g. sf0.001)
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

@@ -79,3 +79,82 @@ def test_parse_dispatch_keeps_prefilter_gates(spark, all_queries):
     RLIKEs) silently doubles regex work per row."""
     plan = _executed_plan(all_queries["q_parse_engine"](spark, SF_DIR))
     assert "Contains(" in plan or "contains(" in plan, plan[:2000]
+
+
+def test_outer_join_aggregate_keeps_join_side_filter(spark, all_queries):
+    """Q13 shape: the o_orderpriority filter must ride the join (left
+    join preserved), never become a WHERE that would turn the outer
+    join inner and silently drop zero-order customers."""
+    plan = _executed_plan(all_queries["q13_customer_order_dist"](spark, SF_DIR))
+    assert "LeftOuter" in plan, plan
+
+
+def test_q18_survivor_set_broadcasts(spark, all_queries):
+    """Q18 shape: the HAVING survivor set and customer must broadcast;
+    the only shuffle input is the lineitem aggregate."""
+    plan = _executed_plan(all_queries["q18_large_orders"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_rolling_window_single_exchange(spark, all_queries):
+    """The rolling RANGE window is ONE Exchange, ONE sort, ONE Window
+    node carrying both aggregates — chained withColumns would plan a
+    second Window+Sort pass over the same partitioning."""
+    plan = _executed_plan(all_queries["q_rolling_range_window"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "RangeFrame" in plan, plan
+    assert plan.count("Window ") == 1, plan
+    assert plan.count("Sort ") == 1, plan
+
+
+def test_scd2_single_exchange(spark, all_queries):
+    """SCD2 compression: both window passes share one hash
+    partitioning on the key."""
+    plan = _executed_plan(all_queries["q_scd2_history"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_zscore_moments_broadcast_back(spark, all_queries):
+    """The outlier gate's moments table must broadcast onto the facts
+    — a SortMergeJoin would shuffle the whole fact table."""
+    plan = _executed_plan(all_queries["q_outlier_zscore"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pivot_has_no_values_discovery_job(spark, all_queries):
+    """groupBy().pivot() with explicit values must plan WITHOUT a
+    distinct-collection job or joins.  Spark's pivot strategy is two
+    aggregate phases (pre-aggregate on (key, pivot col), then
+    pivotfirst on key) = exactly two Exchanges; a third would mean the
+    values list stopped being literal.  (When one shuffle matters,
+    the conditional-aggregation form is the alternative — see
+    q_leaderboard_periods, which asserts the single-pass shape.)"""
+    plan = _executed_plan(all_queries["q_pivot_event_values"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "pivotfirst" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_weighted_sample_is_take_ordered(spark, all_queries):
+    """Weighted sampling must plan as TakeOrdered (partial top-k per
+    partition), never a global Sort + Limit."""
+    plan = _executed_plan(all_queries["q_weighted_sample"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_hll_two_hash_aggregates_no_expand(spark, all_queries):
+    """The HLL sketch is two hash aggregates (registers, estimate);
+    an Expand in the plan means someone replaced the registers with a
+    built-in COUNT(DISTINCT)."""
+    plan = _executed_plan(all_queries["q_hll_distinct_users"](spark, SF_DIR))
+    assert "Expand" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # 2 x (partial+final)
+
+
+def test_funnel_single_aggregate_chain(spark, all_queries):
+    """The funnel computes every step's first timestamp in one
+    conditional aggregate per user — no per-step self-joins."""
+    plan = _executed_plan(all_queries["q_funnel_conversion"](spark, SF_DIR))
+    assert "Join" not in plan, plan
