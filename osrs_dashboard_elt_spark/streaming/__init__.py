@@ -1,6 +1,7 @@
 """Structured Streaming variant of the ingest+parse half of the
 pipeline (SURVEY.md §2.9)."""
 
+from .incremental_sink import incremental_state_sink, read_state
 from .ingest import (
     RAW_LOG_SCHEMA,
     read_raw_stream,
@@ -23,6 +24,8 @@ from .upsert_sink import (
 
 __all__ = [
     "ExternalUpsertSink",
+    "incremental_state_sink",
+    "read_state",
     "LocalJsonTransport",
     "NotFoundError",
     "RAW_LOG_SCHEMA",

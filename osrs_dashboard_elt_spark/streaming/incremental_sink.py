@@ -1,0 +1,91 @@
+"""Streaming incremental-view maintenance: fold micro-batches into a
+persisted gold state table.
+
+The batch half lives in ``operators/incremental.py`` (mergeable
+count/sum/min/max states).  This module is the streaming half: a
+``foreachBatch`` sink that, per micro-batch,
+
+1. computes the batch's partial state (one aggregate over ONLY the
+   new rows),
+2. merges it with the persisted state (union + one hash aggregate —
+   the state table is keyed and small relative to history),
+3. atomically replaces the state via the blue/green publish used by
+   the batch pipeline (readers never see a partial state).
+
+Replay safety: Structured Streaming re-delivers a batch after a
+crash between the write and the checkpoint commit.  A plain fold
+would double-count it, so the sink records the last applied batch_id
+INSIDE the state directory's manifest and skips batches it has
+already folded — the same idempotency discipline as
+``streaming/upsert_sink.py``'s commit log.
+
+At 100 TB the state table is partitioned by key range and only the
+touched partitions rewrite; here the full-table blue/green swap
+stands in for that (the reference's replace-publish, S12).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.incremental import agg_state, merge_states
+
+_MANIFEST = "state_manifest.json"
+
+
+def _manifest_path(state_dir: str) -> str:
+    return os.path.join(state_dir, _MANIFEST)
+
+
+def _read_manifest(state_dir: str) -> dict:
+    try:
+        with open(_manifest_path(state_dir)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {"color": None, "last_batch_id": -1}
+
+
+def _write_manifest(state_dir: str, manifest: dict) -> None:
+    tmp = _manifest_path(state_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(state_dir))
+
+
+def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Current committed state, or None before the first fold."""
+    m = _read_manifest(state_dir)
+    if m["color"] is None:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, m["color"]))
+
+
+def incremental_state_sink(
+    state_dir: str, keys: str | list[str], value_col: str
+):
+    """A ``foreachBatch`` function maintaining the gold state at
+    ``state_dir``.  Idempotent under micro-batch replay."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        manifest = _read_manifest(state_dir)
+        if batch_id <= manifest["last_batch_id"]:
+            return  # replayed batch: already folded
+        spark = batch_df.sparkSession
+        batch_state = agg_state(batch_df, keys, value_col)
+        prev = read_state(spark, state_dir)
+        new_state = (
+            batch_state
+            if prev is None
+            else merge_states([prev, batch_state], keys)
+        )
+        color = "green" if manifest["color"] == "blue" else "blue"
+        out = os.path.join(state_dir, color)
+        new_state.write.mode("overwrite").parquet(out)
+        _write_manifest(
+            state_dir, {"color": color, "last_batch_id": batch_id}
+        )
+
+    return fold
