@@ -54,6 +54,8 @@ def merge_states(states: list[DataFrame], keys: str | list[str]) -> DataFrame:
     """Fold partial states: union + ONE hash aggregate.  Merging k
     batches costs the same shuffle as aggregating one — the point of
     keeping states instead of raw history."""
+    if not states:
+        raise ValueError("merge_states needs at least one state")
     ks = [keys] if isinstance(keys, str) else list(keys)
     unioned = states[0]
     for s in states[1:]:
@@ -101,6 +103,8 @@ def hll_state(
 def merge_hll_states(
     states: list[DataFrame], keys: str | list[str]
 ) -> DataFrame:
+    if not states:
+        raise ValueError("merge_hll_states needs at least one state")
     ks = [keys] if isinstance(keys, str) else list(keys)
     unioned = states[0]
     for s in states[1:]:

@@ -26,25 +26,27 @@ def quality_metrics(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     n_distinct, min_value, max_value) — numeric min/max via try_cast
     (NULL for non-numeric columns), computed in one aggregate."""
     cols = cols or df.columns
-    aggs = [F.count(F.lit(1)).alias("_n")]
+    # internal aliases are __qm_-prefixed so profiled columns named
+    # _n / _nn_x etc. cannot collide
+    aggs = [F.count(F.lit(1)).alias("__qm_n")]
     for c in cols:
         num = F.expr(f"try_cast(`{c}` AS DOUBLE)")
         aggs += [
-            F.count(F.col(c)).alias(f"_nn_{c}"),
-            F.countDistinct(F.col(c)).alias(f"_nd_{c}"),
-            F.min(num).alias(f"_mn_{c}"),
-            F.max(num).alias(f"_mx_{c}"),
+            F.count(F.col(c)).alias(f"__qm_nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__qm_nd_{c}"),
+            F.min(num).alias(f"__qm_mn_{c}"),
+            F.max(num).alias(f"__qm_mx_{c}"),
         ]
     wide = df.agg(*aggs)
     rows = F.array(
         *[
             F.struct(
                 F.lit(c).alias("column"),
-                F.col("_n").alias("n_rows"),
-                (F.col("_n") - F.col(f"_nn_{c}")).alias("n_nulls"),
-                F.col(f"_nd_{c}").alias("n_distinct"),
-                F.col(f"_mn_{c}").alias("min_value"),
-                F.col(f"_mx_{c}").alias("max_value"),
+                F.col("__qm_n").alias("n_rows"),
+                (F.col("__qm_n") - F.col(f"__qm_nn_{c}")).alias("n_nulls"),
+                F.col(f"__qm_nd_{c}").alias("n_distinct"),
+                F.col(f"__qm_mn_{c}").alias("min_value"),
+                F.col(f"__qm_mx_{c}").alias("max_value"),
             )
             for c in cols
         ]
@@ -61,7 +63,7 @@ def check_constraints(
     constraint: (constraint, passed).  All expressions share a single
     aggregate — one scan regardless of how many checks."""
     aggs = [
-        F.expr(expr).cast("boolean").alias(f"_c{i}")
+        F.expr(expr).cast("boolean").alias(f"__qm_c{i}")
         for i, (_, expr) in enumerate(constraints)
     ]
     wide = df.agg(*aggs)
@@ -69,7 +71,7 @@ def check_constraints(
         *[
             F.struct(
                 F.lit(name).alias("constraint"),
-                F.coalesce(F.col(f"_c{i}"), F.lit(False)).alias("passed"),
+                F.coalesce(F.col(f"__qm_c{i}"), F.lit(False)).alias("passed"),
             )
             for i, (name, _) in enumerate(constraints)
         ]

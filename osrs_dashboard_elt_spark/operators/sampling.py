@@ -266,7 +266,11 @@ def weighted_sample(
     TakeOrdered — per-partition partial top-k, k rows per partition
     shuffled to one merge — never a global sort, so it holds at any
     corpus size.  Heavier ``weight_col`` rows are proportionally more
-    likely to survive; re-runs select the identical set."""
+    likely to survive; re-runs select the identical set.
+
+    Precondition: weights must be strictly positive (w <= 0 yields a
+    NULL/garbage rank key; both engines then sort it last, but the
+    selection is no longer a weighted sample)."""
     kc = F.col(key_col)
     return (
         df.withColumn("__esk", es_key(kc, F.col(weight_col), seed))

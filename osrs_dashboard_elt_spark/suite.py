@@ -3828,17 +3828,17 @@ def q_waiting_orders(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = _t(spark, sf_dir, "supplier")
-    l1 = li.select("l_orderkey", "l_suppkey")
     late = F.col("l_shipdate") > F.lit(datetime(1997, 6, 1))
     # per (orderkey, suppkey): did ANY other supplier ship this order,
     # and did any OTHER supplier ship late?  Computed from order-level
     # totals minus own row's contribution: one shuffle of lineitem.
+    # n_os (the group's own row count) doubles as the per-row numwait
+    # contribution — no second lineitem aggregate needed.
     per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.count(F.lit(1)).alias("n_os"),
         F.sum(late.cast("long")).alias("n_late_os"),
     )
     per_o = per_os.groupBy("l_orderkey").agg(
-        F.sum("n_os").alias("n_o"),
         F.sum("n_late_os").alias("n_late_o"),
         F.count(F.lit(1)).alias("n_supp"),
     )
@@ -3848,19 +3848,13 @@ def q_waiting_orders(spark, sf_dir):
         .filter(
             (F.col("n_late_o") - F.col("n_late_os")) == 0
         )  # NOT EXISTS other supplier late
-        .select("l_orderkey", "l_suppkey")
-    )
-    # every qualifying l1 row counts (not distinct suppliers): re-join
-    # the count of l1 rows per (orderkey, suppkey)
-    l1n = l1.groupBy("l_orderkey", "l_suppkey").agg(
-        F.count(F.lit(1)).alias("n_rows")
+        .select("l_orderkey", "l_suppkey", "n_os")
     )
     return (
-        cand.join(l1n, ["l_orderkey", "l_suppkey"])
-        .join(orders.select("o_orderkey"), cand.l_orderkey == F.col("o_orderkey"))
+        cand.join(orders.select("o_orderkey"), cand.l_orderkey == F.col("o_orderkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.sum("n_rows").cast("long").alias("numwait"))
+        .agg(F.sum("n_os").cast("long").alias("numwait"))
     )
 
 
