@@ -182,3 +182,110 @@ def test_minhash_banding_matches_python_model(spark, docs):
     )
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-3 operators vs independent Python models
+# ---------------------------------------------------------------------------
+
+_scd2_rows_st = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2"]),        # key
+        st.integers(0, 10),                    # day
+        st.sampled_from(["A", "B", None]),     # attribute (nullable)
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _scd2_model(rows):
+    """Brute-force SCD2: per key, sort by (ts, attr-with-null-first),
+    collapse consecutive equal attrs, version + valid_to."""
+    out = []
+    bykey = {}
+    for k, day, a in rows:
+        bykey.setdefault(k, []).append((day, a))
+    for k, items in bykey.items():
+        items.sort(key=lambda t: (t[0], t[1] is not None, t[1] or ""))
+        runs = []
+        prev = object()
+        for day, a in items:
+            if a != prev:
+                runs.append([day, a])
+                prev = a
+        for i, (day, a) in enumerate(runs):
+            valid_to = runs[i + 1][0] if i + 1 < len(runs) else None
+            out.append((k, a, _t0(day), _t0(valid_to) if valid_to is not None else None, i + 1))
+    return sorted(out, key=lambda r: (r[0], r[4]))
+
+
+@given(_scd2_rows_st)
+@SETTINGS
+def test_scd2_matches_model(spark, rows):
+    from osrs_dashboard_elt_spark.operators.scd2 import scd2_compress
+
+    df = spark.createDataFrame(
+        [(k, _t0(d), a) for k, d, a in rows], "k string, ts timestamp, a string"
+    )
+    got = sorted(
+        ((r.k, r.a, r.valid_from, r.valid_to, r.version) for r in scd2_compress(
+            df, key="k", attr="a", ts_col="ts"
+        ).collect()),
+        key=lambda r: (r[0], r[4]),
+    )
+    # the model orders ties (same ts) nulls-first like Spark ASC NULLS FIRST
+    assert got == _scd2_model(rows)
+
+
+_rolling_rows_st = st.lists(
+    st.tuples(
+        st.sampled_from(["u1", "u2"]),
+        st.integers(0, 2000),                  # epoch second
+        st.integers(-100, 100),                # value (integral: exact sums)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(_rolling_rows_st, st.integers(1, 600))
+@SETTINGS
+def test_rolling_range_matches_model(spark, rows, win):
+    from osrs_dashboard_elt_spark.operators.rolling import rolling_range_agg
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, k, base + dt.timedelta(seconds=s), float(v))
+            for i, (k, s, v) in enumerate(rows)
+        ],
+        "id long, k string, ts timestamp, v double",
+    )
+    out = rolling_range_agg(df, key="k", ts_col="ts", value_col="v", window_seconds=win)
+    got = {r.id: (r.rolling_sum, r.rolling_cnt) for r in out.collect()}
+    for i, (k, s, v) in enumerate(rows):
+        inwin = [
+            v2 for (k2, s2, v2) in rows if k2 == k and s - win <= s2 <= s
+        ]
+        assert got[i] == (float(sum(inwin)), len(inwin)), (i, rows, win)
+
+
+_hll_vals_st = st.lists(st.integers(0, 500), min_size=0, max_size=60)
+
+
+@given(_hll_vals_st)
+@SETTINGS
+def test_hll_partition_invariance_and_bounds(spark, vals):
+    from osrs_dashboard_elt_spark.operators.sketches import hll_distinct
+
+    if not vals:
+        return
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, v long"
+    )
+    a = hll_distinct(df.repartition(1), "g", "v", p=9).collect()[0].approx_distinct
+    b = hll_distinct(df.repartition(7), "g", "v", p=9).collect()[0].approx_distinct
+    assert a == b
+    true = len(set(vals))
+    assert abs(a - true) / max(true, 1) < 0.25
