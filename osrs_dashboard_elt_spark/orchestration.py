@@ -128,3 +128,50 @@ def run_stages(
         if name in elide:
             record_success(state_path, name, now)
     return results
+
+
+# ---------------------------------------------------------------------------
+# Backfill planning: which day partitions are missing or incomplete
+# ---------------------------------------------------------------------------
+
+
+def plan_backfill(
+    existing_days: Iterable[str],
+    start_day: str,
+    end_day: str,
+) -> list[str]:
+    """Days in ``[start_day, end_day]`` (ISO yyyy-mm-dd, inclusive)
+    with no partition yet — the work-list a backfill driver feeds one
+    day at a time through the normal idempotent ingest (S4 dedup-append
+    makes re-running a partially-filled day safe).
+
+    Driver-side policy on a tiny day list; the data-side cost of each
+    backfilled day is the same window-pruned append as live ingest.
+    """
+    t0 = datetime.fromisoformat(start_day).date()
+    t1 = datetime.fromisoformat(end_day).date()
+    if t1 < t0:
+        raise ValueError(f"end_day {end_day} before start_day {start_day}")
+    have = set(existing_days)
+    out = []
+    d = t0
+    while d <= t1:
+        iso = d.isoformat()
+        if iso not in have:
+            out.append(iso)
+        d += timedelta(days=1)
+    return out
+
+
+def existing_day_partitions(path: str | Path, col: str = "event_date") -> list[str]:
+    """Day values present as Hive partition directories
+    (``<col>=yyyy-mm-dd``) under ``path`` — a LISTING, not a scan."""
+    root = Path(path)
+    if not root.exists():
+        return []
+    prefix = f"{col}="
+    return sorted(
+        p.name[len(prefix):]
+        for p in root.iterdir()
+        if p.is_dir() and p.name.startswith(prefix)
+    )

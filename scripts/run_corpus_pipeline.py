@@ -218,3 +218,57 @@ def main() -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def embed_and_index(
+    spark: SparkSession,
+    out_dir: str,
+    dim: int = 64,
+    n_centroids: int = 8,
+) -> dict:
+    """Stage 8 (post-split): embed the TRAIN slice with the Arrow-
+    batched embedder and materialize a cell-partitioned IVF index at
+    rest, so downstream near-dup / retrieval probes are partition-
+    pruned scans instead of full-corpus passes.
+
+    Centroids are the embeddings of the ``n_centroids`` smallest
+    train doc_ids — deterministic, and at real scale you'd swap in a
+    k-means sample without touching anything else here.  Returns the
+    index path and a probe sanity record (the first centroid doc must
+    be its own nearest neighbor)."""
+    from osrs_dashboard_elt_spark.multimodal.embedder import embed_documents
+    from osrs_dashboard_elt_spark.operators.similarity import (
+        ivf_ann_topk_at_rest,
+        write_ivf_index,
+    )
+
+    train = spark.read.parquet(f"{out_dir}/train")
+    emb = embed_documents(train, "doc_id", dim=dim)
+    seed_ids = [
+        r.doc_id
+        for r in emb.select("doc_id").orderBy("doc_id").limit(n_centroids).collect()
+    ]
+    cents = {
+        r.doc_id: list(r.embedding)
+        for r in emb.filter(F.col("doc_id").isin(seed_ids)).collect()
+    }
+    centroids = [cents[i] for i in seed_ids]  # already unit-norm
+    index_path = f"{out_dir}/ann_index"
+    write_ivf_index(
+        emb, index_path, "embedding", centroids, id_col="doc_id"
+    )
+    probe = ivf_ann_topk_at_rest(
+        spark,
+        index_path,
+        centroids[0],
+        centroids,
+        k=1,
+        nprobe=1,
+        id_col="doc_id",
+        vec_col="embedding",
+    ).collect()
+    return {
+        "index_path": index_path,
+        "probe_top1": probe[0].doc_id if probe else None,
+        "expected_top1": seed_ids[0],
+    }

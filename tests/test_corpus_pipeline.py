@@ -53,3 +53,23 @@ def test_corpus_pipeline_invariants_and_determinism(spark, tmp_path):
     a = spark.read.parquet(str(tmp_path / "a" / "train")).orderBy("doc_id").collect()
     b = spark.read.parquet(str(tmp_path / "b" / "train")).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_embed_and_index_stage(spark, tmp_path):
+    """Stage 8: Arrow-batched embedding + at-rest IVF index over the
+    train split; a centroid doc probes back as its own top-1 through
+    the partition-pruned path, and re-embedding is deterministic."""
+    import run_corpus_pipeline as pipe
+    from osrs_dashboard_elt_spark.multimodal.embedder import embed_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    evals = docs.limit(5)
+    out = str(tmp_path / "corpus")
+    pipe.run(spark, docs, evals, out)
+    res = pipe.embed_and_index(spark, out, dim=16, n_centroids=4)
+    assert res["probe_top1"] == res["expected_top1"]
+    # determinism: same ids -> identical vectors on re-run
+    train = spark.read.parquet(f"{out}/train").limit(3)
+    a = {r.doc_id: list(r.embedding) for r in embed_documents(train, dim=16).collect()}
+    b = {r.doc_id: list(r.embedding) for r in embed_documents(train, dim=16).collect()}
+    assert a == b

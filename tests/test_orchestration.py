@@ -98,3 +98,38 @@ def test_failed_elidable_stage_retries_next_run(tmp_path):
     )
     assert out == [StageResult("fetch", "ok", out[0].seconds)]
     assert attempts == [1]
+
+
+class TestBackfill:
+    def test_plan_finds_gaps(self):
+        from osrs_dashboard_elt_spark.orchestration import plan_backfill
+
+        got = plan_backfill(
+            ["2024-01-01", "2024-01-03"], "2024-01-01", "2024-01-04"
+        )
+        assert got == ["2024-01-02", "2024-01-04"]
+
+    def test_plan_empty_when_complete(self):
+        from osrs_dashboard_elt_spark.orchestration import plan_backfill
+
+        assert plan_backfill(["2024-01-01"], "2024-01-01", "2024-01-01") == []
+
+    def test_plan_rejects_inverted_range(self):
+        import pytest
+        from osrs_dashboard_elt_spark.orchestration import plan_backfill
+
+        with pytest.raises(ValueError):
+            plan_backfill([], "2024-01-02", "2024-01-01")
+
+    def test_existing_partitions_listing(self, tmp_path):
+        from osrs_dashboard_elt_spark.orchestration import (
+            existing_day_partitions,
+            plan_backfill,
+        )
+
+        for d in ["2024-01-01", "2024-01-03"]:
+            (tmp_path / f"event_date={d}").mkdir()
+        (tmp_path / "not_a_partition").mkdir()
+        have = existing_day_partitions(tmp_path)
+        assert have == ["2024-01-01", "2024-01-03"]
+        assert plan_backfill(have, "2024-01-01", "2024-01-03") == ["2024-01-02"]
