@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "q_token_vocab",
     "q_duplicate_ngram_spans",
     "q_boilerplate_removal",
+    "q_scd2_as_of",
 ]
 
 

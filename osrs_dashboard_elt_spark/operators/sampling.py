@@ -235,7 +235,12 @@ def es_key(key: Column, weight: Column, seed: int = 42) -> Column:
     inside (0,1)), so the 'randomness' is a pure function of
     (seed, key): reproducible across runs, engines, and partitionings.
     Ranking by ``ln(u)/w`` is the same order as ``u^(1/w)`` with one
-    transcendental call instead of two.
+    transcendental call instead of two.  (ln is the one operation here
+    IEEE does not require correctly rounded; engines may differ in the
+    last ulp.  Selection only flips if two items' keys straddle the
+    k-boundary within ~1 ulp of each other — with hash-spread keys the
+    chance is negligible, and the ORDER is the only float consumer: no
+    float ever reaches the output.)
 
     DuckDB mirror:
       ln((('0x'||substr(md5('<seed>|'||k),1,15))::BIGINT + 1)

@@ -4242,3 +4242,45 @@ def q_boilerplate_removal(spark, sf_dir):
             "n_dropped"
         ),
     )
+
+
+_SCD2_ASOF_ORACLE = """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderdate AS ts, o_orderstatus AS attr,
+             LAG(o_orderstatus) OVER w AS prev,
+             ROW_NUMBER() OVER w AS rn
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderstatus)
+    ),
+    runs AS (
+      SELECT o_custkey, ts, attr FROM ordered
+      WHERE rn = 1 OR attr IS DISTINCT FROM prev
+    ),
+    hist AS (
+      SELECT o_custkey, attr, ts AS valid_from,
+             LEAD(ts) OVER w2 AS valid_to
+      FROM runs
+      WINDOW w2 AS (PARTITION BY o_custkey ORDER BY ts, attr)
+    )
+    SELECT o_custkey, attr AS status_asof
+    FROM hist
+    WHERE valid_from <= TIMESTAMP '1997-01-01'
+      AND (valid_to IS NULL OR TIMESTAMP '1997-01-01' < valid_to)
+"""
+
+
+@query("q_scd2_as_of", oracle=_SCD2_ASOF_ORACLE)
+def q_scd2_as_of(spark, sf_dir):
+    """Point-in-time slice of the SCD2 history: each customer's order
+    status as of 1997-01-01 (half-open validity).  Composes
+    scd2_compress + scd2_as_of; at scale, slicing a maintained history
+    beats re-scanning the change-log for every as-of question."""
+    from .operators.scd2 import scd2_as_of, scd2_compress
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").alias("ts"), "o_orderstatus"
+    )
+    hist = scd2_compress(orders, key="o_custkey", attr="o_orderstatus", ts_col="ts")
+    return scd2_as_of(hist, F.lit(datetime(1997, 1, 1))).select(
+        "o_custkey", F.col("o_orderstatus").alias("status_asof")
+    )

@@ -174,6 +174,27 @@ def run(
             .parquet(f"{out_dir}/train")
         )
 
+        # quality gate on the published corpus: one extra scan of the
+        # persisted survivors; a failed constraint quarantines the run
+        # (raises before the summary declares success)
+        from osrs_dashboard_elt_spark.operators.quality import check_constraints
+
+        gate = {
+            r.constraint: r.passed
+            for r in check_constraints(
+                final,
+                [
+                    ("nonempty", "count(*) > 0"),
+                    ("doc_id_unique", "count(distinct doc_id) = count(*)"),
+                    ("tokens_floor", f"min(n_tokens) >= {MIN_TOKENS}"),
+                    ("splits_assigned", "count_if(split IS NULL) = 0"),
+                ],
+            ).collect()
+        }
+        failed = sorted(k for k, ok in gate.items() if not ok)
+        if failed:
+            raise RuntimeError(f"corpus quality gate failed: {failed}")
+
         stages = obs.get()
         metrics = stages["corpus"]
         summary = render_run_summary(

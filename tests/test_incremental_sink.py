@@ -70,3 +70,37 @@ def test_drives_from_a_real_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = _final_rows(spark, tmp_path / "state")
     assert [(g, n) for g, n, *_ in got] == [("a", 1), ("b", 1)]
+
+
+def test_drives_from_rest_stream(spark, tmp_path):
+    """Composition: the rate-limited REST micro-batch stream feeds the
+    incremental state sink — live API samples fold into a maintained
+    gold aggregate without ever rescanning history."""
+    from osrs_dashboard_elt_spark.sources.rest import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("rest_timeseries")
+        .option("items", "4151,4153")
+        .option("points_per_batch", "3")
+        .option("max_points", "6")
+        .load()
+    )
+    state_dir = tmp_path / "state"
+    q = (
+        stream.selectExpr(
+            "CAST(item_id AS STRING) AS g",
+            "CAST(avg_high_price AS DOUBLE) AS v",
+        )
+        .writeStream.foreachBatch(
+            incremental_state_sink(str(state_dir), "g", "v")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state = read_state(spark, str(state_dir))
+    rows = {r.g: r.n_rows for r in state.collect()}
+    assert set(rows) == {"4151", "4153"}
+    assert all(n >= 1 for n in rows.values())
