@@ -7,6 +7,7 @@ from .ingest import (
     read_raw_stream,
     retry_unparsed,
     start_parse_pipeline,
+    split_corrupt,
     streaming_session_rollup,
     streaming_windowed_rollup,
     with_late_data_dedup,
@@ -34,6 +35,7 @@ __all__ = [
     "retry_unparsed",
     "running_best_changelog",
     "running_best_changelog_tws",
+    "split_corrupt",
     "start_parse_pipeline",
     "streaming_session_rollup",
     "streaming_windowed_rollup",

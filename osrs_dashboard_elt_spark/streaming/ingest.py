@@ -56,14 +56,47 @@ RAW_LOG_SCHEMA = T.StructType(
 )
 
 
+_CORRUPT_COL = "_corrupt_line"
+
+# RAW_LOG_SCHEMA + the PERMISSIVE-mode capture column: a malformed
+# JSON line lands with every declared field NULL and the raw line
+# here, instead of disappearing as a silent all-null row
+_RAW_WITH_CORRUPT = T.StructType(
+    list(RAW_LOG_SCHEMA.fields) + [T.StructField(_CORRUPT_COL, T.StringType())]
+)
+
+
 def read_raw_stream(
     spark: SparkSession, path: str, fmt: str = "json", max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source stream of raw log rows (S1's streaming analog)."""
-    reader = spark.readStream.schema(RAW_LOG_SCHEMA).format(fmt)
+    """File-source stream of raw log rows (S1's streaming analog).
+
+    Malformed lines are captured, not dropped: use
+    :func:`split_corrupt` to route them to the dead-letter table
+    alongside unparsed-content rows.
+    """
+    reader = (
+        spark.readStream.schema(_RAW_WITH_CORRUPT)
+        .format(fmt)
+        .option("columnNameOfCorruptRecord", _CORRUPT_COL)
+    )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.load(path)
+
+
+def split_corrupt(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(well-formed rows with the capture column dropped, corrupt rows
+    as (line,)) — corrupt = the capture column is set, or every
+    declared field is NULL (a line like ``null`` parses to nothing)."""
+    is_corrupt = F.col(_CORRUPT_COL).isNotNull() | (
+        F.col("id").isNull()
+        & F.col("timestamp").isNull()
+        & F.col("raw_content").isNull()
+    )
+    good = raw.filter(~is_corrupt).drop(_CORRUPT_COL)
+    bad = raw.filter(is_corrupt).select(F.col(_CORRUPT_COL).alias("line"))
+    return good, bad
 
 
 def with_late_data_dedup(raw: DataFrame, lateness: str = "30 minutes") -> DataFrame:

@@ -184,3 +184,37 @@ def test_retry_unparsed_drains_dead_letter(spark, tmp_path):
     stats2 = retry_unparsed(spark, str(out), full_cfg)
     assert stats2 == {"retried": 1, "recovered": 0, "still_dead": 1}
     assert spark.read.parquet(str(out / "clan_broadcasts")).count() == 2
+
+
+def test_corrupt_lines_are_captured_not_dropped(spark, tmp_path):
+    """A malformed JSON line must surface through split_corrupt, and
+    well-formed rows must flow through unchanged — no silent all-null
+    rows from PERMISSIVE mode."""
+    from osrs_dashboard_elt_spark.streaming import read_raw_stream, split_corrupt
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text(
+        '{"id": 1, "timestamp": "2025-01-01T10:00:00.000Z", "raw_content": "ok"}\n'
+        "this is not json at all\n"
+        '{"id": 2, "timestamp": "2025-01-01T10:01:00.000Z", "raw_content": "also ok"}\n'
+    )
+    raw = read_raw_stream(spark, str(src))
+    good, bad = split_corrupt(raw)
+    gq = (
+        good.writeStream.format("memory").queryName("corrupt_good")
+        .option("checkpointLocation", str(tmp_path / "c1"))
+        .trigger(availableNow=True).start()
+    )
+    bq = (
+        bad.writeStream.format("memory").queryName("corrupt_bad")
+        .option("checkpointLocation", str(tmp_path / "c2"))
+        .trigger(availableNow=True).start()
+    )
+    gq.awaitTermination(60)
+    bq.awaitTermination(60)
+    good_rows = spark.sql("SELECT * FROM corrupt_good").collect()
+    bad_rows = spark.sql("SELECT * FROM corrupt_bad").collect()
+    assert sorted(r.id for r in good_rows) == [1, 2]
+    assert "_corrupt_line" not in spark.sql("SELECT * FROM corrupt_good").columns
+    assert len(bad_rows) == 1 and "not json" in bad_rows[0].line
