@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "q_duplicate_ngram_spans",
     "q_boilerplate_removal",
     "q_scd2_as_of",
+    "q_stratified_fixed_k",
+    "q_table_checksum",
 ]
 
 

@@ -44,9 +44,9 @@ from .similarity import (
     write_lsh_index,
 )
 from .outliers import zscore_outliers
-from .quality import check_constraints, quality_metrics
+from .quality import check_constraints, quality_metrics, table_checksum
 from .rolling import rolling_range_agg
-from .sampling import weighted_sample
+from .sampling import stratified_fixed_k, weighted_sample
 from .incremental import agg_state, finalize, hll_state, merge_hll_states, merge_states
 from .sketches import histogram_quantile, hll_distinct
 from .scd2 import scd2_as_of, scd2_compress
@@ -64,6 +64,8 @@ __all__ = [
     "histogram_quantile",
     "hll_distinct",
     "quality_metrics",
+    "stratified_fixed_k",
+    "table_checksum",
     "rolling_range_agg",
     "scd2_as_of",
     "scd2_compress",

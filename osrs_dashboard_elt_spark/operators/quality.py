@@ -77,3 +77,42 @@ def check_constraints(
         ]
     )
     return wide.select(F.inline(rows))
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Order-independent content digest of a table: one row
+    ``(n_rows, checksum)`` where checksum is the exact DECIMAL(38,0)
+    SUM of each row's 60-bit md5 (decimal, not int64: 2^60-sized
+    terms overflow a long within a few thousand rows under ANSI
+    arithmetic; 38 digits hold ~10^19 rows).  Because addition
+    commutes, the digest
+    is independent of partitioning, ordering, and merge plan — two
+    tables are (almost surely) row-identical iff their checksums and
+    counts agree.  The blue/green publish validation: checksum the
+    inactive color against the expected input before flipping.
+
+    Rows serialize as ``concat_ws(sep, cols-as-strings)`` with NULL as
+    an explicit sentinel (concat_ws drops NULLs, which would make
+    ('a', NULL) collide with ('a',)).  Pass a ``sep`` that cannot
+    occur inside values.
+
+    DuckDB mirror (for cross-engine audit):
+      SELECT COUNT(*), SUM(('0x' || substr(md5(<serialized>), 1, 15))::BIGINT)
+    with the identical COALESCE/CAST serialization.
+    """
+    cols = cols or df.columns
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+        for c in cols
+    ]
+    row_hash = F.conv(
+        F.substring(F.md5(F.concat_ws(sep, *parts)), 1, 15), 16, 10
+    ).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash.cast("decimal(38,0)")).cast("decimal(38,0)").alias("checksum"),
+    )

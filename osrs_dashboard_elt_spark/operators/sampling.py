@@ -283,3 +283,30 @@ def weighted_sample(
         .limit(k)
         .drop("__esk")
     )
+
+
+def stratified_fixed_k(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: rank rows inside
+    each stratum by the seeded md5 of their key and keep the first k.
+    Complements ``hash_sample`` (fraction-based, no per-group
+    guarantee): this form gives every stratum the same budget no
+    matter how skewed the stratum sizes are — the shape for building
+    balanced eval slices.  One window over one shuffle on the stratum
+    key; strata smaller than k keep all their rows."""
+    from pyspark.sql import Window
+
+    order = F.md5(
+        F.concat_ws("|", F.lit(str(seed)), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(stratum_col).orderBy(order.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -4284,3 +4284,66 @@ def q_scd2_as_of(spark, sf_dir):
     return scd2_as_of(hist, F.lit(datetime(1997, 1, 1))).select(
         "o_custkey", F.col("o_orderstatus").alias("status_asof")
     )
+
+
+_STRAT_K = 10
+_STRAT_SEED = 11
+_STRAT_ORACLE = f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('{_STRAT_SEED}|' || CAST(doc_id AS VARCHAR)) ASC,
+                        doc_id ASC
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= {_STRAT_K}
+"""
+
+
+@query("q_stratified_fixed_k", oracle=_STRAT_ORACLE)
+def q_stratified_fixed_k(spark, sf_dir):
+    """Exactly-k-per-stratum sampling: every language gets the same
+    {k}-document budget regardless of stratum skew (hash_sample's
+    fraction form cannot guarantee that).  Seeded md5 rank = the
+    selection is a pure function of (seed, doc_id): reproducible and
+    partition-free.  See operators/sampling.py::stratified_fixed_k."""
+    from .operators.sampling import stratified_fixed_k
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_fixed_k(
+        docs, "lang", "doc_id", k=_STRAT_K, seed=_STRAT_SEED
+    )
+
+
+_CHECKSUM_ORACLE = f"""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(('0x' || substr(md5(
+             concat_ws(chr(31),
+               COALESCE(CAST(event_id AS VARCHAR), chr(0) || 'NULL'),
+               COALESCE(CAST(user_id AS VARCHAR), chr(0) || 'NULL'),
+               COALESCE(event_type, chr(0) || 'NULL'),
+               COALESCE(strftime(ts, '{TS_FMT_DUCK}'), chr(0) || 'NULL')
+             )
+           ), 1, 15))::BIGINT) AS DECIMAL(38,0)) AS checksum
+    FROM events
+"""
+
+
+@query("q_table_checksum", oracle=_CHECKSUM_ORACLE)
+def q_table_checksum(spark, sf_dir):
+    """Order-independent table digest: SUM of per-row 60-bit md5 —
+    commutative, so the digest survives any partitioning/merge plan,
+    and two engines agree iff the rows agree.  The blue/green publish
+    validation primitive.  (Timestamps serialize through the session's
+    canonical format; doubles are excluded here — their string forms
+    are engine-specific, digest formatted/decimal forms instead.)"""
+    from .operators.quality import table_checksum
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+    )
+    return table_checksum(ev, ["event_id", "user_id", "event_type", "ts_s"])

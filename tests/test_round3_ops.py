@@ -332,3 +332,52 @@ class TestIncremental:
         a = sorted(map(tuple, merged.collect()))
         b = sorted(map(tuple, full.collect()))
         assert a == b
+
+
+class TestChecksumAndStratified:
+    def test_checksum_partition_and_order_free(self, spark):
+        from osrs_dashboard_elt_spark.operators import table_checksum
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "c")], "id long, s string"
+        )
+        a = table_checksum(df.repartition(1)).collect()[0]
+        b = table_checksum(df.repartition(8).orderBy(F.desc("id"))).collect()[0]
+        assert (a.n_rows, a.checksum) == (b.n_rows, b.checksum)
+
+    def test_checksum_detects_any_row_change(self, spark):
+        from osrs_dashboard_elt_spark.operators import table_checksum
+
+        base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+        changed = spark.createDataFrame([(1, "a"), (2, "B")], "id long, s string")
+        assert (
+            table_checksum(base).collect()[0].checksum
+            != table_checksum(changed).collect()[0].checksum
+        )
+
+    def test_checksum_null_vs_empty_distinct(self, spark):
+        from osrs_dashboard_elt_spark.operators import table_checksum
+
+        a = spark.createDataFrame([(1, None)], "id long, s string")
+        b = spark.createDataFrame([(1, "")], "id long, s string")
+        assert (
+            table_checksum(a).collect()[0].checksum
+            != table_checksum(b).collect()[0].checksum
+        )
+
+    def test_stratified_exact_k_and_small_strata(self, spark):
+        from osrs_dashboard_elt_spark.operators import stratified_fixed_k
+
+        rows = [(i, "big") for i in range(50)] + [(100, "tiny"), (101, "tiny")]
+        df = spark.createDataFrame(rows, "id long, g string")
+        out = stratified_fixed_k(df, "g", "id", k=5)
+        counts = {r.g: r.n for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts == {"big": 5, "tiny": 2}
+
+    def test_stratified_deterministic(self, spark):
+        from osrs_dashboard_elt_spark.operators import stratified_fixed_k
+
+        df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 3).cast("string").alias("g"))
+        a = {r.id for r in stratified_fixed_k(df.repartition(2), "g", "id", 7).collect()}
+        b = {r.id for r in stratified_fixed_k(df.repartition(9), "g", "id", 7).collect()}
+        assert a == b and len(a) == 21
