@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "q_scd2_as_of",
     "q_stratified_fixed_k",
     "q_table_checksum",
+    "q_cube_aggregate",
 ]
 
 

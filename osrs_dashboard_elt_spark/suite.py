@@ -4347,3 +4347,36 @@ def q_table_checksum(spark, sf_dir):
         F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
     )
     return table_checksum(ev, ["event_id", "user_id", "event_type", "ts_s"])
+
+
+_CUBE_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("q_cube_aggregate", oracle=_CUBE_ORACLE)
+def q_cube_aggregate(spark, sf_dir):
+    """Full CUBE over two dimensions with GROUPING markers (the
+    markers disambiguate a genuine NULL group value from a subtotal
+    row).  One Expand (4 grouping sets) + one hash aggregate — the
+    subtotals cost one multiplied scan, never extra passes; completes
+    the §2.5 family next to q_grouping_sets_rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            dec_sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n"
+        )
+    )
