@@ -4380,3 +4380,388 @@ def q_cube_aggregate(spark, sf_dir):
             "l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fourth wave: relational completeness (the remaining TPC-H query
+# shapes the earlier waves didn't cover), the full window-function
+# family, and a similarity-join on edit distance with pigeonhole
+# blocking.  Reference parity: these round out the §2.4-§2.6 join/agg
+# families so a reference user has every standard analytic shape; the
+# fuzzy join is the scalable form of the reference's name-matching
+# concern (6_fetch_name_changes.py joins old/new usernames).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q04_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS correlated on a non-equi condition,
+    declared as a LEFT SEMI join with the inequality kept in the join
+    condition.  The semi join never duplicates order rows (no
+    post-join distinct needed), the date filter prunes the probe side
+    before the shuffle, and the final aggregate is a 5-group hash agg.
+    At scale both sides hash-partition on orderkey once — the semi
+    probe short-circuits on first match instead of materializing the
+    multiplicity."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    sem = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    WITH j AS (
+      SELECT CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6)) AS rev,
+             p_type
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        AND l_shipdate < TIMESTAMP '1996-10-01')
+    SELECT CAST(CAST((100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN rev ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+                    / CAST(SUM(rev) AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE)
+             AS promo_revenue,
+           CAST(SUM(rev) AS DOUBLE) AS total_revenue
+    FROM j
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue
+    share).  One broadcast join (part is the dimension), one scan of
+    the month-pruned fact, and BOTH the numerator and denominator come
+    out of a single aggregate — no second pass, no self-join.  Sums
+    are exact decimals; the ratio divides the two exact doubles once
+    at the end (deterministic IEEE) and decimal-rounds."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(28,6)")
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(28,6)")
+                )
+            ).alias("pr"),
+            F.sum(rev).alias("tr"),
+        )
+    )
+    return agg.select(
+        dround(
+            F.lit(100.0)
+            * F.col("pr").cast("double")
+            / F.col("tr").cast("double")
+        ).alias("promo_revenue"),
+        F.col("tr").cast("double").alias("total_revenue"),
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle="""
+    WITH lib AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#23'),
+    pa AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
+               AS avg_qty
+      FROM lib GROUP BY l_partkey)
+    SELECT CAST(CAST((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                      / 7.0) AS DECIMAL(28,6)) AS DOUBLE) AS avg_yearly
+    FROM lib JOIN pa USING (l_partkey)
+    WHERE l_quantity < 0.2 * avg_qty
+    """,
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: per-group average as a correlated scalar
+    subquery, decorrelated into one aggregate + re-join.  The brand
+    filter cuts part to ~1/25 and is broadcast into lineitem FIRST, so
+    the per-part average runs over the already-restricted fact subset
+    (one scan feeds both the average and the final sum via a cached
+    narrow projection); the tiny per-part average table broadcasts
+    back.  The fact table never shuffles — both joins are broadcast."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li = _t(spark, sf_dir, "lineitem")
+    lib = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    pa = lib.groupBy("l_partkey").agg(
+        (dec_sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    j = lib.join(F.broadcast(pa), "l_partkey").filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return j.agg(
+        dround(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                "double"
+            )
+            / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
+
+
+_Q19_P_SQL = """((p_type = 'PROMO'   AND p_size BETWEEN 1  AND 15)
+      OR (p_type = 'ECONOMY' AND p_size BETWEEN 10 AND 30)
+      OR (p_type = 'SMALL'   AND p_size BETWEEN 20 AND 50))"""
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {_REV_SQL} AS revenue, COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_type = 'PROMO'   AND p_size BETWEEN 1  AND 15
+           AND l_quantity BETWEEN 1 AND 21)
+       OR (p_type = 'ECONOMY' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 5 AND 25)
+       OR (p_type = 'SMALL'   AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 10 AND 40)
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs spanning both join sides.  The
+    part-only disjuncts are factored out and applied BEFORE the join
+    (derived-predicate pushdown Catalyst won't do across an OR on its
+    own), shrinking the broadcast build side; the full mixed predicate
+    then filters the joined rows.  The fact side stays a single
+    codegen scan-filter — no shuffle at any size because the build
+    side is dimension-bounded."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    p_promo = (F.col("p_type") == "PROMO") & F.col("p_size").between(1, 15)
+    p_econ = (F.col("p_type") == "ECONOMY") & F.col("p_size").between(10, 30)
+    p_small = (F.col("p_type") == "SMALL") & F.col("p_size").between(20, 50)
+    pf = part.filter(p_promo | p_econ | p_small)
+    q = F.col("l_quantity")
+    full = (
+        (p_promo & q.between(1, 21))
+        | (p_econ & q.between(5, 25))
+        | (p_small & q.between(10, 40))
+    )
+    return (
+        li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+        .filter(full)
+        .agg(
+            _revenue_col().alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle="""
+    WITH thr AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
+               AS avg_bal
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, thr
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: global-scalar threshold (average positive
+    balance) + NOT EXISTS, as broadcast-scalar cross join + LEFT ANTI
+    join.  The scalar aggregate is one row (broadcast for free); the
+    anti join probes orders' custkey set — at scale that is the one
+    shuffle, on the join key both sides.  The average is
+    exact-decimal-sum / count so the threshold is bit-identical across
+    engines and partitionings."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        (dec_sum("c_acctbal") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    idle = cust.join(
+        recent, cust.c_custkey == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        idle.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dec_sum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "q_supplier_share",
+    oracle="""
+    WITH per AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6)))
+               AS rev_dec
+      FROM lineitem GROUP BY l_suppkey),
+    tot AS (SELECT SUM(rev_dec) AS tot_dec FROM per)
+    SELECT l_suppkey, CAST(rev_dec AS DOUBLE) AS supplier_rev
+    FROM per, tot
+    WHERE CAST(rev_dec AS DOUBLE) > 0.002 * CAST(tot_dec AS DOUBLE)
+    """,
+)
+def q_supplier_share(spark, sf_dir):
+    """TPC-H Q11 shape: HAVING against a fraction of a GLOBAL
+    aggregate.  The per-supplier revenue aggregates once (map-side
+    partials, one shuffle on suppkey); the grand total then reduces
+    the already-tiny per-group table, and the one-row result broadcast
+    cross-joins back for the threshold filter — the fact table is
+    scanned exactly once.  All sums stay decimal until the final
+    comparison/projection, so the share threshold can't drift with
+    partition order."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(28,6)"
+            )
+        ).alias("rev_dec")
+    )
+    tot = per.agg(F.sum("rev_dec").alias("tot_dec"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("rev_dec").cast("double")
+            > 0.002 * F.col("tot_dec").cast("double")
+        )
+        .select(
+            "l_suppkey", F.col("rev_dec").cast("double").alias("supplier_rev")
+        )
+    )
+
+
+@query(
+    "q_window_functions",
+    oracle=f"""
+    SELECT event_id, user_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_s,
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           FIRST_VALUE(value) OVER w AS first_val,
+           ROW_NUMBER() OVER w AS rn,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_functions(spark, sf_dir):
+    """The full analytic window family (lag / lead / first_value /
+    row_number / ntile / percent_rank) in ONE window spec: Spark plans
+    a single sort per partition key and evaluates all six functions in
+    one Window operator — adding functions to the same spec is free;
+    adding a second ORDER BY is another sort.  The (ts, event_id)
+    order key is unique, which makes RANGE and ROWS frames coincide
+    and every function deterministic.  percent_rank's (rank-1)/(n-1)
+    division is exact IEEE on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_val"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+@query(
+    "q_fuzzy_name_match",
+    oracle="""
+    WITH c AS (SELECT c_custkey AS custkey,
+                      substring(c_name, 10, 9) AS c_digits FROM customer),
+    s AS (SELECT s_suppkey AS suppkey,
+                 substring(s_name, 10, 9) AS s_digits FROM supplier),
+    cand AS (
+      SELECT custkey, suppkey, c_digits, s_digits
+      FROM c JOIN s ON substring(c_digits, 1, 5) = substring(s_digits, 1, 5)
+      UNION
+      SELECT custkey, suppkey, c_digits, s_digits
+      FROM c JOIN s ON substring(c_digits, 6, 4) = substring(s_digits, 6, 4)
+    )
+    SELECT custkey, suppkey,
+           CAST(levenshtein(c_digits, s_digits) AS BIGINT) AS edit_dist
+    FROM cand
+    WHERE levenshtein(c_digits, s_digits) <= 1
+    """,
+)
+def q_fuzzy_name_match(spark, sf_dir):
+    """Edit-distance similarity join (threshold 1) with PIGEONHOLE
+    blocking: for equal-length strings within distance 1, at least one
+    of the two halves must match exactly, so candidates are the UNION
+    of two cheap equi-joins on the halves — never an all-pairs
+    nested-loop.  The exact levenshtein runs only on candidates.  This
+    is the scalable form of the reference's username-matching concern
+    (6_fetch_name_changes.py resolves old->new names); for distance k,
+    split into k+1 segments (same pigeonhole argument).  Block sizes
+    are bounded by half-key entropy — production corpora hash the
+    halves; a hot half-key would get the _drop_hot_keys cap the LSH
+    family uses."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.substring("c_name", 10, 9).alias("c_digits"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.substring("s_name", 10, 9).alias("s_digits"),
+    )
+    left = cust.join(
+        sup,
+        F.substring("c_digits", 1, 5) == F.substring("s_digits", 1, 5),
+    ).select("custkey", "suppkey", "c_digits", "s_digits")
+    right = cust.join(
+        sup,
+        F.substring("c_digits", 6, 4) == F.substring("s_digits", 6, 4),
+    ).select("custkey", "suppkey", "c_digits", "s_digits")
+    cand = left.unionByName(right).distinct()
+    return cand.filter(
+        F.levenshtein("c_digits", "s_digits") <= 1
+    ).select(
+        "custkey",
+        "suppkey",
+        F.levenshtein("c_digits", "s_digits").cast("long").alias("edit_dist"),
+    )

@@ -15,7 +15,15 @@ _FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
 # spine with the distinct group set — BOTH sides are post-aggregation
 # outputs bounded by (bucket count x group count), independent of the
 # data size, so the nested-loop join is scale-safe by construction.
-_ALLOWED = {"q_resample_daily_gapfill": {"BroadcastNestedLoopJoin"}}
+_ALLOWED = {
+    "q_resample_daily_gapfill": {"BroadcastNestedLoopJoin"},
+    # Scalar-threshold cross joins: the broadcast side is a ONE-ROW
+    # aggregate output (global average balance / grand-total revenue),
+    # so the "nested loop" is a constant-fold against each row —
+    # scale-safe by construction.
+    "q22_idle_customers": {"BroadcastNestedLoopJoin"},
+    "q_supplier_share": {"BroadcastNestedLoopJoin"},
+}
 
 
 def _executed_plan(df) -> str:
@@ -158,3 +166,46 @@ def test_funnel_single_aggregate_chain(spark, all_queries):
     conditional aggregate per user — no per-step self-joins."""
     plan = _executed_plan(all_queries["q_funnel_conversion"](spark, SF_DIR))
     assert "Join" not in plan, plan
+
+
+def test_q04_exists_is_semi_join(spark, all_queries):
+    """Q4's EXISTS must plan as a semi join (no row multiplication,
+    no post-join distinct)."""
+    plan = _executed_plan(all_queries["q04_order_priority"](spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+
+
+def test_q17_fact_joins_are_broadcast(spark, all_queries):
+    """Q17's two joins (brand filter in, per-part average back) must
+    both broadcast — the lineitem scan must never feed a sort-merge
+    join."""
+    plan = _executed_plan(all_queries["q17_small_qty_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q19_part_disjuncts_prefilter_build_side(spark, all_queries):
+    """Q19's part-only disjuncts must filter the broadcast build side
+    BEFORE the join (derived-predicate pushdown across the OR)."""
+    plan = _executed_plan(
+        all_queries["q19_disjunctive_revenue"](spark, SF_DIR)
+    )
+    assert "BroadcastHashJoin" in plan
+    # the part scan must carry pushed predicates from the disjunction
+    assert "PushedFilters: [Or(" in plan, plan
+
+
+def test_window_family_single_window_operator(spark, all_queries):
+    """All six analytic functions share one window spec -> exactly one
+    Window operator and one sort-inducing exchange."""
+    plan = _executed_plan(all_queries["q_window_functions"](spark, SF_DIR))
+    assert plan.count("Window ") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_fuzzy_match_blocks_via_equi_joins(spark, all_queries):
+    """The edit-distance join must be two equi-joins on the halves
+    (pigeonhole blocking), never a nested-loop over all pairs."""
+    plan = _executed_plan(all_queries["q_fuzzy_name_match"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
