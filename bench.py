@@ -116,6 +116,15 @@ BENCH_QUERIES = [
     "q_stratified_fixed_k",
     "q_table_checksum",
     "q_cube_aggregate",
+    "q04_order_priority",
+    "q14_promo_revenue",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "q_supplier_share",
+    "q_window_functions",
+    "q_fuzzy_name_match",
+    "q_stream_interval_join",
 ]
 
 

@@ -12,6 +12,7 @@ from .ingest import (
     streaming_windowed_rollup,
     with_late_data_dedup,
 )
+from .stream_join import stream_interval_join
 from .stateful import (
     changelog_via_stream,
     running_best_changelog,
@@ -37,6 +38,7 @@ __all__ = [
     "running_best_changelog_tws",
     "split_corrupt",
     "start_parse_pipeline",
+    "stream_interval_join",
     "streaming_session_rollup",
     "streaming_windowed_rollup",
     "with_late_data_dedup",

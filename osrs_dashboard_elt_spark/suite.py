@@ -4709,38 +4709,53 @@ def q_window_functions(spark, sf_dir):
     )
 
 
+def _wildcard_keys(col: str, n: int):
+    """The n single-position-wildcard variants of a length-n string
+    column: position i replaced by '*'.  Two equal-length strings are
+    within substitution distance 1 iff they share at least one variant
+    (distance 0 -> all n; distance 1 -> the variant wildcarding the
+    differing position)."""
+    return F.array(
+        *[
+            F.concat(
+                F.substring(col, 1, i),
+                F.lit("*"),
+                F.substring(col, i + 2, n - i - 1),
+            )
+            for i in range(n)
+        ]
+    )
+
+
 @query(
     "q_fuzzy_name_match",
     oracle="""
     WITH c AS (SELECT c_custkey AS custkey,
                       substring(c_name, 10, 9) AS c_digits FROM customer),
     s AS (SELECT s_suppkey AS suppkey,
-                 substring(s_name, 10, 9) AS s_digits FROM supplier),
-    cand AS (
-      SELECT custkey, suppkey, c_digits, s_digits
-      FROM c JOIN s ON substring(c_digits, 1, 5) = substring(s_digits, 1, 5)
-      UNION
-      SELECT custkey, suppkey, c_digits, s_digits
-      FROM c JOIN s ON substring(c_digits, 6, 4) = substring(s_digits, 6, 4)
-    )
+                 substring(s_name, 10, 9) AS s_digits FROM supplier)
     SELECT custkey, suppkey,
            CAST(levenshtein(c_digits, s_digits) AS BIGINT) AS edit_dist
-    FROM cand
+    FROM c, s
     WHERE levenshtein(c_digits, s_digits) <= 1
     """,
 )
 def q_fuzzy_name_match(spark, sf_dir):
-    """Edit-distance similarity join (threshold 1) with PIGEONHOLE
-    blocking: for equal-length strings within distance 1, at least one
-    of the two halves must match exactly, so candidates are the UNION
-    of two cheap equi-joins on the halves — never an all-pairs
-    nested-loop.  The exact levenshtein runs only on candidates.  This
-    is the scalable form of the reference's username-matching concern
-    (6_fetch_name_changes.py resolves old->new names); for distance k,
-    split into k+1 segments (same pigeonhole argument).  Block sizes
-    are bounded by half-key entropy — production corpora hash the
-    halves; a hot half-key would get the _drop_hot_keys cap the LSH
-    family uses."""
+    """Edit-distance similarity join (threshold 1) with WILDCARD-
+    NEIGHBORHOOD blocking (FastSS/SymSpell family): each 9-char key
+    explodes into its 9 single-position-wildcard variants; two
+    equal-length keys within distance 1 MUST share a variant, so
+    candidates are one equi-join on the variant — never an all-pairs
+    nested-loop, and block sizes are bounded by |alphabet| per
+    position regardless of key-prefix entropy (the failure mode of
+    naive half-key pigeonhole blocking on zero-padded ids).  The
+    exact levenshtein runs only on deduped candidates.  This is the
+    scalable form of the reference's username-matching concern
+    (6_fetch_name_changes.py resolves old->new names); for distance
+    k, wildcard k positions (neighborhood size C(n,k)).  The oracle
+    states pure semantics (all pairs within distance 1) — candidate
+    completeness is the pigeonhole theorem, and the plan gate pins
+    the equi-join shape."""
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"),
         F.substring("c_name", 10, 9).alias("c_digits"),
@@ -4749,19 +4764,77 @@ def q_fuzzy_name_match(spark, sf_dir):
         F.col("s_suppkey").alias("suppkey"),
         F.substring("s_name", 10, 9).alias("s_digits"),
     )
-    left = cust.join(
-        sup,
-        F.substring("c_digits", 1, 5) == F.substring("s_digits", 1, 5),
-    ).select("custkey", "suppkey", "c_digits", "s_digits")
-    right = cust.join(
-        sup,
-        F.substring("c_digits", 6, 4) == F.substring("s_digits", 6, 4),
-    ).select("custkey", "suppkey", "c_digits", "s_digits")
-    cand = left.unionByName(right).distinct()
+    c9 = cust.select(
+        "custkey",
+        "c_digits",
+        F.explode(_wildcard_keys("c_digits", 9)).alias("bkey"),
+    )
+    s9 = sup.select(
+        "suppkey",
+        "s_digits",
+        F.explode(_wildcard_keys("s_digits", 9)).alias("bkey"),
+    )
+    cand = (
+        c9.join(s9, "bkey")
+        .select("custkey", "suppkey", "c_digits", "s_digits")
+        .distinct()
+    )
     return cand.filter(
         F.levenshtein("c_digits", "s_digits") <= 1
     ).select(
         "custkey",
         "suppkey",
         F.levenshtein("c_digits", "s_digits").cast("long").alias("edit_dist"),
+    )
+
+
+@query(
+    "q_stream_interval_join",
+    oracle=f"""
+    SELECT v.user_id, v.event_id AS view_id,
+           strftime(v.ts, '{TS_FMT_DUCK}') AS view_ts_s,
+           c.event_id AS click_id,
+           strftime(c.ts, '{TS_FMT_DUCK}') AS click_ts_s
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+)
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join (view->click attribution within 30
+    minutes), batch-driven through the EXACT code path the streaming
+    form uses (`streaming/stream_join.py`).  The equi-key (user_id)
+    hash-partitions both sides' state once; the interval bound is what
+    lets the streaming state store evict — and in batch it is a plain
+    range predicate evaluated inside the sort-merge join.
+    `tests/test_stream_join.py` proves the availableNow streaming
+    drive emits this identical row set."""
+    from .streaming.stream_join import stream_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    out = stream_interval_join(
+        views,
+        clicks,
+        keys=["user_id"],
+        left_ts="view_ts",
+        right_ts="click_ts",
+        within="30 minutes",
+    )
+    return out.select(
+        "user_id",
+        "view_id",
+        F.date_format("view_ts", TS_FMT_SPARK).alias("view_ts_s"),
+        "click_id",
+        F.date_format("click_ts", TS_FMT_SPARK).alias("click_ts_s"),
     )
