@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "q_window_functions",
     "q_fuzzy_name_match",
     "q_stream_interval_join",
+    "q_cms_heavy_hitters",
+    "q_bm25_search",
 ]
 
 

@@ -294,3 +294,114 @@ def histogram_quantile_oracle_sql(
     SELECT {kl}, {", ".join(qcols)}
     FROM walk GROUP BY {kl}, n
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(j_col: Column, val_col: Column, w: int) -> Column:
+    """Row j's counter index for a value: 60-bit md5 of ``j:value``
+    mod w — the same hashing discipline as ``hll_rho`` (and thus
+    reproducible verbatim in the DuckDB oracle)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(j_col.cast("string"), F.lit(":"), val_col)),
+            1,
+            _HASH_HEX,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h % F.lit(w)).alias("bucket")
+
+
+def count_min_registers(
+    df: DataFrame, value_col: str, d: int = 3, w: int = 256
+) -> DataFrame:
+    """The CMS register table ``(j, bucket, c)``: d hash rows of w
+    counters.  Counters are plain COUNTs, so partials combine map-side
+    and two sketches merge by element-wise ADDITION — the mergeable
+    core that makes CMS the 100-TB answer for approximate frequency:
+    the full register table is ``d*w`` integers regardless of input
+    size or cardinality."""
+    v = F.col(value_col).cast("string").alias("val")
+    rows = df.select(v).select(
+        "val",
+        F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j"),
+    )
+    rows = rows.withColumn("bucket", _cms_bucket(F.col("j"), F.col("val"), w))
+    return rows.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    threshold: int,
+    d: int = 3,
+    w: int = 256,
+) -> DataFrame:
+    """Keys whose count-min ESTIMATE reaches ``threshold``, with the
+    estimate and the exact count.  est = min_j regs[j][h_j(key)] —
+    always >= exact (one-sided error; overestimate ~ n/w per hash
+    row), so the result is a superset of the true heavy hitters:
+    the sketch prunes, an exact pass confirms.  Everything is 64-bit
+    integer arithmetic — bit-identical across engines and partition
+    orders.  The register table is broadcast (d*w rows); the only
+    shuffle is the per-key exact count this demo carries alongside."""
+    regs = count_min_registers(df, value_col, d=d, w=w)
+    keys = (
+        df.select(F.col(value_col).cast("string").alias("val"))
+        .groupBy("val")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    kb = keys.select(
+        "val",
+        "exact",
+        F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j"),
+    ).withColumn("bucket", _cms_bucket(F.col("j"), F.col("val"), w))
+    est = (
+        kb.join(F.broadcast(regs), ["j", "bucket"])
+        .groupBy("val", "exact")
+        .agg(F.min("c").alias("est"))
+    )
+    return est.filter(F.col("est") >= threshold).select("val", "est", "exact")
+
+
+def cms_oracle_sql(
+    table: str,
+    value_expr: str,
+    threshold: int,
+    d: int = 3,
+    w: int = 256,
+    val_alias: str = "val",
+) -> str:
+    """DuckDB mirror of ``cms_heavy_hitters`` — same md5 hashing, same
+    integer counters, same min-over-rows estimate."""
+    return f"""
+    WITH vals AS (
+      SELECT CAST({value_expr} AS VARCHAR) AS val FROM {table}
+    ),
+    jt AS (SELECT unnest(generate_series(0, {d - 1})) AS j),
+    hashed AS (
+      SELECT val, j,
+             (('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || val), 1, {_HASH_HEX}))::BIGINT) % {w} AS bucket
+      FROM vals CROSS JOIN jt
+    ),
+    regs AS (
+      SELECT j, bucket, COUNT(*) AS c FROM hashed GROUP BY j, bucket
+    ),
+    keys AS (
+      SELECT val, COUNT(*) AS exact FROM vals GROUP BY val
+    ),
+    kb AS (
+      SELECT k.val, k.exact, jt.j,
+             (('0x' || substr(md5(CAST(jt.j AS VARCHAR) || ':' || k.val), 1, {_HASH_HEX}))::BIGINT) % {w} AS bucket
+      FROM keys k CROSS JOIN jt
+    )
+    SELECT kb.val AS {val_alias}, MIN(regs.c) AS est, kb.exact
+    FROM kb JOIN regs ON kb.j = regs.j AND kb.bucket = regs.bucket
+    GROUP BY kb.val, kb.exact
+    HAVING MIN(regs.c) >= {threshold}
+    """

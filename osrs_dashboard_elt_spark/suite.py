@@ -4838,3 +4838,157 @@ def q_stream_interval_join(spark, sf_dir):
         "click_id",
         F.date_format("click_ts", TS_FMT_SPARK).alias("click_ts_s"),
     )
+
+
+def _cms_oracle():
+    from .operators.sketches import cms_oracle_sql
+
+    return cms_oracle_sql(
+        "events", "user_id", threshold=60, d=3, w=256, val_alias="user_id"
+    )
+
+
+@query("q_cms_heavy_hitters", oracle=None)
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters over events.user_id (d=3 hash
+    rows x w=256 counters, threshold 60): the sketch estimate prunes,
+    the exact count rides along to confirm.  All integer arithmetic on
+    the same md5 hashing the HLL sketch uses, so the register table —
+    and therefore the estimate — is bit-identical in the DuckDB
+    oracle.  At scale the registers are d*w integers regardless of
+    input size, merge by element-wise addition, and broadcast for the
+    probe join."""
+    from .operators.sketches import cms_heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    out = cms_heavy_hitters(ev, "user_id", threshold=60, d=3, w=256)
+    return out.select(
+        F.col("val").alias("user_id"), "est", "exact"
+    )
+
+
+ORACLES["q_cms_heavy_hitters"] = _cms_oracle()
+
+
+_BM25_TERMS = ("join", "scan", "stream")
+
+
+def _bm25_contrib_sql(t: str) -> str:
+    idf = f"((CAST(n_docs - df_{t} AS DOUBLE) + 0.5)/(CAST(df_{t} AS DOUBLE) + 0.5))"
+    den = f"(CAST(tf_{t} AS DOUBLE) + 1.2*(0.25 + 0.75*(CAST(dl AS DOUBLE)/avgdl)))"
+    raw = f"({idf} * ((CAST(tf_{t} AS DOUBLE)*2.2)/{den}))"
+    return (
+        f"CASE WHEN tf_{t} > 0 THEN CAST({raw} AS DECIMAL(28,6)) "
+        f"ELSE CAST(0 AS DECIMAL(28,6)) END"
+    )
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n         ".join(
+        f"SUM(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ",\n         ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    contribs = "\n      + ".join(_bm25_contrib_sql(t) for t in _BM25_TERMS)
+    any_tf = " + ".join(f"tf_{t}" for t in _BM25_TERMS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOK_SQL}) AS token FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS dl,
+         {tf_cols}
+      FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl, COUNT(*) AS n_docs,
+         {df_cols}
+      FROM per_doc
+    )
+    SELECT doc_id,
+           CAST({contribs} AS DOUBLE) AS bm25
+    FROM per_doc, stats
+    WHERE {any_tf} > 0
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """
+
+
+@query("q_bm25_search", oracle=None)
+def q_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed term set, as
+    ONE conditional-aggregation pass: tokenize -> per-doc (dl, tf per
+    term) in a single groupBy, corpus stats (avgdl, N, df per term) as
+    a ONE-ROW aggregate broadcast back, scores as scan-side exprs, and
+    a TakeOrdered top-20.  The corpus is never joined row-to-row and
+    never globally sorted — at 100 TB this is tokenize + two hash
+    aggregates + top-k.  Cross-engine exactness: the idf uses the raw
+    Robertson ratio (N-df+0.5)/(df+0.5) WITHOUT ln (libm ln is not
+    identical across engines; swap in F.log for production ranking —
+    monotonicity per term is unchanged); per-term contributions round
+    through DECIMAL(28,6) and sum as decimals, so the total is
+    order-independent."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("token"),
+    )
+    aggs = [F.count(F.lit(1)).alias("dl")]
+    for t in _BM25_TERMS:
+        aggs.append(
+            F.sum(
+                F.when(F.col("token") == t, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"tf_{t}")
+        )
+    per_doc = toks.groupBy("doc_id").agg(*aggs)
+    stat_aggs = [
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ]
+    for t in _BM25_TERMS:
+        stat_aggs.append(
+            F.sum(
+                F.when(F.col(f"tf_{t}") > 0, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"df_{t}")
+        )
+    stats = per_doc.agg(*stat_aggs)
+    j = per_doc.crossJoin(F.broadcast(stats))
+
+    def contrib(t: str):
+        tf = F.col(f"tf_{t}").cast("double")
+        df = F.col(f"df_{t}")
+        idf = (
+            (F.col("n_docs") - df).cast("double") + F.lit(0.5)
+        ) / (df.cast("double") + F.lit(0.5))
+        den = tf + F.lit(1.2) * (
+            F.lit(0.25)
+            + F.lit(0.75) * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+        raw = idf * ((tf * F.lit(2.2)) / den)
+        return F.when(
+            F.col(f"tf_{t}") > 0, raw.cast("decimal(28,6)")
+        ).otherwise(F.lit(0).cast("decimal(28,6)"))
+
+    score = contrib(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        score = score + contrib(t)
+    any_tf = sum(
+        (F.col(f"tf_{t}") for t in _BM25_TERMS[1:]),
+        F.col(f"tf_{_BM25_TERMS[0]}"),
+    )
+    return (
+        j.filter(any_tf > 0)
+        .select("doc_id", score.cast("double").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+ORACLES["q_bm25_search"] = _bm25_oracle()

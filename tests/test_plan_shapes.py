@@ -23,6 +23,7 @@ _ALLOWED = {
     # scale-safe by construction.
     "q22_idle_customers": {"BroadcastNestedLoopJoin"},
     "q_supplier_share": {"BroadcastNestedLoopJoin"},
+    "q_bm25_search": {"BroadcastNestedLoopJoin"},  # one-row corpus stats
 }
 
 

@@ -381,3 +381,61 @@ class TestChecksumAndStratified:
         a = {r.id for r in stratified_fixed_k(df.repartition(2), "g", "id", 7).collect()}
         b = {r.id for r in stratified_fixed_k(df.repartition(9), "g", "id", 7).collect()}
         assert a == b and len(a) == 21
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_estimate_never_undercounts(spark):
+    """CMS error is one-sided: est >= exact for EVERY key."""
+    from osrs_dashboard_elt_spark.operators.sketches import cms_heavy_hitters
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 37).alias("k")
+    )
+    out = cms_heavy_hitters(df, "k", threshold=0, d=3, w=16).collect()
+    assert len(out) == 37
+    assert all(r.est >= r.exact for r in out)
+
+
+def test_cms_registers_merge_by_addition(spark):
+    """Register tables of two disjoint halves summed element-wise must
+    equal the whole's register table — the mergeable-sketch core."""
+    from osrs_dashboard_elt_spark.operators.sketches import (
+        count_min_registers,
+    )
+
+    base = spark.range(0, 1000).select("id", (F.col("id") % 53).alias("k"))
+    a = base.filter(F.col("id") < 500).select("k")
+    b = base.filter(F.col("id") >= 500).select("k")
+    full = {
+        (r.j, r.bucket): r.c
+        for r in count_min_registers(base.select("k"), "k", d=3, w=32).collect()
+    }
+    ra = {
+        (r.j, r.bucket): r.c
+        for r in count_min_registers(a, "k", d=3, w=32).collect()
+    }
+    rb = {
+        (r.j, r.bucket): r.c
+        for r in count_min_registers(b, "k", d=3, w=32).collect()
+    }
+    merged: dict = {}
+    for part in (ra, rb):
+        for k, v in part.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == full
+
+
+def test_cms_register_table_is_bounded(spark):
+    """The register table never exceeds d*w rows regardless of input
+    cardinality."""
+    from osrs_dashboard_elt_spark.operators.sketches import (
+        count_min_registers,
+    )
+
+    df = spark.range(0, 5000).select(F.col("id").alias("k"))  # 5000 distinct
+    n = count_min_registers(df, "k", d=4, w=64).count()
+    assert n <= 4 * 64
