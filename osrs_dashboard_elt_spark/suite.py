@@ -4992,3 +4992,46 @@ def q_bm25_search(spark, sf_dir):
 
 
 ORACLES["q_bm25_search"] = _bm25_oracle()
+
+
+@query(
+    "q_ewma_by_user",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id)
+    SELECT user_id, n_events,
+           CAST(CAST(list_reduce(vals,
+                 (acc, x) -> CAST(0.3 AS DOUBLE)*x + CAST(0.7 AS DOUBLE)*acc)
+               AS DECIMAL(28,6)) AS DOUBLE) AS ewma
+    FROM seq
+    """,
+)
+def q_ewma_by_user(spark, sf_dir):
+    """Per-user EWMA (alpha=0.3) of the value sequence in event-time
+    order — an inherently SEQUENTIAL recurrence, expressed as an
+    ordered-array left fold (`aggregate` over `array_sort`ed structs)
+    so the whole computation stays one hash aggregate + scan-side
+    exprs: no window, no self-join, no Python.  Both engines fold
+    left in index order, and IEEE ops make the fold bit-identical —
+    the determinism rule the suite header states, exercised on a real
+    recurrence.  Scale note: state is one array per user (fine for
+    bounded sessions / feature windows); for unbounded per-key
+    sequences use the rolling-window (`operators/rolling.py`) or
+    stateful-streaming (`streaming/stateful.py`) forms instead."""
+    ev = _t(spark, sf_dir, "events")
+    arr = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("seq"),
+    )
+    vals = F.transform(F.col("seq"), lambda s: s["value"])
+    arr = arr.withColumn("vals", vals)
+    ewma = F.expr(
+        "aggregate(slice(vals, 2, greatest(size(vals) - 1, 0)), "
+        "element_at(vals, 1), "
+        "(acc, x) -> CAST(0.3 AS DOUBLE)*x + CAST(0.7 AS DOUBLE)*acc)"
+    )
+    return arr.select("user_id", "n_events", dround(ewma).alias("ewma"))
