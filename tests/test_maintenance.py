@@ -1,0 +1,80 @@
+"""Versioned publish (time travel), vacuum retention, and small-file
+compaction."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from osrs_dashboard_elt_spark.sources.maintenance import (
+    compact_files,
+    list_versions,
+    publish_versioned,
+    read_version,
+    vacuum_versions,
+)
+
+
+def _df(spark, n, tag):
+    return spark.range(n).select(
+        F.col("id"), F.lit(tag).alias("tag")
+    )
+
+
+def test_publish_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    v1 = publish_versioned(_df(spark, 10, "a"), root, checksum_cols=["id", "tag"])
+    v2 = publish_versioned(_df(spark, 20, "b"), root, checksum_cols=["id", "tag"])
+    assert (v1, v2) == (1, 2)
+    assert read_version(spark, root).count() == 20  # head
+    old = read_version(spark, root, version=1)
+    assert old.count() == 10
+    assert old.select("tag").distinct().collect()[0][0] == "a"
+    log = list_versions(root)
+    assert [e["rows"] for e in log] == [10, 20]
+    assert all("checksum" in e for e in log)
+    # identical data -> identical checksum, different data -> different
+    v3 = publish_versioned(_df(spark, 10, "a"), root, checksum_cols=["id", "tag"])
+    log = list_versions(root)
+    assert log[2]["checksum"] == log[0]["checksum"]
+    assert log[1]["checksum"] != log[0]["checksum"]
+    assert v3 == 3
+
+
+def test_vacuum_keeps_head_and_retained(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    for i in range(4):
+        publish_versioned(_df(spark, 5 + i, f"t{i}"), root)
+    dropped = vacuum_versions(root, keep_last=2, retain={1})
+    assert dropped == [2]
+    assert {e["version"] for e in list_versions(root)} == {1, 3, 4}
+    # head still readable; vacuumed version raises with a clear message
+    assert read_version(spark, root).count() == 8
+    assert read_version(spark, root, version=1).count() == 5
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_version(spark, root, version=2)
+    with pytest.raises(ValueError):
+        vacuum_versions(root, keep_last=0)
+
+
+def test_compaction_reduces_files_and_preserves_data(spark, tmp_path):
+    src = str(tmp_path / "small")
+    # 40 tiny files
+    spark.range(4000).repartition(40).write.parquet(src)
+    n_before = sum(
+        1 for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    assert n_before == 40
+    dest = str(tmp_path / "compacted")
+    v = compact_files(
+        spark, src, dest, target_bytes=10 * 1024 * 1024, checksum_cols=["id"]
+    )
+    out = read_version(spark, dest, version=v)
+    vdir = os.path.join(dest, f"v{v}")
+    n_after = sum(1 for f in os.listdir(vdir) if f.endswith(".parquet"))
+    assert n_after < n_before
+    # data identical: same ids, same count
+    assert out.count() == 4000
+    assert out.agg(F.sum("id")).collect()[0][0] == sum(range(4000))
