@@ -48,7 +48,13 @@ from .quality import check_constraints, quality_metrics, table_checksum
 from .rolling import rolling_range_agg
 from .sampling import stratified_fixed_k, weighted_sample
 from .incremental import agg_state, finalize, hll_state, merge_hll_states, merge_states
-from .sketches import histogram_quantile, hll_distinct
+from .sketches import (
+    cms_heavy_hitters,
+    count_min_registers,
+    histogram_quantile,
+    hll_distinct,
+)
+from .text_index import bm25_search_at_rest, write_inverted_index
 from .scd2 import scd2_as_of, scd2_compress
 from .topn import top_n_per_group
 from .zorder import column_ranges, write_zordered, zorder_key
@@ -114,6 +120,10 @@ __all__ = [
     "lsh_ann_topk",
     "write_lsh_index",
     "write_ivf_index",
+    "write_inverted_index",
+    "bm25_search_at_rest",
+    "cms_heavy_hitters",
+    "count_min_registers",
     "lsh_ann_topk_at_rest",
     "ivf_ann_topk_at_rest",
     "ivf_ann_topk",
