@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "q_cms_heavy_hitters",
     "q_bm25_search",
     "q_ewma_by_user",
+    "q_token_rarity",
 ]
 
 

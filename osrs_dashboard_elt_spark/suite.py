@@ -5035,3 +5035,81 @@ def q_ewma_by_user(spark, sf_dir):
         "(acc, x) -> CAST(0.3 AS DOUBLE)*x + CAST(0.7 AS DOUBLE)*acc)"
     )
     return arr.select("user_id", "n_events", dround(ewma).alias("ewma"))
+
+
+@query(
+    "q_token_rarity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOK_SQL}) AS token FROM documents
+    ),
+    freq AS (
+      SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM toks),
+    terms AS (
+      SELECT doc_id, (n_total * 1000000) // cnt AS inv_scaled
+      FROM toks JOIN freq USING (token), tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST((SUM(inv_scaled) + COUNT(*) // 2) // COUNT(*) AS DOUBLE)
+             / 1000000.0 AS rarity
+    FROM terms GROUP BY doc_id
+    """,
+)
+def q_token_rarity(spark, sf_dir):
+    """Per-document token rarity: mean INVERSE corpus frequency of the
+    document's tokens (CCNet-style LM quality filtering with the LM
+    replaced by the corpus's own unigram counts — and the usual
+    log-perplexity replaced by a LOG-FREE rational statistic, because
+    libm ln is not bit-identical across engines while IEEE division
+    is).  Shape: one token aggregate (the unigram "model"), one
+    one-row total broadcast, frequencies broadcast back onto the
+    token stream, per-term SCALED-INTEGER floor divisions
+    (n_total*1e6 DIV cnt — a per-term double->decimal cast would hit
+    engine-specific boundary rounding on ~1e5 values; integer
+    division cannot) summed order-independently.  The corpus scans
+    twice and shuffles only
+    (token, count) pairs; the unigram table is the LM — swap in a
+    real LM's scores via the same broadcast-join shape."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    terms = (
+        toks.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr("(n_total * 1000000) DIV cnt").alias("inv_scaled"),
+        )
+    )
+    # mean in INTEGER micro-units with half-up rounding — the double
+    # route (sum/count/1e6 -> decimal cast) lands exactly on 6dp tie
+    # boundaries by construction, where engines' double->decimal
+    # rounding diverges; integer DIV cannot
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("inv_scaled").alias("_ssum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.expr("(_ssum + (n_tokens DIV 2)) DIV n_tokens").cast(
+                    "double"
+                )
+                / F.lit(1000000.0)
+            ).alias("rarity"),
+        )
+    )
