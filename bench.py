@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "q_bm25_search",
     "q_ewma_by_user",
     "q_token_rarity",
+    "q_cdc_merge",
 ]
 
 

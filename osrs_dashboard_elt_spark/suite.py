@@ -5113,3 +5113,70 @@ def q_token_rarity(spark, sf_dir):
             ).alias("rarity"),
         )
     )
+
+
+_CDC_COLS = "c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment"
+
+
+@query(
+    "q_cdc_merge",
+    oracle=f"""
+    WITH changes AS (
+      SELECT {_CDC_COLS}, 'D' AS op
+      FROM customer WHERE c_custkey % 13 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100,
+             'UPDATED', 'U'
+      FROM customer WHERE c_custkey % 13 <> 0 AND c_custkey % 7 = 3
+      UNION ALL
+      SELECT c_custkey + 1000000, 'NEW', c_nationkey, c_acctbal,
+             c_mktsegment, 'I'
+      FROM customer WHERE c_custkey % 11 = 5
+    )
+    SELECT
+      CASE WHEN ch.op IS NOT NULL AND t.c_custkey IS NULL THEN ch.c_custkey
+           WHEN ch.op = 'U' THEN ch.c_custkey ELSE t.c_custkey END AS c_custkey,
+      CASE WHEN ch.op IS NOT NULL AND t.c_custkey IS NULL THEN ch.c_name
+           WHEN ch.op = 'U' THEN ch.c_name ELSE t.c_name END AS c_name,
+      CASE WHEN ch.op IS NOT NULL AND t.c_custkey IS NULL THEN ch.c_nationkey
+           WHEN ch.op = 'U' THEN ch.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+      CASE WHEN ch.op IS NOT NULL AND t.c_custkey IS NULL THEN ch.c_acctbal
+           WHEN ch.op = 'U' THEN ch.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+      CASE WHEN ch.op IS NOT NULL AND t.c_custkey IS NULL THEN ch.c_mktsegment
+           WHEN ch.op = 'U' THEN ch.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+    FROM customer t FULL OUTER JOIN changes ch ON t.c_custkey = ch.c_custkey
+    WHERE (ch.op IS NULL AND t.c_custkey IS NOT NULL)
+       OR (ch.op = 'U' AND t.c_custkey IS NOT NULL)
+       OR (ch.op = 'I' AND t.c_custkey IS NOT NULL)
+       OR (ch.op = 'I' AND t.c_custkey IS NULL)
+    """,
+)
+def q_cdc_merge(spark, sf_dir):
+    """MERGE INTO semantics (`operators/cdc.py::merge_apply`): a typed
+    change batch (delete every 13th customer, bump+retag every 7th,
+    insert shifted clones of every 11th) applied to the customer
+    snapshot in ONE full-outer join + decision projection — the
+    format-agnostic warehouse MERGE, composable with
+    publish_versioned for an ACID-ish upsert with time travel."""
+    from .operators.cdc import merge_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    d = cust.filter(F.col("c_custkey") % 13 == 0).withColumn(
+        "op", F.lit("D")
+    )
+    u = (
+        cust.filter(
+            (F.col("c_custkey") % 13 != 0) & (F.col("c_custkey") % 7 == 3)
+        )
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+        .withColumn("c_mktsegment", F.lit("UPDATED"))
+        .withColumn("op", F.lit("U"))
+    )
+    i = (
+        cust.filter(F.col("c_custkey") % 11 == 5)
+        .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+        .withColumn("c_name", F.lit("NEW"))
+        .withColumn("op", F.lit("I"))
+    )
+    changes = d.unionByName(u).unionByName(i)
+    return merge_apply(cust, changes, keys=["c_custkey"])

@@ -24,6 +24,7 @@ _ALLOWED = {
     "q22_idle_customers": {"BroadcastNestedLoopJoin"},
     "q_supplier_share": {"BroadcastNestedLoopJoin"},
     "q_bm25_search": {"BroadcastNestedLoopJoin"},  # one-row corpus stats
+    "q_token_rarity": {"BroadcastNestedLoopJoin"},  # one-row token total
 }
 
 

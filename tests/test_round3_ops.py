@@ -439,3 +439,75 @@ def test_cms_register_table_is_bounded(spark):
     df = spark.range(0, 5000).select(F.col("id").alias("k"))  # 5000 distinct
     n = count_min_registers(df, "k", d=4, w=64).count()
     assert n <= 4 * 64
+
+
+# ---------------------------------------------------------------------------
+# CDC merge
+# ---------------------------------------------------------------------------
+
+
+def _merge_fixtures(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k BIGINT, name STRING, v DOUBLE",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 25.0, "U"),   # update
+            (3, None, None, "D"),   # delete
+            (4, "d", 40.0, "I"),    # insert new
+            (1, "dupe", 0.0, "I"),  # insert on existing key -> ignored
+            (9, "ghost", 0.0, "U"), # update miss -> ignored (no upsert)
+        ],
+        "k BIGINT, name STRING, v DOUBLE, op STRING",
+    )
+    return target, changes
+
+
+def test_merge_apply_semantics(spark):
+    from osrs_dashboard_elt_spark.operators.cdc import merge_apply
+
+    target, changes = _merge_fixtures(spark)
+    out = {r.k: (r.name, r.v) for r in merge_apply(target, changes, ["k"]).collect()}
+    assert out == {
+        1: ("a", 10.0),   # insert on existing key keeps the target row
+        2: ("b2", 25.0),  # updated
+        4: ("d", 40.0),   # inserted
+    }  # 3 deleted, 9 ignored
+
+
+def test_merge_apply_upsert_promotes_update_miss(spark):
+    from osrs_dashboard_elt_spark.operators.cdc import merge_apply
+
+    target, changes = _merge_fixtures(spark)
+    out = {
+        r.k: (r.name, r.v)
+        for r in merge_apply(target, changes, ["k"], upsert=True).collect()
+    }
+    assert out[9] == ("ghost", 0.0)
+    assert set(out) == {1, 2, 4, 9}
+
+
+def test_merge_apply_rejects_duplicate_change_keys(spark):
+    import pytest as _pytest
+
+    from osrs_dashboard_elt_spark.operators.cdc import merge_apply
+
+    target, _ = _merge_fixtures(spark)
+    dup = spark.createDataFrame(
+        [(2, "x", 1.0, "U"), (2, "y", 2.0, "U")],
+        "k BIGINT, name STRING, v DOUBLE, op STRING",
+    )
+    with _pytest.raises(ValueError, match="one winner per key"):
+        merge_apply(target, dup, ["k"])
+
+
+def test_merge_apply_rejects_missing_columns(spark):
+    import pytest as _pytest
+
+    from osrs_dashboard_elt_spark.operators.cdc import merge_apply
+
+    target, _ = _merge_fixtures(spark)
+    bad = spark.createDataFrame([(2, "U")], "k BIGINT, op STRING")
+    with _pytest.raises(ValueError, match="missing columns"):
+        merge_apply(target, bad, ["k"])
