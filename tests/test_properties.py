@@ -289,3 +289,143 @@ def test_hll_partition_invariance_and_bounds(spark, vals):
     assert a == b
     true = len(set(vals))
     assert abs(a - true) / max(true, 1) < 0.25
+
+
+# ---------------------------------------------------------------------------
+# Fourth-wave operators vs independent models
+# ---------------------------------------------------------------------------
+
+
+def _lev1(a: str, b: str) -> bool:
+    """Model: levenshtein distance <= 1."""
+    if a == b:
+        return True
+    if len(a) == len(b):
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if abs(len(a) - len(b)) == 1:
+        s, l = (a, b) if len(a) < len(b) else (b, a)
+        for i in range(len(l)):
+            if l[:i] + l[i + 1 :] == s:
+                return True
+    return False
+
+
+_digits_st = st.lists(
+    st.text(alphabet="0123456789", min_size=9, max_size=9),
+    min_size=1,
+    max_size=12,
+    unique=True,
+)
+
+
+@SETTINGS
+@given(left=_digits_st, right=_digits_st)
+def test_wildcard_blocking_is_complete(spark, left, right):
+    """The wildcard-neighborhood candidate set must contain EVERY pair
+    within substitution distance 1 (equal-length keys): compare the
+    full join output against a brute-force model."""
+    from pyspark.sql import functions as F
+
+    from osrs_dashboard_elt_spark.suite import _wildcard_keys
+
+    l = spark.createDataFrame([(x,) for x in left], "a string").select(
+        "a", F.explode(_wildcard_keys("a", 9)).alias("bkey")
+    )
+    r = spark.createDataFrame([(y,) for y in right], "b string").select(
+        "b", F.explode(_wildcard_keys("b", 9)).alias("bkey")
+    )
+    cand = (
+        l.join(r, "bkey")
+        .select("a", "b")
+        .distinct()
+        .filter(F.levenshtein("a", "b") <= 1)
+    )
+    got = {(x.a, x.b) for x in cand.collect()}
+    want = {(x, y) for x in left for y in right if _lev1(x, y)}
+    assert got == want
+
+
+@SETTINGS
+@given(
+    vals=st.lists(st.integers(0, 30), min_size=1, max_size=200),
+    w=st.sampled_from([4, 16, 64]),
+)
+def test_cms_estimate_matches_model(spark, vals, w):
+    """The CMS estimate equals the model's min-over-rows bucket sum —
+    the sketch is deterministic, not just approximately right."""
+    import hashlib as _h
+
+    from osrs_dashboard_elt_spark.operators.sketches import cms_heavy_hitters
+
+    d = 3
+    df = spark.createDataFrame([(v,) for v in vals], "k INT")
+    got = {
+        r.val: (r.est, r.exact)
+        for r in cms_heavy_hitters(df, "k", threshold=0, d=d, w=w).collect()
+    }
+
+    def bucket(j, v):
+        return int(_h.md5(f"{j}:{v}".encode()).hexdigest()[:15], 16) % w
+
+    regs: dict = {}
+    for v in vals:
+        for j in range(d):
+            key = (j, bucket(j, v))
+            regs[key] = regs.get(key, 0) + 1
+    from collections import Counter
+
+    exact = Counter(str(v) for v in vals)
+    for v in set(vals):
+        est_model = min(regs[(j, bucket(j, v))] for j in range(d))
+        assert got[str(v)] == (est_model, exact[str(v)])
+
+
+_change_st = st.lists(
+    st.tuples(
+        st.integers(0, 9),  # key
+        st.sampled_from(["I", "U", "D"]),
+        st.integers(0, 99),  # payload
+    ),
+    max_size=8,
+)
+
+
+@SETTINGS
+@given(
+    base=st.dictionaries(st.integers(0, 9), st.integers(0, 99), max_size=6),
+    changes=_change_st,
+    upsert=st.booleans(),
+)
+def test_merge_apply_matches_model(spark, base, changes, upsert):
+    """merge_apply vs a dict-based model of MERGE semantics."""
+    from osrs_dashboard_elt_spark.operators.cdc import merge_apply
+
+    # dedupe change keys (merge_apply rejects duplicates by contract)
+    seen: dict = {}
+    for k, op, v in changes:
+        seen[k] = (op, v)
+    target = spark.createDataFrame(
+        [(k, v) for k, v in base.items()] or [(None, None)],
+        "k INT, v INT",
+    ).filter(F.col("k").isNotNull())
+    cdf = spark.createDataFrame(
+        [(k, v, op) for k, (op, v) in seen.items()] or [(None, None, None)],
+        "k INT, v INT, op STRING",
+    ).filter(F.col("k").isNotNull())
+
+    model = dict(base)
+    for k, (op, v) in seen.items():
+        if op == "D":
+            model.pop(k, None)
+        elif op == "U":
+            if k in base:
+                model[k] = v
+            elif upsert:
+                model[k] = v
+        elif op == "I" and k not in base:
+            model[k] = v
+    got = {
+        r.k: r.v
+        for r in merge_apply(target, cdf, ["k"], upsert=upsert).collect()
+    }
+    assert got == model
