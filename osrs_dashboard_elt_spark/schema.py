@@ -123,3 +123,83 @@ def kv_table(spark: SparkSession, values: dict[str, Any]) -> DataFrame:
         for k, v in values.items()
     ]
     return spark.createDataFrame(rows, "key string, value string")
+
+
+def evolve_schema(
+    table: T.StructType,
+    batch: DataFrame,
+    policy: str = "strict",
+) -> T.StructType:
+    """Schema-drift control for bronze appends (the reference never
+    faces this — its DDL is fixed config — but any long-lived ingest
+    does).  Compares an incoming batch against the declared table
+    schema and returns the schema to conform the batch onto:
+
+    - ``strict``: new columns are an ERROR (the reference's posture:
+      tables match config DDL exactly).
+    - ``evolve``: new batch columns are APPENDED as nullable fields
+      (Delta-style additive evolution); existing columns keep the
+      table's type.  Old parquet files simply lack the new column —
+      ``read_evolved`` merges footers so old rows read as NULL.
+
+    A column present in both with a DIFFERENT type is always an error
+    — silent cast-on-append is how type drift corrupts a table.
+    """
+    if policy not in ("strict", "evolve"):
+        raise ValueError(f"unknown policy {policy!r}")
+    table_types = {f.name: f.dataType for f in table.fields}
+    batch_fields = {f.name: f.dataType for f in batch.schema.fields}
+    conflicts = {
+        n: (str(table_types[n]), str(t))
+        for n, t in batch_fields.items()
+        if n in table_types
+        and t != table_types[n]
+        # numeric widening within the declared type is conform()'s
+        # job (cast), not a conflict — only flag casts that lose
+        # information across type FAMILIES
+        and not _castable(t, table_types[n])
+    }
+    if conflicts:
+        raise ValueError(
+            f"type conflicts on append (column: batch vs table): {conflicts}"
+        )
+    new = [n for n in batch_fields if n not in table_types]
+    if not new:
+        return table
+    if policy == "strict":
+        raise ValueError(
+            f"batch carries undeclared columns {new}; declare them or "
+            "append with policy='evolve'"
+        )
+    return T.StructType(
+        list(table.fields)
+        + [T.StructField(n, batch_fields[n], True) for n in new]
+    )
+
+
+_NUMERIC = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+
+def _castable(src: T.DataType, dst: T.DataType) -> bool:
+    """Same family (numeric->numeric, or anything->string) casts are
+    conformance, not conflicts."""
+    if isinstance(dst, T.StringType):
+        return True
+    return isinstance(src, _NUMERIC) and isinstance(dst, _NUMERIC)
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet dir whose files span schema versions: footer
+    merge unions the fields; files written before a column existed
+    yield NULL for it.  (Footer merge reads every footer — fine for a
+    bronze dir's file counts after compaction; a real catalog stores
+    the current schema so this becomes a plain read.)"""
+    return spark.read.option("mergeSchema", "true").parquet(path)
