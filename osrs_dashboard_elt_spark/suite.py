@@ -344,7 +344,11 @@ def q_filter_events(spark, sf_dir):
 def q_regex_extract_json(spark, sf_dir):
     """R1/R2/F1 analog: regexp extraction + numeric cast + aggregate,
     all codegen'd JVM expressions (the reference loops rows in Python)."""
-    ev = _t(spark, sf_dir, "events")
+    from .operators.skew import ensure_min_partitions
+
+    # regex dispatch is per-row CPU: floor parallelism on under-split
+    # scans (no-op when the input already has >= core splits)
+    ev = ensure_min_partitions(_t(spark, sf_dir, "events"))
     k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
     return (
         ev.withColumn("k_bucket", k % 10)
@@ -887,7 +891,11 @@ def _ngram_jaccard_oracle(n: int, threshold: float, max_doc_freq: int = 1000) ->
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs via inverted-index self-join
     (the scalable exact path; stop-shingle capping available for skew)."""
-    docs = _t(spark, sf_dir, "documents")
+    from .operators.skew import ensure_min_partitions
+
+    # CPU-bound shingle work: floor parallelism when the scan arrives
+    # as fewer splits than cores (no-op on properly-split big inputs)
+    docs = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
@@ -952,7 +960,9 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     equi-join.  Shingles (not word tokens) keep signatures
     discriminative on small vocabularies.  All hash params seeded +
     md5-derived -> bit-identical in the SQL oracle."""
-    docs = _t(spark, sf_dir, "documents")
+    from .operators.skew import ensure_min_partitions
+
+    docs = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     return minhash_lsh_pairs(
         docs, "doc_id", "text", num_perm=16, bands=4, seed=42, shingle_n=3
     )
@@ -1036,7 +1046,9 @@ def q_simhash_pairs(spark, sf_dir):
     fingerprints: 12-bit chunks give 4096-value blocking keys (a
     32-bit fp's 8-bit chunks only take 256 values, so at corpus scale
     every bucket is n/256 — the docstring's own scale warning)."""
-    docs = _t(spark, sf_dir, "documents")
+    from .operators.skew import ensure_min_partitions
+
+    docs = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     out = simhash_pairs(docs, "doc_id", "text", bits=48, max_hamming=3)
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
@@ -1347,7 +1359,11 @@ def q_parse_engine(spark, sf_dir):
     from .config import default_config
     from .plans import build_parse_plan
 
-    ev = _t(spark, sf_dir, "events")
+    from .operators.skew import ensure_min_partitions
+
+    # regex dispatch is per-row CPU: floor parallelism on under-split
+    # scans (no-op when the input already has >= core splits)
+    ev = ensure_min_partitions(_t(spark, sf_dir, "events"))
     k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
     coins = (F.col("value").cast("decimal(18,2)") * 100).cast("long").cast("string")
     uid = F.col("user_id").cast("string")
@@ -1586,7 +1602,11 @@ def q_duration_parse(spark, sf_dir):
     doubles)."""
     from .functions.durations import duration_seconds
 
-    ev = _t(spark, sf_dir, "events")
+    from .operators.skew import ensure_min_partitions
+
+    # regex dispatch is per-row CPU: floor parallelism on under-split
+    # scans (no-op when the input already has >= core splits)
+    ev = ensure_min_partitions(_t(spark, sf_dir, "events"))
     k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
     dur = (
         F.when(
@@ -1803,7 +1823,11 @@ def q_report_collection_log(spark, sf_dir):
     the regex parse."""
     from .reports import collection_log_report
 
-    ev = _t(spark, sf_dir, "events")
+    from .operators.skew import ensure_min_partitions
+
+    # regex dispatch is per-row CPU: floor parallelism on under-split
+    # scans (no-op when the input already has >= core splits)
+    ev = ensure_min_partitions(_t(spark, sf_dir, "events"))
     k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
     item_raw = F.when(
         k % 4 == 0, F.concat(F.lit("Item "), (k % 30).cast("string"))
@@ -1954,8 +1978,12 @@ def q_embedding_neardup(spark, sf_dir):
     scan into an equi-join carrying only (id, band, key); degenerate
     buckets are dropped by a broadcast hot-key guard; exact cosine
     runs only on deduped candidates via join-back."""
-    emb = _t(spark, sf_dir, "embeddings")
     from .operators.similarity import embedding_neardup_pairs
+
+    # no parallelism floor here: the pipeline repartitions its
+    # candidate stage explicitly, and an input shuffle measured
+    # strictly slower (A/B at sf0.1)
+    emb = _t(spark, sf_dir, "embeddings")
 
     return embedding_neardup_pairs(
         emb,
@@ -2243,7 +2271,11 @@ def q_name_change_parse(spark, sf_dir):
     filter — the entity-resolution dimension feeding the W4 temporal
     remap.  Embed descriptions are synthesized from events; non-matching
     titles drop."""
-    ev = _t(spark, sf_dir, "events")
+    from .operators.skew import ensure_min_partitions
+
+    # regex dispatch is per-row CPU: floor parallelism on under-split
+    # scans (no-op when the input already has >= core splits)
+    ev = ensure_min_partitions(_t(spark, sf_dir, "events"))
     k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
     title = F.when(F.col("event_type") == "signup", F.lit("Name Changed")).otherwise(
         F.lit("Other Embed")
