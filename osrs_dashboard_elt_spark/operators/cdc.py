@@ -54,6 +54,15 @@ def merge_apply(
     missing = [c for c in data_cols + [op_col] if c not in changes.columns]
     if missing:
         raise ValueError(f"changes is missing columns: {missing}")
+    bad_op = (
+        changes.filter(~F.col(op_col).isin(*OPS)).limit(1).collect()
+    )
+    if bad_op:
+        raise ValueError(
+            f"unknown {op_col} value {bad_op[0][op_col]!r}; expected one "
+            f"of {OPS} — an unvalidated op would silently drop matched "
+            "rows"
+        )
     dup = (
         changes.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n"))

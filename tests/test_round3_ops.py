@@ -511,3 +511,16 @@ def test_merge_apply_rejects_missing_columns(spark):
     bad = spark.createDataFrame([(2, "U")], "k BIGINT, op STRING")
     with _pytest.raises(ValueError, match="missing columns"):
         merge_apply(target, bad, ["k"])
+
+
+def test_merge_apply_rejects_unknown_ops(spark):
+    import pytest as _pytest
+
+    from osrs_dashboard_elt_spark.operators.cdc import merge_apply
+
+    target, _ = _merge_fixtures(spark)
+    bad = spark.createDataFrame(
+        [(2, "x", 1.0, "X")], "k BIGINT, name STRING, v DOUBLE, op STRING"
+    )
+    with _pytest.raises(ValueError, match="unknown op"):
+        merge_apply(target, bad, ["k"])
