@@ -1,0 +1,66 @@
+"""Regenerate PLANS.md: the formatted physical plan of each headline
+query at sf0.001 (planning only — no execution), with the scale
+property each plan is supposed to exhibit.  Run after any change to
+the suite: ``python scripts/dump_plans.py``."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# query -> the property a reviewer should be able to SEE in the plan
+HEADLINERS = {
+    "q01_pricing_summary": "one scan, partial+final hash aggregate, shipdate pushed to the parquet scan (PushedFilters)",
+    "q_parse_engine": "whole-stage codegen project/filter chain; contains() literal gates in front of every RLIKE; zero shuffles before the routed output",
+    "q_leaderboard_periods": "single conditional-aggregation pass: one Exchange, no joins",
+    "q18_large_orders": "HAVING survivor set + customer both broadcast; lineitem is the only shuffle input",
+    "q_asof_join": "union + single window family over (key, time): one Exchange, no row-id re-join",
+    "q_interval_join": "broadcast range join: dimension side broadcast, fact side stays a scan",
+    "q_minhash_lsh_pairs": "signatures as scan-side expressions; banding equi-join instead of all-pairs",
+    "q_bm25_search": "one conditional aggregate + one-row stats broadcast + TakeOrderedAndProject (no global sort)",
+    "q_rolling_range_window": "one Exchange, one Sort, one Window node with a RangeFrame carrying both aggregates",
+    "q_cdc_merge": "single full-outer sort-merge join on the key + decision projection",
+    "q_window_functions": "six analytic functions sharing one Window operator (one sort)",
+    "q_fuzzy_name_match": "wildcard-variant equi-join (no nested loop), exact levenshtein only after candidates",
+}
+
+
+def main() -> None:
+    from osrs_dashboard_elt_spark.session import get_spark
+    import __spark_entry__ as e
+
+    spark = get_spark(master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = e.queries()
+    out = [
+        "# PLANS.md — headline physical plans (generated)",
+        "",
+        "Regenerate with `python scripts/dump_plans.py`.  Each plan is",
+        "`explain(formatted)` at sf0.001 — planning only.  The one-line",
+        "note states the scale property the plan is expected to show;",
+        "`tests/test_plan_shapes.py` asserts the load-bearing ones.",
+        "",
+    ]
+    for name, note in HEADLINERS.items():
+        df = qs[name](spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        out.append(f"## {name}")
+        out.append("")
+        out.append(f"*Expected shape:* {note}")
+        out.append("")
+        out.append("```")
+        out.append(plan.rstrip())
+        out.append("```")
+        out.append("")
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote PLANS.md ({len(HEADLINERS)} plans)")
+
+
+if __name__ == "__main__":
+    main()
