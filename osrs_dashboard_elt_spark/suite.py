@@ -960,9 +960,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     equi-join.  Shingles (not word tokens) keep signatures
     discriminative on small vocabularies.  All hash params seeded +
     md5-derived -> bit-identical in the SQL oracle."""
-    from .operators.skew import ensure_min_partitions
-
-    docs = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         docs, "doc_id", "text", num_perm=16, bands=4, seed=42, shingle_n=3
     )
@@ -1046,9 +1044,7 @@ def q_simhash_pairs(spark, sf_dir):
     fingerprints: 12-bit chunks give 4096-value blocking keys (a
     32-bit fp's 8-bit chunks only take 256 values, so at corpus scale
     every bucket is n/256 — the docstring's own scale warning)."""
-    from .operators.skew import ensure_min_partitions
-
-    docs = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
     out = simhash_pairs(docs, "doc_id", "text", bits=48, max_hamming=3)
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
