@@ -251,6 +251,53 @@ def run_pipeline(
                 "Broadcast_Type", "Timestamp", 5,
             ),
         }
+        # config-driven fan-out on top of the fixed summaries: the
+        # reference builds its ~25 gold tables by looping the TOML
+        # report specs (src/3_transform_data.py:839-858); this is the
+        # same loop over a representative spec set
+        from osrs_dashboard_elt_spark.config_loader import load_config_dict
+        from osrs_dashboard_elt_spark.reports.runner import (
+            generate_all_reports,
+        )
+
+        chat = spark.read.parquet(f"{out_dir}/silver/chat")
+        fan_cfg = load_config_dict(
+            {
+                "patterns": {
+                    "Chat": {
+                        "regex": r"^(?P<Username>\S+): (?P<Content>.*)$",
+                        "columns": ["Username", "Content"],
+                    }
+                },
+                "dashboard_settings": {
+                    "leaderboard_reports": [
+                        {
+                            "report_name": "leaderboard_levels",
+                            "source_table": "clan_broadcasts",
+                            "broadcast_type": ["Level Up"],
+                            "group_by_column": "Username",
+                            "aggregations": {"Count": "Username"},
+                        }
+                    ],
+                    "detailed_reports": [
+                        {
+                            "report_name_prefix": "detailed_drops",
+                            "broadcast_types": ["Valuable Drop"],
+                        }
+                    ],
+                    "timeseries_reports": [
+                        {
+                            "report_name": "timeseries_levels",
+                            "broadcast_type": ["Level Up"],
+                            "frequencies": ["1 day"],
+                        }
+                    ],
+                },
+            }
+        )
+        reports.update(
+            generate_all_reports(spark, fan_cfg, chat, bc, ANCHOR)
+        )
         for name, df in reports.items():
             color = publish_blue_green(df, f"{out_dir}/gold/{name}")
             print(f"[transform] gold/{name} -> {color} ({df.columns})")
