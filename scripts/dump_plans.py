@@ -14,7 +14,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # query -> the property a reviewer should be able to SEE in the plan
 HEADLINERS = {
     "q01_pricing_summary": "one scan, partial+final hash aggregate, shipdate pushed to the parquet scan (PushedFilters)",
-    "q_parse_engine": "whole-stage codegen project/filter chain; contains() literal gates in front of every RLIKE; zero shuffles before the routed output",
+    "q_parse_engine": "whole-stage codegen project/filter chain; contains() literal gates in front of every RLIKE; the only Exchange is the opt-in parallelism floor on the under-split scan (no-op on real multi-split inputs)",
     "q_leaderboard_periods": "single conditional-aggregation pass: one Exchange, no joins",
     "q18_large_orders": "HAVING survivor set + customer both broadcast; lineitem is the only shuffle input",
     "q_asof_join": "union + single window family over (key, time): one Exchange, no row-id re-join",

@@ -298,6 +298,24 @@ def run_pipeline(
         reports.update(
             generate_all_reports(spark, fan_cfg, chat, bc, ANCHOR)
         )
+        # metadata k/v tables, same shape as the reference's
+        # create_metadata_tables (src/3_transform_data.py:55-98):
+        # run_metadata carries the publish timestamp, dashboard_config
+        # the stringly/JSON-encoded serving settings
+        from osrs_dashboard_elt_spark.schema import kv_table
+
+        reports["run_metadata"] = spark.createDataFrame(
+            [(ANCHOR.isoformat(),)], "last_updated_utc STRING"
+        )
+        reports["dashboard_config"] = kv_table(
+            spark,
+            {
+                "custom_lookback_days": fan_cfg.dashboard.custom_lookback_days,
+                "top_drops_limit": fan_cfg.dashboard.top_drops_limit,
+                "pb_group_order": ["Bosses", "Raids"],
+                "clog_group_order": ["Bosses", "Other"],
+            },
+        )
         for name, df in reports.items():
             color = publish_blue_green(df, f"{out_dir}/gold/{name}")
             print(f"[transform] gold/{name} -> {color} ({df.columns})")
