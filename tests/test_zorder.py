@@ -51,7 +51,11 @@ def test_zordered_layout_prunes_non_leading_dimension(spark, tmp_path):
     """An x-sorted layout cannot skip files for a y-only box; the
     z-ordered one must."""
     df = (
-        spark.range(0, 40_000)
+        # pinned slice count: repartitionByRange SAMPLES its bounds
+        # from the input partitioning, so an unpinned range() makes
+        # file boundaries depend on whatever parallelism the suite
+        # context left behind (observed flaky under the full run)
+        spark.range(0, 40_000, 1, 8)
         .select(
             ((F.col("id") * 2654435761) % 10_000).alias("x"),
             ((F.col("id") * 40503) % 10_000).alias("y"),
