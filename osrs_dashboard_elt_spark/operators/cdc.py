@@ -54,37 +54,48 @@ def merge_apply(
     missing = [c for c in data_cols + [op_col] if c not in changes.columns]
     if missing:
         raise ValueError(f"changes is missing columns: {missing}")
-    bad_op = (
-        changes.filter(~F.col(op_col).isin(*OPS)).limit(1).collect()
-    )
-    if bad_op:
-        raise ValueError(
-            f"unknown {op_col} value {bad_op[0][op_col]!r}; expected one "
-            f"of {OPS} — an unvalidated op would silently drop matched "
-            "rows"
-        )
-    dup = (
+    # ONE validation job for both contracts (the merge itself is the
+    # second and last computation of the change lineage): per-key
+    # counts carry a bad-op flag, then a single driver-side aggregate.
+    # NULL ops count as bad — isin() is three-valued and would let
+    # them slip through to the silent-ignore path.
+    bad = ~F.col(op_col).isin(*OPS) | F.col(op_col).isNull()
+    probe = (
         changes.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.max(bad.cast("int")).alias("__bad"),
+        )
+        .filter((F.col("__n") > 1) | (F.col("__bad") > 0))
         .limit(1)
         .collect()
     )
-    if dup:
+    if probe:
+        row = probe[0]
+        key = tuple(row[k] for k in keys)
+        if row["__bad"]:
+            raise ValueError(
+                f"unknown or NULL {op_col} value on key {key}; expected "
+                f"one of {OPS} — an unvalidated op would silently drop "
+                "or ignore matched rows"
+            )
         raise ValueError(
-            f"multiple changes for key {tuple(dup[0][k] for k in keys)}; "
-            "dedupe the batch to one winner per key before merging"
+            f"multiple changes for key {key}; dedupe the batch to one "
+            "winner per key before merging"
         )
     # string-qualified refs, not df[k]: target and changes often share
     # lineage (changes derived from the snapshot), where df[k] == df[k]
     # is ambiguous/trivially-true; alias-qualified names are not
-    t = target.alias("t")
+    # presence marker, not key-null: a target row whose KEY is NULL
+    # never equi-joins, but it is still a real row — inferring
+    # presence from the key would silently delete it
+    t = target.withColumn("__t_present", F.lit(True)).alias("t")
     c = changes.alias("c")
     cond = F.col(f"t.{keys[0]}") == F.col(f"c.{keys[0]}")
     for k in keys[1:]:
         cond = cond & (F.col(f"t.{k}") == F.col(f"c.{k}"))
     joined = t.join(c, cond, "full_outer")
-    t_exists = F.col(f"t.{keys[0]}").isNotNull()
+    t_exists = F.col("t.__t_present").isNotNull()
     c_op = F.col(f"c.{op_col}")
     insert_ok = c_op == "I"
     if upsert:

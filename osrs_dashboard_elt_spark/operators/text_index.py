@@ -32,11 +32,12 @@ index build; they contribute ~zero idf anyway).
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-_HASH_HEX = 15  # 60-bit md5 prefix, fits signed int64 (sketches.py rule)
+from .sketches import _HASH_HEX  # 60-bit md5 prefix, the repo-wide rule
 
 
 def _shard(token: F.Column, n_shards: int) -> F.Column:
@@ -63,27 +64,43 @@ def write_inverted_index(
     text_col: str = "text",
     n_shards: int = 16,
 ) -> None:
-    """Tokenize once and materialize postings (shard-partitioned),
-    per-doc lengths, and corpus stats."""
-    toks = _tokens(df, id_col, text_col)
-    postings = (
-        toks.groupBy("token", id_col)
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("shard", _shard(F.col("token"), n_shards))
-    )
-    (
-        postings.repartition("shard")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(os.path.join(path, "postings"))
-    )
-    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    doclen.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
-    stats = doclen.agg(
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-        F.count(F.lit(1)).alias("n_docs"),
-    )
-    stats.write.mode("overwrite").parquet(os.path.join(path, "stats"))
+    """Tokenize ONCE (the token stream is persisted across the three
+    writes — postings, doclen, stats — instead of re-exploding the
+    corpus per artifact) and materialize the shard-partitioned
+    postings plus an index-meta file carrying the write-time
+    parameters, so a probe cannot silently hash into the wrong shard
+    layout."""
+    toks = _tokens(df, id_col, text_col).persist()
+    try:
+        postings = (
+            toks.groupBy("token", id_col)
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("shard", _shard(F.col("token"), n_shards))
+        )
+        (
+            postings.repartition("shard")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(os.path.join(path, "postings"))
+        )
+        doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+        doclen.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
+        # stats from the just-written doclen files: tiny read, and the
+        # persisted token stream can be dropped before this job
+        stats = (
+            df.sparkSession.read.parquet(os.path.join(path, "doclen"))
+            .agg(
+                (F.sum("dl").cast("double") / F.count(F.lit(1))).alias(
+                    "avgdl"
+                ),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+        )
+        stats.write.mode("overwrite").parquet(os.path.join(path, "stats"))
+    finally:
+        toks.unpersist()
+    with open(os.path.join(path, "index_meta.json"), "w") as f:
+        json.dump({"n_shards": n_shards, "lowercase": True}, f)
 
 
 def _contrib(tf, df, dl, avgdl, n_docs):
@@ -114,6 +131,20 @@ def bm25_search_at_rest(
     only the query terms' posting shards."""
     if not terms:
         raise ValueError("bm25_search_at_rest requires at least one term")
+    try:
+        with open(os.path.join(path, "index_meta.json")) as f:
+            meta = json.load(f)
+        if meta.get("n_shards") != n_shards:
+            raise ValueError(
+                f"index was written with n_shards={meta.get('n_shards')}, "
+                f"probe called with {n_shards} — the probe would hash "
+                "into the wrong partition dirs and silently miss postings"
+            )
+    except FileNotFoundError:
+        pass  # pre-meta index: caller owns parameter agreement
+    # the writer lowercases tokens; match that contract here so
+    # 'Join' finds the 'join' postings instead of nothing
+    terms = [t.lower() for t in terms]
     import hashlib
 
     shards = sorted(

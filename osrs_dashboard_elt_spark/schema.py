@@ -177,23 +177,28 @@ def evolve_schema(
     )
 
 
-_NUMERIC = (
-    T.ByteType,
-    T.ShortType,
-    T.IntegerType,
-    T.LongType,
-    T.FloatType,
-    T.DoubleType,
-    T.DecimalType,
-)
+_INT_RANK = {T.ByteType: 1, T.ShortType: 2, T.IntegerType: 3, T.LongType: 4}
 
 
 def _castable(src: T.DataType, dst: T.DataType) -> bool:
-    """Same family (numeric->numeric, or anything->string) casts are
-    conformance, not conflicts."""
+    """Only LOSSLESS casts are conformance, not conflicts:
+    anything->string, integer widening upward, float->double, and
+    int-or-narrower->double (int32 is exact in a double).  A lossy
+    numeric cast (double->long truncates fractions, long->int
+    overflows, long->double loses precision past 2^53) is exactly the
+    silent corruption this check exists to reject."""
     if isinstance(dst, T.StringType):
         return True
-    return isinstance(src, _NUMERIC) and isinstance(dst, _NUMERIC)
+    s, d = type(src), type(dst)
+    if s in _INT_RANK and d in _INT_RANK:
+        return _INT_RANK[s] <= _INT_RANK[d]
+    if d is T.DoubleType:
+        return s is T.FloatType or (
+            s in _INT_RANK and _INT_RANK[s] <= _INT_RANK[T.IntegerType]
+        )
+    if d is T.FloatType:
+        return s in _INT_RANK and _INT_RANK[s] <= _INT_RANK[T.ShortType]
+    return False
 
 
 def read_evolved(spark: SparkSession, path: str) -> DataFrame:

@@ -44,10 +44,14 @@ _LOG = "_versions.json"
 
 
 def _read_log(root: str) -> list[dict]:
+    # FileNotFoundError ONLY: any other read failure (permissions, a
+    # transient remote-fs error) must raise — treating it as "no log"
+    # would reset the version counter and let the next publish
+    # overwrite the real v1 snapshot
     try:
         with open(os.path.join(root, _LOG)) as f:
             return json.load(f)
-    except OSError:
+    except FileNotFoundError:
         return []
 
 

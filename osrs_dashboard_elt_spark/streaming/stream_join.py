@@ -82,6 +82,17 @@ def stream_interval_join(
         )
     )
     out = l.join(r, cond, how)
-    for k in keys:
-        out = out.drop(F.col(f"sj_r.{k}"))
-    return out
+    # merge the duplicated key columns: under right/full outer joins
+    # an unmatched right row's ONLY copy of the key is the right one,
+    # so dropping it would emit keyless rows — coalesce instead
+    key_cols = [
+        F.coalesce(F.col(f"sj_l.{k}"), F.col(f"sj_r.{k}")).alias(k)
+        for k in keys
+    ]
+    l_rest = [
+        F.col(f"sj_l.{c}") for c in left.columns if c not in keys
+    ]
+    r_rest = [
+        F.col(f"sj_r.{c}") for c in right.columns if c not in keys
+    ]
+    return out.select(*key_cols, *l_rest, *r_rest)

@@ -4958,16 +4958,10 @@ def q_bm25_search(spark, sf_dir):
     monotonicity per term is unchanged); per-term contributions round
     through DECIMAL(28,6) and sum as decimals, so the total is
     order-independent."""
+    from .operators.text_index import _tokens
+
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col("text")), r"\s+"),
-                lambda t: t != F.lit(""),
-            )
-        ).alias("token"),
-    )
+    toks = _tokens(docs, "doc_id", "text")
     aggs = [F.count(F.lit(1)).alias("dl")]
     for t in _BM25_TERMS:
         aggs.append(
@@ -5099,17 +5093,15 @@ def q_token_rarity(spark, sf_dir):
     division cannot) summed order-independently.  The corpus scans
     twice and shuffles only
     (token, count) pairs; the unigram table is the LM — swap in a
-    real LM's scores via the same broadcast-join shape."""
+    real LM's scores via the same broadcast-join shape.  Bound: the
+    scaled multiply holds n_total*1e6 in a BIGINT, exact up to
+    ~9.2e12 total tokens (~40 TB of text); beyond that, shard the
+    corpus and average shard means (the statistic is a mean, so
+    shard means weighted by token count recombine exactly)."""
+    from .operators.text_index import _tokens
+
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col("text")), r"\s+"),
-                lambda t: t != F.lit(""),
-            )
-        ).alias("token"),
-    )
+    toks = _tokens(docs, "doc_id", "text")
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
     terms = (

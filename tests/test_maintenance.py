@@ -78,3 +78,21 @@ def test_compaction_reduces_files_and_preserves_data(spark, tmp_path):
     # data identical: same ids, same count
     assert out.count() == 4000
     assert out.agg(F.sum("id")).collect()[0][0] == sum(range(4000))
+
+
+def test_unreadable_log_raises_instead_of_resetting_history(spark, tmp_path):
+    """A transient log-read failure must NOT look like an empty table
+    — that would restart the version counter and overwrite v1."""
+    import os
+
+    root = str(tmp_path / "tbl")
+    publish_versioned(_df(spark, 5, "a"), root)
+    log = os.path.join(root, "_versions.json")
+    os.chmod(log, 0)
+    try:
+        if os.access(log, os.R_OK):  # running as root: chmod 0 is moot
+            pytest.skip("cannot revoke read permission in this environment")
+        with pytest.raises(PermissionError):
+            publish_versioned(_df(spark, 5, "b"), root)
+    finally:
+        os.chmod(log, 0o644)

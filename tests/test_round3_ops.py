@@ -522,5 +522,36 @@ def test_merge_apply_rejects_unknown_ops(spark):
     bad = spark.createDataFrame(
         [(2, "x", 1.0, "X")], "k BIGINT, name STRING, v DOUBLE, op STRING"
     )
-    with _pytest.raises(ValueError, match="unknown op"):
+    with _pytest.raises(ValueError, match="unknown or NULL op"):
         merge_apply(target, bad, ["k"])
+
+
+def test_merge_apply_rejects_null_ops(spark):
+    """NULL op is three-valued-logic bait: ~isin() returns NULL, so an
+    unguarded filter lets it slip into silent-ignore."""
+    import pytest as _pytest
+
+    from osrs_dashboard_elt_spark.operators.cdc import merge_apply
+
+    target, _ = _merge_fixtures(spark)
+    bad = spark.createDataFrame(
+        [(2, "x", 1.0, None)], "k BIGINT, name STRING, v DOUBLE, op STRING"
+    )
+    with _pytest.raises(ValueError, match="NULL op"):
+        merge_apply(target, bad, ["k"])
+
+
+def test_merge_apply_preserves_null_key_target_rows(spark):
+    """A target row with a NULL key never equi-joins but is still a
+    real row — merge must not delete it."""
+    from osrs_dashboard_elt_spark.operators.cdc import merge_apply
+
+    target = spark.createDataFrame(
+        [(None, "orphan", 1.0), (1, "a", 2.0)],
+        "k BIGINT, name STRING, v DOUBLE",
+    )
+    changes = spark.createDataFrame(
+        [(1, "a2", 3.0, "U")], "k BIGINT, name STRING, v DOUBLE, op STRING"
+    )
+    out = {(r.k, r.name) for r in merge_apply(target, changes, ["k"]).collect()}
+    assert out == {(None, "orphan"), (1, "a2")}

@@ -69,3 +69,20 @@ def test_merged_read_backfills_nulls(spark, tmp_path):
     assert set(out.columns) == {"id", "name", "score"}
     rows = {r.id: r.score for r in out.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def test_lossy_numeric_casts_are_conflicts(spark):
+    """double->long truncates and long->int overflows: both must be
+    conflicts, not conformance."""
+    base = T.StructType([T.StructField("id", T.LongType(), True)])
+    d = spark.createDataFrame([(9.5,)], "id DOUBLE")
+    with pytest.raises(ValueError, match="type conflicts"):
+        evolve_schema(base, d, "evolve")
+    narrow = T.StructType([T.StructField("id", T.IntegerType(), True)])
+    l = spark.createDataFrame([(1,)], "id BIGINT")
+    with pytest.raises(ValueError, match="type conflicts"):
+        evolve_schema(narrow, l, "evolve")
+    # int -> double is exact: allowed
+    wide = T.StructType([T.StructField("id", T.DoubleType(), True)])
+    i = spark.createDataFrame([(1,)], "id INT")
+    assert evolve_schema(wide, i, "strict") == wide

@@ -106,3 +106,15 @@ def test_guards(spark, sources):
         )
     with pytest.raises(ValueError, match="how"):
         _join(v, c, how="cross")
+
+
+def test_right_outer_keeps_key_for_unmatched_right_rows(spark, sources):
+    """Under right_outer the only copy of an unmatched click's key is
+    the right-side one — the merged key column must carry it."""
+    _, vdir, cdir = sources
+    rows = _join(
+        spark.read.parquet(vdir), spark.read.parquet(cdir), how="right_outer"
+    ).collect()
+    unmatched = {(r.user_id, r.click_id) for r in rows if r.view_id is None}
+    assert unmatched == {(2, 910), (4, 920)}
+    assert all(r.user_id is not None for r in rows)

@@ -80,3 +80,19 @@ def test_probe_partition_prunes(spark, index_path):
 def test_empty_terms_rejected(spark, index_path):
     with pytest.raises(ValueError, match="at least one term"):
         bm25_search_at_rest(spark, index_path, [])
+
+
+def test_probe_rejects_mismatched_shard_count(spark, index_path):
+    with pytest.raises(ValueError, match="n_shards"):
+        bm25_search_at_rest(spark, index_path, ["join"], n_shards=32)
+
+
+def test_probe_lowercases_terms(spark, index_path):
+    lo = bm25_search_at_rest(
+        spark, index_path, ["join"], k=5, n_shards=N_SHARDS
+    ).collect()
+    hi = bm25_search_at_rest(
+        spark, index_path, ["JOIN"], k=5, n_shards=N_SHARDS
+    ).collect()
+    assert [(r.doc_id, r.bm25) for r in lo] == [(r.doc_id, r.bm25) for r in hi]
+    assert lo  # and it actually finds postings
