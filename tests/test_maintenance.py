@@ -96,3 +96,32 @@ def test_unreadable_log_raises_instead_of_resetting_history(spark, tmp_path):
             publish_versioned(_df(spark, 5, "b"), root)
     finally:
         os.chmod(log, 0o644)
+
+
+def test_cdc_merge_composes_with_versioned_publish(spark, tmp_path):
+    """The MERGE + snapshot story end-to-end: apply a change batch to
+    the current head, publish as the next version, and time-travel
+    back to the pre-merge snapshot."""
+    from osrs_dashboard_elt_spark.operators.cdc import merge_apply
+
+    root = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k BIGINT, name STRING"
+    )
+    v1 = publish_versioned(base, root, checksum_cols=["k", "name"])
+    changes = spark.createDataFrame(
+        [(2, "b2", "U"), (3, None, "D"), (4, "d", "I")],
+        "k BIGINT, name STRING, op STRING",
+    )
+    head = read_version(spark, root)
+    v2 = publish_versioned(
+        merge_apply(head, changes, ["k"]), root, checksum_cols=["k", "name"]
+    )
+    assert (v1, v2) == (1, 2)
+    now = {(r.k, r.name) for r in read_version(spark, root).collect()}
+    assert now == {(1, "a"), (2, "b2"), (4, "d")}
+    before = {(r.k, r.name) for r in read_version(spark, root, 1).collect()}
+    assert before == {(1, "a"), (2, "b"), (3, "c")}
+    # checksums recorded for both snapshots and differ
+    log = list_versions(root)
+    assert log[0]["checksum"] != log[1]["checksum"]
