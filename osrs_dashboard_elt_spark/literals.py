@@ -41,7 +41,11 @@ def sql_lit(v) -> str:
         return "TIMESTAMP '" + v.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
     if isinstance(v, date):
         return "DATE '" + v.isoformat() + "'"
-    return "'" + str(v).replace("'", "''") + "'"
+    # backslashes FIRST: Spark's default (escapedStringLiterals=false)
+    # interprets \n, \t, ... inside string literals, and a trailing
+    # backslash would escape the closing quote -> ParseException
+    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    return "'" + s + "'"
 
 
 def _split_ddl(schema: str) -> tuple[list[str], list[str]]:

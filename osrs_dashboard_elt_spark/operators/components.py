@@ -89,6 +89,18 @@ def connected_components(
         labels = updated.drop("__chg")
         if changed == 0:
             break
+    else:
+        # the loop NEVER converged: labels are still moving after
+        # max_iter hops, so some component is mislabeled (split into
+        # several).  Silent wrong answers here mean duplicates survive
+        # dedup — fail loudly; diameter grows with chain-shaped
+        # near-dup clusters, so raise max_iter (propagation is one
+        # hop/iteration) or pre-collapse exact dups first.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iter — the graph's diameter exceeds it"
+        )
     return labels
 
 

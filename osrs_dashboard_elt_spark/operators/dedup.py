@@ -68,7 +68,18 @@ def token_hash32(col: Column) -> Column:
 
     DuckDB equivalent: ``('0x' || substr(md5(t), 1, 8))::BIGINT``.
     """
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    return token_hash(col, 32)
+
+
+def token_hash(col: Column, bits: int) -> Column:
+    """Unsigned ``bits``-wide token hash (first bits/4 hex chars of
+    md5; bits must be a multiple of 4, <= 60 to stay in int64).
+
+    DuckDB: ``('0x' || substr(md5(t), 1, bits//4))::BIGINT``.
+    """
+    if bits % 4 or not 0 < bits <= 60:
+        raise ValueError("bits must be a multiple of 4 in (0, 60]")
+    return F.conv(F.substring(F.md5(col), 1, bits // 4), 16, 10).cast("long")
 
 
 def minhash_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -477,8 +488,12 @@ def simhash_pairs(
     # set-votes outnumber clear-votes — so it is order-independent and
     # engine-exact.  Empty docs (explode_outer null) produce null sums
     # -> no bits set -> fp = 0, matching the fold semantics.
+    # hash width MUST cover the fingerprint width: with a narrower
+    # hash the high fingerprint bits are never set, the chunk covering
+    # them becomes one universal bucket, and blocking degenerates to
+    # an all-pairs join
     posts = toks.select("id", F.explode_outer("toks").alias("tok")).select(
-        "id", token_hash32(F.col("tok")).alias("h")
+        "id", token_hash(F.col("tok"), bits).alias("h")
     )
     agg = posts.groupBy("id").agg(
         F.count(F.col("h")).alias("__n"),

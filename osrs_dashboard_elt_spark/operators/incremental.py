@@ -93,8 +93,10 @@ def hll_state(
     ``sketches.hll_distinct``'s finalization over the merged rows."""
     ks = [keys] if isinstance(keys, str) else list(keys)
     bucket, rho = hll_rho(F.col(value_col).cast("string"), p)
+    # NULLs excluded, matching COUNT(DISTINCT) and sketches.hll_distinct
     return (
-        df.select(*ks, bucket, rho)
+        df.filter(F.col(value_col).isNotNull())
+        .select(*ks, bucket, rho)
         .groupBy(*ks, "bucket")
         .agg(F.max("rho").alias("M"))
     )

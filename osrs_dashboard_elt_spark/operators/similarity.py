@@ -360,15 +360,14 @@ def lsh_ann_topk(
     bucket only.  Returns (id, score, bucket)."""
     planes = hyperplanes(n_planes, len(query), seed)
     qb = query_bucket(query, planes)
-    # Same materialize-once rationale as ``ivf_ann_topk``: without it
-    # the bucket chain is pushed into the scan filter and evaluated
-    # again for the output column.
-    bucketed = (
-        df.withColumn("__vd", vd_cast(vec_col))
-        .withColumn("bucket", F.expr(lsh_bucket_sql("__vd", planes)))
-        .localCheckpoint(eager=False)
-        .filter(F.col("bucket") == qb)
-    )
+    # The bucket expression is evaluated ONCE per row, in the filter;
+    # the survivors' bucket is by definition the query's, so the
+    # output column is a literal — no materialization needed (an
+    # earlier localCheckpoint-before-filter variant persisted the
+    # ENTIRE table, all 2^n_planes buckets with vectors, per query).
+    bucketed = df.withColumn("__vd", vd_cast(vec_col)).filter(
+        F.expr(lsh_bucket_sql("__vd", planes)) == qb
+    ).withColumn("bucket", F.lit(qb).cast("int"))
     scored = bucketed.withColumn(
         "score", _score6(query_cosine_sql("__vd", query))
     )

@@ -83,6 +83,11 @@ def hll_distinct(
     m = 1 << p
     w = 60 - p
     bucket, rho = hll_rho(F.col(value_col).cast("string"), p)
+    # NULLs are excluded, matching COUNT(DISTINCT): an unfiltered NULL
+    # hashes to a phantom (bucket=NULL, rho=w+1) register that inflates
+    # _nbuckets without a matching scaled-sum term — at full register
+    # occupancy the correction term goes NEGATIVE
+    df = df.filter(F.col(value_col).isNotNull())
     regs = (
         df.select(*ks, bucket, rho)
         .groupBy(*ks, "bucket")
@@ -130,6 +135,7 @@ def hll_oracle_sql(
       SELECT {kl},
              ('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, {_HASH_HEX}))::BIGINT AS h
       FROM {table}
+      WHERE {value_expr} IS NOT NULL
     ),
     br AS (
       SELECT {kl}, h >> {w} AS bucket,
@@ -202,6 +208,10 @@ def histogram_quantile(
             F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")
         ),
     )
+    # NULLs are excluded like exact percentile(): greatest(0, NULL) is
+    # 0 in Spark (null-skipping), which would silently bin every NULL
+    # at the lo edge and drag all quantiles down
+    df = df.filter(F.col(value_col).isNotNull())
     counts = (
         df.select(*ks, bin_.alias("bin"))
         .groupBy(*ks, "bin")
@@ -281,6 +291,7 @@ def histogram_quantile_oracle_sql(
              LEAST({n_bins - 1}, GREATEST(0,
                CAST(FLOOR((CAST({value_expr} AS DOUBLE) - {lo!r}) / {width!r}) AS INT))) AS bin
       FROM {table}
+      WHERE {value_expr} IS NOT NULL
     ),
     counts AS (
       SELECT {kl}, bin, COUNT(*) AS cnt FROM binned GROUP BY {kl}, bin

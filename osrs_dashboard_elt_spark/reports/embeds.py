@@ -188,11 +188,14 @@ def render_pb_pages(
             F.col("__body") == "", header
         ).otherwise(F.concat(header, F.lit("\n\n"), F.col("__body")))
     )
+    # suffix is 15 chars: the kept prefix must shrink by exactly that
+    # much or the "truncated" page exceeds the limit and is rejected
+    _suffix = "\n...*truncated*"
     desc = F.when(
         F.length(raw_desc) > DESCRIPTION_LIMIT,
         F.concat(
-            F.substring(raw_desc, 1, DESCRIPTION_LIMIT - 6),
-            F.lit("\n...*truncated*"),
+            F.substring(raw_desc, 1, DESCRIPTION_LIMIT - len(_suffix)),
+            F.lit(_suffix),
         ),
     ).otherwise(raw_desc)
     pages = pages.select(

@@ -71,8 +71,19 @@ def incremental_state_sink(
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         manifest = _read_manifest(state_dir)
-        if batch_id <= manifest["last_batch_id"]:
+        if batch_id == manifest["last_batch_id"]:
             return  # replayed batch: already folded
+        if batch_id < manifest["last_batch_id"]:
+            # a replay re-delivers AT MOST the last batch; a SMALLER id
+            # means a fresh checkpoint restarted the counter against
+            # existing state — silently dropping batches 0..last would
+            # freeze the gold table with no error
+            raise RuntimeError(
+                f"batch_id {batch_id} < recorded last_batch_id "
+                f"{manifest['last_batch_id']}: the query restarted with "
+                "a fresh checkpoint against existing state; point the "
+                "query at a fresh state_dir (or restore the checkpoint)"
+            )
         spark = batch_df.sparkSession
         batch_state = agg_state(batch_df, keys, value_col)
         prev = read_state(spark, state_dir)

@@ -1012,7 +1012,11 @@ def _simhash_oracle(bits: int, max_hamming: int) -> str:
     n_chunks = max_hamming + 1
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
-    toks_hash = _TOKHASH_SQL.format(toks="list_distinct(" + _TOK_SQL + ")")
+    hexn = bits // 4
+    toks_hash = (
+        "list_transform(list_distinct(" + _TOK_SQL + "), "
+        f"t -> ('0x' || substr(md5(t), 1, {hexn}))::BIGINT)"
+    )
     vote_terms = " + ".join(
         f"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
         for b in range(bits)
@@ -4101,6 +4105,11 @@ def q_token_vocab(spark, sf_dir):
                 lambda t: t != F.lit(""),
             )
         ).alias("token")
+    ).filter(
+        # explode_outer emits a NULL row for empty docs (kept outer so
+        # InferFiltersFromGenerate can't duplicate the split); the
+        # oracle's unnest emits nothing — restore inner semantics
+        F.col("token").isNotNull()
     )
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     topk = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(

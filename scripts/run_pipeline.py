@@ -174,58 +174,63 @@ def run_pipeline(
             f"broadcasts, +{counters['n_dead']} dead-letter"
         )
 
-    # -- stage 2.5: as-of price enrichment (J1 + P10) ------------------
-    # The reference resolves missing item values with 1-3 SQL point
-    # lookups PER ROW (src/2_parse_engine.py:16-63) — its biggest scale
-    # bug.  Here: ONE as-of join against a price series for exactly the
-    # rows that need it (null Item_Value), union back.  This is the
-    # price stage: elidable by age and tolerated on failure, like the
-    # reference's 4_fetch_item_prices.py.
+    # -- stage 2.5: price-series refresh (the reference's elidable
+    # stage).  ONLY the price lookup table is carried across runs — the
+    # enrichment join itself runs in stage_transform every run, so an
+    # elided refresh can never hold this run's newly parsed rows out of
+    # the gold tables (the reference's 4_fetch_item_prices.py likewise
+    # refreshes just item_prices.db; 3_transform always re-joins it).
     def stage_enrich():
         if fail_enrich_for_test:
             raise RuntimeError("injected price-stage failure (test)")
-        from osrs_dashboard_elt_spark.operators.asof import asof_join
-
         bc_all = spark.read.parquet(f"{out_dir}/silver/clan_broadcasts")
         quotes = (
             bc_all.filter(F.col("Item_Value").isNotNull())
             .groupBy("Item_Name", F.date_trunc("day", "Timestamp").alias("quote_ts"))
             .agg(F.avg("Item_Value").cast("long").alias("quoted_value"))
         )
-        needs = bc_all.filter(
-            (F.col("Broadcast_Type") == "Valuable Drop") & F.col("Item_Value").isNull()
-        )
-        enriched = asof_join(
-            needs.drop("Item_Value"), quotes, "Item_Name", "Timestamp", "quote_ts",
-            values=["quoted_value"], direction="nearest",
-        ).withColumn("Item_Value", F.col("quoted_value")).drop("quoted_value")
-        rest = bc_all.join(
-            enriched.select("raw_log_id", "Username"),
-            ["raw_log_id", "Username"],
-            "left_anti",
-        )
-        publish_blue_green(
-            rest.unionByName(enriched.select(*rest.columns)),
-            f"{out_dir}/silver/clan_broadcasts_enriched",
-        )
-        counters["n_enriched"] = enriched.count()
+        publish_blue_green(quotes, f"{out_dir}/silver/item_quotes")
+        counters["n_quotes"] = quotes.count()
         print(
-            f"[enrich]    {counters['n_enriched']} null-value drops priced "
-            "via as-of join"
+            f"[enrich]    {counters['n_quotes']} (item, day) price quotes "
+            "published"
         )
 
     # -- stage 3: transform + blue/green publish ----------------------
     def stage_transform():
+        from osrs_dashboard_elt_spark.operators.asof import asof_join
         from osrs_dashboard_elt_spark.sources import read_published
 
-        # consume the enriched publish when it exists; fall back to the
-        # raw silver table when the (tolerated) price stage has never
-        # succeeded — the pipeline completes without fresh prices,
-        # matching the reference's continue-on-price-failure rule
+        # ALWAYS read this run's full silver table, then enrich
+        # in-flight against the latest published price series (stale
+        # prices are acceptable — stale ROWS are not).  When the
+        # (tolerated) price stage has never succeeded, transform
+        # proceeds un-enriched: the reference's
+        # continue-on-price-failure rule.
+        bc = spark.read.parquet(f"{out_dir}/silver/clan_broadcasts")
         try:
-            bc = read_published(spark, f"{out_dir}/silver/clan_broadcasts_enriched")
+            quotes = read_published(spark, f"{out_dir}/silver/item_quotes")
         except Exception:
-            bc = spark.read.parquet(f"{out_dir}/silver/clan_broadcasts")
+            quotes = None
+        if quotes is not None:
+            needs = bc.filter(
+                (F.col("Broadcast_Type") == "Valuable Drop")
+                & F.col("Item_Value").isNull()
+            )
+            enriched = asof_join(
+                needs.drop("Item_Value"), quotes, "Item_Name",
+                "Timestamp", "quote_ts",
+                values=["quoted_value"], direction="nearest",
+            ).withColumn(
+                "Item_Value", F.col("quoted_value")
+            ).drop("quoted_value")
+            rest = bc.join(
+                enriched.select("raw_log_id", "Username"),
+                ["raw_log_id", "Username"],
+                "left_anti",
+            )
+            bc = rest.unionByName(enriched.select(*rest.columns))
+            counters["n_enriched"] = enriched.count()
         periods = standard_periods(ANCHOR)
         reports = {
             "leaderboard_drops": leaderboard_report(

@@ -104,3 +104,22 @@ def test_drives_from_rest_stream(spark, tmp_path):
     rows = {r.g: r.n_rows for r in state.collect()}
     assert set(rows) == {"4151", "4153"}
     assert all(n >= 1 for n in rows.values())
+
+
+def test_fresh_checkpoint_against_existing_state_raises(spark, tmp_path):
+    """A restarted batch-id counter (fresh checkpoint, old state_dir)
+    must fail loudly instead of silently dropping every batch until
+    the counter catches up."""
+    import pytest as _pytest
+
+    from osrs_dashboard_elt_spark.streaming.incremental_sink import (
+        incremental_state_sink,
+    )
+
+    state = str(tmp_path / "state")
+    fold = incremental_state_sink(state, "k", "v")
+    df = spark.createDataFrame([(1, 2.0)], "k BIGINT, v DOUBLE")
+    fold(df, 5)
+    fold(df, 5)  # exact replay: no-op
+    with _pytest.raises(RuntimeError, match="fresh checkpoint"):
+        fold(df, 0)

@@ -535,3 +535,13 @@ def test_connected_components_chain_and_isolates(spark):
     assert [i for i, (c, canon) in got.items() if canon] == sorted(
         [1, 7, 10, 20]
     ) or {i for i, (c, canon) in got.items() if canon} == {1, 7, 10, 20}
+
+
+def test_literal_frame_roundtrips_backslashes_and_quotes(spark):
+    """sql_lit must escape backslashes (Spark parses \\n etc. inside
+    literals; a trailing backslash would swallow the closing quote)."""
+    from osrs_dashboard_elt_spark.literals import literal_frame
+
+    vals = [("a\\nb",), ("end\\",), ("it's\\'mixed",), ("tab\there",)]
+    got = [r.c for r in literal_frame(spark, vals, "c string").collect()]
+    assert got == [v[0] for v in vals]

@@ -555,3 +555,24 @@ def test_merge_apply_preserves_null_key_target_rows(spark):
     )
     out = {(r.k, r.name) for r in merge_apply(target, changes, ["k"]).collect()}
     assert out == {(None, "orphan"), (1, "a2")}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A path graph with diameter > max_iter must fail loudly — a
+    silently split component means duplicates survive dedup."""
+    import pytest as _pytest
+
+    from osrs_dashboard_elt_spark.operators.components import (
+        connected_components,
+    )
+
+    n = 8
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id BIGINT")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a BIGINT, id_b BIGINT"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(vertices, chain, max_iter=3)
+    # and with enough iterations the same graph converges to one label
+    ok = connected_components(vertices, chain, max_iter=n)
+    assert {r.component for r in ok.collect()} == {0}
