@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "q_ewma_by_user",
     "q_token_rarity",
     "q_cdc_merge",
+    "q_item_copurchase",
+    "q_event_transitions",
 ]
 
 

@@ -5209,3 +5209,99 @@ def q_cdc_merge(spark, sf_dir):
     )
     changes = d.unionByName(u).unionByName(i)
     return merge_apply(cust, changes, keys=["c_custkey"])
+
+
+@query(
+    "q_item_copurchase",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    t1 AS (
+      SELECT l_orderkey, unnest(parts) AS part_a, parts FROM per_order
+    ),
+    pairs AS (
+      SELECT part_a, unnest(parts) AS part_b FROM t1
+    )
+    SELECT part_a, part_b, COUNT(*) AS n_orders
+    FROM pairs WHERE part_a < part_b
+    GROUP BY part_a, part_b
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_item_copurchase(spark, sf_dir):
+    """Frequent co-purchase pairs (market-basket support counts): per
+    order, the DISTINCT item set as one sorted array, then the i<j
+    pairs generated INSIDE the array expression — the pair blow-up is
+    bounded by basket size squared per row, never a table self-join
+    (the textbook lineitem x lineitem join shuffles the fact table
+    twice and explodes skewed orders on one reducer).  One shuffle to
+    assemble baskets, one to count pairs; the HAVING floor keeps the
+    output to repeat pairs.  At 100 TB the guard for degenerate
+    baskets (a 10k-item order -> 50M pairs in one row) is a basket
+    cap — the same hot-key discipline as the LSH family."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@query(
+    "q_event_transitions",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n,
+           CAST(CAST(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (
+             PARTITION BY event_type
+           ) AS DECIMAL(28,6)) AS DOUBLE) AS p_next
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def q_event_transitions(spark, sf_dir):
+    """First-order event-transition matrix (Markov counts + row-
+    normalized probabilities): one lead() window per user in event-
+    time order, one count aggregate, and the row normalization is a
+    window SUM over the tiny (type x type) result — the fact table
+    shuffles once for the lag window and once for the count.  The
+    probability divides two exact counts (IEEE-deterministic) and
+    decimal-rounds."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        dround(
+            F.col("n").cast("double") / F.sum("n").over(row_tot)
+        ).alias("p_next"),
+    )
