@@ -436,11 +436,15 @@ def ivf_ann_topk(
     order = sorted(range(len(qscores)), key=lambda i: (-qscores[i], i))
     probe = order[:nprobe]
 
-    # Materialize the assignment once: the probe filter is otherwise
-    # pushed into the scan (the whole unrolled cell expression per
-    # row) AND re-evaluated for the output column.  The flat form is
-    # the oracle baseline; ``ivf_ann_topk_at_rest`` is the scale path
-    # (partition pruning instead of a full assignment pass).
+    # Materialize the assignment once.  Measured trade (sf0.1): the
+    # filter-substitution form (cell expr evaluated in the pushed
+    # filter, re-projected on survivors) is 4x SLOWER here — the
+    # argmax expr appears multiple times after projection collapse —
+    # while this form persists the (id, vec, cell) table per query,
+    # which is the wrong shape for repeated probes at scale.  Both
+    # flat forms are oracle baselines; amortized/large-scale probing
+    # belongs to ``ivf_ann_topk_at_rest`` (cell-partitioned files,
+    # partition pruning, zero per-query assignment work).
     assigned = ivf_assign(df, vec_col, centroids_norm, id_col).localCheckpoint(
         eager=False
     )
