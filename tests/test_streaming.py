@@ -218,3 +218,51 @@ def test_corrupt_lines_are_captured_not_dropped(spark, tmp_path):
     assert sorted(r.id for r in good_rows) == [1, 2]
     assert "_corrupt_line" not in spark.sql("SELECT * FROM corrupt_good").columns
     assert len(bad_rows) == 1 and "not json" in bad_rows[0].line
+
+
+def test_streaming_session_rollup_executes_with_availablenow(spark, tmp_path):
+    """session_window must EXECUTE as a stream (state store engaged),
+    not just compile: drive the file stream with availableNow and
+    compare the emitted sessions to the batch drive."""
+    from osrs_dashboard_elt_spark.streaming import streaming_session_rollup
+    import osrs_dashboard_elt_spark.streaming.ingest as ing
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    rows = [
+        (1, "2025-01-01T10:00:00.000Z", "A"),
+        (2, "2025-01-01T10:02:00.000Z", "A"),
+        (3, "2025-01-01T10:20:00.000Z", "A"),
+        (4, "2025-01-01T10:21:00.000Z", "B"),
+    ]
+    _write_batch(src, "b1.json", rows)
+
+    stream = read_raw_stream(spark, str(src))
+    out = streaming_session_rollup(
+        stream, gap="5 minutes", key_cols=["raw_content"]
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_rollup")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.raw_content, str(r.session_start), r.n_events)
+        for r in spark.sql("SELECT * FROM sess_rollup").collect()
+    }
+    batch = spark.read.schema(ing.RAW_LOG_SCHEMA).json(str(src))
+    want = {
+        (r.raw_content, str(r.session_start), r.n_events)
+        for r in streaming_session_rollup(
+            batch, gap="5 minutes", key_cols=["raw_content"]
+        ).collect()
+    }
+    assert got == want == {
+        ("A", "2025-01-01 10:00:00", 2),
+        ("A", "2025-01-01 10:20:00", 1),
+        ("B", "2025-01-01 10:21:00", 1),
+    }
