@@ -90,13 +90,24 @@ def language_id(col: Column) -> Column:
     return expr
 
 
-def doc_fingerprint(col: Column, mod: int = 2**61 - 1) -> Column:
+def doc_fingerprint(col: Column, mod: int = 2**31 - 1) -> Column:
     """Order-sensitive rolling document fingerprint: left-fold
     polynomial hash over token hashes — token reorderings change it,
     unlike a set-hash.  Cross-engine reproducible (md5-derived token
-    hashes, explicit arithmetic)."""
+    hashes, explicit arithmetic).
+
+    ``mod`` is bounded so the fold step ``acc*31 + h`` stays inside
+    int64: ``acc < mod`` and ``h < 2^32``, so ``mod`` may not exceed
+    ``(2^63 - 2^32) // 31``.  (The earlier 2^61-1 default overflowed —
+    an ARITHMETIC_OVERFLOW crash under ANSI, silent wraparound
+    otherwise, and no DuckDB oracle can reproduce a wrap.)"""
     from ..operators.dedup import token_hash32
 
+    if mod <= 0 or mod > (2**63 - 2**32) // 31:
+        raise ValueError(
+            "mod must be in (0, (2^63 - 2^32) // 31] so the fold step "
+            "acc*31 + h cannot overflow int64"
+        )
     toks = F.split(F.trim(F.lower(col)), r"\s+")
     th = F.transform(toks, token_hash32)
     return F.aggregate(

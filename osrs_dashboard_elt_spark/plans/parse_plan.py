@@ -51,11 +51,20 @@ _EMOJI_RX = r"^<:(\w+):\d+>\s*"
 
 @dataclass
 class ParsedStreams:
-    """The three routed outputs of one parse pass."""
+    """The three routed outputs of one parse pass.  ``core`` is the
+    persisted routing barrier (None when the plan was built uncached
+    or from a streaming input); call :meth:`unpersist` once all three
+    outputs are consumed — per-micro-batch callers MUST, or one
+    MEMORY_AND_DISK dataset leaks per batch for the stream's life."""
 
     chat: DataFrame
     broadcasts: DataFrame
     unparsed: DataFrame
+    core: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        if self.core is not None:
+            self.core.unpersist()
 
 
 def _q(s: str) -> str:
@@ -315,8 +324,16 @@ def _explode_users(df: DataFrame, user_col: str) -> DataFrame:
     "A, B and C" to a uniform separator, split, explode, trim.
     """
     u = F.col(user_col)
-    # "UserAand UserB" -> "UserA and UserB" (missing space before 'and')
-    repaired = F.regexp_replace(u, r"(\w)and ", r"$1 and ")
+    # "UserAand UserB" -> "UserA and UserB" (missing space before
+    # 'and').  PARITY NOTE: the reference repairs ANY word that ends
+    # in 'and' (len>3, case-insensitive suffix —
+    # src/2_parse_engine.py:215-221), which means a genuine username
+    # like "Brand X" or "Roland Fan" is split there too; this engine
+    # reproduces that behavior, false positives included — diverging
+    # would change silver row counts against the reference on the
+    # same input.  The (?i:and) matches the reference's
+    # word.lower().endswith('and') case rule.
+    repaired = F.regexp_replace(u, r"(\w)(?i:and) ", r"$1 and ")
     # commas become the same separator as 'and'
     normalized = F.regexp_replace(repaired, r",\s*", " and ")
     users = F.split(normalized, r" and ")
@@ -462,10 +479,15 @@ def build_parse_plan(
     core = core.withColumn(
         "__bc_ok", (F.col("__variant") >= 0) & F.col("__req_ok")
     ).drop("__stripped0", "__req_ok")
-    if cache:
+    persisted = None
+    if cache and not raw.isStreaming:
+        # a streaming lineage cannot persist (AnalysisException at
+        # plan build); foreachBatch callers hand in BATCH frames and
+        # do persist — and must unpersist per batch, see ParsedStreams
         from pyspark import StorageLevel
 
         core = core.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted = core
 
     # --- chat output: extraction post-filter, chat rows only ---------
     chat_out_cols = chat_extract(F.col("Content"))
@@ -517,12 +539,17 @@ def build_parse_plan(
         F.col("Content").alias("raw_content"),
         failure.alias("failure_reason"),
     )
-    result = ParsedStreams(chat=chat, broadcasts=broadcasts, unparsed=unparsed)
+    result = ParsedStreams(
+        chat=chat, broadcasts=broadcasts, unparsed=unparsed, core=persisted
+    )
     if key is not None:
-        # evict other sessions' entries, then FIFO-bound this one's
+        # evict other sessions' entries, then FIFO-bound this one's —
+        # RELEASING each evicted entry's persisted core (the cache is
+        # the owner; without this the block manager accumulates one
+        # dataset per evicted plan)
         for k in [k for k in _PLAN_CACHE if k[0] != key[0]]:
-            del _PLAN_CACHE[k]
+            _PLAN_CACHE.pop(k).unpersist()
         while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
-            del _PLAN_CACHE[next(iter(_PLAN_CACHE))]
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE))).unpersist()
         _PLAN_CACHE[key] = result
     return result

@@ -76,11 +76,15 @@ _COLORS = ("blue", "green")
 
 
 def _read_manifest(root: str) -> str | None:
+    # FileNotFoundError ONLY (maintenance._read_log's rule): a
+    # transient EACCES/EIO must raise, not read as "no manifest" —
+    # that would target _COLORS[0], which may be the ACTIVE color, and
+    # overwrite the directory concurrent readers are scanning
     try:
         with open(os.path.join(root, _MANIFEST)) as f:
             color = f.read().strip()
         return color if color in _COLORS else None
-    except OSError:
+    except FileNotFoundError:
         return None
 
 

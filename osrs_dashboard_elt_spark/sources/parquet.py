@@ -19,7 +19,7 @@ pattern here:
 
 from __future__ import annotations
 
-from datetime import datetime, timedelta
+from datetime import date, datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,6 +42,12 @@ def prune_to_window(
     when the table is partitioned on a ts-derived column)."""
     if isinstance(lo, datetime):
         slack = timedelta(seconds=lateness_seconds)
+    elif isinstance(lo, date):
+        # DateType collects as datetime.date (no sub-day arithmetic):
+        # round the slack up to whole days — a 'date - float' would
+        # TypeError.  (datetime checked FIRST: datetime is a date
+        # subclass.)
+        slack = timedelta(days=-(-int(lateness_seconds) // 86400))
     else:
         slack = lateness_seconds
     return df.filter(

@@ -153,30 +153,55 @@ class _ItemChunk(InputPartition):
     item_ids: Sequence[int]
 
 
+_TIMESTEP_SECONDS = {"5m": 300, "1h": 3600, "6h": 21600, "24h": 86400}
+
+
+def _parse_common_options(options: dict) -> dict:
+    """Shared option parsing for the batch and stream readers (one
+    place for defaults and the user-agent rule — they must not
+    diverge)."""
+    items = [
+        int(x) for x in str(options.get("items", "")).split(",") if x.strip()
+    ]
+    if not items:
+        raise ValueError(
+            "rest_timeseries: 'items' option (comma-separated ids) is required"
+        )
+    out = {
+        "items": items,
+        "timestep": options.get("timestep", "24h"),
+        "rate": float(options.get("rate_limit_rps", 2.0)),
+        "base_url": options.get(
+            "base_url", "https://prices.runescape.wiki/api/v1/osrs/timeseries"
+        ),
+        "user_agent": options.get("user_agent", ""),
+        "transport_spec": options.get(
+            "transport", "osrs_dashboard_elt_spark.sources.rest:fake_transport"
+        ),
+    }
+    if out["transport_spec"].endswith(":requests_transport") and not out[
+        "user_agent"
+    ]:
+        # the wiki API requires a descriptive User-Agent (reference
+        # 4_fetch_item_prices.py:59-61) — fail at plan time, not after
+        # N tasks have hit the API anonymously
+        raise ValueError(
+            "rest_timeseries: 'user_agent' is required for the real transport"
+        )
+    return out
+
+
 class RestTimeSeriesReader(DataSourceReader):
     def __init__(self, options: dict):
-        self.items = [int(x) for x in str(options.get("items", "")).split(",") if x.strip()]
-        if not self.items:
-            raise ValueError("rest_timeseries: 'items' option (comma-separated ids) is required")
+        common = _parse_common_options(options)
+        self.items = common["items"]
         self.chunk = int(options.get("items_per_partition", 50))
-        self.timestep = options.get("timestep", "24h")
+        self.timestep = common["timestep"]
         self.n_points = int(options.get("n_points", 30))
-        self.rate = float(options.get("rate_limit_rps", 2.0))
-        self.base_url = options.get(
-            "base_url", "https://prices.runescape.wiki/api/v1/osrs/timeseries"
-        )
-        self.user_agent = options.get("user_agent", "")
-        self.transport_spec = options.get(
-            "transport", "osrs_dashboard_elt_spark.sources.rest:fake_transport"
-        )
-        if (
-            self.transport_spec.endswith(":requests_transport")
-            and not self.user_agent
-        ):
-            # the wiki API requires a descriptive User-Agent
-            # (reference 4_fetch_item_prices.py:59-61) — fail at plan
-            # time, not after N tasks have hit the API anonymously
-            raise ValueError("rest_timeseries: 'user_agent' is required for the real transport")
+        self.rate = common["rate"]
+        self.base_url = common["base_url"]
+        self.user_agent = common["user_agent"]
+        self.transport_spec = common["transport_spec"]
 
     def partitions(self) -> Sequence[InputPartition]:
         return [
@@ -217,25 +242,29 @@ class RestTimeSeriesStreamReader(SimpleDataSourceStreamReader):
     ingest operators."""
 
     def __init__(self, options: dict):
-        self.items = [int(x) for x in str(options.get("items", "")).split(",") if x.strip()]
-        if not self.items:
-            raise ValueError("rest_timeseries: 'items' option is required")
+        common = _parse_common_options(options)
+        self.items = common["items"]
         self.points_per_batch = int(options.get("points_per_batch", 5))
         self.max_points = int(options.get("max_points", 30))
-        self.timestep = options.get("timestep", "24h")
-        self.rate = float(options.get("rate_limit_rps", 2.0))
-        self.base_url = options.get(
-            "base_url", "https://prices.runescape.wiki/api/v1/osrs/timeseries"
+        self.timestep = common["timestep"]
+        self.rate = common["rate"]
+        self.base_url = common["base_url"]
+        self.user_agent = common["user_agent"]
+        self.transport_spec = common["transport_spec"]
+        # from=-window stride derives from the CONFIGURED timestep —
+        # a hardcoded daily stride against a 5m/1h series would page
+        # overlapping/gapped windows.  epoch0 anchors the series; the
+        # default matches the deterministic fake transport so existing
+        # offsets stay valid, and a real deployment passes its own.
+        if self.timestep not in _TIMESTEP_SECONDS:
+            raise ValueError(
+                f"rest_timeseries: unknown timestep {self.timestep!r}; "
+                f"expected one of {sorted(_TIMESTEP_SECONDS)}"
+            )
+        self.step_seconds = int(
+            options.get("step_seconds", _TIMESTEP_SECONDS[self.timestep])
         )
-        self.user_agent = options.get("user_agent", "")
-        self.transport_spec = options.get(
-            "transport", "osrs_dashboard_elt_spark.sources.rest:fake_transport"
-        )
-        if (
-            self.transport_spec.endswith(":requests_transport")
-            and not self.user_agent
-        ):
-            raise ValueError("rest_timeseries: 'user_agent' is required for the real transport")
+        self.epoch0 = int(options.get("epoch0", FAKE_EPOCH0))
 
     def initialOffset(self) -> dict:
         return {"i": 0}
@@ -251,7 +280,7 @@ class RestTimeSeriesStreamReader(SimpleDataSourceStreamReader):
             bucket.acquire()
             url = (
                 f"{self.base_url}?timestep={self.timestep}&id={item_id}"
-                f"&from={FAKE_EPOCH0 + lo * FAKE_STEP}&n={hi - lo}"
+                f"&from={self.epoch0 + lo * self.step_seconds}&n={hi - lo}"
             )
             for row in transport(url, headers):
                 out.append(

@@ -147,6 +147,10 @@ def start_parse_pipeline(
             spark, streams.unparsed, f"{out_root}/unparsed_logs",
             ["raw_log_id"], ts_col="timestamp",
         )
+        # release the batch's persisted routing core: every micro-batch
+        # builds a fresh plan (source offsets differ), so without this
+        # one MEMORY_AND_DISK dataset leaks per batch
+        streams.unpersist()
         if on_batch is not None:
             on_batch(batch_id)
 

@@ -223,3 +223,30 @@ def test_dedup_append_date_partitioned_prunes_directories(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "ds" in plan
     assert pruned.count() == 2
+
+
+def test_prune_to_window_handles_date_type(spark):
+    """DateType collects as datetime.date — the slack arithmetic must
+    branch (date - float used to TypeError on the second dedup_append
+    against an existing DateType table)."""
+    from datetime import date
+
+    from osrs_dashboard_elt_spark.sources.parquet import prune_to_window
+
+    df = spark.createDataFrame(
+        [(date(2024, 1, 1),), (date(2024, 1, 5),), (date(2024, 2, 1),)],
+        "d DATE",
+    )
+    out = prune_to_window(
+        df, "d", date(2024, 1, 2), date(2024, 1, 31), lateness_seconds=90000
+    )
+    # 90000s rounds up to 2 days of slack: 2023-12-31 .. 2024-02-02
+    assert {r.d for r in out.collect()} == {
+        date(2024, 1, 1),
+        date(2024, 1, 5),
+        date(2024, 2, 1),
+    }
+    tight = prune_to_window(
+        df, "d", date(2024, 1, 2), date(2024, 1, 31), lateness_seconds=0
+    )
+    assert {r.d for r in tight.collect()} == {date(2024, 1, 5)}
