@@ -228,7 +228,14 @@ def sample_frames(
     ``explode`` computes the sampled frame indices from metadata
     WITHOUT touching blobs; the per-frame decode would be one more
     ``mapInPandas`` over (blob, frame_idx) pairs."""
-    vids = df.filter(F.col(f"{meta_col}.media_type") == "video")
+    # n_frames >= 1 guard: MEDIA_SCHEMA can carry 0 for a corrupt/empty
+    # video, and sequence(0, -1, step) throws 'Illegal sequence
+    # boundaries' in the executor — such rows emit NO frames instead
+    # of killing the job
+    vids = df.filter(
+        (F.col(f"{meta_col}.media_type") == "video")
+        & (F.col(f"{meta_col}.n_frames") >= 1)
+    )
     idxs = F.sequence(
         F.lit(0), F.col(f"{meta_col}.n_frames") - 1, F.lit(every_nth)
     )

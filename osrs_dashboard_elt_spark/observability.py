@@ -245,3 +245,9 @@ class SummaryListener(StreamingQueryListener):
             error=str(err) if err else None,
         )
         self._sink(name, summary)
+        # evict the terminated query's state: a long-lived session
+        # starting many one-shot queries would otherwise grow these
+        # dicts forever, and a RESTARTED query reusing the id would
+        # double-count the previous run's rows
+        for d in (self._rows, self._batches, self._names, self._errors):
+            d.pop(qid, None)

@@ -253,6 +253,14 @@ def minhash_lsh_pairs(
     that belong in ``exact_dedup`` upstream — otherwise floods the
     join).  Dropping loses those buckets' recall; None = uncapped.
     """
+    if bands <= 0 or num_perm % bands != 0:
+        # bands > num_perm would make every band key EMPTY (rows=0 ->
+        # concat of zero columns), degenerating the banding join into
+        # an all-pairs cross join; a non-dividing bands silently drops
+        # trailing signature components (changed recall, no warning)
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_perm ({num_perm})"
+        )
     rows = num_perm // bands
     base = with_shingles(df, id_col, text_col, shingle_n)
     # Signatures via explode + hash-aggregate, not per-row array
@@ -358,9 +366,17 @@ def ngram_jaccard_pairs(
     near-zero-Jaccard pairs.  Applied as a broadcast hot-shingle
     pre-filter BEFORE the groupBy, so the hot posting array is never
     materialized; costs one extra (cheap, aggregate-only) pass over
-    the postings.  Recall: pairs whose entire overlap is stop-shingles
-    are missed — at any meaningful threshold those score ~0 anyway.
-    ``None`` disables the guard."""
+    the postings.
+
+    SEMANTICS under the guard: dropped shingles leave the intersection
+    count but STAY in the size denominators, so the reported score is
+    a LOWER BOUND of the true Jaccard — a pair whose overlap includes
+    hot shingles scores lower than its exact value (and a pair whose
+    entire overlap is hot is missed).  With the default cap the bias
+    is bounded by (hot shingles in the overlap)/union; corpora where
+    near-dup overlap concentrates in ubiquitous shingles should raise
+    the cap or disable the guard (``None`` -> exact Jaccard) and rely
+    on the pair-side cap instead."""
     sh = with_shingles(df, id_col, text_col, n, out="sh")
     # explode_outer + isNotNull: see minhash_lsh_pairs — avoids the
     # InferFiltersFromGenerate re-inlining of the shingle expression
@@ -468,7 +484,9 @@ def simhash_pairs(
     (broadcast hot-list anti-join, recall trade documented at
     module level); None = uncapped.  NOTE: at billions of docs a
     32-bit fingerprint's 8-bit chunks only take 256 values — use
-    bits=64 so the blocking stays selective."""
+    bits=48 (the suite's setting) or bits=60 (the md5-hash ceiling:
+    the token hash must cover the fingerprint width and stay inside
+    a signed int64, so 60 is the maximum)."""
     n_chunks = max_hamming + 1
     chunk_bits = bits // n_chunks
     toks = df.select(

@@ -76,10 +76,16 @@ def find_conflicts(rules: list[MappingRule]) -> list[tuple[int, int, set[str]]]:
         shared = set(a.sources) & set(b.sources)
         if not shared:
             continue
-        a_start = a.start or datetime.min
-        a_end = a.end or datetime.max
-        b_start = b.start or datetime.min
-        b_end = b.end or datetime.max
-        if a_start < b_end and b_start < a_end:
+        # open bounds compared symbolically (None = unbounded) rather
+        # than via datetime.min/max sentinels: naive sentinels raise
+        # TypeError against tz-aware rule datetimes (tomllib parses
+        # '...Z' timestamps as aware)
+        starts_before_b_ends = (
+            a.start is None or b.end is None or a.start < b.end
+        )
+        b_starts_before_a_ends = (
+            b.start is None or a.end is None or b.start < a.end
+        )
+        if starts_before_b_ends and b_starts_before_a_ends:
             conflicts.append((i, j, shared))
     return conflicts

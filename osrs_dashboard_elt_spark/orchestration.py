@@ -56,7 +56,17 @@ def last_success(state_path: str | Path, stage: str) -> datetime | None:
         if ts.tzinfo is None:
             ts = ts.replace(tzinfo=timezone.utc)
         return ts
-    except (json.JSONDecodeError, KeyError, ValueError, OSError):
+    except (
+        json.JSONDecodeError,
+        KeyError,
+        ValueError,
+        OSError,
+        # valid JSON of the wrong SHAPE ([], "x", {"stage": "str"}):
+        # .get on a non-dict raises these — still "corrupt state,
+        # run everything", never an aborted pipeline
+        AttributeError,
+        TypeError,
+    ):
         return None
 
 

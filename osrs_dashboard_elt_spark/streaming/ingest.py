@@ -188,11 +188,20 @@ def retry_unparsed(
         dead = spark.read.parquet(dead_path)
     except Exception:
         return {"retried": 0, "recovered": 0, "still_dead": 0}
+    # EAGER localCheckpoint, for two load-bearing reasons: (a) it
+    # freezes the dead-letter rows BEFORE the directory is rmtree'd
+    # below (a lazy lineage would recompute from deleted files), and
+    # (b) it gives each re-drive a fresh plan identity — the parse
+    # plan cache keys on semanticHash, and a plain re-read of the
+    # SAME path hashes identically, which would serve a stale persisted
+    # core computed over the PREVIOUS dead-letter contents (silently
+    # dropping newly dead-lettered rows from the retry, then deleting
+    # them in the swap).
     raw = dead.select(
         F.col("raw_log_id").alias("id"),
         F.col("timestamp"),
         F.col("raw_content"),
-    )
+    ).localCheckpoint()
     streams = build_parse_plan(raw, cfg)
     n_retried = raw.count()
     dedup_append(
@@ -212,6 +221,7 @@ def retry_unparsed(
     n_still = spark.read.parquet(staging).count()
     shutil.rmtree(dead_path)
     os.replace(staging, dead_path)
+    streams.unpersist()
     return {
         "retried": n_retried,
         "recovered": n_retried - n_still,

@@ -192,7 +192,13 @@ def changelog_via_stream(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # timed out: the query is STILL RUNNING — returning the memory
+        # sink now would hand back a silently truncated change-log
+        q.stop()
+        raise TimeoutError(
+            f"changelog stream did not finish within {timeout_sec}s"
+        )
     return spark.table(qname)
 
 

@@ -64,6 +64,13 @@ def stream_interval_join(
         )
     if how not in _HOW:
         raise ValueError(f"how must be one of {sorted(_HOW)}, got {how!r}")
+    clash = (set(left.columns) & set(right.columns)) - set(keys)
+    if clash:
+        raise ValueError(
+            f"non-key columns present on BOTH sides: {sorted(clash)} — "
+            "the output would carry ambiguous duplicate names; rename "
+            "one side first"
+        )
     if left.isStreaming:
         left = left.withWatermark(left_ts, lateness)
     if right.isStreaming:
