@@ -1,8 +1,14 @@
 """Benchmark harness: runs the headline query suite at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints JSON lines of the shape
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+twice: first the FULL per-query record (also written to
+``BENCH_QUERIES.json``), then — as the very last line — a compact
+record (headline metric + 15 slowest queries) short enough that a
+bounded tail capture of stdout always contains one complete,
+parseable JSON line.
 
 Each query is executed through the same code path the correctness gate
 uses (``__spark_entry__.queries()``) and timed end-to-end including the
@@ -177,17 +183,58 @@ def main() -> None:
     total = round(t_all, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
-        )
+    sf_val = float(sf) if sf else None
+    full_line, compact_line = format_output(timings, total, sf_val)
+    # Full per-query record: archived to a file AND printed on an
+    # early line (human/archive view).
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as f:
+            f.write(full_line)
+    except OSError:
+        pass
+    print(full_line, flush=True)
+    # The driver captures a bounded TAIL of stdout; a single ~3.5 KB
+    # line for 100+ queries can have its head cut, leaving nothing
+    # parseable (round-3's BENCH artifact).  So the LAST line is a
+    # compact record guaranteed to fit any reasonable tail buffer:
+    # the headline metric plus only the slowest queries, with a
+    # pointer to the full per-query file.
+    print(compact_line, flush=True)
+
+
+def format_output(
+    timings: dict[str, float], total: float, sf_val: float | None
+) -> tuple[str, str]:
+    """(full_json_line, compact_json_line) — the compact line carries
+    the headline metric + the 15 slowest queries and stays well under
+    2 KB no matter how large the suite grows."""
+    full = json.dumps(
+        {
+            "metric": "suite_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_val,
+        }
     )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:15]
+    )
+    compact = json.dumps(
+        {
+            "metric": "suite_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest,
+            "sf": sf_val,
+            "n_queries": len(timings),
+            "sec_per_query": round(total / max(len(timings), 1), 3),
+            "queries_file": "BENCH_QUERIES.json",
+        },
+        separators=(",", ":"),
+    )
+    return full, compact
 
 
 if __name__ == "__main__":

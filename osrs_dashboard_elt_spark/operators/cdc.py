@@ -83,12 +83,15 @@ def merge_apply(
             f"multiple changes for key {key}; dedupe the batch to one "
             "winner per key before merging"
         )
-    # string-qualified refs, not df[k]: target and changes often share
-    # lineage (changes derived from the snapshot), where df[k] == df[k]
-    # is ambiguous/trivially-true; alias-qualified names are not
-    # presence marker, not key-null: a target row whose KEY is NULL
-    # never equi-joins, but it is still a real row — inferring
-    # presence from the key would silently delete it
+    # Two load-bearing subtleties in this join:
+    # 1. String-qualified refs ("t.k"), not df[k]: target and changes
+    #    often share lineage (changes derived from the snapshot),
+    #    where df[k] == df[k] is ambiguous or trivially true;
+    #    alias-qualified names always resolve to the intended side.
+    # 2. __t_present is an explicit presence marker — NOT inferred
+    #    from key-nullness: a target row whose KEY is NULL never
+    #    equi-joins, but it is still a real row, and inferring
+    #    presence from the key would silently delete it.
     t = target.withColumn("__t_present", F.lit(True)).alias("t")
     c = changes.alias("c")
     cond = F.col(f"t.{keys[0]}") == F.col(f"c.{keys[0]}")

@@ -9,21 +9,28 @@ classic iterative min-label propagation:
 
     label(v) <- min(label(v), min over neighbors' labels)
 
-repeated until a fixpoint.  Each iteration is two hash joins + one
-aggregate (edges are used in both directions); lineage is truncated
-per iteration with ``localCheckpoint`` so the plan does not grow
-across iterations (the standard Spark iterative-algorithm pattern —
-without it iteration k replans k-deep).  Convergence needs at most
-``diameter`` iterations; near-dup graphs are overwhelmingly tiny
-cliques, so the loop usually exits after 2-3 rounds via the
-``changed == 0`` check.  Deterministic: labels are ids, min is
-order-free, so the final labeling is unique regardless of execution.
+repeated until a fixpoint, ACCELERATED with a pointer-shortcut step
+(path halving, the Shiloach-Vishkin / large-star idea)::
+
+    label(v) <- label(label(v))
+
+after every propagation hop.  The hop alone needs ``diameter``
+rounds; hop+shortcut roughly doubles the distance each label has
+travelled toward its component minimum per round, so a diameter-D
+chain converges in O(log D) rounds (measured: a 1000-vertex chain
+converges in 10 rounds; see tests/test_round3_ops.py).  Each round is
+three hash joins + one aggregate, all over (id, label) pairs; lineage
+is truncated per iteration with ``localCheckpoint`` so the plan does
+not grow across iterations (the standard Spark iterative-algorithm
+pattern — without it iteration k replans k-deep).  Near-dup graphs
+are overwhelmingly tiny cliques, so the loop usually exits after 2-3
+rounds via the ``changed == 0`` check.  Deterministic: labels are
+ids, min is order-free and the shortcut only follows min-pointers, so
+the final labeling is unique regardless of execution order.
 
 At 100 TB scale: each round shuffles (id, label) pairs — never
 documents — and the hot "giant component" risk is bounded upstream by
-the pair generators' hot-bucket caps.  (For truly adversarial graphs
-the large-star/small-star variant halves round counts; min-label is
-the right default for dedup graphs.)
+the pair generators' hot-bucket caps.
 """
 
 from __future__ import annotations
@@ -39,11 +46,16 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every vertex with the MINIMUM vertex id reachable from it
     (the component id).  ``vertices`` may include isolated ids (they
-    label themselves).  Returns (id, component).
+    label themselves).  Edge endpoints absent from ``vertices`` are
+    ignored.  Returns (id, component).  When ``stats`` is passed, the
+    executed round count is written to ``stats["iterations"]``.
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     both = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).unionByName(
@@ -56,7 +68,9 @@ def connected_components(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     ).localCheckpoint(eager=False)
 
-    for _ in range(max_iter):
+    for it in range(1, max_iter + 1):
+        if stats is not None:
+            stats["iterations"] = it
         neighbor_min = (
             both.join(
                 labels.select(
@@ -68,7 +82,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("n_comp").alias("n_min"))
         )
-        updated = (
+        hopped = (
             labels.join(
                 neighbor_min.select(F.col("src").alias("id"), "n_min"),
                 "id",
@@ -76,12 +90,32 @@ def connected_components(
             )
             .select(
                 "id",
+                F.col("component").alias("__old"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
                 ).alias("component"),
-                (F.coalesce(F.col("n_min"), F.col("component")) < F.col("component"))
-                .cast("int")
-                .alias("__chg"),
+            )
+            # hopped feeds BOTH sides of the shortcut self-join below —
+            # truncate here so the branch is not recomputed per side
+            .localCheckpoint(eager=False)
+        )
+        # Shortcut (path halving): component <- hopped[component].
+        # Labels are monotonically non-increasing vertex ids, so
+        # following the just-hopped mapping one extra step roughly
+        # doubles how far each label has travelled toward the
+        # component minimum — O(log diameter) rounds overall instead
+        # of O(diameter).  Unique renamed columns sidestep the
+        # shared-lineage self-join ambiguity.
+        parent = hopped.select(
+            F.col("id").alias("__pid"), F.col("component").alias("__pcomp")
+        )
+        new_comp = F.coalesce(F.col("__pcomp"), F.col("component"))
+        updated = (
+            hopped.join(parent, F.col("component") == F.col("__pid"), "left")
+            .select(
+                "id",
+                new_comp.alias("component"),
+                (new_comp < F.col("__old")).cast("int").alias("__chg"),
             )
             .localCheckpoint(eager=False)
         )
@@ -91,15 +125,16 @@ def connected_components(
             break
     else:
         # the loop NEVER converged: labels are still moving after
-        # max_iter hops, so some component is mislabeled (split into
+        # max_iter rounds, so some component is mislabeled (split into
         # several).  Silent wrong answers here mean duplicates survive
-        # dedup — fail loudly; diameter grows with chain-shaped
-        # near-dup clusters, so raise max_iter (propagation is one
-        # hop/iteration) or pre-collapse exact dups first.
+        # dedup — fail loudly; hop+shortcut needs ~log2(diameter)+2
+        # rounds, so max_iter=20 covers any graph a pair generator can
+        # realistically emit — hitting this means a pathological
+        # component (raise max_iter, or pre-collapse exact dups).
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             f"iterations ({changed} labels still changing); raise "
-            "max_iter — the graph's diameter exceeds it"
+            "max_iter — the graph's diameter exceeds 2^rounds"
         )
     return labels
 

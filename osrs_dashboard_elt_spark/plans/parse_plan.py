@@ -328,15 +328,27 @@ def _explode_users(df: DataFrame, user_col: str) -> DataFrame:
     # 'and').  PARITY NOTE: the reference repairs ANY word that ends
     # in 'and' (len>3, case-insensitive suffix —
     # src/2_parse_engine.py:215-221), which means a genuine username
-    # like "Brand X" or "Roland Fan" is split there too; this engine
-    # reproduces that behavior, false positives included — diverging
-    # would change silver row counts against the reference on the
-    # same input.  The (?i:and) matches the reference's
-    # word.lower().endswith('and') case rule.
-    repaired = F.regexp_replace(u, r"(\w)(?i:and) ", r"$1 and ")
+    # like "Brand X" or "Roland Fan" is split there too, and the rule
+    # applies to the LAST word as well ("PlayerA and Roland" splits
+    # Roland); this engine reproduces that behavior, false positives
+    # included — diverging would change silver row counts against the
+    # reference on the same input.  The (?i:and) matches the
+    # reference's word.lower().endswith('and') case rule; the
+    # ``( |$)`` alternative covers the word-final-at-end-of-string
+    # case the reference's per-word loop naturally includes.
+    repaired = F.regexp_replace(u, r"(\w)(?i:and)( |$)", r"$1 and$2")
+    # The reference then branches on the PROCESSED string: only when
+    # it contains a comma or the ' and ' separator does it split —
+    # otherwise the ORIGINAL captured username is kept verbatim
+    # (src/2_parse_engine.py:225-246).  The branch matters for a
+    # single trailing-'and' word: 'Roland' alone is repaired to
+    # 'Rol and', which has NO ' and ' separator (no trailing space),
+    # so the reference keeps 'Roland' — splitting unconditionally
+    # would emit 'Rol and' instead.
+    is_multi = repaired.contains(",") | repaired.contains(" and ")
     # commas become the same separator as 'and'
     normalized = F.regexp_replace(repaired, r",\s*", " and ")
-    users = F.split(normalized, r" and ")
+    users = F.when(is_multi, F.split(normalized, r" and ")).otherwise(F.array(u))
     # explode_outer: inner explode makes InferFiltersFromGenerate
     # synthesize a size(split(..))>0 filter that duplicates the two
     # regexp_replaces per row; the filter below restores inner

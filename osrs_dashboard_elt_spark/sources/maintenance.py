@@ -11,7 +11,10 @@ src/3_transform_data.py:771-798):
   .table_checksum``'s digest discipline).  New readers resolve the
   log's head; a pinned reader gets version k forever — the micro form
   of a Delta/Iceberg commit log, kept format-agnostic.  The log
-  append is write-temp + atomic rename, same as the manifest flip.
+  append is write-temp + atomic rename, same as the manifest flip,
+  and concurrent publishers are safe: version numbers are claimed
+  via O_CREAT|O_EXCL markers and the log read-modify-write runs
+  under a short O_EXCL lock (loud bounded-timeout on a stale lock).
 - ``vacuum_versions`` deletes expired snapshots but never the head or
   an explicitly-retained version — the retention contract that makes
   time travel safe to run on a cron.
@@ -41,6 +44,72 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 _LOG = "_versions.json"
+_LOCK = "_versions.lock"
+
+
+def _claim_version(root: str, start: int) -> int:
+    """Atomically claim the next free version number >= ``start``.
+
+    A version is claimed by creating ``.claim-v{n}`` with
+    O_CREAT|O_EXCL — a true compare-and-swap on any POSIX filesystem,
+    so two concurrent publishers can never claim the same number (the
+    second gets EEXIST and moves on).  Claim markers are never deleted
+    for live versions (a 0-byte file per publish); ``vacuum_versions``
+    removes the markers of vacuumed snapshots.  A publisher that
+    crashes between claim and log-append leaves a gap in the version
+    sequence — harmless, and far better than the silent snapshot
+    clobber an unclaimed read-modify-write allows.
+    """
+    v = start
+    for _ in range(100_000):
+        try:
+            fd = os.open(
+                os.path.join(root, f".claim-v{v}"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            os.close(fd)
+            return v
+        except FileExistsError:
+            v += 1
+    raise RuntimeError(
+        f"could not claim a version under {root} after 100000 probes — "
+        "claim markers are not being vacuumed"
+    )
+
+
+class _log_lock:
+    """Short-lived mutex around the version-log read-modify-write,
+    via O_CREAT|O_EXCL on a lock file.  Bounded spin: a publisher that
+    died holding the lock surfaces as a loud timeout naming the stale
+    lock file (delete it after confirming no publisher is live) rather
+    than a silent lost update."""
+
+    def __init__(self, root: str, timeout: float = 30.0) -> None:
+        self.path = os.path.join(root, _LOCK)
+        self.timeout = timeout
+
+    def __enter__(self) -> None:
+        deadline = time.time() + self.timeout
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return
+            except FileExistsError:
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"version log locked for > {self.timeout}s by "
+                        f"{self.path} — a publisher crashed mid-commit; "
+                        "remove the lock file once no publisher is live"
+                    ) from None
+                time.sleep(0.05)
+
+    def __exit__(self, *exc) -> None:
+        try:
+            os.remove(self.path)
+        except FileNotFoundError:
+            pass
 
 
 def _read_log(root: str) -> list[dict]:
@@ -70,13 +139,19 @@ def publish_versioned(
     """Write ``df`` as the next immutable snapshot under ``root`` and
     append it to the version log.  Returns the new version number.
 
-    The snapshot dir is written BEFORE the log append, so a crash
-    between the two leaves a dangling dir (harmless, vacuumable) —
-    never a log entry pointing at missing data.
+    Concurrency-safe on a POSIX filesystem: the version NUMBER is
+    claimed atomically (O_CREAT|O_EXCL marker) before any data is
+    written, so two concurrent publishers get distinct numbers and
+    distinct snapshot dirs, and the log append runs under a short
+    O_EXCL lock with a re-read — neither publisher can clobber the
+    other's snapshot or drop its log entry.  The snapshot dir is
+    written BEFORE the log append, so a crash between the two leaves
+    a dangling claimed dir (harmless, vacuumable) — never a log entry
+    pointing at missing data.
     """
     os.makedirs(root, exist_ok=True)
     log = _read_log(root)
-    version = (log[-1]["version"] + 1) if log else 1
+    version = _claim_version(root, (log[-1]["version"] + 1) if log else 1)
     path = os.path.join(root, f"v{version}")
     df.write.mode("overwrite").parquet(path)
     spark = df.sparkSession
@@ -93,8 +168,21 @@ def publish_versioned(
         entry["checksum"] = str(
             table_checksum(written, checksum_cols).collect()[0]["checksum"]
         )
-    log.append(entry)
-    _write_log(root, log)
+    # Re-read under the lock: another publisher may have appended a
+    # DIFFERENT version while this snapshot was being written; append
+    # ours and keep the log version-sorted.  A duplicate of OUR number
+    # here means the claim discipline was bypassed — fail loudly
+    # rather than point two log entries at one dir.
+    with _log_lock(root):
+        log = _read_log(root)
+        if any(e["version"] == version for e in log):
+            raise RuntimeError(
+                f"version {version} already in the log under {root} — "
+                "claim marker was removed or the log was hand-edited"
+            )
+        log.append(entry)
+        log.sort(key=lambda e: e["version"])
+        _write_log(root, log)
     return version
 
 
@@ -129,14 +217,21 @@ def vacuum_versions(
     then deletes the dirs.  Returns the vacuumed version numbers."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the head is never vacuumed)")
-    log = _read_log(root)
     retain = retain or set()
-    keep = {e["version"] for e in log[-keep_last:]} | retain
-    dropped = [e for e in log if e["version"] not in keep]
-    _write_log(root, [e for e in log if e["version"] in keep])
+    with _log_lock(root):
+        log = _read_log(root)
+        keep = {e["version"] for e in log[-keep_last:]} | retain
+        dropped = [e for e in log if e["version"] not in keep]
+        _write_log(root, [e for e in log if e["version"] in keep])
     out = []
     for e in dropped:
         shutil.rmtree(os.path.join(root, e["path"]), ignore_errors=True)
+        # the claim marker of a vacuumed version is dead: new claims
+        # start above the log head, which keep_last >= 1 preserves
+        try:
+            os.remove(os.path.join(root, f".claim-v{e['version']}"))
+        except FileNotFoundError:
+            pass
         out.append(e["version"])
     return out
 

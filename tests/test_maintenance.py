@@ -23,6 +23,48 @@ def _df(spark, n, tag):
     )
 
 
+def test_concurrent_publishers_lose_nothing(spark, tmp_path):
+    """Two publishers racing on the same root must claim DISTINCT
+    versions and BOTH log entries must survive (a round-3 ADVICE
+    finding: the unguarded read-modify-write let the second writer
+    clobber the first's snapshot dir and drop its log entry)."""
+    import threading
+
+    root = str(tmp_path / "race")
+    publish_versioned(_df(spark, 5, "base"), root)  # v1 exists
+    results: list = [None, None]
+    errors: list = []
+    barrier = threading.Barrier(2)
+
+    def worker(i, tag):
+        try:
+            barrier.wait()
+            results[i] = publish_versioned(_df(spark, 10 + i, tag), root)
+        except Exception as exc:  # pragma: no cover - failure detail
+            errors.append(exc)
+
+    ts = [
+        threading.Thread(target=worker, args=(i, f"w{i}")) for i in range(2)
+    ]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errors, errors
+    assert sorted(results) == [2, 3]
+    log = list_versions(root)
+    assert [e["version"] for e in log] == [1, 2, 3]
+    # every entry's snapshot dir exists and reads back with its row count
+    for e in log:
+        assert read_version(spark, root, e["version"]).count() == e["rows"]
+    # stale-lock failure is loud, not a silent reset
+    open(os.path.join(root, "_versions.lock"), "w").close()
+    from osrs_dashboard_elt_spark.sources.maintenance import _log_lock
+
+    with pytest.raises(TimeoutError, match="locked"):
+        with _log_lock(root, timeout=0.2):
+            pass
+    os.remove(os.path.join(root, "_versions.lock"))
+
+
 def test_publish_and_time_travel(spark, tmp_path):
     root = str(tmp_path / "tbl")
     v1 = publish_versioned(_df(spark, 10, "a"), root, checksum_cols=["id", "tag"])

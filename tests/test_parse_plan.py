@@ -127,6 +127,30 @@ def test_glued_username_repair(spark):
     assert {r["Username"] for r in out} == {"Alice", "Bob"}
 
 
+def test_trailing_and_word_repair_parity(spark):
+    """Reference parity for the per-word 'and' repair at END of the
+    username string (src/2_parse_engine.py:213-246, a round-3 ADVICE
+    finding): 'PlayerA and Roland' is repaired to 'PlayerA and Rol
+    and', which the ' and ' split leaves as ['PlayerA', 'Rol and'] —
+    the reference's (false-positive-inclusive) behavior.  But a LONE
+    trailing-'and' word must NOT split: the repaired 'Rol and' has no
+    ' and ' separator, so the reference keeps the ORIGINAL 'Roland'."""
+    cfg = default_config()
+    raw = spark.createDataFrame(
+        [
+            (1, TS, "PlayerA and Roland has been invited into the clan by Carol."),
+            (2, TS, "Roland has been invited into the clan by Carol."),
+        ],
+        "id long, timestamp timestamp, raw_content string",
+    )
+    out = build_parse_plan(raw, cfg).broadcasts.collect()
+    by_id: dict[int, set] = {}
+    for r in out:
+        by_id.setdefault(r["raw_log_id"], set()).add(r["Username"])
+    assert by_id[1] == {"PlayerA", "Rol and"}
+    assert by_id[2] == {"Roland"}
+
+
 def test_first_match_wins_order(spark):
     """A message matching both a specific and a generic variant must
     take the earlier (more specific) one — config order is load-bearing."""

@@ -558,15 +558,17 @@ def test_merge_apply_preserves_null_key_target_rows(spark):
 
 
 def test_connected_components_raises_on_nonconvergence(spark):
-    """A path graph with diameter > max_iter must fail loudly — a
-    silently split component means duplicates survive dedup."""
+    """A graph needing more rounds than max_iter must fail loudly — a
+    silently split component means duplicates survive dedup.  With
+    hop+shortcut a diameter-63 chain needs ~6 rounds, so max_iter=3
+    cannot converge it."""
     import pytest as _pytest
 
     from osrs_dashboard_elt_spark.operators.components import (
         connected_components,
     )
 
-    n = 8
+    n = 64
     vertices = spark.createDataFrame([(i,) for i in range(n)], "id BIGINT")
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a BIGINT, id_b BIGINT"
@@ -574,5 +576,38 @@ def test_connected_components_raises_on_nonconvergence(spark):
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(vertices, chain, max_iter=3)
     # and with enough iterations the same graph converges to one label
-    ok = connected_components(vertices, chain, max_iter=n)
+    ok = connected_components(vertices, chain, max_iter=10)
     assert {r.component for r in ok.collect()} == {0}
+
+
+def test_connected_components_validates_max_iter(spark):
+    """max_iter < 1 is a caller bug: loud ValueError, not a NameError
+    from the unentered loop (a round-3 ADVICE finding)."""
+    import pytest as _pytest
+
+    from osrs_dashboard_elt_spark.operators.components import (
+        connected_components,
+    )
+
+    v = spark.createDataFrame([(1,)], "id BIGINT")
+    e = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
+    with _pytest.raises(ValueError, match="max_iter"):
+        connected_components(v, e, max_iter=0)
+
+
+def test_connected_components_chain_1000_converges_logarithmically(spark):
+    """Adversarial diameter: a 1000-vertex path converges in O(log D)
+    rounds (hop + pointer-shortcut), not O(D) — the default
+    max_iter=20 must handle it with room to spare."""
+    from osrs_dashboard_elt_spark.operators.components import (
+        connected_components,
+    )
+
+    n = 1000
+    vertices = spark.range(n).withColumnRenamed("id", "id")
+    chain = spark.range(n - 1).selectExpr("id AS id_a", "id + 1 AS id_b")
+    stats: dict = {}
+    out = connected_components(vertices, chain, stats=stats)
+    assert stats["iterations"] < 15, stats
+    assert out.filter("component <> 0").count() == 0
+    assert out.count() == n
