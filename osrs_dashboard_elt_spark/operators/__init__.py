@@ -1,6 +1,7 @@
 """Reusable dataflow operators (SURVEY.md §2 inventory, Spark-first)."""
 
 from .asof import asof_join
+from .baskets import copurchase_pairs
 from .chunking import chunk_documents
 from .components import connected_components, dedup_clusters
 from .dedup import (
@@ -46,7 +47,7 @@ from .similarity import (
 from .outliers import zscore_outliers
 from .quality import check_constraints, quality_metrics, table_checksum
 from .rolling import rolling_range_agg
-from .sampling import stratified_fixed_k, weighted_sample
+from .sampling import stratified_fixed_k, weighted_sample, with_global_position
 from .incremental import agg_state, finalize, hll_state, merge_hll_states, merge_states
 from .sketches import (
     cms_heavy_hitters,

@@ -226,6 +226,57 @@ def shuffle_order(key: Column, seed: int = 42) -> Column:
     return F.md5(F.concat_ws("|", F.lit(str(seed)), key.cast("string")))
 
 
+def with_global_position(
+    df: DataFrame,
+    order_cols: list[str],
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Assign every row its 1-based position in the total order over
+    ``order_cols`` — WITHOUT an unpartitioned window (which moves the
+    whole table to one task; Spark even warns "No Partition Defined").
+
+    The distributed zipWithIndex-as-DataFrame shape:
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` — Spark's
+       native total-sort: range partition i holds keys strictly below
+       partition i+1's, so ``spark_partition_id()`` ascends with the
+       order.
+    2. A window PARTITIONED by partition id ranks rows locally — each
+       task ranks only its own slice.
+    3. Per-partition row counts (a |partitions|-row aggregate) turn
+       into offsets via a tiny triangular self-join (no window at all,
+       so nothing in this plan is single-partition), broadcast back.
+
+    ``pos = offset + local_rank``.  Deterministic when ``order_cols``
+    form a unique key.  This is the epoch-order assignment a training
+    pipeline runs over the full corpus — at 100 TB every stage here is
+    parallel: the sort is the classic range-exchange, and the only
+    driver-size data is the per-partition count list.
+    """
+    from pyspark.sql import Window
+
+    parted = df.repartitionByRange(*order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
+    local = with_pid.withColumn("__local", F.row_number().over(w).cast("long"))
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    earlier = counts.select(
+        F.col("__pid").alias("__epid"), F.col("__n").alias("__en")
+    )
+    offsets = (
+        counts.join(earlier, F.col("__epid") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__en"), F.lit(0)).alias("__offset"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(pos_col, (F.col("__offset") + F.col("__local")))
+        .drop("__pid", "__local", "__offset")
+    )
+
+
 def es_key(key: Column, weight: Column, seed: int = 42) -> Column:
     """Efraimidis-Spirakis weighted-sampling rank key, deterministic.
 

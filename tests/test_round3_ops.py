@@ -611,3 +611,48 @@ def test_connected_components_chain_1000_converges_logarithmically(spark):
     assert stats["iterations"] < 15, stats
     assert out.filter("component <> 0").count() == 0
     assert out.count() == n
+
+
+def test_copurchase_basket_cap_bounds_degenerate_orders(spark):
+    """A synthetic 10k-item basket must emit at most cap*(cap-1)/2
+    pairs (uncapped it would emit ~50M structs from one row), the
+    truncation must be observable, and a cap ABOVE the data's max
+    basket size must not change any support count."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from osrs_dashboard_elt_spark.operators.baskets import copurchase_pairs
+
+    # one degenerate 10k-item order + two normal 3-item orders
+    degenerate = spark.range(10_000).select(
+        F.lit(1).alias("order_id"), F.col("id").alias("item")
+    )
+    normal = spark.createDataFrame(
+        [(2, i) for i in (5, 6, 7)] + [(3, i) for i in (5, 6, 8)],
+        "order_id INT, item BIGINT",
+    )
+    df = degenerate.unionByName(normal)
+
+    obs = Observation("cap")
+    out = copurchase_pairs(
+        df, "order_id", "item", min_support=1, max_basket=64,
+        observation=obs,
+    )
+    n_pairs = out.agg(F.sum("n_orders")).collect()[0][0]
+    # degenerate basket contributes exactly C(64,2); each normal C(3,2)
+    assert n_pairs == 64 * 63 // 2 + 3 + 3
+    assert obs.get["n_truncated_baskets"] == 1
+    assert obs.get["n_dropped_items"] == 10_000 - 64
+    # support counts: the degenerate basket's surviving first-64 slice
+    # (items 0..63) includes 5,6,7,8, so it votes alongside the two
+    # normal orders
+    sup = {(r.item_a, r.item_b): r.n_orders for r in out.collect()}
+    assert sup[(5, 6)] == 3 and sup[(5, 7)] == 2 and sup[(6, 8)] == 2
+    assert sup[(0, 63)] == 1 and (0, 64) not in sup  # cap boundary
+
+    # cap above max basket size -> identical to uncapped
+    capped = copurchase_pairs(normal, "order_id", "item", 1, max_basket=10)
+    uncapped = copurchase_pairs(normal, "order_id", "item", 1, max_basket=1000)
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )

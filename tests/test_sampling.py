@@ -122,3 +122,32 @@ def test_sample_bucket_range(spark):
     df = _docs(spark, 500).select(sample_bucket(F.col("doc_id")).alias("b"))
     mn, mx = df.agg(F.min("b"), F.max("b")).first()
     assert 0 <= mn and mx < BUCKETS
+
+
+def test_with_global_position_matches_total_order(spark):
+    """pos must equal the rank a (single-task) global window would
+    assign, while the PLAN contains no unpartitioned window: every
+    windowspecdefinition is keyed by the partition id."""
+    from pyspark.sql import functions as F
+
+    from osrs_dashboard_elt_spark.operators.sampling import (
+        shuffle_order,
+        with_global_position,
+    )
+
+    df = spark.range(500).select(
+        F.col("id"), shuffle_order(F.col("id"), 7).alias("ord")
+    )
+    out = with_global_position(df, ["ord", "id"])
+    rows = out.orderBy("pos").collect()
+    assert [r.pos for r in rows] == list(range(1, 501))
+    # positions follow the (ord, id) total order
+    ords = [(r.ord, r.id) for r in rows]
+    assert ords == sorted(ords)
+    # plan hygiene: no unpartitioned window (the "move everything to
+    # one task" shape Spark warns about)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            spec = line.split("windowspecdefinition(", 1)[1]
+            assert "__pid" in spec.split(")")[0] + spec, line
