@@ -35,8 +35,10 @@ Spark-first split of responsibilities:
 
 from __future__ import annotations
 
+import logging
 import os
 import tempfile
+from logging.handlers import RotatingFileHandler
 from typing import Callable, Mapping
 
 from pyspark.sql import DataFrame, Observation
@@ -45,6 +47,62 @@ from pyspark.sql import functions as F  # noqa: F401  (re-export convenience)
 #: Discord hard message cap and the reference's truncation point.
 _MSG_CAP = 2000
 _TRUNC_AT = 1990
+
+
+# ---------------------------------------------------------------------------
+# Per-stage rotating run logs (reference src/loguru_setup.py:1-48)
+# ---------------------------------------------------------------------------
+
+#: Mirrors the reference's loguru line layout (time | level |
+#: name:function:line | message) in stdlib logging terms.
+_LOG_FORMAT = (
+    "%(asctime)s | %(levelname)-8s | "
+    "%(name)s:%(funcName)s:%(lineno)d | %(message)s"
+)
+
+
+def stage_logger(
+    stage: str,
+    log_dir: str,
+    level: int = logging.INFO,
+    max_bytes: int = 10 * 1024 * 1024,
+    backup_count: int = 7,
+    console: bool = False,
+) -> logging.Logger:
+    """Per-stage rotating file logger — the reference's run-logging
+    surface (src/loguru_setup.py:1-48: per-script log file, ``10 MB``
+    rotation, ``7 days`` retention, optional colorized console copy)
+    re-expressed with stdlib logging (loguru is not a dependency
+    here): ``RotatingFileHandler(maxBytes=10MB, backupCount=7)``
+    gives size rotation with count-bounded retention.
+
+    Idempotent per call (existing handlers are closed and replaced —
+    the stdlib analog of ``logger.remove()``), so re-running a
+    pipeline appends to the same ``<log_dir>/<stage>.log`` and
+    rotation carries across runs.  Driver-side only by design: at
+    cluster scale executor logs belong to the cluster manager; this
+    records the ORCHESTRATION narrative (stage start/ok/skip/fail),
+    which is what the reference's per-script logs hold.
+    """
+    os.makedirs(log_dir, exist_ok=True)
+    lg = logging.getLogger(f"osrs_elt.{stage}")
+    lg.setLevel(level)
+    lg.propagate = False
+    for h in list(lg.handlers):
+        lg.removeHandler(h)
+        h.close()
+    fh = RotatingFileHandler(
+        os.path.join(log_dir, f"{stage}.log"),
+        maxBytes=max_bytes,
+        backupCount=backup_count,
+    )
+    fh.setFormatter(logging.Formatter(_LOG_FORMAT))
+    lg.addHandler(fh)
+    if console:
+        sh = logging.StreamHandler()
+        sh.setFormatter(logging.Formatter(_LOG_FORMAT))
+        lg.addHandler(sh)
+    return lg
 
 
 # ---------------------------------------------------------------------------

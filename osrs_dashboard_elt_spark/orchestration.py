@@ -109,22 +109,35 @@ def run_stages(
     elide_after_hours: Mapping[str, float] | None = None,
     tolerate_failure: Iterable[str] = (),
     now: datetime | None = None,
+    log_dir: str | Path | None = None,
 ) -> list[StageResult]:
     """Run ``(name, thunk)`` stages in order under the reference's
     policy: stages named in ``elide_after_hours`` are skipped when
     fresh; stages named in ``tolerate_failure`` record a failure and
     the run continues; any other failure re-raises (aborts).
-    Successful elidable stages update the state file."""
+    Successful elidable stages update the state file.
+
+    With ``log_dir`` set, each stage writes its start/ok/skip/fail
+    narrative to a rotating per-stage log file
+    (``observability.stage_logger`` — reference parity with the
+    per-script loguru files, src/loguru_setup.py:1-48)."""
+    from .observability import stage_logger
+
     elide = dict(elide_after_hours or {})
     tolerated = set(tolerate_failure)
     results: list[StageResult] = []
     for name, thunk in stages:
+        lg = stage_logger(name, str(log_dir)) if log_dir else None
         if name in elide and should_skip_by_age(state_path, name, elide[name], now):
             results.append(
                 StageResult(name, "skipped", 0.0, f"fresh (<{elide[name]}h)")
             )
+            if lg:
+                lg.info("skipped: fresh (<%sh)", elide[name])
             continue
         t0 = time.time()
+        if lg:
+            lg.info("start")
         try:
             thunk()
         except Exception as exc:  # noqa: BLE001 - policy layer
@@ -132,9 +145,19 @@ def run_stages(
                 results.append(
                     StageResult(name, "failed", time.time() - t0, str(exc)[:200])
                 )
+                if lg:
+                    lg.error(
+                        "failed (tolerated) after %.2fs: %s",
+                        time.time() - t0,
+                        exc,
+                    )
                 continue
+            if lg:
+                lg.error("failed (aborting) after %.2fs: %s", time.time() - t0, exc)
             raise
         results.append(StageResult(name, "ok", time.time() - t0))
+        if lg:
+            lg.info("ok in %.2fs", time.time() - t0)
         if name in elide:
             record_success(state_path, name, now)
     return results

@@ -32,3 +32,51 @@ def test_bench_compact_line_bounded():
     assert rec["n_queries"] == len(bench.BENCH_QUERIES)
     assert 0 < len(rec["queries"]) <= 15
     assert json.loads(full)["queries"] == timings
+
+
+def test_priority_window_spans_all_families():
+    """The driver's CORRECTNESS artifact records only the first 50
+    queries() entries; that window must contain an ORACLE-checked
+    representative of every operator family (round-3 verdict: all 57
+    round-3 queries sat outside it)."""
+    import __spark_entry__ as e
+    from osrs_dashboard_elt_spark import suite
+
+    pr = suite._PRIORITY
+    assert len(pr) == 50 and len(set(pr)) == 50
+    first50 = list(e.queries())[:50]
+    assert first50 == list(pr)
+    # every windowed entry must be hash-gated, not rows-only
+    oracles = e.oracle_sql()
+    missing = [n for n in pr if n not in oracles]
+    assert not missing, f"priority queries without oracles: {missing}"
+    # one representative per family group (guards future edits)
+    families = {
+        "parse": {"q_parse_engine"},
+        "reports": {"q_leaderboard_periods", "q_report_personal_bests"},
+        "asof": {"q_asof_join"},
+        "interval": {"q_interval_join"},
+        "resample": {"q_resample_daily_gapfill"},
+        "windows_core": {"q_topn_per_group", "q_sessionize_gap"},
+        "dedup_lsh": {"q_minhash_lsh_pairs", "q_simhash_pairs"},
+        "embedding": {"q_embedding_neardup", "q_lsh_ann_topk"},
+        "clusters": {"q_dedup_clusters"},
+        "text": {"q_language_id", "q_pii_redaction"},
+        "multimodal": {"q_media_features"},
+        "chunking": {"q_doc_chunks"},
+        "tpch": {"q13_customer_order_dist", "q18_large_orders", "q_waiting_orders"},
+        "window_fns": {"q_window_functions", "q_rolling_range_window"},
+        "bm25": {"q_bm25_search"},
+        "cdc": {"q_cdc_merge"},
+        "scd2": {"q_scd2_history"},
+        "sketches": {"q_hll_distinct_users", "q_cms_heavy_hitters"},
+        "streaming": {"q_streaming_windowed_rollup", "q_streaming_session_rollup"},
+        "sampling": {"q_hash_sample", "q_weighted_sample", "q_global_shuffle_order"},
+        "decontaminate": {"q_contamination_report"},
+        "skew": {"q_salted_join"},
+        "baskets": {"q_item_copurchase"},
+        "rest_source": {"q_rest_timeseries"},
+    }
+    window = set(first50)
+    uncovered = [fam for fam, reps in families.items() if not reps & window]
+    assert not uncovered, f"families outside the 50-row window: {uncovered}"

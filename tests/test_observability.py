@@ -118,3 +118,29 @@ def test_summary_listener_end_to_end(spark, tmp_path):
     text = got["obs_test"]
     assert text.startswith("**✅ TestProj: obs_test Complete**")
     assert "- Input Rows: `5`" in text
+
+
+def test_stage_logger_rotates_and_separates_stages(tmp_path):
+    """Reference-parity run logs (src/loguru_setup.py:1-48): one
+    rotating file per stage; re-creating the logger replaces handlers
+    (no duplicate lines) and appends across runs, rotating by size."""
+    import os
+
+    from osrs_dashboard_elt_spark.observability import stage_logger
+
+    for run in range(2):
+        for stage in ("ingest", "parse"):
+            lg = stage_logger(
+                stage, str(tmp_path), max_bytes=500, backup_count=3
+            )
+            for i in range(20):
+                lg.info("run %d message %d with enough padding......", run, i)
+    files = sorted(os.listdir(tmp_path))
+    assert "ingest.log" in files and "parse.log" in files
+    assert any(f.startswith("ingest.log.") for f in files), files
+    assert any(f.startswith("parse.log.") for f in files), files
+    # handler replaced, not stacked: exactly one line per .info call
+    stage_logger("dedup", str(tmp_path))
+    lg = stage_logger("dedup", str(tmp_path))
+    lg.info("solo-line")
+    assert (tmp_path / "dedup.log").read_text().count("solo-line") == 1

@@ -133,3 +133,28 @@ class TestBackfill:
         have = existing_day_partitions(tmp_path)
         assert have == ["2024-01-01", "2024-01-03"]
         assert plan_backfill(have, "2024-01-01", "2024-01-03") == ["2024-01-02"]
+
+
+def test_run_stages_writes_per_stage_rotating_logs(tmp_path):
+    """Two pipeline runs -> per-stage log files carrying both runs'
+    start/ok narrative, plus the tolerated-failure line."""
+    from osrs_dashboard_elt_spark.orchestration import run_stages
+
+    logs = tmp_path / "logs"
+    state = tmp_path / "state.json"
+
+    def boom():
+        raise RuntimeError("injected")
+
+    for _ in range(2):
+        run_stages(
+            [("ingest", lambda: None), ("enrich", boom)],
+            state,
+            tolerate_failure=("enrich",),
+            log_dir=logs,
+        )
+    ingest = (logs / "ingest.log").read_text()
+    assert ingest.count("| start") == 2 and ingest.count("ok in") == 2
+    enrich = (logs / "enrich.log").read_text()
+    assert enrich.count("failed (tolerated)") == 2
+    assert "injected" in enrich

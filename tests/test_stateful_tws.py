@@ -77,7 +77,13 @@ def test_tws_default_requires_runtime_loudly(spark):
 
 @pytest.mark.skipif(
     not _tws_runtime_available(),
-    reason="transformWithState runtime needs google.protobuf (not in this container)",
+    reason=(
+        "transformWithState runtime needs google.protobuf — install "
+        "with: pip install 'protobuf>=4.25.1'  (or the pyspark extra "
+        "that ships it: pip install 'pyspark[connect]'); this "
+        "container has neither the package nor network access, so "
+        "the protocol runtime cannot execute here"
+    ),
 )
 def test_tws_streaming_carries_state_across_batches(spark, tmp_path):
     """Two micro-batches via file source: batch 2's improvement must
