@@ -146,15 +146,17 @@ def dedup_clusters(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, cluster_id, is_canonical) for every document: cluster_id =
     the component's minimum doc id; the canonical member is that
     minimum (keep-lowest-id, the deterministic dedup policy).  Feed
     ``pairs`` from any near-dup generator; documents with no pair are
-    their own singleton cluster."""
+    their own singleton cluster.  ``stats`` is forwarded to
+    :func:`connected_components` (round count)."""
     comp = connected_components(
         docs.select(F.col(id_col).alias("id")), pairs, "id", src_col, dst_col,
-        max_iter=max_iter,
+        max_iter=max_iter, stats=stats,
     )
     return comp.select(
         F.col("id").alias(id_col),

@@ -18,6 +18,13 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 _DEFAULTS = {
+    # Static conf, applied only when THIS factory launches the JVM
+    # (spark-submit-managed drivers size themselves): local[N] runs
+    # the driver AND all N executor threads in one JVM, and the Java
+    # default heap (1 GB) starves 32 concurrent tasks into GC storms
+    # and heap OOMs long before the machine's memory is touched.
+    # 48 GB is an upper bound, not a reservation.
+    "spark.driver.memory": "48g",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

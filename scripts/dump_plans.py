@@ -25,6 +25,8 @@ HEADLINERS = {
     "q_cdc_merge": "single full-outer sort-merge join on the key + decision projection",
     "q_window_functions": "six analytic functions sharing one Window operator (one sort)",
     "q_fuzzy_name_match": "wildcard-variant equi-join (no nested loop), exact levenshtein only after candidates",
+    "q_item_copurchase": "basket assembly as ONE aggregate, slice() cap before in-array pair generation, no lineitem self-join",
+    "q_global_shuffle_order": "range-exchange total sort; the only Window is partitioned by the partition id; offsets from a tiny triangular join, broadcast back",
 }
 
 

@@ -1,16 +1,26 @@
-"""Scale probe: run the corpus-scale operator family at 1x/2x/4x the
-sf0.1 data and report wall-time growth.
+"""Scale probe: run the corpus-scale operator families at 1x/2x/4x
+the sf0.1 data and report wall-time growth.
 
 Replicas are PERTURBED so they are not near-duplicates of the
 originals (every token is prefixed with the replica id; embeddings
 get a deterministic per-replica rotation of their first component) —
 otherwise an 8-way replicated corpus is one giant duplicate class and
-every pair generator legitimately goes quadratic.  With distinct
-replicas, a scale-correct operator should grow ~linearly in corpus
-size (shuffles and scans dominate); a quadratic blow-up here means a
-blocking/capping bug.
+every pair generator legitimately goes quadratic.  Relational tables
+replicate by shifting the order/event keys, which preserves basket
+sizes and per-order supplier mixes (the shapes that drive those
+operators' cost).  With distinct replicas, a scale-correct operator
+should grow ~linearly in corpus size (shuffles and scans dominate); a
+quadratic blow-up here means a blocking/capping bug.
 
-Usage: python scripts/scale_probe.py [max_factor]
+Covered families: the dedup/similarity pair generators (round 2),
+plus the round-3 heavy hitters — dedup_clusters (with its iteration
+count: O(log D) rounds must NOT grow with corpus size),
+item_copurchase (basket cap), waiting_orders (the Q21 single-
+aggregate plan), and cms_heavy_hitters (fixed-size registers; the
+threshold scales with the factor so the probe measures sketch cost,
+not result-set growth).
+
+Usage: python scripts/scale_probe.py [max_factor] [op ...]
 Prints one JSON line per (operator, factor) and a final summary with
 the t(max)/t(1) ratio per operator.
 """
@@ -20,6 +30,7 @@ from __future__ import annotations
 import json
 import sys
 import time
+from datetime import datetime
 
 sys.path.insert(0, "/root/repo")
 
@@ -71,12 +82,33 @@ def replicate_emb(spark, base, k):
     return out.localCheckpoint()
 
 
+def replicate_keyed(spark, base, k, key_cols, shift=100_000_000):
+    """Replicate a relational table by shifting its key columns per
+    replica: baskets/order groups keep their size and composition, so
+    per-group cost is constant and total cost should scale linearly."""
+    parts = []
+    for i in range(k):
+        d = base
+        if i > 0:
+            for c in key_cols:
+                d = d.withColumn(c, F.col(c) + shift * i)
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.localCheckpoint()
+
+
 def main() -> None:
-    max_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    args = sys.argv[1:]
+    max_factor = int(args[0]) if args else 4
+    only = set(args[1:])
     factors = [f for f in (1, 2, 4, 8) if f <= max_factor]
     spark = get_spark(master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from osrs_dashboard_elt_spark.operators.baskets import copurchase_pairs
+    from osrs_dashboard_elt_spark.operators.components import dedup_clusters
     from osrs_dashboard_elt_spark.operators.dedup import (
         exact_dedup,
         minhash_lsh_pairs,
@@ -86,24 +118,64 @@ def main() -> None:
     from osrs_dashboard_elt_spark.operators.similarity import (
         embedding_neardup_pairs,
     )
+    from osrs_dashboard_elt_spark.operators.sketches import cms_heavy_hitters
     from osrs_dashboard_elt_spark.operators.skew import ensure_min_partitions
 
     docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb0 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    li0 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders0 = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    supp0 = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    ev0 = spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+    cc_stats: dict = {}
+
+    def op_dedup_clusters(t):
+        pairs = minhash_lsh_pairs(
+            t["docs"], "doc_id", "text", num_perm=16, bands=4, seed=42,
+            shingle_n=3,
+        )
+        return dedup_clusters(t["docs"], pairs, "doc_id", stats=cc_stats)
+
+    def op_waiting_orders(t):
+        li, orders, supp = t["lineitem"], t["orders"], t["supplier"]
+        late = F.col("l_shipdate") > F.lit(datetime(1997, 6, 1))
+        per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+            F.count(F.lit(1)).alias("n_os"),
+            F.sum(late.cast("long")).alias("n_late_os"),
+        )
+        per_o = per_os.groupBy("l_orderkey").agg(
+            F.sum("n_late_os").alias("n_late_o"),
+            F.count(F.lit(1)).alias("n_supp"),
+        )
+        cand = (
+            per_os.join(per_o, "l_orderkey")
+            .filter(F.col("n_supp") > 1)
+            .filter((F.col("n_late_o") - F.col("n_late_os")) == 0)
+            .select("l_orderkey", "l_suppkey", "n_os")
+        )
+        fo = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+        return (
+            cand.join(fo, cand.l_orderkey == F.col("o_orderkey"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.sum("n_os").cast("long").alias("numwait"))
+        )
 
     ops = {
-        "exact_dedup": lambda d, e: exact_dedup(d, ["text"], "doc_id"),
-        "minhash_lsh": lambda d, e: minhash_lsh_pairs(
-            d, "doc_id", "text", num_perm=16, bands=4, seed=42, shingle_n=3
+        "exact_dedup": lambda t: exact_dedup(t["docs"], ["text"], "doc_id"),
+        "minhash_lsh": lambda t: minhash_lsh_pairs(
+            t["docs"], "doc_id", "text", num_perm=16, bands=4, seed=42,
+            shingle_n=3,
         ),
-        "ngram_jaccard": lambda d, e: ngram_jaccard_pairs(
-            d, "doc_id", "text", n=3, threshold=0.5
+        "ngram_jaccard": lambda t: ngram_jaccard_pairs(
+            t["docs"], "doc_id", "text", n=3, threshold=0.5
         ),
-        "simhash": lambda d, e: simhash_pairs(
-            d, "doc_id", "text", bits=48, max_hamming=3
+        "simhash": lambda t: simhash_pairs(
+            t["docs"], "doc_id", "text", bits=48, max_hamming=3
         ),
-        "embedding_neardup": lambda d, e: embedding_neardup_pairs(
-            e,
+        "embedding_neardup": lambda t: embedding_neardup_pairs(
+            t["emb"],
             "vec_id",
             "embedding",
             threshold=0.25,
@@ -112,25 +184,83 @@ def main() -> None:
             bands=3,
             max_bucket_size=100,
         ),
+        "dedup_clusters": op_dedup_clusters,
+        # l_partkey is shifted per replica along with l_orderkey (see
+        # below): un-perturbed baskets would duplicate every pair
+        # exactly and the min_support floor would admit the entire
+        # replicated pair set — output explosion from the HARNESS, not
+        # the operator (measured: 3.5k rows at 1x -> 1.2M at 2x before
+        # the perturbation)
+        "item_copurchase": lambda t: copurchase_pairs(
+            t["lineitem"], "l_orderkey", "l_partkey",
+            min_support=2, max_basket=64,
+        ),
+        "waiting_orders": op_waiting_orders,
+        # threshold scales with the factor: user counts double when the
+        # events table doubles, so a fixed threshold would just admit
+        # more heavy hitters — the probe times the sketch, not the
+        # result set
+        "cms_heavy_hitters": lambda t: cms_heavy_hitters(
+            t["events"], "user_id", threshold=60 * t["factor"], d=3, w=256
+        ),
     }
+    if only:
+        unknown = only - set(ops)
+        if unknown:
+            raise SystemExit(f"unknown ops: {sorted(unknown)}")
+        ops = {n: f for n, f in ops.items() if n in only}
+
+    need_docs = {"exact_dedup", "minhash_lsh", "ngram_jaccard", "simhash",
+                 "dedup_clusters"} & set(ops)
+    need_emb = "embedding_neardup" in ops
+    need_li = {"item_copurchase", "waiting_orders"} & set(ops)
+    need_ev = "cms_heavy_hitters" in ops
 
     times: dict[str, dict[int, float]] = {n: {} for n in ops}
+    rounds: dict[int, int] = {}
+    prev: list = []
     for k in factors:
-        docs = ensure_min_partitions(replicate_docs(spark, docs0, k))
-        emb = ensure_min_partitions(replicate_emb(spark, emb0, k))
-        docs.count(), emb.count()  # materialize the checkpoint
+        # release the previous factor's checkpointed replicas — holding
+        # 1x+2x+4x simultaneously is harness bloat, not operator cost
+        for df in prev:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        prev = []
+        t = {"factor": k, "supplier": supp0}
+        if need_docs:
+            t["docs"] = ensure_min_partitions(replicate_docs(spark, docs0, k))
+            t["docs"].count()
+            prev.append(t["docs"])
+        if need_emb:
+            t["emb"] = ensure_min_partitions(replicate_emb(spark, emb0, k))
+            t["emb"].count()
+            prev.append(t["emb"])
+        if need_li:
+            t["lineitem"] = ensure_min_partitions(
+                replicate_keyed(spark, li0, k, ["l_orderkey", "l_partkey"])
+            )
+            t["orders"] = replicate_keyed(spark, orders0, k, ["o_orderkey"])
+            t["lineitem"].count(), t["orders"].count()
+            prev.extend([t["lineitem"], t["orders"]])
+        if need_ev:
+            t["events"] = ensure_min_partitions(
+                replicate_keyed(spark, ev0, k, ["event_id"])
+            )
+            t["events"].count()
+            prev.append(t["events"])
         for name, fn in ops.items():
-            fn(docs, emb).count()  # warm (codegen)
+            fn(t).count()  # warm (codegen)
             t0 = time.time()
-            rows = fn(docs, emb).count()
+            rows = fn(t).count()
             dt = round(time.time() - t0, 2)
             times[name][k] = dt
-            print(
-                json.dumps(
-                    {"op": name, "factor": k, "sec": dt, "rows": rows}
-                ),
-                flush=True,
-            )
+            rec = {"op": name, "factor": k, "sec": dt, "rows": rows}
+            if name == "dedup_clusters":
+                rec["cc_rounds"] = cc_stats.get("iterations")
+                rounds[k] = cc_stats.get("iterations")
+            print(json.dumps(rec), flush=True)
     top = factors[-1]
     summary = {
         name: {
@@ -140,6 +270,8 @@ def main() -> None:
         }
         for name, ts in times.items()
     }
+    if rounds:
+        summary["dedup_clusters"]["cc_rounds"] = rounds
     print(json.dumps({"summary": summary, "max_factor": top}))
 
 

@@ -25,6 +25,10 @@ _ALLOWED = {
     "q_supplier_share": {"BroadcastNestedLoopJoin"},
     "q_bm25_search": {"BroadcastNestedLoopJoin"},  # one-row corpus stats
     "q_token_rarity": {"BroadcastNestedLoopJoin"},  # one-row token total
+    # with_global_position's offset computation: a triangular (pid <
+    # pid) join over the |partitions|-row count aggregate — both sides
+    # bounded by the partition count, independent of data size.
+    "q_global_shuffle_order": {"BroadcastNestedLoopJoin"},
 }
 
 
@@ -211,3 +215,23 @@ def test_fuzzy_match_blocks_via_equi_joins(spark, all_queries):
     plan = _executed_plan(all_queries["q_fuzzy_name_match"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_copurchase_no_self_join_and_capped(spark, all_queries):
+    """Basket pairs must come from the in-array expression, never a
+    lineitem self-join (zero Join operators), with the slice() cap in
+    the projection: exactly two Exchanges (basket agg + pair count)."""
+    plan = _executed_plan(all_queries["q_item_copurchase"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "slice(" in plan, plan
+
+
+def test_global_shuffle_order_windows_partitioned(spark, all_queries):
+    """Every window in the epoch-order plan must be partitioned (by
+    the range-partition id) — the round-3 plan ranked the whole table
+    through one unpartitioned window."""
+    plan = _executed_plan(all_queries["q_global_shuffle_order"](spark, SF_DIR))
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "__pid" in line, line
