@@ -229,6 +229,65 @@ def minhash_signature(
     return sig
 
 
+def minhash_band_posts(
+    base: DataFrame,
+    num_perm: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    """(id, bi, bk) band-posting table from a shingled frame
+    (:func:`with_shingles` output).  The shared core of the batch
+    self-join (:func:`minhash_lsh_pairs`) and the at-rest incremental
+    index (:func:`write_minhash_index` / :func:`probe_minhash_index`).
+
+    Signatures via explode + hash-aggregate, not per-row array
+    lambdas: one md5 per (doc, token) posting, then num_perm
+    fully-codegen'd MIN aggregates with map-side partial combine.
+    (Higher-order-function lambdas run interpreted and re-evaluate
+    their body per element — the aggregate shape stays inside
+    whole-stage codegen and shuffles only (id, 16 longs).)
+    explode_outer, not explode: InferFiltersFromGenerate synthesizes
+    a size(..)>0 filter below the projection for inner explode,
+    re-inlining the whole (quadratic) shingle expression into the
+    Filter node.  The outer variant skips the rule; the cheap
+    isNotNull on the GENERATED attribute restores inner semantics.
+    The banding is ONE explode into (id, band_idx, band_key) — never
+    one pass per band; token arrays never reach the posting table.
+    """
+    rows = num_perm // bands
+    tok_posts = (
+        base.select("id", F.explode_outer("toks").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .select("id", token_hash32(F.col("tok")).alias("h"))
+    )
+    sig = tok_posts.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"s{i}")
+            for i, (a, b) in enumerate(minhash_params(num_perm, seed))
+        ]
+    )
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bi"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"s{b * rows + r}").cast("string")
+                                for r in range(rows)
+                            ],
+                        ).alias("bk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "c.bi", "c.bk")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -261,55 +320,8 @@ def minhash_lsh_pairs(
         raise ValueError(
             f"bands ({bands}) must evenly divide num_perm ({num_perm})"
         )
-    rows = num_perm // bands
     base = with_shingles(df, id_col, text_col, shingle_n)
-    # Signatures via explode + hash-aggregate, not per-row array
-    # lambdas: one md5 per (doc, token) posting, then num_perm
-    # fully-codegen'd MIN aggregates with map-side partial combine.
-    # (Higher-order-function lambdas run interpreted and re-evaluate
-    # their body per element — the aggregate shape stays inside
-    # whole-stage codegen and shuffles only (id, 16 longs).)
-    # explode_outer, not explode: InferFiltersFromGenerate synthesizes
-    # a size(..)>0 filter below the projection for inner explode,
-    # re-inlining the whole (quadratic) shingle expression into the
-    # Filter node.  The outer variant skips the rule; the cheap
-    # isNotNull on the GENERATED attribute restores inner semantics.
-    tok_posts = (
-        base.select("id", F.explode_outer("toks").alias("tok"))
-        .filter(F.col("tok").isNotNull())
-        .select("id", token_hash32(F.col("tok")).alias("h"))
-    )
-    sig = tok_posts.groupBy("id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"s{i}")
-            for i, (a, b) in enumerate(minhash_params(num_perm, seed))
-        ]
-    )
-    # One posting table (id, band_idx, band_key) via explode — NOT one
-    # self-join per band: a single equi-join on (bi, bk) whose two
-    # sides are plan-identical, so Spark computes the signature stage
-    # ONCE and reuses the shuffle exchange for the other side.  The
-    # join carries only (id, bi, bk) — token arrays never shuffle here.
-    posts = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("bi"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col(f"s{b * rows + r}").cast("string")
-                                for r in range(rows)
-                            ],
-                        ).alias("bk"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("c"),
-    ).select("id", "c.bi", "c.bk")
+    posts = minhash_band_posts(base, num_perm, bands, seed)
     if max_bucket_size is not None:
         posts = _drop_hot_keys(posts, ["bi", "bk"], max_bucket_size)
     pairs = (

@@ -1,0 +1,152 @@
+"""Incremental near-duplicate detection against an AT-REST MinHash
+band index.
+
+``minhash_lsh_pairs`` is the right shape for a one-shot corpus dedup,
+but an ingest pipeline does not re-dedup 100 TB per day: it asks "is
+anything in TODAY'S batch a near-dup of anything already in the
+corpus?"  Recomputing the corpus's signatures per batch makes every
+ingest O(corpus); the corpus side must live AT REST.
+
+This module persists the band-posting table (corpus_id, band_key) as
+a Hive-bucketed parquet table, bucketed on ``band_key``:
+
+- **Write once, probe cheaply.** The index holds ``bands`` rows of a
+  few dozen bytes per document — ~1/1000th of the corpus bytes — and
+  is produced by the same single-pass signature aggregate the batch
+  dedup uses (``minhash_band_posts``).
+- **Probe without shuffling the corpus.** The probe computes the NEW
+  batch's postings (small), and the equi-join on ``band_key`` reads
+  the index's bucket-aligned splits directly: no Exchange on the
+  index side (bucketing metadata satisfies the join's required
+  distribution; asserted in tests/test_dedup_index.py).  Only the
+  (tiny) new-batch side shuffles.
+- **Append-able.** New batches' postings append into the same
+  bucketed table after they pass dedup, keeping the index current
+  without rewrites (same bucket count = same layout contract).
+- **Same guards as the batch path.** A hot band key (a boilerplate
+  shingle signature shared by thousands of docs) is dropped by the
+  ``max_bucket_size`` cap on the index side at WRITE time — the
+  probe never meets a degenerate bucket.
+
+``band_key`` folds (band index, band hash) into one string because a
+Hive bucket spec co-locates on the EXACT bucket columns: bucketing on
+``bk`` alone while joining on (bi, bk) would not satisfy the join's
+hashpartitioning(bi, bk) requirement and the index would reshuffle.
+
+Verification (exact Jaccard) joins token arrays back by id for the
+(small) candidate set only — pass the corpus docs frame for that;
+the index itself never stores text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import _drop_hot_keys, minhash_band_posts, with_shingles
+
+
+def _band_key(posts: DataFrame) -> DataFrame:
+    return posts.select(
+        "id", F.concat_ws("|", F.col("bi").cast("string"), F.col("bk")).alias("band_key")
+    )
+
+
+def write_minhash_index(
+    df: DataFrame,
+    table: str,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    shingle_n: int | None = 3,
+    n_buckets: int = 32,
+    max_bucket_size: int | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus band-posting table as a bucketed parquet
+    table ``table`` (columns: corpus_id, band_key), bucketed+sorted on
+    ``band_key``.  ``mode="append"`` adds a new batch's postings to an
+    existing index (same ``n_buckets`` — the layout contract).
+
+    The (num_perm, bands, seed, shingle_n) parameters are part of the
+    index's identity: probes MUST use the same values or band keys
+    never collide.  Keep them with the table (e.g. in its comment or a
+    sidecar) exactly as an ANN index pins its hyperplanes.
+    """
+    from ..sources.bucketed import write_bucketed
+
+    base = with_shingles(df, id_col, text_col, shingle_n)
+    posts = _band_key(minhash_band_posts(base, num_perm, bands, seed))
+    if max_bucket_size is not None:
+        posts = _drop_hot_keys(posts, ["band_key"], max_bucket_size)
+    write_bucketed(
+        posts.withColumnRenamed("id", "corpus_id"),
+        table,
+        keys=["band_key"],
+        n_buckets=n_buckets,
+        path=path,
+        mode=mode,
+    )
+
+
+def probe_minhash_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table: str,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    shingle_n: int | None = 3,
+    corpus_docs: DataFrame | None = None,
+    verify_threshold: float | None = None,
+) -> DataFrame:
+    """(new_id, corpus_id) candidate near-dup pairs between a NEW
+    batch and the at-rest index — the corpus is never re-signatured
+    and its posting table never shuffles (bucketed join).
+
+    With ``verify_threshold`` (requires ``corpus_docs``), candidates
+    are confirmed by exact token-set Jaccard: the token arrays join
+    back by id for the candidate set only, so the corpus pays one
+    semi-join on ids, not a signature pass.  Returns an extra
+    ``jaccard`` column in that mode.  Self-matches (a new id already
+    present in the corpus index) are excluded.
+    """
+    base = with_shingles(new_docs, id_col, text_col, shingle_n)
+    probe = _band_key(minhash_band_posts(base, num_perm, bands, seed))
+    index = spark.table(table)
+    cand = (
+        probe.withColumnRenamed("id", "new_id")
+        .join(index, "band_key")
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    if verify_threshold is None:
+        return cand
+    if corpus_docs is None:
+        raise ValueError(
+            "verify_threshold needs corpus_docs (the index stores no text)"
+        )
+    ta = base.select(F.col("id").alias("new_id"), F.col("toks").alias("toks_a"))
+    tb = with_shingles(corpus_docs, id_col, text_col, shingle_n).select(
+        F.col("id").alias("corpus_id"), F.col("toks").alias("toks_b")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(ta, "new_id")
+        .join(tb, "corpus_id")
+        .withColumn("__jac", jac)
+        .filter(F.col("__jac") >= verify_threshold)
+        .select(
+            "new_id",
+            "corpus_id",
+            F.col("__jac").cast("decimal(28,6)").cast("double").alias("jaccard"),
+        )
+    )

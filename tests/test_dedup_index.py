@@ -1,0 +1,166 @@
+"""At-rest incremental MinHash dedup: the probe must agree exactly
+with the batch self-join restricted to (new x corpus), and the
+bucketed index side must join WITHOUT an Exchange."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osrs_dashboard_elt_spark.operators.dedup import minhash_lsh_pairs
+from osrs_dashboard_elt_spark.operators.dedup_index import (
+    probe_minhash_index,
+    write_minhash_index,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+PARAMS = dict(num_perm=16, bands=4, seed=42, shingle_n=3)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def split(docs):
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    return corpus, new
+
+
+@pytest.fixture()
+def index(spark, split, tmp_path):
+    corpus, _ = split
+    write_minhash_index(
+        corpus, "mh_idx", "doc_id", "text",
+        n_buckets=8, path=str(tmp_path / "idx"), **PARAMS,
+    )
+    yield "mh_idx"
+    spark.sql("DROP TABLE IF EXISTS mh_idx")
+
+
+def _cross_pairs(docs, new_ids):
+    """Batch self-join over the FULL corpus, restricted to pairs with
+    exactly one side in the new batch — the ground truth the
+    incremental probe must reproduce."""
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", **PARAMS).collect()
+    out = set()
+    for r in pairs:
+        a_new, b_new = r.id_a in new_ids, r.id_b in new_ids
+        if a_new != b_new:
+            out.add((r.id_a, r.id_b) if a_new else (r.id_b, r.id_a))
+    return out
+
+
+def test_probe_matches_batch_self_join(spark, docs, split, index):
+    corpus, new = split
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    expected = _cross_pairs(docs, new_ids)
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in probe_minhash_index(
+            spark, new, index, "doc_id", "text", **PARAMS
+        ).collect()
+    }
+    assert got == expected
+    assert got, "fixture produced zero near-dup candidates — weak test"
+
+
+def test_probe_verified_jaccard_matches(spark, docs, split, index):
+    corpus, new = split
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    batch = minhash_lsh_pairs(
+        docs, "doc_id", "text", verify_threshold=0.5, **PARAMS
+    ).collect()
+    expected = {}
+    for r in batch:
+        a_new, b_new = r.id_a in new_ids, r.id_b in new_ids
+        if a_new != b_new:
+            key = (r.id_a, r.id_b) if a_new else (r.id_b, r.id_a)
+            expected[key] = r.jaccard
+    got = {
+        (r.new_id, r.corpus_id): r.jaccard
+        for r in probe_minhash_index(
+            spark, new, index, "doc_id", "text",
+            corpus_docs=corpus, verify_threshold=0.5, **PARAMS,
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_verify_without_corpus_docs_raises(spark, split, index):
+    _, new = split
+    with pytest.raises(ValueError, match="corpus_docs"):
+        probe_minhash_index(
+            spark, new, index, "doc_id", "text",
+            verify_threshold=0.5, **PARAMS,
+        )
+
+
+def test_index_side_joins_without_exchange(spark, split, index, tmp_path):
+    """The whole point of the at-rest layout: the corpus posting table
+    must reach the band-key join through its bucketed scan, with the
+    shuffle paid only by the (small) probe side.  Compared against the
+    identical join on a PLAIN parquet copy of the index: one fewer
+    Exchange, and the scan reports Bucketed: true."""
+    _, new = split
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain_path = str(tmp_path / "plain")
+        spark.table(index).write.mode("overwrite").parquet(plain_path)
+
+        def plan_of(index_df):
+            from osrs_dashboard_elt_spark.operators.dedup import (
+                minhash_band_posts, with_shingles,
+            )
+            from osrs_dashboard_elt_spark.operators.dedup_index import _band_key
+
+            base = with_shingles(new, "doc_id", "text", PARAMS["shingle_n"])
+            probe = _band_key(
+                minhash_band_posts(
+                    base, PARAMS["num_perm"], PARAMS["bands"], PARAMS["seed"]
+                )
+            ).withColumnRenamed("id", "new_id")
+            j = probe.join(index_df, "band_key")
+            j.write.format("noop").mode("overwrite").save()
+            return j._jdf.queryExecution().executedPlan().toString()
+
+        bucketed_plan = plan_of(spark.table(index))
+        plain_plan = plan_of(spark.read.parquet(plain_path))
+        assert "Bucketed: true" in bucketed_plan, bucketed_plan
+        n_b = bucketed_plan.count("Exchange")
+        n_p = plain_plan.count("Exchange")
+        assert n_b == n_p - 1, (n_b, n_p, bucketed_plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+
+def test_append_extends_index(spark, docs, split, tmp_path):
+    """Ingest loop: index corpus, probe batch, append the batch's
+    postings, and a LATER batch's probe sees near-dups from BOTH the
+    original corpus and the appended batch."""
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    batch1 = docs.filter(F.col("doc_id") % 3 == 1)
+    batch2 = docs.filter(F.col("doc_id") % 3 == 2)
+    write_minhash_index(
+        corpus, "mh_idx_app", "doc_id", "text",
+        n_buckets=8, path=str(tmp_path / "app"), **PARAMS,
+    )
+    try:
+        write_minhash_index(
+            batch1, "mh_idx_app", "doc_id", "text",
+            n_buckets=8, path=str(tmp_path / "app"), mode="append", **PARAMS,
+        )
+        got = {
+            r.corpus_id
+            for r in probe_minhash_index(
+                spark, batch2, "mh_idx_app", "doc_id", "text", **PARAMS
+            ).collect()
+        }
+        ids1 = {r.doc_id for r in batch1.select("doc_id").collect()}
+        ids0 = {r.doc_id for r in corpus.select("doc_id").collect()}
+        assert got & ids0, "no matches against the original corpus"
+        assert got & ids1, "appended batch postings not probed"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_idx_app")
