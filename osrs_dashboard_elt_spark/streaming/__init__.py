@@ -1,6 +1,7 @@
 """Structured Streaming variant of the ingest+parse half of the
 pipeline (SURVEY.md §2.9)."""
 
+from .dedup_ingest import start_dedup_ingest
 from .incremental_sink import incremental_state_sink, read_state
 from .ingest import (
     RAW_LOG_SCHEMA,
@@ -37,6 +38,7 @@ __all__ = [
     "running_best_changelog",
     "running_best_changelog_tws",
     "split_corrupt",
+    "start_dedup_ingest",
     "start_parse_pipeline",
     "stream_interval_join",
     "streaming_session_rollup",

@@ -1,0 +1,135 @@
+"""Streaming dedup-ingest: two micro-batches through the at-rest
+MinHash index — in-batch dups quarantined, cross-batch dups caught by
+the index extended in batch 1, accepted set clean."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from osrs_dashboard_elt_spark.operators.dedup_index import write_minhash_index
+from osrs_dashboard_elt_spark.streaming.dedup_ingest import start_dedup_ingest
+
+PARAMS = dict(num_perm=16, bands=4, seed=42, shingle_n=3)
+
+TEXT_A = (
+    "the quick brown fox jumps over the lazy dog while the calm river "
+    "flows past the old stone bridge in the quiet morning light"
+)
+# one word changed at the end -> high shingle overlap with TEXT_A
+TEXT_A_NEAR = (
+    "the quick brown fox jumps over the lazy dog while the calm river "
+    "flows past the old stone bridge in the quiet evening light"
+)
+TEXT_B = (
+    "distributed query engines partition shuffle and aggregate columnar "
+    "batches across executors with vectorized readers and code generation"
+)
+TEXT_C = (
+    "training corpora require deduplication contamination checks and "
+    "deterministic sampling before any tokenization or packing stage"
+)
+
+
+def _write_batch(src, name, rows):
+    lines = "".join(
+        json.dumps({"doc_id": i, "text": t}) + "\n" for i, t in rows
+    )
+    (src / name).write_text(lines)
+
+
+@pytest.fixture()
+def ingest_env(spark, tmp_path):
+    # empty-corpus index: the stream builds the corpus from scratch
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    write_minhash_index(
+        empty, "mh_ingest", "doc_id", "text",
+        n_buckets=4, path=str(tmp_path / "idx"), **PARAMS,
+    )
+    yield tmp_path
+    spark.sql("DROP TABLE IF EXISTS mh_ingest")
+
+
+def _run_once(spark, src, out, ckpt, counts):
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = start_dedup_ingest(
+        stream, "mh_ingest", str(out), str(ckpt),
+        n_buckets=4, available_now=True,
+        on_batch=lambda bid, c: counts.append(c), **PARAMS,
+    )
+    q.awaitTermination(120)
+
+
+def test_two_batch_ingest_routes_and_extends_index(spark, ingest_env):
+    tmp = ingest_env
+    src = tmp / "src"
+    src.mkdir()
+    out, ckpt = tmp / "out", tmp / "ckpt"
+    counts: list[dict] = []
+
+    # batch 1: A, B unique; id 3 an exact dup of B within the batch
+    _write_batch(src, "b1.json", [(1, TEXT_A), (2, TEXT_B), (3, TEXT_B)])
+    _run_once(spark, src, out, ckpt, counts)
+
+    # batch 2: C unique; id 5 a NEAR dup of the ACCEPTED doc 1
+    _write_batch(src, "b2.json", [(4, TEXT_C), (5, TEXT_A_NEAR)])
+    _run_once(spark, src, out, ckpt, counts)
+
+    accepted = {
+        r.doc_id for r in spark.read.parquet(str(out / "accepted")).collect()
+    }
+    assert accepted == {1, 2, 4}
+    quar = {
+        r.doc_id: (r.reason, r.matched_corpus_id)
+        for r in spark.read.parquet(str(out / "quarantine")).collect()
+    }
+    assert quar[3][0] == "in_batch_dup"
+    assert quar[5] == ("corpus_dup", 1)
+    assert set(quar) == {3, 5}
+
+    # per-batch funnel counts
+    assert counts[0] == {
+        "n_in": 3, "n_in_batch_dup": 1, "n_corpus_dup": 0, "n_accepted": 2
+    }
+    assert counts[1] == {
+        "n_in": 2, "n_in_batch_dup": 0, "n_corpus_dup": 1, "n_accepted": 1
+    }
+
+    # the index now carries postings for exactly the accepted docs
+    idx_ids = {
+        r.corpus_id
+        for r in spark.table("mh_ingest").select("corpus_id").collect()
+    }
+    assert idx_ids == {1, 2, 4}
+
+
+def test_replayed_batch_is_idempotent_for_documents(spark, ingest_env):
+    """Re-running the same batch from a FRESH checkpoint (worst-case
+    full replay) must not duplicate accepted or quarantined docs —
+    only index postings may repeat, and the probe tolerates that."""
+    tmp = ingest_env
+    src = tmp / "src"
+    src.mkdir()
+    out = tmp / "out"
+    counts: list[dict] = []
+    _write_batch(src, "b1.json", [(1, TEXT_A), (2, TEXT_B), (3, TEXT_B)])
+    _run_once(spark, src, out, tmp / "ckpt1", counts)
+    _run_once(spark, src, out, tmp / "ckpt2", counts)  # full replay
+
+    acc = spark.read.parquet(str(out / "accepted"))
+    assert acc.count() == acc.select("doc_id").distinct().count() == 2
+    quar = spark.read.parquet(str(out / "quarantine"))
+    assert quar.count() == 1
+    # replay doubled the postings; a fresh near-dup probe still sees
+    # ONE candidate per (new, corpus) pair
+    from osrs_dashboard_elt_spark.operators.dedup_index import (
+        probe_minhash_index,
+    )
+
+    new = spark.createDataFrame([(9, TEXT_A_NEAR)], "doc_id long, text string")
+    got = probe_minhash_index(
+        spark, new, "mh_ingest", "doc_id", "text", **PARAMS
+    ).collect()
+    assert [(r.new_id, r.corpus_id) for r in got] == [(9, 1)]
