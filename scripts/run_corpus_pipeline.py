@@ -65,7 +65,15 @@ def run(
     docs: DataFrame,
     eval_docs: DataFrame,
     out_dir: str,
+    index_table: str | None = None,
 ) -> dict:
+    """One-shot corpus build.  With ``index_table`` set, stage 8 also
+    publishes the survivors' MinHash band-posting index (bucketed
+    table + parquet under ``{out_dir}/mh_index``) so the NEXT ingest
+    runs incrementally — ``streaming.dedup_ingest.start_dedup_ingest``
+    probes new batches against this index instead of re-running the
+    full-corpus dedup (same num_perm/bands/seed/shingle_n as stage 4,
+    which is the index contract)."""
     obs = ObservedMetrics()
 
     # 1. annotate: one projection, no shuffle.  Funnel counts ride the
@@ -194,6 +202,22 @@ def run(
         failed = sorted(k for k, ok in gate.items() if not ok)
         if failed:
             raise RuntimeError(f"corpus quality gate failed: {failed}")
+
+        # 8. (optional) publish the dedup index of the survivors so
+        # subsequent ingest is incremental (probe, don't re-dedup)
+        if index_table is not None:
+            from osrs_dashboard_elt_spark.operators.dedup_index import (
+                write_minhash_index,
+            )
+
+            write_minhash_index(
+                final.select("doc_id", "text"),
+                index_table,
+                "doc_id",
+                "text",
+                shingle_n=3,
+                path=f"{out_dir}/mh_index",
+            )
 
         stages = obs.get()
         metrics = stages["corpus"]

@@ -73,3 +73,44 @@ def test_embed_and_index_stage(spark, tmp_path):
     a = {r.doc_id: list(r.embedding) for r in embed_documents(train, dim=16).collect()}
     b = {r.doc_id: list(r.embedding) for r in embed_documents(train, dim=16).collect()}
     assert a == b
+
+
+def test_index_publish_enables_incremental_ingest(spark, tmp_path):
+    """Stage 8: the published MinHash index lets the NEXT batch be
+    dedup-checked by PROBE instead of a full-corpus re-run — a
+    survivor's text re-submitted under a new id must surface as a
+    corpus near-dup."""
+    from run_corpus_pipeline import run
+    from osrs_dashboard_elt_spark import suite
+    from osrs_dashboard_elt_spark.operators.dedup_index import (
+        probe_minhash_index,
+    )
+
+    docs = suite._t(spark, SF_DIR, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    out = str(tmp_path / "c")
+    try:
+        m = run(spark, tr, ev, out, index_table="corpus_mh_idx")
+        # index holds exactly the survivors
+        idx_ids = {
+            r.corpus_id
+            for r in spark.table("corpus_mh_idx")
+            .select("corpus_id")
+            .distinct()
+            .collect()
+        }
+        assert len(idx_ids) == m["rows"]
+        # re-submit one survivor's text under a new id -> probe hit
+        survivor = (
+            spark.read.parquet(f"{out}/train").select("doc_id", "text").first()
+        )
+        new = spark.createDataFrame(
+            [(9_999_999, survivor.text)], "doc_id long, text string"
+        )
+        got = probe_minhash_index(
+            spark, new, "corpus_mh_idx", "doc_id", "text", shingle_n=3
+        ).collect()
+        assert any(r.corpus_id == survivor.doc_id for r in got), got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS corpus_mh_idx")
