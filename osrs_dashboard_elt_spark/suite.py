@@ -4238,35 +4238,18 @@ _DUPSPAN_ORACLE = f"""
 def q_duplicate_ngram_spans(spark, sf_dir):
     """Exact substring-duplication detection (the fixed-width n-gram
     form of Lee et al.'s dedup-for-memorization): every 8-token span
-    occurring in 2+ distinct documents.  Single scan -> generate
-    (sliding spans as one codegen expression) -> per-doc distinct ->
-    count; no joins.  At 100 TB, hash the span to a 60-bit key first
-    so the shuffle carries fixed-width integers, and only matched
-    hashes rehydrate text (same discipline as the decontamination
-    probe)."""
+    occurring in 2+ distinct documents, via
+    ``operators/dedup.py::duplicate_ngram_spans``.  The single-pass
+    shape here shuffles span strings (fastest when span GENERATION is
+    the bottleneck, as at bench scale); ``hash_first=True`` is the
+    100 TB shape — int-only shuffles, matched hashes rehydrated by a
+    broadcast semi-join — with cross-shape equality pinned in
+    tests/test_dedup_guards.py."""
+    from .operators.dedup import duplicate_ngram_spans
+
     docs = _t(spark, sf_dir, "documents")
-    ws = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
-    )
-    n = _DUPSPAN_N
-    spans = (
-        docs.select("doc_id", ws.alias("ws"))
-        .filter(F.size("ws") >= n)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ws") - F.lit(n - 1)),
-                    lambda i: F.array_join(F.slice("ws", i, n), " "),
-                )
-            ).alias("span"),
-        )
-        .distinct()
-    )
-    return (
-        spans.groupBy("span")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
+    return duplicate_ngram_spans(
+        docs, "doc_id", "text", n=_DUPSPAN_N, min_docs=2
     )
 
 

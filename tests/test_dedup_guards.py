@@ -225,3 +225,28 @@ def test_embedding_neardup_hot_bucket_cap(spark):
     # guarded: degenerate bucket dropped, honest pairs intact
     assert (200, 201) in got and (300, 301) in got
     assert all(a >= 200 for a, _ in got), got
+
+
+def test_duplicate_ngram_spans_shapes_agree(spark):
+    """The single-pass (string-shuffle) and hash-first (int-shuffle +
+    rehydrate) shapes must return identical (span, n_docs) sets — the
+    hash-first form is the 100 TB path and must not drift."""
+    from osrs_dashboard_elt_spark.operators.dedup import (
+        duplicate_ngram_spans,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        (r.span, r.n_docs)
+        for r in duplicate_ngram_spans(
+            docs, "doc_id", "text", n=8, min_docs=2
+        ).collect()
+    }
+    b = {
+        (r.span, r.n_docs)
+        for r in duplicate_ngram_spans(
+            docs, "doc_id", "text", n=8, min_docs=2, hash_first=True
+        ).collect()
+    }
+    assert a == b
+    assert a, "fixture produced zero duplicated spans — weak test"
