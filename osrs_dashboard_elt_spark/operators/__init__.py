@@ -4,7 +4,12 @@ from .asof import asof_join
 from .baskets import copurchase_pairs
 from .chunking import chunk_documents
 from .components import connected_components, dedup_clusters
-from .dedup_index import probe_minhash_index, write_minhash_index
+from .dedup_index import (
+    probe_embedding_index,
+    probe_minhash_index,
+    write_embedding_index,
+    write_minhash_index,
+)
 from .dedup import (
     dedup_keep_first,
     dedup_keep_first_asc,

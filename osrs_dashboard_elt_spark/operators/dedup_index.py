@@ -1,5 +1,5 @@
-"""Incremental near-duplicate detection against an AT-REST MinHash
-band index.
+"""Incremental near-duplicate detection against AT-REST band-posting
+indexes — MinHash over text, banded sign-LSH over embeddings.
 
 ``minhash_lsh_pairs`` is the right shape for a one-shot corpus dedup,
 but an ingest pipeline does not re-dedup 100 TB per day: it asks "is
@@ -44,6 +44,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import _drop_hot_keys, minhash_band_posts, with_shingles
+from .similarity import (
+    _score6,
+    dot_sql,
+    embedding_band_posts,
+    norm_sql,
+    vd_cast,
+)
 
 
 def _band_key(posts: DataFrame) -> DataFrame:
@@ -149,4 +156,109 @@ def probe_minhash_index(
             "corpus_id",
             F.col("__jac").cast("decimal(28,6)").cast("double").alias("jaccard"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding variant: same at-rest contract over sign-LSH band postings
+# ---------------------------------------------------------------------------
+
+
+def write_embedding_index(
+    df: DataFrame,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 18,
+    seed: int = 42,
+    dim: int = 64,
+    bands: int = 3,
+    n_buckets: int = 32,
+    max_bucket_size: int | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's banded sign-LSH postings (corpus_id,
+    band_key) as a bucketed table — the embedding twin of
+    :func:`write_minhash_index`.  (n_planes, seed, dim, bands,
+    n_buckets) are the index contract; probes must match them."""
+    from ..sources.bucketed import write_bucketed
+
+    posts = _band_key(
+        embedding_band_posts(df, id_col, vec_col, n_planes, seed, dim, bands)
+    )
+    if max_bucket_size is not None:
+        posts = _drop_hot_keys(posts, ["band_key"], max_bucket_size)
+    write_bucketed(
+        posts.withColumnRenamed("id", "corpus_id"),
+        table,
+        keys=["band_key"],
+        n_buckets=n_buckets,
+        path=path,
+        mode=mode,
+    )
+
+
+def probe_embedding_index(
+    spark: SparkSession,
+    new_vecs: DataFrame,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 18,
+    seed: int = 42,
+    dim: int = 64,
+    bands: int = 3,
+    corpus_vecs: DataFrame | None = None,
+    threshold: float | None = None,
+) -> DataFrame:
+    """(new_id, corpus_id) embedding near-dup candidates for a NEW
+    batch against the at-rest posting index — the corpus is never
+    re-hashed and its posting table never shuffles.
+
+    With ``threshold`` (requires ``corpus_vecs``), candidates are
+    scored by exact cosine on pre-normalized vectors — the corpus
+    pays one id-join for the candidate set only — and filtered to
+    ``score >= threshold``; adds a ``score`` column (6-decimal
+    rounded, same arithmetic as ``embedding_neardup_pairs``)."""
+    probe = _band_key(
+        embedding_band_posts(
+            new_vecs, id_col, vec_col, n_planes, seed, dim, bands
+        )
+    )
+    index = spark.table(table)
+    cand = (
+        probe.withColumnRenamed("id", "new_id")
+        .join(index, "band_key")
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    if threshold is None:
+        return cand
+    if corpus_vecs is None:
+        raise ValueError(
+            "threshold needs corpus_vecs (the index stores no vectors)"
+        )
+
+    def unit(df_, out_id):
+        withn = df_.select(
+            F.col(id_col).alias(out_id), vd_cast(vec_col).alias("v")
+        ).select(
+            out_id, "v", F.expr(norm_sql("v", dim)).alias("nrm")
+        )
+        u = (
+            "array("
+            + ", ".join(f"element_at(v, {i + 1}) / nrm" for i in range(dim))
+            + ")"
+        )
+        return withn.select(out_id, F.expr(u).alias(f"u_{out_id}"))
+
+    scored = (
+        cand.join(unit(new_vecs, "new_id"), "new_id")
+        .join(unit(corpus_vecs, "corpus_id"), "corpus_id")
+        .withColumn("score", _score6(dot_sql("u_new_id", "u_corpus_id", dim)))
+    )
+    return scored.filter(F.col("score") >= threshold).select(
+        "new_id", "corpus_id", "score"
     )

@@ -212,6 +212,49 @@ def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
     return lsh_bucket_raw(_as_double(vec), planes)
 
 
+def embedding_band_posts(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 18,
+    seed: int = 42,
+    dim: int = 64,
+    bands: int = 3,
+) -> DataFrame:
+    """(id, bi, bk) banded sign-LSH posting table — the blocking core
+    shared by the batch self-join (:func:`embedding_neardup_pairs`)
+    and the at-rest incremental index
+    (``dedup_index.write_embedding_index`` / ``probe_embedding_index``).
+    ``n_planes`` sign bits split into ``bands`` bands of ``r`` bits;
+    each vector posts one bucket key per band.  Vectors themselves
+    never enter the posting table."""
+    if n_planes % bands:
+        raise ValueError("bands must divide n_planes")
+    planes = hyperplanes(n_planes, dim, seed)
+    r = n_planes // bands
+    vecs = df.select(F.col(id_col).alias("id"), vd_cast(vec_col).alias("v"))
+    band_cols = [
+        F.expr(lsh_bucket_sql("v", planes[bi * r : (bi + 1) * r])).alias(
+            f"bk{bi}"
+        )
+        for bi in range(bands)
+    ]
+    staged = vecs.select("id", *band_cols)
+    return staged.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("bi"), F.col(f"bk{bi}").alias("bk")
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "c.bi", "c.bk")
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -252,33 +295,10 @@ def embedding_neardup_pairs(
     decimals.  Replaces the all-pairs O(n^2) scan the reference-style
     pandas approach would need.
     """
-    if n_planes % bands:
-        raise ValueError("bands must divide n_planes")
     from pyspark.sql import Window
 
-    planes = hyperplanes(n_planes, dim, seed)
-    r = n_planes // bands
     vecs = df.select(F.col(id_col).alias("id"), vd_cast(vec_col).alias("v"))
-    band_cols = [
-        F.expr(lsh_bucket_sql("v", planes[bi * r : (bi + 1) * r])).alias(
-            f"bk{bi}"
-        )
-        for bi in range(bands)
-    ]
-    staged = vecs.select("id", *band_cols)
-    posts = staged.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("bi"), F.col(f"bk{bi}").alias("bk")
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("c"),
-    ).select("id", "c.bi", "c.bk")
+    posts = embedding_band_posts(df, id_col, vec_col, n_planes, seed, dim, bands)
     # Hot-bucket cap as a WINDOW count over the join's own shuffle key
     # — not the broadcast anti-join ``dedup._drop_hot_keys`` uses.  The
     # window partitions on (bi, bk), exactly the key the self-join

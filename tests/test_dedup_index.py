@@ -164,3 +164,77 @@ def test_append_extends_index(spark, docs, split, tmp_path):
         assert got & ids1, "appended batch postings not probed"
     finally:
         spark.sql("DROP TABLE IF EXISTS mh_idx_app")
+
+
+EMB_PARAMS = dict(n_planes=18, seed=42, dim=64, bands=3)
+
+
+def test_embedding_probe_matches_batch_self_join(spark, tmp_path):
+    """The embedding index probe must reproduce the banded self-join's
+    cross pairs AND their exact-cosine scores."""
+    from osrs_dashboard_elt_spark.operators.dedup_index import (
+        probe_embedding_index,
+        write_embedding_index,
+    )
+    from osrs_dashboard_elt_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    new_ids = {r.vec_id for r in new.select("vec_id").collect()}
+
+    # ground truth: batch self-join over everything, threshold -1 so
+    # every banded candidate survives with its score
+    batch = embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=-1.0, **EMB_PARAMS
+    ).collect()
+    expected = {}
+    for r in batch:
+        a_new, b_new = r.id_a in new_ids, r.id_b in new_ids
+        if a_new != b_new:
+            key = (r.id_a, r.id_b) if a_new else (r.id_b, r.id_a)
+            expected[key] = r.score
+
+    write_embedding_index(
+        corpus, "emb_idx", "vec_id", "embedding",
+        n_buckets=8, path=str(tmp_path / "eidx"), **EMB_PARAMS,
+    )
+    try:
+        cand = probe_embedding_index(
+            spark, new, "emb_idx", "vec_id", "embedding", **EMB_PARAMS
+        )
+        got_cand = {(r.new_id, r.corpus_id) for r in cand.collect()}
+        assert got_cand == set(expected)
+        assert got_cand, "zero embedding candidates — weak fixture"
+
+        scored = probe_embedding_index(
+            spark, new, "emb_idx", "vec_id", "embedding",
+            corpus_vecs=corpus, threshold=-1.0, **EMB_PARAMS,
+        )
+        got = {(r.new_id, r.corpus_id): r.score for r in scored.collect()}
+        assert got == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS emb_idx")
+
+
+def test_embedding_probe_threshold_requires_vectors(spark, tmp_path):
+    from osrs_dashboard_elt_spark.operators.dedup_index import (
+        probe_embedding_index,
+        write_embedding_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(50)
+    write_embedding_index(
+        emb, "emb_idx2", "vec_id", "embedding",
+        n_buckets=4, path=str(tmp_path / "eidx2"), **EMB_PARAMS,
+    )
+    try:
+        with pytest.raises(ValueError, match="corpus_vecs"):
+            probe_embedding_index(
+                spark, emb, "emb_idx2", "vec_id", "embedding",
+                threshold=0.5, **EMB_PARAMS,
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS emb_idx2")
