@@ -262,3 +262,36 @@ def probe_embedding_index(
     return scored.filter(F.col("score") >= threshold).select(
         "new_id", "corpus_id", "score"
     )
+
+
+def compact_index(spark: SparkSession, table: str, n_buckets: int) -> int:
+    """Rewrite a posting index in place: drop duplicate (corpus_id,
+    band_key) rows (replayed appends — harmless to probes but dead
+    weight) and merge append-accumulated small files back to one
+    bucketed layout.  Returns the compacted row count.
+
+    The rewrite stages through a temp table + catalog swap so a
+    concurrent reader never sees a half-written index; run it from
+    the ingest owner (single writer), like any compaction.  The
+    PREVIOUS external location's files are left in place for
+    out-of-band vacuum (a reader may still be scanning them; object
+    stores want their own lifecycle tooling for the delete)."""
+    from ..sources.bucketed import write_bucketed
+
+    current = spark.table(table)
+    # location of the existing external table (kept after the swap)
+    detail = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    }
+    location = detail.get("Location")
+    deduped = current.dropDuplicates(["corpus_id", "band_key"])
+    tmp = f"{table}__compact"
+    tmp_loc = f"{location}__compact" if location else None
+    write_bucketed(
+        deduped, tmp, keys=["band_key"], n_buckets=n_buckets, path=tmp_loc
+    )
+    n = spark.table(tmp).count()
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    return n

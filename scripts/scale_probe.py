@@ -115,6 +115,10 @@ def main() -> None:
         ngram_jaccard_pairs,
         simhash_pairs,
     )
+    from osrs_dashboard_elt_spark.operators.dedup_index import (
+        probe_minhash_index,
+        write_minhash_index,
+    )
     from osrs_dashboard_elt_spark.operators.similarity import (
         embedding_neardup_pairs,
     )
@@ -203,6 +207,15 @@ def main() -> None:
         "cms_heavy_hitters": lambda t: cms_heavy_hitters(
             t["events"], "user_id", threshold=60 * t["factor"], d=3, w=256
         ),
+        # THE incremental-ingest claim: a FIXED batch probed against an
+        # index built from kx docs — probe time must stay flat as the
+        # corpus grows (only the index's bucket-aligned splits that the
+        # batch's band keys touch are read; index build time is the
+        # factor-loop setup, not the op)
+        "incremental_probe": lambda t: probe_minhash_index(
+            spark, t["probe_batch"], "scale_probe_idx", "doc_id", "text",
+            shingle_n=3,
+        ),
     }
     if only:
         unknown = only - set(ops)
@@ -211,10 +224,25 @@ def main() -> None:
         ops = {n: f for n, f in ops.items() if n in only}
 
     need_docs = {"exact_dedup", "minhash_lsh", "ngram_jaccard", "simhash",
-                 "dedup_clusters"} & set(ops)
+                 "dedup_clusters", "incremental_probe"} & set(ops)
     need_emb = "embedding_neardup" in ops
     need_li = {"item_copurchase", "waiting_orders"} & set(ops)
     need_ev = "cms_heavy_hitters" in ops
+    probe_batch = None
+    if "incremental_probe" in ops:
+        # a fixed 500-doc batch: half re-submits corpus text verbatim
+        # under new ids (guaranteed index hits), half is perturbed
+        # disjoint (misses) — a realistic ingest mix, constant across
+        # factors so only the INDEX size varies
+        hits = docs0.limit(250).select(
+            (F.col("doc_id") + 900_000_000).alias("doc_id"), "text"
+        )
+        misses = docs0.limit(250).select(
+            (F.col("doc_id") + 910_000_000).alias("doc_id"),
+            F.regexp_replace("text", r"(\S+)", "pb_$1").alias("text"),
+        )
+        probe_batch = hits.unionByName(misses).localCheckpoint()
+        probe_batch.count()
 
     times: dict[str, dict[int, float]] = {n: {} for n in ops}
     rounds: dict[int, int] = {}
@@ -233,6 +261,15 @@ def main() -> None:
             t["docs"] = ensure_min_partitions(replicate_docs(spark, docs0, k))
             t["docs"].count()
             prev.append(t["docs"])
+        if "incremental_probe" in ops:
+            # setup (not timed as the op): index the kx corpus
+            import tempfile as _tf
+
+            write_minhash_index(
+                t["docs"], "scale_probe_idx", "doc_id", "text",
+                shingle_n=3, path=_tf.mkdtemp(prefix=f"spidx{k}_"),
+            )
+            t["probe_batch"] = probe_batch
         if need_emb:
             t["emb"] = ensure_min_partitions(replicate_emb(spark, emb0, k))
             t["emb"].count()

@@ -238,3 +238,47 @@ def test_embedding_probe_threshold_requires_vectors(spark, tmp_path):
             )
     finally:
         spark.sql("DROP TABLE IF EXISTS emb_idx2")
+
+
+def test_compact_index_dedups_and_keeps_bucketing(spark, docs, tmp_path):
+    """Replayed appends leave duplicate postings; compaction removes
+    them, keeps the bucketed layout (probe still shuffle-free on the
+    index side), and probes return identical results."""
+    from osrs_dashboard_elt_spark.operators.dedup_index import (
+        compact_index,
+    )
+    from osrs_dashboard_elt_spark.sources.bucketed import is_bucketed_on
+
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    write_minhash_index(
+        corpus, "mh_cmp", "doc_id", "text",
+        n_buckets=8, path=str(tmp_path / "cmp"), **PARAMS,
+    )
+    try:
+        # simulate a replayed append: same postings twice
+        write_minhash_index(
+            corpus, "mh_cmp", "doc_id", "text",
+            n_buckets=8, path=str(tmp_path / "cmp"), mode="append", **PARAMS,
+        )
+        before = {
+            (r.new_id, r.corpus_id)
+            for r in probe_minhash_index(
+                spark, new, "mh_cmp", "doc_id", "text", **PARAMS
+            ).collect()
+        }
+        raw = spark.table("mh_cmp").count()
+        n = compact_index(spark, "mh_cmp", n_buckets=8)
+        assert n == raw // 2  # exact double from the replay
+        assert spark.table("mh_cmp").count() == n
+        assert is_bucketed_on(spark, "mh_cmp", ["band_key"], 8)
+        after = {
+            (r.new_id, r.corpus_id)
+            for r in probe_minhash_index(
+                spark, new, "mh_cmp", "doc_id", "text", **PARAMS
+            ).collect()
+        }
+        assert after == before
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_cmp")
+        spark.sql("DROP TABLE IF EXISTS mh_cmp__compact")
