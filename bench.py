@@ -13,8 +13,8 @@ parseable JSON line.
 Each query is executed through the same code path the correctness gate
 uses (``__spark_entry__.queries()``) and timed end-to-end including the
 action (count): per query, one untimed warm run at the bench SF, then
-the minimum of two timed runs (steady-state protocol — see the note
-in ``main``).
+``$SPARK_GRAFT_BENCH_REPS`` (default 1) timed runs with the minimum
+recorded (steady-state protocol — see the note in ``main``).
 """
 
 from __future__ import annotations
@@ -156,17 +156,27 @@ def main() -> None:
     qs = entrymod.queries()
 
     # Steady-state protocol (JMH-style): each query is warmed UNTIMED
-    # at the BENCH SF immediately before its timed runs, then timed
-    # TWICE with the minimum recorded.  The warm run compiles the
-    # query's whole-stage-codegen units, spins the Arrow/python-
-    # datasource workers and the streaming state-store engine, and
-    # primes the parquet footers at the scale being measured (warming
-    # at a smaller SF left ±1 s of first-run-at-scale noise in the
-    # recorded numbers and produced phantom round-over-round
-    # regressions); min-of-2 is the standard steady-state estimator —
-    # GC pauses and scheduler jitter only ever ADD time.  Interleaving
-    # (rather than one warm pass over the whole suite) keeps each
-    # query's compiled classes resident in the codegen cache.
+    # at the BENCH SF immediately before its timed run.  The warm run
+    # compiles the query's whole-stage-codegen units, spins the
+    # Arrow/python-datasource workers and the streaming state-store
+    # engine, and primes the parquet footers at the scale being
+    # measured (warming at a smaller SF left ±1 s of
+    # first-run-at-scale noise in the recorded numbers and produced
+    # phantom round-over-round regressions).  One timed run after a
+    # same-SF warm keeps the whole suite ~2x a cold pass — bounded
+    # enough for an external runner's timeout; set
+    # SPARK_GRAFT_BENCH_REPS>1 for a min-of-N steady-state estimate
+    # when wall-clock budget allows.  Interleaving (rather than one
+    # warm pass over the whole suite) keeps each query's compiled
+    # classes resident in the codegen cache.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
+    # Queries whose first timed run lands above this get ONE re-run
+    # with the min taken: a slow first measurement is where a GC pause
+    # or scheduler hiccup hides (measured: a heavy-shuffle query read
+    # 5.3 s on a run whose re-run took 1.5 s), and re-checking only
+    # the slow tail bounds the extra wall time to a fraction of a
+    # full pass.
+    recheck_above = float(os.environ.get("SPARK_GRAFT_BENCH_RECHECK", "0.8"))
     qs["q_summary_stats"](spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
@@ -178,8 +188,11 @@ def main() -> None:
             qs[name](spark, SF_DIR).count()  # warm, untimed
         except Exception:
             pass
-        best = float("inf")
-        for _ in range(2):
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
+        best = time.time() - t0
+        extra = (reps - 1) + (1 if best > recheck_above else 0)
+        for _ in range(extra):
             t0 = time.time()
             qs[name](spark, SF_DIR).count()
             best = min(best, time.time() - t0)
