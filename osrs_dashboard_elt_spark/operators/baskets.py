@@ -25,11 +25,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-try:  # Observation is optional: only used when the caller passes one
-    from pyspark.sql import Observation
-except ImportError:  # pragma: no cover - ancient pyspark
-    Observation = None  # type: ignore[assignment]
-
 
 def copurchase_pairs(
     df: DataFrame,

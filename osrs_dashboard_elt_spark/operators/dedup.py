@@ -254,6 +254,16 @@ def minhash_band_posts(
     The banding is ONE explode into (id, band_idx, band_key) — never
     one pass per band; token arrays never reach the posting table.
     """
+    if bands <= 0 or num_perm % bands != 0:
+        # guard here, not only in minhash_lsh_pairs: the at-rest index
+        # writer/prober call this directly, and bands > num_perm makes
+        # every band key EMPTY (all docs collide -> the probe join
+        # degenerates into an all-pairs cross join) while a
+        # non-dividing bands silently drops trailing signature
+        # components (changed recall, no warning)
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_perm ({num_perm})"
+        )
     rows = num_perm // bands
     tok_posts = (
         base.select("id", F.explode_outer("toks").alias("tok"))
@@ -312,15 +322,9 @@ def minhash_lsh_pairs(
     that belong in ``exact_dedup`` upstream — otherwise floods the
     join).  Dropping loses those buckets' recall; None = uncapped.
     """
-    if bands <= 0 or num_perm % bands != 0:
-        # bands > num_perm would make every band key EMPTY (rows=0 ->
-        # concat of zero columns), degenerating the banding join into
-        # an all-pairs cross join; a non-dividing bands silently drops
-        # trailing signature components (changed recall, no warning)
-        raise ValueError(
-            f"bands ({bands}) must evenly divide num_perm ({num_perm})"
-        )
     base = with_shingles(df, id_col, text_col, shingle_n)
+    # bands/num_perm validated inside minhash_band_posts (shared with
+    # the at-rest index entry points)
     posts = minhash_band_posts(base, num_perm, bands, seed)
     if max_bucket_size is not None:
         posts = _drop_hot_keys(posts, ["bi", "bk"], max_bucket_size)
@@ -627,11 +631,15 @@ def duplicate_ngram_spans(
     - ``hash_first=True``: the 100 TB shape.  The distinct+count runs
       on ``xxhash64(span)`` so both shuffles carry 8-byte ints
       (~6x fewer shuffle bytes than ~50-byte spans); only the hashes
-      with ``n_docs >= min_docs`` — a tiny, broadcastable set — are
-      rehydrated to text by a second generation pass + broadcast
-      semi-join.  Pays one extra corpus scan to keep strings out of
-      every Exchange; wins when shuffle I/O, not CPU, is the
-      bottleneck.  (64-bit collisions merge two spans' counts with
+      with ``n_docs >= min_docs`` are rehydrated to text by a second
+      generation pass + an equi-join on the hash.  The matched set is
+      usually small (AQE broadcasts it at runtime when it is), but it
+      is NOT bounded — a heavily duplicated corpus can match a large
+      fraction of all spans — so the join is left to the optimizer
+      rather than force-broadcast, and degrades to a shuffle join of
+      8-byte keys instead of a driver OOM.  Pays one extra corpus
+      scan to keep strings out of the counting Exchanges; wins when
+      shuffle I/O, not CPU, is the bottleneck.  (64-bit collisions merge two spans' counts with
       probability ~m^2/2^65 — negligible below trillions of distinct
       spans; use the default form if exactness under adversarial
       inputs matters more than shuffle bytes.)
@@ -672,7 +680,7 @@ def duplicate_ngram_spans(
     return (
         spans()
         .select(F.xxhash64("span").alias("h"), "span")
-        .join(F.broadcast(counts), "h")
+        .join(counts, "h")
         .dropDuplicates(["h"])
         .select("span", "n_docs")
     )

@@ -264,30 +264,63 @@ def probe_embedding_index(
     )
 
 
-def compact_index(spark: SparkSession, table: str, n_buckets: int) -> int:
-    """Rewrite a posting index in place: drop duplicate (corpus_id,
-    band_key) rows (replayed appends — harmless to probes but dead
-    weight) and merge append-accumulated small files back to one
-    bucketed layout.  Returns the compacted row count.
+def compact_index(
+    spark: SparkSession,
+    table: str,
+    n_buckets: int | None = None,
+    max_bucket_size: int | None = None,
+) -> int:
+    """Rewrite a posting index: drop duplicate (corpus_id, band_key)
+    rows (replayed appends — harmless to probes but dead weight) and
+    merge append-accumulated small files back to one bucketed layout.
+    Returns the compacted row count.
 
-    The rewrite stages through a temp table + catalog swap so a
-    concurrent reader never sees a half-written index; run it from
-    the ingest owner (single writer), like any compaction.  The
-    PREVIOUS external location's files are left in place for
+    ``n_buckets`` defaults to the TABLE'S OWN declared bucket count
+    (read from the catalog) so a typo cannot silently rewrite the
+    index with a different layout contract.  ``max_bucket_size``
+    applies the hot-band-key cap ACROSS the whole accumulated index —
+    the per-append cap only ever sees one batch's postings, so a
+    boilerplate signature can grow a degenerate bucket over many
+    appends; periodic compaction with a cap is the global control
+    (probes against a capped-away key lose that key's recall, same
+    trade as the write-time cap).
+
+    Run from the ingest owner (single writer).  The catalog swap is
+    DROP + RENAME, which Spark SQL cannot make atomic: a reader
+    racing the swap can hit a brief TABLE_OR_VIEW_NOT_FOUND (retry),
+    and if the compactor dies between the two statements the data
+    survives under ``{table}__compact`` (re-run the rename).  The
+    previous external location's files are left in place for
     out-of-band vacuum (a reader may still be scanning them; object
     stores want their own lifecycle tooling for the delete)."""
+    import uuid
+
     from ..sources.bucketed import write_bucketed
 
     current = spark.table(table)
-    # location of the existing external table (kept after the swap)
     detail = {
         r.col_name: r.data_type
         for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()
     }
+    if n_buckets is None:
+        try:
+            n_buckets = int(str(detail.get("Num Buckets", "")).strip())
+        except ValueError:
+            raise ValueError(
+                f"{table} declares no bucket spec; pass n_buckets explicitly"
+            ) from None
     location = detail.get("Location")
     deduped = current.dropDuplicates(["corpus_id", "band_key"])
+    if max_bucket_size is not None:
+        deduped = _drop_hot_keys(deduped, ["band_key"], max_bucket_size)
     tmp = f"{table}__compact"
-    tmp_loc = f"{location}__compact" if location else None
+    # stable base + fresh suffix: repeated compactions must not grow
+    # the path (loc__compact__compact__...) and must not collide with
+    # a previous compaction's still-vacuumable dir
+    tmp_loc = None
+    if location:
+        base = location.split("__compact", 1)[0]
+        tmp_loc = f"{base}__compact-{uuid.uuid4().hex[:8]}"
     write_bucketed(
         deduped, tmp, keys=["band_key"], n_buckets=n_buckets, path=tmp_loc
     )

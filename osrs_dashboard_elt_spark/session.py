@@ -15,16 +15,40 @@ the same plan shape survives a 100x scale-up:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
+
+def _default_driver_mem() -> str:
+    """Local-mode heap cap: $SPARK_GRAFT_DRIVER_MEM if set, else ~40%
+    of physical memory clamped to [2g, 48g].  local[N] runs the driver
+    AND all N executor threads in one JVM, and the Java default heap
+    (1 GB) starves 32 concurrent tasks into GC storms and heap OOMs
+    long before the machine's memory is touched — but a hardcoded big
+    number would let the heap outgrow a small host and trade a
+    bounded java OutOfMemoryError for the OS OOM-killer.  An upper
+    bound, not a reservation; spark-submit-managed drivers size
+    themselves (static conf is ignored after JVM launch)."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) / 1024 / 1024
+                    break
+            else:
+                return "4g"
+    except OSError:
+        return "4g"
+    return f"{max(2, min(48, int(total_gb * 0.4)))}g"
+
+
 _DEFAULTS = {
-    # Static conf, applied only when THIS factory launches the JVM
-    # (spark-submit-managed drivers size themselves): local[N] runs
-    # the driver AND all N executor threads in one JVM, and the Java
-    # default heap (1 GB) starves 32 concurrent tasks into GC storms
-    # and heap OOMs long before the machine's memory is touched.
-    # 48 GB is an upper bound, not a reservation.
-    "spark.driver.memory": "48g",
+    # Static conf, applied only when THIS factory launches the JVM.
+    "spark.driver.memory": _default_driver_mem(),
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

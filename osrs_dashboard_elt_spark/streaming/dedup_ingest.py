@@ -11,21 +11,31 @@ micro-batch the pipeline
 2. **probes the at-rest index** — canonical survivors are checked
    against the corpus posting table (bucketed join, index side never
    shuffles, corpus never re-signatured);
-3. **routes** — accepted docs append idempotently
-   (``dedup_append`` on the id) to ``{out_root}/accepted``;
-   rejected docs land in ``{out_root}/quarantine`` with a ``reason``
+3. **routes** — accepted docs land in
+   ``{out_root}/accepted/batch_id=N``, rejects in
+   ``{out_root}/quarantine/batch_id=N`` with a ``reason``
    (``in_batch_dup`` / ``corpus_dup``) for audit instead of being
-   silently dropped;
+   silently dropped.  Each batch DYNAMICALLY OVERWRITES its own
+   partition, so a replayed batch rewrites exactly its prior output —
+   idempotency in O(batch), with no anti-join against the
+   ever-growing accepted corpus (an earlier ``dedup_append`` form
+   re-scanned the full accepted table per batch: O(corpus) ingest);
 4. **extends the index** — accepted docs' band postings append into
    the bucketed table, so the NEXT batch probes against them.
 
-Replay semantics: the accepted/quarantine sinks are idempotent
-(anti-join appends), so a replayed batch cannot double-write
-documents.  A replay CAN append duplicate posting rows to the index —
-harmless for correctness (the probe's ``dropDuplicates`` collapses
-them; a candidate appearing twice is still one candidate) at the cost
-of a little index bloat; compact with a ``dropDuplicates`` rewrite if
-replays are frequent.
+Replay semantics: document sinks are per-batch-partition overwrites —
+exactly-once per batch id.  A replay CAN append duplicate posting
+rows to the index — harmless for correctness (the probe's
+``dropDuplicates`` collapses them; a candidate appearing twice is
+still one candidate) at the cost of index bloat.
+
+Maintenance: run ``operators.dedup_index.compact_index`` periodically
+(with ``max_bucket_size``) — it removes replay-duplicated postings,
+merges append small-files, AND applies the hot-band-key cap across
+the whole accumulated index, which no per-append cap can do (each
+append only sees its own batch's postings, so a boilerplate
+signature could otherwise grow a degenerate bucket over many
+batches).
 
 At 100 TB: every per-batch step is O(batch) except the index join,
 which reads only the bucket-aligned splits the batch's band keys
@@ -43,7 +53,6 @@ from pyspark.sql.streaming import StreamingQuery
 from ..operators.components import dedup_clusters
 from ..operators.dedup import minhash_lsh_pairs
 from ..operators.dedup_index import probe_minhash_index, write_minhash_index
-from ..sources.parquet import dedup_append
 
 
 def start_dedup_ingest(
@@ -107,33 +116,43 @@ def start_dedup_ingest(
                 dup_ids.select(F.col("new_id").alias(id_col)),
                 id_col,
                 "left_anti",
-            )
-            # 3. route: accepted (idempotent) + quarantine with reason
-            n_accepted = dedup_append(
-                spark, accepted, f"{out_root}/accepted", [id_col]
-            )
+            ).persist()
+            persisted.append(accepted)
+            # 3. route.  Each batch owns its batch_id partition and a
+            # replay dynamically overwrites ONLY that partition —
+            # idempotency without anti-joining the full accepted
+            # corpus per batch (O(batch), not O(corpus)).
+            def route(df_, sub):
+                (
+                    df_.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(f"{out_root}/{sub}")
+                )
+
+            n_accepted = accepted.count()
+            route(accepted, "accepted")
+            # the audit column carries whatever type the id column has
+            id_type = dict(batch.dtypes)[id_col]
             in_batch_dup = batch.join(
                 clusters.filter("NOT is_canonical").select(id_col), id_col
             ).select(
                 id_col,
                 F.lit("in_batch_dup").alias("reason"),
-                F.lit(None).cast("long").alias("matched_corpus_id"),
+                F.lit(None).cast(id_type).alias("matched_corpus_id"),
             )
             corpus_dup = dup_ids.select(
                 F.col("new_id").alias(id_col),
                 F.lit("corpus_dup").alias("reason"),
-                F.col("matched_corpus_id").cast("long"),
+                F.col("matched_corpus_id").cast(id_type),
             )
             quarantined = in_batch_dup.unionByName(corpus_dup)
-            dedup_append(
-                spark, quarantined, f"{out_root}/quarantine", [id_col]
-            )
+            route(quarantined, "quarantine")
             # 4. extend the index with the accepted docs' postings
-            accepted_docs = batch.join(
-                accepted.select(id_col), id_col
-            )
+            # (accepted carries the full batch columns — no join back)
             write_minhash_index(
-                accepted_docs, index_table, id_col, text_col,
+                accepted, index_table, id_col, text_col,
                 n_buckets=n_buckets, mode="append", **params,
             )
             if on_batch is not None:

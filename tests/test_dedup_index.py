@@ -268,7 +268,8 @@ def test_compact_index_dedups_and_keeps_bucketing(spark, docs, tmp_path):
             ).collect()
         }
         raw = spark.table("mh_cmp").count()
-        n = compact_index(spark, "mh_cmp", n_buckets=8)
+        # n_buckets omitted: derived from the table's own bucket spec
+        n = compact_index(spark, "mh_cmp")
         assert n == raw // 2  # exact double from the replay
         assert spark.table("mh_cmp").count() == n
         assert is_bucketed_on(spark, "mh_cmp", ["band_key"], 8)
@@ -282,3 +283,20 @@ def test_compact_index_dedups_and_keeps_bucketing(spark, docs, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS mh_cmp")
         spark.sql("DROP TABLE IF EXISTS mh_cmp__compact")
+
+
+def test_index_entry_points_validate_band_params(spark, docs, tmp_path):
+    """bands must divide num_perm at the INDEX entry points too — a
+    non-dividing value silently changes recall and bands > num_perm
+    degenerates the probe join into all-pairs (a round-4 review
+    finding: the guard lived only in minhash_lsh_pairs)."""
+    with pytest.raises(ValueError, match="evenly divide"):
+        write_minhash_index(
+            docs, "mh_bad", "doc_id", "text",
+            num_perm=16, bands=5, path=str(tmp_path / "bad"),
+        )
+    with pytest.raises(ValueError, match="evenly divide"):
+        probe_minhash_index(
+            spark, docs, "whatever", "doc_id", "text",
+            num_perm=16, bands=17,
+        )
