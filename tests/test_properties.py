@@ -429,3 +429,106 @@ def test_merge_apply_matches_model(spark, base, changes, upsert):
         for r in merge_apply(target, cdf, ["k"], upsert=upsert).collect()
     }
     assert got == model
+
+
+_edges_st = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),
+    max_size=20,
+)
+
+
+@SETTINGS
+@given(edges=_edges_st)
+def test_connected_components_matches_union_find(spark, edges):
+    """Hop+shortcut labeling equals an independent union-find over
+    random graphs (self-loops and duplicate edges included)."""
+    from osrs_dashboard_elt_spark.operators.components import (
+        connected_components,
+    )
+
+    n = 15
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min vertex of the component
+    comp = {}
+    for v in range(n):
+        root = find(v)
+        comp.setdefault(root, []).append(v)
+    expected = {v: min(vs) for vs in comp.values() for v in vs}
+
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id BIGINT")
+    e_df = spark.createDataFrame(
+        edges or [(0, 0)], "id_a BIGINT, id_b BIGINT"
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components(vertices, e_df).collect()
+    }
+    assert got == expected
+
+
+_baskets_st = st.lists(
+    st.tuples(st.integers(1, 5), st.integers(0, 9)),  # (order, item)
+    min_size=1,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(rows=_baskets_st, cap=st.integers(2, 12))
+def test_copurchase_matches_bruteforce_under_cap(spark, rows, cap):
+    """Pair supports equal itertools brute force computed over the
+    same capped (sorted, distinct, first-cap) baskets."""
+    import itertools
+    from collections import Counter
+
+    from osrs_dashboard_elt_spark.operators.baskets import copurchase_pairs
+
+    baskets: dict[int, set] = {}
+    for o, i in rows:
+        baskets.setdefault(o, set()).add(i)
+    expected = Counter()
+    for items in baskets.values():
+        capped = sorted(items)[:cap]
+        for a, b in itertools.combinations(capped, 2):
+            expected[(a, b)] += 1
+
+    df = spark.createDataFrame(rows, "order_id INT, item INT")
+    got = {
+        (r.item_a, r.item_b): r.n_orders
+        for r in copurchase_pairs(
+            df, "order_id", "item", min_support=1, max_basket=cap
+        ).collect()
+    }
+    assert got == dict(expected)
+
+
+_pos_rows_st = st.lists(
+    st.integers(-1000, 1000), min_size=1, max_size=40, unique=True
+)
+
+
+@SETTINGS
+@given(keys=_pos_rows_st)
+def test_with_global_position_matches_enumerate(spark, keys):
+    """pos over arbitrary unique keys equals sorted-enumerate."""
+    from osrs_dashboard_elt_spark.operators.sampling import (
+        with_global_position,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k BIGINT")
+    got = {
+        r.k: r.pos for r in with_global_position(df, ["k"]).collect()
+    }
+    expected = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == expected
