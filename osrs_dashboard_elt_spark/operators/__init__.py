@@ -62,6 +62,7 @@ from .sketches import (
     hll_distinct,
 )
 from .text_index import bm25_search_at_rest, write_inverted_index
+from .tokenize import detokenize_expr, encode_word, tokenize
 from .scd2 import scd2_as_of, scd2_compress
 from .topn import top_n_per_group
 from .zorder import column_ranges, write_zordered, zorder_key
