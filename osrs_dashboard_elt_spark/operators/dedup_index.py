@@ -111,6 +111,7 @@ def probe_minhash_index(
     shingle_n: int | None = 3,
     corpus_docs: DataFrame | None = None,
     verify_threshold: float | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """(new_id, corpus_id) candidate near-dup pairs between a NEW
     batch and the at-rest index — the corpus is never re-signatured
@@ -121,17 +122,19 @@ def probe_minhash_index(
     back by id for the candidate set only, so the corpus pays one
     semi-join on ids, not a signature pass.  Returns an extra
     ``jaccard`` column in that mode.  Self-matches (a new id already
-    present in the corpus index) are excluded.
+    present in the corpus index) are excluded by default;
+    ``exclude_self=False`` keeps them — an O(batch) membership test
+    for "was this exact id already ingested", which the streaming
+    ingest uses for cross-batch redelivery idempotency.
     """
     base = with_shingles(new_docs, id_col, text_col, shingle_n)
     probe = _band_key(minhash_band_posts(base, num_perm, bands, seed))
     index = spark.table(table)
-    cand = (
-        probe.withColumnRenamed("id", "new_id")
-        .join(index, "band_key")
-        .filter(F.col("new_id") != F.col("corpus_id"))
-        .select("new_id", "corpus_id")
-        .dropDuplicates(["new_id", "corpus_id"])
+    cand = probe.withColumnRenamed("id", "new_id").join(index, "band_key")
+    if exclude_self:
+        cand = cand.filter(F.col("new_id") != F.col("corpus_id"))
+    cand = cand.select("new_id", "corpus_id").dropDuplicates(
+        ["new_id", "corpus_id"]
     )
     if verify_threshold is None:
         return cand

@@ -31,18 +31,33 @@ from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 UNK_ID = 0
 
 
-def encode_word(word: str, vocab: dict[str, int], unk_id: int = UNK_ID) -> list[int]:
+def encode_word(
+    word: str,
+    vocab: dict[str, int],
+    unk_id: int = UNK_ID,
+    max_piece: int | None = None,
+) -> list[int]:
     """Greedy longest-match WordPiece segmentation of one word.
 
     First piece matches the raw prefix; continuation pieces match with
     a ``##`` prefix.  An unmatchable REMAINDER yields a single
     ``unk_id`` for the whole word (WordPiece semantics: a word either
     segments fully or is UNK — partial ids would detokenize wrong).
+
+    The inner scan starts at ``i + max_piece`` (the longest vocab
+    key), not at the end of the word — longer substrings cannot be in
+    the vocab, so skipping them changes nothing, and without the
+    bound a single pathological unbroken token (a 100 KB base64 blob)
+    would drive O(len^2) substring probes inside one task.
+    ``max_piece`` is computed per call when not supplied; ``tokenize``
+    computes it once for the whole run.
     """
+    if max_piece is None:
+        max_piece = max(map(len, vocab))
     ids: list[int] = []
     i, n = 0, len(word)
     while i < n:
-        end = n
+        end = min(n, i + max_piece)
         piece_id = None
         while end > i:
             sub = word[i:end]
@@ -75,6 +90,7 @@ def tokenize(
     """
     if not vocab:
         raise ValueError("empty vocab")
+    max_piece = max(map(len, vocab))
     fields = df.schema.fields + [
         StructField(out, ArrayType(IntegerType(), containsNull=False), False)
     ]
@@ -92,7 +108,7 @@ def tokenize(
                 s = t.lower() if lowercase else t
                 ids: list[int] = []
                 for w in s.split():
-                    ids.extend(encode_word(w, vocab, unk_id))
+                    ids.extend(encode_word(w, vocab, unk_id, max_piece))
                 encoded.append(ids)
             pdf = pdf[cols].copy()
             pdf[out] = encoded

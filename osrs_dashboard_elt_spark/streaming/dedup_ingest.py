@@ -10,24 +10,37 @@ micro-batch the pipeline
    not both pass just because neither is indexed yet;
 2. **probes the at-rest index** — canonical survivors are checked
    against the corpus posting table (bucketed join, index side never
-   shuffles, corpus never re-signatured);
+   shuffles, corpus never re-signatured).  SELF-matches (the exact id
+   already posted to the index) are split out as ``already_ingested``
+   — the O(batch) membership test that makes cross-batch at-least-
+   once redelivery idempotent without ever anti-joining the full
+   accepted corpus;
 3. **routes** — accepted docs land in
-   ``{out_root}/accepted/batch_id=N``, rejects in
-   ``{out_root}/quarantine/batch_id=N`` with a ``reason``
-   (``in_batch_dup`` / ``corpus_dup``) for audit instead of being
-   silently dropped.  Each batch DYNAMICALLY OVERWRITES its own
-   partition, so a replayed batch rewrites exactly its prior output —
-   idempotency in O(batch), with no anti-join against the
-   ever-growing accepted corpus (an earlier ``dedup_append`` form
-   re-scanned the full accepted table per batch: O(corpus) ingest);
+   ``{out_root}/accepted/run_id=R/batch_id=N``, rejects in
+   ``{out_root}/quarantine/...`` with a ``reason``
+   (``in_batch_dup`` / ``corpus_dup`` / ``already_ingested``) for
+   audit instead of being silently dropped.  Each micro-batch
+   DYNAMICALLY OVERWRITES its own (run, batch) partition: a replay
+   under the same checkpoint rewrites exactly its prior output, and a
+   restart with a FRESH checkpoint (new run id) cannot clobber
+   history — its re-deliveries are shunted to ``already_ingested`` by
+   the index probe instead of re-accepted;
 4. **extends the index** — accepted docs' band postings append into
    the bucketed table, so the NEXT batch probes against them.
 
-Replay semantics: document sinks are per-batch-partition overwrites —
-exactly-once per batch id.  A replay CAN append duplicate posting
-rows to the index — harmless for correctness (the probe's
-``dropDuplicates`` collapses them; a candidate appearing twice is
-still one candidate) at the cost of index bloat.
+Crash-consistency window (documented, not hidden): the accepted write
+commits BEFORE the index append, so a crash exactly between the two,
+followed by a fresh-checkpoint restart, re-accepts that one batch's
+docs under the new run id (the index never learned them).  Repair =
+drop the dead run's partitions or re-run ``compact``-style dedup over
+``accepted``; the window is one batch wide and only opens when the
+checkpoint is ALSO lost.  (Appending postings first would instead
+LOSE the batch on the same crash — strictly worse.)
+
+Known limitation: a document with fewer than ``shingle_n`` words has
+no shingles, therefore no postings — the index cannot witness it, so
+its exact-id redelivery re-accepts.  Pre-filter sub-shingle docs (the
+corpus pipeline's quality gate already drops them).
 
 Maintenance: run ``operators.dedup_index.compact_index`` periodically
 (with ``max_bucket_size``) — it removes replay-duplicated postings,
@@ -44,6 +57,7 @@ touch.  The corpus itself is read by NOTHING in this loop.
 
 from __future__ import annotations
 
+import uuid
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -69,18 +83,26 @@ def start_dedup_ingest(
     n_buckets: int = 32,
     available_now: bool = False,
     on_batch: Callable[[int, dict], None] | None = None,
+    run_id: str | None = None,
 ) -> StreamingQuery:
     """Start the dedup-ingest stream.  ``index_table`` must already
     exist (``write_minhash_index`` over the current corpus — an empty
     corpus works: write the index from an empty frame), and
     ``n_buckets`` (plus the MinHash params) must MATCH the values the
     index was written with — the bucket layout and band-key space are
-    the table's contract.  ``on_batch`` receives ``(batch_id,
+    the table's contract.
+
+    ``run_id`` names this stream activation's output partitions
+    (default: a fresh uuid per start).  Pass the SAME run_id when
+    resuming from the SAME checkpoint so a replayed micro-batch
+    overwrites its own partition; a fresh checkpoint should keep the
+    default fresh run id.  ``on_batch`` receives ``(batch_id,
     counts)`` with keys ``n_in``, ``n_in_batch_dup``,
-    ``n_corpus_dup``, ``n_accepted``."""
+    ``n_corpus_dup``, ``n_already_ingested``, ``n_accepted``."""
     params = dict(
         num_perm=num_perm, bands=bands, seed=seed, shingle_n=shingle_n
     )
+    run = run_id or uuid.uuid4().hex[:12]
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -91,8 +113,8 @@ def start_dedup_ingest(
             if n_in == 0:
                 if on_batch is not None:
                     on_batch(batch_id, {
-                        "n_in": 0, "n_in_batch_dup": 0,
-                        "n_corpus_dup": 0, "n_accepted": 0,
+                        "n_in": 0, "n_in_batch_dup": 0, "n_corpus_dup": 0,
+                        "n_already_ingested": 0, "n_accepted": 0,
                     })
                 return
             # 1. within-batch clusters -> canonical survivors
@@ -102,32 +124,44 @@ def start_dedup_ingest(
                 clusters.filter("is_canonical").select(id_col), id_col
             ).persist()
             persisted.append(canon)
-            # 2. probe the at-rest corpus index
+            # 2. probe the at-rest corpus index, keeping self-matches:
+            # new_id == corpus_id means this exact id's postings are
+            # already committed — a redelivered doc, not a near-dup
+            hits = probe_minhash_index(
+                spark, canon, index_table, id_col, text_col,
+                exclude_self=False, **params,
+            ).persist()
+            persisted.append(hits)
+            already = (
+                hits.filter(F.col("new_id") == F.col("corpus_id"))
+                .select("new_id")
+                .distinct()
+            )
             dup_ids = (
-                probe_minhash_index(
-                    spark, canon, index_table, id_col, text_col, **params
-                )
+                hits.filter(F.col("new_id") != F.col("corpus_id"))
+                .join(already, "new_id", "left_anti")
                 .groupBy("new_id")
                 .agg(F.min("corpus_id").alias("matched_corpus_id"))
                 .persist()
             )
             persisted.append(dup_ids)
-            accepted = canon.join(
-                dup_ids.select(F.col("new_id").alias(id_col)),
-                id_col,
-                "left_anti",
-            ).persist()
+            rejected_ids = dup_ids.select("new_id").unionByName(
+                already
+            ).select(F.col("new_id").alias(id_col))
+            accepted = canon.join(rejected_ids, id_col, "left_anti").persist()
             persisted.append(accepted)
-            # 3. route.  Each batch owns its batch_id partition and a
-            # replay dynamically overwrites ONLY that partition —
-            # idempotency without anti-joining the full accepted
-            # corpus per batch (O(batch), not O(corpus)).
+
+            # 3. route.  Each micro-batch owns its (run, batch)
+            # partition; replays under the same checkpoint overwrite
+            # exactly that partition — no anti-join against the
+            # ever-growing accepted corpus (O(batch), not O(corpus)).
             def route(df_, sub):
                 (
-                    df_.withColumn("batch_id", F.lit(batch_id))
+                    df_.withColumn("run_id", F.lit(run))
+                    .withColumn("batch_id", F.lit(batch_id))
                     .write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("batch_id")
+                    .partitionBy("run_id", "batch_id")
                     .parquet(f"{out_root}/{sub}")
                 )
 
@@ -147,8 +181,27 @@ def start_dedup_ingest(
                 F.lit("corpus_dup").alias("reason"),
                 F.col("matched_corpus_id").cast(id_type),
             )
-            quarantined = in_batch_dup.unionByName(corpus_dup)
+            already_q = already.select(
+                F.col("new_id").alias(id_col),
+                F.lit("already_ingested").alias("reason"),
+                F.col("new_id").cast(id_type).alias("matched_corpus_id"),
+            )
+            quarantined = in_batch_dup.unionByName(corpus_dup).unionByName(
+                already_q
+            )
             route(quarantined, "quarantine")
+            # Counts MUST freeze before the index append: writing the
+            # table invalidates every cached plan that references it,
+            # so a count taken afterwards re-executes the probe
+            # against the freshly-extended index and miscounts this
+            # batch's own docs as already_ingested.
+            metrics = {
+                "n_in": n_in,
+                "n_in_batch_dup": in_batch_dup.count(),
+                "n_corpus_dup": dup_ids.count(),
+                "n_already_ingested": already.count(),
+                "n_accepted": n_accepted,
+            }
             # 4. extend the index with the accepted docs' postings
             # (accepted carries the full batch columns — no join back)
             write_minhash_index(
@@ -156,14 +209,7 @@ def start_dedup_ingest(
                 n_buckets=n_buckets, mode="append", **params,
             )
             if on_batch is not None:
-                n_ib = in_batch_dup.count()
-                n_cd = corpus_dup.count()
-                on_batch(batch_id, {
-                    "n_in": n_in,
-                    "n_in_batch_dup": n_ib,
-                    "n_corpus_dup": n_cd,
-                    "n_accepted": n_accepted,
-                })
+                on_batch(batch_id, metrics)
         finally:
             for df in persisted:
                 df.unpersist()

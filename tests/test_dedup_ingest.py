@@ -1,6 +1,7 @@
 """Streaming dedup-ingest: two micro-batches through the at-rest
 MinHash index — in-batch dups quarantined, cross-batch dups caught by
-the index extended in batch 1, accepted set clean."""
+the index extended in batch 1, redelivered ids shunted to
+already_ingested, accepted set clean."""
 
 from __future__ import annotations
 
@@ -52,11 +53,11 @@ def ingest_env(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS mh_ingest")
 
 
-def _run_once(spark, src, out, ckpt, counts):
+def _run_once(spark, src, out, ckpt, counts, run_id=None):
     stream = spark.readStream.schema("doc_id long, text string").json(str(src))
     q = start_dedup_ingest(
         stream, "mh_ingest", str(out), str(ckpt),
-        n_buckets=4, available_now=True,
+        n_buckets=4, available_now=True, run_id=run_id,
         on_batch=lambda bid, c: counts.append(c), **PARAMS,
     )
     q.awaitTermination(120)
@@ -71,33 +72,38 @@ def test_two_batch_ingest_routes_and_extends_index(spark, ingest_env):
 
     # batch 1: A, B unique; id 3 an exact dup of B within the batch
     _write_batch(src, "b1.json", [(1, TEXT_A), (2, TEXT_B), (3, TEXT_B)])
-    _run_once(spark, src, out, ckpt, counts)
+    _run_once(spark, src, out, ckpt, counts, run_id="r1")
 
-    # batch 2: C unique; id 5 a NEAR dup of the ACCEPTED doc 1
-    _write_batch(src, "b2.json", [(4, TEXT_C), (5, TEXT_A_NEAR)])
-    _run_once(spark, src, out, ckpt, counts)
+    # batch 2: C unique; id 5 a NEAR dup of the ACCEPTED doc 1; id 2
+    # REDELIVERED verbatim (already accepted in batch 1)
+    _write_batch(
+        src, "b2.json", [(4, TEXT_C), (5, TEXT_A_NEAR), (2, TEXT_B)]
+    )
+    _run_once(spark, src, out, ckpt, counts, run_id="r1")
 
-    accepted = {
-        r.doc_id for r in spark.read.parquet(str(out / "accepted")).collect()
-    }
-    assert accepted == {1, 2, 4}
+    accepted = spark.read.parquet(str(out / "accepted"))
+    assert {r.doc_id for r in accepted.collect()} == {1, 2, 4}
+    assert accepted.count() == 3  # the redelivered id 2 was NOT re-accepted
     quar = {
         r.doc_id: (r.reason, r.matched_corpus_id)
         for r in spark.read.parquet(str(out / "quarantine")).collect()
     }
     assert quar[3][0] == "in_batch_dup"
     assert quar[5] == ("corpus_dup", 1)
-    assert set(quar) == {3, 5}
+    assert quar[2] == ("already_ingested", 2)
+    assert set(quar) == {2, 3, 5}
 
     # per-batch funnel counts
     assert counts[0] == {
-        "n_in": 3, "n_in_batch_dup": 1, "n_corpus_dup": 0, "n_accepted": 2
+        "n_in": 3, "n_in_batch_dup": 1, "n_corpus_dup": 0,
+        "n_already_ingested": 0, "n_accepted": 2,
     }
     assert counts[1] == {
-        "n_in": 2, "n_in_batch_dup": 0, "n_corpus_dup": 1, "n_accepted": 1
+        "n_in": 3, "n_in_batch_dup": 0, "n_corpus_dup": 1,
+        "n_already_ingested": 1, "n_accepted": 1,
     }
 
-    # the index now carries postings for exactly the accepted docs
+    # the index carries postings for exactly the accepted docs
     idx_ids = {
         r.corpus_id
         for r in spark.table("mh_ingest").select("corpus_id").collect()
@@ -105,25 +111,41 @@ def test_two_batch_ingest_routes_and_extends_index(spark, ingest_env):
     assert idx_ids == {1, 2, 4}
 
 
-def test_replayed_batch_is_idempotent_for_documents(spark, ingest_env):
-    """Re-running the same batch from a FRESH checkpoint (worst-case
-    full replay) must not duplicate accepted or quarantined docs —
-    only index postings may repeat, and the probe tolerates that."""
+def test_fresh_checkpoint_replay_cannot_duplicate_documents(spark, ingest_env):
+    """Worst-case full replay: same batch re-run from a FRESH
+    checkpoint (new run id).  Previously-accepted ids are shunted to
+    already_ingested by the index probe — the accepted corpus gains
+    nothing, and the new run's partitions never clobber the old
+    run's (run_id keys the output layout)."""
     tmp = ingest_env
     src = tmp / "src"
     src.mkdir()
     out = tmp / "out"
     counts: list[dict] = []
     _write_batch(src, "b1.json", [(1, TEXT_A), (2, TEXT_B), (3, TEXT_B)])
-    _run_once(spark, src, out, tmp / "ckpt1", counts)
-    _run_once(spark, src, out, tmp / "ckpt2", counts)  # full replay
+    _run_once(spark, src, out, tmp / "ckpt1", counts, run_id="run-a")
+    _run_once(spark, src, out, tmp / "ckpt2", counts, run_id="run-b")
 
     acc = spark.read.parquet(str(out / "accepted"))
     assert acc.count() == acc.select("doc_id").distinct().count() == 2
+    assert {r.run_id for r in acc.select("run_id").distinct().collect()} == {
+        "run-a"
+    }
     quar = spark.read.parquet(str(out / "quarantine"))
-    assert quar.count() == 1
-    # replay doubled the postings; a fresh near-dup probe still sees
-    # ONE candidate per (new, corpus) pair
+    by_reason = {
+        (r.doc_id, r.reason) for r in quar.collect()
+    }
+    # doc 3: in-batch dup in BOTH runs (two partitions); docs 1, 2:
+    # already_ingested in the replay run only
+    assert by_reason == {
+        (3, "in_batch_dup"),
+        (1, "already_ingested"),
+        (2, "already_ingested"),
+    }
+    assert quar.filter("reason = 'in_batch_dup'").count() == 2
+    # replay accepted nothing -> appended nothing: postings unchanged
+    assert spark.table("mh_ingest").count() == 2 * PARAMS["bands"]
+    # a fresh near-dup probe still sees ONE candidate per pair
     from osrs_dashboard_elt_spark.operators.dedup_index import (
         probe_minhash_index,
     )
