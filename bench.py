@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "q_outlier_zscore",
     "q_percentile_stats",
     "q_hll_distinct_users",
+    "q_hll_user_overlap",
     "q_min_cost_supplier",
     "q_waiting_orders",
     "q_data_quality_events",

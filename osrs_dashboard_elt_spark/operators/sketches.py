@@ -80,19 +80,39 @@ def hll_distinct(
     aggregate moves at most ``2^p`` rows per group.
     """
     ks = [keys] if isinstance(keys, str) else list(keys)
-    m = 1 << p
-    w = 60 - p
+    regs = hll_registers(df, ks, value_col, p)
+    return hll_estimate(regs, ks, p, out_col)
+
+
+def hll_registers(
+    df: DataFrame, ks: list[str], value_col: str, p: int
+) -> DataFrame:
+    """(keys..., bucket, M) register table — the mergeable core.
+    Registers from different slices combine with MAX on (keys,
+    bucket); ``hll_estimate`` turns any register table back into an
+    estimate.  NULLs are excluded, matching COUNT(DISTINCT): an
+    unfiltered NULL hashes to a phantom (bucket=NULL, rho=w+1)
+    register that inflates the occupancy count without a matching
+    scaled-sum term — at full register occupancy the correction term
+    goes NEGATIVE."""
     bucket, rho = hll_rho(F.col(value_col).cast("string"), p)
-    # NULLs are excluded, matching COUNT(DISTINCT): an unfiltered NULL
-    # hashes to a phantom (bucket=NULL, rho=w+1) register that inflates
-    # _nbuckets without a matching scaled-sum term — at full register
-    # occupancy the correction term goes NEGATIVE
     df = df.filter(F.col(value_col).isNotNull())
-    regs = (
+    return (
         df.select(*ks, bucket, rho)
         .groupBy(*ks, "bucket")
         .agg(F.max("rho").alias("M"))
     )
+
+
+def hll_estimate(
+    regs: DataFrame, ks: list[str], p: int, out_col: str = "approx_distinct"
+) -> DataFrame:
+    """Per-group estimate from a (keys..., bucket, M) register table
+    (same arithmetic discipline as the module docstring: exact
+    integer-scaled harmonic sum, linear-counting small-range branch,
+    4-decimal rounding for cross-engine value-hash stability)."""
+    m = 1 << p
+    w = 60 - p
     # 2^(w+1-M) as exact BIGINT via shift; summed in int64 (exact,
     # order-independent); empty registers contribute 2^(w+1) each.
     # (F.shiftleft only takes a literal shift -> SQL fragment.)
@@ -114,6 +134,52 @@ def hll_distinct(
     return per_group.select(
         *ks,
         est.cast("decimal(28,4)").cast("double").alias(out_col),
+    )
+
+
+def hll_set_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    p: int = 9,
+) -> DataFrame:
+    """Approximate set algebra over two slices' distinct values: one
+    row (n_a, n_b, n_union, n_overlap) where the union estimate comes
+    from REGISTER-LEVEL max-merge (the sketch's native union — no
+    rescan, no exact distinct) and the intersection from
+    inclusion-exclusion ``n_a + n_b - n_union``, clamped at 0 (the
+    estimator's error can push a near-empty intersection negative).
+
+    This is the period-over-period audience-overlap shape: each
+    slice's registers are 2^p small integers regardless of data size,
+    union is an elementwise MAX over them, and the whole computation
+    after the two register aggregates touches at most ``3 * 2^p``
+    rows.  Intersection error compounds (~3x a single estimate's
+    relative error scaled by the larger set) — standard for HLL
+    inclusion-exclusion; use a higher ``p`` when overlaps are small
+    relative to the sets."""
+    side = F.lit("a")
+    regs_a = hll_registers(df_a.withColumn("side", side), ["side"], value_col, p)
+    regs_b = hll_registers(
+        df_b.withColumn("side", F.lit("b")), ["side"], value_col, p
+    )
+    both = regs_a.unionByName(regs_b)
+    regs_u = (
+        both.groupBy("bucket")
+        .agg(F.max("M").alias("M"))
+        .select(F.lit("u").alias("side"), "bucket", "M")
+    )
+    est = hll_estimate(both.unionByName(regs_u), ["side"], p, "e")
+    one = est.groupBy().pivot("side", ["a", "b", "u"]).agg(F.first("e"))
+    n_a, n_b, n_u = F.col("a"), F.col("b"), F.col("u")
+    overlap = F.greatest(
+        F.lit(0.0), ((n_a + n_b) - n_u).cast("decimal(28,4)").cast("double")
+    )
+    return one.select(
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        n_u.alias("n_union"),
+        overlap.alias("n_overlap"),
     )
 
 
@@ -161,6 +227,75 @@ def hll_oracle_sql(
                   ELSE {alpha_num} / CAST(ssum0 + ({m} - nbuckets) * {1 << (w + 1)}::BIGINT AS DOUBLE)
              END AS DECIMAL(28,4)) AS DOUBLE) AS {out_col}
     FROM g
+    """
+
+
+def hll_overlap_oracle_sql(
+    table: str,
+    value_expr: str,
+    pred_a: str,
+    pred_b: str,
+    p: int = 9,
+) -> str:
+    """DuckDB mirror of :func:`hll_set_overlap` for slices of one
+    table defined by two predicates: identical registers, union by
+    register MAX, identical estimate arithmetic and rounding."""
+    m = 1 << p
+    w = 60 - p
+    alpha_num = repr(_alpha(m) * m * m * float(1 << (w + 1)))
+    est = f"""CAST(CAST(
+             CASE WHEN ({alpha_num} / CAST(ssum0 + ({m} - nbuckets) * {1 << (w + 1)}::BIGINT AS DOUBLE)) <= {2.5 * m}
+                   AND ({m} - nbuckets) > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - nbuckets AS DOUBLE))
+                  ELSE {alpha_num} / CAST(ssum0 + ({m} - nbuckets) * {1 << (w + 1)}::BIGINT AS DOUBLE)
+             END AS DECIMAL(28,4)) AS DOUBLE)"""
+    return f"""
+    WITH src AS (
+      SELECT CAST({value_expr} AS VARCHAR) AS v,
+             ({pred_a}) AS pa, ({pred_b}) AS pb
+      FROM {table} WHERE {value_expr} IS NOT NULL
+    ),
+    sided AS (
+      SELECT 'a' AS side, v FROM src WHERE pa
+      UNION ALL SELECT 'b' AS side, v FROM src WHERE pb
+    ),
+    hashed AS (
+      SELECT side, ('0x' || substr(md5(v), 1, {_HASH_HEX}))::BIGINT AS h
+      FROM sided
+    ),
+    br AS (
+      SELECT side, h >> {w} AS bucket,
+             CASE WHEN (h & {(1 << w) - 1}) > 0
+                  THEN {w + 1} - LENGTH(bin(h & {(1 << w) - 1}))
+                  ELSE {w + 1} END AS rho
+      FROM hashed
+    ),
+    regs AS (
+      SELECT side, bucket, MAX(rho) AS M FROM br GROUP BY side, bucket
+    ),
+    allregs AS (
+      SELECT side, bucket, M FROM regs
+      UNION ALL
+      SELECT 'u' AS side, bucket, MAX(M) AS M FROM regs GROUP BY bucket
+    ),
+    g AS (
+      SELECT side,
+             SUM((1::BIGINT << ({w + 1} - M)))::BIGINT AS ssum0,
+             COUNT(*) AS nbuckets
+      FROM allregs GROUP BY side
+    ),
+    est AS (SELECT side, {est} AS e FROM g),
+    pv AS (
+      SELECT MAX(CASE WHEN side = 'a' THEN e END) AS na,
+             MAX(CASE WHEN side = 'b' THEN e END) AS nb,
+             MAX(CASE WHEN side = 'u' THEN e END) AS nu
+      FROM est
+    )
+    SELECT na AS n_a, nb AS n_b, nu AS n_union,
+           GREATEST(CAST(0 AS DOUBLE),
+             CAST(CAST((na + nb) - nu AS DECIMAL(28,4)) AS DOUBLE)
+           ) AS n_overlap
+    FROM pv
     """
 
 

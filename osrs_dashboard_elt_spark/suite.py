@@ -3860,11 +3860,43 @@ def q_hll_distinct_users(spark, sf_dir):
     return hll_distinct(ev, "event_type", "user_id", p=_HLL_P)
 
 
+_HLL_SPLIT = datetime(2024, 1, 16)
+
+
+@query(
+    "q_hll_user_overlap",
+    oracle=None,  # set below: generated from the same parameters
+)
+def q_hll_user_overlap(spark, sf_dir):
+    """Sketch SET ALGEBRA: how many users were active in BOTH halves
+    of the month, without an exact distinct or a self-join.  The two
+    periods' HLL registers max-merge into the union sketch (the HLL-
+    native union) and the intersection falls out of inclusion-
+    exclusion — after the two register aggregates, the whole
+    computation touches at most 3*2^p rows.  The period-over-period
+    audience-overlap shape at any scale; see
+    operators/sketches.py::hll_set_overlap."""
+    from .operators.sketches import hll_set_overlap
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("ts") < F.lit(_HLL_SPLIT))
+    b = ev.filter(F.col("ts") >= F.lit(_HLL_SPLIT))
+    return hll_set_overlap(a, b, "user_id", p=_HLL_P)
+
+
 def _install_hll_oracle():
-    from .operators.sketches import hll_oracle_sql
+    from .operators.sketches import hll_oracle_sql, hll_overlap_oracle_sql
 
     ORACLES["q_hll_distinct_users"] = hll_oracle_sql(
         "events", ["event_type"], "user_id", p=_HLL_P
+    )
+    split = _HLL_SPLIT.strftime("%Y-%m-%d %H:%M:%S")
+    ORACLES["q_hll_user_overlap"] = hll_overlap_oracle_sql(
+        "events",
+        "user_id",
+        f"ts < TIMESTAMP '{split}'",
+        f"ts >= TIMESTAMP '{split}'",
+        p=_HLL_P,
     )
 
 

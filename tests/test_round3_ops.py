@@ -656,3 +656,34 @@ def test_copurchase_basket_cap_bounds_degenerate_orders(spark):
     assert sorted(map(tuple, capped.collect())) == sorted(
         map(tuple, uncapped.collect())
     )
+
+
+def test_hll_set_overlap_accuracy_and_union_merge(spark):
+    """Inclusion-exclusion on max-merged registers tracks the exact
+    overlap within sketch error, and disjoint sets clamp at >= 0."""
+    from pyspark.sql import functions as F
+
+    from osrs_dashboard_elt_spark.operators.sketches import hll_set_overlap
+
+    # |A| = 3000 (0..2999), |B| = 3000 (2000..4999), overlap 1000
+    a = spark.range(0, 3000).select(F.col("id").alias("v"))
+    b = spark.range(2000, 5000).select(F.col("id").alias("v"))
+    r = hll_set_overlap(a, b, "v", p=9).collect()[0]
+    assert abs(r.n_a - 3000) / 3000 < 0.15
+    assert abs(r.n_b - 3000) / 3000 < 0.15
+    assert abs(r.n_union - 5000) / 5000 < 0.15
+    assert abs(r.n_overlap - 1000) / 1000 < 0.5  # compounded error
+    # union from register max == estimate of the actual union
+    from osrs_dashboard_elt_spark.operators.sketches import hll_distinct
+
+    u = (
+        hll_distinct(
+            a.unionByName(b).select(F.lit("g").alias("g"), "v"), "g", "v", p=9
+        ).collect()[0]
+    )
+    assert u.approx_distinct == r.n_union
+    # disjoint sets: overlap clamps at zero or stays tiny
+    c = spark.range(10_000, 13_000).select(F.col("id").alias("v"))
+    r2 = hll_set_overlap(a, c, "v", p=9).collect()[0]
+    assert r2.n_overlap >= 0.0
+    assert r2.n_overlap < 0.2 * 3000
