@@ -171,7 +171,11 @@ def hll_set_overlap(
     )
     est = hll_estimate(both.unionByName(regs_u), ["side"], p, "e")
     one = est.groupBy().pivot("side", ["a", "b", "u"]).agg(F.first("e"))
-    n_a, n_b, n_u = F.col("a"), F.col("b"), F.col("u")
+    # an EMPTY slice produces no register rows, hence no pivot column
+    # value — a silent NULL would poison every downstream field
+    n_a = F.coalesce(F.col("a"), F.lit(0.0))
+    n_b = F.coalesce(F.col("b"), F.lit(0.0))
+    n_u = F.coalesce(F.col("u"), F.lit(0.0))
     overlap = F.greatest(
         F.lit(0.0), ((n_a + n_b) - n_u).cast("decimal(28,4)").cast("double")
     )

@@ -687,3 +687,18 @@ def test_hll_set_overlap_accuracy_and_union_merge(spark):
     r2 = hll_set_overlap(a, c, "v", p=9).collect()[0]
     assert r2.n_overlap >= 0.0
     assert r2.n_overlap < 0.2 * 3000
+
+
+def test_hll_set_overlap_empty_side(spark):
+    """An empty slice must yield 0.0 counts, not NULLs (no register
+    rows means no pivot value for that side)."""
+    from pyspark.sql import functions as F
+
+    from osrs_dashboard_elt_spark.operators.sketches import hll_set_overlap
+
+    a = spark.range(0, 500).select(F.col("id").alias("v"))
+    empty = spark.range(0).select(F.col("id").alias("v"))
+    r = hll_set_overlap(a, empty, "v", p=9).collect()[0]
+    assert r.n_b == 0.0 and r.n_overlap == 0.0
+    assert abs(r.n_a - 500) / 500 < 0.15
+    assert r.n_union == r.n_a
