@@ -27,6 +27,7 @@ HEADLINERS = {
     "q_fuzzy_name_match": "wildcard-variant equi-join (no nested loop), exact levenshtein only after candidates",
     "q_item_copurchase": "basket assembly as ONE aggregate, slice() cap before in-array pair generation, no lineitem self-join",
     "q_global_shuffle_order": "range-exchange total sort; the only Window is partitioned by the partition id; offsets from a tiny triangular join, broadcast back",
+    "q_hll_user_overlap": "two register aggregates with map-side partials; everything after them touches at most 3*2^p rows (union = register MAX merge)",
 }
 
 
