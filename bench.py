@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "q_percentile_stats",
     "q_hll_distinct_users",
     "q_hll_user_overlap",
+    "q_hll_rolling_distinct",
     "q_min_cost_supplier",
     "q_waiting_orders",
     "q_data_quality_events",

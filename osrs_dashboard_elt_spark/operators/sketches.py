@@ -234,6 +234,107 @@ def hll_oracle_sql(
     """
 
 
+def hll_rolling_distinct(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_days: int = 7,
+    p: int = 9,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Per-day TRAILING-window distinct estimate — "distinct users in
+    the last N days, for every day" — from daily HLL registers, never
+    from a rescan:
+
+    1. one register aggregate per (day, bucket) — the same daily
+       sketch a rollup table would persist;
+    2. each day's trailing sketch = register MAX over the window's
+       days.  Day d needs every bucket touched ANYWHERE in
+       ``(d-N, d]`` — including buckets idle on day d itself — so the
+       day spine (tiny: one row per day) broadcast-joins the register
+       table on the day-range condition and a (day, bucket) MAX
+       re-aggregates.  The range join is a nested loop against a
+       |days|-row broadcast side: bounded by the calendar, not the
+       data;
+    3. the shared estimator per day.
+
+    The classic sketch-rollup marriage: daily registers are ~2^p
+    ints/day, any trailing window re-derives from them by MAX, and no
+    event is ever read twice.  Output: (day, ``out_col``), one row
+    per day present in the data, each covering ``window_days`` ending
+    that day inclusive.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+    daily = hll_registers(
+        df.select(day, F.col(value_col).alias("v")), ["day"], "v", p
+    )
+    spine = daily.select("day").distinct().withColumnRenamed("day", "anchor")
+    in_window = (F.col("day") <= F.col("anchor")) & (
+        F.col("day") > F.date_sub(F.col("anchor"), window_days)
+    )
+    rolled = (
+        daily.join(F.broadcast(spine), in_window)
+        .groupBy("anchor", "bucket")
+        .agg(F.max("M").alias("M"))
+        .withColumnRenamed("anchor", "day")
+    )
+    return hll_estimate(rolled, ["day"], p, out_col).orderBy("day")
+
+
+def hll_rolling_oracle_sql(
+    table: str,
+    ts_expr: str,
+    value_expr: str,
+    window_days: int = 7,
+    p: int = 9,
+    out_col: str = "approx_distinct",
+) -> str:
+    """DuckDB mirror of :func:`hll_rolling_distinct`: identical daily
+    registers, identical spine range-join + MAX rollup, identical
+    estimate arithmetic."""
+    m = 1 << p
+    w = 60 - p
+    alpha_num = repr(_alpha(m) * m * m * float(1 << (w + 1)))
+    return f"""
+    WITH hashed AS (
+      SELECT CAST(date_trunc('day', {ts_expr}) AS DATE) AS day,
+             ('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, {_HASH_HEX}))::BIGINT AS h
+      FROM {table} WHERE {value_expr} IS NOT NULL
+    ),
+    br AS (
+      SELECT day, h >> {w} AS bucket,
+             CASE WHEN (h & {(1 << w) - 1}) > 0
+                  THEN {w + 1} - LENGTH(bin(h & {(1 << w) - 1}))
+                  ELSE {w + 1} END AS rho
+      FROM hashed
+    ),
+    daily AS (
+      SELECT day, bucket, MAX(rho) AS M FROM br GROUP BY day, bucket
+    ),
+    spine AS (SELECT DISTINCT day AS anchor FROM daily),
+    rolled AS (
+      SELECT s.anchor AS day, d.bucket, MAX(d.M) AS M
+      FROM spine s JOIN daily d
+        ON d.day <= s.anchor AND d.day > s.anchor - INTERVAL {window_days} DAY
+      GROUP BY s.anchor, d.bucket
+    ),
+    g AS (
+      SELECT day,
+             SUM((1::BIGINT << ({w + 1} - M)))::BIGINT AS ssum0,
+             COUNT(*) AS nbuckets
+      FROM rolled GROUP BY day
+    )
+    SELECT day,
+           CAST(CAST(
+             CASE WHEN ({alpha_num} / CAST(ssum0 + ({m} - nbuckets) * {1 << (w + 1)}::BIGINT AS DOUBLE)) <= {2.5 * m}
+                   AND ({m} - nbuckets) > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - nbuckets AS DOUBLE))
+                  ELSE {alpha_num} / CAST(ssum0 + ({m} - nbuckets) * {1 << (w + 1)}::BIGINT AS DOUBLE)
+             END AS DECIMAL(28,4)) AS DOUBLE) AS {out_col}
+    FROM g
+    """
+
+
 def hll_overlap_oracle_sql(
     table: str,
     value_expr: str,

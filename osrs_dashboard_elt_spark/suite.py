@@ -3884,6 +3884,26 @@ def q_hll_user_overlap(spark, sf_dir):
     return hll_set_overlap(a, b, "user_id", p=_HLL_P)
 
 
+@query(
+    "q_hll_rolling_distinct",
+    oracle=None,  # set below: generated from the same parameters
+)
+def q_hll_rolling_distinct(spark, sf_dir):
+    """Trailing-7-day distinct users per day from DAILY HLL registers
+    (the sketch-rollup marriage): one register aggregate per (day,
+    bucket), a broadcast day-spine range join + MAX re-aggregate per
+    trailing window, the shared estimator per day.  No event is read
+    twice, and any other window width re-derives from the same daily
+    registers.  See operators/sketches.py::hll_rolling_distinct."""
+    from .operators.sketches import hll_rolling_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    out = hll_rolling_distinct(ev, "ts", "user_id", window_days=7, p=_HLL_P)
+    return out.select(
+        F.date_format("day", D_FMT_SPARK).alias("day"), "approx_distinct"
+    )
+
+
 def _install_hll_oracle():
     from .operators.sketches import hll_oracle_sql, hll_overlap_oracle_sql
 
@@ -3897,6 +3917,13 @@ def _install_hll_oracle():
         f"ts < TIMESTAMP '{split}'",
         f"ts >= TIMESTAMP '{split}'",
         p=_HLL_P,
+    )
+    from .operators.sketches import hll_rolling_oracle_sql
+
+    inner = hll_rolling_oracle_sql("events", "ts", "user_id", 7, _HLL_P)
+    ORACLES["q_hll_rolling_distinct"] = (
+        f"SELECT strftime(day, '{D_FMT_DUCK}') AS day, approx_distinct "
+        f"FROM ({inner})"
     )
 
 

@@ -29,6 +29,10 @@ _ALLOWED = {
     # pid) join over the |partitions|-row count aggregate — both sides
     # bounded by the partition count, independent of data size.
     "q_global_shuffle_order": {"BroadcastNestedLoopJoin"},
+    # trailing-window register rollup: the day spine (one row per
+    # calendar day) broadcast-range-joins the daily register table —
+    # the nested loop's broadcast side is bounded by the calendar.
+    "q_hll_rolling_distinct": {"BroadcastNestedLoopJoin"},
 }
 
 

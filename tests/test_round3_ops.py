@@ -702,3 +702,41 @@ def test_hll_set_overlap_empty_side(spark):
     assert r.n_b == 0.0 and r.n_overlap == 0.0
     assert abs(r.n_a - 500) / 500 < 0.15
     assert r.n_union == r.n_a
+
+
+def test_hll_rolling_distinct_tracks_exact_trailing_windows(spark):
+    """Each day's estimate must track the EXACT trailing-7-day
+    distinct count within sketch error — including days whose window
+    spans buckets idle on the day itself."""
+    from datetime import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from osrs_dashboard_elt_spark.operators.sketches import (
+        hll_rolling_distinct,
+    )
+
+    # 20 days; day d sees users [100*d, 100*d + 500): windows overlap
+    rows = spark.range(20 * 500).select(
+        F.expr("CAST(id DIV 500 AS INT)").alias("d"),
+        (F.expr("id DIV 500") * 100 + F.expr("id % 500")).alias("u"),
+    )
+    df = rows.select(
+        F.expr(
+            "CAST('2024-03-01' AS TIMESTAMP) + make_interval(0,0,0,d,0,0,0)"
+        ).alias("ts"),
+        F.col("u"),
+    )
+    got = {
+        r.day.isoformat(): r.approx_distinct
+        for r in hll_rolling_distinct(df, "ts", "u", window_days=7).collect()
+    }
+    assert len(got) == 20
+    for d in range(20):
+        lo = max(0, d - 6)
+        exact = len(
+            {100 * k + i for k in range(lo, d + 1) for i in range(500)}
+        )
+        day = (_dt(2024, 3, 1) + __import__("datetime").timedelta(days=d)).date()
+        est = got[day.isoformat()]
+        assert abs(est - exact) / exact < 0.15, (d, est, exact)
