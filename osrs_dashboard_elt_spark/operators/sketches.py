@@ -44,6 +44,38 @@ from pyspark.sql import functions as F
 _HASH_HEX = 15  # 60 bits: unsigned value fits signed int64 everywhere
 
 
+def _rho_sql(w: int) -> str:
+    """DuckDB rho expression over a 60-bit hash column ``h`` — shared
+    by every HLL oracle so the register derivation cannot drift
+    between them."""
+    mask = (1 << w) - 1
+    return (
+        f"CASE WHEN (h & {mask}) > 0 "
+        f"THEN {w + 1} - LENGTH(bin(h & {mask})) "
+        f"ELSE {w + 1} END"
+    )
+
+
+def _est_sql(p: int) -> str:
+    """DuckDB estimate expression over ``ssum0``/``nbuckets`` columns
+    — the single source of the estimator arithmetic for every HLL
+    oracle (a tweak here reaches all of them, mirroring the shared
+    ``hll_estimate`` on the Spark side)."""
+    m = 1 << p
+    w = 60 - p
+    alpha_num = repr(_alpha(m) * m * m * float(1 << (w + 1)))
+    raw = (
+        f"{alpha_num} / CAST(ssum0 + ({m} - nbuckets) * "
+        f"{1 << (w + 1)}::BIGINT AS DOUBLE)"
+    )
+    return f"""CAST(CAST(
+             CASE WHEN ({raw}) <= {2.5 * m}
+                   AND ({m} - nbuckets) > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - nbuckets AS DOUBLE))
+                  ELSE {raw}
+             END AS DECIMAL(28,4)) AS DOUBLE)"""
+
+
 def _alpha(m: int) -> float:
     if m == 16:
         return 0.673
@@ -157,13 +189,57 @@ def hll_set_overlap(
     rows.  Intersection error compounds (~3x a single estimate's
     relative error scaled by the larger set) — standard for HLL
     inclusion-exclusion; use a higher ``p`` when overlaps are small
-    relative to the sets."""
-    side = F.lit("a")
-    regs_a = hll_registers(df_a.withColumn("side", side), ["side"], value_col, p)
+    relative to the sets.
+
+    For two slices of the SAME table, prefer
+    :func:`hll_set_overlap_pred` — identical result from ONE scan."""
+    regs_a = hll_registers(
+        df_a.withColumn("side", F.lit("a")), ["side"], value_col, p
+    )
     regs_b = hll_registers(
         df_b.withColumn("side", F.lit("b")), ["side"], value_col, p
     )
-    both = regs_a.unionByName(regs_b)
+    return _overlap_from_sided_regs(regs_a.unionByName(regs_b), p)
+
+
+def hll_set_overlap_pred(
+    df: DataFrame,
+    value_col: str,
+    pred_a,
+    pred_b,
+    p: int = 9,
+) -> DataFrame:
+    """:func:`hll_set_overlap` for two predicate-defined slices of ONE
+    table, in ONE scan: each row explodes into its matching side
+    labels (0, 1 or 2 of them) before the register aggregate, so the
+    input parquet is read and hashed once instead of once per side —
+    at 100 TB the duplicate scan, not the register algebra, would
+    dominate the two-frame form."""
+    sides = F.filter(
+        F.array(
+            F.when(pred_a, F.lit("a")), F.when(pred_b, F.lit("b"))
+        ),
+        lambda x: x.isNotNull(),
+    )
+    sided = df.select(
+        F.explode(sides).alias("side"), F.col(value_col).alias("v")
+    )
+    return _overlap_from_sided_regs(
+        hll_registers(sided, ["side"], "v", p), p
+    )
+
+
+def _overlap_from_sided_regs(both: DataFrame, p: int) -> DataFrame:
+    """(n_a, n_b, n_union, n_overlap) from a (side in {a, b}, bucket,
+    M) register table — the shared tail of both overlap forms.
+
+    The register table feeds BOTH the per-side estimates and the
+    union max-merge; without truncation each reference re-plans the
+    whole upstream scan+aggregate (measured: 3 source scans).  The
+    checkpoint materializes at most ``2 * 2^p`` tiny rows once —
+    the same multi-referenced-intermediate discipline as the
+    embedding-LSH posting table."""
+    both = both.localCheckpoint(eager=False)
     regs_u = (
         both.groupBy("bucket")
         .agg(F.max("M").alias("M"))
@@ -196,10 +272,8 @@ def hll_oracle_sql(
 ) -> str:
     """The DuckDB mirror of ``hll_distinct`` — same hash, same integer
     scaling, same branch, same rounding."""
-    m = 1 << p
     w = 60 - p
     kl = ", ".join(keys)
-    alpha_num = repr(_alpha(m) * m * m * float(1 << (w + 1)))
     return f"""
     WITH hashed AS (
       SELECT {kl},
@@ -208,10 +282,7 @@ def hll_oracle_sql(
       WHERE {value_expr} IS NOT NULL
     ),
     br AS (
-      SELECT {kl}, h >> {w} AS bucket,
-             CASE WHEN (h & {(1 << w) - 1}) > 0
-                  THEN {w + 1} - LENGTH(bin(h & {(1 << w) - 1}))
-                  ELSE {w + 1} END AS rho
+      SELECT {kl}, h >> {w} AS bucket, {_rho_sql(w)} AS rho
       FROM hashed
     ),
     regs AS (
@@ -223,13 +294,7 @@ def hll_oracle_sql(
              COUNT(*) AS nbuckets
       FROM regs GROUP BY {kl}
     )
-    SELECT {kl},
-           CAST(CAST(
-             CASE WHEN ({alpha_num} / CAST(ssum0 + ({m} - nbuckets) * {1 << (w + 1)}::BIGINT AS DOUBLE)) <= {2.5 * m}
-                   AND ({m} - nbuckets) > 0
-                  THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - nbuckets AS DOUBLE))
-                  ELSE {alpha_num} / CAST(ssum0 + ({m} - nbuckets) * {1 << (w + 1)}::BIGINT AS DOUBLE)
-             END AS DECIMAL(28,4)) AS DOUBLE) AS {out_col}
+    SELECT {kl}, {_est_sql(p)} AS {out_col}
     FROM g
     """
 
@@ -278,7 +343,10 @@ def hll_rolling_distinct(
         .agg(F.max("M").alias("M"))
         .withColumnRenamed("anchor", "day")
     )
-    return hll_estimate(rolled, ["day"], p, out_col).orderBy("day")
+    # no orderBy: the value-hash gate is order-insensitive and a
+    # global sort over the per-day output would add a range exchange
+    # every caller pays; sort at the consumer when display needs it
+    return hll_estimate(rolled, ["day"], p, out_col)
 
 
 def hll_rolling_oracle_sql(
@@ -291,10 +359,8 @@ def hll_rolling_oracle_sql(
 ) -> str:
     """DuckDB mirror of :func:`hll_rolling_distinct`: identical daily
     registers, identical spine range-join + MAX rollup, identical
-    estimate arithmetic."""
-    m = 1 << p
+    estimate arithmetic (shared ``_rho_sql``/``_est_sql``)."""
     w = 60 - p
-    alpha_num = repr(_alpha(m) * m * m * float(1 << (w + 1)))
     return f"""
     WITH hashed AS (
       SELECT CAST(date_trunc('day', {ts_expr}) AS DATE) AS day,
@@ -302,10 +368,7 @@ def hll_rolling_oracle_sql(
       FROM {table} WHERE {value_expr} IS NOT NULL
     ),
     br AS (
-      SELECT day, h >> {w} AS bucket,
-             CASE WHEN (h & {(1 << w) - 1}) > 0
-                  THEN {w + 1} - LENGTH(bin(h & {(1 << w) - 1}))
-                  ELSE {w + 1} END AS rho
+      SELECT day, h >> {w} AS bucket, {_rho_sql(w)} AS rho
       FROM hashed
     ),
     daily AS (
@@ -324,13 +387,7 @@ def hll_rolling_oracle_sql(
              COUNT(*) AS nbuckets
       FROM rolled GROUP BY day
     )
-    SELECT day,
-           CAST(CAST(
-             CASE WHEN ({alpha_num} / CAST(ssum0 + ({m} - nbuckets) * {1 << (w + 1)}::BIGINT AS DOUBLE)) <= {2.5 * m}
-                   AND ({m} - nbuckets) > 0
-                  THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - nbuckets AS DOUBLE))
-                  ELSE {alpha_num} / CAST(ssum0 + ({m} - nbuckets) * {1 << (w + 1)}::BIGINT AS DOUBLE)
-             END AS DECIMAL(28,4)) AS DOUBLE) AS {out_col}
+    SELECT day, {_est_sql(p)} AS {out_col}
     FROM g
     """
 
@@ -342,18 +399,13 @@ def hll_overlap_oracle_sql(
     pred_b: str,
     p: int = 9,
 ) -> str:
-    """DuckDB mirror of :func:`hll_set_overlap` for slices of one
-    table defined by two predicates: identical registers, union by
-    register MAX, identical estimate arithmetic and rounding."""
-    m = 1 << p
+    """DuckDB mirror of :func:`hll_set_overlap` /
+    :func:`hll_set_overlap_pred` for slices of one table defined by
+    two predicates: identical registers, union by register MAX,
+    identical estimate arithmetic and rounding (shared
+    ``_rho_sql``/``_est_sql``), empty slices coalesced to 0.0 exactly
+    like the Spark side."""
     w = 60 - p
-    alpha_num = repr(_alpha(m) * m * m * float(1 << (w + 1)))
-    est = f"""CAST(CAST(
-             CASE WHEN ({alpha_num} / CAST(ssum0 + ({m} - nbuckets) * {1 << (w + 1)}::BIGINT AS DOUBLE)) <= {2.5 * m}
-                   AND ({m} - nbuckets) > 0
-                  THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - nbuckets AS DOUBLE))
-                  ELSE {alpha_num} / CAST(ssum0 + ({m} - nbuckets) * {1 << (w + 1)}::BIGINT AS DOUBLE)
-             END AS DECIMAL(28,4)) AS DOUBLE)"""
     return f"""
     WITH src AS (
       SELECT CAST({value_expr} AS VARCHAR) AS v,
@@ -369,10 +421,7 @@ def hll_overlap_oracle_sql(
       FROM sided
     ),
     br AS (
-      SELECT side, h >> {w} AS bucket,
-             CASE WHEN (h & {(1 << w) - 1}) > 0
-                  THEN {w + 1} - LENGTH(bin(h & {(1 << w) - 1}))
-                  ELSE {w + 1} END AS rho
+      SELECT side, h >> {w} AS bucket, {_rho_sql(w)} AS rho
       FROM hashed
     ),
     regs AS (
@@ -389,11 +438,11 @@ def hll_overlap_oracle_sql(
              COUNT(*) AS nbuckets
       FROM allregs GROUP BY side
     ),
-    est AS (SELECT side, {est} AS e FROM g),
+    est AS (SELECT side, {_est_sql(p)} AS e FROM g),
     pv AS (
-      SELECT MAX(CASE WHEN side = 'a' THEN e END) AS na,
-             MAX(CASE WHEN side = 'b' THEN e END) AS nb,
-             MAX(CASE WHEN side = 'u' THEN e END) AS nu
+      SELECT COALESCE(MAX(CASE WHEN side = 'a' THEN e END), 0.0) AS na,
+             COALESCE(MAX(CASE WHEN side = 'b' THEN e END), 0.0) AS nb,
+             COALESCE(MAX(CASE WHEN side = 'u' THEN e END), 0.0) AS nu
       FROM est
     )
     SELECT na AS n_a, nb AS n_b, nu AS n_union,

@@ -3872,16 +3872,19 @@ def q_hll_user_overlap(spark, sf_dir):
     of the month, without an exact distinct or a self-join.  The two
     periods' HLL registers max-merge into the union sketch (the HLL-
     native union) and the intersection falls out of inclusion-
-    exclusion — after the two register aggregates, the whole
-    computation touches at most 3*2^p rows.  The period-over-period
-    audience-overlap shape at any scale; see
-    operators/sketches.py::hll_set_overlap."""
-    from .operators.sketches import hll_set_overlap
+    exclusion — after the register aggregate, the whole computation
+    touches at most 3*2^p rows.  The predicate form reads and hashes
+    events ONCE (each row explodes into its matching side labels) —
+    the two-filtered-frames form would scan the fact table twice.
+    The period-over-period audience-overlap shape at any scale; see
+    operators/sketches.py::hll_set_overlap_pred."""
+    from .operators.sketches import hll_set_overlap_pred
 
     ev = _t(spark, sf_dir, "events")
-    a = ev.filter(F.col("ts") < F.lit(_HLL_SPLIT))
-    b = ev.filter(F.col("ts") >= F.lit(_HLL_SPLIT))
-    return hll_set_overlap(a, b, "user_id", p=_HLL_P)
+    split = F.lit(_HLL_SPLIT)
+    return hll_set_overlap_pred(
+        ev, "user_id", F.col("ts") < split, F.col("ts") >= split, p=_HLL_P
+    )
 
 
 @query(

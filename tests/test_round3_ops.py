@@ -740,3 +740,30 @@ def test_hll_rolling_distinct_tracks_exact_trailing_windows(spark):
         day = (_dt(2024, 3, 1) + __import__("datetime").timedelta(days=d)).date()
         est = got[day.isoformat()]
         assert abs(est - exact) / exact < 0.15, (d, est, exact)
+
+
+def test_hll_overlap_pred_single_scan_matches_two_frame(spark):
+    """The one-scan predicate form must return exactly the two-frame
+    form's row, and its plan must contain a single scan of the input."""
+    from pyspark.sql import functions as F
+
+    from osrs_dashboard_elt_spark.operators.sketches import (
+        hll_set_overlap,
+        hll_set_overlap_pred,
+    )
+
+    df = spark.range(0, 4000).select(F.col("id").alias("v"))
+    pa, pb = F.col("v") < 2500, F.col("v") >= 1500
+    two = hll_set_overlap(
+        df.filter(pa), df.filter(pb), "v", p=9
+    ).collect()[0]
+    one_df = hll_set_overlap_pred(df, "v", pa, pb, p=9)
+    one = one_df.collect()[0]
+    assert tuple(one) == tuple(two)
+    # the register table is checkpointed, so the final plan reads the
+    # materialized registers (ExistingRDD) and references the source
+    # AT MOST once — never once per side/union branch (3 scans before
+    # the truncation)
+    plan = one_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range (0, 4000") <= 1, plan
+    assert "ExistingRDD" in plan, plan
