@@ -300,3 +300,23 @@ def test_index_entry_points_validate_band_params(spark, docs, tmp_path):
             spark, docs, "whatever", "doc_id", "text",
             num_perm=16, bands=17,
         )
+
+
+def test_compact_index_rejects_unbucketed_table(spark, tmp_path):
+    """Compacting a table with no bucket spec must fail loudly when
+    n_buckets isn't given — rewriting with a guessed layout would
+    silently break the probe's shuffle-free contract."""
+    from osrs_dashboard_elt_spark.operators.dedup_index import compact_index
+
+    df = spark.createDataFrame(
+        [(1, "k1")], "corpus_id BIGINT, band_key STRING"
+    )
+    df.write.mode("overwrite").option("path", str(tmp_path / "nb")).saveAsTable(
+        "nb_tbl"
+    )
+    try:
+        with pytest.raises(ValueError, match="bucket spec"):
+            compact_index(spark, "nb_tbl")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nb_tbl")
+        spark.sql("DROP TABLE IF EXISTS nb_tbl__compact")
