@@ -125,12 +125,18 @@ def main() -> None:
     from osrs_dashboard_elt_spark.operators.sketches import cms_heavy_hitters
     from osrs_dashboard_elt_spark.operators.skew import ensure_min_partitions
 
-    docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    emb0 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    li0 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    orders0 = spark.read.parquet(f"{SF_DIR}/orders.parquet")
-    supp0 = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
-    ev0 = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # suite._t handles the events table's TIMESTAMP(NANOS) parquet
+    # encoding (nanosAsLong conf + DIV-1000 truncation) and NTZ
+    # normalization — raw spark.read would hand hll_rolling a BIGINT ts
+    from osrs_dashboard_elt_spark import suite as _suite
+
+    _suite._pin(spark)
+    docs0 = _suite._t(spark, SF_DIR, "documents")
+    emb0 = _suite._t(spark, SF_DIR, "embeddings")
+    li0 = _suite._t(spark, SF_DIR, "lineitem")
+    orders0 = _suite._t(spark, SF_DIR, "orders")
+    supp0 = _suite._t(spark, SF_DIR, "supplier")
+    ev0 = _suite._t(spark, SF_DIR, "events")
 
     cc_stats: dict = {}
 
@@ -216,6 +222,19 @@ def main() -> None:
             spark, t["probe_batch"], "scale_probe_idx", "doc_id", "text",
             shingle_n=3,
         ),
+        # sketch family: wall time should scan-scale linearly while
+        # every post-register stage stays bounded by 2^p / calendar
+        "hll_rolling": lambda t: __import__(
+            "osrs_dashboard_elt_spark.operators.sketches", fromlist=["x"]
+        ).hll_rolling_distinct(t["events"], "ts", "user_id", 7),
+        "hll_overlap": lambda t: __import__(
+            "osrs_dashboard_elt_spark.operators.sketches", fromlist=["x"]
+        ).hll_set_overlap_pred(
+            t["events"],
+            "user_id",
+            F.col("ts") < F.lit("2024-01-16"),
+            F.col("ts") >= F.lit("2024-01-16"),
+        ),
     }
     if only:
         unknown = only - set(ops)
@@ -227,7 +246,7 @@ def main() -> None:
                  "dedup_clusters", "incremental_probe"} & set(ops)
     need_emb = "embedding_neardup" in ops
     need_li = {"item_copurchase", "waiting_orders"} & set(ops)
-    need_ev = "cms_heavy_hitters" in ops
+    need_ev = {"cms_heavy_hitters", "hll_rolling", "hll_overlap"} & set(ops)
     probe_batch = None
     if "incremental_probe" in ops:
         # a fixed 500-doc batch: half re-submits corpus text verbatim
