@@ -252,14 +252,22 @@ def _overlap_from_sided_regs(both: DataFrame, p: int) -> DataFrame:
     n_a = F.coalesce(F.col("a"), F.lit(0.0))
     n_b = F.coalesce(F.col("b"), F.lit(0.0))
     n_u = F.coalesce(F.col("u"), F.lit(0.0))
-    overlap = F.greatest(
-        F.lit(0.0), ((n_a + n_b) - n_u).cast("decimal(28,4)").cast("double")
-    )
+
+    def _d4(c):
+        return c.cast("decimal(28,4)").cast("double")
+
+    overlap = F.greatest(F.lit(0.0), _d4((n_a + n_b) - n_u))
+    # set differences by the same inclusion-exclusion: |A \ B| =
+    # |A∪B| - |B| (clamped; estimator error can cross zero)
+    a_only = F.greatest(F.lit(0.0), _d4(n_u - n_b))
+    b_only = F.greatest(F.lit(0.0), _d4(n_u - n_a))
     return one.select(
         n_a.alias("n_a"),
         n_b.alias("n_b"),
         n_u.alias("n_union"),
         overlap.alias("n_overlap"),
+        a_only.alias("n_a_only"),
+        b_only.alias("n_b_only"),
     )
 
 
@@ -448,7 +456,13 @@ def hll_overlap_oracle_sql(
     SELECT na AS n_a, nb AS n_b, nu AS n_union,
            GREATEST(CAST(0 AS DOUBLE),
              CAST(CAST((na + nb) - nu AS DECIMAL(28,4)) AS DOUBLE)
-           ) AS n_overlap
+           ) AS n_overlap,
+           GREATEST(CAST(0 AS DOUBLE),
+             CAST(CAST(nu - nb AS DECIMAL(28,4)) AS DOUBLE)
+           ) AS n_a_only,
+           GREATEST(CAST(0 AS DOUBLE),
+             CAST(CAST(nu - na AS DECIMAL(28,4)) AS DOUBLE)
+           ) AS n_b_only
     FROM pv
     """
 

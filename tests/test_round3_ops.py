@@ -767,3 +767,20 @@ def test_hll_overlap_pred_single_scan_matches_two_frame(spark):
     plan = one_df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Range (0, 4000") <= 1, plan
     assert "ExistingRDD" in plan, plan
+
+
+def test_hll_overlap_differences_consistent(spark):
+    """The difference estimates complete the algebra: a_only + b_only
+    + overlap reconstructs the union (exactly, by construction), and
+    each difference tracks its true size within sketch error."""
+    from pyspark.sql import functions as F
+
+    from osrs_dashboard_elt_spark.operators.sketches import hll_set_overlap
+
+    a = spark.range(0, 3000).select(F.col("id").alias("v"))
+    b = spark.range(2000, 5000).select(F.col("id").alias("v"))
+    r = hll_set_overlap(a, b, "v", p=9).collect()[0]
+    assert abs(r.n_a_only - 2000) / 2000 < 0.3
+    assert abs(r.n_b_only - 2000) / 2000 < 0.3
+    # identity holds on the rounded values (all derived from na/nb/nu)
+    assert abs((r.n_a_only + r.n_b_only + r.n_overlap) - r.n_union) < 0.001
