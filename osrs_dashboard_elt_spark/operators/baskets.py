@@ -52,11 +52,17 @@ def copurchase_pairs(
     )
     if observation is not None:
         over = F.size("__parts") > max_basket
+        # coalesce: F.sum over an EMPTY frame is NULL, and callers do
+        # arithmetic on the observed dict — report 0, not None
         per_order = per_order.observe(
             observation,
-            F.sum(over.cast("long")).alias("n_truncated_baskets"),
-            F.sum(
-                F.when(over, F.size("__parts") - max_basket).otherwise(0)
+            F.coalesce(F.sum(over.cast("long")), F.lit(0).cast("long"))
+            .alias("n_truncated_baskets"),
+            F.coalesce(
+                F.sum(
+                    F.when(over, F.size("__parts") - max_basket).otherwise(0)
+                ).cast("long"),
+                F.lit(0).cast("long"),
             ).alias("n_dropped_items"),
         )
     capped = per_order.select(

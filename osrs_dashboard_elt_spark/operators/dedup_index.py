@@ -40,6 +40,10 @@ the index itself never stores text.
 
 from __future__ import annotations
 
+import json
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -57,6 +61,159 @@ def _band_key(posts: DataFrame) -> DataFrame:
     return posts.select(
         "id", F.concat_ws("|", F.col("bi").cast("string"), F.col("bk")).alias("band_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Index lifecycle plumbing: location resolution, sidecar meta, tombstones
+# ---------------------------------------------------------------------------
+
+
+def _describe(spark: SparkSession, table: str) -> dict:
+    return {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    }
+
+
+def _strip_scheme(loc: str) -> str:
+    return loc[len("file:"):] if loc.startswith("file:") else loc
+
+
+def _base_path(location: str) -> str:
+    """The index's STABLE identity path: compaction moves the data to
+    ``{base}__compact-<hex>`` dirs, so stripping the suffix recovers
+    the path every sidecar (meta, tombstones) hangs off."""
+    return _strip_scheme(location).split("__compact", 1)[0]
+
+
+def _write_meta(
+    spark: SparkSession, table: str, n_buckets: int
+) -> None:
+    """Atomically (write-temp + rename) record the index's CURRENT
+    location, schema and bucket spec at ``{base}__meta.json`` so a
+    fresh process can re-register the table without guessing —
+    re-registering the original path after a compaction moved the data
+    would resurrect the stale pre-compaction directory and orphan
+    every later append."""
+    # Schema comes from the DESCRIBE rows, NOT spark.table(table):
+    # resolving the relation here would pin a (possibly empty) file
+    # listing into THIS session's relation cache, which appends from
+    # foreachBatch's CLONED sessions never invalidate — the caller
+    # would then read a permanently stale snapshot.
+    rows = spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    detail = {r.col_name: r.data_type for r in rows}
+    location = detail.get("Location")
+    if not location:
+        return
+    base = _base_path(location)
+    col_rows = []
+    for r in rows:
+        if not r.col_name or r.col_name.startswith("#"):
+            break
+        col_rows.append(f"{r.col_name} {r.data_type}")
+    cols = ", ".join(col_rows)
+    meta = {
+        "table": table,
+        "location": _strip_scheme(location),
+        "columns": cols,
+        "bucket_keys": ["band_key"],
+        "n_buckets": n_buckets,
+    }
+    parent = os.path.dirname(base) or "."
+    fd, tmp = tempfile.mkstemp(dir=parent, prefix=".idxmeta-")
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, f"{base}__meta.json")
+
+
+def register_index(spark: SparkSession, base_path: str, table: str | None = None) -> str:
+    """Re-register an at-rest index in a FRESH session's in-memory
+    catalog from its sidecar meta (``{base_path}__meta.json``) —
+    pointing the DDL at the CURRENT data location, which compaction
+    may have moved off the base path.  Returns the table name."""
+    with open(f"{base_path}__meta.json") as f:
+        meta = json.load(f)
+    name = table or meta["table"]
+    keys = ", ".join(meta["bucket_keys"])
+    spark.sql(
+        f"CREATE TABLE {name} ({meta['columns']}) USING PARQUET "
+        f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
+        f"INTO {meta['n_buckets']} BUCKETS LOCATION '{meta['location']}'"
+    )
+    return name
+
+
+def _tombstone_path(spark: SparkSession, table: str) -> str | None:
+    location = _describe(spark, table).get("Location")
+    if not location:
+        return None
+    return f"{_base_path(location)}__tombstones"
+
+
+def delete_from_index(spark: SparkSession, table: str, ids) -> int:
+    """Tombstone corpus documents (takedown, quality re-filter): their
+    postings stop matching probes IMMEDIATELY, and the next
+    ``compact_index`` drops them physically.  ``ids`` is a list or a
+    one-column DataFrame.  Returns the number of ids tombstoned.
+
+    Tombstones are an append-only one-column parquet dir next to the
+    index (``{base}__tombstones``) — bytes-tiny, broadcast at probe
+    time, and they SURVIVE compaction: a deleted doc redelivered by an
+    at-least-once source must not be re-accepted just because the
+    compactor already ran.  Re-admitting an id on purpose is
+    :func:`clear_tombstones`."""
+    path = _tombstone_path(spark, table)
+    if path is None:
+        raise ValueError(f"{table} has no resolvable location")
+    id_type = dict(spark.table(table).dtypes)["corpus_id"]
+    if isinstance(ids, DataFrame):
+        tomb = ids.select(
+            F.col(ids.columns[0]).cast(id_type).alias("corpus_id")
+        )
+    else:
+        ids = list(ids)
+        if not ids:
+            return 0
+        tomb = spark.createDataFrame(
+            [(i,) for i in ids], f"corpus_id {id_type}"
+        )
+    tomb = tomb.distinct().persist()
+    n = tomb.count()
+    tomb.coalesce(1).write.mode("append").parquet(path)
+    tomb.unpersist()
+    return n
+
+
+def clear_tombstones(spark: SparkSession, table: str, ids=None) -> None:
+    """Explicitly re-admit tombstoned ids (``ids=None`` clears all) —
+    the only way a deleted corpus id becomes probe-visible again."""
+    import shutil
+
+    path = _tombstone_path(spark, table)
+    if path is None or not os.path.exists(path):
+        return
+    if ids is None:
+        shutil.rmtree(path)
+        return
+    keep = spark.read.parquet(path).filter(
+        ~F.col("corpus_id").isin(list(ids))
+    ).persist()
+    keep.count()
+    keep.coalesce(1).write.mode("overwrite").parquet(path)
+    keep.unpersist()
+
+
+def _without_tombstoned(
+    spark: SparkSession, cand: DataFrame, table: str
+) -> DataFrame:
+    """Anti-join candidates against the (tiny, broadcast) tombstone
+    set — applied in every probe so a deleted corpus id can never
+    surface as a match, before OR after compaction."""
+    path = _tombstone_path(spark, table)
+    if path is None or not os.path.exists(path):
+        return cand
+    tomb = spark.read.parquet(path).select("corpus_id").distinct()
+    return cand.join(F.broadcast(tomb), "corpus_id", "left_anti")
 
 
 def write_minhash_index(
@@ -97,6 +254,8 @@ def write_minhash_index(
         path=path,
         mode=mode,
     )
+    if mode != "append":
+        _write_meta(df.sparkSession, table, n_buckets)
 
 
 def probe_minhash_index(
@@ -136,6 +295,7 @@ def probe_minhash_index(
     cand = cand.select("new_id", "corpus_id").dropDuplicates(
         ["new_id", "corpus_id"]
     )
+    cand = _without_tombstoned(spark, cand, table)
     if verify_threshold is None:
         return cand
     if corpus_docs is None:
@@ -200,6 +360,8 @@ def write_embedding_index(
         path=path,
         mode=mode,
     )
+    if mode != "append":
+        _write_meta(df.sparkSession, table, n_buckets)
 
 
 def probe_embedding_index(
@@ -237,6 +399,7 @@ def probe_embedding_index(
         .select("new_id", "corpus_id")
         .dropDuplicates(["new_id", "corpus_id"])
     )
+    cand = _without_tombstoned(spark, cand, table)
     if threshold is None:
         return cand
     if corpus_vecs is None:
@@ -288,23 +451,27 @@ def compact_index(
     (probes against a capped-away key lose that key's recall, same
     trade as the write-time cap).
 
-    Run from the ingest owner (single writer).  The catalog swap is
-    DROP + RENAME, which Spark SQL cannot make atomic: a reader
-    racing the swap can hit a brief TABLE_OR_VIEW_NOT_FOUND (retry),
-    and if the compactor dies between the two statements the data
-    survives under ``{table}__compact`` (re-run the rename).  The
-    previous external location's files are left in place for
-    out-of-band vacuum (a reader may still be scanning them; object
-    stores want their own lifecycle tooling for the delete)."""
+    Tombstoned postings (:func:`delete_from_index`) are dropped
+    physically; the tombstone sidecar itself survives (a redelivered
+    deleted doc must stay rejected).
+
+    Run from the ingest owner (single writer).  The publish is
+    atomic to readers: the compacted data is written to a FRESH
+    external dir under a temp table name, then the live table is
+    repointed with a single ``ALTER TABLE ... SET LOCATION`` — the
+    table name never leaves the catalog, so a racing ``spark.table``
+    always resolves (to the old snapshot before the repoint, the new
+    one after).  If the compactor dies before the repoint, the live
+    table is untouched and the orphan dir is vacuumable.  The
+    previous location's files are left in place (a reader may still
+    be scanning them); the sidecar meta records the current location
+    for fresh-process re-registration (:func:`register_index`)."""
     import uuid
 
     from ..sources.bucketed import write_bucketed
 
     current = spark.table(table)
-    detail = {
-        r.col_name: r.data_type
-        for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()
-    }
+    detail = _describe(spark, table)
     if n_buckets is None:
         try:
             n_buckets = int(str(detail.get("Num Buckets", "")).strip())
@@ -316,18 +483,32 @@ def compact_index(
     deduped = current.dropDuplicates(["corpus_id", "band_key"])
     if max_bucket_size is not None:
         deduped = _drop_hot_keys(deduped, ["band_key"], max_bucket_size)
+    tomb_path = _tombstone_path(spark, table)
+    if tomb_path and os.path.exists(tomb_path):
+        tomb = spark.read.parquet(tomb_path).select("corpus_id").distinct()
+        deduped = deduped.join(F.broadcast(tomb), "corpus_id", "left_anti")
     tmp = f"{table}__compact"
     # stable base + fresh suffix: repeated compactions must not grow
     # the path (loc__compact__compact__...) and must not collide with
     # a previous compaction's still-vacuumable dir
     tmp_loc = None
     if location:
-        base = location.split("__compact", 1)[0]
-        tmp_loc = f"{base}__compact-{uuid.uuid4().hex[:8]}"
+        tmp_loc = f"{_base_path(location)}__compact-{uuid.uuid4().hex[:8]}"
     write_bucketed(
         deduped, tmp, keys=["band_key"], n_buckets=n_buckets, path=tmp_loc
     )
     n = spark.table(tmp).count()
-    spark.sql(f"DROP TABLE {table}")
-    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    if tmp_loc is not None:
+        # external table: one catalog op repoints the live name; the
+        # tmp name is then dropped metadata-only (files survive)
+        spark.sql(f"ALTER TABLE {table} SET LOCATION '{tmp_loc}'")
+        spark.sql(f"DROP TABLE {tmp}")
+    else:
+        # managed table (no explicit location): fall back to the
+        # rename swap — DROP deletes managed data, so repointing is
+        # not available; the window only exists for catalog-managed
+        # test tables, never the production external layout
+        spark.sql(f"DROP TABLE {table}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    _write_meta(spark, table, n_buckets)
     return n

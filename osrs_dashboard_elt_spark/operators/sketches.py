@@ -193,11 +193,20 @@ def hll_set_overlap(
 
     For two slices of the SAME table, prefer
     :func:`hll_set_overlap_pred` — identical result from ONE scan."""
+    # project to ONLY the value column under an internal name before
+    # labeling: a caller frame that already carries a "side" (or the
+    # value col literally named "__side") must not collide
     regs_a = hll_registers(
-        df_a.withColumn("side", F.lit("a")), ["side"], value_col, p
+        df_a.select(
+            F.lit("a").alias("__side"), F.col(value_col).alias("__v")
+        ),
+        ["__side"], "__v", p,
     )
     regs_b = hll_registers(
-        df_b.withColumn("side", F.lit("b")), ["side"], value_col, p
+        df_b.select(
+            F.lit("b").alias("__side"), F.col(value_col).alias("__v")
+        ),
+        ["__side"], "__v", p,
     )
     return _overlap_from_sided_regs(regs_a.unionByName(regs_b), p)
 
@@ -222,16 +231,16 @@ def hll_set_overlap_pred(
         lambda x: x.isNotNull(),
     )
     sided = df.select(
-        F.explode(sides).alias("side"), F.col(value_col).alias("v")
+        F.explode(sides).alias("__side"), F.col(value_col).alias("__v")
     )
     return _overlap_from_sided_regs(
-        hll_registers(sided, ["side"], "v", p), p
+        hll_registers(sided, ["__side"], "__v", p), p
     )
 
 
 def _overlap_from_sided_regs(both: DataFrame, p: int) -> DataFrame:
-    """(n_a, n_b, n_union, n_overlap) from a (side in {a, b}, bucket,
-    M) register table — the shared tail of both overlap forms.
+    """(n_a, n_b, n_union, n_overlap) from a (__side in {a, b},
+    bucket, M) register table — the shared tail of both overlap forms.
 
     The register table feeds BOTH the per-side estimates and the
     union max-merge; without truncation each reference re-plans the
@@ -243,10 +252,10 @@ def _overlap_from_sided_regs(both: DataFrame, p: int) -> DataFrame:
     regs_u = (
         both.groupBy("bucket")
         .agg(F.max("M").alias("M"))
-        .select(F.lit("u").alias("side"), "bucket", "M")
+        .select(F.lit("u").alias("__side"), "bucket", "M")
     )
-    est = hll_estimate(both.unionByName(regs_u), ["side"], p, "e")
-    one = est.groupBy().pivot("side", ["a", "b", "u"]).agg(F.first("e"))
+    est = hll_estimate(both.unionByName(regs_u), ["__side"], p, "e")
+    one = est.groupBy().pivot("__side", ["a", "b", "u"]).agg(F.first("e"))
     # an EMPTY slice produces no register rows, hence no pivot column
     # value — a silent NULL would poison every downstream field
     n_a = F.coalesce(F.col("a"), F.lit(0.0))

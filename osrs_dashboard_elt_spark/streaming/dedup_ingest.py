@@ -97,8 +97,9 @@ def start_dedup_ingest(
     resuming from the SAME checkpoint so a replayed micro-batch
     overwrites its own partition; a fresh checkpoint should keep the
     default fresh run id.  ``on_batch`` receives ``(batch_id,
-    counts)`` with keys ``n_in``, ``n_in_batch_dup``,
-    ``n_corpus_dup``, ``n_already_ingested``, ``n_accepted``."""
+    counts)`` with keys ``n_in``, ``n_same_id_collapsed``,
+    ``n_in_batch_dup``, ``n_corpus_dup``, ``n_already_ingested``,
+    ``n_accepted``."""
     params = dict(
         num_perm=num_perm, bands=bands, seed=seed, shingle_n=shingle_n
     )
@@ -106,14 +107,23 @@ def start_dedup_ingest(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = batch_df.persist()
-        persisted = [batch]
+        raw = batch_df.persist()
+        # Exact SAME-ID rows arriving in one micro-batch (source-side
+        # redelivery within a batch) must collapse BEFORE clustering:
+        # a pair generator with ``id_a < id_b`` cannot pair a doc with
+        # itself, so without this the canon join fans out (2 copies of
+        # one id -> 4 accepted rows) and ``accepted`` carries dup ids.
+        batch = raw.dropDuplicates([id_col]).persist()
+        persisted = [raw, batch]
         try:
+            n_raw = raw.count()
             n_in = batch.count()
+            n_same_id = n_raw - n_in
             if n_in == 0:
                 if on_batch is not None:
                     on_batch(batch_id, {
-                        "n_in": 0, "n_in_batch_dup": 0, "n_corpus_dup": 0,
+                        "n_in": 0, "n_same_id_collapsed": n_same_id,
+                        "n_in_batch_dup": 0, "n_corpus_dup": 0,
                         "n_already_ingested": 0, "n_accepted": 0,
                     })
                 return
@@ -197,6 +207,7 @@ def start_dedup_ingest(
             # batch's own docs as already_ingested.
             metrics = {
                 "n_in": n_in,
+                "n_same_id_collapsed": n_same_id,
                 "n_in_batch_dup": in_batch_dup.count(),
                 "n_corpus_dup": dup_ids.count(),
                 "n_already_ingested": already.count(),

@@ -51,6 +51,7 @@ def main() -> int:
     )
     from osrs_dashboard_elt_spark.operators.dedup_index import (
         compact_index,
+        register_index,
         write_minhash_index,
     )
     from osrs_dashboard_elt_spark.session import get_spark
@@ -89,13 +90,12 @@ def main() -> int:
     table = "ingest_mh_idx"
     idx_path = f"{out_dir}/mh_index"
     if not spark.catalog.tableExists(table):
-        if os.path.exists(idx_path):
-            spark.sql(
-                f"CREATE TABLE {table} (corpus_id BIGINT, band_key STRING) "
-                "USING PARQUET CLUSTERED BY (band_key) "
-                "SORTED BY (band_key) INTO 32 BUCKETS "
-                f"LOCATION '{idx_path}'"
-            )
+        if os.path.exists(f"{idx_path}__meta.json"):
+            # the sidecar records the CURRENT location — compaction at
+            # the end of a prior run moved the data off idx_path, and
+            # re-registering the stale dir would orphan the compacted
+            # index and every subsequent append
+            register_index(spark, idx_path, table)
         else:
             empty = spark.createDataFrame([], "doc_id long, text string")
             write_minhash_index(

@@ -320,3 +320,130 @@ def test_compact_index_rejects_unbucketed_table(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS nb_tbl")
         spark.sql("DROP TABLE IF EXISTS nb_tbl__compact")
+
+
+def test_tombstoned_id_never_probes_pre_or_post_compaction(
+    spark, docs, tmp_path
+):
+    """delete_from_index: a tombstoned corpus id disappears from probe
+    output IMMEDIATELY (anti-join against the broadcast tombstone
+    set), stays gone after compaction physically drops its postings,
+    and clear_tombstones re-admits it (postings permitting)."""
+    from osrs_dashboard_elt_spark.operators.dedup_index import (
+        clear_tombstones,
+        compact_index,
+        delete_from_index,
+    )
+
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    write_minhash_index(
+        corpus, "mh_tomb", "doc_id", "text",
+        n_buckets=8, path=str(tmp_path / "tomb"), **PARAMS,
+    )
+    try:
+        def probe_corpus_ids():
+            return {
+                r.corpus_id
+                for r in probe_minhash_index(
+                    spark, new, "mh_tomb", "doc_id", "text", **PARAMS
+                ).collect()
+            }
+
+        before = probe_corpus_ids()
+        assert before, "fixture must produce at least one candidate"
+        victim = sorted(before)[0]
+        assert delete_from_index(spark, "mh_tomb", [victim]) == 1
+
+        after_delete = probe_corpus_ids()
+        assert victim not in after_delete
+        assert after_delete == before - {victim}
+
+        n = compact_index(spark, "mh_tomb")
+        # the victim's postings are physically gone from the rewrite
+        assert (
+            spark.table("mh_tomb")
+            .filter(F.col("corpus_id") == victim)
+            .count()
+            == 0
+        )
+        assert n == spark.table("mh_tomb").count()
+        assert probe_corpus_ids() == before - {victim}
+
+        # tombstones SURVIVE compaction (block redelivery
+        # resurrection) until explicitly cleared
+        clear_tombstones(spark, "mh_tomb")
+        # postings were dropped physically, so the victim stays
+        # absent — clearing only re-enables FUTURE postings
+        assert probe_corpus_ids() == before - {victim}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_tomb")
+
+
+def test_register_index_follows_compaction_move(spark, docs, tmp_path):
+    """A fresh process re-registers the index from the sidecar meta,
+    which records the CURRENT (post-compaction) location — pinning the
+    original path would resurrect the stale pre-compaction dir and
+    orphan every later append."""
+    import json
+
+    from osrs_dashboard_elt_spark.operators.dedup_index import (
+        compact_index,
+        register_index,
+    )
+    from osrs_dashboard_elt_spark.sources.bucketed import is_bucketed_on
+
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    base = str(tmp_path / "reg")
+    write_minhash_index(
+        corpus, "mh_reg", "doc_id", "text",
+        n_buckets=8, path=base, **PARAMS,
+    )
+    try:
+        n = compact_index(spark, "mh_reg")
+        meta = json.load(open(f"{base}__meta.json"))
+        assert meta["location"] != base  # compaction moved the data
+        assert meta["n_buckets"] == 8
+
+        # simulate a fresh process: drop the catalog entry, re-register
+        spark.sql("DROP TABLE mh_reg")
+        assert register_index(spark, base) == "mh_reg"
+        assert spark.table("mh_reg").count() == n
+        assert is_bucketed_on(spark, "mh_reg", ["band_key"], 8)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_reg")
+
+
+def test_compaction_swap_is_atomic_for_readers(spark, docs, tmp_path):
+    """The live table name never leaves the catalog during compaction
+    (single ALTER TABLE SET LOCATION repoint), and a reader holding
+    the PRE-compaction DataFrame keeps scanning the old files, which
+    are left in place."""
+    from osrs_dashboard_elt_spark.operators.dedup_index import compact_index
+
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    write_minhash_index(
+        corpus, "mh_atomic", "doc_id", "text",
+        n_buckets=8, path=str(tmp_path / "atomic"), **PARAMS,
+    )
+    try:
+        old_reader = spark.table("mh_atomic")
+        n_before = old_reader.count()
+        # replay-append so compaction has something to remove
+        write_minhash_index(
+            corpus, "mh_atomic", "doc_id", "text",
+            n_buckets=8, path=str(tmp_path / "atomic"),
+            mode="append", **PARAMS,
+        )
+        n = compact_index(spark, "mh_atomic")
+        assert n == n_before
+        # no temp table left behind; live name resolves throughout
+        assert not spark.catalog.tableExists("mh_atomic__compact")
+        assert spark.table("mh_atomic").count() == n
+        # the DROP+RENAME shape would have destroyed this lineage's
+        # catalog entry mid-swap; SET LOCATION never unregisters it —
+        # and the old files still serve a reader that resolved earlier
+        # (old_reader's plan is pinned to the original location)
+        assert spark.read.parquet(str(tmp_path / "atomic")).count() == 2 * n
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_atomic")

@@ -95,12 +95,12 @@ def test_two_batch_ingest_routes_and_extends_index(spark, ingest_env):
 
     # per-batch funnel counts
     assert counts[0] == {
-        "n_in": 3, "n_in_batch_dup": 1, "n_corpus_dup": 0,
-        "n_already_ingested": 0, "n_accepted": 2,
+        "n_in": 3, "n_same_id_collapsed": 0, "n_in_batch_dup": 1,
+        "n_corpus_dup": 0, "n_already_ingested": 0, "n_accepted": 2,
     }
     assert counts[1] == {
-        "n_in": 3, "n_in_batch_dup": 0, "n_corpus_dup": 1,
-        "n_already_ingested": 1, "n_accepted": 1,
+        "n_in": 3, "n_same_id_collapsed": 0, "n_in_batch_dup": 0,
+        "n_corpus_dup": 1, "n_already_ingested": 1, "n_accepted": 1,
     }
 
     # the index carries postings for exactly the accepted docs
@@ -155,3 +155,32 @@ def test_fresh_checkpoint_replay_cannot_duplicate_documents(spark, ingest_env):
         spark, new, "mh_ingest", "doc_id", "text", **PARAMS
     ).collect()
     assert [(r.new_id, r.corpus_id) for r in got] == [(9, 1)]
+
+
+def test_same_id_rows_within_one_batch_collapse(spark, ingest_env):
+    """Source-side redelivery INSIDE one micro-batch: two rows with
+    the same doc_id.  Pair generators (id_a < id_b) cannot pair a doc
+    with itself, so without the up-front collapse the canon join fans
+    out (2 copies -> 4 accepted rows) and ``accepted`` violates its
+    unique-id invariant."""
+    tmp = ingest_env
+    src = tmp / "src"
+    src.mkdir()
+    out = tmp / "out"
+    counts: list[dict] = []
+    _write_batch(
+        src, "b1.json",
+        [(1, TEXT_A), (1, TEXT_A), (1, TEXT_A), (2, TEXT_B)],
+    )
+    _run_once(spark, src, out, tmp / "ckpt", counts, run_id="r1")
+
+    acc = spark.read.parquet(str(out / "accepted"))
+    assert acc.count() == 2  # exactly one row per id survives
+    assert {r.doc_id for r in acc.collect()} == {1, 2}
+    assert counts[0] == {
+        "n_in": 2, "n_same_id_collapsed": 2, "n_in_batch_dup": 0,
+        "n_corpus_dup": 0, "n_already_ingested": 0, "n_accepted": 2,
+    }
+    # the index learned each id once
+    posts = spark.table("mh_ingest")
+    assert posts.count() == 2 * PARAMS["bands"]
