@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "q_funnel_conversion",
     "q_incremental_agg",
     "q_token_vocab",
+    "q_bpe_merges",
     "q_duplicate_ngram_spans",
     "q_boilerplate_removal",
     "q_scd2_as_of",

@@ -49,6 +49,7 @@ from .operators import (
     hyperplanes,
     top_n_per_group,
 )
+from .operators.bpe import bpe_oracle_sql
 from .operators.dedup import MINHASH_P, tokens_col, token_hash32
 from .operators.similarity import cosine, dot, lsh_bucket
 
@@ -1337,10 +1338,11 @@ _PRIORITY: tuple[str, ...] = (
     "q13_customer_order_dist",
     "q18_large_orders",
     "q_waiting_orders",           # Q21 shape
-    "q04_order_priority",
     "q17_small_qty_revenue",
     "q19_disjunctive_revenue",
     "q22_idle_customers",
+    # —— round-5: vocabulary training ——
+    "q_bpe_merges",
     # —— round-3: window-function family ——
     "q_window_functions",
     "q_rolling_range_window",
@@ -4272,6 +4274,27 @@ def q_token_vocab(spark, sf_dir):
     return topk.withColumn(
         "token_id", (F.row_number().over(w) - 1).cast("long")
     )
+
+
+_BPE_MERGES = 10
+
+
+@query(
+    "q_bpe_merges",
+    oracle=bpe_oracle_sql("documents", "text", _BPE_MERGES),
+)
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE vocabulary training (operators/bpe.py): the
+    merge trajectory itself is the result — K merges = K small
+    aggregate jobs over the Heaps-law-bounded word-count table; the
+    corpus is scanned exactly once.  The oracle replays the identical
+    trajectory in DuckDB via K unrolled CTE blocks (pair count ->
+    argmax -> greedy merge), so rank, pair, AND frequency are all
+    hash-gated."""
+    from .operators.bpe import bpe_merges_df, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_merges_df(spark, train_bpe(docs, "text", _BPE_MERGES))
 
 
 _DUPSPAN_N = 8

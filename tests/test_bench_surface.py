@@ -76,6 +76,7 @@ def test_priority_window_spans_all_families():
         "skew": {"q_salted_join"},
         "baskets": {"q_item_copurchase"},
         "rest_source": {"q_rest_timeseries"},
+        "bpe_training": {"q_bpe_merges"},
     }
     window = set(first50)
     uncovered = [fam for fam, reps in families.items() if not reps & window]

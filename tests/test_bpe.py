@@ -1,0 +1,135 @@
+"""BPE merge training: greedy-merge semantics pinned against
+hand-computed fixtures (including the l == r overlap rule), DuckDB
+trajectory parity, and the round-trip property — the trained
+vocabulary drives tokenize() to a lossless re-encoding of the
+training corpus."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from osrs_dashboard_elt_spark.operators.bpe import (
+    bpe_merges_df,
+    bpe_oracle_sql,
+    bpe_vocab,
+    bpe_word_counts,
+    train_bpe,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+def test_first_merge_is_most_frequent_pair(spark):
+    # 'ab' appears inside: abc x3, ab x2 -> (a, ##b) freq 5
+    df = _docs(spark, ["abc abc abc ab ab", "xy xy"])
+    merges = train_bpe(df, "text", 1)
+    assert merges == [(1, "a", "##b", 5)]
+
+
+def test_same_symbol_run_merges_at_even_offsets(spark):
+    # 'aaaa' x2: pair (##a, ##a) occurs at 3 positions per word
+    # (overlap-counted, weight 2 -> 6); the merge itself is greedy
+    # left-to-right: a ##a ##a ##a -> [a##a? no] — word-initial 'a'
+    # then ##a run of 3: (##a,##a) merges once per word interior run
+    df = _docs(spark, ["aaaa aaaa"])
+    merges = train_bpe(df, "text", 2)
+    # rank 1: (##a, ##a) with overlap-counted freq 2 words * 2 = 4
+    assert merges[0] == (1, "##a", "##a", 4)
+    # after merging: [a, ##aa, ##a] per word -> next best pair is
+    # deterministic by tie-break
+    assert merges[1][0] == 2
+
+
+def test_trajectory_matches_duckdb_on_synthetic_corpus(spark):
+    rows = [
+        "the theme there then the",
+        "other mother weather the",
+        "aaa aaaa aa the mother",
+    ]
+    df = _docs(spark, rows)
+    got = train_bpe(df, "text", 6)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(rows))
+        + ") t(doc_id, text)"
+    )
+    want = sorted(con.execute(bpe_oracle_sql("documents", "text", 6)).fetchall())
+    assert [tuple(m) for m in got] == want
+
+
+def test_trajectory_matches_duckdb_on_documents_table(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = train_bpe(docs, "text", 8)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = sorted(con.execute(bpe_oracle_sql("documents", "text", 8)).fetchall())
+    assert [tuple(m) for m in got] == want
+
+
+def test_round_trip_through_tokenize(spark):
+    """The trained vocab (base chars + merges) segments every training
+    word without UNK, and detokenize reproduces the whitespace-
+    normalized lowercase corpus."""
+    from osrs_dashboard_elt_spark.operators.tokenize import (
+        detokenize_expr,
+        tokenize,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    merges = train_bpe(docs, "text", 10)
+    vocab = bpe_vocab(docs, "text", merges)
+    assert 0 not in vocab.values()  # ids avoid UNK_ID
+    toked = tokenize(docs, "text", vocab)
+    inv = {i: p for p, i in vocab.items()}
+    back = toked.select(
+        "doc_id",
+        detokenize_expr(F.col("token_ids"), inv).alias("rt"),
+        F.regexp_replace(
+            F.trim(F.lower(F.col("text"))), r"\s+", " "
+        ).alias("norm"),
+    )
+    assert back.filter(F.col("rt") != F.col("norm")).count() == 0
+    # no UNK anywhere: every id maps through the vocab
+    assert (
+        toked.select(F.explode("token_ids").alias("i"))
+        .filter(F.col("i") == 0)
+        .count()
+        == 0
+    )
+
+
+def test_degenerate_corpus_stops_early(spark):
+    # single-char words only -> no adjacent pairs -> zero merges
+    df = _docs(spark, ["a b c", "a a b"])
+    assert train_bpe(df, "text", 5) == []
+
+
+def test_word_counts_match_tokenization_contract(spark):
+    df = _docs(spark, ["The  the\tthe\nTHE", "x"])
+    got = {
+        r.w: r.n for r in bpe_word_counts(df, "text").collect()
+    }
+    assert got == {"the": 4, "x": 1}
+
+
+def test_merges_df_schema(spark):
+    df = bpe_merges_df(spark, [(1, "a", "##b", 5)])
+    assert df.columns == ["merge_rank", "left_sym", "right_sym", "pair_freq"]
+    assert dict(df.dtypes) == {
+        "merge_rank": "int",
+        "left_sym": "string",
+        "right_sym": "string",
+        "pair_freq": "bigint",
+    }
