@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "q_streaming_session_rollup",
     "q_doc_chunks",
     "q_pack_sequences",
+    "q_packed_shards",
     "q_dedup_clusters",
     "q13_customer_order_dist",
     "q18_large_orders",

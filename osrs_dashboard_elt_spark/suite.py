@@ -2773,7 +2773,9 @@ def q_doc_chunks(spark, sf_dir):
 
 
 _PACK_SEQ_LEN = 64
-_PACK_ORACLE = f"""
+# Shared chunk->pack CTE chain (q_pack_sequences final projection and
+# q_packed_shards' sequence rollup both build on `packed`).
+_PACK_CTE = f"""
     WITH t AS (
       SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS toks,
@@ -2798,12 +2800,17 @@ _PACK_ORACLE = f"""
                PARTITION BY lang ORDER BY id, chunk_idx
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seq_offset
       FROM c
+    ), packed AS (
+      SELECT lang, id, chunk_idx, n_tokens,
+             CAST(seq_offset AS BIGINT) AS seq_offset,
+             CAST(seq_offset // {_PACK_SEQ_LEN} AS BIGINT) AS seq_id
+      FROM o
     )
-    SELECT lang, id, chunk_idx, n_tokens,
-           CAST(seq_offset AS BIGINT) AS seq_offset,
-           CAST(seq_offset // {_PACK_SEQ_LEN} AS BIGINT) AS seq_id
-    FROM o
 """
+_PACK_ORACLE = (
+    _PACK_CTE
+    + "SELECT lang, id, chunk_idx, n_tokens, seq_offset, seq_id FROM packed"
+)
 
 
 @query("q_pack_sequences", oracle=_PACK_ORACLE)
@@ -2831,6 +2838,62 @@ def q_pack_sequences(spark, sf_dir):
         "lang", "id", "chunk_idx", "n_tokens",
         F.col("seq_offset").cast("long").alias("seq_offset"),
         "seq_id",
+    )
+
+
+_PACKED_SHARDS_ORACLE = (
+    _PACK_CTE
+    + """, g AS (
+      SELECT lang, seq_id,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+      FROM packed GROUP BY lang, seq_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (
+             ORDER BY md5('42|' || lang || '|' || CAST(seq_id AS VARCHAR)),
+                      lang, seq_id) AS BIGINT) AS epoch_pos,
+           lang, seq_id, n_chunks, seq_tokens
+    FROM g
+"""
+)
+
+
+@query("q_packed_shards", oracle=_PACKED_SHARDS_ORACLE)
+def q_packed_shards(spark, sf_dir):
+    """The shard manifest the export stage publishes: per-(shard,
+    sequence) rollup of the packed chunks, each sequence given its
+    deterministic EPOCH position (seeded-md5 shuffle of sequence keys
+    + ``with_global_position`` — range partitions, per-partition rank,
+    broadcast offsets; no unpartitioned window).  The pipeline's
+    ``export_training_shards`` writes exactly this ordering; here the
+    pack + position algebra is hash-gated against DuckDB."""
+    from .operators.chunking import chunk_documents
+    from .operators.packing import pack_chunks, pack_summary
+    from .operators.sampling import shuffle_order, with_global_position
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs, "doc_id", "text",
+        chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP,
+    ).drop("chunk_text")
+    sharded = chunks.join(
+        F.broadcast(docs.select(F.col("doc_id").alias("id"), "lang")), "id"
+    )
+    packed = pack_chunks(
+        sharded, "lang", ["id", "chunk_idx"], "n_tokens", _PACK_SEQ_LEN
+    )
+    seqs = pack_summary(packed, "lang", "n_tokens").select(
+        "lang", "seq_id",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_tokens").alias("seq_tokens"),
+    )
+    ordered = seqs.withColumn(
+        "__ord",
+        shuffle_order(F.concat_ws("|", "lang", "seq_id")),
+    )
+    return (
+        with_global_position(ordered, ["__ord", "lang", "seq_id"], "epoch_pos")
+        .select("epoch_pos", "lang", "seq_id", "n_chunks", "seq_tokens")
     )
 
 

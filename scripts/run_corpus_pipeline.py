@@ -240,6 +240,115 @@ def run(
         final.unpersist()
 
 
+SHARD_SEQ_LEN = 256
+SHARD_BPE_MERGES = 10
+N_SHARD_FILES = 4
+
+
+def export_training_shards(
+    spark: SparkSession,
+    out_dir: str,
+    seq_len: int = SHARD_SEQ_LEN,
+    num_merges: int = SHARD_BPE_MERGES,
+    n_files: int = N_SHARD_FILES,
+) -> dict:
+    """Stage 9: close the training-data loop.  The tokenizer is
+    trained ON the corpus the pipeline just cleaned (operators/bpe.py
+    — one extra scan of the train split for word counts, then K tiny
+    merge jobs), its chunks are tokenized to id arrays, packed into
+    ``seq_len``-token sequences per language shard, and exported as
+    EPOCH-ORDERED shards: every chunk row carries its global position
+    under a seeded shuffle of sequence keys, and the files are
+    range-partitioned + sorted on that position, so a trainer streams
+    ``{out_dir}/shards`` in epoch order with zero further shuffling.
+
+    Deterministic end to end (seeded merges, md5 shuffle keys, range
+    sort): re-running writes byte-identical shards — asserted in
+    tests/test_corpus_pipeline.py.  Also persists the vocabulary
+    (``vocab.json``, sorted keys) and the merge table
+    (``bpe_merges`` parquet) — a training run needs the tokenizer
+    artifacts next to the data it encodes.
+
+    At 100 TB: BPE sees only the Heaps-law word table; tokenize is a
+    shuffle-free Arrow map; packing shuffles once on the shard key;
+    the epoch order is the range-exchange total sort
+    (``with_global_position`` — no unpartitioned window anywhere).
+    """
+    import json
+
+    from osrs_dashboard_elt_spark.operators.bpe import (
+        bpe_merges_df,
+        bpe_vocab,
+        train_bpe,
+    )
+    from osrs_dashboard_elt_spark.operators.chunking import chunk_documents
+    from osrs_dashboard_elt_spark.operators.packing import pack_chunks
+    from osrs_dashboard_elt_spark.operators.sampling import (
+        shuffle_order,
+        with_global_position,
+    )
+    from osrs_dashboard_elt_spark.operators.tokenize import tokenize
+
+    train = spark.read.parquet(f"{out_dir}/train")
+    merges = train_bpe(train, "text", num_merges)
+    vocab = bpe_vocab(train, "text", merges)
+    with open(f"{out_dir}/vocab.json", "w") as f:
+        json.dump(vocab, f, indent=1, sort_keys=True)
+    bpe_merges_df(spark, merges).coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/bpe_merges"
+    )
+
+    chunks = chunk_documents(train, "doc_id", "text").join(
+        F.broadcast(train.select(F.col("doc_id").alias("id"), "lang")), "id"
+    )
+    toked = tokenize(chunks, "chunk_text", vocab).withColumn(
+        "n_bpe_tokens", F.size("token_ids").cast("long")
+    )
+    packed = pack_chunks(
+        toked.drop("chunk_text"),
+        "lang",
+        ["id", "chunk_idx"],
+        "n_bpe_tokens",
+        seq_len,
+    )
+    ordered = with_global_position(
+        packed.withColumn(
+            "__ord", shuffle_order(F.concat_ws("|", "lang", "seq_id"))
+        ),
+        ["__ord", "lang", "id", "chunk_idx"],
+    )
+    (
+        ordered.select(
+            "pos", "lang", "seq_id", "id", "chunk_idx",
+            "n_bpe_tokens", "token_ids",
+        )
+        .repartitionByRange(n_files, "pos")
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/shards")
+    )
+    shards = spark.read.parquet(f"{out_dir}/shards")
+    agg = shards.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("lang", "seq_id").alias("n_sequences"),
+        F.sum("n_bpe_tokens").alias("n_tokens_packed"),
+    ).collect()[0]
+    metrics = {
+        "n_merges": len(merges),
+        "vocab_size": len(vocab),
+        "n_chunks": agg["n_chunks"],
+        "n_sequences": agg["n_sequences"],
+        "n_tokens_packed": agg["n_tokens_packed"],
+    }
+    summary = render_run_summary(
+        "corpus-pipeline", "export_training_shards", metrics
+    )
+    write_summary_file(
+        "export_training_shards", summary, out_dir, run_ts="latest"
+    )
+    return metrics
+
+
 def main() -> int:
     if len(sys.argv) < 3:
         print("usage: python scripts/run_corpus_pipeline.py <sf_dir> <out_dir>")
@@ -258,6 +367,8 @@ def main() -> int:
     train_docs = docs.filter(F.col("doc_id") % 10 != 0)
     metrics = run(spark, train_docs, eval_docs, out_dir)
     print(f"[corpus] {metrics}")
+    shard_metrics = export_training_shards(spark, out_dir)
+    print(f"[shards] {shard_metrics}")
     return 0
 
 

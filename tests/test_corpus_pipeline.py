@@ -114,3 +114,59 @@ def test_index_publish_enables_incremental_ingest(spark, tmp_path):
         assert any(r.corpus_id == survivor.doc_id for r in got), got
     finally:
         spark.sql("DROP TABLE IF EXISTS corpus_mh_idx")
+
+
+def test_shard_export_deterministic_and_epoch_ordered(spark, tmp_path):
+    """Stage 9: tokenizer trained on the cleaned corpus, chunks
+    tokenized + packed + epoch-ordered.  Re-running the whole
+    pipeline produces BYTE-identical shard files (content digests,
+    ignoring the job-uuid part names) and identical tokenizer
+    artifacts; the exported positions are a contiguous epoch order
+    with each sequence's chunks contiguous and in document order."""
+    import hashlib
+
+    import run_corpus_pipeline as pipe
+
+    _run(spark, str(tmp_path / "a"))
+    _run(spark, str(tmp_path / "b"))
+    m1 = pipe.export_training_shards(spark, str(tmp_path / "a"))
+    m2 = pipe.export_training_shards(spark, str(tmp_path / "b"))
+    assert m1 == m2
+    assert m1["n_chunks"] > 0 and m1["vocab_size"] > m1["n_merges"]
+
+    def digests(d):
+        return sorted(
+            hashlib.md5(p.read_bytes()).hexdigest()
+            for p in pathlib.Path(d).glob("*.parquet")
+        )
+
+    da = digests(tmp_path / "a" / "shards")
+    db = digests(tmp_path / "b" / "shards")
+    assert da and da == db
+    assert (tmp_path / "a" / "vocab.json").read_bytes() == (
+        tmp_path / "b" / "vocab.json"
+    ).read_bytes()
+
+    sh = spark.read.parquet(str(tmp_path / "a" / "shards"))
+    rows = sh.orderBy("pos").collect()
+    assert [r.pos for r in rows] == list(range(1, len(rows) + 1))
+    # sequences are contiguous runs in epoch order, chunks in
+    # (doc, chunk) order inside each run
+    seen_done = set()
+    prev_key, prev_chunk = None, None
+    for r in rows:
+        key = (r.lang, r.seq_id)
+        if key != prev_key:
+            assert key not in seen_done, f"sequence {key} split in epoch order"
+            if prev_key is not None:
+                seen_done.add(prev_key)
+            prev_key = key
+        else:
+            assert (r.id, r.chunk_idx) > prev_chunk, "chunk order broken"
+        prev_chunk = (r.id, r.chunk_idx)
+    # token counts: every chunk's ids are non-empty and sum matches
+    agg = sh.agg(
+        F.sum(F.size("token_ids")).alias("s"),
+        F.min(F.size("token_ids")).alias("m"),
+    ).collect()[0]
+    assert agg["s"] == m1["n_tokens_packed"] and agg["m"] > 0
