@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "q_hll_distinct_users",
     "q_hll_user_overlap",
     "q_hll_rolling_distinct",
+    "q_hll_rolling_at_rest",
     "q_min_cost_supplier",
     "q_waiting_orders",
     "q_data_quality_events",

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _HASH_HEX = 15  # 60 bits: unsigned value fits signed int64 everywhere
@@ -346,10 +346,31 @@ def hll_rolling_distinct(
     per day present in the data, each covering ``window_days`` ending
     that day inclusive.
     """
+    daily = hll_daily_registers(df, ts_col, value_col, p)
+    return hll_rolling_from_daily(daily, window_days, p, out_col)
+
+
+def hll_daily_registers(
+    df: DataFrame, ts_col: str, value_col: str, p: int = 9
+) -> DataFrame:
+    """(day, bucket, M) — the daily sketch a rollup table persists.
+    ~2^p small integers per day regardless of data size; combine
+    slices/replays with MAX on (day, bucket)."""
     day = F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
-    daily = hll_registers(
-        df.select(day, F.col(value_col).alias("v")), ["day"], "v", p
+    return hll_registers(
+        df.select(day, F.col(value_col).alias("__v")), ["day"], "__v", p
     )
+
+
+def hll_rolling_from_daily(
+    daily: DataFrame,
+    window_days: int,
+    p: int = 9,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """The trailing-window estimate from a (day, bucket, M) register
+    table — shared by the rescan form (``hll_rolling_distinct``) and
+    the at-rest form (``read_hll_registers`` input)."""
     spine = daily.select("day").distinct().withColumnRenamed("day", "anchor")
     in_window = (F.col("day") <= F.col("anchor")) & (
         F.col("day") > F.date_sub(F.col("anchor"), window_days)
@@ -364,6 +385,62 @@ def hll_rolling_distinct(
     # global sort over the per-day output would add a range exchange
     # every caller pays; sort at the consumer when display needs it
     return hll_estimate(rolled, ["day"], p, out_col)
+
+
+# ---------------------------------------------------------------------------
+# At-rest register tables: the sketch analog of the dedup index.
+# ---------------------------------------------------------------------------
+
+
+def write_hll_registers(
+    daily: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Persist a (day, bucket, M) daily register table, partitioned by
+    day — the ingest cadence appends ONE day's ~2^p rows per run and
+    every rolling/overlap query thereafter reads registers, never
+    events.  Append is replay-safe by construction: registers merge
+    with MAX, and ``read_hll_registers`` re-MAXes per (day, bucket),
+    so a double-appended day changes nothing (sketch idempotency —
+    no dedup bookkeeping needed).  At 100 TB the table is bounded by
+    calendar x 2^p rows; day partitioning makes any window query a
+    partition-pruned scan."""
+    daily.write.mode(mode).partitionBy("day").parquet(path)
+
+
+def read_hll_registers(spark: SparkSession, path: str) -> DataFrame:
+    """The merged (day, bucket, M) view of an at-rest register table:
+    MAX per (day, bucket) collapses replayed appends and multiple
+    slices of one day into the canonical registers."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("day", "bucket")
+        .agg(F.max("M").alias("M"))
+    )
+
+
+def hll_overlap_from_daily(
+    daily: DataFrame,
+    pred_a,
+    pred_b,
+    p: int = 9,
+) -> DataFrame:
+    """:func:`hll_set_overlap` between two DAY-RANGE slices, served
+    entirely from a daily register table: each side's registers are
+    the MAX over its days (pred_a/pred_b are predicates over the
+    ``day`` column), then the shared inclusion-exclusion tail.  The
+    period-over-period audience overlap with zero event reads."""
+    sided = daily.select(
+        F.explode(
+            F.filter(
+                F.array(F.when(pred_a, F.lit("a")), F.when(pred_b, F.lit("b"))),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("__side"),
+        "bucket",
+        "M",
+    )
+    regs = sided.groupBy("__side", "bucket").agg(F.max("M").alias("M"))
+    return _overlap_from_sided_regs(regs, p)
 
 
 def hll_rolling_oracle_sql(

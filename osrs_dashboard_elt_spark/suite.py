@@ -3972,6 +3972,47 @@ def q_hll_rolling_distinct(spark, sf_dir):
     )
 
 
+@query(
+    "q_hll_rolling_at_rest",
+    oracle=None,  # set below: IDENTICAL to q_hll_rolling_distinct
+)
+def q_hll_rolling_at_rest(spark, sf_dir):
+    """The same trailing-window estimate served from an AT-REST daily
+    register table (operators/sketches.py::write_hll_registers): the
+    registers are persisted day-partitioned, the day is DOUBLE-
+    appended to prove replay idempotency (MAX-merge absorbs it), and
+    the rolling query reads ONLY the register table — the events scan
+    happens once at write time, exactly like the dedup index.  The
+    oracle is the identical SQL as q_hll_rolling_distinct: at-rest
+    registers must change WHERE the bytes come from, never the
+    estimate."""
+    import tempfile
+
+    from .operators.sketches import (
+        hll_daily_registers,
+        hll_rolling_from_daily,
+        read_hll_registers,
+        write_hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = hll_daily_registers(ev, "ts", "user_id", p=_HLL_P)
+    path = tempfile.mkdtemp(prefix="hll_regs_")
+    write_hll_registers(daily, path)
+    # a replayed append of one day's registers must be a no-op
+    write_hll_registers(
+        daily.filter(F.col("day") == F.lit("2024-01-05").cast("date")),
+        path,
+        mode="append",
+    )
+    out = hll_rolling_from_daily(
+        read_hll_registers(spark, path), window_days=7, p=_HLL_P
+    )
+    return out.select(
+        F.date_format("day", D_FMT_SPARK).alias("day"), "approx_distinct"
+    )
+
+
 def _install_hll_oracle():
     from .operators.sketches import hll_oracle_sql, hll_overlap_oracle_sql
 
@@ -3993,6 +4034,8 @@ def _install_hll_oracle():
         f"SELECT strftime(day, '{D_FMT_DUCK}') AS day, approx_distinct "
         f"FROM ({inner})"
     )
+    # the at-rest form answers the SAME question from stored registers
+    ORACLES["q_hll_rolling_at_rest"] = ORACLES["q_hll_rolling_distinct"]
 
 
 _install_hll_oracle()

@@ -1,0 +1,104 @@
+"""At-rest HLL register tables: the sketch analog of the dedup index.
+Stored daily registers must serve rolling-window and overlap queries
+with EXACTLY the estimates the rescan forms produce, absorb replayed
+appends, and plan as register-table-only scans (no event reads)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from osrs_dashboard_elt_spark.operators.sketches import (
+    hll_daily_registers,
+    hll_overlap_from_daily,
+    hll_rolling_distinct,
+    hll_rolling_from_daily,
+    hll_set_overlap_pred,
+    read_hll_registers,
+    write_hll_registers,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+P = 9
+
+
+def _events(spark):
+    from osrs_dashboard_elt_spark import suite
+
+    return suite._t(spark, SF_DIR, "events")
+
+
+def _rows(df):
+    return sorted(
+        (str(r["day"]), r["approx_distinct"]) for r in df.collect()
+    )
+
+
+def test_at_rest_rolling_matches_rescan_exactly(spark, tmp_path):
+    ev = _events(spark)
+    want = _rows(hll_rolling_distinct(ev, "ts", "user_id", 7, P))
+    path = str(tmp_path / "regs")
+    daily = hll_daily_registers(ev, "ts", "user_id", P)
+    write_hll_registers(daily, path)
+    got = _rows(
+        hll_rolling_from_daily(read_hll_registers(spark, path), 7, P)
+    )
+    assert got == want
+
+
+def test_replayed_append_is_absorbed(spark, tmp_path):
+    """Register MAX-merge is idempotent: double-appending a day (and
+    appending a PARTIAL slice of a day) cannot change any estimate."""
+    ev = _events(spark)
+    daily = hll_daily_registers(ev, "ts", "user_id", P)
+    path = str(tmp_path / "regs")
+    write_hll_registers(daily, path)
+    base = _rows(
+        hll_rolling_from_daily(read_hll_registers(spark, path), 7, P)
+    )
+    some_day = daily.select("day").first()["day"]
+    # full-day replay + a partial slice (subset of users) of that day
+    write_hll_registers(
+        daily.filter(F.col("day") == F.lit(some_day)), path, mode="append"
+    )
+    partial = hll_daily_registers(
+        ev.filter(F.col("user_id") % 3 == 0), "ts", "user_id", P
+    ).filter(F.col("day") == F.lit(some_day))
+    write_hll_registers(partial, path, mode="append")
+    got = _rows(
+        hll_rolling_from_daily(read_hll_registers(spark, path), 7, P)
+    )
+    assert got == base
+
+
+def test_rolling_plan_reads_only_register_table(spark, tmp_path):
+    ev = _events(spark)
+    path = str(tmp_path / "regs")
+    write_hll_registers(hll_daily_registers(ev, "ts", "user_id", P), path)
+    plan = (
+        hll_rolling_from_daily(read_hll_registers(spark, path), 7, P)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "regs" in plan
+    assert "events" not in plan  # the corpus is read by NOTHING here
+
+
+def test_overlap_from_registers_matches_event_scan(spark, tmp_path):
+    """Day-aligned period overlap served from stored registers equals
+    the one-scan predicate form over events (same registers, same
+    algebra — only the byte source differs)."""
+    ev = _events(spark)
+    split = datetime(2024, 1, 16)
+    want = hll_set_overlap_pred(
+        ev, "user_id", F.col("ts") < F.lit(split), F.col("ts") >= F.lit(split), P
+    ).collect()[0]
+    path = str(tmp_path / "regs")
+    write_hll_registers(hll_daily_registers(ev, "ts", "user_id", P), path)
+    d = F.lit(split.date())
+    got = hll_overlap_from_daily(
+        read_hll_registers(spark, path), F.col("day") < d, F.col("day") >= d, P
+    ).collect()[0]
+    assert got.asDict() == want.asDict()
