@@ -159,6 +159,92 @@ def extract_media_features(
     return staged.mapInPandas(gen, MEDIA_FEATURE_SCHEMA)
 
 
+# dHash geometry: the decoded image is block-averaged to an 8x8 grid
+# and each row's 7 adjacent-cell comparisons contribute one bit ->
+# 56-bit fingerprint (fits a signed long with headroom, and 56 splits
+# evenly into the 4 pigeonhole chunks of a hamming-3 blocked join).
+PHASH_GRID = 8
+PHASH_BITS = PHASH_GRID * (PHASH_GRID - 1)
+
+
+def perceptual_hash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "media_blob",
+) -> DataFrame:
+    """(id, phash) dHash fingerprints over the Arrow decode path.
+
+    Real pipeline: decode the image, grayscale, block-average to an
+    ``(GRID x GRID)`` grid, set bit (r, c) iff cell(r, c) < cell(r,
+    c+1) — the classic difference hash, robust to rescaling and
+    recompression because block means survive both.  With no codec in
+    the container, the deterministic stand-in treats the FMM1 payload
+    as the 1-D pixel stream: the grid cells are the block sums of the
+    payload bytes (``numpy`` slice sums — the same vectorized shape a
+    real grayscale downsample produces), so the fingerprint is a pure
+    function of the synthetic pixels and an external SQL oracle can
+    recompute it byte-for-byte.
+
+    One Arrow-batched pass, no shuffle; projects (id, blob) only."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+    g = PHASH_GRID
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = np.frombuffer(bytes(blob), dtype=np.uint8, offset=11)
+                n = len(b)
+                bounds = [n * k // (g * g) for k in range(g * g + 1)]
+                cells = [
+                    int(b[bounds[k]:bounds[k + 1]].sum())
+                    for k in range(g * g)
+                ]
+                ph = 0
+                for r in range(g):
+                    for c in range(g - 1):
+                        if cells[r * g + c] < cells[r * g + c + 1]:
+                            ph |= 1 << (r * (g - 1) + c)
+                ids.append(int(doc_id))
+                hashes.append(ph)
+            yield pd.DataFrame({"id": ids, "phash": hashes})
+
+    return df.select(id_col, blob_col).mapInPandas(gen, out_schema)
+
+
+def media_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "media_blob",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming) perceptual near-duplicate pairs among the
+    media blobs: dHash fingerprints (one Arrow decode pass) into the
+    SAME pigeonhole-blocked hamming join the SimHash text path uses
+    (operators/dedup.py::hamming_blocked_pairs) — lossless for the
+    radius, candidates bounded by chunk buckets, optional hot-bucket
+    cap.  At 100 TB the join moves (id, 56-bit fp) rows only; blobs
+    are read once by the fingerprint pass and never shuffled."""
+    from ..operators.dedup import hamming_blocked_pairs
+
+    fps = (
+        perceptual_hash(df, id_col, blob_col)
+        .withColumnRenamed("phash", "fp")
+        .localCheckpoint(eager=False)
+    )
+    return hamming_blocked_pairs(
+        fps, PHASH_BITS, max_hamming, max_bucket_size
+    )
+
+
 def decode_image(blob: bytes):
     """Decode an image blob to an array.  Real codec (PIL) is not in
     this container — the call site and signature are the contract."""

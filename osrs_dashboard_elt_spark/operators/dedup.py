@@ -503,8 +503,6 @@ def simhash_pairs(
     bits=48 (the suite's setting) or bits=60 (the md5-hash ceiling:
     the token hash must cover the fingerprint width and stay inside
     a signed int64, so 60 is the maximum)."""
-    n_chunks = max_hamming + 1
-    chunk_bits = bits // n_chunks
     toks = df.select(
         F.col(id_col).alias("id"), tokens_col(text_col).alias("toks")
     )
@@ -545,6 +543,28 @@ def simhash_pairs(
     # and hot-key guard would otherwise re-run the explode+aggregate
     # lineage per reference.
     base = agg.select("id", fp.alias("fp")).localCheckpoint(eager=False)
+    return hamming_blocked_pairs(base, bits, max_hamming, max_bucket_size)
+
+
+def hamming_blocked_pairs(
+    base: DataFrame,
+    bits: int,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with fingerprint hamming distance
+    <= ``max_hamming`` from an (id, fp) table — the pigeonhole-blocked
+    self-join shared by SimHash text near-dup and the multimodal
+    perceptual-hash near-dup (any fingerprint family with a hamming
+    radius blocks identically).  LOSSLESS for the radius: a pair
+    within distance k must agree on >= 1 of the k+1 chunks, so the
+    equi-join candidates are a superset of the answer and the
+    bit_count verify is exact.  ``fp`` must fit in a signed long with
+    ``bits`` <= 62 (shiftright sign-extension would corrupt chunks).
+    ``base`` should be cheap to re-reference (checkpoint upstream if
+    its lineage is heavy)."""
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
     chunks = base.select(
         "id",
         "fp",

@@ -2146,6 +2146,62 @@ def q_media_frame_sample(spark, sf_dir):
     )
 
 
+_MEDIA_NEARDUP_HAMMING = 3
+# dHash over the FMM1 payload (= utf-8 text bytes): 64 block-sum cells
+# over the byte stream, 56 comparison bits — the exact arithmetic of
+# multimodal/media.py::perceptual_hash, replayed on the hex-encoded
+# bytes.  Oracle pairs are BRUTE-FORCE (pigeonhole blocking is
+# lossless for the radius, so blocked == all-pairs within hamming).
+_MEDIA_NEARDUP_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    cells AS (
+      SELECT doc_id, k,
+        coalesce(list_sum(list_transform(
+          range(n * k // 64, n * (k + 1) // 64),
+          i -> ('0x' || substr(hx, CAST(2 * i + 1 AS BIGINT), 2))::BIGINT)), 0) AS cell
+      FROM h, UNNEST(range(0, 64)) AS t(k)
+    ),
+    cl AS (SELECT doc_id, list(cell ORDER BY k) AS cs FROM cells GROUP BY doc_id),
+    ph AS (
+      SELECT doc_id, CAST(coalesce(list_sum(list_transform(range(0, 56), b ->
+        CASE WHEN cs[CAST(b // 7 AS BIGINT) * 8 + b % 7 + 1] <
+                  cs[CAST(b // 7 AS BIGINT) * 8 + b % 7 + 2]
+             THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END)), 0) AS BIGINT) AS phash
+      FROM cl
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {_MEDIA_NEARDUP_HAMMING}
+"""
+
+
+@query("q_media_neardup", oracle=_MEDIA_NEARDUP_ORACLE)
+def q_media_neardup(spark, sf_dir):
+    """Multimodal near-duplicate detection: dHash perceptual
+    fingerprints over the image blobs (one Arrow decode pass — block
+    sums of the synthetic pixel stream), then the SAME pigeonhole-
+    blocked hamming join as SimHash text dedup.  Fingerprints are a
+    pure function of the deterministic fake pixels, so DuckDB
+    recomputes them and brute-forces the (lossless) pair set."""
+    from .multimodal.media import attach_fake_media, media_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    imgs = attach_fake_media(docs).filter(
+        F.col("media.media_type") == "image"
+    )
+    out = media_neardup_pairs(
+        imgs, max_hamming=_MEDIA_NEARDUP_HAMMING
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN (the second ANN scale path, alongside sign-LSH)
 # ---------------------------------------------------------------------------

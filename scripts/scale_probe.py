@@ -110,10 +110,15 @@ def main() -> None:
     from osrs_dashboard_elt_spark.operators.baskets import copurchase_pairs
     from osrs_dashboard_elt_spark.operators.components import dedup_clusters
     from osrs_dashboard_elt_spark.operators.dedup import (
+        duplicate_ngram_spans,
         exact_dedup,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
         simhash_pairs,
+    )
+    from osrs_dashboard_elt_spark.multimodal.media import (
+        attach_fake_media,
+        media_neardup_pairs,
     )
     from osrs_dashboard_elt_spark.operators.dedup_index import (
         probe_minhash_index,
@@ -184,6 +189,18 @@ def main() -> None:
         "simhash": lambda t: simhash_pairs(
             t["docs"], "doc_id", "text", bits=48, max_hamming=3
         ),
+        "media_neardup": lambda t: media_neardup_pairs(
+            attach_fake_media(t["docs"]), max_hamming=3
+        ),
+        # both physical shapes of the same operator: string-shuffle
+        # (one pass) vs hash-first (int shuffles + rehydrate scan) —
+        # the 4x ratio decides the size-based default
+        "ngram_spans_str": lambda t: duplicate_ngram_spans(
+            t["docs"], "doc_id", "text", n=8, min_docs=2, hash_first=False
+        ),
+        "ngram_spans_hash": lambda t: duplicate_ngram_spans(
+            t["docs"], "doc_id", "text", n=8, min_docs=2, hash_first=True
+        ),
         "embedding_neardup": lambda t: embedding_neardup_pairs(
             t["emb"],
             "vec_id",
@@ -243,7 +260,8 @@ def main() -> None:
         ops = {n: f for n, f in ops.items() if n in only}
 
     need_docs = {"exact_dedup", "minhash_lsh", "ngram_jaccard", "simhash",
-                 "dedup_clusters", "incremental_probe"} & set(ops)
+                 "dedup_clusters", "incremental_probe", "media_neardup",
+                 "ngram_spans_str", "ngram_spans_hash"} & set(ops)
     need_emb = "embedding_neardup" in ops
     need_li = {"item_copurchase", "waiting_orders"} & set(ops)
     need_ev = {"cms_heavy_hitters", "hll_rolling", "hll_overlap"} & set(ops)

@@ -83,3 +83,75 @@ def test_decode_image_is_stubbed():
     except ImportError:
         with pytest.raises(NotImplementedError):
             decode_image(blob)
+
+
+def _py_dhash(payload: bytes, grid: int = 8) -> int:
+    """Reference dHash over the FMM1 payload bytes — independent
+    reimplementation of multimodal/media.py::perceptual_hash."""
+    n = len(payload)
+    bounds = [n * k // (grid * grid) for k in range(grid * grid + 1)]
+    cells = [
+        sum(payload[bounds[k]:bounds[k + 1]]) for k in range(grid * grid)
+    ]
+    ph = 0
+    for r in range(grid):
+        for c in range(grid - 1):
+            if cells[r * grid + c] < cells[r * grid + c + 1]:
+                ph |= 1 << (r * (grid - 1) + c)
+    return ph
+
+
+def test_perceptual_hash_matches_reference(spark, docs):
+    from osrs_dashboard_elt_spark.multimodal.media import perceptual_hash
+
+    media = attach_fake_media(docs)
+    got = {r["id"]: r["phash"] for r in perceptual_hash(media).collect()}
+    for r in docs.collect():
+        assert got[r["doc_id"]] == _py_dhash(r["text"].encode())
+
+
+def test_media_neardup_pairs_equal_brute_force(spark):
+    """Blocked hamming join == brute-force all-pairs within radius,
+    on a corpus engineered to contain real near-dups (shared prefix,
+    1-char suffix tweak barely moves block sums)."""
+    from osrs_dashboard_elt_spark.multimodal.media import (
+        media_neardup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [(i, base + chr(97 + i % 5)) for i in range(12)]
+    rows += [(100 + i, f"completely unrelated text number {i} " * 3) for i in range(6)]
+    df = attach_fake_media(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in media_neardup_pairs(df, max_hamming=3).collect()
+    }
+    # brute force oracle
+    want = {}
+    hashes = {i: _py_dhash(t.encode()) for i, t in rows}
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(hashes[a] ^ hashes[b]).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    assert got == want
+    assert want, "corpus must actually contain near-dup pairs"
+
+
+def test_perceptual_hash_survives_resize(spark, docs):
+    """dHash of a resized image stays within the near-dup radius of
+    the original — block means survive rescaling (here: payload is
+    untouched by resize, so fingerprints are identical)."""
+    from osrs_dashboard_elt_spark.multimodal.media import perceptual_hash
+    from osrs_dashboard_elt_spark.multimodal import resize_images
+
+    media = attach_fake_media(docs).filter("doc_id % 3 = 0")
+    orig = {r["id"]: r["phash"] for r in perceptual_hash(media).collect()}
+    resized = {
+        r["id"]: r["phash"]
+        for r in perceptual_hash(resize_images(media, max_side=8)).collect()
+    }
+    assert orig == resized
