@@ -28,6 +28,7 @@ HEADLINERS = {
     "q_item_copurchase": "basket assembly as ONE aggregate, slice() cap before in-array pair generation, no lineitem self-join",
     "q_global_shuffle_order": "range-exchange total sort; the only Window is partitioned by the partition id; offsets from a tiny triangular join, broadcast back",
     "q_hll_user_overlap": "two register aggregates with map-side partials; everything after them touches at most 3*2^p rows (union = register MAX merge)",
+    "q_media_neardup": "one Arrow fingerprint pass (mapInPandas) reads the blobs; everything downstream — chunk explode, bucket equi-join, bit_count verify — moves only (id, 56-bit fp) rows",
 }
 
 

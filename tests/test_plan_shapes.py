@@ -29,10 +29,16 @@ _ALLOWED = {
     # pid) join over the |partitions|-row count aggregate — both sides
     # bounded by the partition count, independent of data size.
     "q_global_shuffle_order": {"BroadcastNestedLoopJoin"},
+    # same with_global_position triangular partition-offset join, via
+    # the shard-export ordering
+    "q_packed_shards": {"BroadcastNestedLoopJoin"},
     # trailing-window register rollup: the day spine (one row per
     # calendar day) broadcast-range-joins the daily register table —
     # the nested loop's broadcast side is bounded by the calendar.
     "q_hll_rolling_distinct": {"BroadcastNestedLoopJoin"},
+    # identical day-spine rollup served from the at-rest register
+    # table — broadcast side still bounded by the calendar
+    "q_hll_rolling_at_rest": {"BroadcastNestedLoopJoin"},
 }
 
 
