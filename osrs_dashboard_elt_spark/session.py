@@ -80,6 +80,10 @@ def get_spark(
     ``master=None`` defers to the environment (spark-submit / existing
     session); tests pass ``local[N]``.
     """
+    # before the JVM gateway launches: workers inherit the env set here
+    from .compat import ensure_protobuf
+
+    ensure_protobuf()
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)

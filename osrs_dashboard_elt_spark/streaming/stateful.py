@@ -142,15 +142,23 @@ def changelog_via_stream(
     ts_col: str = "ts",
     work_dir: str | None = None,
     timeout_sec: int = 300,
+    engine: str = "apply",
 ) -> DataFrame:
-    """Run ``running_best_changelog`` over a batch DataFrame by driving
+    """Run the running-best operator over a batch DataFrame by driving
     it through a real one-shot stream (``availableNow`` + memory sink)
     and return the emitted change-log as a batch DataFrame.
 
-    ``applyInPandasWithState`` only executes under the streaming
-    engine, so this is the bridge for oracle checks and backfills: the
-    batch rows become a single-file parquet source (one file -> one
+    The stateful operators only execute under the streaming engine,
+    so this is the bridge for oracle checks and backfills: the batch
+    rows become a single-file parquet source (one file -> one
     micro-batch -> deterministic output given the in-operator sort).
+
+    ``engine`` picks the physical operator — ``"apply"`` =
+    ``applyInPandasWithState`` (runs everywhere), ``"tws"`` =
+    ``transformWithStateInPandas`` (needs the protobuf state-server
+    runtime and the RocksDB state store provider, which is pinned for
+    the query's one-shot lifetime).  Identical semantics either way
+    (equality pinned in tests/test_stateful_tws.py).
     """
     import tempfile
     import uuid
@@ -170,7 +178,14 @@ def changelog_via_stream(
             "key string, seconds double, holder string, ts timestamp"
         ).parquet(src_dir)
     )
-    out = running_best_changelog(stream, "key", "seconds", "holder", "ts")
+    if engine == "tws":
+        out = running_best_changelog_tws(
+            stream, "key", "seconds", "holder", "ts"
+        )
+    elif engine == "apply":
+        out = running_best_changelog(stream, "key", "seconds", "holder", "ts")
+    else:
+        raise ValueError(f"unknown engine {engine!r} (want 'apply'|'tws')")
     qname = f"pb_changelog_{uuid.uuid4().hex[:12]}"
     # The stateful shuffle's partition count is baked into the (fresh)
     # checkpoint at first start, and each partition carries a state
@@ -181,6 +196,20 @@ def changelog_via_stream(
     # its checkpoint for the query's whole life.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = None
+    if engine == "tws":
+        # transformWithState requires the RocksDB provider; pinned
+        # only for this query's start (read once, at start)
+        try:
+            prev_provider = spark.conf.get(_PROVIDER_KEY)
+        except Exception:
+            prev_provider = None
+        spark.conf.set(
+            _PROVIDER_KEY,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     try:
         q = (
             out.writeStream.queryName(qname)
@@ -192,6 +221,11 @@ def changelog_via_stream(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if engine == "tws":
+            if prev_provider is None:
+                spark.conf.unset(_PROVIDER_KEY)
+            else:
+                spark.conf.set(_PROVIDER_KEY, prev_provider)
     if not q.awaitTermination(timeout_sec):
         # timed out: the query is STILL RUNNING — returning the memory
         # sink now would hand back a silently truncated change-log
@@ -237,6 +271,13 @@ def running_best_changelog_tws(
     (environment-independent) plan without the runtime, e.g. for plan
     inspection or schema checks."""
     if require_runtime:
+        # best-effort unblock first: containers without a protobuf
+        # wheel may carry a vendored copy (see compat.ensure_protobuf;
+        # it must run before the JVM launches for WORKERS to see it —
+        # get_spark() does, so sessions built there are covered)
+        from ..compat import ensure_protobuf
+
+        ensure_protobuf()
         try:
             from google.protobuf import descriptor  # noqa: F401
         except ImportError as exc:

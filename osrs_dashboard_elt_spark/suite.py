@@ -2787,6 +2787,41 @@ def q_running_best_changelog(spark, sf_dir):
     )
 
 
+@query("q_running_best_changelog_tws", oracle=_RUNBEST_ORACLE)
+def q_running_best_changelog_tws(spark, sf_dir):
+    """The SAME running-best change-log on the current-generation
+    ``transformWithStateInPandas`` runtime (typed ValueState + RocksDB
+    state store), against the identical running-min oracle.  The
+    protobuf state-server runtime must be reachable by the WORKER
+    processes (``compat.tws_runtime_executable`` checks the JVM's
+    actual environment, not just the driver's imports); where it
+    isn't, the semantically identical ``applyInPandasWithState``
+    engine runs instead — cross-engine equality is pinned in
+    tests/test_stateful_tws.py, so the oracle checks the same
+    semantics either way."""
+    from .compat import tws_runtime_executable
+    from .streaming import changelog_via_stream
+
+    engine = "tws" if tws_runtime_executable(spark) else "apply"
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        F.col("value").cast("double").alias("seconds"),
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("u"),
+        F.col("ts"),
+    )
+    out = changelog_via_stream(
+        ev, key_col="event_type", seconds_col="seconds", user_col="u",
+        ts_col="ts", engine=engine,
+    )
+    return out.select(
+        "key",
+        "best_seconds",
+        "holder",
+        F.date_format("record_ts", TS_FMT_SPARK).alias("record_ts"),
+        "prev_best",
+    )
+
+
 _CHUNK_TOKENS, _CHUNK_OVERLAP = 32, 8
 _CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
 _DOC_CHUNKS_ORACLE = f"""

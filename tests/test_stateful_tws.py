@@ -3,11 +3,12 @@ runtime equivalence where the environment supports it.
 
 The transformWithState runtime speaks a protobuf protocol between the
 JVM and a Python state server (`pyspark/sql/streaming/proto/`), so it
-needs ``google.protobuf`` — not shipped in this container.  Plan
-construction and schema are verified unconditionally; execution tests
-probe for the dependency and skip with a reason when absent (they run
-on a standard cluster image, where protobuf ships with pyspark's
-connect/protobuf extras)."""
+needs ``google.protobuf`` — no wheel in this container, but
+``compat.ensure_protobuf`` finds the google-cloud-sdk's vendored
+pure-Python copy and exports it to the workers, so the runtime tests
+execute HERE too.  Plan construction and schema are verified
+unconditionally; execution tests still probe and skip with a reason
+on containers with neither a wheel nor a vendored copy."""
 
 from __future__ import annotations
 
@@ -23,6 +24,12 @@ from osrs_dashboard_elt_spark.streaming.stateful import (
 
 
 def _tws_runtime_available() -> bool:
+    # collection time == before the JVM gateway launches, so the shim
+    # can still export PYTHONPATH to the future workers
+    from osrs_dashboard_elt_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        return False
     try:
         from google.protobuf import descriptor  # noqa: F401
 
@@ -80,15 +87,18 @@ def test_tws_default_requires_runtime_loudly(spark):
     reason=(
         "transformWithState runtime needs google.protobuf — install "
         "with: pip install 'protobuf>=4.25.1'  (or the pyspark extra "
-        "that ships it: pip install 'pyspark[connect]'); this "
-        "container has neither the package nor network access, so "
-        "the protocol runtime cannot execute here"
+        "that ships it: pip install 'pyspark[connect]'); no wheel and "
+        "no vendored copy found on this container"
     ),
 )
-def test_tws_streaming_carries_state_across_batches(spark, tmp_path):
-    """Two micro-batches via file source: batch 2's improvement must
-    compare against batch 1's best held in the state store."""
+def test_tws_streaming_carries_state_across_restarts(spark, tmp_path):
+    """Two availableNow RUNS sharing one checkpoint (a real stop +
+    restart, not just two micro-batches): run 2's improvement must
+    compare against run 1's best, recovered from the RocksDB state
+    store.  Parquet sink — the memory sink can't recover from a
+    checkpoint, a file sink must."""
     src = tmp_path / "in"
+    out_dir = tmp_path / "out"
     src.mkdir()
     schema = "Task string, seconds double, Username string, ts timestamp"
     (src / "b1.json").write_text(
@@ -101,31 +111,66 @@ def test_tws_streaming_carries_state_across_batches(spark, tmp_path):
     try:
         stream = spark.readStream.schema(schema).json(str(src))
         out = running_best_changelog_tws(stream)
-        q = (
-            out.writeStream.format("memory")
-            .queryName("tws_best")
-            .option("checkpointLocation", str(tmp_path / "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
+
+        def run_once():
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", str(out_dir))
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120), "stream did not finish"
+
+        run_once()
         (src / "b2.json").write_text(
             '{"Task":"cox","seconds":130.0,"Username":"w","ts":"2024-01-02T10:00:00Z"}\n'
             '{"Task":"cox","seconds":90.0,"Username":"b","ts":"2024-01-02T11:00:00Z"}\n'
         )
-        q2 = (
-            out.writeStream.format("memory")
-            .queryName("tws_best2")
-            .option("checkpointLocation", str(tmp_path / "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q2.awaitTermination(120)
+        run_once()
         got = {
             (r.key, r.best_seconds, r.holder, r.prev_best)
-            for r in spark.sql("SELECT * FROM tws_best2").collect()
+            for r in spark.read.parquet(str(out_dir)).collect()
         }
-        # only the genuine improvement, measured against batch-1 state
-        assert got == {("cox", 90.0, "b", 120.0)}
+        # run 1: first sighting is a record; run 2: only the genuine
+        # improvement, measured against run-1 state (130 > 120 ignored)
+        assert got == {
+            ("cox", 120.0, "a", None),
+            ("cox", 90.0, "b", 120.0),
+        }
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+@pytest.mark.skipif(
+    not _tws_runtime_available(),
+    reason="transformWithState runtime needs google.protobuf (wheel or "
+    "vendored copy) — neither found",
+)
+def test_tws_and_apply_engines_agree(spark):
+    """The two stateful engines are interchangeable: identical
+    change-logs from changelog_via_stream(engine='apply') and
+    engine='tws' over the same input — the contract that lets
+    q_running_best_changelog_tws fall back where the protobuf
+    state server can't run."""
+    from osrs_dashboard_elt_spark.compat import tws_runtime_executable
+    from osrs_dashboard_elt_spark.streaming import changelog_via_stream
+
+    if not tws_runtime_executable(spark):
+        pytest.skip("JVM env lacks the vendored protobuf PYTHONPATH")
+    ev = _events(spark)
+    runs = {}
+    for engine in ("apply", "tws"):
+        out = changelog_via_stream(ev, engine=engine)
+        runs[engine] = {
+            (r.key, r.best_seconds, r.holder, r.record_ts, r.prev_best)
+            for r in out.collect()
+        }
+    assert runs["apply"] == runs["tws"]
+    assert runs["tws"] == {
+        ("cox", 120.0, "a", datetime(2024, 1, 1, 10), None),
+        ("cox", 110.0, "b", datetime(2024, 1, 1, 11), 120.0),
+        ("cox", 100.0, "d", datetime(2024, 1, 2, 9), 110.0),
+        ("tob", 300.0, "a", datetime(2024, 1, 1, 10), None),
+        ("tob", 290.0, "b", datetime(2024, 1, 3, 10), 300.0),
+    }
