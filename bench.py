@@ -132,9 +132,17 @@ BENCH_QUERIES = [
     "q_table_checksum",
     "q_cube_aggregate",
     "q04_order_priority",
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q12_shipping_delay",
     "q14_promo_revenue",
+    "q15_top_supplier",
     "q17_small_qty_revenue",
     "q19_disjunctive_revenue",
+    "q20_quantity_share_suppliers",
     "q22_idle_customers",
     "q_supplier_share",
     "q_window_functions",

@@ -5064,6 +5064,438 @@ def q_supplier_share(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H sweep completion (round 5): with these, every one of the 22
+# TPC-H query shapes has an oracle-checked representative.  The
+# testdata has no partsupp table, so Q9/Q12/Q20 are SHAPES on the
+# available columns (profit w/o supplycost; ship-delay buckets for
+# shipmode; quantity-share semi-join for the availability probe) —
+# the join/agg/subquery structure is the faithful part.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q06_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(28,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: pure scan-side conjunction + one scalar aggregate.
+    Everything pushes to the parquet scan (shipdate range, discount
+    band, quantity cap are all PushedFilters); no join, no wide
+    shuffle — the canonical 'filter early' probe.  At 100 TB this is
+    bounded by scan bandwidth alone, with partition pruning on a
+    shipdate-partitioned layout."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                "decimal(28,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_Q7_N1, _Q7_N2 = "NATION_3", "NATION_8"
+
+
+@query(
+    "q07_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           {_REV_SQL} AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = '{_Q7_N1}' AND n2.n_name = '{_Q7_N2}')
+        OR (n1.n_name = '{_Q7_N2}' AND n2.n_name = '{_Q7_N1}'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q07_volume_shipping(spark, sf_dir):
+    """TPC-H Q7: bidirectional two-nation trade volume.  The nation
+    pair predicate lands on the two BROADCAST nation joins, so the
+    supplier/customer fact rows are pre-filtered to the two nations
+    before the one real shuffle (orders-lineitem); the disjunctive
+    pair condition is a post-join filter on two tiny dimension
+    columns, not a join explosion."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(_Q7_N1, _Q7_N2))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(_Q7_N1, _Q7_N2))
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    )
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            ((F.col("supp_nation") == _Q7_N1) & (F.col("cust_nation") == _Q7_N2))
+            | ((F.col("supp_nation") == _Q7_N2) & (F.col("cust_nation") == _Q7_N1))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(_revenue_col().alias("revenue"))
+    )
+
+
+_Q8_NATION, _Q8_REGION, _Q8_TYPE = "NATION_6", "AMERICA", "STANDARD"
+
+
+@query(
+    "q08_market_share",
+    oracle=f"""
+    WITH vol AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6)) AS volume,
+             n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = '{_Q8_REGION}' AND p_type = '{_Q8_TYPE}'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01')
+    SELECT o_year,
+           {dround_sql(
+               "CAST(SUM(CASE WHEN supp_nation = '" + _Q8_NATION + "' "
+               "THEN volume ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)"
+               " / CAST(SUM(volume) AS DOUBLE)"
+           )} AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def q08_market_share(spark, sf_dir):
+    """TPC-H Q8: one nation's share of regional trade volume.  Every
+    dimension broadcasts (part pre-filtered to the type, customers
+    pre-filtered to the region via nation->region); numerator and
+    denominator come out of ONE conditional aggregate over the single
+    fact shuffle — no second pass for the total."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == _Q8_TYPE)
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == _Q8_REGION)
+    cust_n = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    supp_n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(cust_n), F.col("c_nationkey") == F.col("cn_key")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    agg = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == _Q8_NATION, vol).otherwise(
+                    F.lit(0).cast("decimal(28,6)")
+                )
+            ).alias("nat_dec"),
+            F.sum(vol).alias("tot_dec"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        dround(
+            F.col("nat_dec").cast("double") / F.col("tot_dec").cast("double")
+        ).alias("mkt_share"),
+    )
+
+
+@query(
+    "q09_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {_REV_SQL} AS profit
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q09_product_profit(spark, sf_dir):
+    """TPC-H Q9 SHAPE (testdata has no partsupp, so profit omits
+    ps_supplycost): per-(supplier-nation, order-year) profit on parts
+    matching a name pattern.  The part filter broadcasts, pre-gating
+    the fact scan; supplier->nation broadcasts; the only shuffles are
+    the orders join and the final small group-by."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_revenue_col().alias("profit"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, {_REV_SQL} AS revenue,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS c_acctbal,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10: top-20 customers by returned-merchandise revenue in
+    a quarter.  Revenue aggregates on (custkey, ...) straight off the
+    orders-lineitem join — customer and nation broadcast into the
+    SAME aggregate's key (they're functionally dependent on custkey,
+    so they ride the group-by for free); the top-20 is
+    TakeOrderedAndProject, never a global sort.  Tie-broken on
+    custkey so the LIMIT is deterministic across engines."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_revenue_col().alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("decimal(18,2)").cast("double").alias(
+                "c_acctbal"
+            ),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q12_shipping_delay",
+    oracle="""
+    SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                THEN 'late' ELSE 'on-time' END AS delay_bucket,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q12_shipping_delay(spark, sf_dir):
+    """TPC-H Q12 SHAPE (testdata has no l_shipmode/commitdate, so the
+    bucketing dimension is order->ship delay instead of ship mode):
+    priority-class line counts per bucket, both counts from ONE
+    conditional aggregate over the single orders-lineitem shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+                "late",
+            )
+            .otherwise("on-time")
+            .alias("delay_bucket")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no, {_REV_SQL} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue (the
+    'view + scalar subquery' form).  The per-supplier revenue
+    aggregates once; the MAX reduces that already-tiny table and
+    broadcast cross-joins back — the fact table is scanned exactly
+    once, and the equality is on bit-identical decimal-sum doubles."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _revenue_col().alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_rev"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q20_quantity_share_suppliers",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT l_partkey, SUM(qty_dec) AS tot_dec, COUNT(*) AS n_supp
+      FROM per GROUP BY 1),
+    big AS (
+      SELECT DISTINCT l_suppkey
+      FROM per JOIN tot USING (l_partkey)
+      WHERE n_supp >= 2
+        AND CAST(qty_dec AS DOUBLE) > 0.9 * CAST(tot_dec AS DOUBLE))
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM big)
+    """,
+)
+def q20_quantity_share_suppliers(spark, sf_dir):
+    """TPC-H Q20 SHAPE (no partsupp, so 'availability' becomes shipped
+    quantity share): suppliers who shipped >90% of some CONTESTED
+    part's annual volume (>= 2 suppliers — dominance of a sole-source
+    part is vacuous), semi-joined into the supplier dimension.  The
+    nested aggregate reuses its own first shuffle — per-(part,
+    supplier) sums re-aggregate to per-part totals WITHOUT a second
+    fact scan — and the qualifying supplier ids semi-join
+    (broadcast-sized: bounded by distinct suppliers)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec")
+    )
+    tot = per.groupBy("l_partkey").agg(
+        F.sum("qty_dec").alias("tot_dec"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    big = (
+        per.join(tot, "l_partkey")
+        .filter(
+            (F.col("n_supp") >= 2)
+            & (
+                F.col("qty_dec").cast("double")
+                > 0.9 * F.col("tot_dec").cast("double")
+            )
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(big), supp.s_suppkey == big.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
 @query(
     "q_window_functions",
     oracle=f"""
