@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "q_pattern_grammar",
     "q_running_best_changelog",
     "q_running_best_changelog_tws",
+    "q_stream_sessionize_timers",
     "q_set_except",
     "q_simhash_pairs",
     "q_streaming_windowed_rollup",

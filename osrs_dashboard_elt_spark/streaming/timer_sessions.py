@@ -1,0 +1,298 @@
+"""Timer-based streaming sessionization on ``transformWithState``.
+
+The batch engine already sessionizes by inactivity gap
+(``operators/sessionize.py`` — lag -> flag -> running sum) and the
+streaming engine has the built-in ``session_window`` rollup
+(``streaming/ingest.py``).  What NEITHER gives you is a low-latency
+per-session row emitted the moment a session is KNOWN closed — the
+built-in holds results until the aggregation's output trigger, and
+the batch form needs the whole table.  Event-time TIMERS express it
+directly: each key holds its open session in a ``ValueState``;
+every event extends (or rolls) the session and re-arms a timer at
+``session_end + gap``; when the WATERMARK passes the timer, the
+session provably cannot grow (late rows inside the watermark would
+have re-armed it), so ``handleExpiredTimer`` emits the finished
+session and clears the state.
+
+This is the first operator here that genuinely needs the
+transformWithState API surface (timers + typed state +
+``timeMode="EventTime"``) — ``applyInPandasWithState`` exposes only
+coarse per-group timeouts, not per-key re-armable event-time timers.
+Runtime availability is probed by the caller (see
+``compat.tws_runtime_executable``).
+
+Semantics pinned by the oracle: identical session rows to the batch
+``sessionize`` (same gap, per-key session ids numbered from 1 in
+time order) once every session's close has been witnessed — the
+suite drives the corpus through a real stream with a final
+watermark-advancing sentinel so even the trailing open sessions
+flush.
+
+Scale: state is O(open sessions) x ~40 bytes; each micro-batch
+shuffles once on the key; timers live in the state store alongside
+the values.  Per-(key, batch) rows are sorted in pandas — hot keys
+at 100 TB would pre-aggregate per (key, gap-bucket) upstream first.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("session_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+    ]
+)
+
+# open session: id counter + bounds (epoch micros) + event count.
+# Primitives only — it round-trips through the state store.
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+    ]
+)
+
+_US = 1_000_000
+
+
+def timer_sessionize(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Sessionize a STREAM by inactivity gap with event-time timers;
+    emits one row per CLOSED session (key, session_id, n_events,
+    session_start, session_end).
+
+    A session closes two ways: an event for the same key lands past
+    ``end + gap`` (the successor's first event emits the predecessor
+    immediately — no watermark wait), or the watermark passes the
+    re-armed timer at ``end + gap`` (the tail session of a quiet
+    key).  Late events inside the watermark merge into the open
+    session; events older than the watermark are dropped by the
+    engine, same as every event-time operator here.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = int(round(gap_seconds * _US))
+
+    src = stream.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(ts_col).alias("ts"),
+    ).withWatermark("ts", watermark_delay)
+
+    class GapSessions(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._open = handle.getValueState("open", _SESSION_STATE_SCHEMA)
+            self._handle = handle
+
+        def _emit(self, key, sid, n, start_us, end_us) -> pd.DataFrame:
+            return self._emit_many(
+                key, [sid], [n], [start_us], [end_us]
+            )
+
+        def _emit_many(
+            self, key, sids, ns, starts_us, ends_us
+        ) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": pd.array([key] * len(sids), dtype="Int64"),
+                    "session_id": pd.array(sids, dtype="Int64"),
+                    "n_events": pd.array(ns, dtype="Int64"),
+                    "session_start": pd.to_datetime(
+                        pd.array(starts_us, dtype="int64"), unit="us"
+                    ),
+                    "session_end": pd.to_datetime(
+                        pd.array(ends_us, dtype="int64"), unit="us"
+                    ),
+                }
+            )
+
+        def handleInputRows(
+            self, key, rows, timerValues
+        ) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            k = key[0]
+            group = pd.concat(list(rows), ignore_index=True)
+            if group.empty:
+                return
+            # Vectorized in-batch sessionization: the per-event work is
+            # numpy (sort, diff, boundary split) — the per-key state
+            # round-trips happen ONCE per (key, batch), not per event.
+            ts = np.sort(
+                group["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+            )
+            # boundaries: positions whose predecessor gap exceeds the cap
+            starts = np.flatnonzero(
+                np.concatenate(([True], np.diff(ts) > gap_us))
+            )
+            seg_start = ts[starts]
+            seg_end = ts[np.concatenate((starts[1:] - 1, [len(ts) - 1]))]
+            seg_n = np.diff(np.concatenate((starts, [len(ts)])))
+
+            stored = self._open.get()
+            if stored is not None:
+                sid0, n0, start0, end0 = stored
+                self._handle.deleteTimer(_us_to_ms_ceil(end0 + gap_us))
+            else:
+                sid0, n0, start0, end0 = 0, 0, None, None
+
+            if n0 > 0 and int(seg_start[0]) - end0 <= gap_us:
+                # first in-batch segment continues the open session
+                seg_start[0] = min(start0, int(seg_start[0]))
+                seg_end[0] = max(end0, int(seg_end[0]))
+                seg_n[0] += n0
+                first_sid = sid0
+            elif n0 > 0:
+                # open session provably closed by its in-batch successor
+                yield self._emit(k, sid0, n0, start0, end0)
+                first_sid = sid0 + 1
+            else:
+                first_sid = sid0 + 1
+            n_seg = len(seg_start)
+            sids = range(first_sid, first_sid + n_seg)
+
+            if n_seg > 1:  # all but the last segment are closed
+                yield self._emit_many(
+                    k,
+                    list(sids)[:-1],
+                    seg_n[:-1].tolist(),
+                    seg_start[:-1].tolist(),
+                    seg_end[:-1].tolist(),
+                )
+            last = (
+                first_sid + n_seg - 1,
+                int(seg_n[-1]),
+                int(seg_start[-1]),
+                int(seg_end[-1]),
+            )
+            self._open.update(last)
+            self._handle.registerTimer(_us_to_ms_ceil(last[3] + gap_us))
+
+        def handleExpiredTimer(
+            self, key, timerValues, expiredTimerInfo
+        ) -> Iterator[pd.DataFrame]:
+            stored = self._open.get()
+            if stored is None:
+                return
+            sid, n, start_us, end_us = stored
+            # a stale timer (session rolled since) never matches the
+            # live session's own expiry
+            if _us_to_ms_ceil(end_us + gap_us) != expiredTimerInfo.getExpiryTimeInMs():
+                return
+            yield self._emit(key[0], sid, n, start_us, end_us)
+            # keep the id counter so the key's NEXT session numbers on
+            self._open.update((sid, 0, end_us, end_us))
+
+        def close(self) -> None:
+            pass
+
+    return src.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=GapSessions(),
+        outputStructType=SESSION_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+
+
+def _us_to_ms_ceil(us: int) -> int:
+    """Timer registry is millisecond-grained; round UP so a timer
+    never fires before its microsecond-true expiry."""
+    return -((-us) // 1000)
+
+
+def sessions_via_stream(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+    work_dir: str | None = None,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Drive a BATCH frame through ``timer_sessionize`` as a real
+    one-shot stream and return every emitted session.
+
+    One-batch drive: a single far-future SENTINEL row under a
+    reserved key (filtered from the output) rides in the SAME batch
+    as the data — its only job is to push the post-batch watermark
+    past every real session's ``end + gap``, so the engine's no-data
+    follow-up batch fires every trailing open session's timer (the
+    streaming analog of "end of input").  In-batch sessions never
+    needed the watermark, so one data batch + one no-data batch is
+    the whole query.  Requires the transformWithState runtime (see
+    ``compat.tws_runtime_executable``).
+    """
+    import tempfile
+    import uuid
+
+    spark = df.sparkSession
+    root = work_dir or tempfile.mkdtemp(prefix="timer_sessions_")
+    sentinel_key = -(2**62)  # reserved: below any real long key in use
+    src = df.select(
+        F.col(key_col).cast("long").alias("key"), F.col(ts_col).alias("ts")
+    )
+    sentinel = spark.range(1).select(
+        F.lit(sentinel_key).alias("key"),
+        F.lit("2199-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    src.unionByName(sentinel).write.mode("overwrite").parquet(f"{root}/src")
+
+    stream = spark.readStream.schema("key long, ts timestamp").parquet(
+        f"{root}/src"
+    )
+    out = timer_sessionize(stream, "key", "ts", gap_seconds)
+    qname = f"timer_sessions_{uuid.uuid4().hex[:12]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev_provider = spark.conf.get(_PROVIDER_KEY)
+    except Exception:
+        prev_provider = None
+    # per-key state-server round trips dominate (4 RPCs per key per
+    # batch): spread keys across workers — 16 stateful partitions,
+    # each its own Python state-server client
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set(
+        _PROVIDER_KEY,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            out.writeStream.queryName(qname)
+            .format("memory")
+            .outputMode("append")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_provider is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prev_provider)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"timer-session stream did not finish within {timeout_sec}s"
+        )
+    return spark.table(qname).filter(F.col("key") != sentinel_key)

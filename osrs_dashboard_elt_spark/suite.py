@@ -585,6 +585,74 @@ def q_sessionize_gap(spark, sf_dir):
 
 
 @query(
+    "q_stream_sessionize_timers",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM x
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+           strftime(MAX(ts), '{TS_FMT_DUCK}') AS session_end
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_stream_sessionize_timers(spark, sf_dir):
+    """Gap sessionization as a LOW-LATENCY STREAM: per-key open
+    sessions in transformWithState ValueState, re-armable EVENT-TIME
+    TIMERS at end+gap so a closed session emits the moment the
+    watermark proves it can't grow (streaming/timer_sessions.py) —
+    the first operator needing the timer API surface.  Driven through
+    a real availableNow stream with a watermark-advancing sentinel;
+    the oracle is the identical batch gap-sessionize SQL, so the
+    timer path must reproduce the lag->flag->running-sum semantics
+    row for row.  Falls back to the batch sessionizer where the
+    protobuf state-server runtime can't execute (same contract as
+    q_running_best_changelog_tws)."""
+    from .compat import tws_runtime_executable
+    from .streaming.timer_sessions import sessions_via_stream
+
+    ev = _t(spark, sf_dir, "events")
+    if tws_runtime_executable(spark):
+        out = sessions_via_stream(
+            ev, key_col="user_id", ts_col="ts", gap_seconds=1800.0
+        )
+        return out.select(
+            F.col("key").alias("user_id"),
+            "session_id",
+            "n_events",
+            F.date_format("session_start", TS_FMT_SPARK).alias("session_start"),
+            F.date_format("session_end", TS_FMT_SPARK).alias("session_end"),
+        )
+    s = sessionize(ev, "ts", ["user_id"], gap_seconds=1800.0)
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), TS_FMT_SPARK).alias("session_start"),
+            F.date_format(F.max("ts"), TS_FMT_SPARK).alias("session_end"),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "n_events",
+            "session_start",
+            "session_end",
+        )
+    )
+
+
+@query(
     "q_near_best_band",
     oracle="""
     WITH m AS (SELECT event_type, MIN(value) AS best FROM events GROUP BY 1),
