@@ -1,0 +1,221 @@
+"""Distributed Lloyd's k-means over an embedding column.
+
+The IVF ANN path (`operators/similarity.py::ivf_assign`) partitions
+vectors by nearest CENTROID — until now the centroids were a
+deterministic sample.  This trains them properly: classic Lloyd's,
+Spark-shaped —
+
+- centroids live driver-side (k x d doubles — tiny) and are inlined
+  into the assignment expression each round, exactly how the
+  hyperplane/centroid fragments in `similarity.py` already work
+  (broadcast-by-literal; no Python in the scan);
+- each iteration is ONE scan + one bounded shuffle: the per-(cell,
+  dim) sums partial-aggregate map-side, so the exchange carries at
+  most k*d rows per upstream partition regardless of data size;
+- the update is EXACT: float32-origin elements integerize exactly
+  via a power-of-two scale (x * 2^50, an exponent shift), sum as
+  DECIMAL integers (order-independent), and scale back exactly — one
+  IEEE division per (cell, dim) is the only rounding, so a DuckDB
+  oracle reproduces every centroid bit-for-bit, iteration by
+  iteration, and so does any re-run on any partitioning.
+
+At 100 TB: K iterations = K scan jobs (cache the projected vector
+column once if memory allows); the shuffle is k*d*partitions rows of
+decimals — centroid count, not data size, bounds it.  Init is a
+deterministic hash-order sample (md5 of the id, seeded) — k-means++
+would cost k more scans for usually-nicer seeds; the hash pick keeps
+init reproducible everywhere, which the oracle needs.
+
+Assignment ties (exactly equidistant centroids) resolve to the
+smallest cell index, matching the oracle's (score DESC, cell ASC)
+window rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _dlit, plane_dot_sql, vd_cast
+
+
+def _half_sq_norm(c: list[float]) -> float:
+    """0.5 * |c|^2 as the exact left-fold python double — the same
+    fold order as ``plane_dot_sql(c, c)`` so both engines agree."""
+    acc = 0.0
+    for x in c:
+        acc = acc + x * x
+    return 0.5 * acc
+
+
+def kmeans_init(
+    df: DataFrame, vec_col: str, k: int, id_col: str, seed: int = 0
+) -> list[list[float]]:
+    """Deterministic pseudo-random init: the k vectors whose
+    md5(seed || id) sorts smallest.  Reproducible on any engine that
+    has md5 — which is what lets the oracle replay training."""
+    rows = (
+        df.select(
+            F.md5(F.concat(F.lit(str(seed) + ":"), F.col(id_col).cast("string"))).alias(
+                "__h"
+            ),
+            vd_cast(vec_col).alias("__vd"),
+        )
+        .orderBy("__h")
+        .limit(k)
+        .collect()
+    )
+    return [[float(x) for x in r["__vd"]] for r in rows]
+
+
+# Exact integerization of float32-origin doubles: x * 2^50 is an
+# integer whenever |x| >= 2^-27 (24-bit mantissa, exponent >= -27);
+# the multiply is a pure exponent shift (exact), the DECIMAL(38,0)
+# sum is integer arithmetic (order-independent), and the scale-back
+# by 2^-50 is again exact — so a centroid mean incurs exactly ONE
+# IEEE rounding (the division), identical in any engine and under
+# any partitioning.  kmeans_fit validates the magnitude floor.
+_SCALE_UP = 2.0**50
+_SCALE_DOWN = 2.0**-50
+_MIN_EXACT_ABS = 2.0**-27
+
+
+def kmeans_iterate(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+) -> list[list[float]]:
+    """One Lloyd's round: assign to the nearest current centroid, then
+    exact element means per cell (integerized sums).  Empty cells
+    keep their old centroid.  One scan, one k*d-bounded shuffle."""
+    dim = len(centroids[0])
+    assigned = _with_cell(
+        df.select(vd_cast(vec_col).alias("__vd")), centroids
+    )
+    # one aggregate row per cell, one sum column per dim: no row
+    # amplification (vs posexplode'ing dim x rows through the agg)
+    # and the exchange carries k rows x (dim+1) columns per partition
+    agg_df = (
+        assigned.groupBy("__cell")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(
+                    (
+                        F.element_at(F.col("__vd"), d + 1) * F.lit(_SCALE_UP)
+                    ).cast("decimal(38,0)")
+                ).alias(f"__s{d}")
+                for d in range(dim)
+            ],
+        )
+        .select(
+            "__cell",
+            *[
+                (
+                    (F.col(f"__s{d}").cast("double") / F.col("__n"))
+                    * F.lit(_SCALE_DOWN)
+                ).alias(f"__m{d}")
+                for d in range(dim)
+            ],
+        )
+    )
+    # NOTE: at k*dim >= ~512 the fused project+agg overflows janino's
+    # method limit — Spark logs one "Failed to compile" and falls
+    # back to interpreted evaluation for the stage.  Correctness is
+    # unaffected; the fixed per-iteration planning cost dominates at
+    # test scale either way (SCALE.md "serialized expression trees").
+    stats = agg_df.collect()
+    new = [list(c) for c in centroids]  # empty cells keep old
+    for r in stats:
+        new[r["__cell"]] = [float(r[f"__m{d}"]) for d in range(dim)]
+    return new
+
+
+def _with_cell(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Append ``__cell`` to a frame carrying ``__vd``: first-index-at-
+    max over ONE array of score expressions — smallest index wins
+    ties, matching the oracle's (score DESC, cell ASC) rank.  The
+    scores array gets its OWN projection: CollapseProject refuses to
+    inline a non-cheap expression referenced twice (array_position +
+    array_max), so the k*dim dot chain is evaluated once per row and
+    the generated method stays under janino's size limit."""
+    dim = len(centroids[0])
+    # extract each element ONCE into a scalar column: element_at
+    # generates bounds-check + error-branch code, so referencing the
+    # array 8x per dim bloats the fused method past janino's limit —
+    # extracted attrs are plain locals and CollapseProject keeps the
+    # extraction separate (non-cheap expr, referenced k times)
+    xs = [f"__x{d}" for d in range(dim)]
+    extracted = df.select(
+        "*",
+        *[
+            F.element_at(F.col("__vd"), d + 1).alias(xs[d])
+            for d in range(dim)
+        ],
+    )
+
+    def score(c: list[float]) -> str:
+        terms = " + ".join(
+            f"{xs[d]} * {_dlit(v)}" for d, v in enumerate(c)
+        )
+        return f"({_dlit(0.0)} + {terms} - {_dlit(_half_sq_norm(c))})"
+
+    arr = "ARRAY(" + ", ".join(score(c) for c in centroids) + ")"
+    return (
+        extracted.withColumn("__scores", F.expr(arr))
+        .withColumn(
+            "__cell",
+            F.expr(
+                "CAST(array_position(__scores, array_max(__scores)) - 1 AS INT)"
+            ),
+        )
+        .drop("__scores", *xs)
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    seed: int = 0,
+    init: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Train k centroids with ``n_iter`` Lloyd's rounds.  Returns the
+    final centroids (driver-side floats, ready to hand to
+    ``ivf_assign``/``write_ivf_index`` after unit-normalizing if the
+    index uses dot-product cells)."""
+    floor = (
+        df.select(vd_cast(vec_col).alias("__vd"))
+        .select(F.explode("__vd").alias("__x"))
+        .filter(F.col("__x") != 0.0)
+        .agg(F.min(F.abs(F.col("__x"))).alias("mn"))
+        .collect()[0]["mn"]
+    )
+    if floor is not None and floor < _MIN_EXACT_ABS:
+        raise ValueError(
+            f"kmeans_fit exact-mean contract: nonzero |element| "
+            f"{floor!r} < 2^-27 — x*2^50 would not be an integer and "
+            "the centroid means would pick up engine-dependent "
+            "rounding.  Rescale the embeddings (or lower _SCALE_UP)."
+        )
+    cents = init if init is not None else kmeans_init(df, vec_col, k, id_col, seed)
+    if len(cents) < k:
+        raise ValueError(f"need >= {k} vectors to init, got {len(cents)}")
+    for _ in range(n_iter):
+        cents = kmeans_iterate(df, vec_col, cents)
+    return cents
+
+
+def kmeans_assignments(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell) for the given centroids — the scan-side expression
+    IVF uses, exposed for the final labeling pass."""
+    return _with_cell(
+        df.select(F.col(id_col), vd_cast(vec_col).alias("__vd")), centroids
+    ).select(F.col(id_col), F.col("__cell").alias("cell"))

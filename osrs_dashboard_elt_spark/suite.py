@@ -2342,6 +2342,110 @@ def _ivf_oracle(sf_dir: str) -> str:
     """
 
 
+_KM_K, _KM_ITER, _KM_SEED, _KM_DIM = 8, 2, 42, 64
+
+
+def _kmeans_oracle() -> str:
+    """Replay the ENTIRE k-means training in SQL: md5-ordered init,
+    then per iteration a (vector x centroid) score rank (dot -
+    half|c|^2, ties to the smallest cell — the same first-at-max rule
+    as the Spark assignment expression) and exact-decimal element
+    means.  Every intermediate centroid is bit-identical to the
+    driver loop's because sums are DECIMAL (order-independent) and
+    the one division per (cell, dim) is IEEE on identical operands."""
+    ctes = [
+        "emb AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS xd FROM embeddings)",
+        f"""c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5('{_KM_SEED}:' || CAST(vec_id AS VARCHAR))) - 1 AS INT) AS cell,
+             xd AS cent
+      FROM emb
+      ORDER BY md5('{_KM_SEED}:' || CAST(vec_id AS VARCHAR))
+      LIMIT {_KM_K})""",
+    ]
+    score = (
+        "(list_dot_product(e.xd, c.cent)"
+        " - CAST(0.5 AS DOUBLE) * list_dot_product(c.cent, c.cent))"
+    )
+    for i in range(1, _KM_ITER + 1):
+        ctes.append(f"""a{i} AS (
+      SELECT vec_id, xd, cell FROM (
+        SELECT e.vec_id, e.xd, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {score} DESC, c.cell) AS rn
+        FROM emb e CROSS JOIN c{i - 1} c) WHERE rn = 1)""")
+        # exact integerized mean, mirroring operators/kmeans.py: the
+        # 2^50 scale is an exponent shift (exact on float32-origin
+        # values), the DECIMAL(38,0) sum is integer arithmetic, and
+        # the single division is the only rounding
+        ctes.append(f"""m{i} AS (
+      SELECT cell, d AS dim,
+             (CAST(SUM(CAST(xd[CAST(d + 1 AS BIGINT)] * 1125899906842624.0 AS DECIMAL(38,0))) AS DOUBLE)
+               / COUNT(*)) * 8.881784197001252e-16 AS mval
+      FROM a{i}, UNNEST(range(0, {_KM_DIM})) AS t(d)
+      GROUP BY cell, d)""")
+        ctes.append(f"""c{i} AS (
+      SELECT p.cell, COALESCE(n.cent, p.cent) AS cent
+      FROM c{i - 1} p LEFT JOIN (
+        SELECT cell, list(mval ORDER BY dim) AS cent
+        FROM m{i} GROUP BY cell) n USING (cell))""")
+    final = _KM_ITER
+    ctes.append(f"""fin AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {score} DESC, c.cell) AS rn
+        FROM emb e CROSS JOIN c{final} c) WHERE rn = 1)""")
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT c.cell, t.d AS dim,
+           c.cent[CAST(t.d + 1 AS BIGINT)] AS centroid,
+           COALESCE(s.n_members, 0) AS n_members
+    FROM c{final} c
+    CROSS JOIN UNNEST(range(0, {_KM_DIM})) AS t(d)
+    LEFT JOIN (SELECT cell, COUNT(*) AS n_members FROM fin GROUP BY cell) s
+      USING (cell)
+    """
+
+
+@query("q_kmeans_centroids", oracle=_kmeans_oracle())
+def q_kmeans_centroids(spark, sf_dir):
+    """Distributed Lloyd's k-means (operators/kmeans.py): md5-seeded
+    init, 2 rounds of scan-side literal-centroid assignment + exact
+    integerized element means (one scan and one k*d-bounded shuffle
+    per round), then a final labeling pass for cell sizes.  The oracle
+    replays the whole training in SQL — every intermediate centroid
+    must match bit-for-bit, which is what the decimal-sum/IEEE-divide
+    update guarantees.  Trains the centroids the IVF ANN index
+    consumes (`write_ivf_index`)."""
+    from .operators.kmeans import kmeans_assignments, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(
+        emb, "embedding", k=_KM_K, n_iter=_KM_ITER, seed=_KM_SEED,
+        id_col="vec_id",
+    )
+    sizes = kmeans_assignments(emb, "embedding", cents).groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    cent_rows = [
+        (cell, d, cents[cell][d])
+        for cell in range(_KM_K)
+        for d in range(_KM_DIM)
+    ]
+    cent_df = spark.createDataFrame(
+        cent_rows, "cell int, dim int, centroid double"
+    )
+    return cent_df.join(F.broadcast(sizes), "cell", "left").select(
+        "cell",
+        F.col("dim").cast("long").alias("dim"),
+        "centroid",
+        F.coalesce(F.col("n_members"), F.lit(0)).cast("long").alias(
+            "n_members"
+        ),
+    )
+
+
 @query("q_ivf_ann_topk")  # oracle attached lazily in build_oracles()
 def q_ivf_ann_topk(spark, sf_dir):
     """IVF approximate top-k (second ANN scale path): deterministic

@@ -1,0 +1,87 @@
+"""Distributed Lloyd's k-means (operators/kmeans.py): determinism,
+agreement with a numpy reference, the exact-mean contract guard, and
+empty-cell centroid retention."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osrs_dashboard_elt_spark.operators.kmeans import (
+    kmeans_assignments,
+    kmeans_fit,
+    kmeans_init,
+    kmeans_iterate,
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    # three well-separated blobs in 4-d, float32 like the real column
+    rng = np.random.default_rng(7)
+    rows = []
+    for i, center in enumerate(([0.5, 0.5, 0.0, 0.0], [0.0, 0.0, 0.5, 0.5],
+                                [0.5, 0.0, 0.5, 0.0])):
+        for j in range(30):
+            v = (np.array(center) + rng.normal(0, 0.03, 4)).astype("float32")
+            rows.append((i * 100 + j, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_fit_is_deterministic_and_matches_numpy(spark, vecs):
+    c1 = kmeans_fit(vecs, "embedding", k=3, n_iter=4, seed=11)
+    c2 = kmeans_fit(vecs, "embedding", k=3, n_iter=4, seed=11)
+    assert c1 == c2  # bit-for-bit across runs/partitionings
+
+    X = np.array(
+        [r["embedding"] for r in vecs.orderBy("vec_id").collect()],
+        dtype="float64",
+    )
+    C = np.array(kmeans_init(vecs, "embedding", 3, "vec_id", 11))
+    for _ in range(4):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2)
+        lab = d2.argmin(1)
+        for c in range(3):
+            if (lab == c).any():
+                C[c] = X[lab == c].mean(0)
+    assert float(np.abs(np.array(c1) - C).max()) < 1e-9
+
+    # with 3 clusters and 4 rounds every blob gets its own centroid
+    sizes = (
+        kmeans_assignments(vecs, "embedding", c1)
+        .groupBy("cell")
+        .count()
+        .collect()
+    )
+    assert sorted(r["count"] for r in sizes) == [30, 30, 30]
+
+
+def test_empty_cell_keeps_previous_centroid(spark, vecs):
+    # a centroid far from every point attracts nothing and must
+    # survive the round unchanged
+    far = [9.0, 9.0, 9.0, 9.0]
+    init = kmeans_init(vecs, "embedding", 2, "vec_id", 11) + [far]
+    out = kmeans_iterate(vecs, "embedding", init)
+    assert out[2] == far
+    assert out[0] != init[0]  # live cells did move
+
+
+def test_exact_mean_contract_guard(spark):
+    # one nonzero element below 2^-27 -> x*2^50 is not an integer ->
+    # loud failure, not silent engine-dependent rounding
+    rows = [(0, [2.0 ** -30, 0.5]), (1, [0.25, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="exact-mean contract"):
+        kmeans_fit(df, "embedding", k=2, n_iter=1)
+
+
+def test_assignment_tie_breaks_to_smallest_cell(spark):
+    # a point exactly equidistant from two identical centroids must
+    # land in cell 0 (first-index-at-max), the oracle's rank rule
+    df = spark.createDataFrame(
+        [(0, [0.5, 0.5])], "vec_id long, embedding array<float>"
+    )
+    cents = [[0.25, 0.25], [0.25, 0.25]]
+    got = kmeans_assignments(df, "embedding", cents).collect()
+    assert got[0]["cell"] == 0
