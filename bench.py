@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "q_token_rarity",
     "q_cdc_merge",
     "q_item_copurchase",
+    "q_copurchase_pagerank",
     "q_event_transitions",
 ]
 

@@ -1,0 +1,103 @@
+"""Integer-mass PageRank — iterative graph centrality as K Spark
+aggregate jobs, deterministic enough for a SQL oracle to replay.
+
+Floating-point PageRank is order-dependent (the per-node sum of
+incoming ``rank/degree`` contributions rounds differently under every
+partitioning), so this uses the integer-quantized formulation: each
+node's rank is an integer MASS (total mass = ``nodes * scale``), a
+node passes ``mass DIV out_degree`` to each out-neighbor (exact
+integer division — the ``mass MOD out_degree`` remainder and the
+mass of dangling nodes are dropped, which is the quantization), and
+damping re-mints ``(1 - d)`` of each node's share in integer
+arithmetic.  Every operation is integer +, *, DIV — bit-identical on
+any engine, any partitioning, any execution order.  Quantization
+error per node per round is < out_degree / scale, vanishing at the
+default ``scale = 10^9``.
+
+Shuffle shape per round: ONE shuffle keyed by destination node (the
+contribution aggregate; map-side combined), against an edge table
+that never changes — at scale, pre-partition the edge list by ``src``
+once and every round's join to the rank table co-locates.  Ranks are
+2 longs per node.  K rounds = K jobs over the (edges join ranks)
+plan, the same loop structure as `operators/components.py` and
+`operators/kmeans.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SCALE = 1_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 5,
+    damping_pct: int = 85,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """(node, mass, rank) after ``n_iter`` integer-mass rounds over a
+    DIRECTED edge list (feed both directions for an undirected graph).
+    ``rank = mass / (nodes * scale)`` is the readable column; ``mass``
+    is the exact integer the oracle reproduces.  ``damping_pct`` is an
+    integer percentage so damping stays in integer arithmetic.
+
+    Nodes = every distinct endpoint.  Dangling mass (nodes with no
+    out-edges) and DIV remainders are dropped, not redistributed —
+    the standard quantized-PageRank simplification, stated so the
+    oracle and any reimplementation agree on it.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # (src, dst, deg): the static routing table — at scale this is
+    # the thing you bucket by src once and reuse every round
+    routes = e.join(deg, "src").localCheckpoint(eager=False)
+    n_nodes = nodes.count()
+    base = (scale * (100 - damping_pct)) // 100  # re-minted per node
+
+    ranks = nodes.select("node", F.lit(int(scale)).alias("mass"))
+    for _ in range(n_iter):
+        contrib = (
+            routes.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                # integer DIV, not double-divide-then-cast: all masses
+                # are positive so trunc == floor == DuckDB's //
+                F.expr("mass DIV deg").alias("give"),
+            )
+            .groupBy("node")
+            .agg(F.sum("give").alias("recv"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(int(base))
+                    + F.expr(
+                        f"(coalesce(recv, 0L) * {int(damping_pct)}) DIV 100"
+                    )
+                ).alias("mass"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "node",
+        "mass",
+        (F.col("mass").cast("double") / F.lit(float(n_nodes * scale))).alias(
+            "rank"
+        ),
+    )

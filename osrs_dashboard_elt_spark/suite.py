@@ -6171,6 +6171,89 @@ def q_cdc_merge(spark, sf_dir):
     return merge_apply(cust, changes, keys=["c_custkey"])
 
 
+_PR_ITER, _PR_SCALE, _PR_DAMP = 3, 1_000_000_000, 85
+_PR_EDGES_SQL = """
+    per_order AS (
+      SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    t1 AS (
+      SELECT l_orderkey, unnest(parts) AS part_a, parts FROM per_order
+    ),
+    rawpairs AS (
+      SELECT part_a, unnest(parts) AS part_b FROM t1
+    ),
+    pairs AS (
+      SELECT part_a, part_b
+      FROM rawpairs WHERE part_a < part_b
+      GROUP BY part_a, part_b HAVING COUNT(*) >= 2
+    ),
+    ed AS (
+      SELECT part_a AS src, part_b AS dst FROM pairs
+      UNION ALL
+      SELECT part_b AS src, part_a AS dst FROM pairs
+    ),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM ed
+      UNION
+      SELECT DISTINCT dst AS node FROM ed
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY src)
+"""
+
+
+def _pagerank_oracle() -> str:
+    """Replay the integer-mass PageRank loop: all +, *, DIV — no
+    floats until the final readable rank column, so every iteration
+    is bit-identical to the Spark loop on any engine."""
+    base = (_PR_SCALE * (100 - _PR_DAMP)) // 100
+    ctes = [f"r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS mass FROM nodes)"]
+    for i in range(1, _PR_ITER + 1):
+        ctes.append(f"""r{i} AS (
+      SELECT n.node,
+             CAST({base} + (COALESCE(s.recv, 0) * {_PR_DAMP}) // 100 AS BIGINT) AS mass
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.mass // d.deg) AS recv
+        FROM ed e JOIN r{i - 1} r ON e.src = r.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst) s USING (node))""")
+    return f"""
+    WITH {_PR_EDGES_SQL}, {','.join(ctes)}
+    SELECT node, mass,
+           CAST(mass AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM nodes) * {_PR_SCALE} AS DOUBLE)
+             AS rank
+    FROM r{_PR_ITER}
+    """
+
+
+@query("q_copurchase_pagerank", oracle=_pagerank_oracle())
+def q_copurchase_pagerank(spark, sf_dir):
+    """Graph centrality over the co-purchase graph: the frequent-pair
+    edges (operators/baskets.py) feed integer-mass PageRank
+    (operators/pagerank.py) — K rounds of one destination-keyed
+    aggregate each over a static routing table; the masses are pure
+    integer arithmetic so the oracle replays the whole loop, and the
+    readable rank is one final IEEE division of exact longs."""
+    from .operators.baskets import copurchase_pairs
+    from .operators.pagerank import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = copurchase_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2, max_basket=64
+    ).select("item_a", "item_b")
+    edges = pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("src"), F.col("item_a").alias("dst")
+        )
+    )
+    return pagerank(
+        edges, n_iter=_PR_ITER, damping_pct=_PR_DAMP, scale=_PR_SCALE
+    )
+
+
 @query(
     "q_item_copurchase",
     oracle="""

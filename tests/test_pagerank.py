@@ -1,0 +1,47 @@
+"""Integer-mass PageRank (operators/pagerank.py): hand-computed tiny
+graph, partition invariance, mass conservation bounds."""
+
+from __future__ import annotations
+
+import pytest
+
+from osrs_dashboard_elt_spark.operators.pagerank import pagerank
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # 1->2, 2->1: a symmetric pair plus a sink 3 fed by 1
+    return spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3)], "src long, dst long"
+    )
+
+
+def test_one_round_by_hand(spark, tiny):
+    """mass0 = 1e9 each; deg(1)=2, deg(2)=1, deg(3)=0.
+    node1 recv = mass2 DIV 1 = 1e9 -> 15e7 + (1e9*85) DIV 100 = 1e9
+    node2 recv = 1e9 DIV 2       -> 15e7 + (5e8*85) DIV 100 = 575e6
+    node3 recv = 1e9 DIV 2       -> same as node2"""
+    got = {r.node: r.mass for r in pagerank(tiny, n_iter=1).collect()}
+    assert got == {1: 1_000_000_000, 2: 575_000_000, 3: 575_000_000}
+
+
+def test_partition_invariance(spark, tiny):
+    a = sorted(
+        (r.node, r.mass) for r in pagerank(tiny, n_iter=4).collect()
+    )
+    b = sorted(
+        (r.node, r.mass)
+        for r in pagerank(tiny.repartition(13), n_iter=4).collect()
+    )
+    assert a == b
+
+
+def test_mass_bounds_and_rank_column(spark, tiny):
+    out = pagerank(tiny, n_iter=3).collect()
+    total = sum(r.mass for r in out)
+    n = len(out)
+    # mass only leaks (dangling node 3, DIV remainders): never grows
+    assert total <= n * 1_000_000_000
+    assert total >= n * 150_000_000  # the re-minted base is a floor
+    for r in out:
+        assert abs(r.rank - r.mass / (n * 1_000_000_000)) < 1e-15
