@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "q_stream_interval_join",
     "q_cms_heavy_hitters",
     "q_bm25_search",
+    "q_hybrid_rrf_search",
     "q_ewma_by_user",
     "q_token_rarity",
     "q_cdc_merge",

@@ -5985,6 +5985,98 @@ def q_bm25_search(spark, sf_dir):
 ORACLES["q_bm25_search"] = _bm25_oracle()
 
 
+def _hybrid_rrf_oracle() -> str:
+    """BM25 top-20 and cosine top-20 (both oracles above, verbatim
+    CTE-ified), ranked, full-outer fused with 1/(60+rank) — every
+    contribution one IEEE division of exact integers, summed sparse
+    then dense, so the fused doubles are bit-identical."""
+    tf_cols = ",\n         ".join(
+        f"SUM(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ",\n         ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    contribs = "\n      + ".join(_bm25_contrib_sql(t) for t in _BM25_TERMS)
+    any_tf = " + ".join(f"tf_{t}" for t in _BM25_TERMS)
+    dot_q = _DOT_SQL.format(dim=64, q="q.qv")
+    norm_a = _norm_sql("a.embedding")
+    norm_q = _norm_sql("q.qv")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOK_SQL}) AS token FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS dl,
+         {tf_cols}
+      FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl, COUNT(*) AS n_docs,
+         {df_cols}
+      FROM per_doc
+    ),
+    sparse AS (
+      SELECT doc_id, CAST({contribs} AS DOUBLE) AS s
+      FROM per_doc, stats
+      WHERE {any_tf} > 0
+      ORDER BY s DESC, doc_id ASC LIMIT 20
+    ),
+    brank AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT)
+               AS bm25_rank
+      FROM sparse
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dense AS (
+      SELECT a.vec_id AS doc_id,
+             CAST(CAST({dot_q} / ({norm_a} * {norm_q}) AS DECIMAL(28,6)) AS DOUBLE) AS s
+      FROM embeddings a CROSS JOIN q
+      ORDER BY s DESC, a.vec_id ASC LIMIT 20
+    ),
+    drank AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT)
+               AS dense_rank
+      FROM dense
+    )
+    SELECT COALESCE(b.doc_id, d.doc_id) AS doc_id,
+           COALESCE(1.0/(60.0 + b.bm25_rank), 0.0)
+             + COALESCE(1.0/(60.0 + d.dense_rank), 0.0) AS rrf_score,
+           b.bm25_rank, d.dense_rank
+    FROM brank b FULL OUTER JOIN drank d ON b.doc_id = d.doc_id
+    ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+    """
+
+
+@query("q_hybrid_rrf_search", oracle=_hybrid_rrf_oracle())
+def q_hybrid_rrf_search(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-20 (sparse) and exact-cosine top-20
+    (dense) fused by reciprocal-rank fusion
+    (operators/retrieval.py::rrf_fuse).  The rankers do all the
+    corpus-scale work and truncate first; the fusion itself — rank
+    windows, outer join, 1/(60+rank) sums — touches a few dozen rows
+    no matter the corpus size."""
+    from .operators.retrieval import rrf_fuse
+    from .operators.similarity import cosine_topk
+
+    sparse = q_bm25_search(spark, sf_dir).withColumnRenamed("bm25", "score")
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _get_query_vec(spark, sf_dir, 0)
+    dense = cosine_topk(
+        emb, "embedding", qv, k=20, id_col="vec_id"
+    ).withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse(
+        [("bm25", sparse), ("dense", dense)],
+        id_col="doc_id",
+        score_col="score",
+        k=60,
+        top=10,
+    )
+
+
 @query(
     "q_ewma_by_user",
     oracle=f"""
