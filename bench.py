@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "q_fuzzy_name_match",
     "q_stream_interval_join",
     "q_cms_heavy_hitters",
+    "q_cms_window_at_rest",
     "q_bm25_search",
     "q_hybrid_rrf_search",
     "q_ewma_by_user",

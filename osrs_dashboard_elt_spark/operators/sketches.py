@@ -805,3 +805,90 @@ def cms_oracle_sql(
     GROUP BY kb.val, kb.exact
     HAVING MIN(regs.c) >= {threshold}
     """
+
+
+def cms_daily_registers(
+    df: DataFrame, ts_col: str, value_col: str, d: int = 3, w: int = 256
+) -> DataFrame:
+    """(day, j, bucket, c) — the daily CMS register table.  d*w small
+    integers per day; a window's sketch is the element-wise SUM of
+    its days' registers (counters are counts — addition-mergeable)."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+    v = F.col(value_col).cast("string").alias("val")
+    rows = df.select(day, v).select(
+        "day",
+        "val",
+        F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j"),
+    )
+    rows = rows.withColumn("bucket", _cms_bucket(F.col("j"), F.col("val"), w))
+    return rows.groupBy("day", "j", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def write_cms_registers(daily: DataFrame, path: str) -> None:
+    """Persist daily CMS registers day-partitioned, REPLACING any day
+    being written (dynamic partition overwrite).  Unlike HLL's MAX
+    registers, CMS counters merge by ADDITION, so a replayed append
+    would double-count — the idempotent ingest contract is therefore
+    per-day replacement: recompute a day's d*w rows, swap its
+    partition.  (Partial-day increments would need a batch-id ledger
+    like streaming/incremental_sink.py — out of scope for the rollup
+    cadence this serves.)"""
+    spark = daily.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        daily.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_cms_registers(spark: SparkSession, path: str) -> DataFrame:
+    """The (day, j, bucket, c) view of an at-rest CMS register table.
+    SUM per (day, j, bucket) collapses multiple slice files of one
+    day (a fully replayed day was already replaced at write time)."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("day", "j", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def cms_window_heavy_hitters(
+    daily: DataFrame,
+    candidates: DataFrame,
+    day_from,
+    day_to,
+    threshold: int,
+    d: int = 3,
+    w: int = 256,
+    val_col: str = "val",
+) -> DataFrame:
+    """(val, est) for CANDIDATE keys whose count-min estimate over the
+    day window ``[day_from, day_to]`` reaches ``threshold`` — served
+    entirely from a daily register table: the window's sketch is the
+    SUM of its days' registers (d*w rows after the fold, broadcast),
+    and the probe never rescans events.  The candidate list is the
+    caller's (typically: keys seen TODAY, screened against a month of
+    volume).  Estimates are one-sided (>= exact), integer-exact and
+    engine-independent."""
+    regs = (
+        daily.filter(
+            (F.col("day") >= F.lit(day_from)) & (F.col("day") <= F.lit(day_to))
+        )
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    kb = candidates.select(
+        F.col(val_col).cast("string").alias("val")
+    ).distinct().select(
+        "val",
+        F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j"),
+    ).withColumn("bucket", _cms_bucket(F.col("j"), F.col("val"), w))
+    est = (
+        kb.join(F.broadcast(regs), ["j", "bucket"], "left")
+        .groupBy("val")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )
+    return est.filter(F.col("est") >= threshold).select("val", "est")

@@ -4276,6 +4276,87 @@ def q_hll_rolling_at_rest(spark, sf_dir):
     )
 
 
+_CMSW_D, _CMSW_W, _CMSW_THRESH = 3, 256, 30
+_CMSW_FROM, _CMSW_TO = "2024-01-17", "2024-01-30"
+
+
+@query(
+    "q_cms_window_at_rest",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(user_id AS VARCHAR) AS val
+      FROM events
+    ),
+    jt AS (SELECT unnest(generate_series(0, {_CMSW_D - 1})) AS j),
+    hashed AS (
+      SELECT day, val, j,
+             (('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || val), 1, 15))::BIGINT) % {_CMSW_W} AS bucket
+      FROM v CROSS JOIN jt
+      WHERE day >= DATE '{_CMSW_FROM}' AND day <= DATE '{_CMSW_TO}'
+    ),
+    regs AS (SELECT j, bucket, COUNT(*) AS c FROM hashed GROUP BY j, bucket),
+    cands AS (
+      SELECT DISTINCT val FROM v WHERE day = DATE '{_CMSW_TO}'
+    ),
+    kb AS (
+      SELECT c.val, jt.j,
+             (('0x' || substr(md5(CAST(jt.j AS VARCHAR) || ':' || c.val), 1, 15))::BIGINT) % {_CMSW_W} AS bucket
+      FROM cands c CROSS JOIN jt
+    )
+    SELECT kb.val, MIN(COALESCE(regs.c, 0)) AS est
+    FROM kb LEFT JOIN regs ON kb.j = regs.j AND kb.bucket = regs.bucket
+    GROUP BY kb.val
+    HAVING MIN(COALESCE(regs.c, 0)) >= {_CMSW_THRESH}
+    """,
+)
+def q_cms_window_at_rest(spark, sf_dir):
+    """Windowed heavy-hitter screen served from AT-REST daily CMS
+    registers (the additive-sketch analog of the HLL register table):
+    daily (day, j, bucket, c) registers persisted day-partitioned —
+    one day REPLAYED via dynamic partition replacement to prove the
+    idempotency contract (counters ADD, so replay safety is per-day
+    replacement, not blind append) — then today's candidate keys are
+    screened against the 14-day window's summed registers WITHOUT
+    rescanning the window's events.  Estimates are one-sided
+    integer-exact min-over-rows, identical in the oracle."""
+    import tempfile
+
+    from .operators.sketches import (
+        cms_daily_registers,
+        cms_window_heavy_hitters,
+        read_cms_registers,
+        write_cms_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = cms_daily_registers(ev, "ts", "user_id", d=_CMSW_D, w=_CMSW_W)
+    path = tempfile.mkdtemp(prefix="cms_regs_")
+    write_cms_registers(daily, path)
+    # replaying one day must REPLACE its partition, not double it
+    write_cms_registers(
+        daily.filter(F.col("day") == F.lit(_CMSW_FROM).cast("date")), path
+    )
+    at_rest = read_cms_registers(spark, path)
+    candidates = (
+        ev.filter(
+            F.date_trunc("day", F.col("ts")).cast("date")
+            == F.lit(_CMSW_TO).cast("date")
+        )
+        .select(F.col("user_id").cast("string").alias("val"))
+        .distinct()
+    )
+    return cms_window_heavy_hitters(
+        at_rest,
+        candidates,
+        _CMSW_FROM,
+        _CMSW_TO,
+        threshold=_CMSW_THRESH,
+        d=_CMSW_D,
+        w=_CMSW_W,
+    )
+
+
 def _install_hll_oracle():
     from .operators.sketches import hll_oracle_sql, hll_overlap_oracle_sql
 

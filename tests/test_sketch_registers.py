@@ -102,3 +102,79 @@ def test_overlap_from_registers_matches_event_scan(spark, tmp_path):
         read_hll_registers(spark, path), F.col("day") < d, F.col("day") >= d, P
     ).collect()[0]
     assert got.asDict() == want.asDict()
+
+
+# ---------------------------------------------------------------------------
+# CMS daily registers (additive sketch: replay safety = day REPLACEMENT)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_day_replay_replaces_not_doubles(spark, tmp_path):
+    from osrs_dashboard_elt_spark.operators.sketches import (
+        cms_daily_registers,
+        read_cms_registers,
+        write_cms_registers,
+    )
+
+    ev = _events(spark)
+    daily = cms_daily_registers(ev, "ts", "user_id")
+    path = str(tmp_path / "cms")
+    write_cms_registers(daily, path)
+    before = {
+        (r.day, r.j, r.bucket): r.c
+        for r in read_cms_registers(spark, path).collect()
+    }
+    day = sorted({d for d, _, _ in before})[0]
+    # replay one day: its partition is REPLACED, counters unchanged
+    write_cms_registers(daily.filter(F.col("day") == F.lit(day)), path)
+    after = {
+        (r.day, r.j, r.bucket): r.c
+        for r in read_cms_registers(spark, path).collect()
+    }
+    assert after == before
+    # contrast: a blind append WOULD double that day (the failure the
+    # replacement contract exists to prevent)
+    daily.filter(F.col("day") == F.lit(day)).write.mode("append").partitionBy(
+        "day"
+    ).parquet(path)
+    doubled = {
+        (r.day, r.j, r.bucket): r.c
+        for r in read_cms_registers(spark, path).collect()
+    }
+    assert all(
+        doubled[k] == 2 * v for k, v in before.items() if k[0] == day
+    )
+
+
+def test_cms_window_estimate_is_one_sided_and_register_only(spark, tmp_path):
+    from osrs_dashboard_elt_spark.operators.sketches import (
+        cms_daily_registers,
+        cms_window_heavy_hitters,
+        read_cms_registers,
+        write_cms_registers,
+    )
+
+    ev = _events(spark)
+    path = str(tmp_path / "cms")
+    write_cms_registers(cms_daily_registers(ev, "ts", "user_id"), path)
+    at_rest = read_cms_registers(spark, path)
+    cands = ev.select(
+        F.col("user_id").cast("string").alias("val")
+    ).distinct()
+    out = cms_window_heavy_hitters(
+        at_rest, cands, "2024-01-01", "2024-01-31", threshold=1
+    )
+    # the probe plan reads registers + the candidate frame, never the
+    # window's events for counting
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "cms" in plan
+    est = {r.val: r.est for r in out.collect()}
+    exact = {
+        str(r.user_id): r.cnt
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    # one-sided: estimate never undercounts
+    assert est.keys() == exact.keys()  # threshold=1 admits everyone
+    assert all(est[k] >= exact[k] for k in exact)
