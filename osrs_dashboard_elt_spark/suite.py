@@ -1406,11 +1406,13 @@ _PRIORITY: tuple[str, ...] = (
     "q13_customer_order_dist",
     "q18_large_orders",
     "q_waiting_orders",           # Q21 shape
-    "q17_small_qty_revenue",
-    "q19_disjunctive_revenue",
     "q22_idle_customers",
-    # —— round-5: vocabulary training ——
+    # —— round-5: vocabulary training / clustering / graph / fusion ——
     "q_bpe_merges",
+    "q_kmeans_centroids",
+    "q_copurchase_pagerank",
+    "q_hybrid_rrf_search",
+    "q_stream_sessionize_timers",  # transformWithState timers
     # —— round-3: window-function family ——
     "q_window_functions",
     "q_rolling_range_window",
@@ -1420,13 +1422,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_scd2_history",
     "q_hll_distinct_users",
     "q_cms_heavy_hitters",
-    "q_histogram_quantiles",
     # —— round-3: streaming rollups ——
     "q_streaming_windowed_rollup",
     "q_streaming_session_rollup",
     # —— round-3: sampling / decontamination / skew / text ——
     "q_hash_sample",
-    "q_domain_mix_sample",
     "q_weighted_sample",
     "q_global_shuffle_order",
     "q_contamination_report",

@@ -77,6 +77,11 @@ def test_priority_window_spans_all_families():
         "baskets": {"q_item_copurchase"},
         "rest_source": {"q_rest_timeseries"},
         "bpe_training": {"q_bpe_merges"},
+        # —— round-5 families ——
+        "clustering": {"q_kmeans_centroids"},
+        "graph": {"q_copurchase_pagerank"},
+        "hybrid_retrieval": {"q_hybrid_rrf_search"},
+        "tws_timers": {"q_stream_sessionize_timers"},
     }
     window = set(first50)
     uncovered = [fam for fam, reps in families.items() if not reps & window]
