@@ -89,9 +89,10 @@ def test_outer_join_compiles_streaming_and_pads_in_batch(spark, sources):
     ).collect()
     unmatched = {r.view_id for r in rows if r.click_id is None}
     assert unmatched == {200, 300}
-    # streaming: the watermarked outer plan must compile (null emission
-    # timing is watermark-driven; availableNow can't flush trailing
-    # unmatched rows deterministically, so only the plan is asserted)
+    # streaming: the watermarked outer plan must compile; the actual
+    # watermark-driven null emission is driven for real in
+    # test_left_outer_stream_emits_null_pad_after_watermark (a
+    # watermark-pusher batch flushes the trailing unmatched rows)
     sv = spark.readStream.schema(VIEW_SCHEMA).parquet(vdir)
     sc = spark.readStream.schema(CLICK_SCHEMA).parquet(cdir)
     assert _join(sv, sc, how="left_outer").isStreaming
@@ -118,3 +119,56 @@ def test_right_outer_keeps_key_for_unmatched_right_rows(spark, sources):
     unmatched = {(r.user_id, r.click_id) for r in rows if r.view_id is None}
     assert unmatched == {(2, 910), (4, 920)}
     assert all(r.user_id is not None for r in rows)
+
+
+def test_left_outer_stream_emits_null_pad_after_watermark(spark, tmp_path):
+    """The REAL null-emission path: a clickless view's padded row must
+    come out of a driven stream once both watermarks prove no match
+    can arrive — the compile-only check above can't see this."""
+    from datetime import datetime
+
+    vdir, cdir = str(tmp_path / "v"), str(tmp_path / "c")
+    t = lambda h, m=0: datetime(2025, 1, 1, h, m)
+    # batch 1: one matched pair + one clickless view
+    spark.createDataFrame(
+        [(1, 100, t(10)), (2, 200, t(10, 1))], VIEW_SCHEMA
+    ).coalesce(1).write.parquet(f"{vdir}/d=0")
+    spark.createDataFrame(
+        [(1, 900, t(10, 2))], CLICK_SCHEMA
+    ).coalesce(1).write.parquet(f"{cdir}/d=0")
+    # batch 2: far-future rows on BOTH sides push both watermarks past
+    # view 200's interval end + lateness
+    spark.createDataFrame([(9, 999, t(15))], VIEW_SCHEMA).coalesce(
+        1
+    ).write.parquet(f"{vdir}/d=1")
+    spark.createDataFrame([(9, 998, t(15))], CLICK_SCHEMA).coalesce(
+        1
+    ).write.parquet(f"{cdir}/d=1")
+
+    sv = (
+        spark.readStream.schema(VIEW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{vdir}/d=*")
+    )
+    sc = (
+        spark.readStream.schema(CLICK_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{cdir}/d=*")
+    )
+    out = _join(sv, sc, how="left_outer")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sj_louter")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in spark.sql("SELECT * FROM sj_louter").collect()
+    }
+    assert (1, 100, 900) in got            # matched, emitted eagerly
+    assert (2, 200, None) in got           # NULL-PADDED after watermark
+    # the far-future pusher view matched its same-timestamp click
+    assert (9, 999, 998) in got
