@@ -85,3 +85,36 @@ def test_assignment_tie_breaks_to_smallest_cell(spark):
     cents = [[0.25, 0.25], [0.25, 0.25]]
     got = kmeans_assignments(df, "embedding", cents).collect()
     assert got[0]["cell"] == 0
+
+
+def test_trained_centroids_drive_ivf_index(spark, vecs, tmp_path):
+    """Close the loop the module docstring promises: kmeans_fit ->
+    unit-normalize -> write_ivf_index -> partition-pruned probe whose
+    full-coverage result equals brute-force cosine top-k."""
+    import math
+
+    from osrs_dashboard_elt_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk_at_rest,
+        write_ivf_index,
+    )
+
+    cents = kmeans_fit(vecs, "embedding", k=3, n_iter=3, seed=11)
+    cents_norm = [
+        [x / math.sqrt(sum(v * v for v in c)) for x in c] for c in cents
+    ]
+    path = str(tmp_path / "ivf")
+    write_ivf_index(vecs, path, "embedding", cents_norm)
+    q = [0.5, 0.45, 0.05, 0.0]
+    # nprobe = all cells -> must equal exact brute force
+    at_rest = ivf_ann_topk_at_rest(
+        spark, path, q, cents_norm, k=5, nprobe=3
+    )
+    brute = cosine_topk(vecs, "embedding", q, k=5)
+    assert [(r.vec_id, r.score) for r in at_rest.collect()] == [
+        (r.vec_id, r.score) for r in brute.collect()
+    ]
+    # trained cells are real: the index has one partition per centroid
+    import glob
+
+    assert len(glob.glob(f"{path}/cell=*")) == 3
