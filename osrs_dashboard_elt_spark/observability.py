@@ -274,6 +274,8 @@ class SummaryListener(StreamingQueryListener):
         self._batches: dict[str, int] = {}
         self._names: dict[str, str] = {}
         self._errors: dict[str, str] = {}
+        self._state_rows: dict[str, int] = {}
+        self._watermark: dict[str, str] = {}
 
     # -- StreamingQueryListener interface ---------------------------------
     def onQueryStarted(self, event) -> None:
@@ -284,6 +286,23 @@ class SummaryListener(StreamingQueryListener):
         qid = str(p.id)
         self._rows[qid] = self._rows.get(qid, 0) + int(p.numInputRows)
         self._batches[qid] = self._batches.get(qid, 0) + 1
+        # stateful-operator health: peak state rows (is eviction
+        # working?) and the last watermark (is event time advancing?)
+        # — both straight off the progress JSON, zero executor load
+        try:
+            total = sum(
+                int(s.numRowsTotal) for s in (p.stateOperators or [])
+            )
+            if total > self._state_rows.get(qid, -1):
+                self._state_rows[qid] = total
+        except Exception:
+            pass
+        try:
+            wm = (p.eventTime or {}).get("watermark")
+            if wm:
+                self._watermark[qid] = wm
+        except Exception:
+            pass
 
     def onQueryIdle(self, event) -> None:  # pragma: no cover - no-op
         pass
@@ -292,13 +311,18 @@ class SummaryListener(StreamingQueryListener):
         qid = str(event.id)
         name = self._names.get(qid, qid)
         err = getattr(event, "exception", None)
+        metrics = {
+            "Batches": self._batches.get(qid, 0),
+            "Input Rows": self._rows.get(qid, 0),
+        }
+        if qid in self._state_rows:
+            metrics["Peak State Rows"] = self._state_rows[qid]
+        if qid in self._watermark:
+            metrics["Last Watermark"] = self._watermark[qid]
         summary = render_run_summary(
             self.project,
             name,
-            {
-                "Batches": self._batches.get(qid, 0),
-                "Input Rows": self._rows.get(qid, 0),
-            },
+            metrics,
             ok=err is None,
             error=str(err) if err else None,
         )
@@ -307,5 +331,12 @@ class SummaryListener(StreamingQueryListener):
         # starting many one-shot queries would otherwise grow these
         # dicts forever, and a RESTARTED query reusing the id would
         # double-count the previous run's rows
-        for d in (self._rows, self._batches, self._names, self._errors):
+        for d in (
+            self._rows,
+            self._batches,
+            self._names,
+            self._errors,
+            self._state_rows,
+            self._watermark,
+        ):
             d.pop(qid, None)

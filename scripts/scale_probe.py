@@ -244,6 +244,31 @@ def main() -> None:
         "hll_rolling": lambda t: __import__(
             "osrs_dashboard_elt_spark.operators.sketches", fromlist=["x"]
         ).hll_rolling_distinct(t["events"], "ts", "user_id", 7),
+        # integer-mass pagerank over the kx co-purchase graph: K fixed
+        # rounds, one destination-keyed aggregate each — time should
+        # track edge count linearly, never quadratically
+        "pagerank": lambda t: __import__(
+            "osrs_dashboard_elt_spark.operators.pagerank", fromlist=["x"]
+        ).pagerank(
+            (lambda p: p.select(
+                F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+            ).unionByName(p.select(
+                F.col("item_b").alias("src"), F.col("item_a").alias("dst")
+            )))(
+                copurchase_pairs(
+                    t["lineitem"], "l_orderkey", "l_partkey",
+                    min_support=2, max_basket=64,
+                ).select("item_a", "item_b")
+            ),
+            n_iter=3,
+        ),
+        # timer-based streaming sessionization: wall time ~ events +
+        # state RPCs ~ keys; the one-shot harness cost (source write,
+        # RocksDB init) is fixed per call
+        "timer_sessions": lambda t: __import__(
+            "osrs_dashboard_elt_spark.streaming.timer_sessions",
+            fromlist=["x"],
+        ).sessions_via_stream(t["events"], "user_id", "ts", 1800.0),
         "hll_overlap": lambda t: __import__(
             "osrs_dashboard_elt_spark.operators.sketches", fromlist=["x"]
         ).hll_set_overlap_pred(
@@ -263,8 +288,9 @@ def main() -> None:
                  "dedup_clusters", "incremental_probe", "media_neardup",
                  "ngram_spans_str", "ngram_spans_hash"} & set(ops)
     need_emb = "embedding_neardup" in ops
-    need_li = {"item_copurchase", "waiting_orders"} & set(ops)
-    need_ev = {"cms_heavy_hitters", "hll_rolling", "hll_overlap"} & set(ops)
+    need_li = {"item_copurchase", "waiting_orders", "pagerank"} & set(ops)
+    need_ev = {"cms_heavy_hitters", "hll_rolling", "hll_overlap",
+               "timer_sessions"} & set(ops)
     probe_batch = None
     if "incremental_probe" in ops:
         # a fixed 500-doc batch: half re-submits corpus text verbatim

@@ -144,3 +144,55 @@ def test_stage_logger_rotates_and_separates_stages(tmp_path):
     lg = stage_logger("dedup", str(tmp_path))
     lg.info("solo-line")
     assert (tmp_path / "dedup.log").read_text().count("solo-line") == 1
+
+
+def test_listener_reports_state_and_watermark(spark, tmp_path):
+    """A STATEFUL watermarked stream's summary must carry the peak
+    state-row count and the last watermark — the two numbers that
+    tell an operator whether eviction works and event time advances."""
+    import json
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "in_state"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps({"k": i % 3, "ts": f"2024-01-01T10:{i:02d}:00Z"})
+            for i in range(20)
+        )
+        + "\n"
+    )
+    got: dict[str, str] = {}
+    lis = SummaryListener(
+        "TestProj", sink=lambda name, text: got.update({name: text})
+    )
+    spark.streams.addListener(lis)
+    try:
+        stream = (
+            spark.readStream.schema("k long, ts timestamp")
+            .json(str(src))
+            .withWatermark("ts", "5 minutes")
+            .groupBy(F.window("ts", "10 minutes"), "k")
+            .count()
+        )
+        q = (
+            stream.writeStream.format("noop")
+            .outputMode("append")
+            .queryName("obs_state_test")
+            .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        for _ in range(100):
+            if "obs_state_test" in got:
+                break
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(lis)
+    text = got["obs_state_test"]
+    assert "Peak State Rows" in text
+    assert "Last Watermark" in text
+    assert "2024-01-01" in text  # the watermark actually advanced
