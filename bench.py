@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "q_media_features",
     "q_media_frame_sample",
     "q_media_neardup",
+    "q_crossmodal_dedup_clusters",
     "q_kmeans_centroids",
     "q_parse_engine",
     "q_temporal_remap",

@@ -2220,8 +2220,10 @@ _MEDIA_NEARDUP_HAMMING = 3
 # multimodal/media.py::perceptual_hash, replayed on the hex-encoded
 # bytes.  Oracle pairs are BRUTE-FORCE (pigeonhole blocking is
 # lossless for the radius, so blocked == all-pairs within hamming).
-_MEDIA_NEARDUP_ORACLE = f"""
-    WITH h AS (
+def _media_pair_ctes() -> tuple[str, str]:
+    """(ctes, final) of the dHash pair oracle, reusable by the
+    cross-modal clusters oracle the same way _minhash_oracle is."""
+    ctes = """h AS (
       SELECT doc_id, hex(encode(text)) AS hx,
              octet_length(encode(text)) AS n
       FROM documents WHERE doc_id % 3 = 0
@@ -2240,12 +2242,72 @@ _MEDIA_NEARDUP_ORACLE = f"""
                   cs[CAST(b // 7 AS BIGINT) * 8 + b % 7 + 2]
              THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END)), 0) AS BIGINT) AS phash
       FROM cl
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    )"""
+    final = f"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
     FROM ph a JOIN ph b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.phash, b.phash)) <= {_MEDIA_NEARDUP_HAMMING}
-"""
+    WHERE bit_count(xor(a.phash, b.phash)) <= {_MEDIA_NEARDUP_HAMMING}"""
+    return ctes, final
+
+
+_MEDIA_NEARDUP_ORACLE = "WITH {} {}".format(*_media_pair_ctes())
+
+
+def _crossmodal_clusters_oracle() -> str:
+    """Transitive closure over the UNION of text MinHash pairs and
+    image perceptual-hash pairs — both pair derivations replayed
+    verbatim (the composed CTEs of their standalone oracles)."""
+    _, mh_ctes, mh_final = _minhash_oracle(16, 4, 42, 3)
+    media_ctes, media_final = _media_pair_ctes()
+    return f"""
+    WITH RECURSIVE {mh_ctes}, tpairs AS (
+      {mh_final}
+    ), {media_ctes}, ipairs AS (
+      {media_final}
+    ), pairs AS (
+      SELECT id_a, id_b FROM tpairs
+      UNION
+      SELECT id_a, id_b FROM ipairs
+    ), e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.label FROM reach r JOIN e ON e.dst = r.id
+    )
+    SELECT id AS doc_id,
+           CAST(MIN(label) AS BIGINT) AS cluster_id,
+           MIN(label) = id AS is_canonical
+    FROM reach GROUP BY id
+    """
+
+
+@query("q_crossmodal_dedup_clusters", oracle=_crossmodal_clusters_oracle())
+def q_crossmodal_dedup_clusters(spark, sf_dir):
+    """CROSS-MODAL dedup: text near-dup edges (MinHash-LSH) and image
+    near-dup edges (perceptual dHash, blocked hamming join) union into
+    ONE edge set, clustered by the same O(log D) connected components
+    — two docs are duplicates if EITHER modality says so, the policy a
+    real multimodal corpus dedup needs (a re-encoded image with
+    rewritten alt text still collapses).  The oracle composes both
+    standalone pair oracles verbatim and closes transitively."""
+    from .multimodal.media import attach_fake_media, media_neardup_pairs
+    from .operators.components import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    tpairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=16, bands=4, seed=42, shingle_n=3
+    ).select("id_a", "id_b")
+    imgs = attach_fake_media(docs).filter(
+        F.col("media.media_type") == "image"
+    )
+    ipairs = media_neardup_pairs(
+        imgs, max_hamming=_MEDIA_NEARDUP_HAMMING
+    ).select("id_a", "id_b")
+    pairs = tpairs.unionByName(ipairs).distinct()
+    return dedup_clusters(docs, pairs, "doc_id")
 
 
 @query("q_media_neardup", oracle=_MEDIA_NEARDUP_ORACLE)
