@@ -108,14 +108,20 @@ def train_bpe(
     text_col: str,
     num_merges: int,
     lowercase: bool = True,
+    word_counts: DataFrame | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """Train ``num_merges`` BPE merges; returns [(rank, left, right,
     pair_freq)] with rank starting at 1, ties broken (freq DESC, left
     ASC, right ASC) — fully deterministic.  Stops early only if the
-    corpus runs out of adjacent pairs (degenerate inputs)."""
-    words = bpe_word_counts(df, text_col, lowercase).withColumn(
-        "syms", F.expr(_SYMS0_SPARK)
-    )
+    corpus runs out of adjacent pairs (degenerate inputs).
+
+    ``word_counts`` takes a precomputed (w, n) table (from
+    :func:`bpe_word_counts`) so a caller that also needs
+    :func:`bpe_vocab` pays the corpus scan ONCE, not per call — the
+    module's one-corpus-pass contract."""
+    if word_counts is None:
+        word_counts = bpe_word_counts(df, text_col, lowercase)
+    words = word_counts.withColumn("syms", F.expr(_SYMS0_SPARK))
     words = words.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for k in range(1, num_merges + 1):
@@ -154,15 +160,21 @@ def bpe_vocab(
     merges: list[tuple[int, str, str, int]],
     lowercase: bool = True,
     unk_id: int = 0,
+    word_counts: DataFrame | None = None,
 ) -> dict[str, int]:
     """piece -> id vocabulary usable by ``tokenize``: every base
     character symbol seen in the corpus (sorted, ids from unk_id+1),
     then the merged symbols in training order.  Because the base
     covers all characters, greedy segmentation never emits UNK on the
-    training corpus — the round-trip property."""
+    training corpus — the round-trip property.
+
+    Pass the same ``word_counts`` frame given to :func:`train_bpe` to
+    avoid re-scanning the corpus — base symbols are a function of the
+    (Heaps-bounded) word table, not the corpus."""
+    if word_counts is None:
+        word_counts = bpe_word_counts(df, text_col, lowercase)
     base_rows = (
-        bpe_word_counts(df, text_col, lowercase)
-        .select(F.explode(F.expr(_SYMS0_SPARK)).alias("s"))
+        word_counts.select(F.explode(F.expr(_SYMS0_SPARK)).alias("s"))
         .distinct()
         .collect()
     )

@@ -195,12 +195,20 @@ def clear_tombstones(spark: SparkSession, table: str, ids=None) -> None:
     if ids is None:
         shutil.rmtree(path)
         return
-    keep = spark.read.parquet(path).filter(
+    # never overwrite the dir being read: an overwrite deletes the
+    # source files at job start, so any recompute (cache eviction,
+    # task retry) would re-read a deleted path and corrupt the set.
+    # Write the survivors to a sibling dir and swap by rename.
+    import uuid
+
+    tmp = f"{path}__swap-{uuid.uuid4().hex[:8]}"
+    spark.read.parquet(path).filter(
         ~F.col("corpus_id").isin(list(ids))
-    ).persist()
-    keep.count()
-    keep.coalesce(1).write.mode("overwrite").parquet(path)
-    keep.unpersist()
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old-{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
 
 
 def _without_tombstoned(

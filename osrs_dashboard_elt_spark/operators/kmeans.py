@@ -61,6 +61,9 @@ def kmeans_init(
             ),
             vd_cast(vec_col).alias("__vd"),
         )
+        # a NULL vector must not become a seed centroid; wrong-LENGTH
+        # vectors are dropped downstream once dim is fixed by the picks
+        .filter(F.col("__vd").isNotNull())
         .orderBy("__h")
         .limit(k)
         .collect()
@@ -87,10 +90,17 @@ def kmeans_iterate(
 ) -> list[list[float]]:
     """One Lloyd's round: assign to the nearest current centroid, then
     exact element means per cell (integerized sums).  Empty cells
-    keep their old centroid.  One scan, one k*d-bounded shuffle."""
+    keep their old centroid.  One scan, one k*d-bounded shuffle.
+
+    NULL or wrong-length vectors take no part in training (a NULL
+    assignment would otherwise surface as a ``new[None]`` TypeError
+    mid-fit — the scores array over a NULL/short vector is NULL)."""
     dim = len(centroids[0])
     assigned = _with_cell(
-        df.select(vd_cast(vec_col).alias("__vd")), centroids
+        df.select(vd_cast(vec_col).alias("__vd")).filter(
+            F.col("__vd").isNotNull() & (F.size("__vd") == dim)
+        ),
+        centroids,
     )
     # one aggregate row per cell, one sum column per dim: no row
     # amplification (vs posexplode'ing dim x rows through the agg)
@@ -215,7 +225,12 @@ def kmeans_assignments(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(id, cell) for the given centroids — the scan-side expression
-    IVF uses, exposed for the final labeling pass."""
+    IVF uses, exposed for the final labeling pass.  NULL/wrong-length
+    vectors are dropped, matching the training-pass contract."""
+    dim = len(centroids[0])
     return _with_cell(
-        df.select(F.col(id_col), vd_cast(vec_col).alias("__vd")), centroids
+        df.select(F.col(id_col), vd_cast(vec_col).alias("__vd")).filter(
+            F.col("__vd").isNotNull() & (F.size("__vd") == dim)
+        ),
+        centroids,
     ).select(F.col(id_col), F.col("__cell").alias("cell"))

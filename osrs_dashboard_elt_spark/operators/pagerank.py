@@ -89,8 +89,17 @@ def pagerank(
             "node",
             (
                 F.lit(int(base))
+                # the damping multiply runs in DECIMAL(38,0): recv can
+                # approach TOTAL mass (nodes * scale) on a hub node, so
+                # a bare int64 multiply by damping_pct would silently
+                # wrap past ~1.1e8 nodes at the default scale while
+                # DuckDB's 128-bit product does not.  The decimal
+                # product is exact, DIV truncates identically, and the
+                # result fits back in long whenever total mass does —
+                # the one real bound: nodes * scale < 2^63.
                 + F.expr(
-                    f"(coalesce(recv, 0L) * {int(damping_pct)}) DIV 100"
+                    f"CAST((CAST(coalesce(recv, 0L) AS DECIMAL(38,0))"
+                    f" * {int(damping_pct)}) DIV 100 AS LONG)"
                 )
             ).alias("mass"),
         )

@@ -147,42 +147,56 @@ def timer_sessionize(
             seg_start = ts[starts]
             seg_end = ts[np.concatenate((starts[1:] - 1, [len(ts) - 1]))]
             seg_n = np.diff(np.concatenate((starts, [len(ts)])))
+            segs = list(
+                zip(
+                    seg_start.tolist(), seg_end.tolist(), seg_n.tolist()
+                )
+            )
 
             stored = self._open.get()
             if stored is not None:
                 sid0, n0, start0, end0 = stored
                 self._handle.deleteTimer(_us_to_ms_ceil(end0 + gap_us))
             else:
-                sid0, n0, start0, end0 = 0, 0, None, None
-
-            if n0 > 0 and int(seg_start[0]) - end0 <= gap_us:
-                # first in-batch segment continues the open session
-                seg_start[0] = min(start0, int(seg_start[0]))
-                seg_end[0] = max(end0, int(seg_end[0]))
-                seg_n[0] += n0
+                sid0, n0 = 0, 0
+            # The stored open session joins the segment list as a peer
+            # interval and the whole list is gap-merged in time order.
+            # Late events (non-zero watermark delay) may land BEFORE,
+            # INSIDE, or BRIDGING the open session — segment-0-only
+            # merging mis-segments all three (e.g. stored [100..200],
+            # batch {150, 280}, gap 100: batch-local diff splits 150
+            # from 280, but 280 chains through the stored end at 200).
+            if n0 > 0:
+                segs.append((start0, end0, n0))
                 first_sid = sid0
-            elif n0 > 0:
-                # open session provably closed by its in-batch successor
-                yield self._emit(k, sid0, n0, start0, end0)
-                first_sid = sid0 + 1
             else:
                 first_sid = sid0 + 1
-            n_seg = len(seg_start)
-            sids = range(first_sid, first_sid + n_seg)
-
-            if n_seg > 1:  # all but the last segment are closed
+            segs.sort()
+            merged = [list(segs[0])]
+            for s, e, n in segs[1:]:
+                if s - merged[-1][1] <= gap_us:
+                    merged[-1][1] = max(merged[-1][1], e)
+                    merged[-1][2] += n
+                else:
+                    merged.append([s, e, n])
+            # ids continue from the stored counter in time order within
+            # this merged list; a session formed entirely by late data
+            # that predates an ALREADY-EMITTED session necessarily gets
+            # a later id (emitted rows can't renumber) — the open
+            # session itself renumbers fine since its id is unemitted.
+            if len(merged) > 1:  # all but the last segment are closed
                 yield self._emit_many(
                     k,
-                    list(sids)[:-1],
-                    seg_n[:-1].tolist(),
-                    seg_start[:-1].tolist(),
-                    seg_end[:-1].tolist(),
+                    list(range(first_sid, first_sid + len(merged) - 1)),
+                    [m[2] for m in merged[:-1]],
+                    [m[0] for m in merged[:-1]],
+                    [m[1] for m in merged[:-1]],
                 )
             last = (
-                first_sid + n_seg - 1,
-                int(seg_n[-1]),
-                int(seg_start[-1]),
-                int(seg_end[-1]),
+                first_sid + len(merged) - 1,
+                int(merged[-1][2]),
+                int(merged[-1][0]),
+                int(merged[-1][1]),
             )
             self._open.update(last)
             self._handle.registerTimer(_us_to_ms_ceil(last[3] + gap_us))
@@ -295,4 +309,8 @@ def sessions_via_stream(
         raise TimeoutError(
             f"timer-session stream did not finish within {timeout_sec}s"
         )
-    return spark.table(qname).filter(F.col("key") != sentinel_key)
+    # null-safe: a NULL key (cast miss or genuine null) forms its own
+    # group and must survive this filter, same as batch sessionize
+    return spark.table(qname).filter(
+        ~F.col("key").eqNullSafe(F.lit(sentinel_key))
+    )

@@ -289,9 +289,14 @@ def export_training_shards(
     )
     from osrs_dashboard_elt_spark.operators.tokenize import tokenize
 
+    from osrs_dashboard_elt_spark.operators.bpe import bpe_word_counts
+
     train = spark.read.parquet(f"{out_dir}/train")
-    merges = train_bpe(train, "text", num_merges)
-    vocab = bpe_vocab(train, "text", merges)
+    # one corpus scan feeds BOTH training and vocab assembly — the
+    # word table is Heaps-bounded, the corpus is not
+    words = bpe_word_counts(train, "text").localCheckpoint(eager=True)
+    merges = train_bpe(train, "text", num_merges, word_counts=words)
+    vocab = bpe_vocab(train, "text", merges, word_counts=words)
     with open(f"{out_dir}/vocab.json", "w") as f:
         json.dump(vocab, f, indent=1, sort_keys=True)
     bpe_merges_df(spark, merges).coalesce(1).write.mode("overwrite").parquet(

@@ -96,6 +96,19 @@ def main() -> int:
             # re-registering the stale dir would orphan the compacted
             # index and every subsequent append
             register_index(spark, idx_path, table)
+        elif os.path.isdir(idx_path):
+            # pre-sidecar layout: re-register the existing data in
+            # place — bootstrapping (overwrite) here would destroy the
+            # committed postings while the checkpoint still skips their
+            # batches, so redelivered dups would be re-accepted
+            from osrs_dashboard_elt_spark.operators import dedup_index
+
+            spark.sql(
+                f"CREATE TABLE {table} (corpus_id long, band_key string)"
+                " USING PARQUET CLUSTERED BY (band_key) SORTED BY"
+                f" (band_key) INTO 32 BUCKETS LOCATION '{idx_path}'"
+            )
+            dedup_index._write_meta(spark, table, 32)  # heal the sidecar
         else:
             empty = spark.createDataFrame([], "doc_id long, text string")
             write_minhash_index(

@@ -370,6 +370,17 @@ def test_tombstoned_id_never_probes_pre_or_post_compaction(
         assert n == spark.table("mh_tomb").count()
         assert probe_corpus_ids() == before - {victim}
 
+        # selective clear (write-to-sibling + rename swap, never an
+        # overwrite of the dir being read): clearing one id leaves
+        # the OTHER tombstones intact
+        second = sorted(before - {victim})[0]
+        assert delete_from_index(spark, "mh_tomb", [second]) == 1
+        assert probe_corpus_ids() == before - {victim, second}
+        clear_tombstones(spark, "mh_tomb", ids=[second])
+        # second's postings still exist (compaction ran before its
+        # tombstone) so clearing re-admits it; victim stays blocked
+        assert probe_corpus_ids() == before - {victim}
+
         # tombstones SURVIVE compaction (block redelivery
         # resurrection) until explicitly cleared
         clear_tombstones(spark, "mh_tomb")

@@ -118,3 +118,22 @@ def test_trained_centroids_drive_ivf_index(spark, vecs, tmp_path):
     import glob
 
     assert len(glob.glob(f"{path}/cell=*")) == 3
+
+
+def test_null_and_ragged_vectors_are_skipped(spark, vecs):
+    """NULL or wrong-length vectors take no part in training or
+    assignment (regression: a NULL assignment cell crashed the fit
+    with `list indices must be integers`)."""
+    dirty = vecs.unionByName(
+        spark.createDataFrame(
+            [(900, None), (901, [0.5]), (902, [0.5] * 9)],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    clean_fit = kmeans_fit(vecs, "embedding", k=3, n_iter=3, seed=11)
+    dirty_fit = kmeans_fit(dirty, "embedding", k=3, n_iter=3, seed=11)
+    assert dirty_fit == clean_fit  # invalid rows contributed nothing
+    assigned = kmeans_assignments(dirty, "embedding", clean_fit)
+    ids = {r.vec_id for r in assigned.collect()}
+    assert {900, 901, 902}.isdisjoint(ids)
+    assert len(ids) == vecs.count()

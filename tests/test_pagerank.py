@@ -45,3 +45,22 @@ def test_mass_bounds_and_rank_column(spark, tiny):
     assert total >= n * 150_000_000  # the re-minted base is a floor
     for r in out:
         assert abs(r.rank - r.mass / (n * 1_000_000_000)) < 1e-15
+
+
+def test_hub_mass_damping_does_not_overflow(spark):
+    """The damping multiply runs in DECIMAL(38,0): a hub receiving
+    nearly the TOTAL mass at a huge scale would wrap int64 under a
+    bare `recv * 85` (regression: silent negative masses past
+    ~1.1e8 nodes at the default scale)."""
+    scale = 2**61  # total mass 2^62; recv*85 ~ 3.9e20 >> int64 max
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 2)], "src long, dst long"
+    )
+    got = {
+        r.node: r.mass
+        for r in pagerank(edges, n_iter=1, scale=scale).collect()
+    }
+    base = (scale * 15) // 100
+    recv2 = scale + scale  # node 2 gets both nodes' full mass
+    assert got == {1: base, 2: base + (recv2 * 85) // 100}
+    assert all(m > 0 for m in got.values())

@@ -23,7 +23,14 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _drive_two_batches(spark, tmp_path, batch1, batch2):
+def _drive_two_batches(
+    spark,
+    tmp_path,
+    batch1,
+    batch2,
+    gap_seconds=1800.0,
+    watermark_delay="0 seconds",
+):
     """Run timer_sessionize over two REAL micro-batches
     (maxFilesPerTrigger=1) and return the emitted session rows."""
     from osrs_dashboard_elt_spark.streaming.timer_sessions import (
@@ -43,7 +50,13 @@ def _drive_two_batches(spark, tmp_path, batch1, batch2):
         .option("maxFilesPerTrigger", "1")
         .parquet(str(src / "d=*"))
     )
-    out = timer_sessionize(stream, "key", "ts", gap_seconds=1800.0)
+    out = timer_sessionize(
+        stream,
+        "key",
+        "ts",
+        gap_seconds=gap_seconds,
+        watermark_delay=watermark_delay,
+    )
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state."
@@ -119,6 +132,65 @@ def test_session_ids_continue_after_timer_close(spark, tmp_path):
     got = _drive_two_batches(spark, tmp_path, b1, b2)
     assert (1, 1) in got and (1, 2) in got
     assert got[(1, 2)][1] == datetime(2024, 1, 1, 14, 0)
+
+
+def test_late_event_bridges_open_session(spark, tmp_path):
+    """A late event (non-zero watermark delay) that chains through the
+    stored OPEN session must produce ONE session, batch-semantics
+    style: with gap=100s and stored [00:00..01:40], batch 2's {00:50
+    (late), 03:00} both belong to it — batch-local diffing splits 00:50
+    from 03:00 (130s apart), but 03:00 is only 80s past the stored
+    end.  Regression: segment-0-only merging closed the session at
+    01:40 and opened a bogus second one at 03:00."""
+    from osrs_dashboard_elt_spark.compat import tws_runtime_executable
+
+    if not tws_runtime_executable(spark):
+        pytest.skip("JVM env lacks the vendored protobuf PYTHONPATH")
+    b1 = [
+        (1, datetime(2024, 1, 1, 10, 0, 0)),
+        (1, datetime(2024, 1, 1, 10, 1, 40)),
+    ]
+    b2 = [
+        (1, datetime(2024, 1, 1, 10, 0, 50)),  # late but in-watermark
+        (1, datetime(2024, 1, 1, 10, 3, 0)),   # chains via stored end
+        (9, datetime(2024, 1, 2, 12, 0, 0)),   # watermark pusher
+    ]
+    got = _drive_two_batches(
+        spark, tmp_path, b1, b2,
+        gap_seconds=100.0, watermark_delay="300 seconds",
+    )
+    key1 = {sid: v for (k, sid), v in got.items() if k == 1}
+    assert key1 == {
+        1: (
+            4,
+            datetime(2024, 1, 1, 10, 0, 0),
+            datetime(2024, 1, 1, 10, 3, 0),
+        )
+    }
+
+
+def test_null_keys_survive_stream_drive(spark):
+    """NULL-key rows form their own session group and must not be
+    swallowed by the sentinel filter (regression: `key != sentinel`
+    is NULL for NULL keys and the filter dropped them)."""
+    from osrs_dashboard_elt_spark.compat import tws_runtime_executable
+    from osrs_dashboard_elt_spark.streaming.timer_sessions import (
+        sessions_via_stream,
+    )
+
+    if not tws_runtime_executable(spark):
+        pytest.skip("JVM env lacks the vendored protobuf PYTHONPATH")
+    rows = [
+        (None, datetime(2024, 1, 1, 10, 0)),
+        (None, datetime(2024, 1, 1, 10, 10)),
+        (7, datetime(2024, 1, 1, 10, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.key, r.session_id): r.n_events
+        for r in sessions_via_stream(df, gap_seconds=1800.0).collect()
+    }
+    assert got == {(None, 1): 2, (7, 1): 1}
 
 
 def test_sessions_via_stream_matches_batch_sessionize(spark):
