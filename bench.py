@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "q_media_neardup",
     "q_crossmodal_dedup_clusters",
     "q_kmeans_centroids",
+    "q_semantic_dedup",
     "q_parse_engine",
     "q_temporal_remap",
     "q_exclusion_rules",

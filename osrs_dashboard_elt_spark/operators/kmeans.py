@@ -141,14 +141,28 @@ def kmeans_iterate(
     return new
 
 
+# centroids per scores-array chunk: each chunk expression carries
+# ~(this * dim) multiply-adds — 512 terms is the measured-safe size
+# for janino's per-method bytecode limit (the k=8, dim=64 path)
+_CHUNK_TERMS = 512
+
+
 def _with_cell(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """Append ``__cell`` to a frame carrying ``__vd``: first-index-at-
-    max over ONE array of score expressions — smallest index wins
-    ties, matching the oracle's (score DESC, cell ASC) rank.  The
-    scores array gets its OWN projection: CollapseProject refuses to
-    inline a non-cheap expression referenced twice (array_position +
-    array_max), so the k*dim dot chain is evaluated once per row and
-    the generated method stays under janino's size limit."""
+    max over the score expressions — smallest index wins ties,
+    matching the oracle's (score DESC, cell ASC) rank.
+
+    Scores live in CHUNKED arrays of <= ~512 terms each, so every
+    generated method stays under janino's size limit at ANY k (a
+    single k*dim array fails compilation past ~512 terms, and Spark
+    then pays an expensive failed-compile + interpreted fallback per
+    stage — measured 3x wall on a k=32, dim=64 assignment).  The
+    argmax is a CASE over per-chunk maxes: first chunk holding the
+    global max, first position within it — the same
+    first-index-at-max rule as the single-array form.  Each chunk
+    column and the global max get their OWN projection and are
+    referenced more than once downstream, so CollapseProject keeps
+    them materialized instead of re-fusing one giant expression."""
     dim = len(centroids[0])
     # extract each element ONCE into a scalar column: element_at
     # generates bounds-check + error-branch code, so referencing the
@@ -170,16 +184,46 @@ def _with_cell(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
         )
         return f"({_dlit(0.0)} + {terms} - {_dlit(_half_sq_norm(c))})"
 
-    arr = "ARRAY(" + ", ".join(score(c) for c in centroids) + ")"
-    return (
-        extracted.withColumn("__scores", F.expr(arr))
-        .withColumn(
-            "__cell",
-            F.expr(
-                "CAST(array_position(__scores, array_max(__scores)) - 1 AS INT)"
-            ),
+    per = max(1, _CHUNK_TERMS // dim)
+    if len(centroids) <= per:
+        arr = "ARRAY(" + ", ".join(score(c) for c in centroids) + ")"
+        return (
+            extracted.withColumn("__scores", F.expr(arr))
+            .withColumn(
+                "__cell",
+                F.expr(
+                    "CAST(array_position(__scores, array_max(__scores)) - 1 AS INT)"
+                ),
+            )
+            .drop("__scores", *xs)
         )
-        .drop("__scores", *xs)
+    groups = [
+        centroids[i : i + per] for i in range(0, len(centroids), per)
+    ]
+    sc = [f"__sc{g}" for g in range(len(groups))]
+    chunked = extracted.select(
+        "*",
+        *[
+            F.expr(
+                "ARRAY(" + ", ".join(score(c) for c in grp) + ")"
+            ).alias(sc[g])
+            for g, grp in enumerate(groups)
+        ],
+    )
+    best = "greatest(" + ", ".join(f"array_max({c})" for c in sc) + ")"
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN array_max({c}) = __best THEN "
+            f"CAST({g * per} + array_position({c}, __best) - 1 AS INT)"
+            for g, c in enumerate(sc)
+        )
+        + " END"
+    )
+    return (
+        chunked.withColumn("__best", F.expr(best))
+        .withColumn("__cell", F.expr(case))
+        .drop("__best", *sc, *xs)
     )
 
 

@@ -1413,6 +1413,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_copurchase_pagerank",
     "q_hybrid_rrf_search",
     "q_stream_sessionize_timers",  # transformWithState timers
+    "q_semantic_dedup",            # SemDeDup: k-means cells + dominance
     # —— round-3: window-function family ——
     "q_window_functions",
     "q_rolling_range_window",
@@ -1427,7 +1428,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_streaming_session_rollup",
     # —— round-3: sampling / decontamination / skew / text ——
     "q_hash_sample",
-    "q_weighted_sample",
+    # (q_weighted_sample moved out of the window for q_semantic_dedup
+    # — sampling keeps two oracle-checked representatives)
     "q_global_shuffle_order",
     "q_contamination_report",
     "q_salted_join",
@@ -2407,14 +2409,16 @@ def _ivf_oracle(sf_dir: str) -> str:
 _KM_K, _KM_ITER, _KM_SEED, _KM_DIM = 8, 2, 42, 64
 
 
-def _kmeans_oracle() -> str:
-    """Replay the ENTIRE k-means training in SQL: md5-ordered init,
-    then per iteration a (vector x centroid) score rank (dot -
-    half|c|^2, ties to the smallest cell — the same first-at-max rule
-    as the Spark assignment expression) and exact-decimal element
-    means.  Every intermediate centroid is bit-identical to the
-    driver loop's because sums are DECIMAL (order-independent) and
-    the one division per (cell, dim) is IEEE on identical operands."""
+def _kmeans_train_ctes() -> list[str]:
+    """CTE chain replaying the ENTIRE k-means training in SQL:
+    md5-ordered init, then per iteration a (vector x centroid) score
+    rank (dot - half|c|^2, ties to the smallest cell — the same
+    first-at-max rule as the Spark assignment expression) and
+    exact-decimal element means.  Every intermediate centroid is
+    bit-identical to the driver loop's because sums are DECIMAL
+    (order-independent) and the one division per (cell, dim) is IEEE
+    on identical operands.  Ends at ``fin`` (vec_id, cell) — shared
+    by the centroid and semantic-dedup oracles."""
     ctes = [
         "emb AS (SELECT vec_id, list_transform(embedding, "
         "x -> CAST(x AS DOUBLE)) AS xd FROM embeddings)",
@@ -2458,15 +2462,50 @@ def _kmeans_oracle() -> str:
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                  ORDER BY {score} DESC, c.cell) AS rn
         FROM emb e CROSS JOIN c{final} c) WHERE rn = 1)""")
+    return ctes
+
+
+def _kmeans_oracle() -> str:
+    ctes = _kmeans_train_ctes()
     return f"""
     WITH {','.join(ctes)}
     SELECT c.cell, t.d AS dim,
            c.cent[CAST(t.d + 1 AS BIGINT)] AS centroid,
            COALESCE(s.n_members, 0) AS n_members
-    FROM c{final} c
+    FROM c{_KM_ITER} c
     CROSS JOIN UNNEST(range(0, {_KM_DIM})) AS t(d)
     LEFT JOIN (SELECT cell, COUNT(*) AS n_members FROM fin GROUP BY cell) s
       USING (cell)
+    """
+
+
+_SEM_TAU = 0.30
+
+
+def _semantic_dedup_oracle() -> str:
+    """The SemDeDup replay: the shared k-means training chain to
+    ``fin`` (vec_id, cell), then within-cell exact unit-dot pairs and
+    the dominance rule — drop a vector iff a SMALLER-id cell-mate
+    scores >= tau (same 6-decimal decimal-cast cosine as every
+    embedding oracle here)."""
+    ctes = _kmeans_train_ctes()
+    ctes.append("""u AS (
+      SELECT vec_id,
+             list_transform(xd, x -> x / sqrt(list_dot_product(xd, xd))) AS uv
+      FROM emb)""")
+    ctes.append(f"""dropped AS (
+      SELECT DISTINCT fb.vec_id AS id_b
+      FROM fin fa JOIN fin fb
+        ON fa.cell = fb.cell AND fa.vec_id < fb.vec_id
+      JOIN u ua ON fa.vec_id = ua.vec_id
+      JOIN u ub ON fb.vec_id = ub.vec_id
+      WHERE CAST(CAST(list_dot_product(ua.uv, ub.uv)
+                 AS DECIMAL(28,6)) AS DOUBLE) >= {_SEM_TAU})""")
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT f.vec_id, f.cell,
+           CAST(d.id_b IS NULL AS BIGINT) AS kept
+    FROM fin f LEFT JOIN dropped d ON f.vec_id = d.id_b
     """
 
 
@@ -2505,6 +2544,33 @@ def q_kmeans_centroids(spark, sf_dir):
         F.coalesce(F.col("n_members"), F.lit(0)).cast("long").alias(
             "n_members"
         ),
+    )
+
+
+@query("q_semantic_dedup", oracle=_semantic_dedup_oracle())
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (operators/semantic_dedup.py): trained k-means cells
+    bound the pairwise-cosine work; within each cell a vector is
+    dropped iff a smaller-id cell-mate scores >= tau (one-pass
+    dominance rule).  Composes the bit-replayable k-means training
+    with the exact unit-dot scoring, so the oracle replays BOTH the
+    training trajectory and every dedup decision.  Scale: candidates
+    are sum |cell|^2/2 — k and the hot-cell cap bound them; the
+    self-join shuffles (id, cell, unit-vector) once per side."""
+    from .operators.kmeans import kmeans_fit
+    from .operators.semantic_dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(
+        emb, "embedding", k=_KM_K, n_iter=_KM_ITER, seed=_KM_SEED,
+        id_col="vec_id",
+    )
+    return semantic_dedup(
+        emb, "embedding", cents, _SEM_TAU, id_col="vec_id"
+    ).select(
+        "vec_id",
+        "cell",
+        F.col("kept").cast("long").alias("kept"),
     )
 
 

@@ -212,6 +212,16 @@ def main() -> None:
             max_bucket_size=100,
         ),
         "dedup_clusters": op_dedup_clusters,
+        # SemDeDup decision frame over trained cells (centroids are
+        # per-factor setup): pair count = sum |cell|^2/2 stays linear
+        # because k scales with the corpus; shuffle carries (id, cell,
+        # unit-vector) once per side
+        "semantic_dedup": lambda t: __import__(
+            "osrs_dashboard_elt_spark.operators.semantic_dedup",
+            fromlist=["x"],
+        ).semantic_dedup(
+            t["emb"], "embedding", t["sem_cents"], 0.3, id_col="vec_id"
+        ),
         # l_partkey is shifted per replica along with l_orderkey (see
         # below): un-perturbed baskets would duplicate every pair
         # exactly and the min_support floor would admit the entire
@@ -287,7 +297,7 @@ def main() -> None:
     need_docs = {"exact_dedup", "minhash_lsh", "ngram_jaccard", "simhash",
                  "dedup_clusters", "incremental_probe", "media_neardup",
                  "ngram_spans_str", "ngram_spans_hash"} & set(ops)
-    need_emb = "embedding_neardup" in ops
+    need_emb = {"embedding_neardup", "semantic_dedup"} & set(ops)
     need_li = {"item_copurchase", "waiting_orders", "pagerank"} & set(ops)
     need_ev = {"cms_heavy_hitters", "hll_rolling", "hll_overlap",
                "timer_sessions"} & set(ops)
@@ -337,6 +347,17 @@ def main() -> None:
             t["emb"] = ensure_min_partitions(replicate_emb(spark, emb0, k))
             t["emb"].count()
             prev.append(t["emb"])
+        if "semantic_dedup" in ops:
+            # setup (not timed as the op): k scales WITH the corpus so
+            # cell sizes stay constant — the SemDeDup contract (k ~
+            # corpus/cell_budget); the timed op is the within-cell
+            # pair generation + dominance pass
+            from osrs_dashboard_elt_spark.operators.kmeans import kmeans_fit
+
+            t["sem_cents"] = kmeans_fit(
+                t["emb"], "embedding", k=8 * k, n_iter=1,
+                id_col="vec_id", seed=42,
+            )
         if need_li:
             t["lineitem"] = ensure_min_partitions(
                 replicate_keyed(spark, li0, k, ["l_orderkey", "l_partkey"])

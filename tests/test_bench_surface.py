@@ -79,6 +79,7 @@ def test_priority_window_spans_all_families():
         "bpe_training": {"q_bpe_merges"},
         # —— round-5 families ——
         "clustering": {"q_kmeans_centroids"},
+        "semantic_dedup": {"q_semantic_dedup"},
         "graph": {"q_copurchase_pagerank"},
         "hybrid_retrieval": {"q_hybrid_rrf_search"},
         "tws_timers": {"q_stream_sessionize_timers"},

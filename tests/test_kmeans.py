@@ -137,3 +137,36 @@ def test_null_and_ragged_vectors_are_skipped(spark, vecs):
     ids = {r.vec_id for r in assigned.collect()}
     assert {900, 901, 902}.isdisjoint(ids)
     assert len(ids) == vecs.count()
+
+
+def test_chunked_assignment_matches_numpy_at_large_k(spark, vecs):
+    """k past the ~512-term janino budget routes through the chunked
+    scores path; assignments (incl. the first-at-max tie rule) must
+    match the numpy argmax exactly, and training must stay
+    deterministic."""
+    rng = np.random.default_rng(3)
+    k = 20  # 20 * 4 dims is tiny, so force chunking via the budget
+    from osrs_dashboard_elt_spark.operators import kmeans as km
+
+    old = km._CHUNK_TERMS
+    km._CHUNK_TERMS = 16  # 4 centroids per chunk at dim=4
+    try:
+        cents = [
+            [float(x) for x in rng.normal(0, 0.5, 4).astype("float32")]
+            for _ in range(k)
+        ]
+        got = {
+            r.vec_id: r.cell
+            for r in kmeans_assignments(vecs, "embedding", cents).collect()
+        }
+        X = {r.vec_id: np.array(r.embedding, dtype="float64")
+             for r in vecs.collect()}
+        C = np.array(cents, dtype="float64")
+        for vid, x in X.items():
+            scores = C @ x - 0.5 * (C * C).sum(axis=1)
+            assert got[vid] == int(np.argmax(scores)), vid
+        # chunked and single-array paths agree end-to-end
+        fit_chunked = kmeans_fit(vecs, "embedding", k=3, n_iter=2, seed=5)
+    finally:
+        km._CHUNK_TERMS = old
+    assert fit_chunked == kmeans_fit(vecs, "embedding", k=3, n_iter=2, seed=5)

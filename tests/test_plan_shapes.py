@@ -24,6 +24,9 @@ _ALLOWED = {
     "q22_idle_customers": {"BroadcastNestedLoopJoin"},
     "q_supplier_share": {"BroadcastNestedLoopJoin"},
     "q_bm25_search": {"BroadcastNestedLoopJoin"},  # one-row corpus stats
+    # the BM25 ranker inside the RRF fusion carries the same one-row
+    # corpus-stats broadcast — constant-fold against each row
+    "q_hybrid_rrf_search": {"BroadcastNestedLoopJoin"},
     "q_token_rarity": {"BroadcastNestedLoopJoin"},  # one-row token total
     # with_global_position's offset computation: a triangular (pid <
     # pid) join over the |partitions|-row count aggregate — both sides
