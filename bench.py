@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "q_per_key_watermark",
     "q_hash_sample",
     "q_train_val_test_split",
+    "q_leakage_safe_split",
     "q_length_buckets",
     "q_domain_mix_sample",
     "q_global_shuffle_order",

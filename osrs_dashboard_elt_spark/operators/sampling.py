@@ -102,6 +102,40 @@ def split_assign(
     return df.withColumn(out, last if expr is None else expr.otherwise(last))
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+    out: str = "split",
+) -> DataFrame:
+    """Group-aware train/val/test split: the split label is a function
+    of the near-dup CLUSTER id (min-id connected component over
+    ``pairs``), so two near-duplicate documents can NEVER straddle
+    splits.  A row-keyed :func:`split_assign` leaks by construction:
+    every duplicate class is scattered across splits in proportion to
+    the weights, and each leaked twin is a val answer sitting in
+    train.  Keying the same deterministic bucket hash by cluster
+    moves whole classes together — decontamination between splits by
+    construction, with the same bucket-line weight semantics.
+
+    ``pairs`` comes from any pair generator here (MinHash, SimHash,
+    embedding LSH, semantic cells).  Cost on top of the dedup you
+    already run: the components pass (O(log D) rounds over id pairs)
+    plus one id-equi-join of the (id, cluster_id) frame back to
+    ``docs``; the split itself is a pure projection.  Returns ``docs``
+    plus (cluster_id, ``out``)."""
+    from .components import dedup_clusters
+
+    clusters = dedup_clusters(docs.select(id_col), pairs, id_col)
+    labeled = split_assign(
+        clusters.select(id_col, "cluster_id"), "cluster_id", weights,
+        seed, out,
+    )
+    return docs.join(labeled, id_col)
+
+
 def split_case_sql(key_sql: str, weights: dict[str, float], seed: int = 42) -> str:
     """DuckDB CASE expression matching :func:`split_assign`."""
     total = sum(weights.values())

@@ -3428,6 +3428,54 @@ def q_train_val_test_split(spark, sf_dir):
     )
 
 
+def _leakage_split_oracle() -> str:
+    from .operators.sampling import split_case_sql
+
+    _, ctes, final = _minhash_oracle(16, 4, 42, 3)
+    case = split_case_sql("cluster_id", _SPLIT_WEIGHTS, seed=_SAMPLING_SEED)
+    return f"""
+    WITH RECURSIVE {ctes}, pairs AS (
+      {final}
+    ), e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.label FROM reach r JOIN e ON e.dst = r.id
+    ), cl AS (
+      SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY id
+    )
+    SELECT doc_id, cluster_id, {case} AS split FROM cl
+    """
+
+
+@query("q_leakage_safe_split", oracle=_leakage_split_oracle())
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe split (operators/sampling.py::leakage_safe_split):
+    the split bucket is keyed by the near-dup CLUSTER id, not the doc
+    id, so a near-duplicate pair can never land train/val-straddled —
+    decontamination between splits by construction.  The oracle
+    replays the MinHash pair derivation, closes it with the recursive
+    CTE, and applies the identical bucket CASE to the cluster id."""
+    from .operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=16, bands=4, seed=42, shingle_n=3
+    )
+    out = leakage_safe_split(
+        docs.select("doc_id"), pairs, "doc_id", _SPLIT_WEIGHTS,
+        seed=_SAMPLING_SEED,
+    )
+    return out.select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id"),
+        "split",
+    )
+
+
 _LEN_BOUNDS = [20, 50, 80]
 
 

@@ -151,3 +151,47 @@ def test_with_global_position_matches_total_order(spark):
         if "windowspecdefinition(" in line:
             spec = line.split("windowspecdefinition(", 1)[1]
             assert "__pid" in spec.split(")")[0] + spec, line
+
+
+def test_leakage_safe_split_keeps_clusters_whole(spark):
+    """Every member of a near-dup cluster gets the SAME split label
+    (the whole point), and the label equals split_assign keyed by the
+    cluster id — a row-keyed split would straddle at least one of the
+    many multi-member clusters across labels."""
+    from pyspark.sql import functions as F
+
+    from osrs_dashboard_elt_spark.operators.sampling import (
+        leakage_safe_split,
+        split_assign,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # chain pairs: clusters {0..3}, {10,11}, rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    w = {"train": 0.6, "val": 0.2, "test": 0.2}
+    out = leakage_safe_split(docs, pairs, "doc_id", w, seed=7).collect()
+    by_doc = {r.doc_id: (r.cluster_id, r.split) for r in out}
+    assert len(by_doc) == 200
+    # clusters whole
+    assert len({by_doc[i] for i in (0, 1, 2, 3)}) == 1
+    assert by_doc[10] == by_doc[11]
+    assert by_doc[0][0] == 0 and by_doc[10][0] == 10
+    # label == the bucket hash OF THE CLUSTER ID
+    expected = {
+        r.cluster_id: r.split
+        for r in split_assign(
+            spark.createDataFrame(
+                [(c,) for c in {c for c, _ in by_doc.values()}],
+                "cluster_id long",
+            ),
+            "cluster_id", w, seed=7,
+        ).collect()
+    }
+    for cid, split in by_doc.values():
+        assert split == expected[cid]
+    # all three labels actually used across 200 keys
+    assert {s for _, s in by_doc.values()} == {"train", "val", "test"}
