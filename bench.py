@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "q_stream_interval_join",
     "q_cms_heavy_hitters",
     "q_cms_window_at_rest",
+    "q_histogram_window_at_rest",
     "q_bm25_search",
     "q_hybrid_rrf_search",
     "q_ewma_by_user",

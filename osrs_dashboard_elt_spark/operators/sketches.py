@@ -590,19 +590,12 @@ def histogram_quantile(
     """
     ks = [keys] if isinstance(keys, str) else list(keys)
     width = (hi - lo) / n_bins
-    v = F.col(value_col).cast("double")
-    bin_ = F.least(
-        F.lit(n_bins - 1),
-        F.greatest(
-            F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")
-        ),
-    )
     # NULLs are excluded like exact percentile(): greatest(0, NULL) is
     # 0 in Spark (null-skipping), which would silently bin every NULL
     # at the lo edge and drag all quantiles down
     df = df.filter(F.col(value_col).isNotNull())
     counts = (
-        df.select(*ks, bin_.alias("bin"))
+        df.select(*ks, _hist_bin(value_col, lo, width, n_bins).alias("bin"))
         .groupBy(*ks, "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -614,6 +607,24 @@ def histogram_quantile(
         ).alias("bins"),
         F.sum("cnt").alias("n"),
     )
+    return packed.select(*ks, *_hq_out_cols(quantiles, lo, width))
+
+
+def _hist_bin(value_col: str, lo: float, width: float, n_bins: int):
+    """The shared fixed-width bin expression (end bins clamp)."""
+    v = F.col(value_col).cast("double")
+    return F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")
+        ),
+    )
+
+
+def _hq_out_cols(quantiles: list[float], lo: float, width: float):
+    """Quantile output columns over a frame carrying ``bins`` (sorted
+    (bin, cnt) structs) and ``n`` — the grouped-data interpolation as
+    one aggregate() walk per quantile."""
     outs = []
     for q in quantiles:
         # rank r = q*(n-1); find first bin with cumulative > r, then
@@ -645,7 +656,7 @@ def histogram_quantile(
         AS DECIMAL(28,6)) AS DOUBLE)
         """
         outs.append(F.expr(expr).alias(f"hq_{str(q).replace('.', '_')}"))
-    return packed.select(*ks, *outs)
+    return outs
 
 
 def histogram_quantile_oracle_sql(
@@ -826,15 +837,12 @@ def cms_daily_registers(
     )
 
 
-def write_cms_registers(daily: DataFrame, path: str) -> None:
-    """Persist daily CMS registers day-partitioned, REPLACING any day
-    being written (dynamic partition overwrite).  Unlike HLL's MAX
-    registers, CMS counters merge by ADDITION, so a replayed append
-    would double-count — the idempotent ingest contract is therefore
-    per-day replacement: recompute a day's d*w rows, swap its
-    partition.  (Partial-day increments would need a batch-id ledger
-    like streaming/incremental_sink.py — out of scope for the rollup
-    cadence this serves.)"""
+def _write_day_replaced(daily: DataFrame, path: str) -> None:
+    """Day-partitioned persist that REPLACES any day being written
+    (dynamic partition overwrite) — the idempotency contract shared
+    by every ADDITION-merged register family (CMS counters, histogram
+    bin counts): a replayed append would double-count, so replay
+    safety is per-day partition replacement."""
     spark = daily.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -842,6 +850,16 @@ def write_cms_registers(daily: DataFrame, path: str) -> None:
         daily.write.mode("overwrite").partitionBy("day").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_cms_registers(daily: DataFrame, path: str) -> None:
+    """Persist daily CMS registers day-partitioned, REPLACING any day
+    being written.  Unlike HLL's MAX registers, CMS counters merge by
+    ADDITION, so a replayed append would double-count — recompute a
+    day's d*w rows, swap its partition.  (Partial-day increments
+    would need a batch-id ledger like streaming/incremental_sink.py —
+    out of scope for the rollup cadence this serves.)"""
+    _write_day_replaced(daily, path)
 
 
 def read_cms_registers(spark: SparkSession, path: str) -> DataFrame:
@@ -892,3 +910,82 @@ def cms_window_heavy_hitters(
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
     )
     return est.filter(F.col("est") >= threshold).select("val", "est")
+
+
+# ---------------------------------------------------------------------------
+# At-rest histogram registers: the third register family (HLL = MAX
+# merge, CMS = ADD + day replacement, histogram = ADD + day
+# replacement) — windowed quantiles with no event rescan
+# ---------------------------------------------------------------------------
+
+
+def histogram_daily_registers(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """(day, bin, cnt) — the daily fixed-width histogram register
+    table.  At most ``n_bins`` small-integer rows per day; any window
+    of days merges by element-wise ADDITION, and the quantile
+    estimate is a pure function of the merged counts (same binning
+    and interpolation as :func:`histogram_quantile`, so the at-rest
+    path answers bit-for-bit what the from-events path answers)."""
+    width = (hi - lo) / n_bins
+    day = F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(day, _hist_bin(value_col, lo, width, n_bins).alias("bin"))
+        .groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def write_histogram_registers(daily: DataFrame, path: str) -> None:
+    """Persist daily histogram registers day-partitioned with per-day
+    REPLACEMENT (bin counts ADD — a replayed append would
+    double-count, exactly the CMS contract)."""
+    _write_day_replaced(daily, path)
+
+
+def read_histogram_registers(spark: SparkSession, path: str) -> DataFrame:
+    """(day, bin, cnt) view of an at-rest histogram register table;
+    SUM per (day, bin) collapses multiple slice files of one day."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("day", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def histogram_window_quantiles(
+    daily: DataFrame,
+    day_from,
+    day_to,
+    quantiles: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """One row of quantile estimates for the day window ``[day_from,
+    day_to]``, served ENTIRELY from a daily register table: the
+    window's histogram is the sum of its days' bins (<= n_bins rows
+    after the fold), then the shared grouped-data interpolation —
+    the window's events are never rescanned.  Same arithmetic as
+    :func:`histogram_quantile`, so a from-events oracle reproduces
+    every estimate bit-for-bit."""
+    width = (hi - lo) / n_bins
+    regs = (
+        daily.filter(
+            (F.col("day") >= F.lit(day_from)) & (F.col("day") <= F.lit(day_to))
+        )
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    packed = regs.agg(
+        F.sort_array(F.collect_list(F.struct("bin", "cnt"))).alias("bins"),
+        F.sum("cnt").alias("n"),
+    )
+    return packed.select(*_hq_out_cols(quantiles, lo, width))

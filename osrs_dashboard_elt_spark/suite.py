@@ -4533,6 +4533,75 @@ def q_cms_window_at_rest(spark, sf_dir):
     )
 
 
+_HW_WINDOWS = {
+    "w1": ("2024-01-03", "2024-01-16"),
+    "w2": ("2024-01-17", "2024-01-30"),
+}
+_HW_PARAMS = dict(quantiles=[0.5, 0.95], lo=0.0, hi=200.0, n_bins=250)
+
+
+def _hist_at_rest_oracle() -> str:
+    from .operators.sketches import histogram_quantile_oracle_sql
+
+    parts = []
+    for label, (a, b) in _HW_WINDOWS.items():
+        sub = (
+            f"(SELECT '{label}' AS win, value FROM events "
+            f"WHERE CAST(date_trunc('day', ts) AS DATE) >= DATE '{a}' "
+            f"AND CAST(date_trunc('day', ts) AS DATE) <= DATE '{b}') t_{label}"
+        )
+        inner = histogram_quantile_oracle_sql(
+            sub, ["win"], "value", **_HW_PARAMS
+        )
+        parts.append(f"SELECT * FROM ({inner}) o_{label}")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("q_histogram_window_at_rest", oracle=_hist_at_rest_oracle())
+def q_histogram_window_at_rest(spark, sf_dir):
+    """Windowed quantile estimates served from AT-REST daily histogram
+    registers — the third register family (HLL = MAX merge, CMS = ADD
+    + day replacement, histogram = ADD + day replacement): daily
+    (day, bin, cnt) tables persisted day-partitioned, one day
+    REPLAYED via partition replacement to prove the idempotency
+    contract, then each window's quantiles come from the SUM of its
+    days' bins (<= n_bins rows) with the window's events never
+    rescanned.  The oracle recomputes both windows from raw events
+    with the identical binning + grouped-data interpolation, so
+    at-rest and from-events answers must agree bit-for-bit."""
+    import tempfile
+
+    from .operators.sketches import (
+        histogram_daily_registers,
+        histogram_window_quantiles,
+        read_histogram_registers,
+        write_histogram_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = histogram_daily_registers(
+        ev, "ts", "value",
+        lo=_HW_PARAMS["lo"], hi=_HW_PARAMS["hi"],
+        n_bins=_HW_PARAMS["n_bins"],
+    )
+    path = tempfile.mkdtemp(prefix="hist_regs_")
+    write_histogram_registers(daily, path)
+    # replaying one day must REPLACE its partition, not double it
+    write_histogram_registers(
+        daily.filter(
+            F.col("day") == F.lit(_HW_WINDOWS["w2"][0]).cast("date")
+        ),
+        path,
+    )
+    at_rest = read_histogram_registers(spark, path)
+    outs = [
+        histogram_window_quantiles(at_rest, a, b, **_HW_PARAMS)
+        .withColumn("win", F.lit(label))
+        for label, (a, b) in _HW_WINDOWS.items()
+    ]
+    return outs[0].unionByName(outs[1]).select("win", "hq_0_5", "hq_0_95")
+
+
 def _install_hll_oracle():
     from .operators.sketches import hll_oracle_sql, hll_overlap_oracle_sql
 

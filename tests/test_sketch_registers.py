@@ -178,3 +178,53 @@ def test_cms_window_estimate_is_one_sided_and_register_only(spark, tmp_path):
     # one-sided: estimate never undercounts
     assert est.keys() == exact.keys()  # threshold=1 admits everyone
     assert all(est[k] >= exact[k] for k in exact)
+
+
+def test_histogram_window_matches_from_events_and_replay_safe(
+    spark, tmp_path
+):
+    """The third register family: at-rest histogram bins serve the
+    window quantiles the from-events sketch produces bit-for-bit;
+    day replay REPLACES (bin counts ADD, same contract as CMS)."""
+    from osrs_dashboard_elt_spark.operators.sketches import (
+        histogram_daily_registers,
+        histogram_quantile,
+        histogram_window_quantiles,
+        read_histogram_registers,
+        write_histogram_registers,
+    )
+
+    ev = _events(spark)
+    params = dict(quantiles=[0.5, 0.95], lo=0.0, hi=200.0, n_bins=250)
+    daily = histogram_daily_registers(
+        ev, "ts", "value", lo=0.0, hi=200.0, n_bins=250
+    )
+    path = str(tmp_path / "hist")
+    write_histogram_registers(daily, path)
+    lo_day, hi_day = "2024-01-03", "2024-01-16"
+    # replay a window day: partition replaced, counters unchanged
+    before = {
+        (r.day, r.bin): r.cnt
+        for r in read_histogram_registers(spark, path).collect()
+    }
+    write_histogram_registers(
+        daily.filter(F.col("day") == F.lit(lo_day).cast("date")), path
+    )
+    after = {
+        (r.day, r.bin): r.cnt
+        for r in read_histogram_registers(spark, path).collect()
+    }
+    assert after == before
+
+    got = histogram_window_quantiles(
+        read_histogram_registers(spark, path), lo_day, hi_day, **params
+    ).collect()[0]
+    want = histogram_quantile(
+        ev.filter(
+            (F.date_trunc("day", F.col("ts")).cast("date") >= F.lit(lo_day))
+            & (F.date_trunc("day", F.col("ts")).cast("date") <= F.lit(hi_day))
+        ).withColumn("k", F.lit(1)),
+        "k", "value", **params,
+    ).collect()[0]
+    assert (got.hq_0_5, got.hq_0_95) == (want.hq_0_5, want.hq_0_95)
+    assert got.hq_0_5 is not None and got.hq_0_95 is not None
