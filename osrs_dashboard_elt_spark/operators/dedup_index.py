@@ -53,6 +53,7 @@ from .similarity import (
     dot_sql,
     embedding_band_posts,
     norm_sql,
+    unit_array_sql,
     vd_cast,
 )
 
@@ -421,12 +422,10 @@ def probe_embedding_index(
         ).select(
             out_id, "v", F.expr(norm_sql("v", dim)).alias("nrm")
         )
-        u = (
-            "array("
-            + ", ".join(f"element_at(v, {i + 1}) / nrm" for i in range(dim))
-            + ")"
+        return withn.select(
+            out_id,
+            F.expr(unit_array_sql("v", "nrm", dim)).alias(f"u_{out_id}"),
         )
-        return withn.select(out_id, F.expr(u).alias(f"u_{out_id}"))
 
     scored = (
         cand.join(unit(new_vecs, "new_id"), "new_id")

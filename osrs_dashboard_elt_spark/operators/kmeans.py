@@ -39,6 +39,19 @@ from pyspark.sql import functions as F
 from .similarity import _dlit, plane_dot_sql, vd_cast
 
 
+def valid_vec(dim: int):
+    """The shared validity predicate over a projected ``__vd`` column:
+    non-null array, exact length, and NO null ELEMENTS — an element
+    null makes every score term NULL, so the assignment cell would be
+    NULL (crashing the fit's ``new[cell]`` update and silently
+    diverging downstream consumers from their SQL oracles)."""
+    return (
+        F.col("__vd").isNotNull()
+        & (F.size("__vd") == dim)
+        & F.forall("__vd", lambda x: x.isNotNull())
+    )
+
+
 def _half_sq_norm(c: list[float]) -> float:
     """0.5 * |c|^2 as the exact left-fold python double — the same
     fold order as ``plane_dot_sql(c, c)`` so both engines agree."""
@@ -61,9 +74,13 @@ def kmeans_init(
             ),
             vd_cast(vec_col).alias("__vd"),
         )
-        # a NULL vector must not become a seed centroid; wrong-LENGTH
-        # vectors are dropped downstream once dim is fixed by the picks
-        .filter(F.col("__vd").isNotNull())
+        # a NULL vector (or one carrying null ELEMENTS) must not
+        # become a seed centroid; wrong-LENGTH vectors are dropped
+        # downstream once dim is fixed by the picks
+        .filter(
+            F.col("__vd").isNotNull()
+            & F.forall("__vd", lambda x: x.isNotNull())
+        )
         .orderBy("__h")
         .limit(k)
         .collect()
@@ -92,14 +109,13 @@ def kmeans_iterate(
     exact element means per cell (integerized sums).  Empty cells
     keep their old centroid.  One scan, one k*d-bounded shuffle.
 
-    NULL or wrong-length vectors take no part in training (a NULL
-    assignment would otherwise surface as a ``new[None]`` TypeError
-    mid-fit — the scores array over a NULL/short vector is NULL)."""
+    NULL, wrong-length, or null-element vectors take no part in
+    training (a NULL assignment would otherwise surface as a
+    ``new[None]`` TypeError mid-fit — the scores array over any
+    invalid vector is NULL)."""
     dim = len(centroids[0])
     assigned = _with_cell(
-        df.select(vd_cast(vec_col).alias("__vd")).filter(
-            F.col("__vd").isNotNull() & (F.size("__vd") == dim)
-        ),
+        df.select(vd_cast(vec_col).alias("__vd")).filter(valid_vec(dim)),
         centroids,
     )
     # one aggregate row per cell, one sum column per dim: no row
@@ -269,12 +285,13 @@ def kmeans_assignments(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(id, cell) for the given centroids — the scan-side expression
-    IVF uses, exposed for the final labeling pass.  NULL/wrong-length
-    vectors are dropped, matching the training-pass contract."""
+    IVF uses, exposed for the final labeling pass.  Invalid vectors
+    (NULL, wrong length, null elements) are dropped, matching the
+    training-pass contract."""
     dim = len(centroids[0])
     return _with_cell(
         df.select(F.col(id_col), vd_cast(vec_col).alias("__vd")).filter(
-            F.col("__vd").isNotNull() & (F.size("__vd") == dim)
+            valid_vec(dim)
         ),
         centroids,
     ).select(F.col(id_col), F.col("__cell").alias("cell"))

@@ -44,40 +44,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import _drop_hot_keys
-from .kmeans import kmeans_assignments
-from .similarity import _score6, dot_sql, norm_sql, vd_cast
-
-
-def _unit_vectors(
-    df: DataFrame, vec_col: str, id_col: str, dim: int
-) -> DataFrame:
-    """(id, uv): vectors unit-normalized with the shared fold-order
-    norm so the dot IS the cosine."""
-    withn = df.select(
-        F.col(id_col), vd_cast(vec_col).alias("v")
-    ).select(id_col, "v", F.expr(norm_sql("v", dim)).alias("nrm"))
-    u = (
-        "array("
-        + ", ".join(f"element_at(v, {i + 1}) / nrm" for i in range(dim))
-        + ")"
-    )
-    return withn.select(id_col, F.expr(u).alias("uv"))
+from .kmeans import _with_cell, valid_vec
+from .similarity import _score6, dot_sql, norm_sql, unit_array_sql, vd_cast
 
 
 def _members(
     df: DataFrame, vec_col: str, centroids: list[list[float]], id_col: str
 ) -> DataFrame:
-    """(id, cell, uv), materialized ONCE: the assignment expression
-    and the dim-unrolled normalize are referenced by both self-join
-    sides (and the decision frame), so without the checkpoint every
-    branch would re-scan the corpus and re-plan the k*dim expression
-    tree — one scan instead of three."""
+    """(id, cell, uv) in ONE corpus scan: project ``__vd`` once,
+    assign the cell scan-side, unit-normalize from the SAME row's
+    ``__vd`` — no self-join of two projections (zipping columns that
+    both derive from one row through an id-equi-join would scan the
+    corpus twice and shuffle every (id, cell) and (id, uv) row just
+    to re-pair them).  Materialized once because both pair-join sides
+    and the decision frame read it.  Validity filter matches
+    ``kmeans_assignments`` exactly."""
     dim = len(centroids[0])
-    return (
-        kmeans_assignments(df, vec_col, centroids, id_col)
-        .join(_unit_vectors(df, vec_col, id_col, dim), id_col)
-        .localCheckpoint(eager=False)
+    base = df.select(F.col(id_col), vd_cast(vec_col).alias("__vd")).filter(
+        valid_vec(dim)
     )
+    withn = _with_cell(base, centroids).select(
+        id_col,
+        F.col("__cell").alias("cell"),
+        "__vd",
+        F.expr(norm_sql("__vd", dim)).alias("nrm"),
+    )
+    return withn.select(
+        id_col,
+        "cell",
+        F.expr(unit_array_sql("__vd", "nrm", dim)).alias("uv"),
+    ).localCheckpoint(eager=False)
 
 
 def _pairs_from_members(

@@ -128,6 +128,19 @@ def norm_sql(a: str, dim: int) -> str:
     return f"SQRT({dot_sql(a, a, dim)})"
 
 
+def unit_array_sql(v: str, nrm: str, dim: int) -> str:
+    """Unrolled unit-scaling of ARRAY<DOUBLE> expr ``v`` by the STORED
+    norm attribute ``nrm`` — ONE definition of the normalize whose
+    fold-order/division discipline every embedding oracle replays
+    (consumers: pair scoring, index probes, semantic dedup).  Change
+    the arithmetic here and the oracles, never at a call site."""
+    return (
+        "array("
+        + ", ".join(f"element_at({v}, {i + 1}) / {nrm}" for i in range(dim))
+        + ")"
+    )
+
+
 def _fold_norm(vec: Sequence[float]) -> float:
     """Driver-side norm with the SAME left-fold order as the SQL
     oracle (``sqrt(list_dot_product(q, q))``) — Python floats are
@@ -353,12 +366,7 @@ def embedding_neardup_pairs(
     withn = vecs.select(
         "id", "v", F.expr(norm_sql("v", dim)).alias("nrm")
     ).localCheckpoint(eager=False)
-    unit = (
-        "array("
-        + ", ".join(f"element_at(v, {i + 1}) / nrm" for i in range(dim))
-        + ")"
-    )
-    uvec = withn.select("id", F.expr(unit).alias("u"))
+    uvec = withn.select("id", F.expr(unit_array_sql("v", "nrm", dim)).alias("u"))
     va = uvec.select(F.col("id").alias("id_a"), F.col("u").alias("u_a"))
     vb = uvec.select(F.col("id").alias("id_b"), F.col("u").alias("u_b"))
     scored = cand.join(va, "id_a").join(vb, "id_b").withColumn(

@@ -126,7 +126,8 @@ def test_null_and_ragged_vectors_are_skipped(spark, vecs):
     with `list indices must be integers`)."""
     dirty = vecs.unionByName(
         spark.createDataFrame(
-            [(900, None), (901, [0.5]), (902, [0.5] * 9)],
+            [(900, None), (901, [0.5]), (902, [0.5] * 9),
+             (903, [0.5, None, 0.5, 0.5])],  # element-null
             "vec_id long, embedding array<float>",
         )
     )
@@ -135,7 +136,7 @@ def test_null_and_ragged_vectors_are_skipped(spark, vecs):
     assert dirty_fit == clean_fit  # invalid rows contributed nothing
     assigned = kmeans_assignments(dirty, "embedding", clean_fit)
     ids = {r.vec_id for r in assigned.collect()}
-    assert {900, 901, 902}.isdisjoint(ids)
+    assert {900, 901, 902, 903}.isdisjoint(ids)
     assert len(ids) == vecs.count()
 
 
@@ -165,8 +166,10 @@ def test_chunked_assignment_matches_numpy_at_large_k(spark, vecs):
         for vid, x in X.items():
             scores = C @ x - 0.5 * (C * C).sum(axis=1)
             assert got[vid] == int(np.argmax(scores)), vid
-        # chunked and single-array paths agree end-to-end
-        fit_chunked = kmeans_fit(vecs, "embedding", k=3, n_iter=2, seed=5)
+        # chunked and single-array paths agree end-to-end THROUGH
+        # TRAINING: k=5 > per=4 actually routes the fit through the
+        # chunked branch while the budget override is active
+        fit_chunked = kmeans_fit(vecs, "embedding", k=5, n_iter=2, seed=5)
     finally:
         km._CHUNK_TERMS = old
-    assert fit_chunked == kmeans_fit(vecs, "embedding", k=3, n_iter=2, seed=5)
+    assert fit_chunked == kmeans_fit(vecs, "embedding", k=5, n_iter=2, seed=5)

@@ -95,11 +95,11 @@ def test_pairs_feed_transitive_clusters(spark):
 def test_invalid_vectors_take_no_part(spark, vecs):
     dirty = vecs.unionByName(
         spark.createDataFrame(
-            [(50, None), (51, [1.0, 0.0, 0.0])],
+            [(50, None), (51, [1.0, 0.0, 0.0]), (52, [None, 1.0])],
             "vec_id long, embedding array<float>",
         )
     )
     out = semantic_dedup(dirty, "embedding", CENTS, 0.95)
     ids = {r.vec_id for r in out.collect()}
-    assert {50, 51}.isdisjoint(ids)
+    assert {50, 51, 52}.isdisjoint(ids)
     assert len(ids) == 6
