@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "q_bm25_search",
     "q_hybrid_rrf_search",
     "q_ewma_by_user",
+    "q_lm_perplexity",
     "q_token_rarity",
     "q_cdc_merge",
     "q_item_copurchase",

@@ -6446,6 +6446,53 @@ def q_ewma_by_user(spark, sf_dir):
     return arr.select("user_id", "n_events", dround(ewma).alias("ewma"))
 
 
+_LM_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, tk[i] AS ctx, tk[i + 1] AS w
+      FROM toks, UNNEST(range(1, len(tk))) AS r(i)
+    ),
+    cw AS (SELECT ctx, w, COUNT(*)::BIGINT AS c FROM grams GROUP BY ctx, w),
+    ct AS (SELECT ctx, COUNT(*)::BIGINT AS tot FROM grams GROUP BY ctx),
+    v AS (SELECT COUNT(DISTINCT t) AS vs
+          FROM (SELECT unnest(tk) AS t FROM toks)),
+    terms AS (
+      SELECT g.doc_id,
+             CAST(ln(CAST(cw.c + 1 AS DOUBLE)
+                     / CAST(ct.tot + v.vs AS DOUBLE))
+                  AS DECIMAL(28,12)) AS term
+      FROM grams g
+      JOIN cw ON g.ctx = cw.ctx AND g.w = cw.w
+      JOIN ct ON g.ctx = ct.ctx
+      CROSS JOIN v
+    )
+    SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+           CAST(CAST(-CAST(SUM(term) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                AS DECIMAL(28,6)) AS DOUBLE) AS avg_nll
+    FROM terms GROUP BY doc_id
+    """
+
+
+@query("q_lm_perplexity", oracle=_LM_ORACLE)
+def q_lm_perplexity(spark, sf_dir):
+    """Count-based bigram LM perplexity scoring (operators/lm.py):
+    the CCNet-style quality filter — train the Laplace-smoothed count
+    model on the corpus (two gram aggregates), score every document
+    by average negative log-probability (one gram join + an
+    EXACT-DECIMAL per-doc sum, so the result is identical under any
+    partitioning and in the oracle).  High avg_nll = surprising text
+    (gibberish/boilerplate candidates for the quality gate)."""
+    from .operators.lm import lm_score_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_score_corpus(docs, "doc_id", "text")
+
+
 @query(
     "q_token_rarity",
     oracle=f"""
