@@ -3,6 +3,9 @@
     documents.parquet
       -> annotate  (language id, quality score, token count  — one projection)
       -> filter    (quality floor + language allowlist)
+      -> perplexity gate  (self-trained bigram count LM; drop the P90
+                           avg_nll tail — cutoff from the histogram
+                           sketch, not a magic constant)
       -> exact dedup      (md5 digest keep-first; 32-byte shuffle keys)
       -> near-dup removal (MinHash+LSH verified pairs; drop the higher
                            id of each pair — min-id survivor per edge)
@@ -58,6 +61,7 @@ LANGS = ("en", "de", "fr", "es")
 SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
 NEARDUP_THRESHOLD = 0.7
 DECON_MIN_HITS = 3
+PPL_DROP_QUANTILE = 0.9  # drop docs above the P90 avg_nll tail
 
 
 def run(
@@ -108,11 +112,33 @@ def run(
         rows=F.count(F.lit(1)),
     )
 
+    # 2b. perplexity gate (CCNet-style): self-train the bigram count
+    # LM on the gate survivors, score every doc, and drop the most
+    # surprising tail — the cutoff is the P90 avg_nll from the
+    # mergeable histogram sketch (a deterministic function of the
+    # data, not a magic constant).  Model tables are Heaps-bounded;
+    # the score join is the only corpus-width work.
+    from osrs_dashboard_elt_spark.operators.lm import lm_score_corpus
+    from osrs_dashboard_elt_spark.operators.sketches import histogram_quantile
+
+    scored = lm_score_corpus(kept, "doc_id", "text").persist()
+    ppl_thr = histogram_quantile(
+        scored.withColumn("__k", F.lit(1)),
+        "__k", "avg_nll", [PPL_DROP_QUANTILE], lo=0.0, hi=20.0, n_bins=250,
+    ).collect()[0][f"hq_{str(PPL_DROP_QUANTILE).replace('.', '_')}"]
+    fluent_ids = scored.filter(F.col("avg_nll") <= ppl_thr).select("doc_id")
+    fluent = obs.observe(
+        kept.join(fluent_ids, "doc_id"),
+        "ppl_gate",
+        rows=F.count(F.lit(1)),
+    )
+    scored.unpersist()
+
     # 3. exact dedup on content digest: the shuffle key is the 32-byte
     # md5, never the text
     exact = obs.observe(
         dedup_keep_first_asc(
-            kept.withColumn("__digest", F.md5("text")),
+            fluent.withColumn("__digest", F.md5("text")),
             ["__digest"],
             ["doc_id"],
         ).drop("__digest"),
@@ -227,6 +253,7 @@ def run(
             {
                 "input_docs": stages["input"]["rows"],
                 "after_gates": stages["gates"]["rows"],
+                "after_ppl_gate": stages["ppl_gate"]["rows"],
                 "after_exact_dedup": stages["exact_dedup"]["rows"],
                 "after_neardup": stages["neardup"]["rows"],
                 "after_decontamination": metrics["rows"],
