@@ -222,6 +222,12 @@ def main() -> None:
         ).semantic_dedup(
             t["emb"], "embedding", t["sem_cents"], 0.3, id_col="vec_id"
         ),
+        # bigram-LM self-scoring: two gram aggregates (Heaps-bounded
+        # model tables) + one gram join + exact-decimal per-doc sums —
+        # wall time should track the gram count linearly
+        "lm_perplexity": lambda t: __import__(
+            "osrs_dashboard_elt_spark.operators.lm", fromlist=["x"]
+        ).lm_score_corpus(t["docs"], "doc_id", "text"),
         # l_partkey is shifted per replica along with l_orderkey (see
         # below): un-perturbed baskets would duplicate every pair
         # exactly and the min_support floor would admit the entire
@@ -296,7 +302,7 @@ def main() -> None:
 
     need_docs = {"exact_dedup", "minhash_lsh", "ngram_jaccard", "simhash",
                  "dedup_clusters", "incremental_probe", "media_neardup",
-                 "ngram_spans_str", "ngram_spans_hash"} & set(ops)
+                 "ngram_spans_str", "ngram_spans_hash", "lm_perplexity"} & set(ops)
     need_emb = {"embedding_neardup", "semantic_dedup"} & set(ops)
     need_li = {"item_copurchase", "waiting_orders", "pagerank"} & set(ops)
     need_ev = {"cms_heavy_hitters", "hll_rolling", "hll_overlap",
