@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "q_hybrid_rrf_search",
     "q_ewma_by_user",
     "q_lm_perplexity",
+    "q_unigram_kl_drift",
     "q_token_rarity",
     "q_cdc_merge",
     "q_item_copurchase",

@@ -134,6 +134,62 @@ def lm_avg_nll(
     )
 
 
+def unigram_kl_by_group(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    lowercase: bool = True,
+) -> DataFrame:
+    """(group, n_tokens, kl): KL(P_group || P_corpus) between the
+    add-one-smoothed unigram distributions — the mixture-drift
+    monitor for a training corpus (a domain whose token distribution
+    runs away from the blend scores high; a near-duplicate of the
+    blend scores ~0).
+
+    The sum runs over the FULL corpus vocabulary for every group
+    (absent tokens contribute their smoothed floor), via a
+    (vocabulary x groups) cross product — EXPLICITLY bounded: the
+    vocabulary is Heaps-law in the corpus and the group side is a
+    broadcast of one row per group.  Terms use the same
+    exact-decimal discipline as :func:`lm_avg_nll`: integer-operand
+    divisions and one ln/multiply per term are bit-identical across
+    engines, the DECIMAL(28,12) cast makes the per-group sum
+    order-independent.  V (vocab size) and N (corpus tokens) are
+    collected once as exact integers and inlined."""
+    toks = _with_tokens(df, text_col, lowercase).select(
+        F.col(group_col), F.explode("tk").alias("t")
+    )
+    gc = toks.groupBy(group_col, "t").agg(F.count(F.lit(1)).alias("c"))
+    gt = toks.groupBy(group_col).agg(F.count(F.lit(1)).alias("tot"))
+    vc = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c_all"))
+    vn = vc.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("c_all").alias("n")
+    ).collect()[0]
+    V, N = int(vn["v"]), int(vn["n"])
+    support = vc.crossJoin(F.broadcast(gt))
+    joined = support.join(gc, [group_col, "t"], "left").select(
+        group_col,
+        "tot",
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        "c_all",
+    )
+    p = f"(CAST(c + 1 AS DOUBLE) / CAST(tot + {V} AS DOUBLE))"
+    q = f"(CAST(c_all + 1 AS DOUBLE) / CAST({N + V} AS DOUBLE))"
+    term = F.expr(f"CAST({p} * ln({p} / {q}) AS DECIMAL(28,12))")
+    return (
+        joined.withColumn("__t", term)
+        .groupBy(group_col, "tot")
+        .agg(F.sum("__t").alias("__s"))
+        .select(
+            group_col,
+            F.col("tot").alias("n_tokens"),
+            F.expr(
+                "CAST(CAST(CAST(__s AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)"
+            ).alias("kl"),
+        )
+    )
+
+
 def lm_score_corpus(
     df: DataFrame, id_col: str, text_col: str, lowercase: bool = True
 ) -> DataFrame:

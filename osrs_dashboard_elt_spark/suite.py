@@ -6508,6 +6508,53 @@ def q_lm_perplexity(spark, sf_dir):
     return lm_score_corpus(docs, "doc_id", "text")
 
 
+_KL_ORACLE = r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                t -> t <> '')) AS t
+      FROM documents
+    ),
+    gc AS (SELECT source, t, COUNT(*)::BIGINT AS c FROM toks GROUP BY source, t),
+    gt AS (SELECT source, COUNT(*)::BIGINT AS tot FROM toks GROUP BY source),
+    vc AS (SELECT t, COUNT(*)::BIGINT AS c_all FROM toks GROUP BY t),
+    vn AS (SELECT COUNT(*)::BIGINT AS v, SUM(c_all)::BIGINT AS n FROM vc),
+    sup AS (SELECT vc.t, vc.c_all, gt.source, gt.tot FROM vc CROSS JOIN gt),
+    j AS (
+      SELECT sup.source, sup.tot, COALESCE(gc.c, 0) AS c, sup.c_all
+      FROM sup LEFT JOIN gc ON sup.source = gc.source AND sup.t = gc.t
+    ),
+    terms AS (
+      SELECT j.source, j.tot,
+             CAST((CAST(c + 1 AS DOUBLE) / CAST(tot + vn.v AS DOUBLE))
+                  * ln((CAST(c + 1 AS DOUBLE) / CAST(tot + vn.v AS DOUBLE))
+                       / (CAST(c_all + 1 AS DOUBLE)
+                          / CAST(vn.n + vn.v AS DOUBLE)))
+                  AS DECIMAL(28,12)) AS term
+      FROM j CROSS JOIN vn
+    )
+    SELECT source, tot AS n_tokens,
+           CAST(CAST(CAST(SUM(term) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+             AS kl
+    FROM terms GROUP BY source, tot
+    """
+
+
+@query("q_unigram_kl_drift", oracle=_KL_ORACLE)
+def q_unigram_kl_drift(spark, sf_dir):
+    """Corpus-mixture drift monitor (operators/lm.py): per-source KL
+    divergence of the add-one-smoothed unigram distribution against
+    the whole-corpus blend, summed over the full vocabulary (the
+    (vocab x groups) cross product is explicitly bounded — Heaps-law
+    vocabulary broadcast-crossed with one row per source).  Same
+    exact-decimal term discipline as q_lm_perplexity, so the sum is
+    partition-invariant and SQL-replayable."""
+    from .operators.lm import unigram_kl_by_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_kl_by_group(docs, "source", "text")
+
+
 @query(
     "q_token_rarity",
     oracle=f"""

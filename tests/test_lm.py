@@ -72,3 +72,27 @@ def test_sub_bigram_docs_emit_no_row_and_sum_is_partition_invariant(
         ).collect()
     )
     assert a == b
+
+
+def test_unigram_kl_hand_computed_and_nonnegative(spark):
+    from osrs_dashboard_elt_spark.operators.lm import unigram_kl_by_group
+
+    df = spark.createDataFrame(
+        [("g1", "a a b"), ("g2", "a b b")], "src string, text string"
+    )
+    got = {
+        r.src: (r.n_tokens, r.kl)
+        for r in unigram_kl_by_group(df, "src", "text").collect()
+    }
+    # V=2, N=6; g1: p=(.6,.4) vs q=(.5,.5) -> .6*ln1.2 + .4*ln0.8
+    want = round(0.6 * math.log(1.2) + 0.4 * math.log(0.8), 6)
+    assert got == {"g1": (3, want), "g2": (3, want)}  # symmetric
+    assert all(kl >= 0 for _, kl in got.values())
+    # partition invariance of the decimal sum
+    again = {
+        r.src: (r.n_tokens, r.kl)
+        for r in unigram_kl_by_group(
+            df.repartition(7), "src", "text"
+        ).collect()
+    }
+    assert again == got

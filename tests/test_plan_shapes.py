@@ -27,6 +27,10 @@ _ALLOWED = {
     # the BM25 ranker inside the RRF fusion carries the same one-row
     # corpus-stats broadcast — constant-fold against each row
     "q_hybrid_rrf_search": {"BroadcastNestedLoopJoin"},
+    # KL drift: the (vocabulary x groups) support cross product — the
+    # broadcast side is one row per GROUP (domain count, a constant),
+    # the stream side the Heaps-bounded vocabulary
+    "q_unigram_kl_drift": {"BroadcastNestedLoopJoin"},
     "q_token_rarity": {"BroadcastNestedLoopJoin"},  # one-row token total
     # with_global_position's offset computation: a triangular (pid <
     # pid) join over the |partitions|-row count aggregate — both sides
