@@ -84,6 +84,8 @@ def start_dedup_ingest(
     available_now: bool = False,
     on_batch: Callable[[int, dict], None] | None = None,
     run_id: str | None = None,
+    lm_model: tuple[DataFrame, DataFrame, int] | None = None,
+    max_avg_nll: float | None = None,
 ) -> StreamingQuery:
     """Start the dedup-ingest stream.  ``index_table`` must already
     exist (``write_minhash_index`` over the current corpus — an empty
@@ -98,8 +100,17 @@ def start_dedup_ingest(
     overwrites its own partition; a fresh checkpoint should keep the
     default fresh run id.  ``on_batch`` receives ``(batch_id,
     counts)`` with keys ``n_in``, ``n_same_id_collapsed``,
-    ``n_in_batch_dup``, ``n_corpus_dup``, ``n_already_ingested``,
-    ``n_accepted``."""
+    ``n_high_ppl``, ``n_in_batch_dup``, ``n_corpus_dup``,
+    ``n_already_ingested``, ``n_accepted``.
+
+    ``lm_model`` + ``max_avg_nll`` arm the QUALITY gate at ingest:
+    pass ``(cw, ct, vocab_size)`` from ``operators.lm.bigram_model``
+    (trained on a TRUSTED corpus) and docs scoring above the
+    ``avg_nll`` cutoff route to quarantine with reason
+    ``high_perplexity`` BEFORE any dedup work — the cheapest
+    rejection runs first, and gibberish never reaches the pair
+    generators or the index.  The model tables are static
+    (Heaps-bounded); the per-batch cost is one gram join, O(batch)."""
     params = dict(
         num_perm=num_perm, bands=bands, seed=seed, shingle_n=shingle_n
     )
@@ -123,10 +134,29 @@ def start_dedup_ingest(
                 if on_batch is not None:
                     on_batch(batch_id, {
                         "n_in": 0, "n_same_id_collapsed": n_same_id,
+                        "n_high_ppl": 0,
                         "n_in_batch_dup": 0, "n_corpus_dup": 0,
                         "n_already_ingested": 0, "n_accepted": 0,
                     })
                 return
+            # 0. quality gate (optional): score against the trusted
+            # LM and shunt the surprising tail to quarantine before
+            # any dedup work — sub-bigram docs have no score and a
+            # gate cannot judge them, so they pass through
+            high_ppl = None
+            if lm_model is not None and max_avg_nll is not None:
+                from ..operators.lm import lm_avg_nll
+
+                cw, ct, vsz = lm_model
+                high_ppl = (
+                    lm_avg_nll(batch, id_col, text_col, cw, ct, vsz)
+                    .filter(F.col("avg_nll") > max_avg_nll)
+                    .select(id_col)
+                    .persist()
+                )
+                persisted.append(high_ppl)
+                batch = batch.join(high_ppl, id_col, "left_anti").persist()
+                persisted.append(batch)
             # 1. within-batch clusters -> canonical survivors
             pairs = minhash_lsh_pairs(batch, id_col, text_col, **params)
             clusters = dedup_clusters(batch, pairs, id_col)
@@ -199,6 +229,14 @@ def start_dedup_ingest(
             quarantined = in_batch_dup.unionByName(corpus_dup).unionByName(
                 already_q
             )
+            if high_ppl is not None:
+                quarantined = quarantined.unionByName(
+                    high_ppl.select(
+                        id_col,
+                        F.lit("high_perplexity").alias("reason"),
+                        F.lit(None).cast(id_type).alias("matched_corpus_id"),
+                    )
+                )
             route(quarantined, "quarantine")
             # Counts MUST freeze before the index append: writing the
             # table invalidates every cached plan that references it,
@@ -208,6 +246,7 @@ def start_dedup_ingest(
             metrics = {
                 "n_in": n_in,
                 "n_same_id_collapsed": n_same_id,
+                "n_high_ppl": high_ppl.count() if high_ppl is not None else 0,
                 "n_in_batch_dup": in_batch_dup.count(),
                 "n_corpus_dup": dup_ids.count(),
                 "n_already_ingested": already.count(),

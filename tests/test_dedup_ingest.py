@@ -95,11 +95,13 @@ def test_two_batch_ingest_routes_and_extends_index(spark, ingest_env):
 
     # per-batch funnel counts
     assert counts[0] == {
-        "n_in": 3, "n_same_id_collapsed": 0, "n_in_batch_dup": 1,
+        "n_in": 3, "n_same_id_collapsed": 0, "n_high_ppl": 0,
+        "n_in_batch_dup": 1,
         "n_corpus_dup": 0, "n_already_ingested": 0, "n_accepted": 2,
     }
     assert counts[1] == {
-        "n_in": 3, "n_same_id_collapsed": 0, "n_in_batch_dup": 0,
+        "n_in": 3, "n_same_id_collapsed": 0, "n_high_ppl": 0,
+        "n_in_batch_dup": 0,
         "n_corpus_dup": 1, "n_already_ingested": 1, "n_accepted": 1,
     }
 
@@ -178,9 +180,46 @@ def test_same_id_rows_within_one_batch_collapse(spark, ingest_env):
     assert acc.count() == 2  # exactly one row per id survives
     assert {r.doc_id for r in acc.collect()} == {1, 2}
     assert counts[0] == {
-        "n_in": 2, "n_same_id_collapsed": 2, "n_in_batch_dup": 0,
+        "n_in": 2, "n_same_id_collapsed": 2, "n_high_ppl": 0,
+        "n_in_batch_dup": 0,
         "n_corpus_dup": 0, "n_already_ingested": 0, "n_accepted": 2,
     }
     # the index learned each id once
     posts = spark.table("mh_ingest")
     assert posts.count() == 2 * PARAMS["bands"]
+
+
+def test_lm_quality_gate_quarantines_gibberish(spark, ingest_env):
+    """With a trusted-corpus LM armed, a gibberish doc routes to
+    quarantine (reason=high_perplexity) BEFORE dedup; fluent docs of
+    the same batch are accepted and indexed as usual."""
+    from osrs_dashboard_elt_spark.operators.lm import bigram_model
+
+    trusted = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate([TEXT_A, TEXT_B, TEXT_C] * 3)],
+        "doc_id long, text string",
+    )
+    cw, ct, v = bigram_model(trusted, "text")
+    src = ingest_env / "in"
+    src.mkdir()
+    gibberish = "zq xv qk jw vz kx wj zzq vvx qqk jjw zvz"
+    _write_batch(src, "b0.json", [(1, TEXT_A), (2, gibberish)])
+    counts: list = []
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(src)
+    )
+    q = start_dedup_ingest(
+        stream, "mh_ingest", str(ingest_env / "out"),
+        str(ingest_env / "ckpt"),
+        n_buckets=4, available_now=True,
+        on_batch=lambda bid, c: counts.append(c),
+        lm_model=(cw, ct, v), max_avg_nll=3.5, **PARAMS,
+    )
+    q.awaitTermination(120)
+    assert counts[0]["n_high_ppl"] == 1
+    assert counts[0]["n_accepted"] == 1
+    quar = spark.read.parquet(str(ingest_env / "out" / "quarantine"))
+    rows = {(r.doc_id, r.reason) for r in quar.collect()}
+    assert (2, "high_perplexity") in rows
+    acc = spark.read.parquet(str(ingest_env / "out" / "accepted"))
+    assert {r.doc_id for r in acc.collect()} == {1}
