@@ -278,6 +278,7 @@ def export_training_shards(
     seq_len: int = SHARD_SEQ_LEN,
     num_merges: int = SHARD_BPE_MERGES,
     n_files: int = N_SHARD_FILES,
+    curriculum: bool = False,
 ) -> dict:
     """Stage 9: close the training-data loop.  The tokenizer is
     trained ON the corpus the pipeline just cleaned (operators/bpe.py
@@ -343,10 +344,36 @@ def export_training_shards(
         "n_bpe_tokens",
         seq_len,
     )
-    ordered = with_global_position(
-        packed.withColumn(
+    if curriculum:
+        # easy-first curriculum: sequences stream in ascending LM
+        # difficulty (per-sequence MAX of its member docs' avg_nll
+        # under the corpus-trained bigram model — the partitioned
+        # window keeps every chunk of a sequence adjacent, exactly
+        # like the shuffle key does).  Deterministic: the score is a
+        # pure function of the corpus, ties break on the same
+        # (lang, id, chunk_idx) keys as the shuffled order.
+        from pyspark.sql import Window
+
+        from osrs_dashboard_elt_spark.operators.lm import lm_score_corpus
+
+        scores = lm_score_corpus(train, "doc_id", "text").select(
+            F.col("doc_id").alias("id"), "avg_nll"
+        )
+        w = Window.partitionBy("lang", "seq_id")
+        keyed = (
+            packed.join(scores, "id", "left")  # doc-count sized: no broadcast
+            .withColumn(
+                "__ord",
+                F.max(F.coalesce("avg_nll", F.lit(0.0))).over(w),
+            )
+            .drop("avg_nll")
+        )
+    else:
+        keyed = packed.withColumn(
             "__ord", shuffle_order(F.concat_ws("|", "lang", "seq_id"))
-        ),
+        )
+    ordered = with_global_position(
+        keyed,
         ["__ord", "lang", "id", "chunk_idx"],
     )
     (
@@ -366,6 +393,7 @@ def export_training_shards(
         F.sum("n_bpe_tokens").alias("n_tokens_packed"),
     ).collect()[0]
     metrics = {
+        "curriculum": curriculum,
         "n_merges": len(merges),
         "vocab_size": len(vocab),
         "n_chunks": agg["n_chunks"],

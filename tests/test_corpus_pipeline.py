@@ -170,3 +170,43 @@ def test_shard_export_deterministic_and_epoch_ordered(spark, tmp_path):
         F.min(F.size("token_ids")).alias("m"),
     ).collect()[0]
     assert agg["s"] == m1["n_tokens_packed"] and agg["m"] > 0
+
+
+def test_curriculum_shard_export_orders_by_difficulty(spark, tmp_path):
+    """curriculum=True streams sequences easy-first: along the epoch
+    order, each sequence's difficulty (max member-doc avg_nll under
+    the corpus LM) is non-decreasing, sequences stay contiguous, and
+    the row set equals the shuffled export's."""
+    import run_corpus_pipeline as pipe
+    from osrs_dashboard_elt_spark.operators.lm import lm_score_corpus
+
+    _run(spark, str(tmp_path / "c"))
+    m = pipe.export_training_shards(
+        spark, str(tmp_path / "c"), curriculum=True
+    )
+    assert m["curriculum"] is True and m["n_chunks"] > 0
+
+    sh = spark.read.parquet(str(tmp_path / "c" / "shards"))
+    train = spark.read.parquet(str(tmp_path / "c" / "train"))
+    scores = {
+        r.doc_id: r.avg_nll
+        for r in lm_score_corpus(train, "doc_id", "text").collect()
+    }
+    rows = sh.orderBy("pos").collect()
+    assert [r.pos for r in rows] == list(range(1, len(rows) + 1))
+    # per-sequence difficulty non-decreasing along the epoch order
+    seq_rows: dict = {}
+    order = []
+    for r in rows:
+        key = (r.lang, r.seq_id)
+        if key not in seq_rows:
+            seq_rows[key] = []
+            order.append(key)
+        seq_rows[key].append(r)
+    diffs = [
+        max(scores.get(r.id, 0.0) for r in seq_rows[k]) for k in order
+    ]
+    assert diffs == sorted(diffs), "curriculum order broken"
+    # sequences contiguous (no interleaving)
+    flat = [k for k in order for _ in seq_rows[k]]
+    assert flat == [(r.lang, r.seq_id) for r in rows]
