@@ -30,6 +30,7 @@ HEADLINERS = {
     "q_hll_user_overlap": "two register aggregates with map-side partials; everything after them touches at most 3*2^p rows (union = register MAX merge)",
     "q_media_neardup": "one Arrow fingerprint pass (mapInPandas) reads the blobs; everything downstream — chunk explode, bucket equi-join, bit_count verify — moves only (id, 56-bit fp) rows",
     "q_semantic_dedup": "cell self-join carries ids only (8 bytes/row); unit vectors join back BY ID so the score predicate cannot ride the cell join; explicit-width repartition keeps the dot chain on all cores under AQE",
+    "q_lm_perplexity": "two map-side-combined gram aggregates build the model; scoring is one gram join + a decimal-sum groupBy (order-independent, so no sort anywhere)",
 }
 
 
