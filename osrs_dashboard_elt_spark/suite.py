@@ -1471,6 +1471,10 @@ def build_oracles(sf_dir: str | None = None) -> dict[str, str]:
             oracles["q_ivf_ann_topk"] = _ivf_oracle(sf_dir)
         except Exception:
             pass
+        try:
+            oracles["q_pq_ann_topk"] = _pq_oracle(sf_dir)
+        except Exception:
+            pass
     return _family_first(oracles)
 
 
@@ -2409,60 +2413,78 @@ def _ivf_oracle(sf_dir: str) -> str:
 _KM_K, _KM_ITER, _KM_SEED, _KM_DIM = 8, 2, 42, 64
 
 
-def _kmeans_train_ctes() -> list[str]:
-    """CTE chain replaying the ENTIRE k-means training in SQL:
-    md5-ordered init, then per iteration a (vector x centroid) score
-    rank (dot - half|c|^2, ties to the smallest cell — the same
+def _km_train_ctes_over(
+    src: str,
+    *,
+    prefix: str = "",
+    dim: int = _KM_DIM,
+    k: int = _KM_K,
+    iters: int = _KM_ITER,
+    seed: int = _KM_SEED,
+) -> list[str]:
+    """CTE chain replaying an ENTIRE k-means training in SQL over a
+    source CTE ``src`` shaped (vec_id, xd list<double>): md5-ordered
+    init, then per iteration a (vector x centroid) score rank
+    (dot - half|c|^2, ties to the smallest cell — the same
     first-at-max rule as the Spark assignment expression) and
     exact-decimal element means.  Every intermediate centroid is
     bit-identical to the driver loop's because sums are DECIMAL
     (order-independent) and the one division per (cell, dim) is IEEE
-    on identical operands.  Ends at ``fin`` (vec_id, cell) — shared
-    by the centroid and semantic-dedup oracles."""
+    on identical operands.  Ends at ``{prefix}fin`` (vec_id, cell);
+    the final codebook is ``{prefix}c{iters}``.  ``prefix`` keeps
+    multiple chains (one per PQ subspace) disjoint in one query."""
+    p = prefix
     ctes = [
-        "emb AS (SELECT vec_id, list_transform(embedding, "
-        "x -> CAST(x AS DOUBLE)) AS xd FROM embeddings)",
-        f"""c0 AS (
-      SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5('{_KM_SEED}:' || CAST(vec_id AS VARCHAR))) - 1 AS INT) AS cell,
+        f"""{p}c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5('{seed}:' || CAST(vec_id AS VARCHAR))) - 1 AS INT) AS cell,
              xd AS cent
-      FROM emb
-      ORDER BY md5('{_KM_SEED}:' || CAST(vec_id AS VARCHAR))
-      LIMIT {_KM_K})""",
+      FROM {src}
+      ORDER BY md5('{seed}:' || CAST(vec_id AS VARCHAR))
+      LIMIT {k})""",
     ]
     score = (
         "(list_dot_product(e.xd, c.cent)"
         " - CAST(0.5 AS DOUBLE) * list_dot_product(c.cent, c.cent))"
     )
-    for i in range(1, _KM_ITER + 1):
-        ctes.append(f"""a{i} AS (
+    for i in range(1, iters + 1):
+        ctes.append(f"""{p}a{i} AS (
       SELECT vec_id, xd, cell FROM (
         SELECT e.vec_id, e.xd, c.cell,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                  ORDER BY {score} DESC, c.cell) AS rn
-        FROM emb e CROSS JOIN c{i - 1} c) WHERE rn = 1)""")
+        FROM {src} e CROSS JOIN {p}c{i - 1} c) WHERE rn = 1)""")
         # exact integerized mean, mirroring operators/kmeans.py: the
         # 2^50 scale is an exponent shift (exact on float32-origin
         # values), the DECIMAL(38,0) sum is integer arithmetic, and
         # the single division is the only rounding
-        ctes.append(f"""m{i} AS (
+        ctes.append(f"""{p}m{i} AS (
       SELECT cell, d AS dim,
              (CAST(SUM(CAST(xd[CAST(d + 1 AS BIGINT)] * 1125899906842624.0 AS DECIMAL(38,0))) AS DOUBLE)
                / COUNT(*)) * 8.881784197001252e-16 AS mval
-      FROM a{i}, UNNEST(range(0, {_KM_DIM})) AS t(d)
+      FROM {p}a{i}, UNNEST(range(0, {dim})) AS t(d)
       GROUP BY cell, d)""")
-        ctes.append(f"""c{i} AS (
+        ctes.append(f"""{p}c{i} AS (
       SELECT p.cell, COALESCE(n.cent, p.cent) AS cent
-      FROM c{i - 1} p LEFT JOIN (
+      FROM {p}c{i - 1} p LEFT JOIN (
         SELECT cell, list(mval ORDER BY dim) AS cent
-        FROM m{i} GROUP BY cell) n USING (cell))""")
-    final = _KM_ITER
-    ctes.append(f"""fin AS (
+        FROM {p}m{i} GROUP BY cell) n USING (cell))""")
+    ctes.append(f"""{p}fin AS (
       SELECT vec_id, cell FROM (
         SELECT e.vec_id, c.cell,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                  ORDER BY {score} DESC, c.cell) AS rn
-        FROM emb e CROSS JOIN c{final} c) WHERE rn = 1)""")
+        FROM {src} e CROSS JOIN {p}c{iters} c) WHERE rn = 1)""")
     return ctes
+
+
+def _kmeans_train_ctes() -> list[str]:
+    """The flagship chain: full-width embeddings, no prefix — shared
+    by the centroid, semantic-dedup, and probe oracles (ends at
+    ``fin``)."""
+    return [
+        "emb AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS xd FROM embeddings)",
+    ] + _km_train_ctes_over("emb")
 
 
 def _kmeans_oracle() -> str:
@@ -2604,6 +2626,102 @@ def q_ivf_ann_topk(spark, sf_dir):
     return ivf_ann_topk(
         emb, "embedding", qv, cents, k=_IVF_K, nprobe=_IVF_NPROBE, id_col="vec_id"
     )
+
+
+# —— product quantization: m subspaces, k codewords each, ADC top-k ——
+_PQ_M, _PQ_K, _PQ_ITER, _PQ_SEED = 4, 8, 2, 7
+_PQ_TOPK, _PQ_QID = 10, 11
+_PQ_SUB = _KM_DIM // _PQ_M
+
+# trained codebooks memo, same pattern as _KM_CENTS_CACHE: training is
+# bit-deterministic over immutable parquet, so the memo returns exactly
+# what a fresh fit would
+_PQ_BOOKS_CACHE: dict[str, list[list[list[float]]]] = {}
+
+
+def _trained_codebooks(spark, sf_dir):
+    from .operators.pq import pq_train
+
+    if sf_dir not in _PQ_BOOKS_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        _PQ_BOOKS_CACHE[sf_dir] = pq_train(
+            emb, "embedding", m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER,
+            id_col="vec_id", seed=_PQ_SEED, dim=_KM_DIM,
+        )
+    return _PQ_BOOKS_CACHE[sf_dir]
+
+
+def _pq_oracle(sf_dir: str) -> str:
+    """Replays the FULL product-quantization pipeline in SQL: one
+    kmeans training chain per subspace over the sliced vectors
+    (prefixes p0..p3 keep them disjoint), codes = the per-subspace
+    final assignments joined on vec_id, ADC score = the left-fold sum
+    of the m join-side dots against the replayed codebooks — every
+    codebook element, code, and score must match the Spark path
+    bit-for-bit (decimal training sums + identical IEEE folds)."""
+    qv = _get_query_vec_duckdb(sf_dir, _PQ_QID)
+    ctes = [
+        "emb AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS xd FROM embeddings)",
+    ]
+    for j in range(_PQ_M):
+        lo, hi = j * _PQ_SUB + 1, (j + 1) * _PQ_SUB
+        ctes.append(
+            f"s{j} AS (SELECT vec_id, xd[{lo}:{hi}] AS xd FROM emb)"
+        )
+        ctes += _km_train_ctes_over(
+            f"s{j}", prefix=f"p{j}", dim=_PQ_SUB, k=_PQ_K,
+            iters=_PQ_ITER, seed=_PQ_SEED,
+        )
+    code_cols = ", ".join(
+        f"f{j}.cell AS c{j}" for j in range(_PQ_M)
+    )
+    code_joins = " ".join(
+        f"JOIN p{j}fin f{j} USING (vec_id)" for j in range(_PQ_M)
+    )
+    ctes.append(
+        f"codes AS (SELECT vec_id, {code_cols} FROM emb {code_joins})"
+    )
+    terms = []
+    book_joins = []
+    for j in range(_PQ_M):
+        qj = qv[j * _PQ_SUB : (j + 1) * _PQ_SUB]
+        q_lit = "list_value(" + ", ".join(
+            f"CAST('{float(x)!r}' AS DOUBLE)" for x in qj
+        ) + ")"
+        terms.append(f"list_dot_product({q_lit}, b{j}.cent)")
+        book_joins.append(
+            f"JOIN p{j}c{_PQ_ITER} b{j} ON b{j}.cell = c.c{j}"
+        )
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT c.vec_id,
+           CAST(CAST(({' + '.join(terms)}) AS DECIMAL(28,6)) AS DOUBLE) AS score
+    FROM codes c {' '.join(book_joins)}
+    ORDER BY score DESC, c.vec_id
+    LIMIT {_PQ_TOPK}
+    """
+
+
+@query("q_pq_ann_topk")  # oracle attached lazily in build_oracles()
+def q_pq_ann_topk(spark, sf_dir):
+    """Product-quantized ANN (operators/pq.py): m=4 per-subspace
+    codebooks trained with the bit-replayable kmeans trajectory, the
+    corpus encoded to 4 small ints per vector (64x smaller than the
+    raw float32 embeddings), then asymmetric-distance top-k — the
+    query's dot against every codeword becomes a tiny inlined lookup
+    table, so the search scan reads ONLY the codes.  The oracle
+    replays all of it: 4 training chains, the code assignment, and
+    the ADC fold.  At 100 TB the codes table is ~1.6% of the
+    embedding bytes and composes with IVF cell partitioning for
+    pruned probes."""
+    from .operators.pq import pq_adc_topk, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = _trained_codebooks(spark, sf_dir)
+    qv = _get_query_vec(spark, sf_dir, _PQ_QID)
+    codes = pq_encode(emb, "embedding", books, id_col="vec_id")
+    return pq_adc_topk(codes, books, qv, k=_PQ_TOPK, id_col="vec_id")
 
 
 _GM_ORACLE = """

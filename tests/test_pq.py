@@ -1,0 +1,173 @@
+"""Product quantization: training shape, encode contract, ADC
+search, and the at-rest index round trip (operators/pq.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from osrs_dashboard_elt_spark.operators.pq import (
+    _fold_dot,
+    adc_score_expr,
+    pq_adc_topk,
+    pq_adc_topk_at_rest,
+    pq_encode,
+    pq_train,
+    write_pq_index,
+)
+
+DIM, M, K = 8, 2, 4
+SUB = DIM // M
+
+
+def _vec(i: int) -> list[float]:
+    # four well-separated float32-exact clusters in each subspace so
+    # two Lloyd's rounds converge and assignments are unambiguous
+    base = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ][i % 4]
+    jitter = 0.0625 * ((i // 4) % 3)  # exact: power-of-two multiples
+    return [x + jitter for x in base] * M
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, _vec(i)) for i in range(48)]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def books(corpus):
+    return pq_train(
+        corpus, "embedding", m=M, k=K, n_iter=2, id_col="vec_id", seed=3
+    )
+
+
+def test_train_shapes(books):
+    assert len(books) == M
+    assert all(len(cb) == K for cb in books)
+    assert all(len(cw) == SUB for cb in books for cw in cb)
+
+
+def test_train_rejects_bad_m(corpus):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(corpus, "embedding", m=3, k=2, id_col="vec_id")
+
+
+def test_encode_codes_and_validity(spark, corpus, books):
+    bad = spark.createDataFrame(
+        [
+            (100, None),
+            (101, [0.5] * (DIM - 1)),          # wrong length
+            (102, [0.5] * (DIM - 1) + [None]),  # null element
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    codes = pq_encode(
+        corpus.unionByName(bad), "embedding", books, id_col="vec_id"
+    )
+    rows = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    assert set(rows) == {i for i in range(48)}  # invalid ids dropped
+    assert all(len(c) == M for c in rows.values())
+    assert all(0 <= x < K for c in rows.values() for x in c)
+
+
+def test_adc_matches_manual_lut(corpus, books):
+    """The ADC score must equal the manual LUT sum for the stored
+    codes — the expression is just lookups, no re-derivation."""
+    q = _vec(5)
+    codes = pq_encode(corpus, "embedding", books, id_col="vec_id")
+    got = {
+        r["vec_id"]: (r["codes"], r["s"])
+        for r in codes.select(
+            "vec_id", "codes", adc_score_expr(books, q).alias("s")
+        ).collect()
+    }
+    for vid, (cs, s) in got.items():
+        want = 0.0
+        for j, c in enumerate(cs):
+            want = want + _fold_dot(q[j * SUB : (j + 1) * SUB], books[j][c])
+        # expression casts through DECIMAL(28,6)
+        assert abs(s - want) <= 5e-7, (vid, s, want)
+
+
+def test_adc_topk_recall_vs_brute(corpus, books):
+    """PQ is lossy but on a well-clustered corpus the quantized top-10
+    must overlap the exact top-10 heavily (>= 6/10) and the scores
+    must be monotonically ordered."""
+    q = _vec(7)
+    codes = pq_encode(corpus, "embedding", books, id_col="vec_id")
+    approx = pq_adc_topk(codes, books, q, k=10, id_col="vec_id").collect()
+    scores = [r["score"] for r in approx]
+    assert scores == sorted(scores, reverse=True)
+    exact = (
+        corpus.select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    F.lit(q).cast("array<double>"),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+        )
+        .orderBy(F.desc("dot"), "vec_id")
+        .limit(10)
+        .collect()
+    )
+    overlap = {r["vec_id"] for r in approx} & {r["vec_id"] for r in exact}
+    assert len(overlap) >= 6, sorted(overlap)
+
+
+def test_at_rest_index_round_trip(spark, corpus, books, tmp_path):
+    q = _vec(2)
+    path = str(tmp_path / "pq_idx")
+    write_pq_index(spark, corpus, "embedding", books, path, id_col="vec_id")
+    at_rest = pq_adc_topk_at_rest(
+        spark, path, books, q, k=5, id_col="vec_id"
+    ).collect()
+    live = pq_adc_topk(
+        pq_encode(corpus, "embedding", books, id_col="vec_id"),
+        books, q, k=5, id_col="vec_id",
+    ).collect()
+    assert [(r["vec_id"], r["score"]) for r in at_rest] == [
+        (r["vec_id"], r["score"]) for r in live
+    ]
+
+
+def test_at_rest_index_partitioned(spark, corpus, books, tmp_path):
+    """partition_cols lands as a hive layout so an IVF-cell probe is
+    a pruned scan."""
+    with_cell = corpus.withColumn(
+        "cell", (F.col("vec_id") % 2).cast("int")
+    )
+    path = str(tmp_path / "pq_part")
+    write_pq_index(
+        spark, with_cell, "embedding", books, path,
+        id_col="vec_id", partition_cols=["cell"],
+    )
+    got = spark.read.parquet(path)
+    assert set(got.columns) == {"vec_id", "codes", "cell"}
+    import os
+
+    assert any(d.startswith("cell=") for d in os.listdir(path))
+    # a single-cell read sees only that cell's ids
+    ids = {r["vec_id"] for r in got.filter(F.col("cell") == 0).collect()}
+    assert ids == {i for i in range(48) if i % 2 == 0}
+
+
+def test_compression_ratio_story(books):
+    """The claim in the module docstring: m small ints vs d floats.
+    Not a perf test — just pins the arithmetic the docs cite."""
+    raw_bytes = DIM * 4
+    code_bytes = M  # k<=256 -> 1 byte/code at rest
+    assert raw_bytes / code_bytes >= 16
