@@ -2703,6 +2703,91 @@ def _pq_oracle(sf_dir: str) -> str:
     """
 
 
+# —— trained linear quality probe over embeddings ——
+_PROBE_ITER, _PROBE_LR, _PROBE_THR = 3, 0.5, 0.5
+
+
+def _probe_oracle() -> str:
+    """Replays the probe's ENTIRE gradient-descent trajectory in SQL:
+    per iteration a residual expression against the previous weight
+    row (identical left fold), exact DECIMAL(28,12) gradient sums,
+    and the IEEE update — every intermediate weight vector matches
+    the driver loop bit-for-bit (no transcendentals anywhere, see
+    operators/classifier.py)."""
+    d = _KM_DIM
+
+    def z(w: str) -> str:
+        terms = [f"{w}.b"] + [
+            f"{w}.w{i} * xd[{i}]" for i in range(1, d + 1)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    ctes = [
+        "e AS (SELECT vec_id, CAST(CAST(label < 5 AS INT) AS DOUBLE) AS y, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd "
+        "FROM embeddings WHERE label IS NOT NULL)",
+        "w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, "
+        + ", ".join(f"CAST(0.0 AS DOUBLE) AS w{i}" for i in range(1, d + 1))
+        + ")",
+    ]
+    for i in range(1, _PROBE_ITER + 1):
+        r = f"({z('w')} - e.y)"
+        gsums = [
+            f"SUM(CAST({r} AS DECIMAL(28,12))) AS gb",
+        ] + [
+            f"SUM(CAST({r} * xd[{j}] AS DECIMAL(28,12))) AS g{j}"
+            for j in range(1, d + 1)
+        ]
+        ctes.append(
+            f"g{i} AS (SELECT COUNT(*) AS n, "
+            + ", ".join(gsums)
+            + f" FROM e CROSS JOIN w{i - 1} w)"
+        )
+        upd = [
+            f"w.b - 0.5 * (CAST(g.gb AS DOUBLE) / g.n) AS b",
+        ] + [
+            f"w.w{j} - 0.5 * (CAST(g.g{j} AS DOUBLE) / g.n) AS w{j}"
+            for j in range(1, d + 1)
+        ]
+        ctes.append(
+            f"w{i} AS (SELECT " + ", ".join(upd)
+            + f" FROM w{i - 1} w CROSS JOIN g{i} g)"
+        )
+    zf = z("w")
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT e.vec_id,
+           CAST(CAST({zf} AS DECIMAL(28,6)) AS DOUBLE) AS score,
+           CAST({zf} >= CAST(0.5 AS DOUBLE) AS INT) AS pred,
+           CAST(e.y AS INT) AS y
+    FROM e CROSS JOIN w{_PROBE_ITER} w
+    """
+
+
+@query("q_quality_probe", oracle=_probe_oracle())
+def q_quality_probe(spark, sf_dir):
+    """Trained linear quality probe (operators/classifier.py): the
+    FineWeb-Edu-style regression head on frozen embeddings, trained
+    IN Spark — 3 full-batch GD rounds, each one scan + one
+    (d+1)-bounded exact-decimal aggregate, weights inlined
+    driver-side like kmeans centroids.  Least squares keeps the whole
+    trajectory transcendental-free, so the oracle replays every
+    intermediate weight bit-for-bit.  Scoring is one scan-side
+    expression over the corpus (no shuffle, no Python)."""
+    from .operators.classifier import linear_probe_fit, linear_probe_scores
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "y", (F.col("label") < 5).cast("int")
+    )
+    w = linear_probe_fit(
+        emb, "embedding", "y", dim=_KM_DIM,
+        n_iter=_PROBE_ITER, lr=_PROBE_LR,
+    )
+    return linear_probe_scores(
+        emb, "embedding", "y", w, id_col="vec_id", threshold=_PROBE_THR
+    )
+
+
 @query("q_pq_ann_topk")  # oracle attached lazily in build_oracles()
 def q_pq_ann_topk(spark, sf_dir):
     """Product-quantized ANN (operators/pq.py): m=4 per-subspace
