@@ -1406,7 +1406,10 @@ _PRIORITY: tuple[str, ...] = (
     "q13_customer_order_dist",
     "q18_large_orders",
     "q_waiting_orders",           # Q21 shape
-    "q22_idle_customers",
+    # (q22_idle_customers moved out of the window for q_pq_ann_topk —
+    # TPC-H keeps three oracle-checked representatives in-window and
+    # all 22 stay green in the local sweep)
+    "q_pq_ann_topk",              # product-quantized ANN (round 5)
     # —— round-5: vocabulary training / clustering / graph / fusion ——
     "q_bpe_merges",
     "q_kmeans_centroids",
@@ -1416,7 +1419,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_semantic_dedup",            # SemDeDup: k-means cells + dominance
     # —— round-3: window-function family ——
     "q_window_functions",
-    "q_rolling_range_window",
+    # (q_rolling_range_window moved out of the window for
+    # q_quality_probe — window-fns keep q_window_functions in-window)
+    "q_quality_probe",            # trained linear probe (round 5)
     # —— round-3: retrieval / warehouse / sketches ——
     "q_bm25_search",
     "q_cdc_merge",

@@ -83,6 +83,8 @@ def test_priority_window_spans_all_families():
         "graph": {"q_copurchase_pagerank"},
         "hybrid_retrieval": {"q_hybrid_rrf_search"},
         "tws_timers": {"q_stream_sessionize_timers"},
+        "pq_ann": {"q_pq_ann_topk"},
+        "trained_probe": {"q_quality_probe"},
     }
     window = set(first50)
     uncovered = [fam for fam, reps in families.items() if not reps & window]
