@@ -79,15 +79,35 @@ def linear_probe_iterate(
 ) -> list[float]:
     """One GD round: residual ``r = z - y`` per row, exact decimal
     gradient sums, IEEE update.  One scan, one (d+1)-bounded
-    shuffle."""
-    z = _z_expr(weights, xs)
-    r = f"({z} - __y)"
-    agg = proj.agg(
+    shuffle.
+
+    Codegen hygiene (measured 4x on the scale probe): the weights ride
+    in as a BROADCAST single-row frame rather than inlined literals,
+    so every iteration of every fit reuses the same generated classes
+    (literal weights made each round a fresh compile); and the
+    residual gets its OWN projected column, so the aggregate's 65 sum
+    expressions each stay a tiny method instead of one fused
+    64-term-fold-times-65 body that janino refuses."""
+    spark = proj.sparkSession
+    wdf = spark.createDataFrame(
+        [tuple(float(w) for w in weights)],
+        ", ".join(
+            ["__wb double"] + [f"__w{i} double" for i in range(len(xs))]
+        ),
+    )
+    # same left fold as _z_expr: bias first, then one term per dim
+    z = "(" + " + ".join(
+        ["__wb"] + [f"__w{i} * {x}" for i, x in enumerate(xs)]
+    ) + ")"
+    withr = proj.crossJoin(F.broadcast(wdf)).withColumn(
+        "__r", F.expr(f"({z} - __y)")
+    )
+    agg = withr.agg(
         F.count(F.lit(1)).alias("__n"),
-        F.sum(F.expr(f"CAST({r} AS {_GRAD_DEC})")).alias("__gb"),
+        F.sum(F.expr(f"CAST(__r AS {_GRAD_DEC})")).alias("__gb"),
         *[
-            F.sum(F.expr(f"CAST({r} * {x} AS {_GRAD_DEC})")).alias(f"__g{d}")
-            for d, x in enumerate(xs)
+            F.sum(F.expr(f"CAST(__r * {x} AS {_GRAD_DEC})")).alias(f"__g{i}")
+            for i, x in enumerate(xs)
         ],
     ).collect()[0]
     n = agg["__n"]

@@ -293,6 +293,33 @@ def main() -> None:
             F.col("ts") < F.lit("2024-01-16"),
             F.col("ts") >= F.lit("2024-01-16"),
         ),
+        # ADC search over a PQ-encoded kx corpus (codebooks trained on
+        # the 1x base as fixed-model setup, encoding is per-factor
+        # setup): the timed scan reads m ints per vector, so the slope
+        # is the code-table scan — the raw embedding bytes never move
+        "pq_search": lambda t: __import__(
+            "osrs_dashboard_elt_spark.operators.pq", fromlist=["x"]
+        ).pq_adc_topk(
+            t["pq_codes"], t["pq_books"], t["pq_query"], k=10,
+            id_col="vec_id",
+        ),
+        # full probe training (2 GD rounds + scoring) over kx
+        # embeddings: each round is one scan + a (d+1)-bounded decimal
+        # aggregate, so wall time should track the scan linearly
+        "probe_train": lambda t: (
+            lambda cl: cl.linear_probe_scores(
+                t["emb_y"], "embedding", "y",
+                cl.linear_probe_fit(
+                    t["emb_y"], "embedding", "y", dim=64, n_iter=2
+                ),
+                id_col="vec_id",
+            )
+        )(
+            __import__(
+                "osrs_dashboard_elt_spark.operators.classifier",
+                fromlist=["x"],
+            )
+        ),
     }
     if only:
         unknown = only - set(ops)
@@ -303,11 +330,13 @@ def main() -> None:
     need_docs = {"exact_dedup", "minhash_lsh", "ngram_jaccard", "simhash",
                  "dedup_clusters", "incremental_probe", "media_neardup",
                  "ngram_spans_str", "ngram_spans_hash", "lm_perplexity"} & set(ops)
-    need_emb = {"embedding_neardup", "semantic_dedup"} & set(ops)
+    need_emb = {"embedding_neardup", "semantic_dedup", "pq_search",
+                "probe_train"} & set(ops)
     need_li = {"item_copurchase", "waiting_orders", "pagerank"} & set(ops)
     need_ev = {"cms_heavy_hitters", "hll_rolling", "hll_overlap",
                "timer_sessions"} & set(ops)
     probe_batch = None
+    pq_books = pq_query = None
     if "incremental_probe" in ops:
         # a fixed 500-doc batch: half re-submits corpus text verbatim
         # under new ids (guaranteed index hits), half is perturbed
@@ -363,6 +392,35 @@ def main() -> None:
             t["sem_cents"] = kmeans_fit(
                 t["emb"], "embedding", k=8 * k, n_iter=1,
                 id_col="vec_id", seed=42,
+            )
+        if "pq_search" in ops:
+            # setup (not timed as the op): codebooks come from the 1x
+            # base (a fixed model, trained once), the kx corpus is
+            # encoded and persisted — the op times ONLY the ADC scan
+            from osrs_dashboard_elt_spark.operators.pq import (
+                pq_encode,
+                pq_train,
+            )
+
+            if pq_books is None:
+                pq_books = pq_train(
+                    emb0, "embedding", m=4, k=8, n_iter=1,
+                    id_col="vec_id", seed=7,
+                )
+                pq_query = [
+                    float(x)
+                    for x in emb0.filter(F.col("vec_id") == 11)
+                    .select("embedding").collect()[0][0]
+                ]
+            t["pq_books"], t["pq_query"] = pq_books, pq_query
+            t["pq_codes"] = pq_encode(
+                t["emb"], "embedding", pq_books, id_col="vec_id"
+            ).persist()
+            t["pq_codes"].count()
+            prev.append(t["pq_codes"])
+        if "probe_train" in ops:
+            t["emb_y"] = t["emb"].withColumn(
+                "y", (F.col("label") < 5).cast("int")
             )
         if need_li:
             t["lineitem"] = ensure_min_partitions(
