@@ -31,6 +31,8 @@ HEADLINERS = {
     "q_media_neardup": "one Arrow fingerprint pass (mapInPandas) reads the blobs; everything downstream — chunk explode, bucket equi-join, bit_count verify — moves only (id, 56-bit fp) rows",
     "q_semantic_dedup": "cell self-join carries ids only (8 bytes/row); unit vectors join back BY ID so the score predicate cannot ride the cell join; explicit-width repartition keeps the dot chain on all cores under AQE",
     "q_lm_perplexity": "two map-side-combined gram aggregates build the model; scoring is one gram join + a decimal-sum groupBy (order-independent, so no sort anywhere)",
+    "q_pq_ann_topk": "the search side scans (id, 4 ints) only — codeword dots are inlined literal-array lookups and the top-k is TakeOrderedAndProject (no global sort, raw vectors never read at query time)",
+    "q_quality_probe": "scoring is one scan-side projection (no shuffle, no Python); the trained weights are literals, so the whole plan is scan -> project",
 }
 
 
