@@ -50,21 +50,25 @@ def _z_expr(weights: list[float], xs: list[str]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _projected(df: DataFrame, vec_col: str, label_col: str, dim: int,
-               id_col: str | None = None) -> tuple[DataFrame, list[str]]:
-    """Rows that take part in training/scoring: valid vector, non-null
-    label; elements extracted once into scalar columns (the kmeans
-    janino-hygiene trick)."""
+def _projected(df: DataFrame, vec_col: str, label_col: str | None,
+               dim: int, id_col: str | None = None,
+               ) -> tuple[DataFrame, list[str]]:
+    """Rows that take part in training/scoring: valid vector, plus a
+    non-null label when ``label_col`` is given (training).  Scoring
+    passes ``label_col=None`` — the production corpus being filtered
+    has no labels, and dropping unlabeled rows there would silently
+    score nothing.  Elements are extracted once into scalar columns
+    (the kmeans janino-hygiene trick)."""
     xs = [f"__x{d}" for d in range(dim)]
     cols = [F.col(id_col)] if id_col else []
-    base = (
-        df.select(
-            *cols,
-            vd_cast(vec_col).alias("__vd"),
-            F.col(label_col).cast("double").alias("__y"),
-        )
-        .filter(valid_vec(dim) & F.col("__y").isNotNull())
+    ycols = (
+        [F.col(label_col).cast("double").alias("__y")] if label_col else []
     )
+    base = df.select(
+        *cols, vd_cast(vec_col).alias("__vd"), *ycols
+    ).filter(valid_vec(dim))
+    if label_col:
+        base = base.filter(F.col("__y").isNotNull())
     return (
         base.select(
             "*",
@@ -153,20 +157,25 @@ def probe_score_expr(weights: list[float], xs: list[str]) -> Column:
 def linear_probe_scores(
     df: DataFrame,
     vec_col: str,
-    label_col: str,
+    label_col: str | None,
     weights: list[float],
     id_col: str,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """(id, score, pred, y): scan-side scoring with the trained
+    """(id, score, pred[, y]): scan-side scoring with the trained
     weights — prediction is ``z >= threshold`` on the RAW double (both
-    engines hold identical z, so the boundary is safe)."""
+    engines hold identical z, so the boundary is safe).  Pass
+    ``label_col=None`` for the production case (scoring an unlabeled
+    corpus): no label filter, no ``y`` column — EVERY valid-vector
+    row is scored."""
     dim = len(weights) - 1
     proj, xs = _projected(df, vec_col, label_col, dim, id_col=id_col)
     z = _z_expr(weights, xs)
-    return proj.select(
+    out = [
         F.col(id_col),
         probe_score_expr(weights, xs).alias("score"),
         F.expr(f"CAST({z} >= {_dlit(threshold)} AS INT)").alias("pred"),
-        F.col("__y").cast("int").alias("y"),
-    )
+    ]
+    if label_col:
+        out.append(F.col("__y").cast("int").alias("y"))
+    return proj.select(*out)

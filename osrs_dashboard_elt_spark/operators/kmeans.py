@@ -39,16 +39,16 @@ from pyspark.sql import functions as F
 from .similarity import _dlit, plane_dot_sql, vd_cast
 
 
-def valid_vec(dim: int):
-    """The shared validity predicate over a projected ``__vd`` column:
+def valid_vec(dim: int, col: str = "__vd"):
+    """The shared validity predicate over a projected vector column:
     non-null array, exact length, and NO null ELEMENTS — an element
     null makes every score term NULL, so the assignment cell would be
     NULL (crashing the fit's ``new[cell]`` update and silently
     diverging downstream consumers from their SQL oracles)."""
     return (
-        F.col("__vd").isNotNull()
-        & (F.size("__vd") == dim)
-        & F.forall("__vd", lambda x: x.isNotNull())
+        F.col(col).isNotNull()
+        & (F.size(col) == dim)
+        & F.forall(col, lambda x: x.isNotNull())
     )
 
 
@@ -251,18 +251,24 @@ def kmeans_fit(
     id_col: str = "vec_id",
     seed: int = 0,
     init: list[list[float]] | None = None,
+    check_floor: bool = True,
 ) -> list[list[float]]:
     """Train k centroids with ``n_iter`` Lloyd's rounds.  Returns the
     final centroids (driver-side floats, ready to hand to
     ``ivf_assign``/``write_ivf_index`` after unit-normalizing if the
-    index uses dot-product cells)."""
-    floor = (
-        df.select(vd_cast(vec_col).alias("__vd"))
-        .select(F.explode("__vd").alias("__x"))
-        .filter(F.col("__x") != 0.0)
-        .agg(F.min(F.abs(F.col("__x"))).alias("mn"))
-        .collect()[0]["mn"]
-    )
+    index uses dot-product cells).  ``check_floor=False`` skips the
+    exact-mean magnitude scan — for callers that already validated
+    the SAME elements (e.g. ``pq_train`` checks the full vector once
+    instead of paying one scan per subspace slice)."""
+    floor = None
+    if check_floor:
+        floor = (
+            df.select(vd_cast(vec_col).alias("__vd"))
+            .select(F.explode("__vd").alias("__x"))
+            .filter(F.col("__x") != 0.0)
+            .agg(F.min(F.abs(F.col("__x"))).alias("mn"))
+            .collect()[0]["mn"]
+        )
     if floor is not None and floor < _MIN_EXACT_ABS:
         raise ValueError(
             f"kmeans_fit exact-mean contract: nonzero |element| "

@@ -44,7 +44,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .kmeans import _with_cell, kmeans_fit
+from .kmeans import (
+    _MIN_EXACT_ABS,
+    _with_cell,
+    kmeans_fit,
+    kmeans_init,
+    valid_vec,
+)
 from .similarity import _dlit, vd_cast
 
 
@@ -87,15 +93,45 @@ def pq_train(
     if dim % m != 0:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
     sub = dim // m
+    # FULL-vector validity up front: every subspace trains on slices
+    # of the same row set (the encode contract), and the shared scans
+    # below run once instead of once per subspace
+    base = df.select(
+        F.col(id_col), vd_cast(vec_col).alias("__fv")
+    ).filter(valid_vec(dim, "__fv"))
+    # one md5-ordered init pick over the full vectors, sliced
+    # driver-side (the pick order depends only on ids, so it is the
+    # same for every subspace); one magnitude-floor scan covers all
+    # slices because their union IS the full element set
+    full_init = kmeans_init(base, "__fv", k, id_col, seed)
+    if len(full_init) < k:
+        raise ValueError(
+            f"pq_train: need >= {k} valid vectors, got {len(full_init)}"
+        )
+    floor = (
+        base.select(F.explode("__fv").alias("__x"))
+        .filter(F.col("__x") != 0.0)
+        .agg(F.min(F.abs(F.col("__x"))).alias("mn"))
+        .collect()[0]["mn"]
+    )
+    if floor is not None and floor < _MIN_EXACT_ABS:
+        raise ValueError(
+            f"pq_train exact-mean contract: nonzero |element| {floor!r} "
+            "< 2^-27 — subspace centroid means would pick up "
+            "engine-dependent rounding.  Rescale the embeddings."
+        )
     books: list[list[list[float]]] = []
     for j in range(m):
-        sliced = df.select(
+        sliced = base.select(
             F.col(id_col),
-            F.slice(vd_cast(vec_col), j * sub + 1, sub).alias("__subv"),
+            F.slice("__fv", j * sub + 1, sub).alias("__subv"),
         )
         books.append(
             kmeans_fit(
-                sliced, "__subv", k, n_iter=n_iter, id_col=id_col, seed=seed
+                sliced, "__subv", k, n_iter=n_iter, id_col=id_col,
+                seed=seed,
+                init=[v[j * sub : (j + 1) * sub] for v in full_init],
+                check_floor=False,  # the full-vector floor scan above
             )
         )
     return books
@@ -107,21 +143,23 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     codes_col: str = "codes",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, codes) — ``codes[j]`` is the nearest codeword index in
-    subspace ``j`` (first-index-at-max tie rule, same as kmeans).
-    One narrow scan-side pass: every assignment is an inlined
-    expression, nothing shuffles.  Invalid vectors (NULL, wrong
-    length, null elements) are dropped, matching the training
-    contract."""
+    """(id, codes[, carry...]) — ``codes[j]`` is the nearest codeword
+    index in subspace ``j`` (first-index-at-max tie rule, same as
+    kmeans).  One narrow scan-side pass: every assignment is an
+    inlined expression, nothing shuffles.  Invalid vectors (NULL,
+    wrong length, null elements) are dropped, matching the training
+    contract (``kmeans.valid_vec``).  ``carry_cols`` ride through the
+    same pass — e.g. an IVF cell column destined to partition the
+    at-rest index (a join-back would shuffle the corpus)."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
     dim = m * sub
-    out = df.select(F.col(id_col), vd_cast(vec_col).alias("__full")).filter(
-        F.col("__full").isNotNull()
-        & (F.size("__full") == dim)
-        & F.forall("__full", lambda x: x.isNotNull())
-    )
+    carry = list(carry_cols or [])
+    out = df.select(
+        F.col(id_col), *carry, vd_cast(vec_col).alias("__full")
+    ).filter(valid_vec(dim, "__full"))
     ccols = []
     for j, cb in enumerate(codebooks):
         out = _with_cell(
@@ -129,7 +167,7 @@ def pq_encode(
         ).withColumnRenamed("__cell", f"__c{j}").drop("__vd")
         ccols.append(f"__c{j}")
     return out.select(
-        F.col(id_col), F.array(*ccols).alias(codes_col)
+        F.col(id_col), F.array(*ccols).alias(codes_col), *carry
     )
 
 
@@ -179,7 +217,6 @@ def pq_adc_topk(
 
 
 def write_pq_index(
-    spark: SparkSession,
     df: DataFrame,
     vec_col: str,
     codebooks: list[list[list[float]]],
@@ -189,14 +226,18 @@ def write_pq_index(
 ) -> None:
     """Materialize the encoded table (the at-rest PQ index).  Pass
     ``partition_cols`` (e.g. an IVF cell column already on ``df``) to
-    make probes partition-pruned scans."""
-    enc = pq_encode(df, vec_col, codebooks, id_col=id_col)
-    keep = [id_col, "codes"] + (partition_cols or [])
+    make probes partition-pruned scans.  Partition values ride
+    through the encode pass (no join-back), and the write
+    repartitions on them first so each partition directory gets one
+    writer's worth of files, not one file per (task x value) — the
+    ``write_ivf_index`` discipline."""
+    enc = pq_encode(
+        df, vec_col, codebooks, id_col=id_col, carry_cols=partition_cols
+    )
+    w = enc
     if partition_cols:
-        enc = enc.join(
-            df.select(id_col, *partition_cols), id_col, "inner"
-        )
-    w = enc.select(*keep).write.mode("overwrite")
+        w = enc.repartition(*[F.col(c) for c in partition_cols])
+    w = w.write.mode("overwrite")
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(path)

@@ -2437,7 +2437,13 @@ def _km_train_ctes_over(
     (order-independent) and the one division per (cell, dim) is IEEE
     on identical operands.  Ends at ``{prefix}fin`` (vec_id, cell);
     the final codebook is ``{prefix}c{iters}``.  ``prefix`` keeps
-    multiple chains (one per PQ subspace) disjoint in one query."""
+    multiple chains (one per PQ subspace) disjoint in one query.
+
+    Validity parity with the Spark path: ``src`` is expected to
+    already exclude NULL / null-element vectors (``kmeans_init``'s
+    filter — init CAN pick a wrong-length vector, faithfully), while
+    assignment and means additionally require the exact length
+    (``valid_vec``), expressed here as the ``{prefix}v`` CTE."""
     p = prefix
     ctes = [
         f"""{p}c0 AS (
@@ -2446,6 +2452,7 @@ def _km_train_ctes_over(
       FROM {src}
       ORDER BY md5('{seed}:' || CAST(vec_id AS VARCHAR))
       LIMIT {k})""",
+        f"{p}v AS (SELECT * FROM {src} WHERE len(xd) = {dim})",
     ]
     score = (
         "(list_dot_product(e.xd, c.cent)"
@@ -2457,7 +2464,7 @@ def _km_train_ctes_over(
         SELECT e.vec_id, e.xd, c.cell,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                  ORDER BY {score} DESC, c.cell) AS rn
-        FROM {src} e CROSS JOIN {p}c{i - 1} c) WHERE rn = 1)""")
+        FROM {p}v e CROSS JOIN {p}c{i - 1} c) WHERE rn = 1)""")
         # exact integerized mean, mirroring operators/kmeans.py: the
         # 2^50 scale is an exponent shift (exact on float32-origin
         # values), the DECIMAL(38,0) sum is integer arithmetic, and
@@ -2478,18 +2485,26 @@ def _km_train_ctes_over(
         SELECT e.vec_id, c.cell,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                  ORDER BY {score} DESC, c.cell) AS rn
-        FROM {src} e CROSS JOIN {p}c{iters} c) WHERE rn = 1)""")
+        FROM {p}v e CROSS JOIN {p}c{iters} c) WHERE rn = 1)""")
     return ctes
+
+
+# the kmeans_init-parity vector filter: NULL vectors and vectors with
+# null ELEMENTS take no part in anything (wrong LENGTH is filtered
+# later, per-chain, where the dim is fixed — see _km_train_ctes_over)
+_EMB_CTE = (
+    "emb AS (SELECT vec_id, list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE)) AS xd FROM embeddings "
+    "WHERE embedding IS NOT NULL "
+    "AND len(list_filter(embedding, x -> x IS NULL)) = 0)"
+)
 
 
 def _kmeans_train_ctes() -> list[str]:
     """The flagship chain: full-width embeddings, no prefix — shared
     by the centroid, semantic-dedup, and probe oracles (ends at
     ``fin``)."""
-    return [
-        "emb AS (SELECT vec_id, list_transform(embedding, "
-        "x -> CAST(x AS DOUBLE)) AS xd FROM embeddings)",
-    ] + _km_train_ctes_over("emb")
+    return [_EMB_CTE] + _km_train_ctes_over("emb")
 
 
 def _kmeans_oracle() -> str:
@@ -2665,14 +2680,17 @@ def _pq_oracle(sf_dir: str) -> str:
     codebook element, code, and score must match the Spark path
     bit-for-bit (decimal training sums + identical IEEE folds)."""
     qv = _get_query_vec_duckdb(sf_dir, _PQ_QID)
+    # pq_train/pq_encode demand FULL-vector validity up front (length
+    # included), so every subspace chain trains on slices of the same
+    # full-valid row set
     ctes = [
-        "emb AS (SELECT vec_id, list_transform(embedding, "
-        "x -> CAST(x AS DOUBLE)) AS xd FROM embeddings)",
+        _EMB_CTE,
+        f"embv AS (SELECT * FROM emb WHERE len(xd) = {_KM_DIM})",
     ]
     for j in range(_PQ_M):
         lo, hi = j * _PQ_SUB + 1, (j + 1) * _PQ_SUB
         ctes.append(
-            f"s{j} AS (SELECT vec_id, xd[{lo}:{hi}] AS xd FROM emb)"
+            f"s{j} AS (SELECT vec_id, xd[{lo}:{hi}] AS xd FROM embv)"
         )
         ctes += _km_train_ctes_over(
             f"s{j}", prefix=f"p{j}", dim=_PQ_SUB, k=_PQ_K,
@@ -2685,7 +2703,7 @@ def _pq_oracle(sf_dir: str) -> str:
         f"JOIN p{j}fin f{j} USING (vec_id)" for j in range(_PQ_M)
     )
     ctes.append(
-        f"codes AS (SELECT vec_id, {code_cols} FROM emb {code_joins})"
+        f"codes AS (SELECT vec_id, {code_cols} FROM embv {code_joins})"
     )
     terms = []
     book_joins = []
@@ -2727,10 +2745,17 @@ def _probe_oracle() -> str:
         ]
         return "(" + " + ".join(terms) + ")"
 
+    # validity parity with classifier._projected: valid_vec(dim) AND a
+    # non-null label — an invalid-vector row must not shift COUNT(*)
+    lr = f"CAST('{float(_PROBE_LR)!r}' AS DOUBLE)"
+    thr = f"CAST('{float(_PROBE_THR)!r}' AS DOUBLE)"
     ctes = [
         "e AS (SELECT vec_id, CAST(CAST(label < 5 AS INT) AS DOUBLE) AS y, "
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd "
-        "FROM embeddings WHERE label IS NOT NULL)",
+        "FROM embeddings WHERE label IS NOT NULL "
+        "AND embedding IS NOT NULL "
+        f"AND len(embedding) = {d} "
+        "AND len(list_filter(embedding, x -> x IS NULL)) = 0)",
         "w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, "
         + ", ".join(f"CAST(0.0 AS DOUBLE) AS w{i}" for i in range(1, d + 1))
         + ")",
@@ -2749,9 +2774,9 @@ def _probe_oracle() -> str:
             + f" FROM e CROSS JOIN w{i - 1} w)"
         )
         upd = [
-            f"w.b - 0.5 * (CAST(g.gb AS DOUBLE) / g.n) AS b",
+            f"w.b - {lr} * (CAST(g.gb AS DOUBLE) / g.n) AS b",
         ] + [
-            f"w.w{j} - 0.5 * (CAST(g.g{j} AS DOUBLE) / g.n) AS w{j}"
+            f"w.w{j} - {lr} * (CAST(g.g{j} AS DOUBLE) / g.n) AS w{j}"
             for j in range(1, d + 1)
         ]
         ctes.append(
@@ -2763,7 +2788,7 @@ def _probe_oracle() -> str:
     WITH {','.join(ctes)}
     SELECT e.vec_id,
            CAST(CAST({zf} AS DECIMAL(28,6)) AS DOUBLE) AS score,
-           CAST({zf} >= CAST(0.5 AS DOUBLE) AS INT) AS pred,
+           CAST({zf} >= {thr} AS INT) AS pred,
            CAST(e.y AS INT) AS y
     FROM e CROSS JOIN w{_PROBE_ITER} w
     """

@@ -78,6 +78,26 @@ def test_invalid_rows_excluded(spark, corpus):
     assert ids == set(range(40))
 
 
+def test_scores_unlabeled_corpus(spark, corpus):
+    """The production case: score a corpus that has NO labels — every
+    valid-vector row must come back, with no y column."""
+    w = linear_probe_fit(corpus, "embedding", "y", dim=DIM, n_iter=2)
+    unlabeled = corpus.drop("y")
+    scored = linear_probe_scores(
+        unlabeled, "embedding", None, w, id_col="vec_id"
+    )
+    assert scored.columns == ["vec_id", "score", "pred"]
+    assert scored.count() == 40
+    labeled = {
+        r["vec_id"]: (r["score"], r["pred"])
+        for r in linear_probe_scores(
+            corpus, "embedding", "y", w, id_col="vec_id"
+        ).collect()
+    }
+    for r in scored.collect():
+        assert (r["score"], r["pred"]) == labeled[r["vec_id"]]
+
+
 def test_init_validation(corpus):
     with pytest.raises(ValueError, match="init must have"):
         linear_probe_fit(

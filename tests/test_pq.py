@@ -131,7 +131,7 @@ def test_adc_topk_recall_vs_brute(corpus, books):
 def test_at_rest_index_round_trip(spark, corpus, books, tmp_path):
     q = _vec(2)
     path = str(tmp_path / "pq_idx")
-    write_pq_index(spark, corpus, "embedding", books, path, id_col="vec_id")
+    write_pq_index(corpus, "embedding", books, path, id_col="vec_id")
     at_rest = pq_adc_topk_at_rest(
         spark, path, books, q, k=5, id_col="vec_id"
     ).collect()
@@ -152,7 +152,7 @@ def test_at_rest_index_partitioned(spark, corpus, books, tmp_path):
     )
     path = str(tmp_path / "pq_part")
     write_pq_index(
-        spark, with_cell, "embedding", books, path,
+        with_cell, "embedding", books, path,
         id_col="vec_id", partition_cols=["cell"],
     )
     got = spark.read.parquet(path)
