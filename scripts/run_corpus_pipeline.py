@@ -6,6 +6,10 @@
       -> perplexity gate  (self-trained bigram count LM; drop the P90
                            avg_nll tail — cutoff from the histogram
                            sketch, not a magic constant)
+      -> distilled probe gate  (linear probe on scan-side features
+                           learns the teacher's verdict from a
+                           hash-sample, gates the corpus with one
+                           projection — the FineWeb-Edu shape)
       -> exact dedup      (md5 digest keep-first; 32-byte shuffle keys)
       -> near-dup removal (MinHash+LSH verified pairs; drop the higher
                            id of each pair — min-id survivor per edge)
@@ -62,6 +66,8 @@ SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
 NEARDUP_THRESHOLD = 0.7
 DECON_MIN_HITS = 3
 PPL_DROP_QUANTILE = 0.9  # drop docs above the P90 avg_nll tail
+PROBE_TEACH_FRACTION = 0.5  # hash-sample that gets teacher labels
+PROBE_DROP_QUANTILE = 0.1  # drop the bottom decile of probe scores
 
 
 def run(
@@ -132,7 +138,57 @@ def run(
         "ppl_gate",
         rows=F.count(F.lit(1)),
     )
+
+    # 2c. distilled quality gate (FineWeb-Edu shape): a linear probe
+    # on cheap scan-side features learns the gram-LM teacher's
+    # verdict from a hash-sample, then gates the corpus with one
+    # scan-side expression.  Here the teacher already scored
+    # everything (it's a cheap bigram LM); at 100 TB with an
+    # expensive teacher (an LLM judge), ONLY the sample gets teacher
+    # scores and this same code gates the rest for the cost of a
+    # projection.  Teacher label and both cutoffs come from the
+    # histogram sketch — deterministic functions of the data.
+    from osrs_dashboard_elt_spark.operators.classifier import (
+        linear_probe_fit,
+        linear_probe_scores,
+    )
+    from osrs_dashboard_elt_spark.operators.sampling import hash_sample
+
+    feat = F.array(
+        F.col("stopword_ratio"),
+        F.col("punct_ratio"),
+        F.log1p(F.col("n_tokens").cast("double")) / F.lit(10.0),
+    )
+    with_feat = fluent.withColumn("__feat", feat)
+    teach = hash_sample(
+        with_feat.join(scored, "doc_id"), "doc_id", PROBE_TEACH_FRACTION
+    ).persist()
+    t_med = histogram_quantile(
+        teach.withColumn("__k", F.lit(1)),
+        "__k", "avg_nll", [0.5], lo=0.0, hi=20.0, n_bins=250,
+    ).collect()[0]["hq_0_5"]
+    w = linear_probe_fit(
+        teach.withColumn(
+            "__fluent", (F.col("avg_nll") <= t_med).cast("int")
+        ),
+        "__feat", "__fluent", dim=3, n_iter=4, lr=0.5,
+    )
+    teach.unpersist()
     scored.unpersist()
+    pscores = linear_probe_scores(
+        with_feat, "__feat", None, w, id_col="doc_id"
+    ).persist()
+    p_thr = histogram_quantile(
+        pscores.withColumn("__k", F.lit(1)),
+        "__k", "score", [PROBE_DROP_QUANTILE], lo=-5.0, hi=5.0, n_bins=500,
+    ).collect()[0][f"hq_{str(PROBE_DROP_QUANTILE).replace('.', '_')}"]
+    probe_kept_ids = pscores.filter(F.col("score") >= p_thr).select("doc_id")
+    pscores.unpersist()
+    fluent = obs.observe(
+        fluent.join(probe_kept_ids, "doc_id"),
+        "probe_gate",
+        rows=F.count(F.lit(1)),
+    )
 
     # 3. exact dedup on content digest: the shuffle key is the 32-byte
     # md5, never the text
@@ -254,6 +310,7 @@ def run(
                 "input_docs": stages["input"]["rows"],
                 "after_gates": stages["gates"]["rows"],
                 "after_ppl_gate": stages["ppl_gate"]["rows"],
+                "after_probe_gate": stages["probe_gate"]["rows"],
                 "after_exact_dedup": stages["exact_dedup"]["rows"],
                 "after_neardup": stages["neardup"]["rows"],
                 "after_decontamination": metrics["rows"],

@@ -46,6 +46,16 @@ def test_corpus_pipeline_invariants_and_determinism(spark, tmp_path):
     # summary file exists with the reference format
     summary = (tmp_path / "a" / "run_corpus_pipeline_summary_latest.txt").read_text()
     assert summary.startswith("**✅") and "after_neardup" in summary
+    assert "after_probe_gate" in summary
+    # the funnel only narrows: every gate/dedup stage is a filter
+    f = m1["funnel"]
+    chain = ["input", "gates", "ppl_gate", "probe_gate", "exact_dedup",
+             "neardup", "corpus"]
+    vals = [f[s] for s in chain]
+    assert vals == sorted(vals, reverse=True), vals
+    # the distilled probe gate actually gates (drop quantile 0.1 on a
+    # nonempty stage must remove at least one doc here)
+    assert f["probe_gate"] < f["ppl_gate"]
 
     # byte-determinism of the surviving corpus: second run, same rows
     m2 = _run(spark, str(tmp_path / "b"))
