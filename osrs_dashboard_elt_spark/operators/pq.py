@@ -256,3 +256,32 @@ def pq_adc_topk_at_rest(
     return pq_adc_topk(
         spark.read.parquet(path), codebooks, query, k, id_col=id_col
     )
+
+
+def ivfpq_topk_at_rest(
+    spark: SparkSession,
+    path: str,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    query: list[float],
+    k: int,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF-PQ: the full compressed scale path.  The index was written
+    ``write_pq_index(..., partition_cols=[cell_col])`` with cells from
+    the IVF centroids; the probe ranks the query against the
+    centroids driver-side (k x d doubles — tiny), reads ONLY the
+    ``nprobe`` nearest cell partitions (a partition-pruned scan), and
+    ADC-scores their codes.  Compared to raw IVF the probed bytes
+    shrink by the PQ ratio (m ints vs d floats); compared to flat PQ
+    the scan shrinks by nprobe/k_cells."""
+    from .similarity import _fold_norm
+
+    scores = []
+    for c, cent in enumerate(centroids):
+        scores.append((_fold_dot(query, cent) / max(_fold_norm(cent), 1e-30), c))
+    probe = [c for _, c in sorted(scores, key=lambda t: (-t[0], t[1]))[:nprobe]]
+    codes = spark.read.parquet(path).filter(F.col(cell_col).isin(probe))
+    return pq_adc_topk(codes, codebooks, query, k, id_col=id_col)

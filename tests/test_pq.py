@@ -165,6 +165,55 @@ def test_at_rest_index_partitioned(spark, corpus, books, tmp_path):
     assert ids == {i for i in range(48) if i % 2 == 0}
 
 
+def test_ivfpq_probe_partition_prunes(spark, corpus, books, tmp_path):
+    """The composed scale path: cells from IVF centroids partition the
+    code table; a probe reads ONLY the nprobe nearest cells (a
+    PARTITION filter on the scan, not a row filter) and ADC-scores
+    m-int rows."""
+    import re
+
+    from osrs_dashboard_elt_spark.operators.kmeans import (
+        kmeans_assignments,
+    )
+    from osrs_dashboard_elt_spark.operators.pq import ivfpq_topk_at_rest
+
+    cents = [_vec(i) for i in range(4)]  # 4 well-separated cells
+    cells = kmeans_assignments(corpus, "embedding", cents, id_col="vec_id")
+    with_cell = corpus.join(cells, "vec_id").withColumnRenamed(
+        "cell", "cell"
+    )
+    path = str(tmp_path / "ivfpq")
+    write_pq_index(
+        with_cell, "embedding", books, path,
+        id_col="vec_id", partition_cols=["cell"],
+    )
+    q = _vec(1)
+    got = ivfpq_topk_at_rest(
+        spark, path, books, cents, q, k=5, nprobe=1, id_col="vec_id"
+    )
+    rows = got.collect()
+    assert len(rows) == 5
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert pf and "cell" in pf.group(0), plan
+    # every returned id lives in the probed cell
+    probed = {r["vec_id"] for r in rows}
+    cell_of = {r["vec_id"]: r["cell"] for r in cells.collect()}
+    assert len({cell_of[i] for i in probed}) == 1
+    # equality with the flat ADC ranking restricted to that cell
+    want_cell = cell_of[rows[0]["vec_id"]]
+    flat = pq_adc_topk(
+        pq_encode(
+            with_cell.filter(F.col("cell") == want_cell),
+            "embedding", books, id_col="vec_id",
+        ),
+        books, q, k=5, id_col="vec_id",
+    ).collect()
+    assert [(r["vec_id"], r["score"]) for r in rows] == [
+        (r["vec_id"], r["score"]) for r in flat
+    ]
+
+
 def test_compression_ratio_story(books):
     """The claim in the module docstring: m small ints vs d floats.
     Not a perf test — just pins the arithmetic the docs cite."""
