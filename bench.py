@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "q_ivf_ann_topk",
     "q_pq_ann_topk",
     "q_quality_probe",
+    "q_jl_projection",
     "q_text_quality_by_lang",
     "q_doc_fingerprint",
     "q_media_features",

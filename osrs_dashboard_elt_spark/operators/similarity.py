@@ -207,6 +207,56 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
     return [[rng.choice((-1, 1)) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def jl_project(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    out_dim: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    out_col: str = "reduced",
+    _chunk: int = 8,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: ``out_dim``
+    Rademacher (+/-1) planes from the SAME seeded generator the LSH
+    paths use (Achlioptas 2003 — database-friendly projections),
+    scaled by ``1/sqrt(out_dim)``.  Distances are preserved within
+    ``(1 +/- eps)`` w.h.p. — the standard pre-shrink in front of ANN /
+    clustering when d is large: a 1024-dim corpus projected to 64
+    dims cuts every downstream shuffle and codebook 16x.
+
+    Spark shape: one narrow scan-side pass, each output element a
+    sign-fold chain (``plane_dot_sql`` halves the tree for +/-1
+    planes); elements are computed in chunks of ``_chunk`` columns
+    per projection so no generated method nears the janino limit.
+    Exactness: integer plane entries, one multiply per element — a
+    SQL oracle replays every output bit-for-bit.  Invalid vectors
+    (NULL / wrong length / null elements) are dropped, matching the
+    kmeans/PQ contract."""
+    from .kmeans import valid_vec
+
+    planes = hyperplanes(out_dim, dim, seed)
+    inv = 1.0 / math.sqrt(out_dim)
+    base = df.select(F.col(id_col), vd_cast(vec_col).alias("__vd")).filter(
+        valid_vec(dim)
+    )
+    jcols = [f"__j{j}" for j in range(out_dim)]
+    for lo in range(0, out_dim, _chunk):
+        grp = list(range(lo, min(lo + _chunk, out_dim)))
+        base = base.select(
+            "*",
+            *[
+                F.expr(
+                    f"{plane_dot_sql('__vd', planes[j])} * {_dlit(inv)}"
+                ).alias(jcols[j])
+                for j in grp
+            ],
+        )
+    return base.select(
+        F.col(id_col), F.array(*jcols).alias(out_col)
+    )
+
+
 def lsh_bucket_raw(vecd: Column, planes: list[list[int]]) -> Column:
     """Sign-LSH bucket id over a pre-cast double array Column (HOF
     fold form — kept for arbitrary Column inputs; hot paths use

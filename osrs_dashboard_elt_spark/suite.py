@@ -22,6 +22,7 @@ row-count + schema + order-insensitive value hash at sf=0.01):
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 from datetime import datetime
@@ -2724,6 +2725,65 @@ def _pq_oracle(sf_dir: str) -> str:
     ORDER BY score DESC, c.vec_id
     LIMIT {_PQ_TOPK}
     """
+
+
+# —— Johnson-Lindenstrauss random projection ——
+_JL_OUT, _JL_SEED = 16, 17
+
+
+def _jl_oracle() -> str:
+    """Replays the projection exactly: the same seeded +/-1 planes
+    inlined as sign chains over the list elements (identical left
+    fold), one multiply by the 1/sqrt(out_dim) literal, the standard
+    6-decimal cast per element."""
+    from .operators.similarity import hyperplanes
+
+    planes = hyperplanes(_JL_OUT, _KM_DIM, _JL_SEED)
+    inv = f"CAST('{float(1.0 / math.sqrt(_JL_OUT))!r}' AS DOUBLE)"
+    cols = []
+    for j, plane in enumerate(planes):
+        parts = ["CAST('0.0' AS DOUBLE)"]
+        for i, p in enumerate(plane):
+            parts.append(f"{'+' if p > 0 else '-'} xd[{i + 1}]")
+        chain = "(" + " ".join(parts) + ")"
+        cols.append(
+            f"CAST(CAST(({chain} * {inv}) AS DECIMAL(28,6)) AS DOUBLE)"
+            f" AS j{j:02d}"
+        )
+    return f"""
+    WITH {_EMB_CTE},
+    embv AS (SELECT * FROM emb WHERE len(xd) = {_KM_DIM})
+    SELECT vec_id, {', '.join(cols)}
+    FROM embv
+    """
+
+
+@query("q_jl_projection", oracle=_jl_oracle())
+def q_jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection (similarity.py::
+    jl_project): 16 seeded Rademacher planes shrink the 64-dim
+    embeddings 4x in ONE narrow scan-side pass — the standard
+    pre-shrink in front of ANN/clustering when d is large (every
+    downstream shuffle, codebook, and index gets the same factor).
+    Sign-fold chains (no multiplies for +/-1 entries), chunked so no
+    generated method nears the janino limit; the oracle replays every
+    output element bit-for-bit."""
+    from .operators.similarity import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    red = jl_project(
+        emb, "embedding", dim=_KM_DIM, out_dim=_JL_OUT, seed=_JL_SEED,
+        id_col="vec_id",
+    )
+    return red.select(
+        "vec_id",
+        *[
+            F.expr(
+                f"CAST(CAST(element_at(reduced, {j + 1}) AS DECIMAL(28,6)) AS DOUBLE)"
+            ).alias(f"j{j:02d}")
+            for j in range(_JL_OUT)
+        ],
+    )
 
 
 # —— trained linear quality probe over embeddings ——
