@@ -2790,13 +2790,15 @@ def q_jl_projection(spark, sf_dir):
 _PROBE_ITER, _PROBE_LR, _PROBE_THR = 3, 0.5, 0.5
 
 
-def _probe_oracle() -> str:
-    """Replays the probe's ENTIRE gradient-descent trajectory in SQL:
-    per iteration a residual expression against the previous weight
-    row (identical left fold), exact DECIMAL(28,12) gradient sums,
-    and the IEEE update — every intermediate weight vector matches
-    the driver loop bit-for-bit (no transcendentals anywhere, see
-    operators/classifier.py)."""
+def _probe_train_ctes() -> tuple[list[str], str]:
+    """The probe's ENTIRE gradient-descent trajectory as CTEs: per
+    iteration a residual expression against the previous weight row
+    (identical left fold), exact DECIMAL(28,12) gradient sums, and
+    the IEEE update — every intermediate weight vector matches the
+    driver loop bit-for-bit (no transcendentals anywhere, see
+    operators/classifier.py).  Returns (ctes, z_expr) where z_expr
+    scores ``e`` rows against the final weights CTE ``w`` — shared by
+    the score and calibration oracles."""
     d = _KM_DIM
 
     def z(w: str) -> str:
@@ -2808,7 +2810,6 @@ def _probe_oracle() -> str:
     # validity parity with classifier._projected: valid_vec(dim) AND a
     # non-null label — an invalid-vector row must not shift COUNT(*)
     lr = f"CAST('{float(_PROBE_LR)!r}' AS DOUBLE)"
-    thr = f"CAST('{float(_PROBE_THR)!r}' AS DOUBLE)"
     ctes = [
         "e AS (SELECT vec_id, CAST(CAST(label < 5 AS INT) AS DOUBLE) AS y, "
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd "
@@ -2843,7 +2844,12 @@ def _probe_oracle() -> str:
             f"w{i} AS (SELECT " + ", ".join(upd)
             + f" FROM w{i - 1} w CROSS JOIN g{i} g)"
         )
-    zf = z("w")
+    return ctes, z("w")
+
+
+def _probe_oracle() -> str:
+    ctes, zf = _probe_train_ctes()
+    thr = f"CAST('{float(_PROBE_THR)!r}' AS DOUBLE)"
     return f"""
     WITH {','.join(ctes)}
     SELECT e.vec_id,
@@ -2852,6 +2858,29 @@ def _probe_oracle() -> str:
            CAST(e.y AS INT) AS y
     FROM e CROSS JOIN w{_PROBE_ITER} w
     """
+
+
+# trained-weights memo, same pattern as _KM_CENTS_CACHE: training is
+# bit-deterministic over immutable parquet, so q_quality_probe and
+# q_probe_calibration share one fit instead of paying it twice
+_PROBE_W_CACHE: dict[str, list[float]] = {}
+
+
+def _emb_labeled(spark, sf_dir):
+    return _t(spark, sf_dir, "embeddings").withColumn(
+        "y", (F.col("label") < 5).cast("int")
+    )
+
+
+def _trained_probe(spark, sf_dir) -> list[float]:
+    from .operators.classifier import linear_probe_fit
+
+    if sf_dir not in _PROBE_W_CACHE:
+        _PROBE_W_CACHE[sf_dir] = linear_probe_fit(
+            _emb_labeled(spark, sf_dir), "embedding", "y", dim=_KM_DIM,
+            n_iter=_PROBE_ITER, lr=_PROBE_LR,
+        )
+    return _PROBE_W_CACHE[sf_dir]
 
 
 @query("q_quality_probe", oracle=_probe_oracle())
@@ -2864,17 +2893,57 @@ def q_quality_probe(spark, sf_dir):
     trajectory transcendental-free, so the oracle replays every
     intermediate weight bit-for-bit.  Scoring is one scan-side
     expression over the corpus (no shuffle, no Python)."""
-    from .operators.classifier import linear_probe_fit, linear_probe_scores
+    from .operators.classifier import linear_probe_scores
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "y", (F.col("label") < 5).cast("int")
-    )
-    w = linear_probe_fit(
-        emb, "embedding", "y", dim=_KM_DIM,
-        n_iter=_PROBE_ITER, lr=_PROBE_LR,
-    )
     return linear_probe_scores(
-        emb, "embedding", "y", w, id_col="vec_id", threshold=_PROBE_THR
+        _emb_labeled(spark, sf_dir), "embedding", "y",
+        _trained_probe(spark, sf_dir), id_col="vec_id",
+        threshold=_PROBE_THR,
+    )
+
+
+def _probe_calibration_oracle() -> str:
+    ctes, zf = _probe_train_ctes()
+    ctes.append(f"""sc AS (
+      SELECT CAST(e.y AS INT) AS y,
+             CAST(CAST({zf} AS DECIMAL(28,6)) AS DOUBLE) AS score
+      FROM e CROSS JOIN w{_PROBE_ITER} w)""")
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT CAST(FLOOR(score * 250) AS INT) AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(CAST(CAST(SUM(CAST(score AS DECIMAL(28,6))) AS DOUBLE)
+                / COUNT(*) AS DECIMAL(28,6)) AS DOUBLE) AS mean_score
+    FROM sc GROUP BY 1
+    """
+
+
+@query("q_probe_calibration", oracle=_probe_calibration_oracle())
+def q_probe_calibration(spark, sf_dir):
+    """Reliability diagram for the trained probe: scores bucketed
+    into 0.004-wide bins (sized to the short-horizon GD score
+    spread), per bin the row count, positive count, and
+    exact-decimal mean score — the calibration data a production
+    quality gate threshold is picked from.  One scan + one bounded
+    aggregate over the SHARED trained weights (the fit memo);
+    per-bin means use the repo's exact-decimal sum discipline so the
+    groupBy is order-independent."""
+    from .operators.classifier import linear_probe_scores
+
+    scores = linear_probe_scores(
+        _emb_labeled(spark, sf_dir), "embedding", "y",
+        _trained_probe(spark, sf_dir), id_col="vec_id",
+    )
+    return scores.groupBy(
+        F.expr("CAST(FLOOR(score * 250) AS INT)").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.expr(
+            "CAST(CAST(CAST(SUM(CAST(score AS DECIMAL(28,6))) AS DOUBLE)"
+            " / COUNT(*) AS DECIMAL(28,6)) AS DOUBLE)"
+        ).alias("mean_score"),
     )
 
 
