@@ -66,10 +66,16 @@ def model_version(payload) -> str:
 
 
 def _read(spark: SparkSession, path: str):
-    try:
-        return spark.read.schema(_SCHEMA).parquet(path)
-    except Exception:
+    # explicit-schema parquet reads defer path validation to action
+    # time (no eager schema inference touches the path), so a missing
+    # registry would surface as an AnalysisException deep inside the
+    # caller's first collect — probe existence eagerly instead
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
         return spark.createDataFrame([], _SCHEMA)
+    return spark.read.schema(_SCHEMA).parquet(path)
 
 
 def save_model(

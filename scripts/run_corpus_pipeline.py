@@ -174,6 +174,18 @@ def run(
         "__feat", "__fluent", dim=3, n_iter=4, lr=0.5,
     )
     teach.unpersist()
+    # registry: persist the distilled gate so another session (or the
+    # streaming ingest) applies the SAME model this corpus passed
+    from osrs_dashboard_elt_spark.operators.registry import save_model
+
+    save_model(
+        spark, f"{out_dir}/models", "quality_probe", "linear_probe",
+        {
+            "weights": w,
+            "features": ["stopword_ratio", "punct_ratio", "log1p_tokens_over_10"],
+        },
+        run_id="run_corpus_pipeline",
+    )
     scored.unpersist()
     pscores = linear_probe_scores(
         with_feat, "__feat", None, w, id_col="doc_id"
@@ -386,6 +398,16 @@ def export_training_shards(
         json.dump(vocab, f, indent=1, sort_keys=True)
     bpe_merges_df(spark, merges).coalesce(1).write.mode("overwrite").parquet(
         f"{out_dir}/bpe_merges"
+    )
+    # registry: the tokenizer artifacts another session loads to
+    # tokenize consistently with these shards (idempotent — a
+    # deterministic re-train is the same content version)
+    from osrs_dashboard_elt_spark.operators.registry import save_model
+
+    save_model(
+        spark, f"{out_dir}/models", "shard_tokenizer", "bpe",
+        {"merges": [list(m) for m in merges], "vocab": vocab},
+        run_id="run_corpus_pipeline",
     )
 
     chunks = chunk_documents(train, "doc_id", "text").join(

@@ -56,10 +56,16 @@ def test_corpus_pipeline_invariants_and_determinism(spark, tmp_path):
     # the distilled probe gate actually gates (drop quantile 0.1 on a
     # nonempty stage must remove at least one doc here)
     assert f["probe_gate"] < f["ppl_gate"]
-
     # byte-determinism of the surviving corpus: second run, same rows
     m2 = _run(spark, str(tmp_path / "b"))
     assert m2 == m1
+    # the trained gate landed in the registry, loadable and
+    # content-identical across the two deterministic runs
+    from osrs_dashboard_elt_spark.operators.registry import load_model
+
+    pa, va = load_model(spark, str(tmp_path / "a" / "models"), "quality_probe")
+    pb, vb = load_model(spark, str(tmp_path / "b" / "models"), "quality_probe")
+    assert va == vb and pa == pb and len(pa["weights"]) == 4
     a = spark.read.parquet(str(tmp_path / "a" / "train")).orderBy("doc_id").collect()
     b = spark.read.parquet(str(tmp_path / "b" / "train")).orderBy("doc_id").collect()
     assert a == b
@@ -156,6 +162,19 @@ def test_shard_export_deterministic_and_epoch_ordered(spark, tmp_path):
     assert (tmp_path / "a" / "vocab.json").read_bytes() == (
         tmp_path / "b" / "vocab.json"
     ).read_bytes()
+    # the tokenizer landed in the registry with the same content
+    # version on both runs, and its vocab matches the json artifact
+    from osrs_dashboard_elt_spark.operators.registry import load_model
+
+    ta, va = load_model(spark, str(tmp_path / "a" / "models"), "shard_tokenizer")
+    tb, vb = load_model(spark, str(tmp_path / "b" / "models"), "shard_tokenizer")
+    assert va == vb and len(ta["merges"]) == m1["n_merges"]
+    import json as _json
+
+    assert ta["vocab"] == _json.loads(
+        (tmp_path / "a" / "vocab.json").read_text()
+    )
+    assert tb["vocab"] == ta["vocab"]
 
     sh = spark.read.parquet(str(tmp_path / "a" / "shards"))
     rows = sh.orderBy("pos").collect()
