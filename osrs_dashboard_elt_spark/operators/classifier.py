@@ -154,6 +154,31 @@ def probe_score_expr(weights: list[float], xs: list[str]) -> Column:
     )
 
 
+#: feature names for :func:`text_probe_features`, in array order —
+#: persisted next to the weights in the model registry
+TEXT_PROBE_FEATURES = [
+    "stopword_ratio",
+    "punct_ratio",
+    "log1p_tokens_over_10",
+]
+
+
+def text_probe_features(text_col: str) -> Column:
+    """The scan-side feature vector the distilled corpus-pipeline
+    quality gate trains on — ONE definition shared by training
+    (scripts/run_corpus_pipeline.py) and serving (the streaming
+    ingest), so a registry-loaded model scores exactly the values it
+    was trained against."""
+    from ..functions.text import quality_score_cols, token_count
+
+    q = quality_score_cols(F.col(text_col))
+    return F.array(
+        q["stopword_ratio"],
+        q["punct_ratio"],
+        F.log1p(token_count(F.col(text_col)).cast("double")) / F.lit(10.0),
+    )
+
+
 def linear_probe_scores(
     df: DataFrame,
     vec_col: str,

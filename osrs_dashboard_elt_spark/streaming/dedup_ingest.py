@@ -86,6 +86,7 @@ def start_dedup_ingest(
     run_id: str | None = None,
     lm_model: tuple[DataFrame, DataFrame, int] | None = None,
     max_avg_nll: float | None = None,
+    probe_model: tuple[list[float], float] | None = None,
 ) -> StreamingQuery:
     """Start the dedup-ingest stream.  ``index_table`` must already
     exist (``write_minhash_index`` over the current corpus — an empty
@@ -110,7 +111,16 @@ def start_dedup_ingest(
     ``high_perplexity`` BEFORE any dedup work — the cheapest
     rejection runs first, and gibberish never reaches the pair
     generators or the index.  The model tables are static
-    (Heaps-bounded); the per-batch cost is one gram join, O(batch)."""
+    (Heaps-bounded); the per-batch cost is one gram join, O(batch).
+
+    ``probe_model`` arms the DISTILLED quality gate: pass
+    ``(weights, min_score)`` where ``weights`` is a linear probe over
+    :func:`~..operators.classifier.text_probe_features` (typically
+    the ``quality_probe`` entry the corpus pipeline saved to the
+    model registry) — docs scoring below the cutoff quarantine with
+    reason ``low_quality_score``.  Serving cost is ONE scan-side
+    projection per batch, no joins: the registry model trained
+    against these exact feature expressions."""
     params = dict(
         num_perm=num_perm, bands=bands, seed=seed, shingle_n=shingle_n
     )
@@ -134,7 +144,7 @@ def start_dedup_ingest(
                 if on_batch is not None:
                     on_batch(batch_id, {
                         "n_in": 0, "n_same_id_collapsed": n_same_id,
-                        "n_high_ppl": 0,
+                        "n_high_ppl": 0, "n_low_quality": 0,
                         "n_in_batch_dup": 0, "n_corpus_dup": 0,
                         "n_already_ingested": 0, "n_accepted": 0,
                     })
@@ -156,6 +166,32 @@ def start_dedup_ingest(
                 )
                 persisted.append(high_ppl)
                 batch = batch.join(high_ppl, id_col, "left_anti").persist()
+                persisted.append(batch)
+            # 0b. distilled quality gate (optional): the registry
+            # probe scores the batch with one scan-side projection —
+            # the cheapest possible model serve — and the low tail
+            # quarantines before any dedup work
+            low_q = None
+            if probe_model is not None:
+                from ..operators.classifier import (
+                    linear_probe_scores,
+                    text_probe_features,
+                )
+
+                pw, min_score = probe_model
+                low_q = (
+                    linear_probe_scores(
+                        batch.withColumn(
+                            "__feat", text_probe_features(text_col)
+                        ),
+                        "__feat", None, pw, id_col=id_col,
+                    )
+                    .filter(F.col("score") < min_score)
+                    .select(id_col)
+                    .persist()
+                )
+                persisted.append(low_q)
+                batch = batch.join(low_q, id_col, "left_anti").persist()
                 persisted.append(batch)
             # 1. within-batch clusters -> canonical survivors
             pairs = minhash_lsh_pairs(batch, id_col, text_col, **params)
@@ -237,6 +273,14 @@ def start_dedup_ingest(
                         F.lit(None).cast(id_type).alias("matched_corpus_id"),
                     )
                 )
+            if low_q is not None:
+                quarantined = quarantined.unionByName(
+                    low_q.select(
+                        id_col,
+                        F.lit("low_quality_score").alias("reason"),
+                        F.lit(None).cast(id_type).alias("matched_corpus_id"),
+                    )
+                )
             route(quarantined, "quarantine")
             # Counts MUST freeze before the index append: writing the
             # table invalidates every cached plan that references it,
@@ -247,6 +291,7 @@ def start_dedup_ingest(
                 "n_in": n_in,
                 "n_same_id_collapsed": n_same_id,
                 "n_high_ppl": high_ppl.count() if high_ppl is not None else 0,
+                "n_low_quality": low_q.count() if low_q is not None else 0,
                 "n_in_batch_dup": in_batch_dup.count(),
                 "n_corpus_dup": dup_ids.count(),
                 "n_already_ingested": already.count(),

@@ -151,15 +151,14 @@ def run(
     from osrs_dashboard_elt_spark.operators.classifier import (
         linear_probe_fit,
         linear_probe_scores,
+        text_probe_features,
     )
     from osrs_dashboard_elt_spark.operators.sampling import hash_sample
 
-    feat = F.array(
-        F.col("stopword_ratio"),
-        F.col("punct_ratio"),
-        F.log1p(F.col("n_tokens").cast("double")) / F.lit(10.0),
-    )
-    with_feat = fluent.withColumn("__feat", feat)
+    # the SHARED feature definition (classifier.text_probe_features):
+    # the streaming ingest serves the registry model against the
+    # exact same expressions
+    with_feat = fluent.withColumn("__feat", text_probe_features("text"))
     teach = hash_sample(
         with_feat.join(scored, "doc_id"), "doc_id", PROBE_TEACH_FRACTION
     ).persist()
@@ -178,12 +177,13 @@ def run(
     # streaming ingest) applies the SAME model this corpus passed
     from osrs_dashboard_elt_spark.operators.registry import save_model
 
+    from osrs_dashboard_elt_spark.operators.classifier import (
+        TEXT_PROBE_FEATURES,
+    )
+
     save_model(
         spark, f"{out_dir}/models", "quality_probe", "linear_probe",
-        {
-            "weights": w,
-            "features": ["stopword_ratio", "punct_ratio", "log1p_tokens_over_10"],
-        },
+        {"weights": w, "features": TEXT_PROBE_FEATURES},
         run_id="run_corpus_pipeline",
     )
     scored.unpersist()

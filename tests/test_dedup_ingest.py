@@ -96,12 +96,12 @@ def test_two_batch_ingest_routes_and_extends_index(spark, ingest_env):
     # per-batch funnel counts
     assert counts[0] == {
         "n_in": 3, "n_same_id_collapsed": 0, "n_high_ppl": 0,
-        "n_in_batch_dup": 1,
+        "n_low_quality": 0, "n_in_batch_dup": 1,
         "n_corpus_dup": 0, "n_already_ingested": 0, "n_accepted": 2,
     }
     assert counts[1] == {
         "n_in": 3, "n_same_id_collapsed": 0, "n_high_ppl": 0,
-        "n_in_batch_dup": 0,
+        "n_low_quality": 0, "n_in_batch_dup": 0,
         "n_corpus_dup": 1, "n_already_ingested": 1, "n_accepted": 1,
     }
 
@@ -181,6 +181,7 @@ def test_same_id_rows_within_one_batch_collapse(spark, ingest_env):
     assert {r.doc_id for r in acc.collect()} == {1, 2}
     assert counts[0] == {
         "n_in": 2, "n_same_id_collapsed": 2, "n_high_ppl": 0,
+        "n_low_quality": 0,
         "n_in_batch_dup": 0,
         "n_corpus_dup": 0, "n_already_ingested": 0, "n_accepted": 2,
     }
@@ -221,5 +222,36 @@ def test_lm_quality_gate_quarantines_gibberish(spark, ingest_env):
     quar = spark.read.parquet(str(ingest_env / "out" / "quarantine"))
     rows = {(r.doc_id, r.reason) for r in quar.collect()}
     assert (2, "high_perplexity") in rows
+    acc = spark.read.parquet(str(ingest_env / "out" / "accepted"))
+    assert {r.doc_id for r in acc.collect()} == {1}
+
+
+def test_probe_quality_gate_quarantines_low_scores(spark, ingest_env):
+    """With a registry-style linear probe armed, a doc scoring below
+    the cutoff routes to quarantine (reason=low_quality_score) before
+    dedup; the serve cost is one scan-side projection.  Weights pick
+    out the stopword-ratio feature, so stopword-free gibberish scores
+    0.0 and natural text scores above the cutoff."""
+    src = ingest_env / "in"
+    src.mkdir()
+    gibberish = "zq xv qk jw vz kx wj zzq vvx qqk jjw zvz"
+    _write_batch(src, "b0.json", [(1, TEXT_A), (2, gibberish)])
+    counts: list = []
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(src)
+    )
+    q = start_dedup_ingest(
+        stream, "mh_ingest", str(ingest_env / "out"),
+        str(ingest_env / "ckpt"),
+        n_buckets=4, available_now=True,
+        on_batch=lambda bid, c: counts.append(c),
+        probe_model=([0.0, 1.0, 0.0, 0.0], 0.05), **PARAMS,
+    )
+    q.awaitTermination(120)
+    assert counts[0]["n_low_quality"] == 1
+    assert counts[0]["n_accepted"] == 1
+    quar = spark.read.parquet(str(ingest_env / "out" / "quarantine"))
+    rows = {(r.doc_id, r.reason) for r in quar.collect()}
+    assert (2, "low_quality_score") in rows
     acc = spark.read.parquet(str(ingest_env / "out" / "accepted"))
     assert {r.doc_id for r in acc.collect()} == {1}
