@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "q_quality_probe",
     "q_jl_projection",
     "q_probe_calibration",
+    "q_bloom_semijoin",
     "q_text_quality_by_lang",
     "q_doc_fingerprint",
     "q_media_features",

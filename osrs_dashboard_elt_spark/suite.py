@@ -2727,6 +2727,43 @@ def _pq_oracle(sf_dir: str) -> str:
     """
 
 
+# —— bloom-filter semi-join prefilter ——
+_BLOOM_ORACLE = """
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY l_returnflag
+"""
+
+
+@query("q_bloom_semijoin", oracle=_BLOOM_ORACLE)
+def q_bloom_semijoin(spark, sf_dir):
+    """Bloom-prefiltered semi-join (operators/bloom.py): the build
+    side's key set becomes a kilobyte word array broadcast as a
+    literal; the probe SCAN drops non-matching rows before the exact
+    confirm join, so the shuffle carries ~FP+match rows instead of
+    the whole fact table.  No false negatives — the oracle is the
+    PLAIN semi-join, proving the prefilter never changes results.
+    At 100 TB this is the explicit form of the runtime bloom-filter
+    join, persistable (registry) and applicable to any frame pair."""
+    from .operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    out = bloom_semi_join(li, urgent, "l_orderkey", m_bits=1 << 14, k=5)
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
 # —— Johnson-Lindenstrauss random projection ——
 _JL_OUT, _JL_SEED = 16, 17
 

@@ -1,0 +1,67 @@
+"""Bloom semi-join prefilter: no false negatives, exact semi-join
+equality, and real selectivity (operators/bloom.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osrs_dashboard_elt_spark.operators.bloom import (
+    bloom_build,
+    bloom_prefilter,
+    bloom_semi_join,
+)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    big = spark.createDataFrame(
+        [(i, i % 7) for i in range(2000)], "k bigint, v int"
+    ).cache()
+    small = spark.createDataFrame(
+        [(i * 13,) for i in range(40)], "k bigint"
+    ).cache()  # keys 0, 13, 26, ... 507
+    return big, small
+
+
+def test_no_false_negatives(spark, frames):
+    _, small = frames
+    words = bloom_build(small, "k", m_bits=1 << 12, k=5)
+    passed = bloom_prefilter(small, "k", words, 5).count()
+    assert passed == small.count()  # every built key must pass
+
+
+def test_semi_join_equality(frames):
+    big, small = frames
+    got = sorted(
+        (r["k"], r["v"])
+        for r in bloom_semi_join(big, small, "k", m_bits=1 << 12, k=5).collect()
+    )
+    want = sorted(
+        (r["k"], r["v"])
+        for r in big.join(small, "k", "left_semi").collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_prefilter_is_selective(frames):
+    """The point of the bloom: most non-matching probe rows drop at
+    the scan.  2000 probe keys vs 40 built keys at m=4096, k=5 →
+    well under 20% pass the prefilter."""
+    big, small = frames
+    words = bloom_build(small, "k", m_bits=1 << 12, k=5)
+    n_pre = bloom_prefilter(big, "k", words, 5).count()
+    n_true = big.join(small, "k", "left_semi").count()
+    assert n_true <= n_pre < 0.2 * big.count(), (n_true, n_pre)
+
+
+def test_m_bits_validation(frames):
+    _, small = frames
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(small, "k", m_bits=100)
+
+
+def test_empty_build_side(spark, frames):
+    big, _ = frames
+    empty = spark.createDataFrame([], "k bigint")
+    assert bloom_semi_join(big, empty, "k", m_bits=1 << 12, k=5).count() == 0
