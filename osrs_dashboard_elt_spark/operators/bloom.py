@@ -13,8 +13,9 @@ the exact confirm join so results never change.
 Construction is pure column algebra on md5 (the sketches.py
 discipline — deterministic in any engine):
 
-- ``k`` bit positions per key: ``md5(j ':' key)`` -> 60-bit int ->
-  ``% m_bits`` — independent-enough hashes, reproducible everywhere;
+- k bit positions per key from TWO md5s (Kirsch-Mitzenmacher double
+  hashing, ``pos_j = (h1 + j*h2) % m``) — md5 is the per-row cost
+  that matters, so k positions cost 2 hashes, not k;
 - build: explode keys x k, map bit -> (word, mask), one ``bit_or``
   groupBy (map-side combined, at most m_bits/64 rows out);
 - probe: the word array rides in as ONE literal/broadcast row; a
@@ -38,37 +39,65 @@ from pyspark.sql import functions as F
 _HASH_HEX = 15  # 60-bit ints, same as the HLL/CMS hash discipline
 
 
-def _positions(value: Column, k: int, m_bits: int) -> list[Column]:
-    """k deterministic bit positions for a key."""
-    return [
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{j}:"), value.cast("string"))),
-                1,
-                _HASH_HEX,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % m_bits
-        for j in range(k)
-    ]
+def _hash_sql(key_expr: str, salt: str) -> str:
+    """One 60-bit md5 hash of the key as SQL text — build and probe
+    share this exact formula."""
+    return (
+        f"CAST(CONV(SUBSTRING(MD5(CONCAT('{salt}:', "
+        f"CAST({key_expr} AS STRING))), 1, {_HASH_HEX}), 16, 10) "
+        "AS BIGINT)"
+    )
+
+
+def _positions_from(h1: str, h2: str, k: int, m_bits: int) -> list[str]:
+    """Kirsch-Mitzenmacher double hashing: ``pos_j = (h1 + j*h2) %
+    m`` gives k independent-enough positions from TWO md5s — the md5
+    is the per-row cost that matters, so k positions cost 2 hashes,
+    not k.  ``h2`` is forced odd so it cycles the whole table.
+    Max magnitude: h1 + (k-1)*h2 < 2^60 + 7*2^60 < 2^63 for k <= 8."""
+    if k > 8:
+        raise ValueError("k > 8 risks 64-bit overflow in h1 + j*h2")
+    h2odd = f"({h2} | 1L)"
+    return [f"PMOD({h1} + {j} * {h2odd}, {m_bits})" for j in range(k)]
+
+
+def auto_m_bits(n_keys: int, bits_per_key: int = 10) -> int:
+    """Power-of-two sizing: >= bits_per_key per key (k=7 at 10
+    bits/key gives ~1% FPs), min 2^10.  An undersized bloom
+    SATURATES — every bit set, every probe row passes, and the
+    prefilter silently degrades to a full scan (measured: 99.8%
+    pass-through at 30k keys in 2^14 bits)."""
+    m = 1 << 10
+    while m < n_keys * bits_per_key:
+        m <<= 1
+    return m
 
 
 def bloom_build(
-    df: DataFrame, key_col: str, m_bits: int = 1 << 16, k: int = 7
+    df: DataFrame, key_col: str, m_bits: int | None = None, k: int = 7
 ) -> list[int]:
     """Build the filter over ``df[key_col]``: returns the word array
     (``m_bits/64`` longs, driver-side — kilobytes).  One explode +
     one map-side-combined ``bit_or`` aggregate; the exchange carries
-    at most ``m_bits/64`` rows per upstream partition."""
+    at most ``m_bits/64`` rows per upstream partition.
+    ``m_bits=None`` sizes automatically from a count of the build
+    side (one cheap aggregate on the SMALL side)."""
+    if m_bits is None:
+        m_bits = auto_m_bits(df.count())
     if m_bits % 64 != 0:
         raise ValueError("m_bits must be a multiple of 64")
+    h1 = _hash_sql(key_col, "h1")
+    h2 = _hash_sql(key_col, "h2")
     pos = F.explode(
-        F.array(*_positions(F.col(key_col), k, m_bits))
+        F.expr(
+            "ARRAY(" + ", ".join(_positions_from("__h1", "__h2", k, m_bits)) + ")"
+        )
     ).alias("__pos")
+    hashed = df.select(
+        F.expr(h1).alias("__h1"), F.expr(h2).alias("__h2")
+    )
     words = (
-        df.select(pos)
+        hashed.select(pos)
         .select(
             F.expr("CAST(__pos DIV 64 AS INT)").alias("__word"),
             F.expr("SHIFTLEFT(1L, CAST(__pos % 64 AS INT))").alias("__mask"),
@@ -83,46 +112,69 @@ def bloom_build(
     return out
 
 
-def _pos_sql(key_expr: str, j: int, m_bits: int) -> str:
-    """SQL text of hash ``j``'s bit position — the exact formula
-    ``_positions`` builds as Columns, so build and probe agree."""
-    return (
-        f"(CAST(CONV(SUBSTRING(MD5(CONCAT('{j}:', "
-        f"CAST({key_expr} AS STRING))), 1, {_HASH_HEX}), 16, 10) "
-        f"AS BIGINT) % {m_bits})"
-    )
-
-
 def bloom_prefilter(
     df: DataFrame, key_col: str, words: list[int], k: int
 ) -> DataFrame:
-    """Rows of ``df`` whose key MIGHT be in the built filter.  The
-    word array rides as ONE projected literal column (kilobytes — the
-    broadcast analog; projected once so the k membership terms share
-    it instead of inlining it k times); a key passes iff every hashed
-    bit is set.  Scan-side predicate — no join, no shuffle.  No false
-    negatives, tunable false positives."""
+    """Rows of ``df`` whose key MIGHT be in the built filter.  A key
+    passes iff every hashed bit is set.  No false negatives, tunable
+    false positives.
+
+    Physical shape (four forms measured over 600k rows):
+
+    - ADOPTED: the words ride as ONE ``F.lit(bytes)`` Column object
+      (little-endian packed; one byte extracted per position) shared
+      by the k membership terms — no SQL parsing, the literal never
+      enters a row, per-row cost is k byte lookups (1.2 s);
+    - NOT a CreateArray-of-literals projected column: rebuilds the
+      m/64-element array per row (7 s);
+    - NOT a broadcast single-row frame: the join writes the whole
+      word array into every output UnsafeRow (12 s);
+    - NOT an ``X'...'`` hex literal in SQL text: k copies of the
+      blob re-PARSE on every call (26 s in the scale probe).
+
+    The two md5 hashes and the k positions are projected ONCE and the
+    membership terms reference the projected columns, because filter
+    pushdown inlines alias definitions into every conjunct (k terms
+    x 2 references = up to 4k md5s per row otherwise).  Also mind
+    the INPUT partitioning: the md5 work is scan-side, so a 3-split
+    parquet read caps it at 3 cores (measured 5.5 s -> 1.2 s at 32
+    splits; see ``skew.ensure_min_partitions``)."""
     m_bits = len(words) * 64
-    arr = "ARRAY(" + ", ".join(f"{w}L" for w in words) + ")"
-    terms = []
-    for j in range(k):
-        pos = _pos_sql(key_col, j, m_bits)
-        terms.append(
-            f"(element_at(__bw, CAST({pos} DIV 64 AS INT) + 1)"
-            f" & SHIFTLEFT(1L, CAST({pos} % 64 AS INT))) != 0"
-        )
-    return (
-        df.withColumn("__bw", F.expr(arr))
-        .filter(F.expr(" AND ".join(terms)))
-        .drop("__bw")
+    blob = b"".join(
+        int(w % (1 << 64)).to_bytes(8, "little") for w in words
     )
+    lit = F.lit(blob)
+    pcols = [f"__bp{j}" for j in range(k)]
+    hashed = df.select(
+        "*",
+        F.expr(_hash_sql(key_col, "h1")).alias("__h1"),
+        F.expr(_hash_sql(key_col, "h2")).alias("__h2"),
+    )
+    proj = hashed.select(
+        "*",
+        *[
+            F.expr(p).alias(c)
+            for p, c in zip(
+                _positions_from("__h1", "__h2", k, m_bits), pcols
+            )
+        ],
+    )
+    cond = F.lit(True)
+    for p in pcols:
+        byte = F.substring(
+            lit, (F.col(p) / F.lit(8)).cast("int") + 1, F.lit(1)
+        )
+        val = F.conv(F.hex(byte), 16, 10).cast("int")
+        mask = F.expr(f"SHIFTLEFT(1, CAST({p} % 8 AS INT))")
+        cond = cond & (val.bitwiseAND(mask) != 0)
+    return proj.filter(cond).drop("__h1", "__h2", *pcols)
 
 
 def bloom_semi_join(
     big: DataFrame,
     small: DataFrame,
     key: str,
-    m_bits: int = 1 << 16,
+    m_bits: int | None = None,
     k: int = 7,
 ) -> DataFrame:
     """``big`` semi-joined to ``small`` on ``key``, bloom-prefiltered:

@@ -239,6 +239,22 @@ def main() -> None:
             min_support=2, max_basket=64,
         ),
         "waiting_orders": op_waiting_orders,
+        # bloom semi-join over kx lineitem: build is bounded by the
+        # small side (fixed here), probe is a scan-side predicate —
+        # wall time should track the fact scan linearly while the
+        # confirm join's shuffle stays ~matches.  Project the probe
+        # side to the touched columns so the probe measures the
+        # operator, not 16-column row copies through the harness's
+        # replication shuffle.
+        "bloom_semijoin": lambda t: __import__(
+            "osrs_dashboard_elt_spark.operators.bloom", fromlist=["x"]
+        ).bloom_semi_join(
+            t["lineitem"].select("l_orderkey", "l_returnflag"),
+            orders0.filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ).select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey", k=5,
+        ),
         # threshold scales with the factor: user counts double when the
         # events table doubles, so a fixed threshold would just admit
         # more heavy hitters — the probe times the sketch, not the
@@ -332,7 +348,8 @@ def main() -> None:
                  "ngram_spans_str", "ngram_spans_hash", "lm_perplexity"} & set(ops)
     need_emb = {"embedding_neardup", "semantic_dedup", "pq_search",
                 "probe_train"} & set(ops)
-    need_li = {"item_copurchase", "waiting_orders", "pagerank"} & set(ops)
+    need_li = {"item_copurchase", "waiting_orders", "pagerank",
+               "bloom_semijoin"} & set(ops)
     need_ev = {"cms_heavy_hitters", "hll_rolling", "hll_overlap",
                "timer_sessions"} & set(ops)
     probe_batch = None

@@ -65,3 +65,25 @@ def test_empty_build_side(spark, frames):
     big, _ = frames
     empty = spark.createDataFrame([], "k bigint")
     assert bloom_semi_join(big, empty, "k", m_bits=1 << 12, k=5).count() == 0
+
+
+def test_bloom_persists_through_registry(spark, frames, tmp_path):
+    """The docstring's claim: a built bloom is just longs — save it in
+    the model registry, load in another session, prefilter
+    identically."""
+    from osrs_dashboard_elt_spark.operators.registry import (
+        load_model,
+        save_model,
+    )
+
+    big, small = frames
+    words = bloom_build(small, "k", m_bits=1 << 12, k=5)
+    path = str(tmp_path / "reg")
+    save_model(spark, path, "urgent_keys", "bloom", {"words": words, "k": 5})
+    loaded, _ = load_model(spark, path, "urgent_keys")
+    a = sorted(r["k"] for r in bloom_prefilter(big, "k", words, 5).collect())
+    b = sorted(
+        r["k"]
+        for r in bloom_prefilter(big, "k", loaded["words"], loaded["k"]).collect()
+    )
+    assert a == b
