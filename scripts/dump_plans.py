@@ -33,6 +33,7 @@ HEADLINERS = {
     "q_lm_perplexity": "two map-side-combined gram aggregates build the model; scoring is one gram join + a decimal-sum groupBy (order-independent, so no sort anywhere)",
     "q_pq_ann_topk": "the search side scans (id, 4 ints) only — codeword dots are inlined literal-array lookups and the top-k is TakeOrderedAndProject (no global sort, raw vectors never read at query time)",
     "q_quality_probe": "scoring is one scan-side projection (no shuffle, no Python); the trained weights are literals, so the whole plan is scan -> project",
+    "q_bloom_semijoin": "the kilobyte filter words are a shared binary literal inside the scan-side predicate — the fact rows that reach the confirm join are ~FP+match, not the table; the exact semi-join then proves zero result drift",
 }
 
 
