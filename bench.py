@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "q_lsh_ann_topk",
     "q_ivf_ann_topk",
     "q_pq_ann_topk",
+    "q_ivfpq_topk",
     "q_quality_probe",
     "q_jl_projection",
     "q_probe_calibration",

@@ -268,6 +268,8 @@ def ivfpq_topk_at_rest(
     nprobe: int = 1,
     id_col: str = "vec_id",
     cell_col: str = "cell",
+    probe_cells: list[int] | None = None,
+    cell_rank: str = "cosine",
 ) -> DataFrame:
     """IVF-PQ: the full compressed scale path.  The index was written
     ``write_pq_index(..., partition_cols=[cell_col])`` with cells from
@@ -276,12 +278,27 @@ def ivfpq_topk_at_rest(
     ``nprobe`` nearest cell partitions (a partition-pruned scan), and
     ADC-scores their codes.  Compared to raw IVF the probed bytes
     shrink by the PQ ratio (m ints vs d floats); compared to flat PQ
-    the scan shrinks by nprobe/k_cells."""
+    the scan shrinks by nprobe/k_cells.
+
+    ``cell_rank`` picks the centroid ranking: ``"cosine"`` for
+    unit-norm dot cells, ``"kmeans"`` for Euclidean Lloyd's cells
+    (``dot - |c|^2/2`` — the rule ``kmeans_assignments`` encodes, and
+    the left fold a SQL oracle replays).  ``probe_cells`` overrides
+    the ranking entirely."""
     from .similarity import _fold_norm
 
-    scores = []
-    for c, cent in enumerate(centroids):
-        scores.append((_fold_dot(query, cent) / max(_fold_norm(cent), 1e-30), c))
-    probe = [c for _, c in sorted(scores, key=lambda t: (-t[0], t[1]))[:nprobe]]
-    codes = spark.read.parquet(path).filter(F.col(cell_col).isin(probe))
+    if probe_cells is None:
+        scores = []
+        for c, cent in enumerate(centroids):
+            if cell_rank == "kmeans":
+                s = _fold_dot(query, cent) - 0.5 * _fold_dot(cent, cent)
+            else:
+                s = _fold_dot(query, cent) / max(_fold_norm(cent), 1e-30)
+            scores.append((s, c))
+        probe_cells = [
+            c for _, c in sorted(scores, key=lambda t: (-t[0], t[1]))[:nprobe]
+        ]
+    codes = spark.read.parquet(path).filter(
+        F.col(cell_col).isin(probe_cells)
+    )
     return pq_adc_topk(codes, codebooks, query, k, id_col=id_col)

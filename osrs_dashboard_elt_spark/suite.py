@@ -1481,6 +1481,10 @@ def build_oracles(sf_dir: str | None = None) -> dict[str, str]:
             oracles["q_pq_ann_topk"] = _pq_oracle(sf_dir)
         except Exception:
             pass
+        try:
+            oracles["q_ivfpq_topk"] = _ivfpq_oracle(sf_dir)
+        except Exception:
+            pass
     return _family_first(oracles)
 
 
@@ -2672,18 +2676,13 @@ def _trained_codebooks(spark, sf_dir):
     return _PQ_BOOKS_CACHE[sf_dir]
 
 
-def _pq_oracle(sf_dir: str) -> str:
-    """Replays the FULL product-quantization pipeline in SQL: one
-    kmeans training chain per subspace over the sliced vectors
-    (prefixes p0..p3 keep them disjoint), codes = the per-subspace
-    final assignments joined on vec_id, ADC score = the left-fold sum
-    of the m join-side dots against the replayed codebooks — every
-    codebook element, code, and score must match the Spark path
-    bit-for-bit (decimal training sums + identical IEEE folds)."""
-    qv = _get_query_vec_duckdb(sf_dir, _PQ_QID)
-    # pq_train/pq_encode demand FULL-vector validity up front (length
-    # included), so every subspace chain trains on slices of the same
-    # full-valid row set
+def _pq_chain_ctes() -> list[str]:
+    """emb -> embv (full-valid) -> one kmeans chain per subspace over
+    the sliced vectors (prefixes p0..p3 keep them disjoint) -> codes
+    (vec_id, c0..c3).  pq_train/pq_encode demand FULL-vector validity
+    up front (length included), so every subspace chain trains on
+    slices of the same full-valid row set.  Shared by the flat-PQ and
+    IVF-PQ oracles."""
     ctes = [
         _EMB_CTE,
         f"embv AS (SELECT * FROM emb WHERE len(xd) = {_KM_DIM})",
@@ -2706,6 +2705,12 @@ def _pq_oracle(sf_dir: str) -> str:
     ctes.append(
         f"codes AS (SELECT vec_id, {code_cols} FROM embv {code_joins})"
     )
+    return ctes
+
+
+def _pq_adc_parts(qv: list[float]) -> tuple[list[str], list[str]]:
+    """(dot terms, codebook joins) of the ADC score against the
+    replayed per-subspace codebooks, for a ``codes c`` relation."""
     terms = []
     book_joins = []
     for j in range(_PQ_M):
@@ -2717,6 +2722,18 @@ def _pq_oracle(sf_dir: str) -> str:
         book_joins.append(
             f"JOIN p{j}c{_PQ_ITER} b{j} ON b{j}.cell = c.c{j}"
         )
+    return terms, book_joins
+
+
+def _pq_oracle(sf_dir: str) -> str:
+    """Replays the FULL product-quantization pipeline in SQL: the
+    per-subspace training chains, the code assignment, and the ADC
+    score as the left-fold sum of the m join-side dots — every
+    codebook element, code, and score must match the Spark path
+    bit-for-bit (decimal training sums + identical IEEE folds)."""
+    qv = _get_query_vec_duckdb(sf_dir, _PQ_QID)
+    ctes = _pq_chain_ctes()
+    terms, book_joins = _pq_adc_parts(qv)
     return f"""
     WITH {','.join(ctes)}
     SELECT c.vec_id,
@@ -2725,6 +2742,77 @@ def _pq_oracle(sf_dir: str) -> str:
     ORDER BY score DESC, c.vec_id
     LIMIT {_PQ_TOPK}
     """
+
+
+_IVFPQ_NPROBE = 3
+
+
+def _ivfpq_oracle(sf_dir: str) -> str:
+    """The composed IVF-PQ replay: the FLAGSHIP kmeans chain trains
+    the coarse cells (fin / c{iters}), the per-subspace chains train
+    the codebooks, a probe CTE ranks the cells against the query with
+    the SAME dot-minus-half-norm rule the assignment uses (ties to
+    the smaller cell), and the ADC top-k runs over codes restricted
+    to the probed cells — training, cell choice, pruning, and scoring
+    all replayed bit-for-bit."""
+    qv = _get_query_vec_duckdb(sf_dir, _PQ_QID)
+    q_lit = "list_value(" + ", ".join(
+        f"CAST('{float(x)!r}' AS DOUBLE)" for x in qv
+    ) + ")"
+    ctes = _pq_chain_ctes()
+    # the coarse-cell chain rides the SAME emb CTE; no name clashes
+    # with the p{j}-prefixed subspace chains
+    ctes += _km_train_ctes_over("emb")
+    ctes.append(f"""probe AS (
+      SELECT cell FROM (
+        SELECT cell,
+               ROW_NUMBER() OVER (ORDER BY
+                 (list_dot_product({q_lit}, cent)
+                  - CAST(0.5 AS DOUBLE) * list_dot_product(cent, cent))
+                 DESC, cell) AS rn
+        FROM c{_KM_ITER}) WHERE rn <= {_IVFPQ_NPROBE})""")
+    terms, book_joins = _pq_adc_parts(qv)
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT c.vec_id,
+           CAST(CAST(({' + '.join(terms)}) AS DECIMAL(28,6)) AS DOUBLE) AS score
+    FROM codes c {' '.join(book_joins)}
+    JOIN fin f ON f.vec_id = c.vec_id
+    WHERE f.cell IN (SELECT cell FROM probe)
+    ORDER BY score DESC, c.vec_id
+    LIMIT {_PQ_TOPK}
+    """
+
+
+@query("q_ivfpq_topk")  # oracle attached lazily in build_oracles()
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ at rest (operators/pq.py::ivfpq_topk_at_rest): trained
+    kmeans cells partition the PQ code table on disk; the probe ranks
+    the query against the centroids driver-side, reads ONLY the
+    nprobe nearest cell partitions (partition-pruned scan), and
+    ADC-scores m-int rows — probed bytes shrink by BOTH the PQ ratio
+    (4 ints vs 64 floats) and nprobe/k cells.  The oracle replays the
+    coarse training, the subspace training, the cell ranking, and the
+    ADC fold."""
+    import tempfile
+
+    from .operators.kmeans import kmeans_assignments
+    from .operators.pq import ivfpq_topk_at_rest, write_pq_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _trained_centroids(spark, sf_dir)
+    books = _trained_codebooks(spark, sf_dir)
+    cells = kmeans_assignments(emb, "embedding", cents, id_col="vec_id")
+    path = tempfile.mkdtemp(prefix="ivfpq_")
+    write_pq_index(
+        emb.join(cells, "vec_id"), "embedding", books, path,
+        id_col="vec_id", partition_cols=["cell"],
+    )
+    qv = _get_query_vec(spark, sf_dir, _PQ_QID)
+    return ivfpq_topk_at_rest(
+        spark, path, books, cents, qv, k=_PQ_TOPK,
+        nprobe=_IVFPQ_NPROBE, cell_rank="kmeans",
+    )
 
 
 # —— bloom-filter semi-join prefilter ——
