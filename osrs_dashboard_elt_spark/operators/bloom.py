@@ -36,7 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_HASH_HEX = 15  # 60-bit ints, same as the HLL/CMS hash discipline
+# 60-bit md5-prefix ints: the repo-wide hash rule lives in sketches.py
+from .sketches import _HASH_HEX
 
 
 def _hash_sql(key_expr: str, salt: str) -> str:
@@ -81,7 +82,10 @@ def bloom_build(
     one map-side-combined ``bit_or`` aggregate; the exchange carries
     at most ``m_bits/64`` rows per upstream partition.
     ``m_bits=None`` sizes automatically from a count of the build
-    side (one cheap aggregate on the SMALL side)."""
+    side (one cheap aggregate on the SMALL side).  NULL keys are
+    dropped — a plain semi-join ignores them, and a NULL hash
+    position would otherwise crash the word assembly."""
+    df = df.filter(F.col(key_col).isNotNull())
     if m_bits is None:
         m_bits = auto_m_bits(df.count())
     if m_bits % 64 != 0:
@@ -132,13 +136,17 @@ def bloom_prefilter(
     - NOT an ``X'...'`` hex literal in SQL text: k copies of the
       blob re-PARSE on every call (26 s in the scale probe).
 
-    The two md5 hashes and the k positions are projected ONCE and the
-    membership terms reference the projected columns, because filter
-    pushdown inlines alias definitions into every conjunct (k terms
-    x 2 references = up to 4k md5s per row otherwise).  Also mind
-    the INPUT partitioning: the md5 work is scan-side, so a 3-split
-    parquet read caps it at 3 cores (measured 5.5 s -> 1.2 s at 32
-    splits; see ``skew.ensure_min_partitions``)."""
+    The two md5 hashes and the k positions are WRITTEN as separate
+    projections, but deterministic-filter pushdown inlines the alias
+    definitions into every conjunct anyway, so the executed plan
+    re-evaluates the md5s per reference (~4k textual occurrences per
+    row — PLANS.md shows it).  Measured: 0.74 s over 600k keys at 32
+    splits inlined vs 0.40 s behind a cache() barrier — the 2x is
+    real but small, and a barrier costs a full materialization, so
+    the inlined form stays.  Mind the INPUT partitioning instead:
+    the md5 work is scan-side, so a 3-split parquet read caps it at
+    3 cores (5.5 s -> 1.2 s at 32 splits;
+    ``skew.ensure_min_partitions``)."""
     m_bits = len(words) * 64
     blob = b"".join(
         int(w % (1 << 64)).to_bytes(8, "little") for w in words
@@ -183,4 +191,7 @@ def bloom_semi_join(
     plain semi-join, a fraction of the shuffle."""
     words = bloom_build(small, key, m_bits=m_bits, k=k)
     pre = bloom_prefilter(big, key, words, k)
-    return pre.join(small.select(key).distinct(), key, "left_semi")
+    # no .distinct() on the build side: left_semi already
+    # deduplicates, and the distinct costs an extra Exchange + two
+    # HashAggregates for an identical result
+    return pre.join(small.select(key), key, "left_semi")

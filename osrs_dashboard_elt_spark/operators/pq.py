@@ -287,6 +287,11 @@ def ivfpq_topk_at_rest(
     the ranking entirely."""
     from .similarity import _fold_norm
 
+    if cell_rank not in ("cosine", "kmeans"):
+        raise ValueError(
+            f"cell_rank must be 'cosine' or 'kmeans', got {cell_rank!r} "
+            "— a silently-wrong ranking probes the wrong cells"
+        )
     if probe_cells is None:
         scores = []
         for c, cent in enumerate(centroids):

@@ -2845,7 +2845,10 @@ def q_bloom_semijoin(spark, sf_dir):
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_orderkey").alias("l_orderkey"))
     )
-    out = bloom_semi_join(li, urgent, "l_orderkey", m_bits=1 << 14, k=5)
+    # m_bits=None -> auto-sized from the build-side count: a fixed
+    # 2^14 saturated at sf0.1 (30k urgent keys -> 99.95% FP rate, the
+    # prefilter degraded to a full scan while staying correct)
+    out = bloom_semi_join(li, urgent, "l_orderkey", k=5)
     return out.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.countDistinct("l_orderkey").alias("n_orders"),

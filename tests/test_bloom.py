@@ -87,3 +87,19 @@ def test_bloom_persists_through_registry(spark, frames, tmp_path):
         for r in bloom_prefilter(big, "k", loaded["words"], loaded["k"]).collect()
     )
     assert a == b
+
+
+def test_null_build_keys_ignored(spark, frames):
+    """A NULL build-side key must be dropped (a plain semi-join
+    ignores NULL keys) — it used to crash the word assembly with a
+    NULL hash position."""
+    big, small = frames
+    with_null = small.unionByName(
+        spark.createDataFrame([(None,)], "k bigint")
+    )
+    words = bloom_build(with_null, "k", m_bits=1 << 12, k=5)
+    got = sorted(
+        r["k"] for r in bloom_semi_join(big, with_null, "k", k=5).collect()
+    )
+    want = sorted(r["k"] for r in big.join(small, "k", "left_semi").collect())
+    assert got == want
