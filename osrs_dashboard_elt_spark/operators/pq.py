@@ -243,6 +243,43 @@ def write_pq_index(
     w.parquet(path)
 
 
+def pq_append_index(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    partition_cols: list[str] | None = None,
+    skip_existing: bool = False,
+) -> None:
+    """Append a new batch to an existing PQ index — the ingest-side
+    half of the lifecycle (the dedup posting indexes already have
+    it): encode ONLY the batch with the SAME codebooks the index was
+    written with and append the code rows.  Per-batch cost is
+    O(batch), never O(corpus).  Single-writer contract, like every
+    at-rest index here.
+
+    ``skip_existing=True`` anti-joins the batch against the index's
+    id column first (redelivery safety).  That reads the id column of
+    the whole index — cheap in bytes (ids only, column-pruned) but
+    O(corpus) rows; prefer deduplicating upstream (the streaming
+    ingest's routing) and leave this off on hot paths."""
+    enc = pq_encode(
+        df, vec_col, codebooks, id_col=id_col, carry_cols=partition_cols
+    )
+    if skip_existing:
+        spark = df.sparkSession
+        existing = spark.read.parquet(path).select(id_col)
+        enc = enc.join(existing, id_col, "left_anti")
+    w = enc
+    if partition_cols:
+        w = enc.repartition(*[F.col(c) for c in partition_cols])
+    w = w.write.mode("append")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+
+
 def pq_adc_topk_at_rest(
     spark: SparkSession,
     path: str,

@@ -214,6 +214,39 @@ def test_ivfpq_probe_partition_prunes(spark, corpus, books, tmp_path):
     ]
 
 
+def test_append_index_lifecycle(spark, corpus, books, tmp_path):
+    """Incremental ingest: write a base index, append a new batch
+    encoded with the SAME codebooks, search sees both; a redelivered
+    batch with skip_existing never duplicates ids."""
+    from osrs_dashboard_elt_spark.operators.pq import pq_append_index
+
+    base = corpus.filter(F.col("vec_id") < 40)
+    batch = corpus.filter(F.col("vec_id") >= 40)
+    path = str(tmp_path / "pq_inc")
+    write_pq_index(base, "embedding", books, path, id_col="vec_id")
+    pq_append_index(batch, "embedding", books, path, id_col="vec_id")
+    got = spark.read.parquet(path)
+    assert got.count() == 48
+    # search over the appended index equals a fresh full encode
+    q = _vec(3)
+    a = pq_adc_topk_at_rest(spark, path, books, q, k=5).collect()
+    b = pq_adc_topk(
+        pq_encode(corpus, "embedding", books, id_col="vec_id"),
+        books, q, k=5,
+    ).collect()
+    assert [(r["vec_id"], r["score"]) for r in a] == [
+        (r["vec_id"], r["score"]) for r in b
+    ]
+    # redelivery: the same batch again with skip_existing is a no-op
+    pq_append_index(
+        batch, "embedding", books, path, id_col="vec_id",
+        skip_existing=True,
+    )
+    after = spark.read.parquet(path)
+    assert after.count() == 48
+    assert after.select("vec_id").distinct().count() == 48
+
+
 def test_compression_ratio_story(books):
     """The claim in the module docstring: m small ints vs d floats.
     Not a perf test — just pins the arithmetic the docs cite."""
