@@ -269,8 +269,14 @@ def pq_append_index(
     )
     if skip_existing:
         spark = df.sparkSession
-        existing = spark.read.parquet(path).select(id_col)
-        enc = enc.join(existing, id_col, "left_anti")
+        try:
+            existing = spark.read.parquet(path).select(id_col)
+            enc = enc.join(existing, id_col, "left_anti")
+        except Exception:
+            # a bootstrap index written from an EMPTY frame has no
+            # part files (only _SUCCESS), so the read cannot infer a
+            # schema — nothing exists to anti-join against
+            pass
     w = enc
     if partition_cols:
         w = enc.repartition(*[F.col(c) for c in partition_cols])

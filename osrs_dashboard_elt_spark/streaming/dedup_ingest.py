@@ -87,6 +87,7 @@ def start_dedup_ingest(
     lm_model: tuple[DataFrame, DataFrame, int] | None = None,
     max_avg_nll: float | None = None,
     probe_model: tuple[list[float], float] | None = None,
+    ann_index: tuple[list[list[list[float]]], str] | None = None,
 ) -> StreamingQuery:
     """Start the dedup-ingest stream.  ``index_table`` must already
     exist (``write_minhash_index`` over the current corpus — an empty
@@ -120,7 +121,14 @@ def start_dedup_ingest(
     model registry) — docs scoring below the cutoff quarantine with
     reason ``low_quality_score``.  Serving cost is ONE scan-side
     projection per batch, no joins: the registry model trained
-    against these exact feature expressions."""
+    against these exact feature expressions.
+
+    ``ann_index`` keeps a PQ ANN index FRESH as docs land: pass
+    ``(codebooks, path)`` (a trained model, typically from the
+    registry, and an existing ``write_pq_index`` output) and every
+    accepted doc is embedded (Arrow-batched) and its codes appended —
+    a just-ingested doc is immediately searchable.  O(batch) encode;
+    replay-safe via an id anti-join."""
     params = dict(
         num_perm=num_perm, bands=bands, seed=seed, shingle_n=shingle_n
     )
@@ -297,7 +305,32 @@ def start_dedup_ingest(
                 "n_already_ingested": already.count(),
                 "n_accepted": n_accepted,
             }
-            # 4. extend the index with the accepted docs' postings
+            # 4a. optional ANN freshness: embed the accepted docs and
+            # append their PQ codes, so a just-ingested doc is
+            # immediately searchable (O(batch) — the codebooks are a
+            # fixed trained model, typically loaded from the
+            # registry).  MUST run BEFORE the minhash append below:
+            # writing the catalog table invalidates accepted's cached
+            # plan, and a re-execution would re-probe the
+            # freshly-extended index, flag this batch's own docs as
+            # already_ingested, and evaluate accepted as EMPTY (the
+            # same table-write gotcha the metrics freeze guards).
+            if ann_index is not None:
+                from ..multimodal.embedder import embed_documents
+                from ..operators.pq import pq_append_index
+
+                books, ann_path = ann_index
+                # skip_existing: a crash between this append and the
+                # batch's replay reprocesses the same docs — the
+                # anti-join keeps the code table duplicate-free (ids
+                # only, column-pruned; swap for upstream dedup if the
+                # id scan ever hurts)
+                pq_append_index(
+                    embed_documents(accepted, id_col),
+                    "embedding", books, ann_path, id_col=id_col,
+                    skip_existing=True,
+                )
+            # 4b. extend the index with the accepted docs' postings
             # (accepted carries the full batch columns — no join back)
             write_minhash_index(
                 accepted, index_table, id_col, text_col,

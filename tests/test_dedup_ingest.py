@@ -255,3 +255,59 @@ def test_probe_quality_gate_quarantines_low_scores(spark, ingest_env):
     assert (2, "low_quality_score") in rows
     acc = spark.read.parquet(str(ingest_env / "out" / "accepted"))
     assert {r.doc_id for r in acc.collect()} == {1}
+
+
+def test_ann_index_freshness(spark, ingest_env):
+    """With ann_index armed, every ACCEPTED doc's PQ codes land in
+    the at-rest ANN index within its own micro-batch — a
+    just-ingested doc is immediately searchable; quarantined docs
+    never enter the index; a fresh-checkpoint replay cannot
+    duplicate codes (id anti-join)."""
+    from osrs_dashboard_elt_spark.multimodal.embedder import embed_documents
+    from osrs_dashboard_elt_spark.operators.pq import pq_train, write_pq_index
+
+    # codebooks: a fixed model trained on a seed corpus's embeddings
+    seed_docs = spark.createDataFrame(
+        [(100 + i,) for i in range(20)], "doc_id long"
+    )
+    books = pq_train(
+        embed_documents(seed_docs, "doc_id"), "embedding",
+        m=4, k=4, n_iter=1, id_col="doc_id", seed=3,
+    )
+    ann_path = str(ingest_env / "ann")
+    write_pq_index(
+        spark.createDataFrame([], "doc_id long, embedding array<double>"),
+        "embedding", books, ann_path, id_col="doc_id",
+    )
+
+    src = ingest_env / "in"
+    src.mkdir()
+    _write_batch(src, "b0.json", [(1, TEXT_A), (2, TEXT_A_NEAR), (3, TEXT_B)])
+    counts: list = []
+
+    def go(ckpt):
+        stream = spark.readStream.schema("doc_id long, text string").json(
+            str(src)
+        )
+        q = start_dedup_ingest(
+            stream, "mh_ingest", str(ingest_env / "out"), str(ckpt),
+            n_buckets=4, available_now=True,
+            on_batch=lambda bid, c: counts.append(c),
+            ann_index=(books, ann_path), **PARAMS,
+        )
+        q.awaitTermination(120)
+
+    go(ingest_env / "ckpt")
+    acc = {
+        r.doc_id
+        for r in spark.read.parquet(
+            str(ingest_env / "out" / "accepted")
+        ).collect()
+    }
+    idx = spark.read.parquet(ann_path)
+    assert {r.doc_id for r in idx.collect()} == acc  # exactly the accepted
+    assert 2 not in acc  # the near-dup quarantined, so not indexed
+    # fresh-checkpoint replay of the same files: no duplicate codes
+    go(ingest_env / "ckpt2")
+    after = spark.read.parquet(ann_path)
+    assert after.count() == after.select("doc_id").distinct().count() == len(acc)
