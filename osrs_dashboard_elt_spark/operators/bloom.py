@@ -40,16 +40,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# the build/probe seed pair: ONE definition — diverging call sites
+# would compute unrelated positions and silently empty every result
+_SEED1, _SEED2 = 42, 4243
+
+
 def _hash_sql(key_expr: str, seed: int) -> str:
     """One 62-bit non-negative hash of the key as SQL text — build
     and probe share this exact formula.  xxhash64 is Spark-NATIVE
-    (codegen, no string round-trip): the bloom never crosses engines,
-    so the md5-string discipline the sketch oracles need would be
-    pure overhead here (measured 14x on the probe scan).  The
-    UNSIGNED shift clears the sign bit (plain SHIFTRIGHT sign-extends
-    a negative hash) so the position arithmetic below stays
-    non-negative."""
-    return f"SHIFTRIGHTUNSIGNED(XXHASH64({key_expr}, {seed}), 2)"
+    (codegen): the bloom never crosses engines, so the md5-string
+    discipline the sketch oracles need would be pure overhead here
+    (measured 14x on the probe scan).  The key is CAST to STRING
+    first — xxhash64 hashes INT and BIGINT differently, so without
+    the normalization a dim table keyed int against a fact table
+    keyed bigint would produce FALSE NEGATIVES (breaking the
+    operator's core contract).  The UNSIGNED shift clears the sign
+    bit (plain SHIFTRIGHT sign-extends a negative hash) so the
+    position arithmetic below stays non-negative."""
+    return (
+        f"SHIFTRIGHTUNSIGNED(XXHASH64(CAST({key_expr} AS STRING),"
+        f" {seed}), 2)"
+    )
 
 
 def _positions_from(h1: str, h2: str, k: int, m_bits: int) -> list[str]:
@@ -99,8 +110,8 @@ def bloom_build(
         m_bits = auto_m_bits(df.count())
     if m_bits % 64 != 0:
         raise ValueError("m_bits must be a multiple of 64")
-    h1 = _hash_sql(key_col, 42)
-    h2 = _hash_sql(key_col, 4243)
+    h1 = _hash_sql(key_col, _SEED1)
+    h2 = _hash_sql(key_col, _SEED2)
     pos = F.explode(
         F.expr(
             "ARRAY(" + ", ".join(_positions_from("__h1", "__h2", k, m_bits)) + ")"
@@ -145,27 +156,27 @@ def bloom_prefilter(
     - NOT an ``X'...'`` hex literal in SQL text: k copies of the
       blob re-PARSE on every call (26 s in the scale probe).
 
-    The two md5 hashes and the k positions are WRITTEN as separate
+    The two hashes and the k positions are WRITTEN as separate
     projections, but deterministic-filter pushdown inlines the alias
     definitions into every conjunct anyway, so the executed plan
-    re-evaluates the md5s per reference (~4k textual occurrences per
-    row — PLANS.md shows it).  Measured: 0.74 s over 600k keys at 32
-    splits inlined vs 0.40 s behind a cache() barrier — the 2x is
-    real but small, and a barrier costs a full materialization, so
-    the inlined form stays.  Mind the INPUT partitioning instead:
-    the md5 work is scan-side, so a 3-split parquet read caps it at
-    3 cores (5.5 s -> 1.2 s at 32 splits;
-    ``skew.ensure_min_partitions``)."""
+    re-evaluates the hash per reference (~4k textual occurrences per
+    row — PLANS.md shows it); xxhash64 is cheap enough that this and
+    the input split count stopped mattering (the md5 ancestor paid
+    5.5 s on a 3-split scan for the same work xxhash64 does in
+    ~0.3 s).  NULL keys are dropped — xxhash64(NULL) is a non-null
+    constant, so without the filter every NULL-key row would share
+    one position set and pass or fail together (the md5 form
+    propagated NULL and dropped them implicitly)."""
     m_bits = len(words) * 64
     blob = b"".join(
         int(w % (1 << 64)).to_bytes(8, "little") for w in words
     )
     lit = F.lit(blob)
     pcols = [f"__bp{j}" for j in range(k)]
-    hashed = df.select(
+    hashed = df.filter(F.col(key_col).isNotNull()).select(
         "*",
-        F.expr(_hash_sql(key_col, 42)).alias("__h1"),
-        F.expr(_hash_sql(key_col, 4243)).alias("__h2"),
+        F.expr(_hash_sql(key_col, _SEED1)).alias("__h1"),
+        F.expr(_hash_sql(key_col, _SEED2)).alias("__h2"),
     )
     proj = hashed.select(
         "*",
@@ -193,12 +204,17 @@ def bloom_semi_join(
     key: str,
     m_bits: int | None = None,
     k: int = 7,
+    words: list[int] | None = None,
 ) -> DataFrame:
     """``big`` semi-joined to ``small`` on ``key``, bloom-prefiltered:
     the scan drops ~(1-FP) of the non-matching probe rows before the
     exact semi-join confirms the survivors — identical output to the
-    plain semi-join, a fraction of the shuffle."""
-    words = bloom_build(small, key, m_bits=m_bits, k=k)
+    plain semi-join, a fraction of the shuffle.  Pass prebuilt
+    ``words`` (a memoized or registry-loaded filter) to skip the
+    build aggregates; the composition stays in ONE place either
+    way."""
+    if words is None:
+        words = bloom_build(small, key, m_bits=m_bits, k=k)
     pre = bloom_prefilter(big, key, words, k)
     # no .distinct() on the build side: left_semi already
     # deduplicates, and the distinct costs an extra Exchange + two

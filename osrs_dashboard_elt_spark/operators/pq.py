@@ -263,20 +263,49 @@ def pq_append_index(
     id column first (redelivery safety).  That reads the id column of
     the whole index — cheap in bytes (ids only, column-pruned) but
     O(corpus) rows; prefer deduplicating upstream (the streaming
-    ingest's routing) and leave this off on hot paths."""
+    ingest's routing) and leave this off on hot paths.
+
+    ``partition_cols`` must MATCH how the index was written: an
+    unpartitioned append into a cell-partitioned layout (or vice
+    versa) corrupts partition discovery — validated against the
+    on-disk layout."""
+    jvm = df.sparkSession._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(df.sparkSession._jsc.hadoopConfiguration())
+    on_disk_partitioned = any(
+        "=" in st.getPath().getName()
+        for st in fs.listStatus(hpath)
+        if st.isDirectory()
+    ) if fs.exists(hpath) else bool(partition_cols)
+    if bool(partition_cols) != on_disk_partitioned:
+        raise ValueError(
+            f"pq_append_index: partition_cols={partition_cols!r} does "
+            f"not match the on-disk layout at {path!r} "
+            f"(partitioned={on_disk_partitioned}) — a mismatched "
+            "append corrupts partition discovery"
+        )
     enc = pq_encode(
         df, vec_col, codebooks, id_col=id_col, carry_cols=partition_cols
     )
     if skip_existing:
         spark = df.sparkSession
+        from pyspark.errors import AnalysisException
+
         try:
             existing = spark.read.parquet(path).select(id_col)
             enc = enc.join(existing, id_col, "left_anti")
-        except Exception:
+        except AnalysisException:
             # a bootstrap index written from an EMPTY frame has no
             # part files (only _SUCCESS), so the read cannot infer a
-            # schema — nothing exists to anti-join against
-            pass
+            # schema — nothing exists to anti-join against.  Other
+            # failures (bad path, permissions, corrupt footers) must
+            # NOT be swallowed: silently skipping the anti-join would
+            # quietly re-append redelivered ids
+            if fs.exists(hpath) and any(
+                st.getPath().getName().endswith(".parquet")
+                for st in fs.listStatus(hpath)
+            ):
+                raise
     w = enc
     if partition_cols:
         w = enc.repartition(*[F.col(c) for c in partition_cols])

@@ -315,19 +315,29 @@ def start_dedup_ingest(
             # freshly-extended index, flag this batch's own docs as
             # already_ingested, and evaluate accepted as EMPTY (the
             # same table-write gotcha the metrics freeze guards).
-            if ann_index is not None:
+            if ann_index is not None and n_accepted:
                 from ..multimodal.embedder import embed_documents
                 from ..operators.pq import pq_append_index
 
                 books, ann_path = ann_index
+                # the embedder must produce the codebooks' dimension
+                # or pq_encode's validity filter silently drops every
+                # row — derive dim from the model, never a default
+                ann_dim = len(books) * len(books[0][0])
+                # embed_documents hard-codes its output column to
+                # doc_id (the Arrow schema) — alias through and back
+                # so any id_col works
+                emb = embed_documents(
+                    accepted.select(F.col(id_col).alias("doc_id")),
+                    "doc_id", dim=ann_dim,
+                ).withColumnRenamed("doc_id", id_col)
                 # skip_existing: a crash between this append and the
                 # batch's replay reprocesses the same docs — the
                 # anti-join keeps the code table duplicate-free (ids
                 # only, column-pruned; swap for upstream dedup if the
                 # id scan ever hurts)
                 pq_append_index(
-                    embed_documents(accepted, id_col),
-                    "embedding", books, ann_path, id_col=id_col,
+                    emb, "embedding", books, ann_path, id_col=id_col,
                     skip_existing=True,
                 )
             # 4b. extend the index with the accepted docs' postings

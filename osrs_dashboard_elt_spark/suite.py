@@ -2852,14 +2852,15 @@ def q_bloom_semijoin(spark, sf_dir):
     PLAIN semi-join, proving the prefilter never changes results.
     At 100 TB this is the explicit form of the runtime bloom-filter
     join, persistable (registry) and applicable to any frame pair.
-    The fact scan takes the opt-in parallelism floor: the md5 probe
+    The fact scan takes the opt-in parallelism floor: the hash probe
     work is scan-side, so an under-split local parquet read would
-    serialize it onto 3 cores (no-op on real multi-split inputs)."""
-    from .operators.bloom import bloom_build, bloom_prefilter
+    serialize it onto few cores (no-op on real multi-split
+    inputs)."""
+    from .operators.bloom import bloom_build, bloom_semi_join
     from .operators.skew import ensure_min_partitions
 
     # project the two touched columns BEFORE the floor: the opt-in
-    # repartition then moves 2 narrow columns, not 16 — chasing md5
+    # repartition then moves 2 narrow columns, not 16 — chasing hash
     # parallelism must not cost a wide-row shuffle
     li = ensure_min_partitions(
         _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
@@ -2874,8 +2875,9 @@ def q_bloom_semijoin(spark, sf_dir):
     # prefilter degraded to a full scan while staying correct)
     if sf_dir not in _BLOOM_CACHE:
         _BLOOM_CACHE[sf_dir] = bloom_build(urgent, "l_orderkey", k=5)
-    pre = bloom_prefilter(li, "l_orderkey", _BLOOM_CACHE[sf_dir], k=5)
-    out = pre.join(urgent, "l_orderkey", "left_semi")
+    out = bloom_semi_join(
+        li, urgent, "l_orderkey", k=5, words=_BLOOM_CACHE[sf_dir]
+    )
     return out.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.countDistinct("l_orderkey").alias("n_orders"),

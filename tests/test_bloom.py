@@ -103,3 +103,16 @@ def test_null_build_keys_ignored(spark, frames):
     )
     want = sorted(r["k"] for r in big.join(small, "k", "left_semi").collect())
     assert got == want
+
+
+def test_null_probe_keys_dropped(spark, frames):
+    """xxhash64(NULL) is a non-null constant — without an explicit
+    filter every NULL-key probe row would share one position set;
+    they must drop instead (semi-join semantics)."""
+    big, small = frames
+    words = bloom_build(small, "k", m_bits=1 << 12, k=5)
+    with_null = big.unionByName(
+        spark.createDataFrame([(None, 0)], "k bigint, v int")
+    )
+    got = bloom_prefilter(with_null, "k", words, 5)
+    assert got.filter(F.col("k").isNull()).count() == 0
