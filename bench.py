@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "q_jl_projection",
     "q_probe_calibration",
     "q_bloom_semijoin",
+    "q_exact_quantiles",
     "q_text_quality_by_lang",
     "q_doc_fingerprint",
     "q_media_features",

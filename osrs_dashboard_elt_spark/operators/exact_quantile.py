@@ -1,0 +1,128 @@
+"""Exact distributed order statistics (k-th element / quantiles).
+
+The histogram sketches (``operators/sketches.py``) answer quantile
+queries approximately in one pass; some consumers need the EXACT
+value (billing thresholds, regulatory cut-offs, deterministic dataset
+splits).  The classic scalable form is iterative range narrowing:
+
+1. histogram the column into ``n_bins`` equal-width bins over the
+   current [lo, hi) range (one map-side-combined aggregate — the
+   exchange carries at most n_bins rows per upstream partition);
+2. walk the bin counts driver-side to find the bin containing the
+   k-th element and recurse INTO that bin's range;
+3. stop when the candidate bin holds <= ``collect_limit`` rows and
+   sort just those driver-side.
+
+Rounds are bounded by ``log_{n_bins}(range/resolution)`` — for 64-bit
+integer domains at n_bins=4096 that is <= 6 scans, independent of row
+count; each scan is a full pass but carries ONE long per row into a
+bounded aggregate.  Skew cannot break it: a degenerate bin (many
+duplicates of one value) terminates immediately because the range
+collapses to a point.
+
+Values must be integral (long) — exactness over doubles is
+ill-defined under binning; fixed-point-encode decimals first (the
+caller knows the scale, e.g. cents).  NULLs are excluded, matching
+SQL ``percentile_disc``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_kth(
+    df: DataFrame,
+    col: str,
+    k: int,
+    n_bins: int = 4096,
+    collect_limit: int = 100_000,
+    max_rounds: int = 20,
+) -> int:
+    """The exact k-th smallest (1-based) of an integral column.
+
+    Driver loop like the kmeans fit: each round is one bounded
+    aggregate; the driver holds only bin counts (n_bins longs) and,
+    at the end, one small sorted slice."""
+    vals = df.select(F.col(col).cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    stats = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__v").alias("lo"),
+        F.max("__v").alias("hi"),
+    ).collect()[0]
+    n, lo, hi = stats["n"], stats["lo"], stats["hi"]
+    if n == 0:
+        raise ValueError("exact_kth: no non-null values")
+    if not 1 <= k <= n:
+        raise ValueError(f"exact_kth: k={k} out of range 1..{n}")
+    # rank of the k-th element within the current [lo, hi] slice
+    rank = k
+    for _ in range(max_rounds):
+        if lo == hi:
+            return int(lo)
+        span = hi - lo + 1
+        if span <= n_bins:
+            # one exact count per distinct value — finish here
+            counts = (
+                vals.filter((F.col("__v") >= lo) & (F.col("__v") <= hi))
+                .groupBy("__v")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+            acc = 0
+            for r in sorted(counts, key=lambda r: r["__v"]):
+                acc += r["c"]
+                if acc >= rank:
+                    return int(r["__v"])
+            raise AssertionError("rank exceeded slice count")
+        width = -(-span // n_bins)  # ceil
+        hist = (
+            vals.filter((F.col("__v") >= lo) & (F.col("__v") <= hi))
+            .select(((F.col("__v") - lo) / width).cast("int").alias("__b"))
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        acc = 0
+        target_bin = None
+        for r in sorted(hist, key=lambda r: r["__b"]):
+            if acc + r["c"] >= rank:
+                target_bin = r["__b"]
+                rank -= acc
+                break
+            acc += r["c"]
+        if target_bin is None:
+            raise AssertionError("rank exceeded histogram total")
+        lo, hi = lo + target_bin * width, min(hi, lo + (target_bin + 1) * width - 1)
+        # small-slice shortcut: collect and sort the survivors
+        slice_n = [r for r in hist if r["__b"] == target_bin][0]["c"]
+        if slice_n <= collect_limit:
+            rows = (
+                vals.filter((F.col("__v") >= lo) & (F.col("__v") <= hi))
+                .orderBy("__v")
+                .limit(int(rank))
+                .collect()
+            )
+            return int(rows[rank - 1]["__v"])
+    raise RuntimeError("exact_kth: max_rounds exceeded (range not shrinking?)")
+
+
+def exact_quantile(
+    df: DataFrame, col: str, q: float, **kwargs
+) -> int:
+    """Exact discrete percentile: the smallest value whose rank
+    covers ``ceil(q * n)`` (the cume_dist >= q rule).  ``q`` is taken
+    at its exact IEEE value via Fraction, so the rank is engine-
+    independent — an oracle replays the same rule with ROW_NUMBER
+    rather than trusting any engine's percentile_disc rounding."""
+    from fractions import Fraction
+
+    n = df.filter(F.col(col).isNotNull()).count()
+    if n == 0:
+        raise ValueError("exact_quantile: no non-null values")
+    frac = Fraction(q) * n
+    k = max(1, -(-frac.numerator // frac.denominator))  # exact ceil
+    return exact_kth(df, col, k, **kwargs)

@@ -2823,6 +2823,51 @@ def q_ivfpq_topk(spark, sf_dir):
     )
 
 
+# —— exact distributed order statistics ——
+_EQ_ORACLE = """
+    WITH v AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM v),
+    n AS (SELECT COUNT(*) AS cnt FROM v)
+    SELECT
+      (SELECT MIN(c) FROM r, n WHERE rn >= CAST(CEIL(0.25 * cnt) AS BIGINT)) AS p25_cents,
+      (SELECT MIN(c) FROM r, n WHERE rn >= CAST(CEIL(0.5 * cnt) AS BIGINT)) AS median_cents,
+      (SELECT MIN(c) FROM r, n WHERE rn >= CAST(CEIL(0.75 * cnt) AS BIGINT)) AS p75_cents
+"""
+
+
+@query("q_exact_quantiles", oracle=_EQ_ORACLE)
+def q_exact_quantiles(spark, sf_dir):
+    """EXACT distributed quantiles (operators/exact_quantile.py) —
+    the exact counterpart to the mergeable histogram sketch: iterative
+    range narrowing, each round ONE bounded aggregate (n_bins counts
+    per upstream partition), rounds <= log_bins(range) independent of
+    row count, driver holds only bin counts.  Prices fixed-point
+    encode to cents (decimal * 100 — exact), and the rank rule is
+    ceil(q*n) at q's exact IEEE value, so the oracle replays the SAME
+    integer rank with ROW_NUMBER instead of trusting any engine's
+    percentile rounding.  The three quantiles here are exact binary
+    fractions, so the SQL CEIL agrees by construction."""
+    from .operators.exact_quantile import exact_quantile
+
+    # prices are stored DOUBLE: x*100 sits within ~1e-9 of an integer,
+    # so ROUND-then-cast is engine-stable (a bare cast truncates in
+    # Spark and rounds in DuckDB - measured one-cent disagreements)
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    p25, p50, p75 = (
+        exact_quantile(li, "cents", q, n_bins=512)
+        for q in (0.25, 0.5, 0.75)
+    )
+    return spark.createDataFrame(
+        [(p25, p50, p75)],
+        "p25_cents bigint, median_cents bigint, p75_cents bigint",
+    )
+
+
 # —— bloom-filter semi-join prefilter ——
 _BLOOM_ORACLE = """
     SELECT l_returnflag,
