@@ -246,6 +246,27 @@ def main() -> None:
         # side to the touched columns so the probe measures the
         # operator, not 16-column row copies through the harness's
         # replication shuffle.
+        # exact median via iterative range narrowing: rounds bounded
+        # by log_bins(range) — wall should track the scan linearly
+        # while the per-round exchange stays n_bins rows/partition.
+        # Wrapped to a 1-row frame: the harness times fn(t).count(),
+        # and the driver loop runs eagerly inside fn(t)
+        "exact_median": lambda t: (
+            lambda v: t["lineitem"].sparkSession.createDataFrame(
+                [(v,)], "median_cents bigint"
+            )
+        )(
+            __import__(
+                "osrs_dashboard_elt_spark.operators.exact_quantile",
+                fromlist=["x"],
+            ).exact_quantile(
+                t["lineitem"].select(
+                    F.round(F.col("l_extendedprice") * 100)
+                    .cast("long").alias("c")
+                ),
+                "c", 0.5, n_bins=512,
+            )
+        ),
         "bloom_semijoin": lambda t: __import__(
             "osrs_dashboard_elt_spark.operators.bloom", fromlist=["x"]
         ).bloom_semi_join(
@@ -349,7 +370,7 @@ def main() -> None:
     need_emb = {"embedding_neardup", "semantic_dedup", "pq_search",
                 "probe_train"} & set(ops)
     need_li = {"item_copurchase", "waiting_orders", "pagerank",
-               "bloom_semijoin"} & set(ops)
+               "bloom_semijoin", "exact_median"} & set(ops)
     need_ev = {"cms_heavy_hitters", "hll_rolling", "hll_overlap",
                "timer_sessions"} & set(ops)
     probe_batch = None
