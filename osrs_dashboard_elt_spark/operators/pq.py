@@ -315,6 +315,87 @@ def pq_append_index(
     w.parquet(path)
 
 
+def _tombstone_path(path: str) -> str:
+    return path.rstrip("/") + "__tombstones"
+
+
+def pq_delete_from_index(
+    df_or_ids, path: str, id_col: str = "vec_id"
+) -> int:
+    """Tombstone vectors in an at-rest PQ index (takedown, quality
+    re-filter): their codes stop matching searches IMMEDIATELY, and
+    ``pq_compact_index`` drops them physically — the same lifecycle
+    contract as the dedup posting indexes
+    (``dedup_index.delete_from_index``).  Tombstones are an
+    append-only one-column parquet dir next to the index — bytes-tiny
+    and broadcast at search time.  Returns the count tombstoned."""
+    if isinstance(df_or_ids, DataFrame):
+        tomb = df_or_ids.select(
+            F.col(df_or_ids.columns[0]).alias(id_col)
+        )
+        spark = df_or_ids.sparkSession
+    else:
+        ids = list(df_or_ids)
+        if not ids:
+            return 0
+        from pyspark.sql import SparkSession as _S
+
+        spark = _S.getActiveSession()
+        tomb = spark.createDataFrame([(i,) for i in ids], f"{id_col} bigint")
+    tomb = tomb.distinct().persist()
+    n = tomb.count()
+    tomb.coalesce(1).write.mode("append").parquet(_tombstone_path(path))
+    tomb.unpersist()
+    return n
+
+
+def _without_tombstones(
+    spark: SparkSession, codes: DataFrame, path: str, id_col: str
+) -> DataFrame:
+    try:
+        tomb = spark.read.parquet(_tombstone_path(path)).select(id_col)
+    except Exception:
+        return codes  # no tombstones ever written
+    return codes.join(F.broadcast(tomb.distinct()), id_col, "left_anti")
+
+
+def pq_compact_index(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "vec_id",
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Physically drop tombstoned codes and merge append small-files:
+    rewrite the survivors into a fresh sibling dir and swap by rename
+    (single-writer contract).  Tombstones are KEPT — a deleted id
+    redelivered later must not resurrect just because the compactor
+    ran.  Returns surviving row count."""
+    import uuid as _uuid
+
+    live = _without_tombstones(
+        spark, spark.read.parquet(path), path, id_col
+    ).persist()
+    n = live.count()
+    tmp = f"{path}__swap-{_uuid.uuid4().hex[:8]}"
+    w = live
+    if partition_cols:
+        w = live.repartition(*[F.col(c) for c in partition_cols])
+    w = w.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(tmp)
+    live.unpersist()
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    old = f"{path}__old-{_uuid.uuid4().hex[:8]}"
+    fs.rename(jvm.org.apache.hadoop.fs.Path(path), jvm.org.apache.hadoop.fs.Path(old))
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jvm.org.apache.hadoop.fs.Path(path))
+    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+    return n
+
+
 def pq_adc_topk_at_rest(
     spark: SparkSession,
     path: str,
@@ -324,10 +405,12 @@ def pq_adc_topk_at_rest(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Search a written PQ index: the scan reads only the code bytes
-    (column pruning drops everything else at the parquet reader)."""
-    return pq_adc_topk(
-        spark.read.parquet(path), codebooks, query, k, id_col=id_col
+    (column pruning drops everything else at the parquet reader).
+    Tombstoned ids (``pq_delete_from_index``) never surface."""
+    codes = _without_tombstones(
+        spark, spark.read.parquet(path), path, id_col
     )
+    return pq_adc_topk(codes, codebooks, query, k, id_col=id_col)
 
 
 def ivfpq_topk_at_rest(
@@ -375,7 +458,9 @@ def ivfpq_topk_at_rest(
         probe_cells = [
             c for _, c in sorted(scores, key=lambda t: (-t[0], t[1]))[:nprobe]
         ]
-    codes = spark.read.parquet(path).filter(
-        F.col(cell_col).isin(probe_cells)
+    codes = _without_tombstones(
+        spark,
+        spark.read.parquet(path).filter(F.col(cell_col).isin(probe_cells)),
+        path, id_col,
     )
     return pq_adc_topk(codes, codebooks, query, k, id_col=id_col)

@@ -253,3 +253,41 @@ def test_compression_ratio_story(books):
     raw_bytes = DIM * 4
     code_bytes = M  # k<=256 -> 1 byte/code at rest
     assert raw_bytes / code_bytes >= 16
+
+
+def test_delete_and_compact_lifecycle(spark, corpus, books, tmp_path):
+    """Tombstoned ids vanish from searches immediately, survive
+    compaction (a redelivered deleted id must not resurrect), and the
+    compactor physically drops their codes."""
+    from osrs_dashboard_elt_spark.operators.pq import (
+        pq_append_index,
+        pq_compact_index,
+        pq_delete_from_index,
+    )
+
+    path = str(tmp_path / "pq_life")
+    write_pq_index(corpus, "embedding", books, path, id_col="vec_id")
+    q = _vec(2)
+    before = {r["vec_id"] for r in
+              pq_adc_topk_at_rest(spark, path, books, q, k=48).collect()}
+    victim = sorted(before)[0]
+    assert pq_delete_from_index([victim], path) == 1
+    after = {r["vec_id"] for r in
+             pq_adc_topk_at_rest(spark, path, books, q, k=48).collect()}
+    assert victim not in after and after == before - {victim}
+    # compaction drops the codes physically; searches unchanged
+    n = pq_compact_index(spark, path)
+    assert n == 47
+    assert spark.read.parquet(path).count() == 47
+    post = {r["vec_id"] for r in
+            pq_adc_topk_at_rest(spark, path, books, q, k=48).collect()}
+    assert post == after
+    # a redelivered deleted id cannot resurrect: the tombstone
+    # survives compaction, so the appended code stays invisible
+    pq_append_index(
+        corpus.filter(F.col("vec_id") == victim), "embedding", books,
+        path, id_col="vec_id",
+    )
+    again = {r["vec_id"] for r in
+             pq_adc_topk_at_rest(spark, path, books, q, k=48).collect()}
+    assert victim not in again
