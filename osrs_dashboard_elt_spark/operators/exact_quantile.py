@@ -32,6 +32,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _stats(df: DataFrame, col: str):
+    vals = df.select(F.col(col).cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    s = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__v").alias("lo"),
+        F.max("__v").alias("hi"),
+    ).collect()[0]
+    return vals, s["n"], s["lo"], s["hi"]
+
+
 def exact_kth(
     df: DataFrame,
     col: str,
@@ -45,21 +57,25 @@ def exact_kth(
     Driver loop like the kmeans fit: each round is one bounded
     aggregate; the driver holds only bin counts (n_bins longs) and,
     at the end, one small sorted slice."""
-    vals = df.select(F.col(col).cast("long").alias("__v")).filter(
-        F.col("__v").isNotNull()
-    )
-    stats = vals.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("__v").alias("lo"),
-        F.max("__v").alias("hi"),
-    ).collect()[0]
-    n, lo, hi = stats["n"], stats["lo"], stats["hi"]
+    vals, n, lo, hi = _stats(df, col)
     if n == 0:
         raise ValueError("exact_kth: no non-null values")
     if not 1 <= k <= n:
         raise ValueError(f"exact_kth: k={k} out of range 1..{n}")
-    # rank of the k-th element within the current [lo, hi] slice
-    rank = k
+    return _kth_in_range(
+        vals, k, lo, hi, n_bins, collect_limit, max_rounds
+    )
+
+
+def _kth_in_range(
+    vals: DataFrame,
+    rank: int,
+    lo: int,
+    hi: int,
+    n_bins: int,
+    collect_limit: int,
+    max_rounds: int,
+) -> int:
     for _ in range(max_rounds):
         if lo == hi:
             return int(lo)
@@ -110,6 +126,34 @@ def exact_kth(
     raise RuntimeError("exact_kth: max_rounds exceeded (range not shrinking?)")
 
 
+def _ceil_rank(q: float, n: int) -> int:
+    from fractions import Fraction
+
+    frac = Fraction(q) * n
+    return max(1, -(-frac.numerator // frac.denominator))
+
+
+def exact_quantiles(
+    df: DataFrame, col: str, qs, **kwargs
+) -> dict:
+    """Several exact discrete percentiles with ONE shared stats scan
+    (the per-q narrowing loops reuse the same count/min/max) —
+    ``{q: value}``.  Same rank rule as :func:`exact_quantile`."""
+    n_bins = kwargs.pop("n_bins", 4096)
+    collect_limit = kwargs.pop("collect_limit", 100_000)
+    max_rounds = kwargs.pop("max_rounds", 20)
+    vals, n, lo, hi = _stats(df, col)
+    if n == 0:
+        raise ValueError("exact_quantiles: no non-null values")
+    return {
+        q: _kth_in_range(
+            vals, _ceil_rank(q, n), lo, hi, n_bins, collect_limit,
+            max_rounds,
+        )
+        for q in qs
+    }
+
+
 def exact_quantile(
     df: DataFrame, col: str, q: float, **kwargs
 ) -> int:
@@ -118,11 +162,4 @@ def exact_quantile(
     at its exact IEEE value via Fraction, so the rank is engine-
     independent — an oracle replays the same rule with ROW_NUMBER
     rather than trusting any engine's percentile_disc rounding."""
-    from fractions import Fraction
-
-    n = df.filter(F.col(col).isNotNull()).count()
-    if n == 0:
-        raise ValueError("exact_quantile: no non-null values")
-    frac = Fraction(q) * n
-    k = max(1, -(-frac.numerator // frac.denominator))  # exact ceil
-    return exact_kth(df, col, k, **kwargs)
+    return exact_quantiles(df, col, [q], **kwargs)[q]

@@ -2850,7 +2850,7 @@ def q_exact_quantiles(spark, sf_dir):
     integer rank with ROW_NUMBER instead of trusting any engine's
     percentile rounding.  The three quantiles here are exact binary
     fractions, so the SQL CEIL agrees by construction."""
-    from .operators.exact_quantile import exact_quantile
+    from .operators.exact_quantile import exact_quantiles
 
     # prices are stored DOUBLE: x*100 sits within ~1e-9 of an integer,
     # so ROUND-then-cast is engine-stable (a bare cast truncates in
@@ -2858,10 +2858,8 @@ def q_exact_quantiles(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
     )
-    p25, p50, p75 = (
-        exact_quantile(li, "cents", q, n_bins=512)
-        for q in (0.25, 0.5, 0.75)
-    )
+    got = exact_quantiles(li, "cents", (0.25, 0.5, 0.75), n_bins=512)
+    p25, p50, p75 = got[0.25], got[0.5], got[0.75]
     return spark.createDataFrame(
         [(p25, p50, p75)],
         "p25_cents bigint, median_cents bigint, p75_cents bigint",
