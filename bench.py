@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "q_leakage_safe_split",
     "q_length_buckets",
     "q_domain_mix_sample",
+    "q_temperature_mix",
     "q_global_shuffle_order",
     "q_contamination_report",
     "q_decontaminate_by_lang",

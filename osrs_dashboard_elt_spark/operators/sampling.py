@@ -224,6 +224,41 @@ def domain_mix_thresholds(
     )
 
 
+def temperature_mix_targets(
+    df: DataFrame,
+    domain_col: str,
+    temperature: float,
+    scale_ppm: int = 1_000_000,
+) -> dict[str, int]:
+    """Derive a target mix from the corpus itself by temperature
+    scaling: ``p_d ∝ n_d^T`` — the multilingual-LM mixing rule
+    (T=1 keeps natural proportions, T=0 is uniform, 0<T<1 upweights
+    rare domains without drowning common ones).  Returns integer ppm
+    shares summing EXACTLY to ``scale_ppm`` via largest-remainder
+    rounding (ties: larger remainder first, then domain name), so the
+    dict feeds :func:`domain_mix_thresholds` deterministically — an
+    oracle re-derives the identical integers from the same counts.
+    One |domains|-row aggregate; the weights live driver-side."""
+    rows = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    if not rows:
+        return {}
+    weights = {r["domain"]: float(r["n"]) ** temperature for r in rows}
+    total = sum(weights.values())
+    floors: dict[str, int] = {}
+    rems: list[tuple[float, str]] = []
+    for d, w in weights.items():
+        exact = w / total * scale_ppm
+        fl = int(exact)
+        floors[d] = fl
+        rems.append((exact - fl, d))
+    leftover = scale_ppm - sum(floors.values())
+    for _, d in sorted(rems, key=lambda t: (-t[0], t[1]))[:leftover]:
+        floors[d] += 1
+    return floors
+
+
 def domain_mix_sample(
     df: DataFrame,
     domain_col: str,

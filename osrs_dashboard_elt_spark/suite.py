@@ -1485,6 +1485,10 @@ def build_oracles(sf_dir: str | None = None) -> dict[str, str]:
             oracles["q_ivfpq_topk"] = _ivfpq_oracle(sf_dir)
         except Exception:
             pass
+        try:
+            oracles["q_temperature_mix"] = _temperature_mix_oracle(sf_dir)
+        except Exception:
+            pass
     return _family_first(oracles)
 
 
@@ -4138,6 +4142,93 @@ def q_domain_mix_sample(spark, sf_dir):
         "doc_id",
         _MIX_TARGET_PPM,
         _MIX_BUDGET_PPM,
+        seed=_SAMPLING_SEED,
+    )
+    return kept.groupBy(F.col("source").alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+
+
+# —— temperature-scaled domain mixing ——
+_TMIX_T, _TMIX_BUDGET_PPM = 0.5, 500_000
+
+
+def _tmix_targets_duckdb(sf_dir: str) -> dict[str, int]:
+    """The oracle's twin of temperature_mix_targets: identical Python
+    arithmetic over counts read via DuckDB — same floats, same
+    largest-remainder rounding, same integers."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT source, COUNT(*) AS n FROM "
+        f"'{sf_dir}/documents.parquet' GROUP BY 1"
+    ).fetchall()
+    weights = {d: float(n) ** _TMIX_T for d, n in rows}
+    total = sum(weights.values())
+    floors, rems = {}, []
+    for d, w in weights.items():
+        exact = w / total * 1_000_000
+        fl = int(exact)
+        floors[d] = fl
+        rems.append((exact - fl, d))
+    leftover = 1_000_000 - sum(floors.values())
+    for _, d in sorted(rems, key=lambda t: (-t[0], t[1]))[:leftover]:
+        floors[d] += 1
+    return floors
+
+
+def _temperature_mix_oracle(sf_dir: str) -> str:
+    """Same SQL as the explicit-target mix oracle, with the target
+    ppm integers DERIVED the way the Spark path derives them (the
+    temperature arithmetic is driver-side in both worlds — only
+    integers enter either engine)."""
+    from .operators.sampling import sample_bucket_sql
+
+    targets = _tmix_targets_duckdb(sf_dir)
+    bucket = sample_bucket_sql("d.doc_id", seed=_SAMPLING_SEED)
+    tgt_cases = " ".join(
+        f"WHEN '{d}' THEN {p}" for d, p in targets.items()
+    )
+    return f"""
+    WITH counts AS (
+      SELECT source AS domain, COUNT(*) AS n_domain
+      FROM documents GROUP BY 1
+    ),
+    total AS (SELECT COUNT(*) AS n_total FROM documents),
+    thr AS (
+      SELECT domain, n_domain,
+             LEAST(10000, CAST(FLOOR(
+               FLOOR(FLOOR(n_total * {_TMIX_BUDGET_PPM} / 1000000)
+                     * (CASE domain {tgt_cases} ELSE 0 END) / 1000000)
+               * 10000 / n_domain) AS BIGINT)) AS thr
+      FROM counts, total
+    )
+    SELECT d.source AS domain, COUNT(*) AS n_kept
+    FROM documents d JOIN thr ON thr.domain = d.source
+    WHERE ({bucket}) < thr.thr
+    GROUP BY 1
+    """
+
+
+@query("q_temperature_mix")  # oracle attached lazily in build_oracles()
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled domain mixing (sampling.py::
+    temperature_mix_targets): the target shares come from the corpus
+    ITSELF via p_d ∝ n_d^T (T=0.5 — the multilingual-LM rule that
+    upweights rare domains without drowning common ones), rounded to
+    exact-ppm integers by largest remainder, then applied through the
+    same broadcast-threshold scan-side filter as the explicit mix.
+    The oracle re-derives the identical integers from the same
+    counts; only integers ever enter either engine."""
+    from .operators.sampling import (
+        domain_mix_sample,
+        temperature_mix_targets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    targets = temperature_mix_targets(docs, "source", _TMIX_T)
+    kept = domain_mix_sample(
+        docs, "source", "doc_id", targets, _TMIX_BUDGET_PPM,
         seed=_SAMPLING_SEED,
     )
     return kept.groupBy(F.col("source").alias("domain")).agg(
