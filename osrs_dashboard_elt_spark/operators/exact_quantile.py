@@ -79,6 +79,19 @@ def _kth_in_range(
     for _ in range(max_rounds):
         if lo == hi:
             return int(lo)
+        if hi - lo + 1 > 2**63:
+            # Full-long-domain range: ``__v - lo`` would overflow
+            # BIGINT Spark-side.  One bisection at 0 (a single count)
+            # shrinks every later span below 2^63.
+            neg = vals.filter(
+                (F.col("__v") >= lo) & (F.col("__v") < 0)
+            ).count()
+            if rank <= neg:
+                hi = -1
+            else:
+                rank -= neg
+                lo = 0
+            continue
         span = hi - lo + 1
         if span <= n_bins:
             # one exact count per distinct value — finish here
@@ -95,9 +108,17 @@ def _kth_in_range(
                     return int(r["__v"])
             raise AssertionError("rank exceeded slice count")
         width = -(-span // n_bins)  # ceil
+        # Integral DIV, not `/`: Spark `/` is DOUBLE division, and for
+        # offsets >= 2^53 (nanosecond-epoch longs) the rounding step
+        # can push a boundary value into the neighbouring bin,
+        # silently corrupting the rank adjustment.
         hist = (
             vals.filter((F.col("__v") >= lo) & (F.col("__v") <= hi))
-            .select(((F.col("__v") - lo) / width).cast("int").alias("__b"))
+            .select(
+                F.expr(
+                    f"CAST((__v - {lo}L) DIV {width}L AS INT)"
+                ).alias("__b")
+            )
             .groupBy("__b")
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()

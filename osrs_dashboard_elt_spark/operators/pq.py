@@ -341,7 +341,17 @@ def pq_delete_from_index(
         from pyspark.sql import SparkSession as _S
 
         spark = _S.getActiveSession()
-        tomb = spark.createDataFrame([(i,) for i in ids], f"{id_col} bigint")
+        # Resolve the id type from the index itself (string-keyed
+        # indexes exist) — mirrors dedup_index.delete_from_index.
+        id_type = dict(
+            (f.name, f.dataType) for f in spark.read.parquet(path).schema
+        )[id_col]
+        from pyspark.sql.types import StructField, StructType
+
+        tomb = spark.createDataFrame(
+            [(i,) for i in ids],
+            StructType([StructField(id_col, id_type, False)]),
+        )
     tomb = tomb.distinct().persist()
     n = tomb.count()
     tomb.coalesce(1).write.mode("append").parquet(_tombstone_path(path))
@@ -352,10 +362,25 @@ def pq_delete_from_index(
 def _without_tombstones(
     spark: SparkSession, codes: DataFrame, path: str, id_col: str
 ) -> DataFrame:
+    # Only PATH-ABSENT means "no tombstones"; any other read failure
+    # (corrupt footer, permissions, transient FS error) must surface —
+    # swallowing it would silently resurrect deleted/takedown vectors.
+    from py4j.protocol import Py4JJavaError
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(_tombstone_path(path))
     try:
-        tomb = spark.read.parquet(_tombstone_path(path)).select(id_col)
-    except Exception:
+        fs = jpath.getFileSystem(
+            spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        )
+        exists = fs.exists(jpath)
+    except Py4JJavaError as e:  # pragma: no cover - FS outage
+        raise RuntimeError(
+            f"tombstone existence check failed for {path}: {e}"
+        ) from e
+    if not exists:
         return codes  # no tombstones ever written
+    tomb = spark.read.parquet(_tombstone_path(path)).select(id_col)
     return codes.join(F.broadcast(tomb.distinct()), id_col, "left_anti")
 
 

@@ -189,12 +189,15 @@ def domain_mix_thresholds(
     ``target_ppm[d]`` (parts-per-million, summing to <= 1e6), compute
     an integer bucket threshold per domain::
 
-        budget   = floor(N_total * budget_frac_ppm / 1e6)
-        desired  = floor(budget * target_ppm[d] / 1e6)
-        thr[d]   = least(BUCKETS, floor(desired * BUCKETS / n_d))
+        budget   = (N_total * budget_frac_ppm) div 1e6
+        desired  = (budget * target_ppm[d]) div 1e6
+        thr[d]   = least(BUCKETS, (desired * BUCKETS) div n_d)
 
-    All int64 arithmetic — DuckDB reproduces thresholds exactly from
-    the same table.  Result: (domain, n_domain, thr) — |domains| rows,
+    Exact at ANY scale: the two products that can exceed int64
+    (n_total * ppm past ~9.2e12 rows) are computed in DECIMAL(38,0)
+    and divided with integral DIV (never double `/`, whose 2^53
+    mantissa would silently round) — DuckDB reproduces thresholds
+    bit-exactly from the same table via HUGEINT `//`.  Result: (domain, n_domain, thr) — |domains| rows,
     always broadcastable.  Domains absent from ``target_ppm`` get
     thr=0 (dropped).  A domain with fewer rows than desired saturates
     at BUCKETS (takes everything; no oversampling — upweighting is a
@@ -212,14 +215,27 @@ def domain_mix_thresholds(
     tgt = F.create_map(
         *[x for d, p in target_ppm.items() for x in (F.lit(d), F.lit(p))]
     )
-    budget = F.floor(n_total * budget_frac_ppm / 1_000_000)
-    desired = F.floor(budget * F.coalesce(tgt[F.col("domain")], F.lit(0)) / 1_000_000)
     return counts.select(
+        "domain",
+        "n_domain",
+        n_total.alias("__n_total"),
+        F.coalesce(tgt[F.col("domain")], F.lit(0))
+        .cast("long")
+        .alias("__tgt"),
+    ).select(
         "domain",
         "n_domain",
         F.least(
             F.lit(BUCKETS).cast("long"),
-            F.floor(desired * BUCKETS / F.col("n_domain")),
+            F.expr(
+                # DECIMAL(38,0) products + integral DIV: exact past
+                # 2^53 where double `/` rounds, and past 2^63 where
+                # bigint products overflow.
+                "CAST(CAST(CAST(__n_total AS DECIMAL(38,0))"
+                f" * {budget_frac_ppm} DIV 1000000 AS DECIMAL(38,0))"
+                " * __tgt DIV 1000000 AS BIGINT)"
+                f" * {BUCKETS} DIV n_domain"
+            ),
         ).alias("thr"),
     )
 

@@ -28,10 +28,17 @@ suite drives the corpus through a real stream with a final
 watermark-advancing sentinel so even the trailing open sessions
 flush.
 
-Scale: state is O(open sessions) x ~40 bytes; each micro-batch
-shuffles once on the key; timers live in the state store alongside
-the values.  Per-(key, batch) rows are sorted in pandas — hot keys
-at 100 TB would pre-aggregate per (key, gap-bucket) upstream first.
+Scale: session state is O(open sessions) x ~40 bytes — expiry CLEARS
+it; what survives a close is only the 8-byte per-key id counter (so
+the key's next session numbers on), kept in its own ValueState with
+an optional processing-time TTL (``idle_key_ttl_ms``).  With the TTL
+set, total state is O(open sessions) + O(keys active within the TTL);
+with the default ``None`` the counter is retained for every key ever
+seen — an explicit contract choice (stable ids forever) that costs
+8 bytes/key, not a full session record.  Each micro-batch shuffles
+once on the key; timers live in the state store alongside the
+values.  Per-(key, batch) rows are sorted in pandas — hot keys at
+100 TB would pre-aggregate per (key, gap-bucket) upstream first.
 """
 
 from __future__ import annotations
@@ -67,12 +74,16 @@ _SESSION_STATE_SCHEMA = T.StructType(
 _US = 1_000_000
 
 
+_NEXT_SID_SCHEMA = T.StructType([T.StructField("next_sid", T.LongType())])
+
+
 def timer_sessionize(
     stream: DataFrame,
     key_col: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: float = 1800.0,
     watermark_delay: str = "0 seconds",
+    idle_key_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Sessionize a STREAM by inactivity gap with event-time timers;
     emits one row per CLOSED session (key, session_id, n_events,
@@ -101,6 +112,11 @@ def timer_sessionize(
     class GapSessions(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._open = handle.getValueState("open", _SESSION_STATE_SCHEMA)
+            # Closed sessions leave behind ONLY this 8-byte counter
+            # (see module doc); TTL-bounded when idle_key_ttl_ms set.
+            self._next = handle.getValueState(
+                "next_sid", _NEXT_SID_SCHEMA, idle_key_ttl_ms
+            )
             self._handle = handle
 
         def _emit(self, key, sid, n, start_us, end_us) -> pd.DataFrame:
@@ -158,7 +174,9 @@ def timer_sessionize(
                 sid0, n0, start0, end0 = stored
                 self._handle.deleteTimer(_us_to_ms_ceil(end0 + gap_us))
             else:
-                sid0, n0 = 0, 0
+                nxt = self._next.get()
+                sid0 = (nxt[0] - 1) if nxt is not None else 0
+                n0 = 0
             # The stored open session joins the segment list as a peer
             # interval and the whole list is gap-merged in time order.
             # Late events (non-zero watermark delay) may land BEFORE,
@@ -213,8 +231,11 @@ def timer_sessionize(
             if _us_to_ms_ceil(end_us + gap_us) != expiredTimerInfo.getExpiryTimeInMs():
                 return
             yield self._emit(key[0], sid, n, start_us, end_us)
-            # keep the id counter so the key's NEXT session numbers on
-            self._open.update((sid, 0, end_us, end_us))
+            # CLEAR the session record; only the id counter survives
+            # (so the key's next session numbers on) — state for a
+            # closed key is 8 bytes, TTL-bounded when configured.
+            self._open.clear()
+            self._next.update((sid + 1,))
 
         def close(self) -> None:
             pass

@@ -4114,10 +4114,10 @@ def _domain_mix_oracle() -> str:
     total AS (SELECT COUNT(*) AS n_total FROM documents),
     thr AS (
       SELECT domain, n_domain,
-             LEAST(10000, CAST(FLOOR(
-               FLOOR(FLOOR(n_total * {_MIX_BUDGET_PPM} / 1000000)
-                     * (CASE domain {tgt_cases} ELSE 0 END) / 1000000)
-               * 10000 / n_domain) AS BIGINT)) AS thr
+             LEAST(10000, CAST(
+               (CAST(n_total AS HUGEINT) * {_MIX_BUDGET_PPM} // 1000000)
+               * (CASE domain {tgt_cases} ELSE 0 END) // 1000000
+               * 10000 // n_domain AS BIGINT)) AS thr
       FROM counts, total
     )
     SELECT d.source AS domain, COUNT(*) AS n_kept

@@ -77,3 +77,24 @@ def test_small_bins_force_many_rounds(values):
         exact_kth(df, "v", n // 2, n_bins=2, collect_limit=1, max_rounds=64)
         == ordered[n // 2 - 1]
     )
+
+
+def test_huge_domain_integral_binning(spark):
+    """Values past 2^53: double division would round the bin offset
+    (4001*2^50 - 1 rounds UP to a multiple of 2^10 as a double,
+    landing in bin 4001 instead of 4000) — the integral DIV path must
+    place it exactly."""
+    vals = [0, 4001 * 2**50 - 1, 2**62 - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    assert exact_kth(df, "v", 2) == 4001 * 2**50 - 1
+    assert exact_kth(df, "v", 3) == 2**62 - 1
+
+
+def test_full_long_domain_bisect_guard(spark):
+    """A range spanning more than 2^63 (Long.MIN..Long.MAX-ish) would
+    overflow ``__v - lo`` Spark-side; the one-shot bisection at 0
+    keeps every later span under 2^63."""
+    vals = [-(2**62), -5, 0, 7, 2**62]
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    for k, exp in enumerate(sorted(vals), start=1):
+        assert exact_kth(df, "v", k) == exp, k

@@ -291,3 +291,39 @@ def test_delete_and_compact_lifecycle(spark, corpus, books, tmp_path):
     again = {r["vec_id"] for r in
              pq_adc_topk_at_rest(spark, path, books, q, k=48).collect()}
     assert victim not in again
+
+
+def test_delete_string_keyed_index(spark, corpus, books, tmp_path):
+    """A PQ index keyed by STRING ids accepts a plain id list — the
+    tombstone frame's type is resolved from the index schema, not
+    hard-coded bigint (the dedup_index contract)."""
+    from osrs_dashboard_elt_spark.operators.pq import pq_delete_from_index
+
+    path = str(tmp_path / "pq_str")
+    named = corpus.select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    write_pq_index(named, "embedding", books, path, id_col="vec_id")
+    assert pq_delete_from_index(["doc-2"], path) == 1
+    got = {r["vec_id"] for r in
+           pq_adc_topk_at_rest(spark, path, books, _vec(2), k=48).collect()}
+    assert "doc-2" not in got and len(got) == 47
+
+
+def test_corrupt_tombstones_fail_loudly(spark, corpus, books, tmp_path):
+    """A tombstone dir that EXISTS but cannot be read must raise —
+    swallowing the error would silently resurrect deleted/takedown
+    vectors.  An ABSENT dir still means 'no tombstones'."""
+    import os
+
+    path = str(tmp_path / "pq_corrupt")
+    write_pq_index(corpus, "embedding", books, path, id_col="vec_id")
+    # absent dir: fine
+    assert pq_adc_topk_at_rest(spark, path, books, _vec(0), k=5).count() == 5
+    tomb = path + "__tombstones"
+    os.makedirs(tomb)
+    with open(os.path.join(tomb, "part-00000.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        pq_adc_topk_at_rest(spark, path, books, _vec(0), k=5).collect()

@@ -195,3 +195,33 @@ def test_leakage_safe_split_keeps_clusters_whole(spark):
         assert split == expected[cid]
     # all three labels actually used across 200 keys
     assert {s for _, s in by_doc.values()} == {"train", "val", "test"}
+
+
+def test_domain_mix_thresholds_exact_past_double_mantissa(spark):
+    """The quota products are DECIMAL(38,0) + integral DIV, so they
+    stay exact where double `/` loses integers (>= 2^53) and bigint
+    products overflow (n_total * ppm past ~9.2e12 rows).  Replayed
+    against DuckDB HUGEINT `//` on the same synthetic counts."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    n_total, n_domain, budget_ppm, tgt_ppm = 10**13, 5 * 10**12, 600_000, 333_333
+    got = (
+        spark.createDataFrame(
+            [(n_total, n_domain)], "__n_total long, n_domain long"
+        )
+        .select(
+            F.expr(
+                "CAST(CAST(CAST(__n_total AS DECIMAL(38,0))"
+                f" * {budget_ppm} DIV 1000000 AS DECIMAL(38,0))"
+                f" * {tgt_ppm} DIV 1000000 AS BIGINT)"
+                " * 10000 DIV n_domain"
+            ).alias("thr")
+        )
+        .collect()[0]["thr"]
+    )
+    (exp,) = duckdb.sql(
+        f"SELECT (CAST({n_total} AS HUGEINT) * {budget_ppm} // 1000000)"
+        f" * {tgt_ppm} // 1000000 * 10000 // {n_domain}"
+    ).fetchone()
+    assert got == int(exp) == 3999
