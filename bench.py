@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "q_incremental_agg",
     "q_token_vocab",
     "q_bpe_merges",
+    "q_bpe_encode",
     "q_duplicate_ngram_spans",
     "q_boilerplate_removal",
     "q_scd2_as_of",

@@ -186,6 +186,150 @@ def bpe_vocab(
     return {p: unk_id + 1 + i for i, p in enumerate(pieces)}
 
 
+def _merge_pass(syms: list[str], left: str, right: str, merged: str) -> list[str]:
+    """One greedy left-to-right pass of a single merge over a symbol
+    list — the Python twin of :func:`_merge_fold` (same semantics:
+    a just-merged tail never re-merges within the pass, runs of
+    l == r merge at relative positions 0, 2, 4, ...)."""
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == left and x == right:
+            out[-1] = merged
+        else:
+            out.append(x)
+    return out
+
+
+def encode_word_merges(
+    word: str, merges: list[tuple[str, str]]
+) -> list[str]:
+    """TRUE BPE inference for one word: start from character symbols
+    (first raw, continuations ``##``-prefixed) and apply every trained
+    merge IN RANK ORDER, one greedy pass each — exactly the passes
+    training ran, so encoding the training corpus reproduces the
+    trained word table bit-for-bit.
+
+    This is the rank-ordered sibling of
+    ``operators.tokenize.encode_word`` (greedy longest-match): the two
+    DISAGREE on real inputs — longest-match picks the longest piece a
+    later merge happened to create, merge-order replays history (see
+    tests/test_bpe.py for a pinned diverging string) — and each
+    matches its own reference semantics (WordPiece inference vs
+    Sennrich BPE apply_bpe).
+
+    A symbol-set skip makes the loop O(passes that can fire): a merge
+    whose left symbol isn't present in the word costs one set probe,
+    so 30k trained merges against a 10-char word do ~30k probes and
+    a handful of passes, not 30k full passes."""
+    if not word:
+        return []
+    syms = [word[0]] + ["##" + c for c in word[1:]]
+    present = set(syms)
+    for left, right in merges:
+        if left not in present or right not in present:
+            continue
+        new = _merge_pass(syms, left, right, left + _strip_cont(right))
+        if len(new) != len(syms):
+            syms = new
+            present = set(syms)
+            if len(syms) == 1:
+                break
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple],
+    out: str = "pieces",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Append ``out``: array<string> of merge-order BPE pieces for
+    ``text_col`` (whitespace words, each encoded by
+    :func:`encode_word_merges`, flattened in document order).
+
+    ``merges`` accepts :func:`train_bpe` output — ``(rank, left,
+    right, freq)`` tuples, applied in list order — or bare
+    ``(left, right)`` pairs.
+
+    Scale shape: pure Arrow map — no shuffle, no state; the merge
+    table ships via an explicit ``SparkContext.broadcast`` (rank list
+    of short strings, KBs–MBs) so tasks carry a handle, not the
+    pickled table.  Within each Arrow batch a word->pieces memo
+    collapses repeated words (Heaps: most of a batch is repeats), so
+    per-batch cost tracks DISTINCT words, not rows."""
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    pairs = [
+        (m[1], m[2]) if len(m) == 4 else (m[0], m[1]) for m in merges
+    ]
+    fields = df.schema.fields + [
+        StructField(out, ArrayType(StringType(), containsNull=False), False)
+    ]
+    out_schema = StructType(fields)
+    cols = [f.name for f in df.schema.fields]
+    bc = df.sparkSession.sparkContext.broadcast(pairs)
+
+    def run(batches):
+        mg = bc.value
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            encoded = []
+            for t in pdf[text_col]:
+                if t is None:
+                    encoded.append([])
+                    continue
+                s = t.lower() if lowercase else t
+                pieces: list[str] = []
+                for w in s.split():
+                    got = memo.get(w)
+                    if got is None:
+                        got = memo[w] = encode_word_merges(w, mg)
+                    pieces.extend(got)
+                encoded.append(pieces)
+            pdf = pdf[cols].copy()
+            pdf[out] = encoded
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def bpe_encode_oracle_sql(
+    table: str,
+    id_expr: str,
+    text_expr: str,
+    num_merges: int,
+    lowercase: bool = True,
+) -> str:
+    """DuckDB replay of merge-order ENCODING: re-run the training
+    trajectory (the :func:`bpe_oracle_sql` CTE chain — per-word state
+    after k rank-ordered greedy passes IS the encoding with merges
+    1..k), then join each document's whitespace words, in order,
+    against the final word table and flatten — a completely
+    independent path from the Arrow-side :func:`bpe_encode`."""
+    text = f"lower({text_expr})" if lowercase else text_expr
+    ctes, _ = _bpe_oracle_parts(table, text_expr, num_merges, lowercase)
+    return f"""{ctes},
+docw AS (
+  SELECT {id_expr} AS doc_id,
+         unnest(regexp_split_to_array({text}, '\\s+')) AS w,
+         unnest(range(1, len(regexp_split_to_array({text}, '\\s+')) + 1))
+           AS pos
+  FROM {table}
+),
+enc AS (
+  SELECT d.doc_id,
+         array_to_string(flatten(list(f.syms ORDER BY d.pos)), ' ')
+           AS encoded
+  FROM docw d JOIN words{num_merges} f ON f.w = d.w
+  WHERE d.w <> ''
+  GROUP BY d.doc_id
+)
+SELECT t.{id_expr} AS doc_id, coalesce(e.encoded, '') AS encoded
+FROM {table} t LEFT JOIN enc e ON e.doc_id = t.{id_expr}
+"""
+
+
 def bpe_oracle_sql(
     table: str,
     text_expr: str,
@@ -198,9 +342,21 @@ def bpe_oracle_sql(
     islands selects relative-even match positions within runs, which
     for l != r degenerates to 'every match' — the fold's semantics
     exactly)."""
+    ctes, union = _bpe_oracle_parts(table, text_expr, num_merges, lowercase)
+    return ctes + "\n" + union
+
+
+def _bpe_oracle_parts(
+    table: str,
+    text_expr: str,
+    num_merges: int,
+    lowercase: bool = True,
+) -> tuple[str, str]:
+    """(CTE chain, merge-union select) — split so the encode oracle
+    can reuse the trajectory CTEs with a different final select."""
     text = f"lower({text_expr})" if lowercase else text_expr
     parts = [
-        f"""WITH words0 AS (
+        f"""WITH words0 AS MATERIALIZED (
   SELECT w, COUNT(*)::BIGINT AS n,
          list_transform(range(1, length(w) + 1), i ->
            CASE WHEN i = 1 THEN substring(w, 1, 1)
@@ -218,12 +374,12 @@ def bpe_oracle_sql(
          unnest(range(1, len(syms) + 1)) AS pos
   FROM words{p}
 ),
-lk{k} AS (
+lk{k} AS MATERIALIZED (
   SELECT w, n, pos, sym,
          lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
   FROM ex{k}
 ),
-best{k} AS (
+best{k} AS MATERIALIZED (
   SELECT sym AS l, nxt AS r, SUM(n)::BIGINT AS cnt
   FROM lk{k} WHERE nxt IS NOT NULL
   GROUP BY sym, nxt
@@ -250,7 +406,7 @@ out{k} AS (
         FROM sel{k})
   WHERE NOT consumed
 ),
-words{k} AS (
+words{k} AS MATERIALIZED (
   SELECT w, n, list(sym ORDER BY pos) AS syms FROM out{k} GROUP BY w, n
 ),
 mg{k} AS (
@@ -261,4 +417,4 @@ mg{k} AS (
     union = "\nUNION ALL\n".join(
         f"SELECT * FROM mg{k}" for k in range(1, num_merges + 1)
     )
-    return ",\n".join(parts) + "\n" + union
+    return ",\n".join(parts), union

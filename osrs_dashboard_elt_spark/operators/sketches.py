@@ -407,10 +407,17 @@ def write_hll_registers(
     daily.write.mode(mode).partitionBy("day").parquet(path)
 
 
-def read_hll_registers(spark: SparkSession, path: str) -> DataFrame:
+def read_hll_registers(
+    spark: SparkSession, path: str, day_from=None
+) -> DataFrame:
     """The merged (day, bucket, M) view of an at-rest register table:
     MAX per (day, bucket) collapses replayed appends and multiple
-    slices of one day into the canonical registers."""
+    slices of one day into the canonical registers.  Pass the window
+    start as ``day_from`` to enforce the retention contract — a
+    window reaching past a vacuumed floor raises instead of silently
+    under-counting (see :func:`vacuum_registers`)."""
+    if day_from is not None:
+        check_window_retention(spark, path, day_from)
     return (
         spark.read.parquet(path)
         .groupBy("day", "bucket")
@@ -862,10 +869,15 @@ def write_cms_registers(daily: DataFrame, path: str) -> None:
     _write_day_replaced(daily, path)
 
 
-def read_cms_registers(spark: SparkSession, path: str) -> DataFrame:
+def read_cms_registers(
+    spark: SparkSession, path: str, day_from=None
+) -> DataFrame:
     """The (day, j, bucket, c) view of an at-rest CMS register table.
     SUM per (day, j, bucket) collapses multiple slice files of one
-    day (a fully replayed day was already replaced at write time)."""
+    day (a fully replayed day was already replaced at write time).
+    ``day_from`` enforces the retention floor (loud, not silent)."""
+    if day_from is not None:
+        check_window_retention(spark, path, day_from)
     return (
         spark.read.parquet(path)
         .groupBy("day", "j", "bucket")
@@ -950,9 +962,14 @@ def write_histogram_registers(daily: DataFrame, path: str) -> None:
     _write_day_replaced(daily, path)
 
 
-def read_histogram_registers(spark: SparkSession, path: str) -> DataFrame:
+def read_histogram_registers(
+    spark: SparkSession, path: str, day_from=None
+) -> DataFrame:
     """(day, bin, cnt) view of an at-rest histogram register table;
-    SUM per (day, bin) collapses multiple slice files of one day."""
+    SUM per (day, bin) collapses multiple slice files of one day.
+    ``day_from`` enforces the retention floor (loud, not silent)."""
+    if day_from is not None:
+        check_window_retention(spark, path, day_from)
     return (
         spark.read.parquet(path)
         .groupBy("day", "bin")
@@ -989,3 +1006,105 @@ def histogram_window_quantiles(
         F.sum("cnt").alias("n"),
     )
     return packed.select(*_hq_out_cols(quantiles, lo, width))
+
+
+# ---------------------------------------------------------------------------
+# Retention for at-rest register tables: all three kinds (HLL, CMS,
+# histogram) share the day= partition layout, so one vacuum serves all
+# ---------------------------------------------------------------------------
+
+_RETENTION_SIDECAR = "_retention.json"
+
+
+def _register_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm  # noqa: SLF001
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def vacuum_registers(
+    spark: SparkSession, path: str, keep_days: int, as_of=None
+) -> list[str]:
+    """Drop day partitions older than the retention window and record
+    the retention FLOOR (first day still present) in a sidecar.
+
+    ``as_of`` anchors the window (a ``date`` or ISO string); default
+    is the newest day partition present, so a nightly vacuum after the
+    day's register append keeps exactly the trailing ``keep_days``
+    calendar days.  Returns the dropped partition names.
+
+    The floor is what makes retention SAFE rather than silent: every
+    window reader here goes through :func:`check_window_retention`
+    (directly or via the ``*_registers`` read helpers' ``day_from``),
+    and a window reaching past the floor RAISES — an under-counted
+    sum/MAX over missing days would otherwise be indistinguishable
+    from a quiet period.  At 100 TB this is a metadata-only operation:
+    one directory listing plus O(dropped partitions) deletes; no data
+    is read."""
+    import datetime as _dt
+    import json as _json
+
+    if keep_days < 1:
+        raise ValueError("keep_days must be >= 1")
+    fs, jpath, jvm = _register_fs(spark, path)
+    days: list[str] = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith("day="):
+            days.append(name[4:])
+    if not days:
+        return []
+    if as_of is None:
+        as_of = max(days)
+    as_of = _dt.date.fromisoformat(str(as_of))
+    floor = as_of - _dt.timedelta(days=keep_days - 1)
+    dropped = sorted(d for d in days if _dt.date.fromisoformat(d) < floor)
+    for d in dropped:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(path, f"day={d}"), True)
+    side = jvm.org.apache.hadoop.fs.Path(path, _RETENTION_SIDECAR)
+    out = fs.create(side, True)
+    out.write(bytearray(_json.dumps(
+        {"floor": floor.isoformat(), "keep_days": keep_days,
+         "as_of": as_of.isoformat()}
+    ).encode()))
+    out.close()
+    return [f"day={d}" for d in dropped]
+
+
+def retention_floor(spark: SparkSession, path: str):
+    """The first retained day of a vacuumed register table (``None``
+    if the table was never vacuumed — nothing was ever dropped, so
+    any window is servable)."""
+    import datetime as _dt
+    import json as _json
+
+    fs, _, jvm = _register_fs(spark, path)
+    side = jvm.org.apache.hadoop.fs.Path(path, _RETENTION_SIDECAR)
+    if not fs.exists(side):
+        return None
+    stream = fs.open(side)
+    try:
+        data = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return _dt.date.fromisoformat(_json.loads(data)["floor"])
+
+
+def check_window_retention(spark: SparkSession, path: str, day_from) -> None:
+    """Raise if a window starting at ``day_from`` reaches past the
+    table's retention floor — the loud-failure half of the vacuum
+    contract (all three register kinds merge windows by SUM or MAX,
+    which would silently UNDER-COUNT over vacuumed days)."""
+    import datetime as _dt
+
+    floor = retention_floor(spark, path)
+    if floor is None:
+        return
+    start = _dt.date.fromisoformat(str(day_from))
+    if start < floor:
+        raise ValueError(
+            f"window start {start} precedes the retention floor {floor} "
+            f"of {path}: days before the floor were vacuumed, so the "
+            "window's register merge would silently under-count. "
+            "Shorten the window or raise keep_days."
+        )

@@ -8,12 +8,15 @@ whitespace word (WordPiece-style inference with ``##`` continuation
 pieces), which is inherently sequential per word — not expressible as
 a Catalyst expression — so this is one of the repo's few sanctioned
 Python paths: an Arrow-batched ``mapInPandas`` with the vocabulary
-broadcast once per executor via the closure, O(word_len^2) worst case
-per word against a plain dict (no trie needed: max piece length
-bounds the inner scan).
+shipped via an EXPLICIT ``SparkContext.broadcast`` — the closure
+captures only the broadcast handle, so the 100k-piece dict is
+serialized ONCE per job and fetched once per executor (torrent
+blocks), never re-pickled into every task batch the way a closure
+capture would be.  O(word_len^2) worst case per word against a plain
+dict (no trie needed: max piece length bounds the inner scan).
 
 Scale shape: pure map — no shuffle, no state; partitions stream
-through Arrow batches; the vocab rides task broadcast (a dict of at
+through Arrow batches; the vocab rides the broadcast (a dict of at
 most a few hundred thousand short strings — MBs).  Determinism: the
 output is a pure function of (text, vocab); unknown spans emit
 ``unk_id``.  A round-trip property (detokenize(tokenize(x)) == x for
@@ -96,8 +99,13 @@ def tokenize(
     ]
     out_schema = StructType(fields)
     cols = [f.name for f in df.schema.fields]
+    # Explicit broadcast: tasks capture the handle (bytes), executors
+    # fetch the dict once — a plain closure capture would re-ship the
+    # whole vocab pickle inside every serialized task.
+    bc_vocab = df.sparkSession.sparkContext.broadcast(vocab)
 
     def run(batches: Iterator) -> Iterator:
+        v = bc_vocab.value
         for pdf in batches:
             texts = pdf[text_col]
             encoded = []
@@ -108,7 +116,7 @@ def tokenize(
                 s = t.lower() if lowercase else t
                 ids: list[int] = []
                 for w in s.split():
-                    ids.extend(encode_word(w, vocab, unk_id, max_piece))
+                    ids.extend(encode_word(w, v, unk_id, max_piece))
                 encoded.append(ids)
             pdf = pdf[cols].copy()
             pdf[out] = encoded

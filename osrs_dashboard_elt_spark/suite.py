@@ -50,7 +50,7 @@ from .operators import (
     hyperplanes,
     top_n_per_group,
 )
-from .operators.bpe import bpe_oracle_sql
+from .operators.bpe import bpe_encode_oracle_sql, bpe_oracle_sql
 from .operators.dedup import MINHASH_P, tokens_col, token_hash32
 from .operators.similarity import cosine, dot, lsh_bucket
 
@@ -5654,10 +5654,48 @@ def q_bpe_merges(spark, sf_dir):
     trajectory in DuckDB via K unrolled CTE blocks (pair count ->
     argmax -> greedy merge), so rank, pair, AND frequency are all
     hash-gated."""
-    from .operators.bpe import bpe_merges_df, train_bpe
+    from .operators.bpe import bpe_merges_df
+
+    return bpe_merges_df(spark, _bpe_trained(spark, sf_dir))
+
+
+# trained-merges memo, same pattern as _KM_CENTS_CACHE: training is
+# the expensive amortized step; q_bpe_merges and q_bpe_encode share
+# one trajectory per sf_dir instead of re-training.
+_BPE_TRAIN_CACHE: dict[str, list[tuple[int, str, str, int]]] = {}
+
+
+def _bpe_trained(spark, sf_dir):
+    if sf_dir not in _BPE_TRAIN_CACHE:
+        from .operators.bpe import train_bpe
+
+        docs = _t(spark, sf_dir, "documents")
+        _BPE_TRAIN_CACHE[sf_dir] = train_bpe(docs, "text", _BPE_MERGES)
+    return _BPE_TRAIN_CACHE[sf_dir]
+
+
+@query(
+    "q_bpe_encode",
+    oracle=bpe_encode_oracle_sql("documents", "doc_id", "text", _BPE_MERGES),
+)
+def q_bpe_encode(spark, sf_dir):
+    """TRUE BPE inference (operators/bpe.py::bpe_encode): the trained
+    merges applied IN RANK ORDER, one greedy pass each — the sibling
+    of the greedy longest-match `tokenize` path, and the semantics
+    training itself ran (encoding the training corpus reproduces the
+    trained word table).  Arrow map with the merge table broadcast;
+    the oracle replays the trajectory in DuckDB and reads each
+    document's encoding off the final word-state table — two fully
+    independent paths to the same strings."""
+    from .operators.bpe import bpe_encode
 
     docs = _t(spark, sf_dir, "documents")
-    return bpe_merges_df(spark, train_bpe(docs, "text", _BPE_MERGES))
+    enc = bpe_encode(
+        docs.select("doc_id", "text"), "text", _bpe_trained(spark, sf_dir)
+    )
+    return enc.select(
+        "doc_id", F.array_join("pieces", " ").alias("encoded")
+    )
 
 
 _DUPSPAN_N = 8

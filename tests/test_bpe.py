@@ -133,3 +133,57 @@ def test_merges_df_schema(spark):
         "right_sym": "string",
         "pair_freq": "bigint",
     }
+
+
+def test_merge_order_encode_matches_training_state(spark):
+    """Encoding the training corpus with the trained merges IN RANK
+    ORDER reproduces the trained word table bit-for-bit (they ran the
+    identical greedy passes), document order preserved."""
+    from osrs_dashboard_elt_spark.operators.bpe import bpe_encode, train_bpe
+
+    rows = [
+        (1, "low lower lowest"),
+        (2, "new newer newest"),
+        (3, "low new low"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(df, "text", 6)
+    enc = {
+        r["doc_id"]: r["pieces"]
+        for r in bpe_encode(df, "text", merges).collect()
+    }
+    # replay word-by-word through the same pass sequence
+    from osrs_dashboard_elt_spark.operators.bpe import encode_word_merges
+
+    pairs = [(l, r) for _, l, r, _ in merges]
+    for doc_id, text in rows:
+        want = [
+            p for w in text.lower().split() for p in encode_word_merges(w, pairs)
+        ]
+        assert enc[doc_id] == want, doc_id
+
+
+def test_greedy_and_merge_order_diverge(spark):
+    """Pinned diverging input: vocab pieces {a, ##b, ##c, ##bc, ab}
+    from merges [(##b,##c), (a,##b)].  Greedy longest-match takes the
+    LONGEST first piece 'ab' -> [ab, ##c]; merge-order replays rank 1
+    first, so '##b##c' fuses before 'a' can bind -> [a, ##bc].  Each
+    matches its own reference semantics (WordPiece inference vs
+    Sennrich apply_bpe)."""
+    from osrs_dashboard_elt_spark.operators.bpe import encode_word_merges
+    from osrs_dashboard_elt_spark.operators.tokenize import encode_word
+
+    merges = [("##b", "##c"), ("a", "##b")]
+    vocab = {"a": 1, "##b": 2, "##c": 3, "##bc": 4, "ab": 5}
+    assert encode_word_merges("abc", merges) == ["a", "##bc"]
+    assert encode_word("abc", vocab) == [vocab["ab"], vocab["##c"]]
+
+
+def test_encode_word_merges_edges():
+    from osrs_dashboard_elt_spark.operators.bpe import encode_word_merges
+
+    assert encode_word_merges("", [("a", "##b")]) == []
+    # run of the same symbol merges at relative 0,2,4 per pass
+    assert encode_word_merges("aaaa", [("a", "##a")]) == ["aa", "##a", "##a"]
+    # inapplicable merges are skipped by the symbol-set probe
+    assert encode_word_merges("xy", [("q", "##q")] * 1000) == ["x", "##y"]

@@ -228,3 +228,70 @@ def test_histogram_window_matches_from_events_and_replay_safe(
     ).collect()[0]
     assert (got.hq_0_5, got.hq_0_95) == (want.hq_0_5, want.hq_0_95)
     assert got.hq_0_5 is not None and got.hq_0_95 is not None
+
+
+def test_vacuum_and_retention_floor_all_three_kinds(spark, tmp_path):
+    """One vacuum contract across the register families: old day
+    partitions are physically dropped, surviving days answer
+    unchanged, and a window reaching past the floor RAISES instead of
+    silently under-counting (SUM/MAX over missing days)."""
+    import pytest as _pytest
+
+    from osrs_dashboard_elt_spark.operators.sketches import (
+        check_window_retention,
+        cms_daily_registers,
+        histogram_daily_registers,
+        read_cms_registers,
+        read_histogram_registers,
+        retention_floor,
+        vacuum_registers,
+        write_cms_registers,
+        write_histogram_registers,
+    )
+
+    ev = _events(spark)
+    builders = {
+        "hll": (
+            lambda: hll_daily_registers(ev, "ts", "user_id", P),
+            write_hll_registers,
+            read_hll_registers,
+        ),
+        "cms": (
+            lambda: cms_daily_registers(ev, "ts", "event_type"),
+            write_cms_registers,
+            read_cms_registers,
+        ),
+        "hist": (
+            lambda: histogram_daily_registers(
+                ev, "ts", "value", 0.0, 200.0, n_bins=250
+            ),
+            write_histogram_registers,
+            read_histogram_registers,
+        ),
+    }
+    for kind, (build, write, read) in builders.items():
+        path = str(tmp_path / kind)
+        daily = build()
+        write(daily, path)
+        days = sorted(str(r["day"]) for r in daily.select("day").distinct().collect())
+        assert len(days) >= 3, f"{kind}: test data too narrow"
+        # never vacuumed: no floor, any window is servable
+        assert retention_floor(spark, path) is None
+        read(spark, path, day_from=days[0]).count()
+
+        keep = 2
+        dropped = vacuum_registers(spark, path, keep_days=keep)
+        floor = retention_floor(spark, path)
+        assert str(floor) == days[-keep]
+        assert dropped == [f"day={d}" for d in days[:-keep]]
+        # survivors answer unchanged relative to a fresh filter
+        kept = read(spark, path).select("day").distinct().collect()
+        assert sorted(str(r["day"]) for r in kept) == days[-keep:]
+        # a window inside retention is fine...
+        check_window_retention(spark, path, days[-keep])
+        read(spark, path, day_from=days[-keep]).count()
+        # ...one reaching past the floor fails LOUDLY, for every kind
+        with _pytest.raises(ValueError, match="retention floor"):
+            read(spark, path, day_from=days[0]).count()
+        # idempotent re-vacuum: nothing else to drop
+        assert vacuum_registers(spark, path, keep_days=keep) == []
