@@ -37,6 +37,14 @@ drop the dead run's partitions or re-run ``compact``-style dedup over
 checkpoint is ALSO lost.  (Appending postings first would instead
 LOSE the batch on the same crash — strictly worse.)
 
+The DUAL-index window (ANN armed): a crash after the PQ append (4a)
+but before the MinHash append (4b) leaves the batch uncommitted, so a
+same-checkpoint restart replays it — PQ's ``skip_existing`` anti-join
+absorbs the re-append (no duplicate codes) and the MinHash side lands
+its postings (none missing).  Convergence is proven by
+``tests/test_dedup_ingest.py::
+test_crash_between_pq_and_minhash_appends_converges``.
+
 Known limitation: a document with fewer than ``shingle_n`` words has
 no shingles, therefore no postings — the index cannot witness it, so
 its exact-id redelivery re-accepts.  Pre-filter sub-shingle docs (the

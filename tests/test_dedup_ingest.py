@@ -311,3 +311,95 @@ def test_ann_index_freshness(spark, ingest_env):
     go(ingest_env / "ckpt2")
     after = spark.read.parquet(ann_path)
     assert after.count() == after.select("doc_id").distinct().count() == len(acc)
+
+
+def test_crash_between_pq_and_minhash_appends_converges(
+    spark, ingest_env, monkeypatch
+):
+    """The documented dual-index crash window: the PQ freshness
+    append (4a) committed, the process dies BEFORE the MinHash
+    catalog append (4b).  The micro-batch never committed to the
+    checkpoint, so a SAME-checkpoint restart replays it — the PQ
+    side's skip_existing anti-join absorbs the re-append (no
+    duplicate codes) and the MinHash side finally lands its postings
+    (none missing): both indexes converge to exactly the accepted
+    set, like the fresh-checkpoint test proves for the accept path."""
+    from osrs_dashboard_elt_spark.multimodal.embedder import embed_documents
+    from osrs_dashboard_elt_spark.operators.pq import pq_train, write_pq_index
+    from osrs_dashboard_elt_spark.streaming import dedup_ingest as di
+
+    seed_docs = spark.createDataFrame(
+        [(100 + i,) for i in range(20)], "doc_id long"
+    )
+    books = pq_train(
+        embed_documents(seed_docs, "doc_id"), "embedding",
+        m=4, k=4, n_iter=1, id_col="doc_id", seed=3,
+    )
+    ann_path = str(ingest_env / "ann")
+    write_pq_index(
+        spark.createDataFrame([], "doc_id long, embedding array<double>"),
+        "embedding", books, ann_path, id_col="doc_id",
+    )
+
+    src = ingest_env / "in"
+    src.mkdir()
+    _write_batch(src, "b0.json", [(1, TEXT_A), (2, TEXT_A_NEAR), (3, TEXT_B)])
+
+    real_write = di.write_minhash_index
+    calls = {"n": 0}
+
+    def dying_write(*args, **kwargs):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash after PQ append, before 4b")
+
+    def go(fail):
+        monkeypatch.setattr(
+            di, "write_minhash_index", dying_write if fail else real_write
+        )
+        stream = spark.readStream.schema("doc_id long, text string").json(
+            str(src)
+        )
+        q = di.start_dedup_ingest(
+            stream, "mh_ingest", str(ingest_env / "out"),
+            str(ingest_env / "ckpt"),  # SAME checkpoint both runs
+            n_buckets=4, available_now=True,
+            ann_index=(books, ann_path), **PARAMS,
+        )
+        q.awaitTermination(120)
+
+    # run 1 dies inside the window: PQ append landed, postings did not
+    with pytest.raises(Exception):
+        go(fail=True)
+    assert calls["n"] == 1
+    pq_mid = spark.read.parquet(ann_path)
+    assert {r.doc_id for r in pq_mid.collect()} == {1, 3}  # 4a committed
+    assert spark.table("mh_ingest").count() == 0  # 4b never ran
+
+    # run 2: same checkpoint -> the engine replays the batch
+    go(fail=False)
+    acc = {
+        r.doc_id
+        for r in spark.read.parquet(
+            str(ingest_env / "out" / "accepted")
+        ).collect()
+    }
+    assert acc == {1, 3}
+    # PQ side converged with NO duplicate codes
+    pq_after = spark.read.parquet(ann_path)
+    assert (
+        pq_after.count()
+        == pq_after.select("doc_id").distinct().count()
+        == len(acc)
+    )
+    assert {r.doc_id for r in pq_after.collect()} == acc
+    # MinHash side converged with NO missing postings.  (foreachBatch
+    # appends through a CLONED session whose relation cache it
+    # invalidates; this outer session cached the table's file listing
+    # at the mid-crash read above, so refresh before observing —
+    # in-pipeline probes run inside the clone and never see staleness.)
+    spark.catalog.refreshTable("mh_ingest")
+    posts = spark.table("mh_ingest")
+    assert {
+        r.corpus_id for r in posts.select("corpus_id").collect()
+    } == acc
+    assert posts.count() == len(acc) * PARAMS["bands"]
