@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "q_token_vocab",
     "q_bpe_merges",
     "q_bpe_encode",
+    "q_stream_topk_entries",
     "q_duplicate_ngram_spans",
     "q_boilerplate_removal",
     "q_scd2_as_of",
@@ -216,10 +217,22 @@ def main() -> None:
     disagree = float(os.environ.get("SPARK_GRAFT_BENCH_DISAGREE", "1.5"))
     qs["q_summary_stats"](spark, SF_DIR).count()
 
+    # Subset filter for controlled experiments (drift attribution,
+    # A/B of session-growth effects): comma-separated names, or a
+    # file path containing one name per line.  Unset = full suite.
+    flt = os.environ.get("SPARK_GRAFT_BENCH_FILTER")
+    only: set[str] | None = None
+    if flt:
+        if os.path.isfile(flt):
+            with open(flt) as f:
+                only = {ln.strip() for ln in f if ln.strip()}
+        else:
+            only = {s.strip() for s in flt.split(",") if s.strip()}
+
     timings: dict[str, float] = {}
     t_all = 0.0
     for name in BENCH_QUERIES:
-        if name not in qs:
+        if name not in qs or (only is not None and name not in only):
             continue
         try:
             qs[name](spark, SF_DIR).count()  # warm, untimed
@@ -236,6 +249,14 @@ def main() -> None:
             samples.append(time.time() - t0)
         timings[name] = round(min(samples), 3)
         t_all += timings[name]
+        # JMH-style forced GC BETWEEN benchmarks (untimed): Spark's
+        # ContextCleaner releases localCheckpoint/broadcast/shuffle
+        # blocks only when the driver GC collects their weak refs, so
+        # a 141-query session otherwise accumulates dead blocks whose
+        # memory pressure is charged to LATER queries (measured: the
+        # unchanged 109-query subset ran ~10% slower inside the full
+        # suite than alone).
+        spark.sparkContext._jvm.System.gc()  # noqa: SLF001
     total = round(t_all, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -90,10 +90,14 @@ def write_zordered(
     n_files: int,
     bits: int = 8,
     ranges: dict[str, tuple[float, float]] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> None:
     """Write ``df`` clustered on the Morton key of ``cols`` into
     ``n_files`` contiguous z-range files (key column dropped from the
-    output — it is derivable)."""
+    output — it is derivable).  ``stats_cols`` additionally records a
+    per-file min/max manifest (``sources/stats_manifest.py``) so
+    selective readers prune files at PLANNING time — the natural
+    companion: z-ordering is what makes those per-file ranges tight."""
     if ranges is None:
         ranges = column_ranges(df, cols)
     keyed = df.withColumn("__z", zorder_key(cols, ranges, bits))
@@ -104,3 +108,7 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+    if stats_cols:
+        from ..sources.stats_manifest import write_stats_manifest
+
+        write_stats_manifest(df.sparkSession, path, stats_cols)

@@ -135,6 +135,7 @@ def publish_versioned(
     df: DataFrame,
     root: str,
     checksum_cols: list[str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as the next immutable snapshot under ``root`` and
     append it to the version log.  Returns the new version number.
@@ -155,6 +156,14 @@ def publish_versioned(
     path = os.path.join(root, f"v{version}")
     df.write.mode("overwrite").parquet(path)
     spark = df.sparkSession
+    if stats_cols:
+        # per-file min/max manifest inside the (immutable) snapshot
+        # dir: selective readers of this version prune files at
+        # planning time (sources/stats_manifest.py); written before
+        # the log append, so a logged version always has its stats
+        from .stats_manifest import write_stats_manifest
+
+        write_stats_manifest(spark, path, stats_cols)
     written = spark.read.parquet(path)
     entry = {
         "version": version,

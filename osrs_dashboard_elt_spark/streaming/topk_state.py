@@ -1,0 +1,336 @@
+"""Streaming per-key top-K entry changelog with in-key event dedup —
+the ListState + MapState operator on ``transformWithState``.
+
+``running_best_changelog`` (streaming/stateful.py) keeps ONE value per
+key (ValueState); sessions keep one open interval (ValueState +
+timers).  This operator needs genuinely richer typed state and is the
+repo's exerciser for the remaining transformWithState surface:
+
+- ``ListState`` — the key's current top-K entries (value, holder ts,
+  insertion seq), mutated per batch and written back whole;
+- ``MapState`` — event ids already processed for the key (in-key
+  exactly-once: a redelivered event id is a no-op), with an optional
+  processing-time TTL (``seen_ttl_ms``) bounding the dedup horizon the
+  same way ``timer_sessions``'s counter TTL bounds id retention.
+  TTL is for CONTINUOUS streams only: it forces
+  timeMode=ProcessingTime, under which an ``availableNow`` one-shot
+  drive never terminates (the engine schedules batches indefinitely
+  to advance the TTL clock) — ``topk_via_stream`` therefore always
+  runs the timeMode=None plan, and ``tests/test_topk_state.py``
+  exercises TTL expiry on a processing-time-trigger stream instead.
+
+Semantics (pinned by the oracle, identical in the batch twin): per
+key, events are processed in ``(ts, value, event_id)`` order, first
+occurrence per event id only, NULL values skipped; an event ENTERS the
+running top-K iff fewer than K already-stored entries have
+``value <= v`` (composite order (value, seq): an equal-valued earlier
+entry outranks a later one); each entering event emits ONE row at
+entry time, and the composite-largest entry is evicted when the list
+exceeds K.  The emitted stream is the top-K ENTRY changelog — "this
+result cracked the key's top K the moment it arrived" — the streaming
+form of a leaderboard feed.
+
+Why the entry rule is checkable in SQL: e enters iff its rank within
+the processed-so-far prefix is <= K, i.e. COUNT(prior dedup'd events
+with value <= e.value) < K — the stored list suffices for that count
+because it always holds exactly the K composite-smallest prior events
+(any event it evicted had MORE than K-1 smaller peers already).  The
+DuckDB oracle replays the rule as a per-key self-join; the operator
+and the batch twin share one pure-Python core
+(:func:`_entries_in_order`), so engine equality is by construction.
+
+Scale shape: one shuffle on the key per micro-batch; per-(key, batch)
+state I/O is ONE ListState read+write, one MapState probe per distinct
+incoming id, and one MapState insert per first-seen id.  State per key
+is K entries + the seen-id map; the map is the unavoidable cost of
+exactly-once-per-id and is TTL-boundable.  Hot keys batch-sort in
+pandas, same discipline as timer_sessions.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOPK_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+# ListState entry: (value, seq) — seq is a per-key monotonic insertion
+# counter so equal values order deterministically (earlier wins).
+_TOPK_ENTRY_SCHEMA = "value double, seq long"
+_SEEN_KEY_SCHEMA = "event_id long"
+_SEEN_VAL_SCHEMA = "one tinyint"
+
+
+def _entries_in_order(
+    rows: list[tuple[int, float, object]],
+    k: int,
+    topk: list[tuple[float, int]],
+    seen: set[int],
+    is_seen,
+) -> tuple[list[tuple[int, float, object]], list[tuple[float, int]], list[int]]:
+    """The shared semantic core: process ``(event_id, value, ts)``
+    rows (ALREADY sorted in (ts, value, event_id) order) against the
+    current ``topk`` [(value, seq)] and dedup state; returns (emitted
+    rows, new topk, newly-seen ids).  ``seen`` is the within-call
+    cache; ``is_seen(id)`` consults the durable state behind it."""
+    emitted: list[tuple[int, float, object]] = []
+    new_ids: list[int] = []
+    seq = max((s for _, s in topk), default=-1) + 1
+    for event_id, value, ts in rows:
+        if event_id in seen or is_seen(event_id):
+            continue
+        seen.add(event_id)
+        new_ids.append(event_id)
+        if value is None or pd.isna(value):
+            continue
+        value = float(value)
+        if sum(1 for v, _ in topk if v <= value) < k:
+            emitted.append((event_id, value, ts))
+            topk.append((value, seq))
+            seq += 1
+            if len(topk) > k:
+                topk.remove(max(topk))  # composite-largest (value, seq)
+    return emitted, topk, new_ids
+
+
+def streaming_topk_entries(
+    events: DataFrame,
+    key_col: str,
+    id_col: str,
+    val_col: str,
+    ts_col: str,
+    k: int,
+    seen_ttl_ms: int | None = None,
+    require_runtime: bool = True,
+) -> DataFrame:
+    """The transformWithState form (ListState top-K + MapState seen
+    ids).  Same runtime dependency story as
+    ``running_best_changelog_tws``: the state server speaks protobuf;
+    ``require_runtime`` probes loudly at call time."""
+    if require_runtime:
+        from ..compat import ensure_protobuf
+
+        ensure_protobuf()
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError as exc:
+            raise ImportError(
+                "streaming_topk_entries requires google.protobuf (the "
+                "transformWithState JVM<->Python state server). Use "
+                "topk_entries_batch for the batch twin, or install "
+                "protobuf."
+            ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    src = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(id_col).cast("long").alias("event_id"),
+        F.col(val_col).cast("double").alias("value"),
+        F.col(ts_col).alias("ts"),
+    )
+
+    class TopKEntries(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._topk = handle.getListState("topk", _TOPK_ENTRY_SCHEMA)
+            self._seen = handle.getMapState(
+                "seen", _SEEN_KEY_SCHEMA, _SEEN_VAL_SCHEMA, seen_ttl_ms
+            )
+
+        def handleInputRows(
+            self, key, rows, timerValues
+        ) -> Iterator[pd.DataFrame]:
+            group = pd.concat(list(rows), ignore_index=True)
+            if group.empty:
+                return
+            group = group.sort_values(
+                ["ts", "value", "event_id"], kind="mergesort",
+                ignore_index=True,
+            )
+            topk = [tuple(t) for t in self._topk.get()]
+            emitted, topk, new_ids = _entries_in_order(
+                list(
+                    zip(
+                        group["event_id"].astype("int64"),
+                        group["value"],
+                        group["ts"],
+                    )
+                ),
+                k,
+                topk,
+                set(),
+                lambda eid: self._seen.containsKey((int(eid),)),
+            )
+            for eid in new_ids:
+                self._seen.updateValue((int(eid),), (1,))
+            self._topk.put([(float(v), int(s)) for v, s in topk])
+            if emitted:
+                yield pd.DataFrame(
+                    {
+                        "key": key[0],
+                        "event_id": pd.array(
+                            [e for e, _, _ in emitted], dtype="Int64"
+                        ),
+                        "value": pd.array(
+                            [v for _, v, _ in emitted], dtype="Float64"
+                        ),
+                        "ts": [t for _, _, t in emitted],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return src.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=TopKEntries(),
+        outputStructType=TOPK_OUT_SCHEMA,
+        outputMode="Append",
+        # state TTL is clocked by the time mode — NoTime cannot host
+        # a TTL'd state, so arm ProcessingTime exactly when asked
+        timeMode="ProcessingTime" if seen_ttl_ms is not None else "None",
+    )
+
+
+def topk_entries_batch(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    val_col: str,
+    ts_col: str,
+    k: int,
+) -> DataFrame:
+    """Batch twin: identical semantics via the SAME core, one
+    ``applyInPandas`` per key over the whole history (no state —
+    the prefix is the partition).  The executable-everywhere
+    fallback and the cross-engine equality anchor."""
+    src = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(id_col).cast("long").alias("event_id"),
+        F.col(val_col).cast("double").alias("value"),
+        F.col(ts_col).alias("ts"),
+    )
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["ts", "value", "event_id"], kind="mergesort", ignore_index=True
+        )
+        emitted, _, _ = _entries_in_order(
+            list(
+                zip(
+                    pdf["event_id"].astype("int64"),
+                    pdf["value"],
+                    pdf["ts"],
+                )
+            ),
+            k,
+            [],
+            set(),
+            lambda _eid: False,
+        )
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]] * len(emitted),
+                "event_id": pd.array(
+                    [e for e, _, _ in emitted], dtype="Int64"
+                ),
+                "value": pd.array(
+                    [v for _, v, _ in emitted], dtype="Float64"
+                ),
+                "ts": pd.Series(
+                    [t for _, _, t in emitted], dtype="datetime64[us]"
+                ),
+            }
+        )
+
+    return src.groupBy("key").applyInPandas(per_key, schema=TOPK_OUT_SCHEMA)
+
+
+def topk_via_stream(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    val_col: str,
+    ts_col: str,
+    k: int,
+    work_dir: str | None = None,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Drive a batch DataFrame through the REAL transformWithState
+    stream (availableNow + memory sink) and return the emitted entry
+    changelog — the oracle-check bridge, same harness discipline as
+    ``changelog_via_stream`` (small pinned shuffle-partition count,
+    RocksDB provider pinned for the one-shot query's lifetime).
+
+    Deliberately NO ``seen_ttl_ms``: state TTL requires
+    timeMode=ProcessingTime, and under that mode an ``availableNow``
+    query never drains — the engine keeps scheduling batches to
+    advance processing time for TTL eviction (measured here: 70
+    epochs and counting on a one-row source).  TTL is a
+    continuous-stream facility; the one-shot bridge runs the
+    timeMode=None plan, whose dedup semantics are identical for the
+    bounded drive (nothing expires inside one run)."""
+    import tempfile
+    import uuid
+
+    spark = df.sparkSession
+    root = work_dir or tempfile.mkdtemp(prefix="topk_state_")
+    src_dir = f"{root}/src"
+    df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(id_col).cast("long").alias("event_id"),
+        F.col(val_col).cast("double").alias("value"),
+        F.col(ts_col).alias("ts"),
+    ).coalesce(1).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(
+        "key string, event_id long, value double, ts timestamp"
+    ).parquet(src_dir)
+    out = streaming_topk_entries(
+        stream, "key", "event_id", "value", "ts", k
+    )
+    qname = f"topk_state_{uuid.uuid4().hex[:12]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev_provider = spark.conf.get(_PROVIDER_KEY)
+    except Exception:
+        prev_provider = None
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+        _PROVIDER_KEY,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            out.writeStream.queryName(qname)
+            .format("memory")
+            .outputMode("append")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_provider is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prev_provider)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"top-k entry stream did not finish within {timeout_sec}s"
+        )
+    return spark.table(qname)

@@ -1431,7 +1431,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_cms_heavy_hitters",
     # —— round-3: streaming rollups ——
     "q_streaming_windowed_rollup",
-    "q_streaming_session_rollup",
+    # (q_streaming_session_rollup moved out of the window for
+    # q_stream_topk_entries — streaming keeps three in-window:
+    # windowed rollup, timer sessions, and the ListState/MapState
+    # top-K entry changelog)
+    "q_stream_topk_entries",
     # —— round-3: sampling / decontamination / skew / text ——
     "q_hash_sample",
     # (q_weighted_sample moved out of the window for q_semantic_dedup
@@ -3700,6 +3704,70 @@ def q_running_best_changelog_tws(spark, sf_dir):
         "holder",
         F.date_format("record_ts", TS_FMT_SPARK).alias("record_ts"),
         "prev_best",
+    )
+
+
+_TOPK_K = 3
+_TOPK_ORACLE = f"""
+    WITH src AS (
+      SELECT CAST(user_id AS VARCHAR) AS key,
+             event_id,
+             CAST(value AS DOUBLE) AS value,
+             make_timestamp(epoch_ns(ts) // 1000) AS tsu
+      FROM events
+    ),
+    orded AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY key ORDER BY tsu, value, event_id) AS ord
+      FROM src
+    ),
+    dd AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY key, event_id ORDER BY ord) AS rn
+        FROM orded
+      ) WHERE rn = 1 AND value IS NOT NULL
+    )
+    SELECT a.key, a.event_id, a.value,
+           strftime(a.tsu, '{TS_FMT_DUCK}') AS ts
+    FROM dd a LEFT JOIN dd b
+      ON b.key = a.key AND b.ord < a.ord AND b.value <= a.value
+    GROUP BY a.key, a.event_id, a.value, a.tsu
+    HAVING COUNT(b.ord) < {_TOPK_K}
+"""
+
+
+@query("q_stream_topk_entries", oracle=_TOPK_ORACLE)
+def q_stream_topk_entries(spark, sf_dir):
+    """Per-key streaming top-K ENTRY changelog on transformWithState
+    ListState (the key's current top-K) + MapState (seen event ids,
+    TTL-bounded) — streaming/topk_state.py, the operator exercising
+    the remaining typed-state surface.  An event emits the moment it
+    cracks its key's running top-3 (first occurrence per event id
+    only); the oracle replays the prefix-rank rule as a per-key
+    self-join, and the batch twin (same pure-Python core, no state)
+    runs where the protobuf state-server runtime can't execute —
+    same contract as q_running_best_changelog_tws."""
+    from .compat import tws_runtime_executable
+    from .streaming.topk_state import topk_entries_batch, topk_via_stream
+
+    ev = _t(spark, sf_dir, "events")
+    if tws_runtime_executable(spark):
+        # no TTL on the one-shot drive (availableNow never drains
+        # under timeMode=ProcessingTime — see topk_state module doc);
+        # the TTL path runs in tests on a processing-time trigger
+        out = topk_via_stream(
+            ev, "user_id", "event_id", "value", "ts", _TOPK_K
+        )
+    else:
+        out = topk_entries_batch(
+            ev, "user_id", "event_id", "value", "ts", _TOPK_K
+        )
+    return out.select(
+        "key",
+        "event_id",
+        "value",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts"),
     )
 
 

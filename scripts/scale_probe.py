@@ -103,7 +103,7 @@ def main() -> None:
     args = sys.argv[1:]
     max_factor = int(args[0]) if args else 4
     only = set(args[1:])
-    factors = [f for f in (1, 2, 4, 8) if f <= max_factor]
+    factors = [f for f in (1, 2, 4, 8, 16) if f <= max_factor]
     spark = get_spark(master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
 
