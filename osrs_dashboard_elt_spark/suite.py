@@ -3771,6 +3771,53 @@ def q_stream_topk_entries(spark, sf_dir):
     )
 
 
+_ZORDER_PATH_CACHE: dict[str, str] = {}
+_PRUNE_ORACLE = """
+    SELECT user_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE value >= 50 AND value <= 80
+    GROUP BY user_id
+"""
+
+
+@query("q_stats_pruned_scan", oracle=_PRUNE_ORACLE)
+def q_stats_pruned_scan(spark, sf_dir):
+    """Planning-time FILE pruning through the write-time stats
+    manifest (sources/stats_manifest.py) composed with z-order
+    clustering: events written z-ordered on (user_id, value) with a
+    per-file min/max manifest, then a selective box probe read via
+    ``pruned_scan`` — strictly fewer files opened (pytest asserts the
+    inputFiles count), and THIS oracle proves the pruned read returns
+    exactly the full scan+filter's rows.  Write is memoized per
+    sf_dir (the layout is a pure function of the immutable input)."""
+    import tempfile
+
+    from .operators.zorder import write_zordered
+    from .sources.stats_manifest import pruned_scan
+
+    if sf_dir not in _ZORDER_PATH_CACHE:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", F.col("value").cast("double").alias("value")
+        )
+        path = tempfile.mkdtemp(prefix="zstats_")
+        write_zordered(
+            ev, path, ["user_id", "value"], n_files=16,
+            stats_cols=["user_id", "value"],
+        )
+        _ZORDER_PATH_CACHE[sf_dir] = path
+    pruned = pruned_scan(
+        spark,
+        _ZORDER_PATH_CACHE[sf_dir],
+        {"value": (50.0, 80.0)},
+    )
+    return pruned.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("value").alias("sum_value"),
+    )
+
+
 _CHUNK_TOKENS, _CHUNK_OVERLAP = 32, 8
 _CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
 _DOC_CHUNKS_ORACLE = f"""

@@ -395,13 +395,21 @@ def main() -> None:
     prev: list = []
     for k in factors:
         # release the previous factor's checkpointed replicas — holding
-        # 1x+2x+4x simultaneously is harness bloat, not operator cost
+        # 1x+2x+4x simultaneously is harness bloat, not operator cost.
+        # unpersist() alone is NOT enough: localCheckpoint RDD blocks
+        # are freed only when the ContextCleaner collects their weak
+        # refs, i.e. on driver GC — without the forced collection the
+        # 8x/16x factors ran against a block manager still holding
+        # every earlier factor's replicas (measured: transient 2-4x
+        # spikes at factor 8 that vanish with the GC).  Same JMH
+        # discipline as bench.py.
         for df in prev:
             try:
                 df.unpersist()
             except Exception:
                 pass
         prev = []
+        spark.sparkContext._jvm.System.gc()  # noqa: SLF001
         t = {"factor": k, "supplier": supp0}
         if need_docs:
             t["docs"] = ensure_min_partitions(replicate_docs(spark, docs0, k))
@@ -475,9 +483,15 @@ def main() -> None:
             prev.append(t["events"])
         for name, fn in ops.items():
             fn(t).count()  # warm (codegen)
-            t0 = time.time()
-            rows = fn(t).count()
-            dt = round(time.time() - t0, 2)
+            # min-of-2 (the bench.py discipline): single samples showed
+            # 4-30x one-off stragglers (janino giant-method compiles,
+            # GC pauses) that read as phantom scaling cliffs
+            samples = []
+            for _ in range(2):
+                t0 = time.time()
+                rows = fn(t).count()
+                samples.append(time.time() - t0)
+            dt = round(min(samples), 2)
             times[name][k] = dt
             rec = {"op": name, "factor": k, "sec": dt, "rows": rows}
             if name == "dedup_clusters":
