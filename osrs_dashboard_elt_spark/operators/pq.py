@@ -342,12 +342,27 @@ def pq_delete_from_index(
 
         spark = _S.getActiveSession()
         # Resolve the id type from the index itself (string-keyed
-        # indexes exist) — mirrors dedup_index.delete_from_index.
-        id_type = dict(
-            (f.name, f.dataType) for f in spark.read.parquet(path).schema
-        )[id_col]
-        from pyspark.sql.types import StructField, StructType
+        # indexes exist) — mirrors dedup_index.delete_from_index.  A
+        # bootstrap index dir with no data files yet (empty-frame
+        # write: _SUCCESS only) has no readable schema — fall back to
+        # the long default, the only key type such an index can have
+        # gotten ids from so far.
+        from pyspark.errors import AnalysisException
+        from pyspark.sql.types import LongType, StructField, StructType
 
+        try:
+            fields = {
+                f.name: f.dataType
+                for f in spark.read.parquet(path).schema
+            }
+            if id_col not in fields:
+                raise ValueError(
+                    f"id column {id_col!r} not in index {path} "
+                    f"(columns: {sorted(fields)})"
+                )
+            id_type = fields[id_col]
+        except AnalysisException:
+            id_type = LongType()
         tomb = spark.createDataFrame(
             [(i,) for i in ids],
             StructType([StructField(id_col, id_type, False)]),

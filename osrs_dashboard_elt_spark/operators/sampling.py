@@ -231,10 +231,10 @@ def domain_mix_thresholds(
                 # DECIMAL(38,0) products + integral DIV: exact past
                 # 2^53 where double `/` rounds, and past 2^63 where
                 # bigint products overflow.
-                "CAST(CAST(CAST(__n_total AS DECIMAL(38,0))"
+                "CAST(CAST(CAST(CAST(__n_total AS DECIMAL(38,0))"
                 f" * {budget_frac_ppm} DIV 1000000 AS DECIMAL(38,0))"
-                " * __tgt DIV 1000000 AS BIGINT)"
-                f" * {BUCKETS} DIV n_domain"
+                " * __tgt DIV 1000000 AS DECIMAL(38,0))"
+                f" * {BUCKETS} DIV n_domain AS BIGINT)"
             ),
         ).alias("thr"),
     )

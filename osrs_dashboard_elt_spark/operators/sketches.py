@@ -1058,9 +1058,18 @@ def vacuum_registers(
         as_of = max(days)
     as_of = _dt.date.fromisoformat(str(as_of))
     floor = as_of - _dt.timedelta(days=keep_days - 1)
+    # The floor is MONOTONE: a later vacuum with a larger keep_days
+    # (or an earlier as_of) must not move it backwards past days
+    # already deleted — that would let check_window_retention wave
+    # through a window whose early days are gone.
+    prev_floor = retention_floor(spark, path)
+    if prev_floor is not None and prev_floor > floor:
+        floor = prev_floor
     dropped = sorted(d for d in days if _dt.date.fromisoformat(d) < floor)
-    for d in dropped:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(path, f"day={d}"), True)
+    # Sidecar FIRST, deletes second: a crash between the two leaves a
+    # floor with some pre-floor days still present (readers merely
+    # refuse windows they could have served — safe), never deleted
+    # days with no recorded floor (silent under-count).
     side = jvm.org.apache.hadoop.fs.Path(path, _RETENTION_SIDECAR)
     out = fs.create(side, True)
     out.write(bytearray(_json.dumps(
@@ -1068,6 +1077,8 @@ def vacuum_registers(
          "as_of": as_of.isoformat()}
     ).encode()))
     out.close()
+    for d in dropped:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(path, f"day={d}"), True)
     return [f"day={d}" for d in dropped]
 
 

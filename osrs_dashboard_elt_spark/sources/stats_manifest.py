@@ -101,9 +101,18 @@ def pruned_scan(
     filters, so the result equals the full scan + filter exactly.
 
     ``bounds`` maps column -> (lo, hi) inclusive; either end may be
-    None (half-open).  Files with NULL stats for a bounded column are
-    skipped (all-NULL column: no row can match a range predicate).
+    None (half-open), but not both — an unbounded bound adds no row
+    predicate yet would still skip all-NULL-stats files, silently
+    dropping their rows.  Files with NULL stats for a bounded column
+    are skipped (all-NULL column: no row can match a range predicate).
     """
+    for c, (lo, hi) in bounds.items():
+        if lo is None and hi is None:
+            raise ValueError(
+                f"bound for {c!r} is (None, None): an unbounded bound "
+                "prunes nothing but would drop all-NULL-stats files — "
+                "omit the column instead"
+            )
     man = spark.read.parquet(_manifest_path(path)).collect()
     full = spark.read.parquet(path)
     current = {_norm(f) for f in full.inputFiles()}
@@ -144,6 +153,11 @@ def manifest_file_count(
     man = spark.read.parquet(_manifest_path(path))
     if not bounds:
         return man.count()
+    for c, (lo, hi) in bounds.items():
+        if lo is None and hi is None:
+            raise ValueError(
+                f"bound for {c!r} is (None, None) — omit the column"
+            )
     cond = F.lit(True)
     for c, (lo, hi) in bounds.items():
         cond = cond & F.col(f"min_{c}").isNotNull()

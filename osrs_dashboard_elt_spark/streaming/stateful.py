@@ -161,7 +161,6 @@ def changelog_via_stream(
     (equality pinned in tests/test_stateful_tws.py).
     """
     import tempfile
-    import uuid
 
     spark = df.sparkSession
     root = work_dir or tempfile.mkdtemp(prefix="pb_changelog_")
@@ -186,54 +185,17 @@ def changelog_via_stream(
         out = running_best_changelog(stream, "key", "seconds", "holder", "ts")
     else:
         raise ValueError(f"unknown engine {engine!r} (want 'apply'|'tws')")
-    qname = f"pb_changelog_{uuid.uuid4().hex[:12]}"
-    # The stateful shuffle's partition count is baked into the (fresh)
-    # checkpoint at first start, and each partition carries a state
-    # store + an Arrow Python worker — 32 of each for a handful of
-    # keys is pure setup overhead.  Pin a small count for THIS query's
-    # start and restore the session value right after; the one-shot
-    # stream never restarts, so the pinned value stays consistent with
-    # its checkpoint for the query's whole life.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
-    prev_provider = None
-    if engine == "tws":
-        # transformWithState requires the RocksDB provider; pinned
-        # only for this query's start (read once, at start)
-        try:
-            prev_provider = spark.conf.get(_PROVIDER_KEY)
-        except Exception:
-            prev_provider = None
-        spark.conf.set(
-            _PROVIDER_KEY,
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-    try:
-        q = (
-            out.writeStream.queryName(qname)
-            .format("memory")
-            .outputMode("append")
-            .option("checkpointLocation", ckpt_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        if engine == "tws":
-            if prev_provider is None:
-                spark.conf.unset(_PROVIDER_KEY)
-            else:
-                spark.conf.set(_PROVIDER_KEY, prev_provider)
-    if not q.awaitTermination(timeout_sec):
-        # timed out: the query is STILL RUNNING — returning the memory
-        # sink now would hand back a silently truncated change-log
-        q.stop()
-        raise TimeoutError(
-            f"changelog stream did not finish within {timeout_sec}s"
-        )
-    return spark.table(qname)
+    from .drive import drive_available_now
+
+    # transformWithState requires the RocksDB provider; the shared
+    # harness pins it (and the small stateful-shuffle count) for this
+    # query's start only — see streaming/drive.py for why restoring
+    # right after start() is safe.
+    return drive_available_now(
+        out, "pb_changelog", ckpt_dir,
+        timeout_sec=timeout_sec, shuffle_partitions=4,
+        rocksdb=(engine == "tws"),
+    )
 
 
 # ---------------------------------------------------------------------------

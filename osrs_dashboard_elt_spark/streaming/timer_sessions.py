@@ -30,15 +30,19 @@ flush.
 
 Scale: session state is O(open sessions) x ~40 bytes — expiry CLEARS
 it; what survives a close is only the 8-byte per-key id counter (so
-the key's next session numbers on), kept in its own ValueState with
-an optional processing-time TTL (``idle_key_ttl_ms``).  With the TTL
-set, total state is O(open sessions) + O(keys active within the TTL);
-with the default ``None`` the counter is retained for every key ever
-seen — an explicit contract choice (stable ids forever) that costs
-8 bytes/key, not a full session record.  Each micro-batch shuffles
-once on the key; timers live in the state store alongside the
-values.  Per-(key, batch) rows are sorted in pandas — hot keys at
-100 TB would pre-aggregate per (key, gap-bucket) upstream first.
+the key's next session numbers on), kept in its own ValueState.  The
+counter is retained for every key ever seen — an explicit, stated
+cost of 8 bytes/key, not a full session record.  It CANNOT be
+TTL-bounded on this operator: Spark state TTL requires
+timeMode=ProcessingTime (StatefulProcessorHandleImpl.validateTTLConfig
+throws otherwise), while event-time TIMERS — the whole point here —
+require timeMode=EventTime; the two are mutually exclusive on one
+processor.  A deployment needing bounded key retention would run a
+side processing-time stream that re-keys or tombstones stale
+counters.  Each micro-batch shuffles once on the key; timers live in
+the state store alongside the values.  Per-(key, batch) rows are
+sorted in pandas — hot keys at 100 TB would pre-aggregate per
+(key, gap-bucket) upstream first.
 """
 
 from __future__ import annotations
@@ -83,7 +87,6 @@ def timer_sessionize(
     ts_col: str = "ts",
     gap_seconds: float = 1800.0,
     watermark_delay: str = "0 seconds",
-    idle_key_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Sessionize a STREAM by inactivity gap with event-time timers;
     emits one row per CLOSED session (key, session_id, n_events,
@@ -113,10 +116,9 @@ def timer_sessionize(
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._open = handle.getValueState("open", _SESSION_STATE_SCHEMA)
             # Closed sessions leave behind ONLY this 8-byte counter
-            # (see module doc); TTL-bounded when idle_key_ttl_ms set.
-            self._next = handle.getValueState(
-                "next_sid", _NEXT_SID_SCHEMA, idle_key_ttl_ms
-            )
+            # (see module doc for why it cannot carry a TTL here:
+            # state TTL needs ProcessingTime, timers need EventTime)
+            self._next = handle.getValueState("next_sid", _NEXT_SID_SCHEMA)
             self._handle = handle
 
         def _emit(self, key, sid, n, start_us, end_us) -> pd.DataFrame:
@@ -276,7 +278,6 @@ def sessions_via_stream(
     ``compat.tws_runtime_executable``).
     """
     import tempfile
-    import uuid
 
     spark = df.sparkSession
     root = work_dir or tempfile.mkdtemp(prefix="timer_sessions_")
@@ -294,44 +295,15 @@ def sessions_via_stream(
         f"{root}/src"
     )
     out = timer_sessionize(stream, "key", "ts", gap_seconds)
-    qname = f"timer_sessions_{uuid.uuid4().hex[:12]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
-    try:
-        prev_provider = spark.conf.get(_PROVIDER_KEY)
-    except Exception:
-        prev_provider = None
+    from .drive import drive_available_now
+
     # per-key state-server round trips dominate (4 RPCs per key per
     # batch): spread keys across workers — 16 stateful partitions,
     # each its own Python state-server client
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    spark.conf.set(
-        _PROVIDER_KEY,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
+    sink = drive_available_now(
+        out, "timer_sessions", f"{root}/ckpt",
+        timeout_sec=timeout_sec, shuffle_partitions=16,
     )
-    try:
-        q = (
-            out.writeStream.queryName(qname)
-            .format("memory")
-            .outputMode("append")
-            .option("checkpointLocation", f"{root}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        if prev_provider is None:
-            spark.conf.unset(_PROVIDER_KEY)
-        else:
-            spark.conf.set(_PROVIDER_KEY, prev_provider)
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        raise TimeoutError(
-            f"timer-session stream did not finish within {timeout_sec}s"
-        )
     # null-safe: a NULL key (cast miss or genuine null) forms its own
     # group and must survive this filter, same as batch sessionize
-    return spark.table(qname).filter(
-        ~F.col("key").eqNullSafe(F.lit(sentinel_key))
-    )
+    return sink.filter(~F.col("key").eqNullSafe(F.lit(sentinel_key)))

@@ -10,8 +10,10 @@ repo's exerciser for the remaining transformWithState surface:
   insertion seq), mutated per batch and written back whole;
 - ``MapState`` — event ids already processed for the key (in-key
   exactly-once: a redelivered event id is a no-op), with an optional
-  processing-time TTL (``seen_ttl_ms``) bounding the dedup horizon the
-  same way ``timer_sessions``'s counter TTL bounds id retention.
+  processing-time TTL (``seen_ttl_ms``) bounding the dedup horizon —
+  possible HERE because this operator needs no event-time timers
+  (``timer_sessions`` can't TTL its counter: state TTL demands
+  timeMode=ProcessingTime, its timers demand EventTime).
   TTL is for CONTINUOUS streams only: it forces
   timeMode=ProcessingTime, under which an ``availableNow`` one-shot
   drive never terminates (the engine schedules batches indefinitely
@@ -283,7 +285,6 @@ def topk_via_stream(
     timeMode=None plan, whose dedup semantics are identical for the
     bounded drive (nothing expires inside one run)."""
     import tempfile
-    import uuid
 
     spark = df.sparkSession
     root = work_dir or tempfile.mkdtemp(prefix="topk_state_")
@@ -300,37 +301,9 @@ def topk_via_stream(
     out = streaming_topk_entries(
         stream, "key", "event_id", "value", "ts", k
     )
-    qname = f"topk_state_{uuid.uuid4().hex[:12]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
-    try:
-        prev_provider = spark.conf.get(_PROVIDER_KEY)
-    except Exception:
-        prev_provider = None
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    spark.conf.set(
-        _PROVIDER_KEY,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
+    from .drive import drive_available_now
+
+    return drive_available_now(
+        out, "topk_state", f"{root}/ckpt",
+        timeout_sec=timeout_sec, shuffle_partitions=4,
     )
-    try:
-        q = (
-            out.writeStream.queryName(qname)
-            .format("memory")
-            .outputMode("append")
-            .option("checkpointLocation", f"{root}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        if prev_provider is None:
-            spark.conf.unset(_PROVIDER_KEY)
-        else:
-            spark.conf.set(_PROVIDER_KEY, prev_provider)
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        raise TimeoutError(
-            f"top-k entry stream did not finish within {timeout_sec}s"
-        )
-    return spark.table(qname)

@@ -327,3 +327,16 @@ def test_corrupt_tombstones_fail_loudly(spark, corpus, books, tmp_path):
         f.write(b"not a parquet file")
     with pytest.raises(Exception):
         pq_adc_topk_at_rest(spark, path, books, _vec(0), k=5).collect()
+
+
+def test_delete_against_bootstrap_empty_index(spark, tmp_path):
+    """A bootstrap index (empty-frame write: no data files yet) still
+    accepts plain-id deletes — the tombstone type falls back to long
+    when the index has no readable schema."""
+    from osrs_dashboard_elt_spark.operators.pq import pq_delete_from_index
+
+    path = str(tmp_path / "pq_boot")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    ).write.parquet(path)
+    assert pq_delete_from_index([42], path) == 1

@@ -295,3 +295,31 @@ def test_vacuum_and_retention_floor_all_three_kinds(spark, tmp_path):
             read(spark, path, day_from=days[0]).count()
         # idempotent re-vacuum: nothing else to drop
         assert vacuum_registers(spark, path, keep_days=keep) == []
+
+
+def test_vacuum_floor_is_monotone(spark, tmp_path):
+    """A re-vacuum with a LARGER keep_days must not move the recorded
+    floor backwards past already-deleted days — that would wave
+    through windows whose early days are gone."""
+    from osrs_dashboard_elt_spark.operators.sketches import (
+        check_window_retention,
+        retention_floor,
+        vacuum_registers,
+        write_hll_registers,
+    )
+
+    ev = _events(spark)
+    path = str(tmp_path / "mono")
+    daily = hll_daily_registers(ev, "ts", "user_id", P)
+    write_hll_registers(daily, path)
+    days = sorted(str(r["day"]) for r in daily.select("day").distinct().collect())
+    vacuum_registers(spark, path, keep_days=2)
+    floor1 = retention_floor(spark, path)
+    assert str(floor1) == days[-2]
+    # looser retention later: drops nothing AND keeps the old floor
+    assert vacuum_registers(spark, path, keep_days=30) == []
+    assert retention_floor(spark, path) == floor1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="retention floor"):
+        check_window_retention(spark, path, days[0])

@@ -107,3 +107,16 @@ def test_publish_versioned_carries_stats(spark, tmp_path):
     pruned = pruned_scan(spark, snap, bounds)
     full = read_version(spark, root, v).filter("x = 0")
     assert _rows(pruned) == _rows(full)
+
+
+def test_unbounded_bound_is_rejected(spark, zpath):
+    """(None, None) adds no row predicate but would still skip
+    all-NULL-stats files — must be rejected, not silently lossy."""
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        manifest_file_count,
+    )
+
+    with pytest.raises(ValueError, match="None, None"):
+        pruned_scan(spark, zpath, {"y": (None, None)})
+    with pytest.raises(ValueError, match="None, None"):
+        manifest_file_count(spark, zpath, {"y": (None, None)})
