@@ -77,6 +77,81 @@ def write_stats_manifest(
     return spark.read.parquet(_manifest_path(path)).count()
 
 
+def refresh_stats_manifest(
+    spark: SparkSession, path: str, cols: list[str]
+) -> tuple[int, int]:
+    """INCREMENTAL manifest refresh: stat only the files the manifest
+    doesn't know yet, drop rows for files that vanished (compaction,
+    vacuum), keep everything else untouched — O(appended data), not
+    O(table), which is the difference between a manifest you refresh
+    every micro-batch and one you can only afford nightly at 100 TB.
+    Returns (files_added, files_removed).  Falls back to a full
+    :func:`write_stats_manifest` when no manifest exists yet.
+
+    The stats columns must match the existing manifest's (they're its
+    schema); a mismatch raises rather than silently producing rows
+    other readers can't prune on."""
+    full = spark.read.parquet(path)
+    current = {_norm(f) for f in full.inputFiles()}
+    mpath = _manifest_path(path)
+    try:
+        old = spark.read.parquet(mpath)
+    except Exception:
+        n = write_stats_manifest(spark, path, cols)
+        return n, 0
+    want_cols = {"file", "n_rows"} | {
+        f"{m}_{c}" for c in cols for m in ("min", "max")
+    }
+    if set(old.columns) != want_cols:
+        raise ValueError(
+            f"stats manifest at {mpath} covers columns "
+            f"{sorted(set(old.columns) - {'file', 'n_rows'})}; "
+            f"refresh asked for {cols}. Rebuild with "
+            "write_stats_manifest to change the stats column set."
+        )
+    old_rows = old.collect()
+    recorded = {_norm(r["file"]) for r in old_rows}
+    new_files = sorted(current - recorded)
+    removed = recorded - current
+    if not new_files and not removed:
+        return 0, 0
+    keep = [r for r in old_rows if _norm(r["file"]) in current]
+    parts = []
+    if keep:
+        parts.append(spark.createDataFrame(keep, old.schema))
+    if new_files:
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        fresh = (
+            spark.read.schema(full.schema)
+            .parquet(*new_files)
+            .select(F.input_file_name().alias("file"), *cols)
+            .groupBy("file")
+            .agg(*aggs)
+        )
+        parts.append(fresh.select(*old.columns))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # rewrite via a sibling swap dir: "overwrite" into the live path
+    # would delete-then-write, leaving a reader-visible gap
+    import uuid as _uuid
+
+    tmp = mpath + f"__swap-{_uuid.uuid4().hex[:8]}"
+    out.coalesce(1).write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm  # noqa: SLF001
+    jfs = jvm.org.apache.hadoop.fs.Path(mpath).getFileSystem(
+        spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    )
+    jfs.delete(jvm.org.apache.hadoop.fs.Path(mpath), True)
+    jfs.rename(
+        jvm.org.apache.hadoop.fs.Path(tmp),
+        jvm.org.apache.hadoop.fs.Path(mpath),
+    )
+    return len(new_files), len(removed)
+
+
 def _check_fresh(manifest_files: set[str], current: set[str], path: str):
     if manifest_files != current:
         missing = sorted(current - manifest_files)[:3]

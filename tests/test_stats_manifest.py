@@ -120,3 +120,43 @@ def test_unbounded_bound_is_rejected(spark, zpath):
         pruned_scan(spark, zpath, {"y": (None, None)})
     with pytest.raises(ValueError, match="None, None"):
         manifest_file_count(spark, zpath, {"y": (None, None)})
+
+
+def test_incremental_refresh_stats_manifest(spark, tmp_path):
+    """refresh_stats_manifest stats ONLY the new files (O(append), not
+    O(table)), drops rows for vanished files, and heals the stale
+    check; a changed stats column set is rejected loudly."""
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        refresh_stats_manifest,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = _grid(spark)
+    write_zordered(df, path, ["x", "y"], 4, stats_cols=["x"])
+    # append without refresh -> stale; incremental refresh heals
+    df.filter("x = 63").coalesce(1).write.mode("append").parquet(path)
+    with pytest.raises(ValueError, match="stale"):
+        pruned_scan(spark, path, {"x": (63, 63)})
+    added, removed = refresh_stats_manifest(spark, path, ["x"])
+    assert (added, removed) == (1, 0)
+    got = pruned_scan(spark, path, {"x": (63, 63)})
+    want = spark.read.parquet(path).filter("x = 63")
+    assert got.count() == want.count() == 2 * 64  # base + appended copy
+    # no-op refresh
+    assert refresh_stats_manifest(spark, path, ["x"]) == (0, 0)
+    # compaction: rewrite to fewer files -> removed rows dropped
+    import os
+    import shutil
+
+    compacted = str(tmp_path / "tbl2")
+    spark.read.parquet(path).coalesce(2).write.parquet(compacted)
+    shutil.copytree(
+        os.path.join(path, "_stats_manifest"),
+        os.path.join(compacted, "_stats_manifest"),
+    )
+    added, removed = refresh_stats_manifest(spark, compacted, ["x"])
+    assert added == 2 and removed == 5  # 4 z-files + 1 append vanished
+    pruned_scan(spark, compacted, {"x": (0, 5)}).count()
+    # changed column set: loud
+    with pytest.raises(ValueError, match="Rebuild"):
+        refresh_stats_manifest(spark, compacted, ["y"])
