@@ -34,6 +34,8 @@ HEADLINERS = {
     "q_pq_ann_topk": "the search side scans (id, 4 ints) only — codeword dots are inlined literal-array lookups and the top-k is TakeOrderedAndProject (no global sort, raw vectors never read at query time)",
     "q_quality_probe": "scoring is one scan-side projection (no shuffle, no Python); the trained weights are literals, so the whole plan is scan -> project",
     "q_bloom_semijoin": "the kilobyte filter words are a shared binary literal inside the scan-side predicate — the fact rows that reach the confirm join are ~FP+match, not the table; the exact semi-join then proves zero result drift",
+    "q_bpe_encode": "pure Arrow map (one ArrowEvalPython/MapInPandas over the scan) — no shuffle anywhere; the merge table rides a broadcast handle, not the closure",
+    "q_stats_pruned_scan": "the probe scan lists ONLY the manifest-selected files (planning-time pruning); the aggregate is one partial+final hash agg over the already-filtered rows",
 }
 
 
