@@ -116,3 +116,85 @@ def table_checksum(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(row_hash.cast("decimal(38,0)")).cast("decimal(38,0)").alias("checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-level expectations: violation counts, row routing, referential rules
+# ---------------------------------------------------------------------------
+
+
+def rule_violation_counts(
+    df: DataFrame, rules: list[tuple[str, str]]
+) -> DataFrame:
+    """Per-rule VIOLATION counts in one scan: ``rules`` are (name,
+    boolean SQL predicate meaning the row is VALID); a NULL predicate
+    result counts as a violation (SQL three-valued logic would
+    otherwise let nulls slip through every gate).  Returns (rule,
+    n_violations, n_rows) — one conditional aggregate, no joins, so
+    adding a rule costs one codegen term, never a scan."""
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(
+            F.when(
+                ~F.coalesce(F.expr(pred).cast("boolean"), F.lit(False)),
+                1,
+            ).otherwise(0)
+        ).alias(f"__v{i}")
+        for i, (_, pred) in enumerate(rules)
+    ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"__v{i}").cast("long").alias("n_violations"),
+                F.col("__n").cast("long").alias("n_rows"),
+            )
+            for i, (name, _) in enumerate(rules)
+        ]
+    )
+    return wide.select(F.inline(rows))
+
+
+def split_by_rules(
+    df: DataFrame,
+    rules: list[tuple[str, str]],
+    reasons_col: str = "failed_rules",
+) -> tuple[DataFrame, DataFrame]:
+    """Route rows: (good, bad) where ``bad`` carries the array of
+    failed rule names — the row-level quarantine form
+    (``streaming/dedup_ingest.py`` routes by reason the same way).
+    One scan-side projection per frame, no shuffle; at 100 TB this is
+    a filter pushed into the scan, not a validation job."""
+    reasons = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.coalesce(F.expr(pred).cast("boolean"), F.lit(False)),
+                    F.lit(name),
+                )
+                for name, pred in rules
+            ]
+        )
+    )
+    tagged = df.withColumn(reasons_col, reasons)
+    good = tagged.filter(F.size(reasons_col) == 0).drop(reasons_col)
+    bad = tagged.filter(F.size(reasons_col) > 0)
+    return good, bad
+
+
+def referential_violations(
+    fact: DataFrame,
+    fk: str,
+    dim: DataFrame,
+    pk: str,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Foreign-key expectation: fact rows whose ``fk`` has no match in
+    ``dim.pk`` (NULL fks violate too — an orphan is an orphan).  A
+    left-anti join, dimension side broadcast by default (dims that
+    don't fit a broadcast want the shuffle variant: pass False).  This
+    is the one expectation a single-scan aggregate can't express."""
+    keys = dim.select(F.col(pk).alias(fk)).distinct()
+    if broadcast_dim:
+        keys = F.broadcast(keys)
+    return fact.join(keys, fk, "left_anti")
