@@ -198,3 +198,48 @@ def referential_violations(
     if broadcast_dim:
         keys = F.broadcast(keys)
     return fact.join(keys, fk, "left_anti")
+
+
+def corpus_gate_rules(
+    text_col: str = "text",
+    min_words: int = 5,
+    max_mean_word_len: int = 12,
+    max_symbol_pct: int = 10,
+    max_word_len: int = 100,
+) -> list[tuple[str, str]]:
+    """C4/Gopher-style heuristic pretraining gates as expectations
+    rules — composable with :func:`rule_violation_counts` (audit) and
+    :func:`split_by_rules` (routing), so the whole pack is one
+    conditional aggregate or one scan-side projection, never one job
+    per heuristic.
+
+    Every predicate is integer/regex arithmetic (ratios are
+    cross-multiplied, e.g. ``100*symbols <= pct*length`` instead of a
+    double division), so an oracle reproduces each count exactly.
+    The pack (documents with fewer than ``min_words`` words, mean word
+    length above ``max_mean_word_len``, symbol share above
+    ``max_symbol_pct`` percent, any single word longer than
+    ``max_word_len``, no common-stopword hit) mirrors the public
+    C4/Gopher repetition-and-gibberish screens at the granularity a
+    row-local rule can express; corpus-level screens (dedup,
+    perplexity) are their own operators."""
+    t = text_col
+    words = f"size(split(trim({t}), '\\\\s+'))"
+    letters = f"length(regexp_replace({t}, '\\\\s+', ''))"
+    symbols = f"length(regexp_replace({t}, '[A-Za-z0-9\\\\s]', ''))"
+    return [
+        ("min_words", f"{words} >= {min_words}"),
+        (
+            "mean_word_len",
+            f"{letters} <= {max_mean_word_len} * {words}",
+        ),
+        (
+            "symbol_ratio",
+            f"100 * {symbols} <= {max_symbol_pct} * length({t})",
+        ),
+        ("max_word_len", f"NOT {t} RLIKE '\\\\S{{{max_word_len + 1}}}'"),
+        (
+            "has_stopword",
+            f"lower({t}) RLIKE '\\\\b(the|and|of|to|in|a|is)\\\\b'",
+        ),
+    ]

@@ -5612,6 +5612,50 @@ def q_expectations(spark, sf_dir):
     return counts.unionByName(fk_row)
 
 
+_GATE_DUCK = {
+    "min_words": (
+        "len(regexp_split_to_array(trim(text), '\\s+')) >= 5"
+    ),
+    "mean_word_len": (
+        "length(regexp_replace(text, '\\s+', '', 'g'))"
+        " <= 12 * len(regexp_split_to_array(trim(text), '\\s+'))"
+    ),
+    "symbol_ratio": (
+        "100 * length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))"
+        " <= 10 * length(text)"
+    ),
+    "max_word_len": "NOT regexp_matches(text, '\\S{101}')",
+    "has_stopword": (
+        "regexp_matches(lower(text), '\\b(the|and|of|to|in|a|is)\\b')"
+    ),
+}
+_GATE_ORACLE = (
+    "WITH n AS (SELECT COUNT(*) AS n_rows FROM documents)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule, (SELECT COUNT(*) FROM documents "
+        f"WHERE NOT COALESCE(({pred}), FALSE)) AS n_violations, "
+        "n_rows FROM n"
+        for name, pred in _GATE_DUCK.items()
+    )
+)
+
+
+@query("q_corpus_gate", oracle=_GATE_ORACLE)
+def q_corpus_gate(spark, sf_dir):
+    """C4/Gopher-style heuristic pretraining gates audited as one
+    conditional aggregate (operators/quality.py::corpus_gate_rules on
+    the expectations engine): word-count floor, mean-word-length and
+    symbol-share caps (integer cross-multiplication, no double
+    division), giant-token screen, stopword-presence check.  The
+    oracle recomputes every count in DuckDB with dialect-translated
+    regexes (note the 'g' flag — DuckDB regexp_replace is
+    first-match-only by default where Spark's replaces all)."""
+    from .operators.quality import corpus_gate_rules, rule_violation_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return rule_violation_counts(docs, corpus_gate_rules())
+
+
 @query("q_data_quality_events", oracle=_QUALITY_ORACLE)
 def q_data_quality_events(spark, sf_dir):
     """Deequ-style one-scan table profile: every (column x metric)

@@ -61,3 +61,39 @@ def test_referential_violations_finds_orphans_and_null_fks(spark):
     assert {r.id for r in got.collect()} == {3, 4}  # orphan AND null fk
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_gate_rules_on_crafted_docs(spark):
+    """Each gate fires on its crafted violator and passes clean prose;
+    the whole pack is one aggregate."""
+    from osrs_dashboard_elt_spark.operators.quality import (
+        corpus_gate_rules,
+        rule_violation_counts,
+        split_by_rules,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a lazy dog in the sun"),
+            (2, "too short"),                              # min_words
+            (3, "the " + "supercalifragilistic" * 2 + " word appears in a story here"),  # mean ok, fine
+            (4, "the " + "x" * 150 + " is one giant token in a sentence"),  # max_word_len
+            (5, "the @@##$$ %%^^&& !!(()) ;;;;;; ::::: of a symbols"),  # symbol_ratio
+            (6, "zqx vbn mlp qwe rty uio asd fgh jkl"),    # has_stopword
+            (7, None),                                     # null: all gates
+        ],
+        "doc_id long, text string",
+    )
+    rules = corpus_gate_rules()
+    got = {
+        r.rule: r.n_violations
+        for r in rule_violation_counts(docs, rules).collect()
+    }
+    assert got["min_words"] == 2      # doc 2 + null
+    assert got["max_word_len"] == 2   # doc 4 + null
+    assert got["symbol_ratio"] == 2   # doc 5 + null
+    assert got["has_stopword"] == 3   # doc 6 + null + "too short"
+    good, bad = split_by_rules(docs, rules)
+    assert {r.doc_id for r in good.collect()} == {1, 3}
+    reasons = {r.doc_id: set(r.failed_rules) for r in bad.collect()}
+    assert reasons[7] == {n for n, _ in rules}  # null fails every gate
