@@ -5590,23 +5590,29 @@ def q_expectations(spark, sf_dir):
     violations, and the one rule a single scan can't express —
     referential integrity — is a broadcast left-anti join.  The
     Deequ/Delta-constraints surface, Spark-first."""
-    from .operators.quality import (
-        referential_violations,
-        rule_violation_counts,
-    )
+    from .operators.quality import rule_violation_counts
 
     li = _t(spark, sf_dir, "lineitem")
     counts = rule_violation_counts(li, _EXPECT_RULES)
-    orphans = referential_violations(
-        li, "l_orderkey", _t(spark, sf_dir, "orders"), "o_orderkey"
+    # FK audit as one broadcast LEFT join + conditional aggregate (the
+    # row-returning referential_violations is the routing form; a 1x1
+    # crossJoin of two scalar aggs would plan as a nested-loop join,
+    # which the plan-shape guard rightly forbids)
+    keys = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
     )
     fk_row = (
-        orphans.agg(F.count(F.lit(1)).alias("n_violations"))
-        .crossJoin(li.agg(F.count(F.lit(1)).alias("n_rows")))
-        .select(
+        li.select("l_orderkey")
+        .join(F.broadcast(keys), "l_orderkey", "left")
+        .agg(
             F.lit("fk_orders").alias("rule"),
-            F.col("n_violations").cast("long"),
-            F.col("n_rows").cast("long"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
         )
     )
     return counts.unionByName(fk_row)
