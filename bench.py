@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "q_stats_pruned_scan",
     "q_expectations",
     "q_corpus_gate",
+    "q_topn_pruned",
     "q_duplicate_ngram_spans",
     "q_boilerplate_removal",
     "q_scd2_as_of",

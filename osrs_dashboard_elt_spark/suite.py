@@ -451,6 +451,39 @@ def q_topn_per_group(spark, sf_dir):
 
 
 @query(
+    "q_topn_pruned",
+    oracle="""
+    SELECT event_id, event_type, value, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 5
+    """,
+)
+def q_topn_pruned(spark, sf_dir):
+    """W1's huge-group SCALE path (operators/topn.py::
+    top_n_per_group_pruned): per-input-partition pre-prune to n rows
+    per (partition, group) before the window's Exchange, so the
+    shuffle carries at most n x splits rows per group instead of the
+    group's full cardinality.  Same oracle as q_topn_per_group —
+    the prune must be invisible in the result."""
+    ev = _t(spark, sf_dir, "events")
+    from .operators.topn import top_n_per_group_pruned
+
+    out = top_n_per_group_pruned(
+        ev,
+        ["event_type"],
+        [F.col("value").desc(), F.col("event_id").asc()],
+        5,
+        rank_col="rank",
+    )
+    return out.select(
+        "event_id", "event_type", "value", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@query(
     "q_dedup_keep_first",
     oracle=f"""
     SELECT user_id, event_type, event_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_str
