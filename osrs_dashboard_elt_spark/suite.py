@@ -463,11 +463,14 @@ def q_topn_per_group(spark, sf_dir):
 )
 def q_topn_pruned(spark, sf_dir):
     """W1's huge-group SCALE path (operators/topn.py::
-    top_n_per_group_pruned): per-input-partition pre-prune to n rows
-    per (partition, group) before the window's Exchange, so the
-    shuffle carries at most n x splits rows per group instead of the
-    group's full cardinality.  Same oracle as q_topn_per_group —
-    the prune must be invisible in the result."""
+    top_n_per_group_pruned): bound the window Exchange to n rows per
+    (group, input partition).  On Spark >= 3.5 the shipped function
+    delegates to the window form (the engine's Partial
+    WindowGroupLimit already prunes pre-shuffle — SCALE.md round 7),
+    which q_topn_per_group oracle-checks; so THIS query pins
+    ``manual=True`` to keep the hand-built fallback prune (local sort
+    + vectorized Arrow pass) oracle-checked.  Same oracle as
+    q_topn_per_group — the prune must be invisible in the result."""
     ev = _t(spark, sf_dir, "events")
     from .operators.topn import top_n_per_group_pruned
 
@@ -477,6 +480,7 @@ def q_topn_pruned(spark, sf_dir):
         [F.col("value").desc(), F.col("event_id").asc()],
         5,
         rank_col="rank",
+        manual=True,
     )
     return out.select(
         "event_id", "event_type", "value", F.col("rank").cast("long").alias("rank")

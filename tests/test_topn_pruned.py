@@ -37,7 +37,7 @@ def test_pruned_equals_window_form(spark):
     df = _df(spark)
     order = [F.col("score").asc(), F.col("id").asc()]
     want = _rows(top_n_per_group(df, ["g"], order, N))
-    got = _rows(top_n_per_group_pruned(df, ["g"], order, N))
+    got = _rows(top_n_per_group_pruned(df, ["g"], order, N, manual=True))
     assert got == want and len(want) == 4 * N
 
 
@@ -48,7 +48,7 @@ def test_pruned_with_rank_and_desc(spark):
         top_n_per_group(df, ["g"], order, N, rank_col="r").drop("r")
     )
     got = _rows(
-        top_n_per_group_pruned(df, ["g"], order, N, rank_col="r").drop("r")
+        top_n_per_group_pruned(df, ["g"], order, N, rank_col="r", manual=True).drop("r")
     )
     assert got == want
 
@@ -81,3 +81,40 @@ def test_prune_handles_group_spanning_batches(spark):
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", prev
         )
+
+
+def test_prune_nan_group_spanning_batches(spark):
+    """NaN group keys split across Arrow batches must carry the count
+    (plain tuple != treats NaN as a fresh group every row)."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        df = spark.range(300).coalesce(1).select(
+            F.lit(None).cast("double").alias("g"), F.col("id").alias("id")
+        )
+        local = df.sortWithinPartitions("g", "id")
+        got = _local_prune(local, ["g"], 4).collect()
+        assert [r.id for r in got] == [0, 1, 2, 3]
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
+
+
+def test_window_form_plans_partial_group_limit(spark):
+    """Spark >= 3.5 bounds the huge-group shuffle inside the engine: a
+    Partial WindowGroupLimit must sit below the Exchange, so each input
+    partition forwards at most n rows per group (SPARK-37099).  This is
+    why top_n_per_group_pruned delegates to the window form here."""
+    df = _df(spark)
+    order = [F.col("score").asc(), F.col("id").asc()]
+    out = top_n_per_group_pruned(df, ["g"], order, N)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    partial = plan.find("WindowGroupLimit")
+    assert "Partial" in plan and "Final" in plan, plan
+    # the Partial group limit appears below (after, in tree print) the
+    # Exchange; the Final one above it
+    ex = plan.find("Exchange")
+    final_pos = plan.find("Final")
+    partial_pos = plan.find("Partial")
+    assert final_pos < ex < partial_pos, plan
