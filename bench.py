@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "q_bpe_encode",
     "q_stream_topk_entries",
     "q_stats_pruned_scan",
+    "q_point_lookup_pruned",
     "q_expectations",
     "q_corpus_gate",
     "q_topn_pruned",
@@ -265,15 +266,21 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf else None
-    full_line, compact_line = format_output(timings, total, sf_val)
+    full_line, compact_line = format_output(
+        timings, total, sf_val, filtered=only is not None
+    )
     # Full per-query record: archived to a file AND printed on an
     # early line (human/archive view).
     here = os.path.dirname(os.path.abspath(__file__))
-    try:
-        with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as f:
-            f.write(full_line)
-    except OSError:
-        pass
+    if only is None:
+        # a FILTERED run must not overwrite the committed full-suite
+        # artifact — it would silently corrupt round-over-round drift
+        # tracking (the record carries no per-query coverage marker)
+        try:
+            with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as f:
+                f.write(full_line)
+        except OSError:
+            pass
     print(full_line, flush=True)
     # The driver captures a bounded TAIL of stdout; a single ~3.5 KB
     # line for 100+ queries can have its head cut, leaving nothing
@@ -285,7 +292,10 @@ def main() -> None:
 
 
 def format_output(
-    timings: dict[str, float], total: float, sf_val: float | None
+    timings: dict[str, float],
+    total: float,
+    sf_val: float | None,
+    filtered: bool = False,
 ) -> tuple[str, str]:
     """(full_json_line, compact_json_line) — the compact line carries
     the headline metric + the 15 slowest queries and stays well under
@@ -297,6 +307,7 @@ def format_output(
             "unit": "sec",
             "queries": timings,
             "sf": sf_val,
+            **({"filter": True} if filtered else {}),
         }
     )
     slowest = dict(
@@ -312,6 +323,7 @@ def format_output(
             "n_queries": len(timings),
             "sec_per_query": round(total / max(len(timings), 1), 3),
             "queries_file": "BENCH_QUERIES.json",
+            **({"filter": True} if filtered else {}),
         },
         separators=(",", ":"),
     )

@@ -91,6 +91,8 @@ def write_zordered(
     bits: int = 8,
     ranges: dict[str, tuple[float, float]] | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 1 << 20,
 ) -> None:
     """Write ``df`` clustered on the Morton key of ``cols`` into
     ``n_files`` contiguous z-range files (key column dropped from the
@@ -111,4 +113,9 @@ def write_zordered(
     if stats_cols:
         from ..sources.stats_manifest import write_stats_manifest
 
-        write_stats_manifest(df.sparkSession, path, stats_cols)
+        # bloom_cols serve point lookups on keys NOT in the z-order
+        # (uniformly spread across files, so min/max prune nothing)
+        write_stats_manifest(
+            df.sparkSession, path, stats_cols,
+            bloom_cols=bloom_cols, bloom_bits=bloom_bits,
+        )

@@ -160,10 +160,13 @@ def publish_versioned(
         # per-file min/max manifest inside the (immutable) snapshot
         # dir: selective readers of this version prune files at
         # planning time (sources/stats_manifest.py); written before
-        # the log append, so a logged version always has its stats
+        # the log append, so a logged version always has its stats.
+        # immutable=True is the version handshake: the snapshot never
+        # changes, so pruned_scan trusts the manifest and skips the
+        # per-probe directory listing entirely
         from .stats_manifest import write_stats_manifest
 
-        write_stats_manifest(spark, path, stats_cols)
+        write_stats_manifest(spark, path, stats_cols, immutable=True)
     written = spark.read.parquet(path)
     entry = {
         "version": version,

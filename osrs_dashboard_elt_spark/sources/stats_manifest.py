@@ -1,5 +1,6 @@
-"""File-skipping stats manifest: per-file column min/max recorded at
-write time so selective readers prune FILES before the scan starts.
+"""File-skipping stats manifest: per-file column min/max (and optional
+per-file bloom filters) recorded at write time so selective readers
+prune FILES before the scan starts.
 
 Parquet footers already carry row-group min/max, but the engine only
 consults them AFTER the file is opened — listing, opening and footer-
@@ -8,43 +9,83 @@ a selective probe on a 100 TB table.  Table formats (Delta, Iceberg)
 solve this with write-time file statistics in the commit log; this
 module re-expresses that idea for plain parquet dirs: one small
 manifest (itself parquet, in an underscore-prefixed subdir the readers
-ignore) mapping ``file -> (n_rows, min_c, max_c, ...)`` for the chosen
-columns, written right after the data, consulted BEFORE any data file
-is touched.
+ignore) mapping ``file -> (n_rows, min_c, max_c, ..., bloom_c, ...)``
+for the chosen columns, written right after the data, consulted BEFORE
+any data file is touched.
 
-It composes with z-ordering (``operators/zorder.py``): the z-ordered
-write makes every participating column's per-file ranges TIGHT, and
-the manifest lifts those ranges out of the footers so pruning happens
-at planning time.  ``tests/test_stats_manifest.py`` asserts a
-selective probe on a z-ordered table reads strictly fewer files
-(``DataFrame.inputFiles()``) with oracle-equal results.
+Three pruning regimes:
+
+- **Range bounds** (``pruned_scan(bounds=...)``): min/max interval
+  overlap — composes with z-ordering (``operators/zorder.py``), which
+  makes every participating column's per-file ranges TIGHT.
+- **Point lookups** (``pruned_scan(points=...)``): per-file bloom
+  filters (the Delta bloom / Iceberg value-sketch analog) serve
+  equality probes on high-cardinality keys NOT clustered by the
+  layout, where every file's [min, max] spans the whole domain and
+  range pruning keeps everything.  Blooms are built with Spark's
+  native bitmap aggregates (``bitmap_construct_agg``): k positions per
+  row from ``xxhash64(col, seed)``, one 32768-bit bitmap per (file,
+  bucket) with map-side partial aggregation — the shuffle carries at
+  most ``bits/32768 * 4 KB`` per (file, input partition), never row
+  data.  Membership is tested with native byte/bit expressions over
+  the manifest (no data file touched; the driver receives file names
+  only).  False positives only ⇒ extra files read, never missed rows.
+- **Version-epoch freshness** (``immutable=True``, set by
+  ``publish_versioned``): a manifest over an immutable snapshot is
+  trusted outright — ``pruned_scan`` skips the data-dir listing
+  entirely (the schema is stored in the manifest meta), which at a
+  million files removes the dominant planning cost.  Mutable dirs keep
+  the loud listing-vs-manifest freshness check.
+
+Commit protocol: each manifest write lands in a fresh epoch dir
+(``_stats_manifest/m0000001/...``) and becomes visible only when its
+``_meta.json`` is atomically renamed into place — readers always see a
+complete manifest (never the half-written or deleted-mid-swap states a
+delete-then-rename would expose), and a refresh keeps the previous
+epoch alive until the new one commits.  Epoch numbers are claimed with
+O_CREAT|O_EXCL markers (the ``publish_versioned`` discipline) so
+concurrent refreshers cannot collide on a dir.
+
+Hive-partitioned dirs are supported: file subsets are read with
+``basePath`` so partition columns keep their values (a leaf-file read
+without it would return them as NULL and silently break bound filters
+on partition columns).
 
 Scale shape: the stats pass is ONE distributed column-pruned scan
 grouped by ``input_file_name()`` (no wide shuffle — |files| groups);
-the manifest is |files| rows of scalars, read back as a normal
-(partition-prunable) parquet.  The matching-file list does collect to
-the driver — the same driver-side planning cost every table format
-pays (Delta log replay, Iceberg manifest scan), bounded by file count,
-not data size.
+each bloom column adds one scan pruned to that single column.  The
+manifest is |files| rows; readers collect only FILE NAMES (pruning
+runs in Spark over the manifest), the same driver-side planning cost
+every table format pays, bounded by file count, not data size.
 
-Safety: pruning is only sound if the manifest matches the directory's
-CURRENT file set, so reads verify the listing against the manifest and
-fail loudly on drift (a file appended without refreshing stats would
-otherwise be silently skipped).  NULL semantics: min/max ignore NULLs,
-and range predicates never match NULLs, so skipping a file whose
-stats-column is all-NULL (NULL min/max) is exact, not approximate.
+NULL semantics: min/max ignore NULLs, and range predicates never match
+NULLs, so skipping a file whose stats-column is all-NULL (NULL
+min/max) is exact, not approximate.  Equality points must be non-null
+(``c = NULL`` matches nothing).
 """
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 _MANIFEST_DIR = "_stats_manifest"
+_META = "_meta.json"
+_BUCKET_BITS = 32768  # bits per Spark bitmap bucket (engine constant)
 
 
-def _manifest_path(path: str) -> str:
+def _manifest_root(path: str) -> str:
     return path.rstrip("/") + "/" + _MANIFEST_DIR
+
+
+def _epoch_dir(root: str, epoch: int) -> str:
+    return os.path.join(root, f"m{epoch:07d}")
 
 
 def _norm(uri: str) -> str:
@@ -56,59 +97,230 @@ def _norm(uri: str) -> str:
     return uri
 
 
-def write_stats_manifest(
-    spark: SparkSession, path: str, cols: list[str]
-) -> int:
-    """Record per-file (n_rows, min/max per stats column) for every
-    parquet file under ``path``.  Returns the file count.  Call right
-    after the data write (``write_zordered`` and ``publish_versioned``
-    do this when given ``stats_cols``); re-call after any append or
-    compaction — readers verify freshness."""
-    df = spark.read.parquet(path)
+def _strip_scheme(uri: str) -> str:
+    return uri[len("file:"):].lstrip("/") if uri.startswith("file:") else uri
+
+
+def _committed_epochs(root: str) -> list[int]:
+    try:
+        names = os.listdir(root)
+    except FileNotFoundError:
+        return []
+    out = []
+    for n in names:
+        if n.startswith("m") and n[1:].isdigit():
+            if os.path.exists(os.path.join(root, n, _META)):
+                out.append(int(n[1:]))
+    return sorted(out)
+
+
+def _load_meta(path: str) -> tuple[int, dict]:
+    """(epoch, meta) of the newest committed manifest, or raise."""
+    root = _manifest_root(path)
+    epochs = _committed_epochs(root)
+    if not epochs:
+        raise FileNotFoundError(
+            f"no stats manifest under {path} — write one with "
+            "write_stats_manifest (or pass stats_cols to the writer)"
+        )
+    epoch = epochs[-1]
+    with open(os.path.join(_epoch_dir(root, epoch), _META)) as f:
+        return epoch, json.load(f)
+
+
+def _claim_epoch(root: str, start: int) -> int:
+    """Claim the next epoch number with an O_CREAT|O_EXCL marker so
+    concurrent writers get distinct dirs."""
+    os.makedirs(root, exist_ok=True)
+    epoch = start
+    while True:
+        try:
+            fd = os.open(
+                os.path.join(root, f".claim-m{epoch:07d}"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            os.close(fd)
+            return epoch
+        except FileExistsError:
+            epoch += 1
+
+
+def _commit_epoch(root: str, epoch: int, meta: dict) -> None:
+    """Atomically publish the epoch (write-temp + rename of its meta —
+    the commit point), then vacuum epochs older than the previous one
+    (kept so an in-flight reader of the old manifest finishes)."""
+    edir = _epoch_dir(root, epoch)
+    fd, tmp = tempfile.mkstemp(dir=edir, prefix=".meta-")
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(edir, _META))
+    for old in _committed_epochs(root)[:-2]:
+        odir = _epoch_dir(root, old)
+        try:  # un-commit first so a racing reader skips it cleanly
+            os.remove(os.path.join(odir, _META))
+        except FileNotFoundError:
+            pass
+        shutil.rmtree(odir, ignore_errors=True)
+        try:
+            os.remove(os.path.join(root, f".claim-m{old:07d}"))
+        except FileNotFoundError:
+            pass
+
+
+def _stats_aggs(cols: list[str]) -> list:
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
-    stats = (
-        df.select(F.input_file_name().alias("file"), *cols)
-        .groupBy("file")
-        .agg(*aggs)
+    return aggs
+
+
+def _bloom_positions(col, dtype_col, bits: int, hashes: int) -> list:
+    """k 1-based bit positions in [1, bits] for a value: independent
+    hashes from xxhash64 over (value, seed)."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(s)), F.lit(bits)) + F.lit(1)
+        for s in range(1, hashes + 1)
+    ]
+
+
+def _bloom_for_files(
+    reader: DataFrame, c: str, bits: int, hashes: int
+) -> DataFrame:
+    """(file, bloom_c: map<bucket, 4KB bitmap>) per file.  One scan
+    pruned to column ``c``; partial aggregation bounds the shuffle at
+    ``bits/32768`` bitmaps per (file, input partition)."""
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col(c), None, bits, hashes))
+    ).alias("pos")
+    per_bucket = (
+        reader.select(F.input_file_name().alias("file"), F.col(c))
+        .select("file", pos)
+        .groupBy("file", F.bitmap_bucket_number("pos").alias("bucket"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("pos")).alias("bm"))
     )
-    stats.coalesce(1).write.mode("overwrite").parquet(_manifest_path(path))
-    return spark.read.parquet(_manifest_path(path)).count()
+    return per_bucket.groupBy("file").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("bucket", "bm")))
+        ).alias(f"bloom_{c}")
+    )
+
+
+def _build_manifest_df(
+    spark: SparkSession,
+    path: str,
+    reader: DataFrame,
+    cols: list[str],
+    bloom_cols: list[str],
+    bloom_bits: int,
+    bloom_hashes: int,
+) -> DataFrame:
+    stats = (
+        reader.select(F.input_file_name().alias("file"), *cols)
+        .groupBy("file")
+        .agg(*_stats_aggs(cols))
+    )
+    for c in bloom_cols:
+        stats = stats.join(
+            _bloom_for_files(reader, c, bloom_bits, bloom_hashes),
+            "file",
+            "left",
+        )
+    return stats
+
+
+def write_stats_manifest(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 1 << 20,
+    bloom_hashes: int = 5,
+    immutable: bool = False,
+) -> int:
+    """Record per-file (n_rows, min/max per stats column, optional
+    bloom per ``bloom_cols``) for every parquet file under ``path``.
+    Returns the file count.  Call right after the data write
+    (``write_zordered`` and ``publish_versioned`` do this when given
+    ``stats_cols``); re-call or :func:`refresh_stats_manifest` after
+    any append or compaction — readers verify freshness.
+
+    ``immutable=True`` (set by ``publish_versioned`` for its snapshot
+    dirs) stamps the manifest as covering a dir that will NEVER
+    change: readers then trust it outright and skip the per-probe
+    directory listing — the point of a version handshake.
+
+    Bloom sizing: false-positive rate ≈ (1 - e^(-k·n/m))^k for n
+    distinct values per file, m = ``bloom_bits``, k = ``bloom_hashes``
+    — size m ≈ 10·n (the default 2^20 bits ≈ 128 KB/file/col suits
+    ~100k distinct per file; raise it for 128 MB files of unique ids).
+    """
+    reader = spark.read.parquet(path)
+    man = _build_manifest_df(
+        spark, path, reader, cols, list(bloom_cols or []),
+        bloom_bits, bloom_hashes,
+    )
+    root = _manifest_root(path)
+    epochs = _committed_epochs(root)
+    epoch = _claim_epoch(root, (epochs[-1] + 1) if epochs else 1)
+    edir = _epoch_dir(root, epoch)
+    man.coalesce(1).write.mode("overwrite").parquet(edir)
+    n = spark.read.parquet(edir).count()
+    meta = {
+        "epoch": epoch,
+        "cols": list(cols),
+        "bloom_cols": list(bloom_cols or []),
+        "bloom_bits": bloom_bits,
+        "bloom_hashes": bloom_hashes,
+        "immutable": bool(immutable),
+        "schema": reader.schema.jsonValue(),
+        "file_count": n,
+    }
+    _commit_epoch(root, epoch, meta)
+    return n
 
 
 def refresh_stats_manifest(
     spark: SparkSession, path: str, cols: list[str]
 ) -> tuple[int, int]:
-    """INCREMENTAL manifest refresh: stat only the files the manifest
-    doesn't know yet, drop rows for files that vanished (compaction,
-    vacuum), keep everything else untouched — O(appended data), not
-    O(table), which is the difference between a manifest you refresh
-    every micro-batch and one you can only afford nightly at 100 TB.
-    Returns (files_added, files_removed).  Falls back to a full
+    """INCREMENTAL manifest refresh: stat (and bloom, per the existing
+    manifest's config) only the files the manifest doesn't know yet,
+    drop rows for files that vanished (compaction, vacuum), keep
+    everything else untouched — O(appended data), not O(table), which
+    is the difference between a manifest you refresh every micro-batch
+    and one you can only afford nightly at 100 TB.  Returns
+    (files_added, files_removed).  Falls back to a full
     :func:`write_stats_manifest` when no manifest exists yet.
+
+    The new epoch becomes visible only at its meta commit, and the
+    previous epoch survives until the NEXT commit — a concurrent
+    ``pruned_scan`` never observes a missing or partial manifest.
 
     The stats columns must match the existing manifest's (they're its
     schema); a mismatch raises rather than silently producing rows
-    other readers can't prune on."""
-    full = spark.read.parquet(path)
-    current = {_norm(f) for f in full.inputFiles()}
-    mpath = _manifest_path(path)
+    other readers can't prune on.  Refreshing an ``immutable``
+    manifest raises: the dir was published as never-changing, so an
+    append under it is a protocol violation, not a refresh case."""
     try:
-        old = spark.read.parquet(mpath)
-    except Exception:
+        epoch, meta = _load_meta(path)
+    except FileNotFoundError:
         n = write_stats_manifest(spark, path, cols)
         return n, 0
-    want_cols = {"file", "n_rows"} | {
-        f"{m}_{c}" for c in cols for m in ("min", "max")
-    }
-    if set(old.columns) != want_cols:
+    if meta["immutable"]:
         raise ValueError(
-            f"stats manifest at {mpath} covers columns "
-            f"{sorted(set(old.columns) - {'file', 'n_rows'})}; "
-            f"refresh asked for {cols}. Rebuild with "
+            f"manifest under {path} is marked immutable (published "
+            "snapshot): appending to the dir violates the snapshot "
+            "contract — publish a new version instead of refreshing"
+        )
+    if list(cols) != meta["cols"]:
+        raise ValueError(
+            f"stats manifest at {path} covers columns {meta['cols']}; "
+            f"refresh asked for {list(cols)}. Rebuild with "
             "write_stats_manifest to change the stats column set."
         )
+    full = spark.read.parquet(path)
+    current = {_norm(f) for f in full.inputFiles()}
+    root = _manifest_root(path)
+    old = spark.read.parquet(_epoch_dir(root, epoch))
     old_rows = old.collect()
     recorded = {_norm(r["file"]) for r in old_rows}
     new_files = sorted(current - recorded)
@@ -120,35 +332,24 @@ def refresh_stats_manifest(
     if keep:
         parts.append(spark.createDataFrame(keep, old.schema))
     if new_files:
-        aggs = [F.count(F.lit(1)).alias("n_rows")]
-        for c in cols:
-            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
-        fresh = (
-            spark.read.schema(full.schema)
+        fresh_reader = (
+            spark.read.schema(StructType.fromJson(meta["schema"]))
+            .option("basePath", path)
             .parquet(*new_files)
-            .select(F.input_file_name().alias("file"), *cols)
-            .groupBy("file")
-            .agg(*aggs)
+        )
+        fresh = _build_manifest_df(
+            spark, path, fresh_reader, meta["cols"], meta["bloom_cols"],
+            meta["bloom_bits"], meta["bloom_hashes"],
         )
         parts.append(fresh.select(*old.columns))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    # rewrite via a sibling swap dir: "overwrite" into the live path
-    # would delete-then-write, leaving a reader-visible gap
-    import uuid as _uuid
-
-    tmp = mpath + f"__swap-{_uuid.uuid4().hex[:8]}"
-    out.coalesce(1).write.mode("overwrite").parquet(tmp)
-    jvm = spark._jvm  # noqa: SLF001
-    jfs = jvm.org.apache.hadoop.fs.Path(mpath).getFileSystem(
-        spark._jsc.hadoopConfiguration()  # noqa: SLF001
-    )
-    jfs.delete(jvm.org.apache.hadoop.fs.Path(mpath), True)
-    jfs.rename(
-        jvm.org.apache.hadoop.fs.Path(tmp),
-        jvm.org.apache.hadoop.fs.Path(mpath),
-    )
+    new_epoch = _claim_epoch(root, epoch + 1)
+    edir = _epoch_dir(root, new_epoch)
+    out.coalesce(1).write.mode("overwrite").parquet(edir)
+    meta = dict(meta, epoch=new_epoch, file_count=len(current))
+    _commit_epoch(root, new_epoch, meta)
     return len(new_files), len(removed)
 
 
@@ -166,21 +367,7 @@ def _check_fresh(manifest_files: set[str], current: set[str], path: str):
         )
 
 
-def pruned_scan(
-    spark: SparkSession,
-    path: str,
-    bounds: dict[str, tuple],
-) -> DataFrame:
-    """Scan ``path`` reading ONLY files whose recorded [min, max]
-    intervals overlap every bound — then apply the same bounds as row
-    filters, so the result equals the full scan + filter exactly.
-
-    ``bounds`` maps column -> (lo, hi) inclusive; either end may be
-    None (half-open), but not both — an unbounded bound adds no row
-    predicate yet would still skip all-NULL-stats files, silently
-    dropping their rows.  Files with NULL stats for a bounded column
-    are skipped (all-NULL column: no row can match a range predicate).
-    """
+def _validate_bounds(bounds: dict[str, tuple]) -> None:
     for c, (lo, hi) in bounds.items():
         if lo is None and hi is None:
             raise ValueError(
@@ -188,51 +375,47 @@ def pruned_scan(
                 "prunes nothing but would drop all-NULL-stats files — "
                 "omit the column instead"
             )
-    man = spark.read.parquet(_manifest_path(path)).collect()
-    full = spark.read.parquet(path)
-    current = {_norm(f) for f in full.inputFiles()}
-    _check_fresh({_norm(r["file"]) for r in man}, current, path)
-
-    def overlaps(r) -> bool:
-        for c, (lo, hi) in bounds.items():
-            mn, mx = r[f"min_{c}"], r[f"max_{c}"]
-            if mn is None or mx is None:
-                return False
-            if lo is not None and mx < lo:
-                return False
-            if hi is not None and mn > hi:
-                return False
-        return True
-
-    files = [r["file"] for r in man if overlaps(r)]
-    if files:
-        # pin the schema so an empty/partial file subset cannot
-        # re-infer a narrower one
-        df = spark.read.schema(full.schema).parquet(*files)
-    else:
-        df = spark.createDataFrame([], full.schema)
-    for c, (lo, hi) in bounds.items():
-        if lo is not None:
-            df = df.filter(F.col(c) >= F.lit(lo))
-        if hi is not None:
-            df = df.filter(F.col(c) <= F.lit(hi))
-    return df
 
 
-def manifest_file_count(
-    spark: SparkSession, path: str, bounds: dict[str, tuple] | None = None
-) -> int:
-    """How many files a ``bounds`` probe would read (None = all files
-    with stats) — the planning-time metric the pruning test asserts
-    on, without touching any data file."""
-    man = spark.read.parquet(_manifest_path(path))
-    if not bounds:
-        return man.count()
-    for c, (lo, hi) in bounds.items():
-        if lo is None and hi is None:
-            raise ValueError(
-                f"bound for {c!r} is (None, None) — omit the column"
-            )
+def _test_bit(bm, pos0: int):
+    """Native bit test on a bitmap binary: 0-based position ``pos0``
+    within the bucket lives at byte ``pos0 >> 3``, bit ``pos0 & 7``
+    (LSB-first) — layout pinned by tests/test_stats_manifest.py."""
+    byte = F.conv(F.hex(F.substring(bm, pos0 // 8 + 1, 1)), 16, 10)
+    return F.bit_get(byte.cast("long"), F.lit(pos0 % 8)) == 1
+
+
+def _point_positions(
+    spark: SparkSession, value, dtype, bits: int, hashes: int
+) -> list[int]:
+    """The k 1-based bloom positions of a probe value, computed by the
+    SAME engine expressions that built the blooms (one 1-row local
+    job; xxhash64 is type-sensitive, so the literal is cast to the
+    column's type)."""
+    lit = F.lit(value).cast(dtype)
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                p.alias(f"p{i}")
+                for i, p in enumerate(
+                    _bloom_positions(lit, None, bits, hashes)
+                )
+            ]
+        )
+        .collect()[0]
+    )
+    return [int(v) for v in row]
+
+
+def _prune_condition(
+    spark: SparkSession,
+    meta: dict,
+    bounds: dict[str, tuple],
+    points: dict,
+) -> "F.Column":
+    """Manifest-row predicate: True = the file may contain matches."""
+    schema = StructType.fromJson(meta["schema"])
     cond = F.lit(True)
     for c, (lo, hi) in bounds.items():
         cond = cond & F.col(f"min_{c}").isNotNull()
@@ -240,4 +423,130 @@ def manifest_file_count(
             cond = cond & (F.col(f"max_{c}") >= F.lit(lo))
         if hi is not None:
             cond = cond & (F.col(f"min_{c}") <= F.lit(hi))
-    return man.filter(cond).count()
+    for c, v in points.items():
+        has_stats = c in meta["cols"]
+        has_bloom = c in meta["bloom_cols"]
+        if not has_stats and not has_bloom:
+            raise ValueError(
+                f"point column {c!r} has neither min/max stats nor a "
+                f"bloom in the manifest (stats: {meta['cols']}, blooms: "
+                f"{meta['bloom_cols']}) — rebuild the manifest with it"
+            )
+        if has_stats:
+            cond = (
+                cond
+                & F.col(f"min_{c}").isNotNull()
+                & (F.col(f"max_{c}") >= F.lit(v))
+                & (F.col(f"min_{c}") <= F.lit(v))
+            )
+        if has_bloom:
+            positions = _point_positions(
+                spark, v, schema[c].dataType,
+                meta["bloom_bits"], meta["bloom_hashes"],
+            )
+            for p in positions:
+                bucket = (p - 1) // _BUCKET_BITS + 1
+                inner = (p - 1) % _BUCKET_BITS
+                bm = F.element_at(F.col(f"bloom_{c}"), F.lit(bucket))
+                cond = cond & bm.isNotNull() & _test_bit(bm, inner)
+    return cond
+
+
+def _validate_points(points: dict, bounds: dict) -> None:
+    for c, v in points.items():
+        if v is None:
+            raise ValueError(
+                f"point for {c!r} is NULL — equality never matches "
+                "NULL; drop the probe instead"
+            )
+        if c in bounds:
+            raise ValueError(
+                f"{c!r} appears in both bounds and points — use one"
+            )
+
+
+def pruned_scan(
+    spark: SparkSession,
+    path: str,
+    bounds: dict[str, tuple] | None = None,
+    points: dict | None = None,
+) -> DataFrame:
+    """Scan ``path`` reading ONLY files the manifest can't rule out —
+    then apply the same predicates as row filters, so the result
+    equals the full scan + filter exactly.
+
+    ``bounds`` maps column -> (lo, hi) inclusive; either end may be
+    None (half-open), but not both — an unbounded bound adds no row
+    predicate yet would still skip all-NULL-stats files, silently
+    dropping their rows.  Files with NULL stats for a bounded column
+    are skipped (all-NULL column: no row can match a range predicate).
+    ``points`` maps column -> non-null value (equality); pruned via
+    min/max when the column has stats and via its per-file bloom when
+    it has one (false positives read extra files; never false
+    negatives — membership uses the engine's own hash expressions).
+
+    Freshness: manifests over ``immutable`` snapshots are trusted
+    outright (no directory listing — the schema comes from the
+    manifest meta, so NO data-dir I/O happens at planning time);
+    mutable dirs verify the listing against the manifest and fail
+    loudly on drift.
+    """
+    bounds = dict(bounds or {})
+    points = dict(points or {})
+    if not bounds and not points:
+        raise ValueError("pruned_scan needs bounds and/or points")
+    _validate_bounds(bounds)
+    _validate_points(points, bounds)
+    epoch, meta = _load_meta(path)
+    man = spark.read.parquet(_epoch_dir(_manifest_root(path), epoch))
+    schema = StructType.fromJson(meta["schema"])
+    if not meta["immutable"]:
+        full = spark.read.parquet(path)
+        current = {_norm(f) for f in full.inputFiles()}
+        recorded = {
+            _norm(r["file"]) for r in man.select("file").collect()
+        }
+        _check_fresh(recorded, current, path)
+    cond = _prune_condition(spark, meta, bounds, points)
+    files = [r["file"] for r in man.filter(cond).select("file").collect()]
+    if files:
+        # pin the schema so an empty/partial file subset cannot
+        # re-infer a narrower one; basePath keeps hive-partition
+        # columns populated on leaf-file reads
+        df = (
+            spark.read.schema(schema)
+            .option("basePath", path)
+            .parquet(*files)
+        )
+    else:
+        df = spark.createDataFrame([], schema)
+    for c, (lo, hi) in bounds.items():
+        if lo is not None:
+            df = df.filter(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(c) <= F.lit(hi))
+    for c, v in points.items():
+        df = df.filter(F.col(c) == F.lit(v))
+    return df
+
+
+def manifest_file_count(
+    spark: SparkSession,
+    path: str,
+    bounds: dict[str, tuple] | None = None,
+    points: dict | None = None,
+) -> int:
+    """How many files a probe would read (no bounds/points = all files
+    with stats) — the planning-time metric the pruning tests assert
+    on, without touching any data file."""
+    epoch, meta = _load_meta(path)
+    man = spark.read.parquet(_epoch_dir(_manifest_root(path), epoch))
+    if not bounds and not points:
+        return man.count()
+    bounds = dict(bounds or {})
+    points = dict(points or {})
+    _validate_bounds(bounds)
+    _validate_points(points, bounds)
+    return man.filter(
+        _prune_condition(spark, meta, bounds, points)
+    ).count()

@@ -3860,6 +3860,50 @@ def q_stats_pruned_scan(spark, sf_dir):
     )
 
 
+_BLOOM_PATH_CACHE: dict[str, str] = {}
+
+
+@query(
+    "q_point_lookup_pruned",
+    oracle="""
+    SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+    FROM events
+    WHERE event_id = 777
+    """,
+)
+def q_point_lookup_pruned(spark, sf_dir):
+    """Point-lookup FILE pruning via the manifest's per-file BLOOM
+    column (sources/stats_manifest.py): events z-ordered on (user_id,
+    value) — so event_id is uniformly SPREAD across files and min/max
+    prune nothing for it — with a bloom on event_id recorded at write
+    time.  An equality probe reads only the files whose bloom can
+    contain the id (pytest asserts strictly fewer inputFiles); this
+    oracle proves the pruned read returns exactly the full scan's
+    ``WHERE event_id = x`` rows.  The bloom is built with the engine's
+    native bitmap aggregates and tested with native byte/bit exprs —
+    no data file is opened to decide the file set."""
+    import tempfile
+
+    from .operators.zorder import write_zordered
+    from .sources.stats_manifest import pruned_scan
+
+    if sf_dir not in _BLOOM_PATH_CACHE:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", F.col("value").cast("double").alias("value")
+        )
+        path = tempfile.mkdtemp(prefix="zbloom_")
+        write_zordered(
+            ev, path, ["user_id", "value"], n_files=16,
+            stats_cols=["user_id", "value"],
+            bloom_cols=["event_id"], bloom_bits=1 << 18,
+        )
+        _BLOOM_PATH_CACHE[sf_dir] = path
+    pruned = pruned_scan(
+        spark, _BLOOM_PATH_CACHE[sf_dir], points={"event_id": 777}
+    )
+    return pruned.select("event_id", "user_id", "value")
+
+
 _CHUNK_TOKENS, _CHUNK_OVERLAP = 32, 8
 _CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
 _DOC_CHUNKS_ORACLE = f"""

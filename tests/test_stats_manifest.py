@@ -160,3 +160,219 @@ def test_incremental_refresh_stats_manifest(spark, tmp_path):
     # changed column set: loud
     with pytest.raises(ValueError, match="Rebuild"):
         refresh_stats_manifest(spark, compacted, ["y"])
+
+
+# ---- round 7: blooms, immutable handshake, partitioned dirs, swaps ----
+
+
+def _ids(spark, n=4096, files=8):
+    # high-cardinality id uniformly SPREAD across files (hash layout):
+    # every file's [min, max] spans the domain, so range pruning keeps
+    # all files and only the bloom can prune
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("u"), F.col("id")).alias("sid"),
+            (F.col("id") % 17).alias("tag"),
+        )
+        .repartition(files, "doc_id")
+    )
+
+
+@pytest.fixture(scope="module")
+def bloom_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("bl") / "tbl")
+    _ids(spark).write.parquet(path)
+    write_stats_manifest(
+        spark, path, ["tag"], bloom_cols=["doc_id", "sid"],
+        bloom_bits=1 << 15,
+    )
+    return path
+
+
+def test_point_lookup_prunes_via_bloom(spark, bloom_path):
+    full = spark.read.parquet(bloom_path)
+    n_files = len(full.inputFiles())
+    probe = pruned_scan(spark, bloom_path, points={"doc_id": 1234})
+    assert len(probe.inputFiles()) < n_files
+    assert [tuple(r) for r in probe.collect()] == [
+        tuple(r) for r in full.filter("doc_id = 1234").collect()
+    ]
+    # string-typed key
+    got = pruned_scan(spark, bloom_path, points={"sid": "u77"})
+    assert len(got.inputFiles()) < n_files
+    assert got.count() == 1 and got.collect()[0]["doc_id"] == 77
+
+
+def test_bloom_never_false_negative(spark, bloom_path):
+    """Every present id must survive pruning (membership uses the
+    engine's own hash exprs — this pins the bitmap layout decode)."""
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        manifest_file_count as mfc,
+    )
+
+    for v in [0, 1, 63, 64, 1000, 4095, 2222]:
+        got = pruned_scan(spark, bloom_path, points={"doc_id": v})
+        assert got.count() == 1, v
+        assert mfc(spark, bloom_path, points={"doc_id": v}) >= 1
+    # absent values: usually zero files (fp possible, rows never)
+    assert pruned_scan(spark, bloom_path, points={"doc_id": 999_999}).count() == 0
+
+
+def test_point_and_bounds_compose(spark, bloom_path):
+    got = pruned_scan(
+        spark, bloom_path, bounds={"tag": (3, 3)}, points={"doc_id": 3}
+    )
+    assert got.count() == 1  # doc_id 3 has tag 3
+    none = pruned_scan(
+        spark, bloom_path, bounds={"tag": (4, 4)}, points={"doc_id": 3}
+    )
+    assert none.count() == 0
+
+
+def test_point_rejects_unknown_and_null(spark, bloom_path):
+    with pytest.raises(ValueError, match="neither"):
+        pruned_scan(spark, bloom_path, points={"nope_col": 1})
+    with pytest.raises(ValueError, match="NULL"):
+        pruned_scan(spark, bloom_path, points={"doc_id": None})
+    with pytest.raises(ValueError, match="both"):
+        pruned_scan(
+            spark, bloom_path, bounds={"tag": (1, 2)}, points={"tag": 1}
+        )
+
+
+def test_immutable_manifest_skips_listing(spark, tmp_path):
+    """The publish_versioned handshake: the snapshot manifest is
+    trusted outright, so a probe performs NO data-dir listing — proven
+    by dropping an unregistered file into the dir (the mutable path
+    raises stale; the immutable path never looks)."""
+    from osrs_dashboard_elt_spark.sources.maintenance import (
+        publish_versioned,
+    )
+
+    root = str(tmp_path / "pub")
+    v = publish_versioned(_grid(spark), root, stats_cols=["x"])
+    snap = f"{root}/v{v}"
+    want = _rows(spark.read.parquet(snap).filter("x >= 2 AND x <= 3"))
+    # contaminate the dir (protocol violation — immutable reads must
+    # not even notice, because they never list)
+    _grid(spark).limit(5).coalesce(1).write.mode("append").parquet(snap)
+    got = pruned_scan(spark, snap, {"x": (2, 3)})
+    assert _rows(got) == want
+    # refresh on an immutable manifest is a contract violation: loud
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        refresh_stats_manifest,
+    )
+
+    with pytest.raises(ValueError, match="immutable"):
+        refresh_stats_manifest(spark, snap, ["x"])
+
+
+def test_mutable_manifest_still_checks_freshness(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _grid(spark).write.parquet(path)
+    write_stats_manifest(spark, path, ["x"])
+    _grid(spark).limit(5).coalesce(1).write.mode("append").parquet(path)
+    with pytest.raises(ValueError, match="stale"):
+        pruned_scan(spark, path, {"x": (2, 3)})
+
+
+def test_partitioned_dir_bounds_on_partition_column(spark, tmp_path):
+    """Hive-partitioned table: leaf files lack the partition column,
+    so subset reads MUST use basePath or the column comes back NULL
+    and bound filters silently return nothing (round-6 ADVICE)."""
+    path = str(tmp_path / "ptbl")
+    df = spark.range(1000).select(
+        (F.col("id") % 10).alias("day"),
+        F.col("id").alias("event_id"),
+        (F.col("id") % 97).alias("v"),
+    )
+    df.write.partitionBy("day").parquet(path)
+    write_stats_manifest(
+        spark, path, ["day", "v"], bloom_cols=["event_id"],
+        bloom_bits=1 << 15,
+    )
+    full = spark.read.parquet(path)
+    # bounds on the PARTITION column itself
+    got = pruned_scan(spark, path, {"day": (3, 4)})
+    want = full.filter("day >= 3 AND day <= 4")
+    assert len(got.inputFiles()) < len(full.inputFiles())
+    assert sorted(map(tuple, got.select("event_id", "v", "day").collect())) == \
+        sorted(map(tuple, want.select("event_id", "v", "day").collect()))
+    # point lookup returns the partition value, not NULL
+    one = pruned_scan(spark, path, points={"event_id": 123}).collect()
+    assert len(one) == 1 and one[0]["day"] == 3
+    # refresh with an appended partition keeps partition values intact
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        refresh_stats_manifest,
+    )
+
+    extra = spark.createDataFrame([(77, 12345, 5)], "day long, event_id long, v long")
+    extra.write.mode("append").partitionBy("day").parquet(path)
+    added, removed = refresh_stats_manifest(spark, path, ["day", "v"])
+    assert added >= 1 and removed == 0
+    hit = pruned_scan(spark, path, points={"event_id": 12345}).collect()
+    assert len(hit) == 1 and hit[0]["day"] == 77
+
+
+def test_concurrent_reader_across_refresh(spark, tmp_path):
+    """Epoch-commit protocol: a reader looping pruned_scan while a
+    writer refreshes must never observe a missing/partial manifest
+    (the old delete-then-rename swap had exactly that window)."""
+    import threading
+
+    path = str(tmp_path / "tbl")
+    df = _grid(spark)
+    write_zordered(df, path, ["x", "y"], 4, stats_cols=["x"])
+    errors: list[Exception] = []
+    stop = threading.event = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                pruned_scan(spark, path, {"x": (0, 3)}).count()
+            except ValueError as e:
+                if "stale" not in str(e):
+                    errors.append(e)
+                # stale is legitimate mid-append; missing manifest is not
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        from osrs_dashboard_elt_spark.sources.stats_manifest import (
+            refresh_stats_manifest,
+        )
+
+        for i in range(4):
+            df.limit(7).coalesce(1).write.mode("append").parquet(path)
+            refresh_stats_manifest(spark, path, ["x"])
+    finally:
+        stop.set()
+        t.join()
+    assert not errors, errors[:2]
+
+
+def test_refresh_preserves_bloom_config(spark, tmp_path):
+    """Refreshed files get blooms per the ORIGINAL manifest config —
+    a point probe must keep finding ids that live in appended files."""
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        refresh_stats_manifest,
+    )
+
+    path = str(tmp_path / "tbl")
+    _ids(spark, 1000, 4).write.parquet(path)
+    write_stats_manifest(
+        spark, path, ["tag"], bloom_cols=["doc_id"], bloom_bits=1 << 15
+    )
+    _ids(spark, 1200, 2).filter("doc_id >= 1000").write.mode(
+        "append"
+    ).parquet(path)
+    added, _ = refresh_stats_manifest(spark, path, ["tag"])
+    assert added >= 1
+    got = pruned_scan(spark, path, points={"doc_id": 1100})
+    assert got.count() == 1
+    n_all = len(spark.read.parquet(path).inputFiles())
+    assert len(got.inputFiles()) < n_all
