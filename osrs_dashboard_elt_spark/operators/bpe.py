@@ -46,6 +46,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+
+import re as _re
+
+# Java regex \s (the dialect bpe_word_counts trains with via
+# F.split(text, r"\s+")) is the ASCII class [ \t\n\x0B\f\r]; Python's
+# str.split() adds Unicode separators (NBSP, thin space, ...), so a
+# document containing them would get DIFFERENT word boundaries at train
+# vs encode time and silently break the "encoding the training corpus
+# reproduces the trained word table" contract.  All Python-side word
+# splitting in this package must use this exact class.
+_JAVA_WS = _re.compile("[ \t\n\x0b\f\r]+")
+
+
+def java_ws_words(s: str) -> list:
+    """Split exactly like Spark's F.split(col, r"\s+") + empty drop."""
+    return [w for w in _JAVA_WS.split(s) if w]
+
 # Initial symbolization: first character raw, continuations with the
 # WordPiece '##' prefix — shared by the Spark and DuckDB sides.
 _SYMS0_SPARK = (
@@ -281,7 +298,7 @@ def bpe_encode(
                     continue
                 s = t.lower() if lowercase else t
                 pieces: list[str] = []
-                for w in s.split():
+                for w in java_ws_words(s):
                     got = memo.get(w)
                     if got is None:
                         got = memo[w] = encode_word_merges(w, mg)

@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: F401  (callers' convenience)
 from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
+from .bpe import java_ws_words
+
 UNK_ID = 0
 
 
@@ -115,7 +117,7 @@ def tokenize(
                     continue
                 s = t.lower() if lowercase else t
                 ids: list[int] = []
-                for w in s.split():
+                for w in java_ws_words(s):
                     ids.extend(encode_word(w, v, unk_id, max_piece))
                 encoded.append(ids)
             pdf = pdf[cols].copy()

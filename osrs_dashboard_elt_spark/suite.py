@@ -5654,9 +5654,14 @@ _EXPECT_ORACLE = (
     )
     + """
 UNION ALL
+-- NULL fks VIOLATE (the documented rule, matching the Spark side's
+-- left-join-miss count): bare NOT IN yields NULL for a NULL fk and
+-- would silently EXCLUDE the row, so the semantics are pinned
+-- data-independently here, not just on TPC-H's null-free keys
 SELECT 'fk_orders' AS rule,
        (SELECT COUNT(*) FROM lineitem l
-        WHERE l.l_orderkey NOT IN
+        WHERE l.l_orderkey IS NULL
+           OR l.l_orderkey NOT IN
               (SELECT o_orderkey FROM orders)) AS n_violations,
        n_rows FROM n
 """

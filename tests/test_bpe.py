@@ -187,3 +187,54 @@ def test_encode_word_merges_edges():
     assert encode_word_merges("aaaa", [("a", "##a")]) == ["aa", "##a", "##a"]
     # inapplicable merges are skipped by the symbol-set probe
     assert encode_word_merges("xy", [("q", "##q")] * 1000) == ["x", "##y"]
+
+
+def test_whitespace_dialect_matches_java_split(spark):
+    """java_ws_words must split EXACTLY like the training side's
+    F.split(text, r'\\s+') (Java \\s = ASCII [ \\t\\n\\x0B\\f\\r]) —
+    Unicode separators (NBSP, thin space, ideographic space) are word
+    CHARACTERS in both, not boundaries.  Python's str.split() treats
+    them as boundaries, which silently desynced train vs encode."""
+    from osrs_dashboard_elt_spark.operators.bpe import java_ws_words
+
+    tricky = [
+        "foo bar baz",          # NBSP inside a word
+        "a b\tc",               # thin space + tab
+        "x　y\r\nz",             # ideographic space + CRLF
+        " lead trail ",
+        "only\x0bvertical\x0ctab",
+        " ",                    # NBSP alone is ONE word
+    ]
+    df = spark.createDataFrame([(t,) for t in tricky], "text string")
+    got_spark = [
+        [w for w in r["ws"] if w]
+        for r in df.select(
+            F.split("text", r"\s+").alias("ws")
+        ).collect()
+    ]
+    got_py = [java_ws_words(t) for t in tricky]
+    assert got_py == got_spark
+
+
+def test_encode_of_training_corpus_preserves_word_boundaries(spark):
+    """The docstring contract: encoding the training corpus must
+    reproduce the trained word table's boundaries — for every doc,
+    the concatenated pieces equal the concatenated TRAIN-side words.
+    Pinned on NBSP input, where str.split() used to split words the
+    trainer never saw."""
+    from osrs_dashboard_elt_spark.operators.bpe import (
+        bpe_encode,
+        java_ws_words,
+    )
+
+    rows = ["foo bar foo bar baz", "baz qux quux"]
+    df = _docs(spark, rows)
+    merges = train_bpe(df, "text", 6)
+    out = bpe_encode(df, "text", merges, out="pieces").collect()
+    by_id = {r["doc_id"]: r["pieces"] for r in out}
+    for i, t in enumerate(rows):
+        want = "".join(java_ws_words(t.lower()))
+        got = "".join(
+            p[2:] if p.startswith("##") else p for p in by_id[i]
+        )
+        assert got == want, (i, by_id[i])
