@@ -165,29 +165,36 @@ def start_dedup_ingest(
                         "n_already_ingested": 0, "n_accepted": 0,
                     })
                 return
-            # 0. quality gate (optional): score against the trusted
-            # LM and shunt the surprising tail to quarantine before
-            # any dedup work — sub-bigram docs have no score and a
-            # gate cannot judge them, so they pass through
-            high_ppl = None
+            # 0. quality gates (optional), routed through the
+            # expectations engine (operators/quality.py): model scores
+            # land as COLUMNS first (one O(batch) join each), then
+            # split_by_rules does the routing — a gate change is a
+            # rules-list edit, not new routing code.  Rules state
+            # VALIDITY and run in cheapest-rejection-first order; a
+            # doc failing several gates is attributed to the FIRST
+            # (failed_rules[0]), preserving the original one-reason
+            # quarantine shape.  Sub-bigram docs have no LM score and
+            # a gate cannot judge them, so NULL scores pass (the
+            # explicit IS NULL disjunct — split_by_rules itself treats
+            # NULL predicates as violations).
+            from ..operators.quality import split_by_rules
+
+            gate_rules: list[tuple[str, str]] = []
+            score_cols: list[str] = []
+            scored = batch
             if lm_model is not None and max_avg_nll is not None:
                 from ..operators.lm import lm_avg_nll
 
                 cw, ct, vsz = lm_model
-                high_ppl = (
-                    lm_avg_nll(batch, id_col, text_col, cw, ct, vsz)
-                    .filter(F.col("avg_nll") > max_avg_nll)
-                    .select(id_col)
-                    .persist()
-                )
-                persisted.append(high_ppl)
-                batch = batch.join(high_ppl, id_col, "left_anti").persist()
-                persisted.append(batch)
-            # 0b. distilled quality gate (optional): the registry
-            # probe scores the batch with one scan-side projection —
-            # the cheapest possible model serve — and the low tail
-            # quarantines before any dedup work
-            low_q = None
+                nll = lm_avg_nll(
+                    batch, id_col, text_col, cw, ct, vsz
+                ).select(id_col, "avg_nll")
+                scored = scored.join(nll, id_col, "left")
+                score_cols.append("avg_nll")
+                gate_rules.append((
+                    "high_perplexity",
+                    f"avg_nll IS NULL OR avg_nll <= {max_avg_nll!r}",
+                ))
             if probe_model is not None:
                 from ..operators.classifier import (
                     linear_probe_scores,
@@ -195,19 +202,26 @@ def start_dedup_ingest(
                 )
 
                 pw, min_score = probe_model
-                low_q = (
-                    linear_probe_scores(
-                        batch.withColumn(
-                            "__feat", text_probe_features(text_col)
-                        ),
-                        "__feat", None, pw, id_col=id_col,
-                    )
-                    .filter(F.col("score") < min_score)
-                    .select(id_col)
-                    .persist()
-                )
-                persisted.append(low_q)
-                batch = batch.join(low_q, id_col, "left_anti").persist()
+                pscores = linear_probe_scores(
+                    batch.withColumn(
+                        "__feat", text_probe_features(text_col)
+                    ),
+                    "__feat", None, pw, id_col=id_col,
+                ).select(id_col, "score")
+                scored = scored.join(pscores, id_col, "left")
+                score_cols.append("score")
+                gate_rules.append((
+                    "low_quality_score",
+                    f"score IS NULL OR score >= {min_score!r}",
+                ))
+            gated_out = None
+            if gate_rules:
+                good, bad = split_by_rules(scored, gate_rules)
+                gated_out = bad.select(
+                    id_col, F.col("failed_rules")[0].alias("reason")
+                ).persist()
+                persisted.append(gated_out)
+                batch = good.drop(*score_cols).persist()
                 persisted.append(batch)
             # 1. within-batch clusters -> canonical survivors
             pairs = minhash_lsh_pairs(batch, id_col, text_col, **params)
@@ -281,19 +295,11 @@ def start_dedup_ingest(
             quarantined = in_batch_dup.unionByName(corpus_dup).unionByName(
                 already_q
             )
-            if high_ppl is not None:
+            if gated_out is not None:
                 quarantined = quarantined.unionByName(
-                    high_ppl.select(
+                    gated_out.select(
                         id_col,
-                        F.lit("high_perplexity").alias("reason"),
-                        F.lit(None).cast(id_type).alias("matched_corpus_id"),
-                    )
-                )
-            if low_q is not None:
-                quarantined = quarantined.unionByName(
-                    low_q.select(
-                        id_col,
-                        F.lit("low_quality_score").alias("reason"),
+                        "reason",
                         F.lit(None).cast(id_type).alias("matched_corpus_id"),
                     )
                 )
@@ -303,11 +309,26 @@ def start_dedup_ingest(
             # so a count taken afterwards re-executes the probe
             # against the freshly-extended index and miscounts this
             # batch's own docs as already_ingested.
+            gate_counts = (
+                {
+                    r["reason"]: int(r["n"])
+                    for r in gated_out.groupBy("reason")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                if gated_out is not None
+                else {}
+            )
             metrics = {
                 "n_in": n_in,
                 "n_same_id_collapsed": n_same_id,
-                "n_high_ppl": high_ppl.count() if high_ppl is not None else 0,
-                "n_low_quality": low_q.count() if low_q is not None else 0,
+                **{
+                    k: gate_counts.get(r, 0)
+                    for k, r in (
+                        ("n_high_ppl", "high_perplexity"),
+                        ("n_low_quality", "low_quality_score"),
+                    )
+                },
                 "n_in_batch_dup": in_batch_dup.count(),
                 "n_corpus_dup": dup_ids.count(),
                 "n_already_ingested": already.count(),

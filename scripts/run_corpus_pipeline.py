@@ -62,6 +62,17 @@ MIN_TOKENS = 5
 MIN_STOPWORD_RATIO = 0.05
 MAX_PUNCT_RATIO = 0.3
 LANGS = ("en", "de", "fr", "es")
+
+# The ingest gate as DECLARATIVE expectations rules (operators/
+# quality.py): routing and auditing share this one config — changing a
+# gate is a rules edit, not new pipeline code.  Predicates state
+# VALIDITY; split_by_rules treats a NULL result as a violation.
+GATE_RULES = [
+    ("min_tokens", f"n_tokens >= {MIN_TOKENS}"),
+    ("stopword_floor", f"stopword_ratio >= {MIN_STOPWORD_RATIO}"),
+    ("punct_ceiling", f"punct_ratio <= {MAX_PUNCT_RATIO}"),
+    ("lang_allowlist", "lang IN (%s)" % ", ".join(f"'{l}'" for l in LANGS)),
+]
 SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
 NEARDUP_THRESHOLD = 0.7
 DECON_MIN_HITS = 3
@@ -105,18 +116,22 @@ def run(
         rows=F.count(F.lit(1)),
     )
 
-    # 2. quality + language gate (scan-side predicate): enough tokens,
-    # natural-language stopword density, not punctuation soup
-    kept = obs.observe(
-        ann.filter(
-            (F.col("n_tokens") >= MIN_TOKENS)
-            & (F.col("stopword_ratio") >= MIN_STOPWORD_RATIO)
-            & (F.col("punct_ratio") <= MAX_PUNCT_RATIO)
-            & F.col("lang").isin(*LANGS)
-        ),
-        "gates",
-        rows=F.count(F.lit(1)),
+    # 2. quality + language gate, routed through the expectations
+    # engine: GATE_RULES is the single declarative config, good rows
+    # continue (same scan-side pushed filter as before — split_by_rules
+    # is a projection, not a job), and the per-rule violation counts
+    # land in the run summary via ONE conditional aggregate.
+    from osrs_dashboard_elt_spark.operators.quality import (
+        rule_violation_counts,
+        split_by_rules,
     )
+
+    gate_good, _gate_bad = split_by_rules(ann, GATE_RULES)
+    gate_audit = {
+        r["rule"]: int(r["n_violations"])
+        for r in rule_violation_counts(ann, GATE_RULES).collect()
+    }
+    kept = obs.observe(gate_good, "gates", rows=F.count(F.lit(1)))
 
     # 2b. perplexity gate (CCNet-style): self-train the bigram count
     # LM on the gate survivors, score every doc, and drop the most
@@ -321,6 +336,9 @@ def run(
             {
                 "input_docs": stages["input"]["rows"],
                 "after_gates": stages["gates"]["rows"],
+                "gate_rule_violations": " ".join(
+                    f"{name}={gate_audit[name]}" for name, _ in GATE_RULES
+                ),
                 "after_ppl_gate": stages["ppl_gate"]["rows"],
                 "after_probe_gate": stages["probe_gate"]["rows"],
                 "after_exact_dedup": stages["exact_dedup"]["rows"],
