@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "q_point_lookup_pruned",
     "q_expectations",
     "q_corpus_gate",
+    "q_metric_drift",
     "q_topn_pruned",
     "q_duplicate_ngram_spans",
     "q_boilerplate_removal",

@@ -17,7 +17,7 @@ required-column validation (P9) scaled up to table level.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -243,3 +243,108 @@ def corpus_gate_rules(
             f"lower({t}) RLIKE '\\\\b(the|and|of|to|in|a|is)\\\\b'",
         ),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Metrics history + drift: the deequ metrics-repository half
+# ---------------------------------------------------------------------------
+
+
+def metrics_history_append(
+    metrics: DataFrame,
+    path: str,
+    run_day: str,
+    run_id: str | None = None,
+) -> None:
+    """Persist one run's metrics (any long-form frame — the outputs of
+    :func:`quality_metrics` and :func:`rule_violation_counts` both
+    qualify) under ``path``, partitioned by ``day`` with dynamic
+    partition REPLACEMENT: a replayed run overwrites exactly its own
+    day, never doubling history (the at-rest register discipline,
+    ``operators/sketches.py``).  One day per run is the deequ
+    metrics-repository granularity; pass ``run_id`` to tell intra-day
+    re-runs apart in the audit trail (replacement still applies — the
+    LAST run of a day is that day's record)."""
+    out = metrics.withColumn("day", F.lit(run_day))
+    if run_id is not None:
+        out = out.withColumn("run_id", F.lit(run_id))
+    (
+        out.coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(path)
+    )
+
+
+def metric_drift(
+    history: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    window: int = 3,
+    tol_pct: int = 20,
+) -> DataFrame:
+    """Run-over-run drift detection: flag a run whose metric falls
+    outside its trailing-window band — ``[lo - tol, hi + tol]`` where
+    ``[lo, hi]`` is the min/max of the previous ``window`` runs for
+    the same key and ``tol = tol_pct% * (hi - lo)``.
+
+    Band = min/max (not mean ± k·σ) deliberately: min/max are
+    order-insensitive and exactly reproducible across engines, while a
+    distributed stddev's summation order is not — drift verdicts must
+    be bit-stable or the alert itself flaps.  Runs with fewer than
+    ``window`` predecessors are not judged (``drifted`` NULL): an
+    empty/short band would flag every early run.
+
+    One window pass, partitioned by key — at 100 TB this frame is
+    runs × metrics (KBs/day), so the window never sees data-sized
+    input; keep ``history`` to metric rows, not row-level data.
+    Returns the input plus (band_lo, band_hi, drifted)."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(-window, -1)
+    )
+    v = F.col(value_col).cast("double")
+    lo = F.min(v).over(w)
+    hi = F.max(v).over(w)
+    n = F.count(v).over(w)
+    tol = F.lit(tol_pct) / F.lit(100.0) * (hi - lo)
+    drifted = F.when(
+        n >= window, (v < lo - tol) | (v > hi + tol)
+    )
+    return history.select(
+        "*",
+        lo.alias("band_lo"),
+        hi.alias("band_hi"),
+        drifted.alias("drifted"),
+    )
+
+
+def assert_no_drift(
+    history: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    window: int = 3,
+    tol_pct: int = 20,
+) -> None:
+    """The gate form: raise if the LATEST run of any key drifted —
+    wire this after :func:`metrics_history_append` to fail a pipeline
+    whose profile jumped out of band."""
+    d = metric_drift(
+        history, key_cols, order_col, value_col, window, tol_pct
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col))
+    latest = d.withColumn("__rn", F.row_number().over(w)).filter(
+        "__rn = 1 AND drifted"
+    )
+    rows = latest.select(*key_cols, order_col, value_col,
+                         "band_lo", "band_hi").collect()
+    if rows:
+        detail = "; ".join(str(tuple(r)) for r in rows[:5])
+        raise RuntimeError(
+            f"metric drift: {len(rows)} key(s) out of band on their "
+            f"latest run (window={window}, tol={tol_pct}%): {detail}"
+        )

@@ -5668,6 +5668,69 @@ SELECT 'fk_orders' AS rule,
 )
 
 
+_DRIFT_ORACLE = """
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users
+      FROM events GROUP BY 1
+    ), hist AS (
+      SELECT day, 'n_events' AS metric, n_events AS value FROM daily
+      UNION ALL
+      SELECT day, 'n_users' AS metric, n_users AS value FROM daily
+    ), d AS (
+      SELECT metric, day, value,
+             MIN(value) OVER w AS band_lo,
+             MAX(value) OVER w AS band_hi,
+             COUNT(value) OVER w AS n_prev
+      FROM hist
+      WINDOW w AS (PARTITION BY metric ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT metric, day, value, band_lo, band_hi,
+           CASE WHEN n_prev >= 3 THEN
+                value < band_lo - 0.2 * (band_hi - band_lo)
+             OR value > band_hi + 0.2 * (band_hi - band_lo)
+           END AS drifted
+    FROM d
+"""
+
+
+@query("q_metric_drift", oracle=_DRIFT_ORACLE)
+def q_metric_drift(spark, sf_dir):
+    """Run-over-run metric drift (operators/quality.py::metric_drift —
+    the deequ metrics-repository half): per-day profile metrics melted
+    to long form, each day judged against the min/max band of its
+    trailing 3 runs padded by 20%.  The band is min/max, NOT mean±kσ,
+    deliberately: order-insensitive, so the drift verdict is
+    bit-stable across engines and shuffle orders — an alert that flaps
+    is worse than no alert.  Days with a short history are NULL (not
+    judged).  One window pass over a runs×metrics frame (KBs at any
+    corpus size — the window never sees row-level data)."""
+    from .operators.quality import metric_drift
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.countDistinct("user_id").cast("double").alias("n_users"),
+    )
+    hist = daily.select(
+        "day", F.lit("n_events").alias("metric"),
+        F.col("n_events").alias("value"),
+    ).unionByName(
+        daily.select(
+            "day", F.lit("n_users").alias("metric"),
+            F.col("n_users").alias("value"),
+        )
+    )
+    d = metric_drift(hist, ["metric"], "day", "value", window=3, tol_pct=20)
+    return d.select(
+        "metric", "day", "value", "band_lo", "band_hi", "drifted"
+    )
+
+
 @query("q_expectations", oracle=_EXPECT_ORACLE)
 def q_expectations(spark, sf_dir):
     """Declarative row-level expectations (operators/quality.py): all

@@ -127,10 +127,38 @@ def run(
     )
 
     gate_good, _gate_bad = split_by_rules(ann, GATE_RULES)
+    gate_counts_df = rule_violation_counts(ann, GATE_RULES)
     gate_audit = {
-        r["rule"]: int(r["n_violations"])
-        for r in rule_violation_counts(ann, GATE_RULES).collect()
+        r["rule"]: int(r["n_violations"]) for r in gate_counts_df.collect()
     }
+    # persist this run's per-rule counts into the day-partitioned
+    # metrics history (replay-safe: same day replaces, never doubles)
+    # and judge the LATEST run against its trailing band — run-over-run
+    # drift in a gate's violation count is how a silently-broken
+    # upstream feed announces itself (operators/quality.py)
+    from datetime import datetime, timezone
+
+    from osrs_dashboard_elt_spark.operators.quality import (
+        metric_drift,
+        metrics_history_append,
+    )
+
+    run_day = datetime.now(timezone.utc).strftime("%Y-%m-%d")
+    hist_path = f"{out_dir}/metrics_history/gate_rules"
+    metrics_history_append(gate_counts_df, hist_path, run_day)
+    drift_rows = (
+        metric_drift(
+            spark.read.parquet(hist_path),
+            ["rule"], "day", "n_violations",
+        )
+        .filter(F.col("day") == F.to_date(F.lit(run_day)))
+        .filter("drifted")
+        .collect()
+    )
+    gate_drift = (
+        " ".join(sorted(r["rule"] for r in drift_rows)) if drift_rows
+        else "none"
+    )
     kept = obs.observe(gate_good, "gates", rows=F.count(F.lit(1)))
 
     # 2b. perplexity gate (CCNet-style): self-train the bigram count
@@ -339,6 +367,7 @@ def run(
                 "gate_rule_violations": " ".join(
                     f"{name}={gate_audit[name]}" for name, _ in GATE_RULES
                 ),
+                "gate_drift": gate_drift,
                 "after_ppl_gate": stages["ppl_gate"]["rows"],
                 "after_probe_gate": stages["probe_gate"]["rows"],
                 "after_exact_dedup": stages["exact_dedup"]["rows"],
