@@ -87,6 +87,7 @@ def timer_sessionize(
     ts_col: str = "ts",
     gap_seconds: float = 1800.0,
     watermark_delay: str = "0 seconds",
+    session_ids: str = "counter",
 ) -> DataFrame:
     """Sessionize a STREAM by inactivity gap with event-time timers;
     emits one row per CLOSED session (key, session_id, n_events,
@@ -99,7 +100,28 @@ def timer_sessionize(
     key).  Late events inside the watermark merge into the open
     session; events older than the watermark are dropped by the
     engine, same as every event-time operator here.
+
+    ``session_ids`` picks the id scheme — and with it the CLOSED-KEY
+    state footprint:
+
+    - ``"counter"`` (default): per-key ids numbered from 1 in time
+      order, matching the batch ``sessionize`` exactly.  Cost: an
+      8-byte per-key counter survives every close, for every key ever
+      seen (it cannot be TTL-bounded here — state TTL requires
+      timeMode=ProcessingTime, event-time timers require EventTime).
+    - ``"start_time"``: the session id IS the session's start (epoch
+      micros) — unique per key (a key's sessions are time-disjoint),
+      deterministic, and requiring NO surviving state: a closed key's
+      state clears entirely, so long-lived deployments with unbounded
+      key churn stay O(open sessions).  The batch twin is
+      ``min(ts)``-per-session, so the scheme is oracle-checkable too.
     """
+    if session_ids not in ("counter", "start_time"):
+        raise ValueError(
+            f"session_ids must be 'counter' or 'start_time', "
+            f"got {session_ids!r}"
+        )
+    use_counter = session_ids == "counter"
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -115,10 +137,14 @@ def timer_sessionize(
     class GapSessions(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._open = handle.getValueState("open", _SESSION_STATE_SCHEMA)
-            # Closed sessions leave behind ONLY this 8-byte counter
-            # (see module doc for why it cannot carry a TTL here:
-            # state TTL needs ProcessingTime, timers need EventTime)
-            self._next = handle.getValueState("next_sid", _NEXT_SID_SCHEMA)
+            if use_counter:
+                # Closed sessions leave behind ONLY this 8-byte counter
+                # (see module doc for why it cannot carry a TTL here:
+                # state TTL needs ProcessingTime, timers need EventTime);
+                # start_time mode registers NO counter state at all
+                self._next = handle.getValueState(
+                    "next_sid", _NEXT_SID_SCHEMA
+                )
             self._handle = handle
 
         def _emit(self, key, sid, n, start_us, end_us) -> pd.DataFrame:
@@ -175,10 +201,12 @@ def timer_sessionize(
             if stored is not None:
                 sid0, n0, start0, end0 = stored
                 self._handle.deleteTimer(_us_to_ms_ceil(end0 + gap_us))
-            else:
+            elif use_counter:
                 nxt = self._next.get()
                 sid0 = (nxt[0] - 1) if nxt is not None else 0
                 n0 = 0
+            else:
+                sid0, n0 = 0, 0
             # The stored open session joins the segment list as a peer
             # interval and the whole list is gap-merged in time order.
             # Late events (non-zero watermark delay) may land BEFORE,
@@ -205,15 +233,22 @@ def timer_sessionize(
             # a later id (emitted rows can't renumber) — the open
             # session itself renumbers fine since its id is unemitted.
             if len(merged) > 1:  # all but the last segment are closed
+                sids = (
+                    list(range(first_sid, first_sid + len(merged) - 1))
+                    if use_counter
+                    else [m[0] for m in merged[:-1]]
+                )
                 yield self._emit_many(
                     k,
-                    list(range(first_sid, first_sid + len(merged) - 1)),
+                    sids,
                     [m[2] for m in merged[:-1]],
                     [m[0] for m in merged[:-1]],
                     [m[1] for m in merged[:-1]],
                 )
             last = (
-                first_sid + len(merged) - 1,
+                first_sid + len(merged) - 1
+                if use_counter
+                else int(merged[-1][0]),
                 int(merged[-1][2]),
                 int(merged[-1][0]),
                 int(merged[-1][1]),
@@ -233,11 +268,13 @@ def timer_sessionize(
             if _us_to_ms_ceil(end_us + gap_us) != expiredTimerInfo.getExpiryTimeInMs():
                 return
             yield self._emit(key[0], sid, n, start_us, end_us)
-            # CLEAR the session record; only the id counter survives
-            # (so the key's next session numbers on) — state for a
-            # closed key is 8 bytes, TTL-bounded when configured.
+            # CLEAR the session record.  counter mode: only the id
+            # counter survives (so the key's next session numbers on)
+            # — 8 bytes per closed key; start_time mode: NOTHING
+            # survives — a closed key's state is zero rows.
             self._open.clear()
-            self._next.update((sid + 1,))
+            if use_counter:
+                self._next.update((sid + 1,))
 
         def close(self) -> None:
             pass

@@ -30,6 +30,7 @@ def _drive_two_batches(
     batch2,
     gap_seconds=1800.0,
     watermark_delay="0 seconds",
+    session_ids="counter",
 ):
     """Run timer_sessionize over two REAL micro-batches
     (maxFilesPerTrigger=1) and return the emitted session rows."""
@@ -56,6 +57,7 @@ def _drive_two_batches(
         "ts",
         gap_seconds=gap_seconds,
         watermark_delay=watermark_delay,
+        session_ids=session_ids,
     )
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
@@ -229,3 +231,51 @@ def test_sessions_via_stream_matches_batch_sessionize(spark):
     }
     assert streamed == batch
     assert len(streamed) > 3  # multiple sessions per key actually formed
+
+
+def test_start_time_ids_and_closed_key_state_clears(spark, tmp_path):
+    """session_ids='start_time': ids are the session-start epoch
+    micros (deterministic, no counter), and — the retention point — a
+    CLOSED key leaves ZERO state rows: the state store's 'open' var
+    holds only the still-open sessions after the run (the counter mode
+    retains an 8-byte stub per key ever seen; this mode is the bounded
+    alternative for unbounded key churn)."""
+    from osrs_dashboard_elt_spark.compat import tws_runtime_executable
+
+    if not tws_runtime_executable(spark):
+        pytest.skip("JVM env lacks the vendored protobuf PYTHONPATH")
+    b1 = [
+        (1, datetime(2024, 1, 1, 10, 0)),
+        (1, datetime(2024, 1, 1, 10, 20)),
+        (2, datetime(2024, 1, 1, 11, 0)),
+    ]
+    b2 = [
+        (1, datetime(2024, 1, 1, 14, 0)),   # new session for key 1
+        (9, datetime(2024, 1, 2, 12, 0)),   # watermark pusher, stays open
+    ]
+    got = _drive_two_batches(
+        spark, tmp_path, b1, b2, session_ids="start_time"
+    )
+
+    def us(dt):
+        return int(dt.timestamp() * 1_000_000)
+
+    # ids ARE the start timestamps
+    assert got[(1, us(datetime(2024, 1, 1, 10, 0)))] == (
+        2,
+        datetime(2024, 1, 1, 10, 0),
+        datetime(2024, 1, 1, 10, 20),
+    )
+    assert got[(2, us(datetime(2024, 1, 1, 11, 0)))][0] == 1
+    assert got[(1, us(datetime(2024, 1, 1, 14, 0)))][0] == 1
+    # the state store retains rows ONLY for open sessions (key 9's
+    # trailing session can't close: nothing advanced the watermark
+    # past it) — closed keys 1 and 2 left nothing behind
+    state = (
+        spark.read.format("statestore")
+        .option("path", str(tmp_path / "ckpt"))
+        .option("stateVarName", "open")
+        .load()
+    )
+    keys = sorted(r["key"]["key"] for r in state.collect())
+    assert keys == [9], keys
