@@ -322,6 +322,24 @@ def main() -> None:
             "osrs_dashboard_elt_spark.streaming.timer_sessions",
             fromlist=["x"],
         ).sessions_via_stream(t["events"], "user_id", "ts", 1800.0),
+        # TWS per-key top-K entry changelog: marginal per-event cost =
+        # one key shuffle + per-FIRST-SEEN-id MapState RPC; the
+        # engine-start cost (source write, RocksDB init) is fixed per
+        # call.  Two probes: events grow with keys FIXED (state size
+        # constant, RPCs track new ids) and events grow WITH keys
+        # (state rows track keys).
+        "topk_state": lambda t: __import__(
+            "osrs_dashboard_elt_spark.streaming.topk_state",
+            fromlist=["x"],
+        ).topk_via_stream(
+            t["events_tk"], "user_id", "event_id", "value", "ts", 5
+        ),
+        "topk_state_keys": lambda t: __import__(
+            "osrs_dashboard_elt_spark.streaming.topk_state",
+            fromlist=["x"],
+        ).topk_via_stream(
+            t["events_tk_keys"], "user_id", "event_id", "value", "ts", 5
+        ),
         "hll_overlap": lambda t: __import__(
             "osrs_dashboard_elt_spark.operators.sketches", fromlist=["x"]
         ).hll_set_overlap_pred(
@@ -481,6 +499,26 @@ def main() -> None:
             )
             t["events"].count()
             prev.append(t["events"])
+        if "topk_state" in ops:
+            # tenth-of-keys base (the suite-drive subsample): the op is
+            # state-RPC-bound, so the probe measures slope, not a
+            # 16x-of-everything wall
+            t["events_tk"] = ensure_min_partitions(
+                replicate_keyed(
+                    spark, ev0.filter("user_id % 10 = 0"), k, ["event_id"]
+                )
+            )
+            t["events_tk"].count()
+            prev.append(t["events_tk"])
+        if "topk_state_keys" in ops:
+            t["events_tk_keys"] = ensure_min_partitions(
+                replicate_keyed(
+                    spark, ev0.filter("user_id % 10 = 0"), k,
+                    ["event_id", "user_id"],
+                )
+            )
+            t["events_tk_keys"].count()
+            prev.append(t["events_tk_keys"])
         for name, fn in ops.items():
             fn(t).count()  # warm (codegen)
             # min-of-2 (the bench.py discipline): single samples showed
