@@ -42,6 +42,7 @@ import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _LOG = "_versions.json"
 _LOCK = "_versions.lock"
@@ -277,3 +278,107 @@ def compact_files(
     n_files = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(src).repartition(n_files)
     return publish_versioned(df, dest_root, checksum_cols=checksum_cols)
+
+
+def targeted_delete(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values: list,
+    refresh_stats: bool = True,
+) -> dict:
+    """Delete all rows where ``col`` is one of ``values`` by rewriting
+    ONLY the files that can contain them — the takedown/GDPR path.
+
+    Planning goes through the stats manifest
+    (``stats_manifest.files_for_values``): per-file min/max bounds plus
+    the per-file BLOOM when the column has one, so an id-list delete
+    against a million-file table rewrites ~|values| files instead of
+    scanning everything (record blooms on the id column at write time
+    for exactly this).  The manifest freshness check is MANDATORY here:
+    a stale manifest would MISS files and silently leave target rows
+    behind — a compliance failure, not a perf bug.
+
+    Each affected file is handled alone: a bloom false positive is
+    skipped untouched, a fully-matching file is removed, a partial
+    match is rewritten (replacement part-file written first, original
+    removed second).  In-place deletes on a live dir are NOT
+    snapshot-isolated — a concurrent reader can transiently see both
+    the original and the replacement; takedowns needing isolation
+    should re-publish through ``publish_versioned`` instead (immutable
+    snapshot manifests refuse this function outright).  Rows with a
+    NULL ``col`` never match (values are non-null ids).
+
+    Partition-column deletes are rejected: those are directory drops,
+    not row rewrites.  Returns counts: files_affected / rewritten /
+    removed, rows_deleted.
+    """
+    from .stats_manifest import _load_meta, files_for_values
+    from .stats_manifest import refresh_stats_manifest as _refresh
+
+    if not values:
+        return {
+            "files_affected": 0, "files_rewritten": 0,
+            "files_removed": 0, "rows_deleted": 0,
+        }
+    if any(v is None for v in values):
+        raise ValueError("delete values must be non-null")
+    _, meta = _load_meta(path)
+    if meta["immutable"]:
+        raise ValueError(
+            f"{path} is an immutable published snapshot — publish a "
+            "new version without the rows instead of in-place deletion"
+        )
+    affected = files_for_values(spark, path, col, values)
+    rewritten = removed = 0
+    rows_deleted = 0
+    for uri in affected:
+        local = "/" + uri[5:].lstrip("/") if uri.startswith("file:") else uri
+        df = spark.read.parquet(uri)
+        if col not in df.columns:
+            raise ValueError(
+                f"{col!r} is a partition column of {path} — "
+                "partition deletes are directory drops, not row "
+                "rewrites; remove the partition dirs and refresh "
+                "the manifest"
+            )
+        keep_pred = F.col(col).isNull() | ~F.col(col).isin(list(values))
+        counts = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(keep_pred, 1).otherwise(0)).alias("k"),
+        ).collect()[0]
+        n_all, n_keep = int(counts["n"]), int(counts["k"] or 0)
+        if n_keep == n_all:  # bloom false positive — leave untouched
+            continue
+        rows_deleted += n_all - n_keep
+        parent = os.path.dirname(local)
+        if n_keep == 0:
+            os.remove(local)
+            removed += 1
+            continue
+        tmp = tempfile.mkdtemp(dir=parent, prefix=".delete-")
+        try:
+            df.filter(keep_pred).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = next(
+                fn for fn in os.listdir(tmp) if fn.endswith(".parquet")
+            )
+            import uuid as _uuid
+
+            newname = f"part-del-{_uuid.uuid4().hex}.snappy.parquet"
+            os.replace(os.path.join(tmp, part), os.path.join(parent, newname))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        os.remove(local)
+        rewritten += 1
+    if refresh_stats and (rewritten or removed):
+        # O(rewritten files), not O(table): only the replacement files
+        # get stat'd/bloomed; vanished originals drop out
+        _refresh(spark, path, meta["cols"])
+    return {
+        "files_affected": len(affected),
+        "files_rewritten": rewritten,
+        "files_removed": removed,
+        "rows_deleted": rows_deleted,
+    }

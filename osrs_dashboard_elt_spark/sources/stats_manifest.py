@@ -392,20 +392,88 @@ def _point_positions(
     SAME engine expressions that built the blooms (one 1-row local
     job; xxhash64 is type-sensitive, so the literal is cast to the
     column's type)."""
-    lit = F.lit(value).cast(dtype)
-    row = (
-        spark.range(1)
-        .select(
-            *[
-                p.alias(f"p{i}")
-                for i, p in enumerate(
-                    _bloom_positions(lit, None, bits, hashes)
-                )
-            ]
-        )
-        .collect()[0]
+    return _points_positions(spark, [value], dtype, bits, hashes)[0]
+
+
+def _points_positions(
+    spark: SparkSession, values: list, dtype, bits: int, hashes: int
+) -> list[list[int]]:
+    """Per-value bloom positions for MANY probe values in ONE local
+    job (per-value jobs would cost ~100 ms each on a takedown list)."""
+    from pyspark.sql.types import StructField, StructType as _ST
+
+    df = spark.createDataFrame(
+        [(v,) for v in values], _ST([StructField("v", dtype, False)])
     )
-    return [int(v) for v in row]
+    rows = df.select(
+        *[
+            p.alias(f"p{i}")
+            for i, p in enumerate(
+                _bloom_positions(F.col("v"), None, bits, hashes)
+            )
+        ]
+    ).collect()
+    return [[int(v) for v in r] for r in rows]
+
+
+def _bloom_cond_for_value(positions: list[int], col: str):
+    cond = F.lit(True)
+    for p in positions:
+        bucket = (p - 1) // _BUCKET_BITS + 1
+        inner = (p - 1) % _BUCKET_BITS
+        bm = F.element_at(F.col(f"bloom_{col}"), F.lit(bucket))
+        cond = cond & bm.isNotNull() & _test_bit(bm, inner)
+    return cond
+
+
+def files_for_values(
+    spark: SparkSession, path: str, col: str, values: list
+) -> list[str]:
+    """The files that MAY contain any of ``values`` in ``col`` —
+    min/max and bloom pruning OR-ed across the value list, one
+    manifest pass (the takedown/delete planning primitive).  Raises if
+    the manifest can't prune on ``col``; mutable dirs get the
+    freshness check (a stale manifest would MISS files and leave rows
+    behind — a compliance bug, not a perf bug)."""
+    if not values:
+        return []
+    epoch, meta = _load_meta(path)
+    man = spark.read.parquet(_epoch_dir(_manifest_root(path), epoch))
+    if not meta["immutable"]:
+        full = spark.read.parquet(path)
+        current = {_norm(f) for f in full.inputFiles()}
+        recorded = {
+            _norm(r["file"]) for r in man.select("file").collect()
+        }
+        _check_fresh(recorded, current, path)
+    has_stats = col in meta["cols"]
+    has_bloom = col in meta["bloom_cols"]
+    if not has_stats and not has_bloom:
+        raise ValueError(
+            f"column {col!r} has neither min/max stats nor a bloom in "
+            f"the manifest — rebuild it with the column to plan "
+            "targeted deletes"
+        )
+    schema = StructType.fromJson(meta["schema"])
+    if has_bloom:
+        all_pos = _points_positions(
+            spark, values, schema[col].dataType,
+            meta["bloom_bits"], meta["bloom_hashes"],
+        )
+    any_cond = F.lit(False)
+    for i, v in enumerate(values):
+        cond = F.lit(True)
+        if has_stats:
+            cond = (
+                cond
+                & F.col(f"min_{col}").isNotNull()
+                & (F.col(f"max_{col}") >= F.lit(v))
+                & (F.col(f"min_{col}") <= F.lit(v))
+            )
+        if has_bloom:
+            cond = cond & _bloom_cond_for_value(all_pos[i], col)
+        any_cond = any_cond | cond
+    return [r["file"] for r in man.filter(any_cond).select("file").collect()]
 
 
 def _prune_condition(

