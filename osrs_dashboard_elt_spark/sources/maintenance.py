@@ -323,7 +323,7 @@ def targeted_delete(
         }
     if any(v is None for v in values):
         raise ValueError("delete values must be non-null")
-    _, meta = _load_meta(path)
+    _, meta = _load_meta(spark, path)
     if meta["immutable"]:
         raise ValueError(
             f"{path} is an immutable published snapshot — publish a "

@@ -97,8 +97,15 @@ def _norm(uri: str) -> str:
     return uri
 
 
-def _strip_scheme(uri: str) -> str:
-    return uri[len("file:"):].lstrip("/") if uri.startswith("file:") else uri
+def _norm_col(c):
+    """SQL-side twin of :func:`_norm` for joins on stored file names."""
+    return F.regexp_replace(c, "^file:/+", "file:///")
+
+
+def _manifest_data_dir(root: str, epoch: int, meta: dict) -> str:
+    """Where the manifest PARQUET lives: the epoch dir, or the root
+    itself for a pre-epoch legacy manifest (flat layout)."""
+    return meta.get("_data_dir") or _epoch_dir(root, epoch)
 
 
 def _committed_epochs(root: str) -> list[int]:
@@ -114,18 +121,42 @@ def _committed_epochs(root: str) -> list[int]:
     return sorted(out)
 
 
-def _load_meta(path: str) -> tuple[int, dict]:
-    """(epoch, meta) of the newest committed manifest, or raise."""
+def _load_meta(spark: SparkSession, path: str) -> tuple[int, dict]:
+    """(epoch, meta) of the newest committed manifest, or raise.
+
+    Pre-epoch manifests (parquet directly under ``_stats_manifest/``,
+    written before the commit protocol existed) are read with
+    SYNTHESIZED meta: stats columns recovered from the min_*/max_*
+    column names, no blooms, mutable (so the listing freshness check
+    — the old behavior — still applies), schema inferred from the
+    data dir.  The first refresh/rewrite migrates them to the epoch
+    layout."""
     root = _manifest_root(path)
     epochs = _committed_epochs(root)
-    if not epochs:
+    if epochs:
+        epoch = epochs[-1]
+        with open(os.path.join(_epoch_dir(root, epoch), _META)) as f:
+            return epoch, json.load(f)
+    legacy = os.path.isdir(root) and any(
+        f.endswith(".parquet") for f in os.listdir(root)
+    )
+    if not legacy:
         raise FileNotFoundError(
             f"no stats manifest under {path} — write one with "
             "write_stats_manifest (or pass stats_cols to the writer)"
         )
-    epoch = epochs[-1]
-    with open(os.path.join(_epoch_dir(root, epoch), _META)) as f:
-        return epoch, json.load(f)
+    man_cols = spark.read.parquet(root).columns
+    return 0, {
+        "epoch": 0,
+        "cols": [c[4:] for c in man_cols if c.startswith("min_")],
+        "bloom_cols": [],
+        "bloom_bits": 1 << 20,
+        "bloom_hashes": 5,
+        "immutable": False,
+        "schema": spark.read.parquet(path).schema.jsonValue(),
+        "file_count": None,
+        "_data_dir": root,
+    }
 
 
 def _claim_epoch(root: str, start: int) -> int:
@@ -301,7 +332,7 @@ def refresh_stats_manifest(
     manifest raises: the dir was published as never-changing, so an
     append under it is a protocol violation, not a refresh case."""
     try:
-        epoch, meta = _load_meta(path)
+        epoch, meta = _load_meta(spark, path)
     except FileNotFoundError:
         n = write_stats_manifest(spark, path, cols)
         return n, 0
@@ -320,17 +351,35 @@ def refresh_stats_manifest(
     full = spark.read.parquet(path)
     current = {_norm(f) for f in full.inputFiles()}
     root = _manifest_root(path)
-    old = spark.read.parquet(_epoch_dir(root, epoch))
-    old_rows = old.collect()
-    recorded = {_norm(r["file"]) for r in old_rows}
+    old = spark.read.parquet(_manifest_data_dir(root, epoch, meta))
+    # driver sees FILE NAMES only: manifest rows carry bloom bitmaps
+    # (100s of KB each), so collecting whole rows — as a naive
+    # keep-list rebuild would — moves GBs through the driver on a
+    # large table; the kept rows stay DataFrame-side instead
+    recorded = {
+        _norm(r["file"]) for r in old.select("file").collect()
+    }
     new_files = sorted(current - recorded)
     removed = recorded - current
     if not new_files and not removed:
         return 0, 0
-    keep = [r for r in old_rows if _norm(r["file"]) in current]
     parts = []
-    if keep:
-        parts.append(spark.createDataFrame(keep, old.schema))
+    if recorded - removed:
+        if removed:
+            # anti-join on normalized names (the stored form may be
+            # file:/ while inputFiles yields file:///); `removed`
+            # already holds normalized names
+            gone = spark.createDataFrame(
+                [(f,) for f in sorted(removed)], "gone_file string"
+            )
+            keep_df = old.join(
+                F.broadcast(gone),
+                _norm_col(old["file"]) == gone["gone_file"],
+                "left_anti",
+            )
+        else:
+            keep_df = old
+        parts.append(keep_df)
     if new_files:
         fresh_reader = (
             spark.read.schema(StructType.fromJson(meta["schema"]))
@@ -349,6 +398,7 @@ def refresh_stats_manifest(
     edir = _epoch_dir(root, new_epoch)
     out.coalesce(1).write.mode("overwrite").parquet(edir)
     meta = dict(meta, epoch=new_epoch, file_count=len(current))
+    meta.pop("_data_dir", None)  # legacy marker is never persisted
     _commit_epoch(root, new_epoch, meta)
     return len(new_files), len(removed)
 
@@ -416,16 +466,6 @@ def _points_positions(
     return [[int(v) for v in r] for r in rows]
 
 
-def _bloom_cond_for_value(positions: list[int], col: str):
-    cond = F.lit(True)
-    for p in positions:
-        bucket = (p - 1) // _BUCKET_BITS + 1
-        inner = (p - 1) % _BUCKET_BITS
-        bm = F.element_at(F.col(f"bloom_{col}"), F.lit(bucket))
-        cond = cond & bm.isNotNull() & _test_bit(bm, inner)
-    return cond
-
-
 def files_for_values(
     spark: SparkSession, path: str, col: str, values: list
 ) -> list[str]:
@@ -437,8 +477,10 @@ def files_for_values(
     behind — a compliance bug, not a perf bug)."""
     if not values:
         return []
-    epoch, meta = _load_meta(path)
-    man = spark.read.parquet(_epoch_dir(_manifest_root(path), epoch))
+    epoch, meta = _load_meta(spark, path)
+    man = spark.read.parquet(
+        _manifest_data_dir(_manifest_root(path), epoch, meta)
+    )
     if not meta["immutable"]:
         full = spark.read.parquet(path)
         current = {_norm(f) for f in full.inputFiles()}
@@ -455,25 +497,77 @@ def files_for_values(
             "targeted deletes"
         )
     schema = StructType.fromJson(meta["schema"])
+    # JOIN-shaped planning, never an OR-of-ANDs expression tree: a
+    # 10k-id takedown list as one Catalyst predicate (k bloom byte
+    # tests per value) blows past janino's method limit and falls back
+    # interpreted at best.  As joins, the value list is a broadcast
+    # probe table and every test is one codegen'd operator evaluated
+    # per (manifest row x probe), scaling in DATA not in PLAN SIZE.
+    from pyspark.sql.types import StructField
+    from pyspark.sql.types import StructType as _ST
+
+    vals_df = spark.createDataFrame(
+        [(v,) for v in values],
+        _ST([StructField("v", schema[col].dataType, False)]),
+    )
     if has_bloom:
-        all_pos = _points_positions(
-            spark, values, schema[col].dataType,
-            meta["bloom_bits"], meta["bloom_hashes"],
-        )
-    any_cond = F.lit(False)
-    for i, v in enumerate(values):
-        cond = F.lit(True)
-        if has_stats:
-            cond = (
-                cond
-                & F.col(f"min_{col}").isNotNull()
-                & (F.col(f"max_{col}") >= F.lit(v))
-                & (F.col(f"min_{col}") <= F.lit(v))
+        k = meta["bloom_hashes"]
+        pos_df = (
+            vals_df.select(
+                "v",
+                F.explode(
+                    F.array(
+                        *_bloom_positions(
+                            F.col("v"), None, meta["bloom_bits"], k
+                        )
+                    )
+                ).alias("pos"),
             )
-        if has_bloom:
-            cond = cond & _bloom_cond_for_value(all_pos[i], col)
-        any_cond = any_cond | cond
-    return [r["file"] for r in man.filter(any_cond).select("file").collect()]
+            .select(
+                "v",
+                F.bitmap_bucket_number("pos").alias("bucket"),
+                ((F.col("pos") - 1) % _BUCKET_BITS).alias("inner"),
+            )
+        )
+        manx = man.select(
+            "file", F.explode(F.col(f"bloom_{col}"))
+        ).toDF("file", "bucket", "bm")
+        byte = F.conv(
+            F.hex(
+                F.expr("substring(bm, CAST(inner DIV 8 AS INT) + 1, 1)")
+            ),
+            16,
+            10,
+        ).cast("long")
+        hits = (
+            manx.join(F.broadcast(pos_df), "bucket")
+            .filter(F.bit_get(byte, (F.col("inner") % 8).cast("int")) == 1)
+            .groupBy("file", "v")
+            .agg(F.count(F.lit(1)).alias("nhit"))
+            .filter(F.col("nhit") == k)  # all k probes set
+        )
+        cand = hits.select("file", "v")
+    else:
+        # stats-only: broadcast nested-loop over the manifest — cost
+        # |files| x |values| comparisons in codegen, inherent to
+        # min/max point pruning (record a bloom to do better)
+        cand = man.select(
+            "file", f"min_{col}", f"max_{col}"
+        ).crossJoin(F.broadcast(vals_df)).select("file", "v")
+    if has_stats:
+        stats = man.select("file", f"min_{col}", f"max_{col}")
+        cand = (
+            cand.join(stats, "file")
+            .filter(
+                F.col(f"min_{col}").isNotNull()
+                & (F.col(f"max_{col}") >= F.col("v"))
+                & (F.col(f"min_{col}") <= F.col("v"))
+            )
+            .select("file", "v")
+        )
+    return [
+        r["file"] for r in cand.select("file").distinct().collect()
+    ]
 
 
 def _prune_condition(
@@ -565,8 +659,10 @@ def pruned_scan(
         raise ValueError("pruned_scan needs bounds and/or points")
     _validate_bounds(bounds)
     _validate_points(points, bounds)
-    epoch, meta = _load_meta(path)
-    man = spark.read.parquet(_epoch_dir(_manifest_root(path), epoch))
+    epoch, meta = _load_meta(spark, path)
+    man = spark.read.parquet(
+        _manifest_data_dir(_manifest_root(path), epoch, meta)
+    )
     schema = StructType.fromJson(meta["schema"])
     if not meta["immutable"]:
         full = spark.read.parquet(path)
@@ -607,8 +703,10 @@ def manifest_file_count(
     """How many files a probe would read (no bounds/points = all files
     with stats) — the planning-time metric the pruning tests assert
     on, without touching any data file."""
-    epoch, meta = _load_meta(path)
-    man = spark.read.parquet(_epoch_dir(_manifest_root(path), epoch))
+    epoch, meta = _load_meta(spark, path)
+    man = spark.read.parquet(
+        _manifest_data_dir(_manifest_root(path), epoch, meta)
+    )
     if not bounds and not points:
         return man.count()
     bounds = dict(bounds or {})

@@ -188,12 +188,18 @@ def start_dedup_ingest(
                 cw, ct, vsz = lm_model
                 nll = lm_avg_nll(
                     batch, id_col, text_col, cw, ct, vsz
-                ).select(id_col, "avg_nll")
+                ).select(
+                    id_col, F.col("avg_nll").alias("__gate_nll")
+                )
                 scored = scored.join(nll, id_col, "left")
-                score_cols.append("avg_nll")
+                score_cols.append("__gate_nll")
+                # reserved __-prefix: a batch that already carries an
+                # avg_nll/score column must not collide; float() guards
+                # against numpy-scalar reprs that don't parse as SQL
                 gate_rules.append((
                     "high_perplexity",
-                    f"avg_nll IS NULL OR avg_nll <= {max_avg_nll!r}",
+                    "__gate_nll IS NULL OR __gate_nll <= "
+                    f"{float(max_avg_nll)!r}",
                 ))
             if probe_model is not None:
                 from ..operators.classifier import (
@@ -207,18 +213,21 @@ def start_dedup_ingest(
                         "__feat", text_probe_features(text_col)
                     ),
                     "__feat", None, pw, id_col=id_col,
-                ).select(id_col, "score")
+                ).select(id_col, F.col("score").alias("__gate_score"))
                 scored = scored.join(pscores, id_col, "left")
-                score_cols.append("score")
+                score_cols.append("__gate_score")
                 gate_rules.append((
                     "low_quality_score",
-                    f"score IS NULL OR score >= {min_score!r}",
+                    "__gate_score IS NULL OR __gate_score >= "
+                    f"{float(min_score)!r}",
                 ))
             gated_out = None
             if gate_rules:
-                good, bad = split_by_rules(scored, gate_rules)
+                good, bad = split_by_rules(
+                    scored, gate_rules, reasons_col="__gate_failed"
+                )
                 gated_out = bad.select(
-                    id_col, F.col("failed_rules")[0].alias("reason")
+                    id_col, F.col("__gate_failed")[0].alias("reason")
                 ).persist()
                 persisted.append(gated_out)
                 batch = good.drop(*score_cols).persist()

@@ -114,51 +114,28 @@ def run(
         ),
         "input",
         rows=F.count(F.lit(1)),
+        # per-rule violation counts ride this SAME observation (the
+        # gate audit costs zero extra scans); NULL predicate results
+        # count as violations, matching rule_violation_counts
+        **{
+            f"viol_{i}": F.sum(
+                F.when(
+                    ~F.coalesce(F.expr(pred).cast("boolean"), F.lit(False)),
+                    1,
+                ).otherwise(0)
+            )
+            for i, (_, pred) in enumerate(GATE_RULES)
+        },
     )
 
     # 2. quality + language gate, routed through the expectations
     # engine: GATE_RULES is the single declarative config, good rows
     # continue (same scan-side pushed filter as before — split_by_rules
-    # is a projection, not a job), and the per-rule violation counts
-    # land in the run summary via ONE conditional aggregate.
-    from osrs_dashboard_elt_spark.operators.quality import (
-        rule_violation_counts,
-        split_by_rules,
-    )
+    # is a projection, not a job); the per-rule counts were attached to
+    # the stage-1 observation above and are read back at summary time.
+    from osrs_dashboard_elt_spark.operators.quality import split_by_rules
 
     gate_good, _gate_bad = split_by_rules(ann, GATE_RULES)
-    gate_counts_df = rule_violation_counts(ann, GATE_RULES)
-    gate_audit = {
-        r["rule"]: int(r["n_violations"]) for r in gate_counts_df.collect()
-    }
-    # persist this run's per-rule counts into the day-partitioned
-    # metrics history (replay-safe: same day replaces, never doubles)
-    # and judge the LATEST run against its trailing band — run-over-run
-    # drift in a gate's violation count is how a silently-broken
-    # upstream feed announces itself (operators/quality.py)
-    from datetime import datetime, timezone
-
-    from osrs_dashboard_elt_spark.operators.quality import (
-        metric_drift,
-        metrics_history_append,
-    )
-
-    run_day = datetime.now(timezone.utc).strftime("%Y-%m-%d")
-    hist_path = f"{out_dir}/metrics_history/gate_rules"
-    metrics_history_append(gate_counts_df, hist_path, run_day)
-    drift_rows = (
-        metric_drift(
-            spark.read.parquet(hist_path),
-            ["rule"], "day", "n_violations",
-        )
-        .filter(F.col("day") == F.to_date(F.lit(run_day)))
-        .filter("drifted")
-        .collect()
-    )
-    gate_drift = (
-        " ".join(sorted(r["rule"] for r in drift_rows)) if drift_rows
-        else "none"
-    )
     kept = obs.observe(gate_good, "gates", rows=F.count(F.lit(1)))
 
     # 2b. perplexity gate (CCNet-style): self-train the bigram count
@@ -358,6 +335,49 @@ def run(
 
         stages = obs.get()
         metrics = stages["corpus"]
+        # gate audit from the stage-1 observation (computed on the pass
+        # that materialized the corpus — no extra scan): persist this
+        # run's per-rule counts into the day-partitioned metrics history
+        # (replay-safe: same day replaces, never doubles) and judge the
+        # LATEST run against its trailing band — run-over-run drift in a
+        # gate's violation count is how a silently-broken upstream feed
+        # announces itself (operators/quality.py)
+        from datetime import datetime, timezone
+
+        from osrs_dashboard_elt_spark.operators.quality import (
+            metric_drift,
+            metrics_history_append,
+        )
+
+        inp = stages["input"]
+        gate_audit = {
+            name: int(inp[f"viol_{i}"])
+            for i, (name, _) in enumerate(GATE_RULES)
+        }
+        audit_df = spark.createDataFrame(
+            [
+                (name, gate_audit[name], int(inp["rows"]))
+                for name, _ in GATE_RULES
+            ],
+            "rule string, n_violations long, n_rows long",
+        )
+        run_day = datetime.now(timezone.utc).strftime("%Y-%m-%d")
+        hist_path = f"{out_dir}/metrics_history/gate_rules"
+        metrics_history_append(audit_df, hist_path, run_day)
+        drift_rows = (
+            metric_drift(
+                spark.read.parquet(hist_path),
+                ["rule"], "day", "n_violations",
+            )
+            .filter(F.col("day") == F.to_date(F.lit(run_day)))
+            .filter("drifted")
+            .collect()
+        )
+        gate_drift = (
+            " ".join(sorted(r["rule"] for r in drift_rows)) if drift_rows
+            else "none"
+        )
+
         summary = render_run_summary(
             "corpus-pipeline",
             "run_corpus_pipeline",

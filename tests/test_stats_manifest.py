@@ -326,7 +326,7 @@ def test_concurrent_reader_across_refresh(spark, tmp_path):
     df = _grid(spark)
     write_zordered(df, path, ["x", "y"], 4, stats_cols=["x"])
     errors: list[Exception] = []
-    stop = threading.event = threading.Event()
+    stop = threading.Event()
 
     def reader():
         while not stop.is_set():
@@ -376,3 +376,46 @@ def test_refresh_preserves_bloom_config(spark, tmp_path):
     assert got.count() == 1
     n_all = len(spark.read.parquet(path).inputFiles())
     assert len(got.inputFiles()) < n_all
+
+
+def test_legacy_flat_manifest_still_readable(spark, tmp_path):
+    """Manifests written before the epoch-commit protocol (parquet
+    directly under _stats_manifest/) must stay readable — synthesized
+    meta, old listing-freshness behavior — and migrate to the epoch
+    layout on first refresh."""
+    import os
+
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        refresh_stats_manifest,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = _grid(spark)
+    df.repartition(4).write.parquet(path)
+    # hand-write the LEGACY layout: stats parquet straight in the root
+    full = spark.read.parquet(path)
+    stats = (
+        full.select(F.input_file_name().alias("file"), "x")
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+        )
+    )
+    legacy_dir = os.path.join(path, "_stats_manifest")
+    stats.coalesce(1).write.parquet(legacy_dir)
+    got = pruned_scan(spark, path, {"x": (0, 3)})
+    want = full.filter("x >= 0 AND x <= 3")
+    assert _rows(got) == _rows(want)
+    # refresh migrates: append a file, refresh, epoch layout appears
+    df.limit(9).coalesce(1).write.mode("append").parquet(path)
+    added, removed = refresh_stats_manifest(spark, path, ["x"])
+    assert added == 1 and removed == 0
+    assert any(
+        n.startswith("m") and n[1:].isdigit()
+        for n in os.listdir(legacy_dir)
+    )
+    got = pruned_scan(spark, path, {"x": (0, 0)})
+    want = spark.read.parquet(path).filter("x = 0")
+    assert _rows(got) == _rows(want)
