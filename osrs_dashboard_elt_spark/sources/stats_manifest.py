@@ -159,6 +159,17 @@ def _load_meta(spark: SparkSession, path: str) -> tuple[int, dict]:
     }
 
 
+def has_stats_manifest(path: str) -> bool:
+    """Whether a readable manifest (epoch or legacy layout) exists —
+    the bootstrap-vs-refresh probe for incremental maintainers."""
+    root = _manifest_root(path)
+    if _committed_epochs(root):
+        return True
+    return os.path.isdir(root) and any(
+        f.endswith(".parquet") for f in os.listdir(root)
+    )
+
+
 def _claim_epoch(root: str, start: int) -> int:
     """Claim the next epoch number with an O_CREAT|O_EXCL marker so
     concurrent writers get distinct dirs."""

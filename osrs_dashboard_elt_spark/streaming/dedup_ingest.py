@@ -96,6 +96,7 @@ def start_dedup_ingest(
     max_avg_nll: float | None = None,
     probe_model: tuple[list[float], float] | None = None,
     ann_index: tuple[list[list[list[float]]], str] | None = None,
+    stats_manifest: tuple[list[str], list[str]] | None = None,
 ) -> StreamingQuery:
     """Start the dedup-ingest stream.  ``index_table`` must already
     exist (``write_minhash_index`` over the current corpus — an empty
@@ -136,7 +137,18 @@ def start_dedup_ingest(
     registry, and an existing ``write_pq_index`` output) and every
     accepted doc is embedded (Arrow-batched) and its codes appended —
     a just-ingested doc is immediately searchable.  O(batch) encode;
-    replay-safe via an id anti-join."""
+    replay-safe via an id anti-join.
+
+    ``stats_manifest`` keeps the ACCEPTED corpus takedown-ready: pass
+    ``(stats_cols, bloom_cols)`` and every batch incrementally
+    refreshes a file-skipping manifest over ``{out_root}/accepted``
+    (``sources/stats_manifest.py`` — O(batch) stats/bloom pass on the
+    new files; first batch bootstraps).  With a bloom on the id
+    column, ``maintenance.targeted_delete`` can later serve an id-list
+    takedown by rewriting only the files that contain the ids, and
+    selective readers prune files at planning time — the manifest
+    never goes stale because the ONLY writer of the accepted dir is
+    this stream's per-(run, batch) partition overwrite."""
     params = dict(
         num_perm=num_perm, bands=bands, seed=seed, shingle_n=shingle_n
     )
@@ -282,6 +294,25 @@ def start_dedup_ingest(
 
             n_accepted = accepted.count()
             route(accepted, "accepted")
+            if stats_manifest is not None:
+                from ..sources.stats_manifest import (
+                    has_stats_manifest,
+                    refresh_stats_manifest,
+                    write_stats_manifest,
+                )
+
+                acc_path = f"{out_root}/accepted"
+                scols, bcols = stats_manifest
+                if has_stats_manifest(acc_path):
+                    # O(this batch's files): stats+blooms for the new
+                    # files only, vanished (replayed-overwrite) files
+                    # drop out
+                    refresh_stats_manifest(spark, acc_path, list(scols))
+                else:
+                    write_stats_manifest(
+                        spark, acc_path, list(scols),
+                        bloom_cols=list(bcols),
+                    )
             # the audit column carries whatever type the id column has
             id_type = dict(batch.dtypes)[id_col]
             in_batch_dup = batch.join(

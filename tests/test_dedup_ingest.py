@@ -403,3 +403,57 @@ def test_crash_between_pq_and_minhash_appends_converges(
         r.corpus_id for r in posts.select("corpus_id").collect()
     } == acc
     assert posts.count() == len(acc) * PARAMS["bands"]
+
+
+def test_ingest_maintains_takedown_ready_manifest(spark, ingest_env):
+    """stats_manifest=(...) keeps a file-skipping manifest (with an
+    id bloom) over the accepted dir, refreshed O(batch) per
+    micro-batch — so a later id takedown rewrites only matching files
+    and point reads prune at planning time."""
+    from osrs_dashboard_elt_spark.sources.maintenance import (
+        targeted_delete,
+    )
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        pruned_scan,
+    )
+
+    tmp = ingest_env
+    src = tmp / "src"
+    src.mkdir()
+    out, ckpt = tmp / "out", tmp / "ckpt"
+    counts: list[dict] = []
+    _write_batch(src, "b1.json", [(1, TEXT_A), (2, TEXT_B)])
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(src)
+    )
+    q = start_dedup_ingest(
+        stream, "mh_ingest", str(out), str(ckpt),
+        n_buckets=4, available_now=True, run_id="r1",
+        on_batch=lambda bid, c: counts.append(c),
+        stats_manifest=(["doc_id"], ["doc_id"]),
+        **PARAMS,
+    )
+    q.awaitTermination(120)
+    _write_batch(src, "b2.json", [(5, TEXT_C)])
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(src)
+    )
+    q = start_dedup_ingest(
+        stream, "mh_ingest", str(out), str(ckpt),
+        n_buckets=4, available_now=True, run_id="r1",
+        on_batch=lambda bid, c: counts.append(c),
+        stats_manifest=(["doc_id"], ["doc_id"]),
+        **PARAMS,
+    )
+    q.awaitTermination(120)
+    acc = f"{out}/accepted"
+    # the manifest is FRESH across both activations: point reads work
+    got = pruned_scan(spark, acc, points={"doc_id": 5})
+    assert got.count() == 1
+    # takedown: rewrite only the files containing doc 1
+    res = targeted_delete(spark, acc, "doc_id", [1])
+    assert res["rows_deleted"] == 1
+    remaining = spark.read.parquet(acc)
+    assert sorted(r["doc_id"] for r in remaining.collect()) == [2, 5]
+    # manifest still consistent post-delete
+    assert pruned_scan(spark, acc, points={"doc_id": 1}).count() == 0
