@@ -252,3 +252,39 @@ def test_global_shuffle_order_windows_partitioned(spark, all_queries):
     for line in plan.splitlines():
         if "windowspecdefinition(" in line:
             assert "__pid" in line, line
+
+
+def test_split_by_rules_is_scan_side_projection(spark):
+    """The expectations router adds NO Exchange: good/bad are filters
+    over a projected reasons array, pushed into the same scan stage —
+    routing a 100 TB corpus costs a projection, not a job."""
+    from osrs_dashboard_elt_spark.operators.quality import split_by_rules
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    good, bad = split_by_rules(
+        df, [("nonempty", "length(text) > 0"), ("has_id", "doc_id IS NOT NULL")]
+    )
+    for frame in (good, bad):
+        assert "Exchange" not in _executed_plan(frame)
+
+
+def test_metric_drift_single_window_pass(spark, all_queries):
+    """Drift judging is ONE window operator over the runs x metrics
+    frame — never a self-join of history against itself."""
+    plan = _executed_plan(all_queries["q_metric_drift"](spark, SF_DIR))
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_bloom_build_partial_aggregates(spark, tmp_path):
+    """The per-file bloom build must partial-aggregate map-side (the
+    shuffle carries bitmaps per (file, partition), never row data):
+    both aggregate operators appear, with the exchange between them."""
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        _bloom_for_files,
+    )
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _executed_plan(_bloom_for_files(df, "doc_id", 1 << 15, 5))
+    # ObjectHashAggregate carries bitmap_construct_agg; partial+final
+    assert plan.count("ObjectHashAggregate") >= 2, plan
