@@ -1433,10 +1433,16 @@ _PRIORITY: tuple[str, ...] = (
     "q_per_key_watermark",        # S9
     # —— LLM-pipeline families ——
     "q_minhash_lsh_pairs",
-    "q_simhash_pairs",
+    # (q_simhash_pairs moved out of the window for q_targeted_delete —
+    # near-dup keeps three in-window: MinHash pairs, embedding
+    # near-dup, and transitive clusters; simhash stays green in the
+    # local sweep)
     "q_embedding_neardup",
     "q_dedup_clusters",
-    "q_lsh_ann_topk",
+    # (q_lsh_ann_topk moved out of the window for q_metric_drift —
+    # ANN keeps q_pq_ann_topk in-window plus the embedding family rep)
+    "q_targeted_delete",       # bloom-planned takedown (round 7)
+    "q_metric_drift",          # metrics history drift (round 7)
     "q_language_id",
     "q_media_features",
     "q_doc_chunks",

@@ -60,6 +60,13 @@ def test_priority_window_spans_all_families():
         "windows_core": {"q_topn_per_group", "q_sessionize_gap"},
         "dedup_lsh": {"q_minhash_lsh_pairs", "q_simhash_pairs"},
         "embedding": {"q_embedding_neardup", "q_lsh_ann_topk"},
+        # —— round-7 families ——
+        "file_skipping": {
+            "q_targeted_delete",
+            "q_stats_pruned_scan",
+            "q_point_lookup_pruned",
+        },
+        "metrics_drift": {"q_metric_drift"},
         "clusters": {"q_dedup_clusters"},
         "text": {"q_language_id", "q_pii_redaction"},
         "multimodal": {"q_media_features"},
