@@ -108,6 +108,14 @@ def _manifest_data_dir(root: str, epoch: int, meta: dict) -> str:
     return meta.get("_data_dir") or _epoch_dir(root, epoch)
 
 
+def _legacy_manifest(root: str) -> bool:
+    """Pre-epoch flat layout: parquet directly under the manifest
+    root (written before the commit protocol existed)."""
+    return os.path.isdir(root) and any(
+        f.endswith(".parquet") for f in os.listdir(root)
+    )
+
+
 def _committed_epochs(root: str) -> list[int]:
     try:
         names = os.listdir(root)
@@ -137,10 +145,7 @@ def _load_meta(spark: SparkSession, path: str) -> tuple[int, dict]:
         epoch = epochs[-1]
         with open(os.path.join(_epoch_dir(root, epoch), _META)) as f:
             return epoch, json.load(f)
-    legacy = os.path.isdir(root) and any(
-        f.endswith(".parquet") for f in os.listdir(root)
-    )
-    if not legacy:
+    if not _legacy_manifest(root):
         raise FileNotFoundError(
             f"no stats manifest under {path} — write one with "
             "write_stats_manifest (or pass stats_cols to the writer)"
@@ -163,11 +168,7 @@ def has_stats_manifest(path: str) -> bool:
     """Whether a readable manifest (epoch or legacy layout) exists —
     the bootstrap-vs-refresh probe for incremental maintainers."""
     root = _manifest_root(path)
-    if _committed_epochs(root):
-        return True
-    return os.path.isdir(root) and any(
-        f.endswith(".parquet") for f in os.listdir(root)
-    )
+    return bool(_committed_epochs(root)) or _legacy_manifest(root)
 
 
 def _claim_epoch(root: str, start: int) -> int:
@@ -322,7 +323,11 @@ def write_stats_manifest(
 
 
 def refresh_stats_manifest(
-    spark: SparkSession, path: str, cols: list[str]
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int | None = None,
 ) -> tuple[int, int]:
     """INCREMENTAL manifest refresh: stat (and bloom, per the existing
     manifest's config) only the files the manifest doesn't know yet,
@@ -345,7 +350,11 @@ def refresh_stats_manifest(
     try:
         epoch, meta = _load_meta(spark, path)
     except FileNotFoundError:
-        n = write_stats_manifest(spark, path, cols)
+        n = write_stats_manifest(
+            spark, path, cols,
+            bloom_cols=bloom_cols,
+            **({"bloom_bits": bloom_bits} if bloom_bits else {}),
+        )
         return n, 0
     if meta["immutable"]:
         raise ValueError(
@@ -359,7 +368,29 @@ def refresh_stats_manifest(
             f"refresh asked for {list(cols)}. Rebuild with "
             "write_stats_manifest to change the stats column set."
         )
+    if bloom_cols is not None and list(bloom_cols) != meta["bloom_cols"]:
+        # silently refreshing without the requested blooms would let a
+        # takedown path degrade to prune-nothing min/max planning
+        raise ValueError(
+            f"stats manifest at {path} has blooms on "
+            f"{meta['bloom_cols']}; refresh asked for "
+            f"{list(bloom_cols)}. Rebuild with write_stats_manifest "
+            "to change the bloom column set."
+        )
     full = spark.read.parquet(path)
+    pinned = StructType.fromJson(meta["schema"])
+    if full.schema != pinned:
+        # partition-column TYPE drift is the dangerous case: a first
+        # epoch whose run_id dirs all looked numeric pins int, and a
+        # later string run id would read back NULL under the pinned
+        # schema — catch it loudly instead of corrupting pruned reads
+        raise ValueError(
+            f"table schema under {path} no longer matches the "
+            f"manifest's pinned schema (was {pinned.simpleString()}, "
+            f"now {full.schema.simpleString()}) — partition-column "
+            "type drift or a schema change; rebuild with "
+            "write_stats_manifest"
+        )
     current = {_norm(f) for f in full.inputFiles()}
     root = _manifest_root(path)
     old = spark.read.parquet(_manifest_data_dir(root, epoch, meta))
@@ -677,6 +708,13 @@ def pruned_scan(
     schema = StructType.fromJson(meta["schema"])
     if not meta["immutable"]:
         full = spark.read.parquet(path)
+        if full.schema != schema:
+            raise ValueError(
+                f"table schema under {path} no longer matches the "
+                "manifest's pinned schema — partition-column type "
+                "drift or a schema change; rebuild with "
+                "write_stats_manifest"
+            )
         current = {_norm(f) for f in full.inputFiles()}
         recorded = {
             _norm(r["file"]) for r in man.select("file").collect()

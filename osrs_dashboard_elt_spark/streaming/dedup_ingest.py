@@ -96,7 +96,7 @@ def start_dedup_ingest(
     max_avg_nll: float | None = None,
     probe_model: tuple[list[float], float] | None = None,
     ann_index: tuple[list[list[list[float]]], str] | None = None,
-    stats_manifest: tuple[list[str], list[str]] | None = None,
+    stats_manifest: tuple | None = None,
 ) -> StreamingQuery:
     """Start the dedup-ingest stream.  ``index_table`` must already
     exist (``write_minhash_index`` over the current corpus — an empty
@@ -140,19 +140,34 @@ def start_dedup_ingest(
     replay-safe via an id anti-join.
 
     ``stats_manifest`` keeps the ACCEPTED corpus takedown-ready: pass
-    ``(stats_cols, bloom_cols)`` and every batch incrementally
-    refreshes a file-skipping manifest over ``{out_root}/accepted``
-    (``sources/stats_manifest.py`` — O(batch) stats/bloom pass on the
-    new files; first batch bootstraps).  With a bloom on the id
-    column, ``maintenance.targeted_delete`` can later serve an id-list
-    takedown by rewriting only the files that contain the ids, and
-    selective readers prune files at planning time — the manifest
-    never goes stale because the ONLY writer of the accepted dir is
-    this stream's per-(run, batch) partition overwrite."""
+    ``(stats_cols, bloom_cols)`` or ``(stats_cols, bloom_cols,
+    bloom_bits)`` and every batch refreshes a file-skipping manifest
+    over ``{out_root}/accepted`` (``sources/stats_manifest.py``).
+    With a bloom on the id column, ``maintenance.targeted_delete``
+    can later serve an id-list takedown by rewriting only the files
+    that contain the ids, and selective readers prune files at
+    planning time.  Cost honesty: the per-batch stats/bloom COMPUTE
+    is O(batch) (new files only), but each refresh writes a full new
+    manifest epoch — O(total files) rows carrying the blooms — so
+    SIZE bloom_bits for your per-file row counts (streaming batches
+    make small files; the write-path default 2^20 bits is built for
+    ~100k distinct/file) and compact the accepted dir periodically,
+    which also resets the file count.  Takedown vs replay: a
+    checkpoint replay re-materializes its own (run, batch) partition,
+    so a ``targeted_delete`` raced against an in-flight stream can be
+    resurrected by a crash-replay of the batch that carried the doc —
+    run takedowns against a quiesced stream, or re-run them after a
+    restart (the manifest makes re-deletes cheap and idempotent).
+    Bootstrap happens on the first batch that ACCEPTS rows; a changed
+    bloom column set later raises loudly rather than silently
+    refreshing without the blooms the takedown path needs."""
     params = dict(
         num_perm=num_perm, bands=bands, seed=seed, shingle_n=shingle_n
     )
-    run = run_id or uuid.uuid4().hex[:12]
+    # "r" prefix: a run id that LOOKS numeric (0.4% of bare hex ids)
+    # would make partition-type inference pin run_id as int in the
+    # first manifest epoch and corrupt later string run ids
+    run = run_id or ("r" + uuid.uuid4().hex[:11])
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -298,20 +313,24 @@ def start_dedup_ingest(
                 from ..sources.stats_manifest import (
                     has_stats_manifest,
                     refresh_stats_manifest,
-                    write_stats_manifest,
                 )
 
                 acc_path = f"{out_root}/accepted"
-                scols, bcols = stats_manifest
-                if has_stats_manifest(acc_path):
-                    # O(this batch's files): stats+blooms for the new
-                    # files only, vanished (replayed-overwrite) files
-                    # drop out
-                    refresh_stats_manifest(spark, acc_path, list(scols))
-                else:
-                    write_stats_manifest(
+                scols, bcols, *rest = stats_manifest
+                bbits = rest[0] if rest else None
+                # guard the bootstrap: an all-quarantined first batch
+                # writes an EMPTY accepted dir (zero parquet files),
+                # and a manifest build over it would die on schema
+                # inference — wait for the first batch that accepts
+                if n_accepted or has_stats_manifest(acc_path):
+                    # stats+blooms computed for the NEW files only;
+                    # vanished (replayed-overwrite) files drop out; a
+                    # missing manifest bootstraps WITH the blooms, a
+                    # bloom-column mismatch raises (never silently
+                    # downgrades the takedown path)
+                    refresh_stats_manifest(
                         spark, acc_path, list(scols),
-                        bloom_cols=list(bcols),
+                        bloom_cols=list(bcols), bloom_bits=bbits,
                     )
             # the audit column carries whatever type the id column has
             id_type = dict(batch.dtypes)[id_col]

@@ -457,3 +457,50 @@ def test_ingest_maintains_takedown_ready_manifest(spark, ingest_env):
     assert sorted(r["doc_id"] for r in remaining.collect()) == [2, 5]
     # manifest still consistent post-delete
     assert pruned_scan(spark, acc, points={"doc_id": 1}).count() == 0
+
+
+def test_manifest_bootstrap_survives_all_rejected_first_batch(
+    spark, ingest_env
+):
+    """An all-quarantined first batch writes an EMPTY accepted dir; the
+    manifest bootstrap must wait for the first ACCEPTING batch instead
+    of dying on schema inference over zero files."""
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        has_stats_manifest,
+        pruned_scan,
+    )
+
+    tmp = ingest_env
+    # pre-index doc 1 so redelivering it accepts NOTHING
+    write_minhash_index(
+        spark.createDataFrame([(1, TEXT_A)], "doc_id long, text string"),
+        "mh_pre", "doc_id", "text",
+        n_buckets=4, path=str(tmp / "idx2"), **PARAMS,
+    )
+    try:
+        src = tmp / "src"
+        src.mkdir()
+        out, ckpt = tmp / "out", tmp / "ckpt"
+        counts: list[dict] = []
+        _write_batch(src, "b1.json", [(1, TEXT_A)])  # already ingested
+        for batch in ("first", "second"):
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).json(str(src))
+            q = start_dedup_ingest(
+                stream, "mh_pre", str(out), str(ckpt),
+                n_buckets=4, available_now=True, run_id="r1",
+                on_batch=lambda bid, c: counts.append(c),
+                stats_manifest=(["doc_id"], ["doc_id"], 1 << 15),
+                **PARAMS,
+            )
+            q.awaitTermination(120)
+            if batch == "first":
+                assert counts[-1]["n_accepted"] == 0
+                assert not has_stats_manifest(f"{out}/accepted")
+                _write_batch(src, "b2.json", [(7, TEXT_B)])
+        assert counts[-1]["n_accepted"] == 1
+        got = pruned_scan(spark, f"{out}/accepted", points={"doc_id": 7})
+        assert got.count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_pre")

@@ -419,3 +419,48 @@ def test_legacy_flat_manifest_still_readable(spark, tmp_path):
     got = pruned_scan(spark, path, {"x": (0, 0)})
     want = spark.read.parquet(path).filter("x = 0")
     assert _rows(got) == _rows(want)
+
+
+def test_refresh_bloom_mismatch_raises(spark, tmp_path):
+    """Refreshing with a bloom set the manifest doesn't carry must
+    raise — silently refreshing without them would degrade the
+    takedown path to prune-nothing min/max planning."""
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        refresh_stats_manifest,
+    )
+
+    path = str(tmp_path / "tbl")
+    _grid(spark).write.parquet(path)
+    write_stats_manifest(spark, path, ["x"])  # no blooms
+    with pytest.raises(ValueError, match="bloom"):
+        refresh_stats_manifest(spark, path, ["x"], bloom_cols=["x"])
+    # and the fallback BOOTSTRAPS with blooms when nothing exists yet
+    path2 = str(tmp_path / "tbl2")
+    _ids(spark, 500, 2).write.parquet(path2)
+    added, removed = refresh_stats_manifest(
+        spark, path2, ["tag"], bloom_cols=["doc_id"], bloom_bits=1 << 15
+    )
+    assert added == 2 and removed == 0
+    assert pruned_scan(spark, path2, points={"doc_id": 77}).count() == 1
+
+
+def test_partition_type_drift_raises(spark, tmp_path):
+    """A later partition whose dir value no longer parses as the
+    pinned type would read back NULL under the manifest's schema —
+    the drift check refuses instead of corrupting pruned reads."""
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        refresh_stats_manifest,
+    )
+
+    path = str(tmp_path / "ptbl")
+    spark.range(100).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    ).write.partitionBy("k").parquet(path)
+    write_stats_manifest(spark, path, ["v"])
+    spark.createDataFrame([("abc", 999)], "k string, v long").write.mode(
+        "append"
+    ).partitionBy("k").parquet(path)
+    with pytest.raises(ValueError, match="schema"):
+        refresh_stats_manifest(spark, path, ["v"])
+    with pytest.raises(ValueError, match="schema"):
+        pruned_scan(spark, path, {"v": (0, 10)})
