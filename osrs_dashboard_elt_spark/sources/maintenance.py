@@ -137,6 +137,8 @@ def publish_versioned(
     root: str,
     checksum_cols: list[str] | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 1 << 20,
 ) -> int:
     """Write ``df`` as the next immutable snapshot under ``root`` and
     append it to the version log.  Returns the new version number.
@@ -167,7 +169,13 @@ def publish_versioned(
         # per-probe directory listing entirely
         from .stats_manifest import write_stats_manifest
 
-        write_stats_manifest(spark, path, stats_cols, immutable=True)
+        # bloom_cols serve point lookups on the snapshot (id reads on
+        # keys the layout doesn't cluster); min/max serve range probes
+        write_stats_manifest(
+            spark, path, stats_cols,
+            bloom_cols=bloom_cols, bloom_bits=bloom_bits,
+            immutable=True,
+        )
     written = spark.read.parquet(path)
     entry = {
         "version": version,
@@ -260,6 +268,8 @@ def compact_files(
     dest_root: str,
     target_bytes: int = 128 * 1024 * 1024,
     checksum_cols: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Rewrite the parquet dir ``src`` into ~``target_bytes`` files,
     published as a new version under ``dest_root``.  Returns the new
@@ -277,7 +287,10 @@ def compact_files(
                 total += os.path.getsize(os.path.join(dirpath, fn))
     n_files = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(src).repartition(n_files)
-    return publish_versioned(df, dest_root, checksum_cols=checksum_cols)
+    return publish_versioned(
+        df, dest_root, checksum_cols=checksum_cols,
+        stats_cols=stats_cols, bloom_cols=bloom_cols,
+    )
 
 
 def targeted_delete(

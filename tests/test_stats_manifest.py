@@ -464,3 +464,28 @@ def test_partition_type_drift_raises(spark, tmp_path):
         refresh_stats_manifest(spark, path, ["v"])
     with pytest.raises(ValueError, match="schema"):
         pruned_scan(spark, path, {"v": (0, 10)})
+
+
+def test_compacted_snapshot_serves_bloom_point_reads(spark, tmp_path):
+    """compact_files -> publish_versioned carries stats AND blooms, so
+    the compacted immutable snapshot serves id point reads with zero
+    listing and file pruning in one move (the small-files cure and the
+    takedown-era archive in one publish)."""
+    from osrs_dashboard_elt_spark.sources.maintenance import (
+        compact_files,
+        read_version,
+    )
+
+    src = str(tmp_path / "small")
+    _ids(spark, 2000, 16).write.parquet(src)
+    root = str(tmp_path / "pub")
+    v = compact_files(
+        spark, src, root, target_bytes=16 * 1024,
+        stats_cols=["tag"], bloom_cols=["doc_id"],
+    )
+    snap = f"{root}/v{v}"
+    n_files = len(read_version(spark, root, v).inputFiles())
+    assert n_files > 1
+    got = pruned_scan(spark, snap, points={"doc_id": 1717})
+    assert got.count() == 1
+    assert len(got.inputFiles()) < n_files
