@@ -41,10 +41,15 @@ Commit protocol: each manifest write lands in a fresh epoch dir
 (``_stats_manifest/m0000001/...``) and becomes visible only when its
 ``_meta.json`` is atomically renamed into place — readers always see a
 complete manifest (never the half-written or deleted-mid-swap states a
-delete-then-rename would expose), and a refresh keeps the previous
-epoch alive until the new one commits.  Epoch numbers are claimed with
-O_CREAT|O_EXCL markers (the ``publish_versioned`` discipline) so
-concurrent refreshers cannot collide on a dir.
+delete-then-rename would expose).  An epoch's meta names the live
+SEGMENT dirs (each holding some files' rows) plus tombstoned file
+names: a refresh appends one O(batch) segment instead of rewriting the
+world, and folds to a single segment when the segment/tombstone bounds
+trip.  Vacuum keeps every dir referenced by the last two committed
+metas, so an in-flight reader of the previous meta always finds all of
+its segments.  Epoch numbers are claimed with O_CREAT|O_EXCL markers
+(the ``publish_versioned`` discipline) so concurrent refreshers cannot
+collide on a dir.
 
 Hive-partitioned dirs are supported: file subsets are read with
 ``basePath`` so partition columns keep their values (a leaf-file read
@@ -102,10 +107,30 @@ def _norm_col(c):
     return F.regexp_replace(c, "^file:/+", "file:///")
 
 
-def _manifest_data_dir(root: str, epoch: int, meta: dict) -> str:
-    """Where the manifest PARQUET lives: the epoch dir, or the root
-    itself for a pre-epoch legacy manifest (flat layout)."""
-    return meta.get("_data_dir") or _epoch_dir(root, epoch)
+# Segment-fold thresholds: a refresh appends ONE segment (the new
+# files' rows) and tombstones removals in meta — O(batch) write — until
+# either bound trips, at which point the refresh folds everything into
+# a single fresh segment (the Delta checkpoint analog).  Readers union
+# the live segments minus tombstones, so read cost is bounded by
+# |files| rows + one InSet over <= _MAX_TOMBSTONES names.
+_MAX_SEGMENTS = 8
+_MAX_TOMBSTONES = 10_000
+
+
+def _manifest_df(
+    spark: SparkSession, path: str, epoch: int, meta: dict
+) -> DataFrame:
+    """The LIVE manifest rows: union of the meta's segment dirs minus
+    its tombstoned file names (legacy flat manifests read the root)."""
+    if meta.get("_data_dir"):
+        return spark.read.parquet(meta["_data_dir"])
+    root = _manifest_root(path)
+    segs = meta.get("segments", [epoch])
+    man = spark.read.parquet(*[_epoch_dir(root, e) for e in segs])
+    tomb = meta.get("tombstones", [])
+    if tomb:
+        man = man.filter(~_norm_col(F.col("file")).isin(tomb))
+    return man
 
 
 def _legacy_manifest(root: str) -> bool:
@@ -197,7 +222,21 @@ def _commit_epoch(root: str, epoch: int, meta: dict) -> None:
     with os.fdopen(fd, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(edir, _META))
-    for old in _committed_epochs(root)[:-2]:
+    committed = _committed_epochs(root)
+    # keep every epoch dir REFERENCED by the last two committed metas'
+    # segment sets (plus those metas' own dirs): an in-flight reader of
+    # the previous meta must find all of its segments
+    keep = set(committed[-2:])
+    for e in committed[-2:]:
+        try:
+            with open(os.path.join(_epoch_dir(root, e), _META)) as f:
+                m = json.load(f)
+            keep |= set(m.get("segments", [e]))
+        except FileNotFoundError:
+            continue
+    for old in committed:
+        if old in keep:
+            continue
         odir = _epoch_dir(root, old)
         try:  # un-commit first so a racing reader skips it cleanly
             os.remove(os.path.join(odir, _META))
@@ -317,6 +356,8 @@ def write_stats_manifest(
         "immutable": bool(immutable),
         "schema": reader.schema.jsonValue(),
         "file_count": n,
+        "segments": [epoch],
+        "tombstones": [],
     }
     _commit_epoch(root, epoch, meta)
     return n
@@ -329,14 +370,18 @@ def refresh_stats_manifest(
     bloom_cols: list[str] | None = None,
     bloom_bits: int | None = None,
 ) -> tuple[int, int]:
-    """INCREMENTAL manifest refresh: stat (and bloom, per the existing
-    manifest's config) only the files the manifest doesn't know yet,
-    drop rows for files that vanished (compaction, vacuum), keep
-    everything else untouched — O(appended data), not O(table), which
-    is the difference between a manifest you refresh every micro-batch
-    and one you can only afford nightly at 100 TB.  Returns
-    (files_added, files_removed).  Falls back to a full
-    :func:`write_stats_manifest` when no manifest exists yet.
+    """INCREMENTAL manifest refresh, O(batch) in BOTH compute and
+    write: the new files' stats/blooms land in a fresh SEGMENT (one
+    small parquet), removals become meta tombstones, and everything
+    already recorded is never re-read or re-written.  Readers union
+    the live segments minus tombstones; once ``_MAX_SEGMENTS`` or
+    ``_MAX_TOMBSTONES`` trips, the refresh FOLDS all live rows into a
+    single segment (the Delta checkpoint analog), amortizing the full
+    rewrite over many cheap appends — the difference between a
+    manifest you refresh every micro-batch and one you can only afford
+    nightly at 100 TB.  Returns (files_added, files_removed).  Falls
+    back to a full :func:`write_stats_manifest` (with the given bloom
+    config) when no manifest exists yet.
 
     The new epoch becomes visible only at its meta commit, and the
     previous epoch survives until the NEXT commit — a concurrent
@@ -393,7 +438,7 @@ def refresh_stats_manifest(
         )
     current = {_norm(f) for f in full.inputFiles()}
     root = _manifest_root(path)
-    old = spark.read.parquet(_manifest_data_dir(root, epoch, meta))
+    old = _manifest_df(spark, path, epoch, meta)
     # driver sees FILE NAMES only: manifest rows carry bloom bitmaps
     # (100s of KB each), so collecting whole rows — as a naive
     # keep-list rebuild would — moves GBs through the driver on a
@@ -405,23 +450,7 @@ def refresh_stats_manifest(
     removed = recorded - current
     if not new_files and not removed:
         return 0, 0
-    parts = []
-    if recorded - removed:
-        if removed:
-            # anti-join on normalized names (the stored form may be
-            # file:/ while inputFiles yields file:///); `removed`
-            # already holds normalized names
-            gone = spark.createDataFrame(
-                [(f,) for f in sorted(removed)], "gone_file string"
-            )
-            keep_df = old.join(
-                F.broadcast(gone),
-                _norm_col(old["file"]) == gone["gone_file"],
-                "left_anti",
-            )
-        else:
-            keep_df = old
-        parts.append(keep_df)
+    fresh = None
     if new_files:
         fresh_reader = (
             spark.read.schema(StructType.fromJson(meta["schema"]))
@@ -431,15 +460,48 @@ def refresh_stats_manifest(
         fresh = _build_manifest_df(
             spark, path, fresh_reader, meta["cols"], meta["bloom_cols"],
             meta["bloom_bits"], meta["bloom_hashes"],
-        )
-        parts.append(fresh.select(*old.columns))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+        ).select(*old.columns)
+    segments = meta.get("segments", [epoch])
+    tombstones = list(meta.get("tombstones", [])) + sorted(removed)
+    compact = (
+        meta.get("_data_dir") is not None  # legacy: fold into epochs
+        or len(segments) + 1 > _MAX_SEGMENTS
+        or len(tombstones) > _MAX_TOMBSTONES
+    )
     new_epoch = _claim_epoch(root, epoch + 1)
     edir = _epoch_dir(root, new_epoch)
-    out.coalesce(1).write.mode("overwrite").parquet(edir)
-    meta = dict(meta, epoch=new_epoch, file_count=len(current))
+    if compact:
+        # fold: one fresh segment carrying every live row — the same
+        # write a full rebuild pays, amortized over _MAX_SEGMENTS
+        # O(batch) appends (the Delta checkpoint analog)
+        keep_df = old
+        if removed:
+            gone = spark.createDataFrame(
+                [(f,) for f in sorted(removed)], "gone_file string"
+            )
+            keep_df = old.join(
+                F.broadcast(gone),
+                _norm_col(old["file"]) == gone["gone_file"],
+                "left_anti",
+            )
+        out = keep_df if fresh is None else keep_df.unionByName(fresh)
+        out.coalesce(1).write.mode("overwrite").parquet(edir)
+        segments, tombstones = [new_epoch], []
+    elif fresh is not None:
+        # O(batch) write: ONLY the new files' rows land in the new
+        # segment; removals ride the meta as tombstones
+        fresh.coalesce(1).write.mode("overwrite").parquet(edir)
+        segments = segments + [new_epoch]
+    else:
+        # pure removal: tombstones-only epoch (meta, no data segment)
+        os.makedirs(edir, exist_ok=True)
+    meta = dict(
+        meta,
+        epoch=new_epoch,
+        file_count=len(current),
+        segments=segments,
+        tombstones=tombstones,
+    )
     meta.pop("_data_dir", None)  # legacy marker is never persisted
     _commit_epoch(root, new_epoch, meta)
     return len(new_files), len(removed)
@@ -520,9 +582,7 @@ def files_for_values(
     if not values:
         return []
     epoch, meta = _load_meta(spark, path)
-    man = spark.read.parquet(
-        _manifest_data_dir(_manifest_root(path), epoch, meta)
-    )
+    man = _manifest_df(spark, path, epoch, meta)
     if not meta["immutable"]:
         full = spark.read.parquet(path)
         current = {_norm(f) for f in full.inputFiles()}
@@ -702,9 +762,7 @@ def pruned_scan(
     _validate_bounds(bounds)
     _validate_points(points, bounds)
     epoch, meta = _load_meta(spark, path)
-    man = spark.read.parquet(
-        _manifest_data_dir(_manifest_root(path), epoch, meta)
-    )
+    man = _manifest_df(spark, path, epoch, meta)
     schema = StructType.fromJson(meta["schema"])
     if not meta["immutable"]:
         full = spark.read.parquet(path)
@@ -753,9 +811,7 @@ def manifest_file_count(
     with stats) — the planning-time metric the pruning tests assert
     on, without touching any data file."""
     epoch, meta = _load_meta(spark, path)
-    man = spark.read.parquet(
-        _manifest_data_dir(_manifest_root(path), epoch, meta)
-    )
+    man = _manifest_df(spark, path, epoch, meta)
     if not bounds and not points:
         return man.count()
     bounds = dict(bounds or {})

@@ -489,3 +489,75 @@ def test_compacted_snapshot_serves_bloom_point_reads(spark, tmp_path):
     got = pruned_scan(spark, snap, points={"doc_id": 1717})
     assert got.count() == 1
     assert len(got.inputFiles()) < n_files
+
+
+def test_refresh_writes_only_a_batch_segment(spark, tmp_path):
+    """A refresh's WRITE is O(batch): the new epoch's segment parquet
+    holds only the appended files' rows, prior rows are never
+    rewritten, and removals ride the meta as tombstones."""
+    import json
+    import os
+
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        refresh_stats_manifest,
+    )
+
+    path = str(tmp_path / "tbl")
+    _ids(spark, 1000, 8).write.parquet(path)
+    write_stats_manifest(spark, path, ["tag"])
+    _ids(spark, 1100, 1).filter("doc_id >= 1000").write.mode(
+        "append"
+    ).parquet(path)
+    added, removed = refresh_stats_manifest(spark, path, ["tag"])
+    assert (added, removed) == (1, 0)
+    root = os.path.join(path, "_stats_manifest")
+    epochs = sorted(n for n in os.listdir(root) if n.startswith("m"))
+    seg2 = os.path.join(root, epochs[-1])
+    assert spark.read.parquet(seg2).count() == 1  # ONLY the new file
+    meta = json.load(open(os.path.join(seg2, "_meta.json")))
+    assert len(meta["segments"]) == 2 and meta["tombstones"] == []
+    # reads see the union
+    assert manifest_file_count(spark, path) == 9
+    # remove a file -> tombstone-only epoch, still-correct reads
+    data_files = [
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    ]
+    os.remove(os.path.join(path, data_files[0]))
+    added, removed = refresh_stats_manifest(spark, path, ["tag"])
+    assert (added, removed) == (0, 1)
+    assert manifest_file_count(spark, path) == 8
+    got = pruned_scan(spark, path, {"tag": (3, 5)})
+    want = spark.read.parquet(path).filter("tag >= 3 AND tag <= 5")
+    assert got.count() == want.count()
+
+
+def test_segments_fold_at_bound(spark, tmp_path, monkeypatch):
+    """Past _MAX_SEGMENTS appends the refresh folds every live row
+    into ONE segment and clears tombstones — amortized compaction."""
+    import json
+    import os
+
+    from osrs_dashboard_elt_spark.sources import stats_manifest as sm
+
+    monkeypatch.setattr(sm, "_MAX_SEGMENTS", 3)
+    path = str(tmp_path / "tbl")
+    _ids(spark, 400, 2).write.parquet(path)
+    sm.write_stats_manifest(spark, path, ["tag"])
+    for i in range(4):
+        extra = spark.createDataFrame(
+            [(10_000 + i, f"u{10_000 + i}", 0)],
+            "doc_id long, sid string, tag long",
+        )
+        extra.coalesce(1).write.mode("append").parquet(path)
+        sm.refresh_stats_manifest(spark, path, ["tag"])
+    root = os.path.join(path, "_stats_manifest")
+    epochs = sorted(n for n in os.listdir(root) if n.startswith("m"))
+    meta = json.load(open(os.path.join(root, epochs[-1], "_meta.json")))
+    assert len(meta["segments"]) <= 3
+    assert meta["file_count"] == 6
+    # a fold happened at some point: some meta had exactly one segment
+    # holding ALL rows; regardless, reads stay exact
+    assert sm.manifest_file_count(spark, path) == 6
+    got = sm.pruned_scan(spark, path, {"tag": (0, 0)})
+    want = spark.read.parquet(path).filter("tag = 0")
+    assert got.count() == want.count() > 0
