@@ -146,13 +146,14 @@ def start_dedup_ingest(
     With a bloom on the id column, ``maintenance.targeted_delete``
     can later serve an id-list takedown by rewriting only the files
     that contain the ids, and selective readers prune files at
-    planning time.  Cost honesty: the per-batch stats/bloom COMPUTE
-    is O(batch) (new files only), but each refresh writes a full new
-    manifest epoch — O(total files) rows carrying the blooms — so
-    SIZE bloom_bits for your per-file row counts (streaming batches
-    make small files; the write-path default 2^20 bits is built for
-    ~100k distinct/file) and compact the accepted dir periodically,
-    which also resets the file count.  Takedown vs replay: a
+    planning time.  Per-batch cost is O(batch) in BOTH compute and
+    write: each refresh appends one manifest SEGMENT with the new
+    files' rows, and the manifest folds itself every few refreshes
+    (the Delta checkpoint analog).  Still SIZE bloom_bits for your
+    per-file row counts (streaming batches make small files; the
+    write-path default 2^20 bits is built for ~100k distinct/file)
+    and compact the accepted dir periodically to bound the file count
+    itself.  Takedown vs replay: a
     checkpoint replay re-materializes its own (run, batch) partition,
     so a ``targeted_delete`` raced against an in-flight stream can be
     resurrected by a crash-replay of the batch that carried the doc —
