@@ -288,3 +288,46 @@ def test_bloom_build_partial_aggregates(spark, tmp_path):
     plan = _executed_plan(_bloom_for_files(df, "doc_id", 1 << 15, 5))
     # ObjectHashAggregate carries bitmap_construct_agg; partial+final
     assert plan.count("ObjectHashAggregate") >= 2, plan
+
+
+def test_takedown_planning_is_join_shaped(spark, tmp_path):
+    """files_for_values must plan the value list as a broadcast probe
+    JOIN (plan size constant in |values|), never an OR-of-ANDs
+    predicate tree that blows codegen limits on a 10k-id takedown."""
+    from pyspark.sql import functions as F
+
+    from osrs_dashboard_elt_spark.sources import stats_manifest as sm
+
+    path = str(tmp_path / "tbl")
+    spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("tag")
+    ).repartition(4, "doc_id").write.parquet(path)
+    sm.write_stats_manifest(
+        spark, path, ["tag"], bloom_cols=["doc_id"], bloom_bits=1 << 15
+    )
+    epoch, meta = sm._load_meta(spark, path)
+    man = sm._manifest_df(spark, path, epoch, meta)
+    # reproduce the candidate plan for a 500-value list
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    values = list(range(0, 1000, 2))
+    vals_df = spark.createDataFrame(
+        [(v,) for v in values], StructType([StructField("v", LongType(), False)])
+    )
+    pos_df = vals_df.select(
+        "v",
+        F.explode(
+            F.array(*sm._bloom_positions(F.col("v"), None, 1 << 15, 5))
+        ).alias("pos"),
+    )
+    manx = man.select("file", F.explode(F.col("bloom_doc_id"))).toDF(
+        "file", "bucket", "bm"
+    )
+    plan = manx.join(
+        F.broadcast(pos_df.select(F.bitmap_bucket_number("pos").alias("bucket"))),
+        "bucket",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # end-to-end: the real API handles the list without codegen blowups
+    files = sm.files_for_values(spark, path, "doc_id", values)
+    assert len(files) >= 1
