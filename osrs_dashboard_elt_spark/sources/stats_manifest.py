@@ -579,6 +579,11 @@ def files_for_values(
     the manifest can't prune on ``col``; mutable dirs get the
     freshness check (a stale manifest would MISS files and leave rows
     behind — a compliance bug, not a perf bug)."""
+    # dedup, order-preserving: a duplicated value would double its
+    # probe rows and break the all-k-probes-hit count (nhit == k),
+    # silently MISSING the file — a false negative, the one failure
+    # mode this planner must never have
+    values = list(dict.fromkeys(values))
     if not values:
         return []
     epoch, meta = _load_meta(spark, path)

@@ -139,3 +139,16 @@ def test_partition_column_delete_refuses(spark, tmp_path):
     write_stats_manifest(spark, path, ["day"])
     with pytest.raises(ValueError, match="partition column"):
         targeted_delete(spark, path, "day", [2])
+
+
+def test_duplicate_values_in_delete_list(spark, tmp_path):
+    """A duplicated id in the takedown list must not break bloom
+    planning (the all-probes-hit count) — regression: [5, 5] doubled
+    the probe rows and silently missed the file."""
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=500, files=4)
+    planned = files_for_values(spark, path, "doc_id", [5, 5, 9])
+    assert planned == files_for_values(spark, path, "doc_id", [5, 9])
+    res = targeted_delete(spark, path, "doc_id", [5, 5, 9])
+    assert res["rows_deleted"] == 2
+    assert spark.read.parquet(path).filter("doc_id IN (5, 9)").count() == 0
