@@ -463,9 +463,20 @@ def refresh_stats_manifest(
         ).select(*old.columns)
     segments = meta.get("segments", [epoch])
     tombstones = list(meta.get("tombstones", [])) + sorted(removed)
+    # a file REAPPEARING under a tombstoned name (backup restore,
+    # deterministic part names) must force a fold: merely dropping the
+    # tombstone would resurrect hidden duplicate rows from earlier
+    # segments, and duplicate manifest rows break the all-k-probes
+    # bloom count (nhit == 2k != k) — the takedown false-negative
+    # class.  The fold rebuilds from the tombstone-FILTERED old rows
+    # plus the fresh row: exactly one live row per file again.
+    resurrected = set(new_files) & set(tombstones)
     compact = (
         meta.get("_data_dir") is not None  # legacy: fold into epochs
-        or len(segments) + 1 > _MAX_SEGMENTS
+        or bool(resurrected)
+        # only count the new segment when one will actually be written
+        # (a removal-only refresh is a meta-only tombstone epoch)
+        or len(segments) + (1 if fresh is not None else 0) > _MAX_SEGMENTS
         or len(tombstones) > _MAX_TOMBSTONES
     )
     new_epoch = _claim_epoch(root, epoch + 1)

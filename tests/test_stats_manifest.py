@@ -561,3 +561,89 @@ def test_segments_fold_at_bound(spark, tmp_path, monkeypatch):
     got = sm.pruned_scan(spark, path, {"tag": (0, 0)})
     want = spark.read.parquet(path).filter("tag = 0")
     assert got.count() == want.count() > 0
+
+
+def test_resurrected_file_name_forces_fold(spark, tmp_path):
+    """A file reappearing under a tombstoned name (backup restore,
+    deterministic part names) must come back LIVE: the refresh folds,
+    so neither the stale tombstone nor hidden duplicate rows survive
+    (regression: refresh claimed success while every pruned read
+    stayed permanently stale)."""
+    import os
+    import shutil as sh
+
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        refresh_stats_manifest,
+    )
+
+    path = str(tmp_path / "tbl")
+    _ids(spark, 800, 4).write.parquet(path)
+    write_stats_manifest(
+        spark, path, ["tag"], bloom_cols=["doc_id"], bloom_bits=1 << 15
+    )
+    victim = next(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    vpath = os.path.join(path, victim)
+    saved = str(tmp_path / "victim.saved")  # outside the table dir
+    sh.copy(vpath, saved)
+    os.remove(vpath)
+    assert refresh_stats_manifest(spark, path, ["tag"]) == (0, 1)
+    # restore the SAME file name
+    os.rename(saved, vpath)
+    assert refresh_stats_manifest(spark, path, ["tag"]) == (1, 0)
+    # reads are healthy and complete again
+    assert manifest_file_count(spark, path) == 4
+    got = pruned_scan(spark, path, {"tag": (2, 4)})
+    want = spark.read.parquet(path).filter("tag >= 2 AND tag <= 4")
+    assert got.count() == want.count() > 0
+    # and the takedown planner still finds ids in the restored file
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        files_for_values,
+    )
+
+    assert len(files_for_values(spark, path, "doc_id", [3])) >= 1
+
+
+def test_removal_only_refresh_never_folds_at_boundary(
+    spark, tmp_path, monkeypatch
+):
+    """A tombstone-only refresh at the segment bound must stay a
+    meta-only epoch (regression: the fold trigger counted a phantom
+    new segment and paid a full rewrite for a one-file removal)."""
+    import json
+    import os
+
+    from osrs_dashboard_elt_spark.sources import stats_manifest as sm
+
+    monkeypatch.setattr(sm, "_MAX_SEGMENTS", 3)
+    path = str(tmp_path / "tbl")
+    _ids(spark, 300, 2).write.parquet(path)
+    sm.write_stats_manifest(spark, path, ["tag"])
+    for i in range(2):  # reach the 3-segment bound
+        spark.createDataFrame(
+            [(20_000 + i, f"u{20_000 + i}", 0)],
+            "doc_id long, sid string, tag long",
+        ).coalesce(1).write.mode("append").parquet(path)
+        sm.refresh_stats_manifest(spark, path, ["tag"])
+    root = os.path.join(path, "_stats_manifest")
+
+    def latest_meta():
+        es = sorted(n for n in os.listdir(root) if n.startswith("m"))
+        return es[-1], json.load(
+            open(os.path.join(root, es[-1], "_meta.json"))
+        )
+    _, m = latest_meta()
+    assert len(m["segments"]) == 3
+    # removal-only refresh at the bound: tombstone, NOT a fold
+    victim = next(f for f in os.listdir(path) if f.endswith(".parquet"))
+    os.remove(os.path.join(path, victim))
+    assert sm.refresh_stats_manifest(spark, path, ["tag"]) == (0, 1)
+    edir, m = latest_meta()
+    assert len(m["segments"]) == 3 and len(m["tombstones"]) == 1
+    # the new epoch carries meta only — no parquet segment
+    assert not any(
+        f.endswith(".parquet")
+        for f in os.listdir(os.path.join(root, edir))
+    )
+    assert sm.manifest_file_count(spark, path) == 3
