@@ -264,10 +264,16 @@ def metrics_history_append(
     ``operators/sketches.py``).  One day per run is the deequ
     metrics-repository granularity; pass ``run_id`` to tell intra-day
     re-runs apart in the audit trail (replacement still applies — the
-    LAST run of a day is that day's record)."""
-    out = metrics.withColumn("day", F.lit(run_day))
-    if run_id is not None:
-        out = out.withColumn("run_id", F.lit(run_id))
+    LAST run of a day is that day's record).
+
+    ``run_id`` is ALWAYS written (NULL when not provided): day
+    partitions written with and without a run id would otherwise have
+    different parquet schemas, and a later whole-history read takes
+    its schema from one file — silently dropping the column — unless
+    every reader remembers ``mergeSchema``."""
+    out = metrics.withColumn("day", F.lit(run_day)).withColumn(
+        "run_id", F.lit(run_id).cast("string")
+    )
     (
         out.coalesce(1)
         .write.mode("overwrite")

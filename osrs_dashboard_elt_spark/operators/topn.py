@@ -97,14 +97,31 @@ def _local_prune(df: DataFrame, group_cols: list[str], n: int) -> DataFrame:
     return df.mapInPandas(prune, schema=df.schema)
 
 
-def _engine_has_window_group_limit(df: DataFrame) -> bool:
+def _engine_has_window_group_limit(df: DataFrame, n: int) -> bool:
     """Spark >= 3.5 plans a Partial WindowGroupLimit before the
-    Exchange for literal rank filters (SPARK-37099)."""
-    ver = df.sparkSession.version.split(".")[:2]
+    Exchange for literal rank filters (SPARK-37099) — but the rule is
+    governed by ``spark.sql.optimizer.windowGroupLimitThreshold``
+    (disabled at -1, skipped when the limit exceeds it), so a session
+    with that conf changed must fall back to the manual prune or the
+    bounded-shuffle property this module promises silently
+    evaporates while results stay correct."""
+    spark = df.sparkSession
+    ver = spark.version.split(".")[:2]
     try:
-        return (int(ver[0]), int(ver[1])) >= (3, 5)
+        if (int(ver[0]), int(ver[1])) < (3, 5):
+            return False
     except (ValueError, IndexError):
         return False
+    try:
+        thresh = int(
+            spark.conf.get(
+                "spark.sql.optimizer.windowGroupLimitThreshold",
+                str(2**31 - 1),
+            )
+        )
+    except ValueError:
+        return False
+    return 0 <= n <= thresh
 
 
 def top_n_per_group_pruned(
@@ -126,7 +143,7 @@ def top_n_per_group_pruned(
     vectorized prune to n rows per (partition, group), then the exact
     window over the survivors.  Identical results either way (same
     total-order requirement on ``order_cols``)."""
-    if not manual and _engine_has_window_group_limit(df):
+    if not manual and _engine_has_window_group_limit(df, n):
         return top_n_per_group(df, group_cols, order_cols, n, rank_col)
     local = df.sortWithinPartitions(*group_cols, *order_cols)
     pruned = _local_prune(local, group_cols, n)

@@ -215,19 +215,25 @@ def _claim_epoch(root: str, start: int) -> int:
 
 def _commit_epoch(root: str, epoch: int, meta: dict) -> None:
     """Atomically publish the epoch (write-temp + rename of its meta —
-    the commit point), then vacuum epochs older than the previous one
-    (kept so an in-flight reader of the old manifest finishes)."""
+    the commit point), then vacuum epochs not referenced by the last
+    ``keep_metas`` committed metas (kept so an in-flight reader of an
+    older manifest finishes — under a streaming refresh cadence, a
+    reader that loaded a meta several refreshes ago would otherwise
+    have its segment dirs deleted mid-read; raise ``keep_metas`` at
+    write time to match the longest reader, Delta's retention
+    caveat)."""
     edir = _epoch_dir(root, epoch)
     fd, tmp = tempfile.mkstemp(dir=edir, prefix=".meta-")
     with os.fdopen(fd, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(edir, _META))
     committed = _committed_epochs(root)
-    # keep every epoch dir REFERENCED by the last two committed metas'
-    # segment sets (plus those metas' own dirs): an in-flight reader of
-    # the previous meta must find all of its segments
-    keep = set(committed[-2:])
-    for e in committed[-2:]:
+    # keep every epoch dir REFERENCED by the last keep_metas committed
+    # metas' segment sets (plus those metas' own dirs): an in-flight
+    # reader of any retained meta must find all of its segments
+    keep_n = max(2, int(meta.get("keep_metas") or 2))
+    keep = set(committed[-keep_n:])
+    for e in committed[-keep_n:]:
         try:
             with open(os.path.join(_epoch_dir(root, e), _META)) as f:
                 m = json.load(f)
@@ -318,6 +324,7 @@ def write_stats_manifest(
     bloom_bits: int = 1 << 20,
     bloom_hashes: int = 5,
     immutable: bool = False,
+    keep_metas: int = 2,
 ) -> int:
     """Record per-file (n_rows, min/max per stats column, optional
     bloom per ``bloom_cols``) for every parquet file under ``path``.
@@ -335,6 +342,13 @@ def write_stats_manifest(
     distinct values per file, m = ``bloom_bits``, k = ``bloom_hashes``
     — size m ≈ 10·n (the default 2^20 bits ≈ 128 KB/file/col suits
     ~100k distinct per file; raise it for 128 MB files of unique ids).
+
+    ``keep_metas`` is the vacuum retention depth (a table property,
+    carried through every refresh): epoch dirs referenced by the last
+    N committed metas survive.  The default 2 suits batch cadence;
+    a manifest refreshed every streaming micro-batch should set it
+    high enough that the longest-running concurrent reader never has
+    a segment vacuumed mid-read.
     """
     reader = spark.read.parquet(path)
     man = _build_manifest_df(
@@ -358,6 +372,7 @@ def write_stats_manifest(
         "file_count": n,
         "segments": [epoch],
         "tombstones": [],
+        "keep_metas": max(2, int(keep_metas)),
     }
     _commit_epoch(root, epoch, meta)
     return n
@@ -698,6 +713,16 @@ def _prune_condition(
     schema = StructType.fromJson(meta["schema"])
     cond = F.lit(True)
     for c, (lo, hi) in bounds.items():
+        if c not in meta["cols"]:
+            # without this, the missing min_<c> surfaces as an
+            # unresolved-column AnalysisException deep in Spark
+            # instead of the friendly rebuild-the-manifest error the
+            # point path already gives
+            raise ValueError(
+                f"bound column {c!r} has no min/max stats in the "
+                f"manifest (stats: {meta['cols']}) — rebuild the "
+                "manifest with it to prune on this column"
+            )
         cond = cond & F.col(f"min_{c}").isNotNull()
         if lo is not None:
             cond = cond & (F.col(f"max_{c}") >= F.lit(lo))

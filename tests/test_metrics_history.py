@@ -113,3 +113,26 @@ def test_history_append_replays_replace_not_double(spark, tmp_path):
         ["column"], "day", "n_distinct", window=1, tol_pct=0,
     )
     assert d.filter("day = DATE'2024-01-02'").collect()[0]["drifted"] is False
+
+
+def test_run_id_column_uniform_across_days(spark, tmp_path):
+    """run_id is ALWAYS written (NULL when not provided): day
+    partitions appended with and without a run id must share one
+    parquet schema, so a whole-history read keeps the column without
+    mergeSchema."""
+    path = str(tmp_path / "hist")
+    df = spark.range(10).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    m = quality_metrics(df, ["k"])
+    metrics_history_append(m, path, "2024-02-01")  # no run_id
+    metrics_history_append(m, path, "2024-02-02", run_id="r2")
+    hist = spark.read.parquet(path)
+    assert "run_id" in hist.columns
+    got = {
+        str(r["day"]): r["ids"]
+        for r in hist.groupBy("day")
+        .agg(F.collect_set("run_id").alias("ids"))
+        .collect()
+    }
+    assert got["2024-02-01"] == [] and got["2024-02-02"] == ["r2"]

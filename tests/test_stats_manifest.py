@@ -647,3 +647,72 @@ def test_removal_only_refresh_never_folds_at_boundary(
         for f in os.listdir(os.path.join(root, edir))
     )
     assert sm.manifest_file_count(spark, path) == 3
+
+
+def test_bound_on_column_without_stats_raises(spark, tmp_path):
+    """Bounds columns get the same friendly validation as points: a
+    bound on a column without recorded stats must raise the
+    rebuild-the-manifest ValueError, not surface as an
+    unresolved-column AnalysisException on min_<c> deep in Spark."""
+    path = str(tmp_path / "t")
+    spark.range(100).selectExpr("id AS x", "id % 5 AS y").write.parquet(
+        path
+    )
+    write_stats_manifest(spark, path, ["x"])
+    with pytest.raises(ValueError, match=r"min/max stats.*\['x'\]"):
+        pruned_scan(spark, path, bounds={"y": (1, 2)})
+    with pytest.raises(ValueError, match="min/max stats"):
+        manifest_file_count(spark, path, bounds={"y": (1, 2)})
+
+
+def test_keep_metas_retention_depth(spark, tmp_path, monkeypatch):
+    """keep_metas is a table property: epoch dirs referenced by the
+    last N committed metas survive the post-commit vacuum.  An
+    append-chain meta references every earlier segment, so the vacuum
+    only bites after a FOLD orphans the pre-fold chain — a reader that
+    loaded its meta several streaming refreshes ago survives exactly
+    when keep_metas covers its age (default 2 vacuums aggressively)."""
+    import json
+    import os
+
+    from osrs_dashboard_elt_spark.sources import stats_manifest as sm
+
+    monkeypatch.setattr(sm, "_MAX_SEGMENTS", 2)  # fold every 3rd epoch
+
+    def _appends(path, keep):
+        spark.range(10).selectExpr("id AS x").coalesce(1).write.parquet(
+            path
+        )
+        write_stats_manifest(spark, path, ["x"], keep_metas=keep)
+        for i in range(1, 4):
+            spark.range(10 * i, 10 * i + 10).selectExpr(
+                "id AS x"
+            ).coalesce(1).write.mode("append").parquet(path)
+            sm.refresh_stats_manifest(spark, path, ["x"])
+        return sm._committed_epochs(sm._manifest_root(path))
+
+    # epochs: 1 [1], 2 [1,2], 3 fold [3], 4 [3,4] — after epoch 4 the
+    # pre-fold chain (1, 2) is unreferenced by the last TWO metas
+    deep = _appends(str(tmp_path / "deep"), keep=4)
+    shallow = _appends(str(tmp_path / "shallow"), keep=2)
+    assert shallow == [3, 4]
+    assert deep == [1, 2, 3, 4]  # depth-4 readers still find epoch 1-2
+    # every retained meta's segments are still on disk
+    for name, eps in (("deep", deep), ("shallow", shallow)):
+        root = sm._manifest_root(str(tmp_path / name))
+        for e in eps:
+            with open(
+                os.path.join(sm._epoch_dir(root, e), sm._META)
+            ) as f:
+                meta = json.load(f)
+            for seg in meta.get("segments", [e]):
+                assert os.path.isdir(sm._epoch_dir(root, seg)), (e, seg)
+    # the property survives refreshes (carried in meta, not per-call)
+    root = sm._manifest_root(str(tmp_path / "deep"))
+    with open(os.path.join(sm._epoch_dir(root, 4), sm._META)) as f:
+        assert json.load(f)["keep_metas"] == 4
+    # and the post-fold manifest still reads correctly
+    got = pruned_scan(
+        spark, str(tmp_path / "deep"), bounds={"x": (0, 1000)}
+    ).count()
+    assert got == 40

@@ -118,3 +118,34 @@ def test_window_form_plans_partial_group_limit(spark):
     final_pos = plan.find("Final")
     partial_pos = plan.find("Partial")
     assert final_pos < ex < partial_pos, plan
+
+
+def test_conf_disabled_falls_back_to_manual_prune(spark):
+    """The engine rule is governed by
+    spark.sql.optimizer.windowGroupLimitThreshold (-1 disables it;
+    limits above it are skipped): delegation must follow the conf, or
+    a tuned session silently loses the bounded-shuffle property while
+    results stay correct."""
+    from osrs_dashboard_elt_spark.operators.topn import (
+        _engine_has_window_group_limit,
+    )
+
+    df = _df(spark)
+    key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    assert _engine_has_window_group_limit(df, N)
+    try:
+        spark.conf.set(key, "-1")
+        assert not _engine_has_window_group_limit(df, N)
+        # limit above the threshold: rule skipped -> manual path
+        spark.conf.set(key, str(N - 1))
+        assert not _engine_has_window_group_limit(df, N)
+        spark.conf.set(key, str(N))  # boundary is inclusive (<=)
+        assert _engine_has_window_group_limit(df, N)
+        # the full operator stays CORRECT on the fallback path
+        order = [F.col("score").asc(), F.col("id").asc()]
+        spark.conf.set(key, "-1")
+        got = _rows(top_n_per_group_pruned(df, ["g"], order, N))
+        want = _rows(top_n_per_group(df, ["g"], order, N))
+        assert got == want
+    finally:
+        spark.conf.unset(key)
