@@ -293,12 +293,89 @@ def compact_files(
     )
 
 
+def _local(uri: str) -> str:
+    return "/" + uri[5:].lstrip("/") if uri.startswith("file:") else uri
+
+
+def _replacement_name(original_local: str) -> str:
+    """Deterministic replacement part-file name, derived from the
+    ORIGINAL's basename.  Determinism is the crash-recovery handle: a
+    delete that died between publishing the replacement and removing
+    the original leaves both on disk, and a retry can FIND the orphan
+    (recompute the name) and drop it before rewriting — a random name
+    would duplicate the kept rows forever."""
+    import hashlib
+
+    h = hashlib.sha1(
+        os.path.basename(original_local).encode()
+    ).hexdigest()[:16]
+    return f"part-del-{h}.snappy.parquet"
+
+
+def _delete_journal_path(path: str) -> str:
+    from .stats_manifest import _manifest_root
+
+    return os.path.join(_manifest_root(path), "_delete_intent.json")
+
+
+def _write_delete_journal(
+    path: str, rewrites: dict[str, str], removes: list[str]
+) -> None:
+    """Intent record written BEFORE the first file mutation (atomic
+    tmp+rename): maps each original to its deterministic replacement
+    so a crashed delete is reconcilable instead of silently
+    duplicating rows."""
+    jp = _delete_journal_path(path)
+    os.makedirs(os.path.dirname(jp), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(jp), prefix=".intent-"
+    )
+    with os.fdopen(fd, "w") as f:
+        json.dump({"rewrites": rewrites, "removes": removes}, f)
+    os.replace(tmp, jp)
+
+
+def _reconcile_delete_journal(spark: SparkSession, path: str) -> bool:
+    """Repair the table after a crashed ``targeted_delete``: for each
+    journaled rewrite, an (original, replacement) pair BOTH on disk
+    means the crash hit between publish and remove — drop the
+    replacement (the original is untouched and authoritative; the
+    retry rewrites it fresh).  Originals that are gone mean that
+    file's mutation completed; if any did, the manifest is stale and
+    gets refreshed here so planning can proceed.  Returns whether a
+    refresh ran."""
+    from .stats_manifest import _load_meta
+    from .stats_manifest import refresh_stats_manifest as _refresh
+
+    jp = _delete_journal_path(path)
+    try:
+        with open(jp) as f:
+            journal = json.load(f)
+    except FileNotFoundError:
+        return False
+    completed = False
+    for orig, repl in journal.get("rewrites", {}).items():
+        if os.path.exists(orig) and os.path.exists(repl):
+            os.remove(repl)  # orphaned duplicate of the kept rows
+        elif not os.path.exists(orig):
+            completed = True
+    for orig in journal.get("removes", []):
+        if not os.path.exists(orig):
+            completed = True
+    os.remove(jp)
+    if completed:
+        _, meta = _load_meta(spark, path)
+        _refresh(spark, path, meta["cols"])
+    return completed
+
+
 def targeted_delete(
     spark: SparkSession,
     path: str,
     col: str,
     values: list,
     refresh_stats: bool = True,
+    serial: bool = False,
 ) -> dict:
     """Delete all rows where ``col`` is one of ``values`` by rewriting
     ONLY the files that can contain them — the takedown/GDPR path.
@@ -312,21 +389,45 @@ def targeted_delete(
     a stale manifest would MISS files and silently leave target rows
     behind — a compliance failure, not a perf bug.
 
-    Each affected file is handled alone: a bloom false positive is
-    skipped untouched, a fully-matching file is removed, a partial
-    match is rewritten (replacement part-file written first, original
-    removed second).  In-place deletes on a live dir are NOT
-    snapshot-isolated — a concurrent reader can transiently see both
-    the original and the replacement; takedowns needing isolation
-    should re-publish through ``publish_versioned`` instead (immutable
-    snapshot manifests refuse this function outright).  Rows with a
-    NULL ``col`` never match (values are non-null ids).
+    Execution is O(1) Spark jobs regardless of |affected|:
 
-    Partition-column deletes are rejected: those are directory drops,
-    not row rewrites.  Returns counts: files_affected / rewritten /
-    removed, rows_deleted.
+    1. ONE classification scan over all affected files (pinned
+       manifest schema + ``basePath``, like ``pruned_scan``) grouped
+       by ``input_file_name()`` computing (rows, kept) per file —
+       bloom false positives (kept == rows) are skipped untouched,
+       fully-matching files (kept == 0) are removed, the rest are
+       partial.
+    2. ONE rewrite job for ALL partial files, shuffled by source file
+       so each original maps to exactly one replacement part-file
+       (``repartition(src) + partitionBy(src)``) — the shuffle carries
+       only the kept rows of partial files, never the table.
+    3. A driver-side metadata loop swaps replacements in (atomic
+       ``os.replace``) and drops originals — rename/unlink only, no
+       jobs.  A 5,000-file takedown costs the same two jobs as a
+       5-file one (the serial per-file form ran ~2 jobs per file;
+       ``serial=True`` keeps it as the measurement baseline —
+       SCALE.md).
+
+    Crash safety: replacement names are DETERMINISTIC
+    (``part-del-<sha1(original)>``) and an intent journal is written
+    next to the manifest before the first mutation; a delete that
+    dies mid-swap leaves a reconcilable state — the next call drops
+    orphaned replacements whose originals survived and refreshes the
+    manifest for mutations that completed, so duplicate kept-rows can
+    never persist.
+
+    In-place deletes on a live dir are NOT snapshot-isolated — a
+    concurrent reader can transiently see both the original and the
+    replacement; takedowns needing isolation should re-publish through
+    ``publish_versioned`` instead (immutable snapshot manifests refuse
+    this function outright).  Rows with a NULL ``col`` never match
+    (values are non-null ids).  Partition-column deletes are rejected:
+    those are directory drops, not row rewrites.  Returns counts:
+    files_affected / rewritten / removed, rows_deleted.
     """
-    from .stats_manifest import _load_meta, files_for_values
+    from pyspark.sql.types import StructType
+
+    from .stats_manifest import _load_meta, _norm_col, files_for_values
     from .stats_manifest import refresh_stats_manifest as _refresh
 
     if not values:
@@ -336,6 +437,7 @@ def targeted_delete(
         }
     if any(v is None for v in values):
         raise ValueError("delete values must be non-null")
+    _reconcile_delete_journal(spark, path)
     _, meta = _load_meta(spark, path)
     if meta["immutable"]:
         raise ValueError(
@@ -343,55 +445,128 @@ def targeted_delete(
             "new version without the rows instead of in-place deletion"
         )
     affected = files_for_values(spark, path, col, values)
-    rewritten = removed = 0
-    rows_deleted = 0
-    for uri in affected:
-        local = "/" + uri[5:].lstrip("/") if uri.startswith("file:") else uri
-        df = spark.read.parquet(uri)
-        if col not in df.columns:
-            raise ValueError(
-                f"{col!r} is a partition column of {path} — "
-                "partition deletes are directory drops, not row "
-                "rewrites; remove the partition dirs and refresh "
-                "the manifest"
-            )
-        keep_pred = F.col(col).isNull() | ~F.col(col).isin(list(values))
-        counts = df.agg(
+    if not affected:
+        return {
+            "files_affected": 0, "files_rewritten": 0,
+            "files_removed": 0, "rows_deleted": 0,
+        }
+    pinned = StructType.fromJson(meta["schema"])
+    # data columns = what the parquet FILES contain; a pinned-schema
+    # column missing from the footer is a hive partition column, whose
+    # value lives in the dir path (one driver-side footer read — the
+    # per-file guard this replaces was load-bearing by accident)
+    data_cols = spark.read.parquet(affected[0]).columns
+    if col not in data_cols:
+        raise ValueError(
+            f"{col!r} is a partition column of {path} — partition "
+            "deletes are directory drops, not row rewrites; remove "
+            "the partition dirs and refresh the manifest"
+        )
+    values = list(dict.fromkeys(values))
+    keep_pred = F.col(col).isNull() | ~F.col(col).isin(values)
+    reader = (
+        spark.read.schema(pinned).option("basePath", path)
+        .parquet(*affected)
+    )
+    # job 1: classify every affected file in one pass
+    cls = (
+        reader.select(
+            _norm_col(F.input_file_name()).alias("__file"), F.col(col)
+        )
+        .groupBy("__file")
+        .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(keep_pred, 1).otherwise(0)).alias("k"),
-        ).collect()[0]
-        n_all, n_keep = int(counts["n"]), int(counts["k"] or 0)
+        )
+        .collect()
+    )
+    partials: list[str] = []
+    removes: list[str] = []
+    rows_deleted = 0
+    for r in cls:
+        n_all, n_keep = int(r["n"]), int(r["k"] or 0)
         if n_keep == n_all:  # bloom false positive — leave untouched
             continue
         rows_deleted += n_all - n_keep
-        parent = os.path.dirname(local)
         if n_keep == 0:
-            os.remove(local)
-            removed += 1
-            continue
-        tmp = tempfile.mkdtemp(dir=parent, prefix=".delete-")
-        try:
-            df.filter(keep_pred).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(tmp)
+            removes.append(_local(r["__file"]))
+        else:
+            partials.append(r["__file"])
+    if not partials and not removes:
+        return {
+            "files_affected": len(affected), "files_rewritten": 0,
+            "files_removed": 0, "rows_deleted": 0,
+        }
+    rewrites = {
+        _local(f): os.path.join(
+            os.path.dirname(_local(f)), _replacement_name(_local(f))
+        )
+        for f in partials
+    }
+    _write_delete_journal(path, rewrites, removes)
+    tmp = tempfile.mkdtemp(prefix=".delete-batch-")
+    try:
+        if partials:
+            if serial:
+                # measurement baseline (SCALE.md): the round-7 shape —
+                # one count job + one rewrite job PER affected file
+                for i, f in enumerate(sorted(partials)):
+                    one = (
+                        spark.read.schema(pinned)
+                        .option("basePath", path).parquet(f)
+                        .filter(keep_pred)
+                        .select(*data_cols)
+                    )
+                    one.coalesce(1).write.mode("overwrite").parquet(
+                        os.path.join(tmp, f"__src={i}")
+                    )
+            else:
+                # job 2: ONE rewrite shuffled by source file — each
+                # original's kept rows land in exactly one task, which
+                # writes exactly one part file under __src=<i>/
+                src_map = spark.createDataFrame(
+                    [(f, i) for i, f in enumerate(sorted(partials))],
+                    "__file string, __src int",
+                )
+                rw = (
+                    reader.withColumn(
+                        "__file", _norm_col(F.input_file_name())
+                    )
+                    .join(F.broadcast(src_map), "__file")
+                    .filter(keep_pred)
+                    .select(*data_cols, "__src")
+                    .repartition(len(partials), "__src")
+                )
+                rw.write.partitionBy("__src").mode(
+                    "overwrite"
+                ).parquet(tmp)
+        # metadata-only swap loop: rename/unlink, zero Spark jobs
+        for i, f in enumerate(sorted(partials)):
             part = next(
-                fn for fn in os.listdir(tmp) if fn.endswith(".parquet")
+                fn
+                for fn in os.listdir(os.path.join(tmp, f"__src={i}"))
+                if fn.endswith(".parquet")
             )
-            import uuid as _uuid
-
-            newname = f"part-del-{_uuid.uuid4().hex}.snappy.parquet"
-            os.replace(os.path.join(tmp, part), os.path.join(parent, newname))
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
-        os.remove(local)
-        rewritten += 1
-    if refresh_stats and (rewritten or removed):
+            target = rewrites[_local(f)]
+            if os.path.exists(target):  # stale orphan from a crash
+                os.remove(target)
+            os.replace(os.path.join(tmp, f"__src={i}", part), target)
+            os.remove(_local(f))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    for f in removes:
+        os.remove(f)
+    if refresh_stats:
         # O(rewritten files), not O(table): only the replacement files
         # get stat'd/bloomed; vanished originals drop out
         _refresh(spark, path, meta["cols"])
+    try:
+        os.remove(_delete_journal_path(path))
+    except FileNotFoundError:
+        pass
     return {
         "files_affected": len(affected),
-        "files_rewritten": rewritten,
-        "files_removed": removed,
+        "files_rewritten": len(partials),
+        "files_removed": len(removes),
         "rows_deleted": rows_deleted,
     }
