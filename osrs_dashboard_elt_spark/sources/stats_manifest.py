@@ -116,6 +116,21 @@ def _norm_col(c):
 _MAX_SEGMENTS = 8
 _MAX_TOMBSTONES = 10_000
 
+# Manifest rows per output part file: bounds how much manifest a
+# single write task serializes.  A bloom-bearing row is ~bloom_bits/8
+# bytes (~128 KB at defaults), so 4096 rows ≈ 512 MB per task — a
+# million-file fold fans out over ~250 tasks instead of funneling
+# ~100 GB through coalesce(1).  Readers union directories, so part
+# count is invisible to them.
+_MANIFEST_ROWS_PER_FILE = 4096
+
+
+def _bounded_write(man: DataFrame, n_rows: int, edir: str) -> None:
+    """Write a manifest segment with write parallelism derived from
+    its row count (known for free: manifest rows == file count)."""
+    parts = max(1, -(-int(n_rows) // _MANIFEST_ROWS_PER_FILE))
+    man.repartition(parts).write.mode("overwrite").parquet(edir)
+
 
 def _manifest_df(
     spark: SparkSession, path: str, epoch: int, meta: dict
@@ -213,6 +228,53 @@ def _claim_epoch(root: str, start: int) -> int:
             epoch += 1
 
 
+class ManifestCommitConflict(RuntimeError):
+    """Another writer committed between this refresh's meta load and
+    its commit: the meta being committed was computed from a parent
+    epoch that is no longer the head, so committing it would silently
+    orphan the interleaved segment.  ``refresh_stats_manifest``
+    catches this and retries from the new head."""
+
+
+class _commit_gate:
+    """Short O_CREAT|O_EXCL mutex serializing the check-parent +
+    rename-meta critical section (without it, two refreshers could
+    both pass the lineage check and the second would still orphan the
+    first).  Bounded spin: a writer that died holding the gate
+    surfaces as a loud timeout naming the lock file."""
+
+    def __init__(self, root: str, timeout: float = 30.0) -> None:
+        self.path = os.path.join(root, ".commit.lock")
+        self.timeout = timeout
+
+    def __enter__(self) -> None:
+        import time
+
+        deadline = time.time() + self.timeout
+        while True:
+            try:
+                fd = os.open(
+                    self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                os.close(fd)
+                return
+            except FileExistsError:
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"manifest commit gate held for > "
+                        f"{self.timeout}s at {self.path} — a writer "
+                        "crashed mid-commit; remove the lock file "
+                        "once no writer is live"
+                    ) from None
+                time.sleep(0.02)
+
+    def __exit__(self, *exc) -> None:
+        try:
+            os.remove(self.path)
+        except FileNotFoundError:
+            pass
+
+
 def _commit_epoch(root: str, epoch: int, meta: dict) -> None:
     """Atomically publish the epoch (write-temp + rename of its meta —
     the commit point), then vacuum epochs not referenced by the last
@@ -221,12 +283,37 @@ def _commit_epoch(root: str, epoch: int, meta: dict) -> None:
     reader that loaded a meta several refreshes ago would otherwise
     have its segment dirs deleted mid-read; raise ``keep_metas`` at
     write time to match the longest reader, Delta's retention
-    caveat)."""
+    caveat).
+
+    Commit-lineage guard: a meta carrying ``parent_epoch`` commits
+    only if the current head IS that parent — otherwise another
+    writer interleaved, and committing a meta computed from the old
+    head would silently omit the interleaved segment from the live
+    set (caught only later by the staleness check, with a full
+    rebuild as the only recovery).  The check + rename run under a
+    short O_EXCL gate so two same-parent writers serialize; the loser
+    raises :class:`ManifestCommitConflict` and
+    ``refresh_stats_manifest`` retries it from the new head.  Metas
+    without ``parent_epoch`` (full builds — they rebuild from the
+    current listing, so last-writer-wins IS the correct semantics)
+    skip the check."""
     edir = _epoch_dir(root, epoch)
     fd, tmp = tempfile.mkstemp(dir=edir, prefix=".meta-")
     with os.fdopen(fd, "w") as f:
         json.dump(meta, f)
-    os.replace(tmp, os.path.join(edir, _META))
+    with _commit_gate(root):
+        parent = meta.get("parent_epoch")
+        if parent is not None:
+            pre = _committed_epochs(root)
+            head = pre[-1] if pre else 0  # 0 = legacy flat layout
+            if head != parent:
+                os.remove(tmp)
+                raise ManifestCommitConflict(
+                    f"manifest head under {root} moved from epoch "
+                    f"{parent} to {head} while this refresh ran — "
+                    "the refresh must recompute from the new head"
+                )
+        os.replace(tmp, os.path.join(edir, _META))
     committed = _committed_epochs(root)
     # keep every epoch dir REFERENCED by the last keep_metas committed
     # metas' segment sets (plus those metas' own dirs): an in-flight
@@ -359,7 +446,7 @@ def write_stats_manifest(
     epochs = _committed_epochs(root)
     epoch = _claim_epoch(root, (epochs[-1] + 1) if epochs else 1)
     edir = _epoch_dir(root, epoch)
-    man.coalesce(1).write.mode("overwrite").parquet(edir)
+    _bounded_write(man, len(reader.inputFiles()), edir)
     n = spark.read.parquet(edir).count()
     meta = {
         "epoch": epoch,
@@ -379,6 +466,35 @@ def write_stats_manifest(
 
 
 def refresh_stats_manifest(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int | None = None,
+) -> tuple[int, int]:
+    """Retrying wrapper around :func:`_refresh_once`: a refresh whose
+    commit loses the lineage race (another writer committed between
+    its meta load and its commit — :class:`ManifestCommitConflict`)
+    recomputes from the NEW head and tries again, so BOTH writers'
+    segments survive; single-writer is an enforced invariant, not an
+    assumption.  Bounded retries: persistent conflicts (a refresh loop
+    tighter than this one) surface loudly instead of livelocking."""
+    attempts = 5
+    for i in range(attempts):
+        try:
+            return _refresh_once(spark, path, cols, bloom_cols, bloom_bits)
+        except ManifestCommitConflict:
+            if i == attempts - 1:
+                raise RuntimeError(
+                    f"manifest refresh under {path} lost the commit "
+                    f"race {attempts} times in a row — another writer "
+                    "is refreshing faster than this one can catch up; "
+                    "serialize the writers"
+                ) from None
+    raise AssertionError("unreachable")
+
+
+def _refresh_once(
     spark: SparkSession,
     path: str,
     cols: list[str],
@@ -511,12 +627,14 @@ def refresh_stats_manifest(
                 "left_anti",
             )
         out = keep_df if fresh is None else keep_df.unionByName(fresh)
-        out.coalesce(1).write.mode("overwrite").parquet(edir)
+        # the fold writes EVERY live row — bound the write parallelism
+        # by the known output size (|current files|), never one task
+        _bounded_write(out, len(current), edir)
         segments, tombstones = [new_epoch], []
     elif fresh is not None:
         # O(batch) write: ONLY the new files' rows land in the new
         # segment; removals ride the meta as tombstones
-        fresh.coalesce(1).write.mode("overwrite").parquet(edir)
+        _bounded_write(fresh, len(new_files), edir)
         segments = segments + [new_epoch]
     else:
         # pure removal: tombstones-only epoch (meta, no data segment)
@@ -527,9 +645,19 @@ def refresh_stats_manifest(
         file_count=len(current),
         segments=segments,
         tombstones=tombstones,
+        # lineage stamp: this meta is only valid committed ON TOP OF
+        # the epoch it was computed from — _commit_epoch enforces it
+        parent_epoch=epoch,
     )
     meta.pop("_data_dir", None)  # legacy marker is never persisted
-    _commit_epoch(root, new_epoch, meta)
+    try:
+        _commit_epoch(root, new_epoch, meta)
+    except ManifestCommitConflict:
+        # the claimed dir never committed: drop its segment so it
+        # can't linger as un-vacuumable garbage (the claim marker
+        # stays — numbers are never reused, same as a crashed writer)
+        shutil.rmtree(edir, ignore_errors=True)
+        raise
     return len(new_files), len(removed)
 
 

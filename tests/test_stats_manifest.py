@@ -716,3 +716,122 @@ def test_keep_metas_retention_depth(spark, tmp_path, monkeypatch):
         spark, str(tmp_path / "deep"), bounds={"x": (0, 1000)}
     ).count()
     assert got == 40
+
+
+def test_commit_lineage_guard_rejects_stale_parent(spark, tmp_path):
+    """A meta computed from a parent that is no longer the head must
+    NOT commit: it would silently orphan the interleaved segment
+    (caught only later by the staleness check, full rebuild the only
+    recovery)."""
+    import os
+
+    from osrs_dashboard_elt_spark.sources import stats_manifest as sm
+
+    path = str(tmp_path / "t")
+    spark.range(10).selectExpr("id AS x").coalesce(1).write.parquet(path)
+    write_stats_manifest(spark, path, ["x"])
+    spark.range(10, 20).selectExpr("id AS x").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    sm.refresh_stats_manifest(spark, path, ["x"])  # head is now 2
+    root = sm._manifest_root(path)
+    epoch, meta = sm._load_meta(spark, path)
+    assert epoch == 2
+    stale = dict(meta, epoch=99, parent_epoch=1, segments=[1])
+    os.makedirs(sm._epoch_dir(root, 99), exist_ok=True)
+    with pytest.raises(sm.ManifestCommitConflict, match="moved from"):
+        sm._commit_epoch(root, 99, stale)
+    # the losing meta never became visible
+    assert sm._committed_epochs(root) == [1, 2]
+    # full builds carry no parent and are allowed to win outright
+    write_stats_manifest(spark, path, ["x"])
+    assert sm._committed_epochs(root)[-1] > 2
+
+
+def test_interleaved_refreshes_both_segments_survive(
+    spark, tmp_path, monkeypatch
+):
+    """Two refreshers based on the same parent: the loser retries from
+    the winner's head, so BOTH appended files end up recorded (round-7
+    verdict: the second used to silently orphan the first's segment)."""
+    from osrs_dashboard_elt_spark.sources import stats_manifest as sm
+
+    path = str(tmp_path / "t")
+    spark.range(10).selectExpr("id AS x").coalesce(1).write.parquet(path)
+    write_stats_manifest(spark, path, ["x"])
+    stale = sm._load_meta(spark, path)  # both writers loaded epoch 1
+
+    # writer A appends fileA and commits cleanly -> epoch 2
+    spark.range(10, 20).selectExpr("id AS x").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    sm.refresh_stats_manifest(spark, path, ["x"])
+
+    # writer B appends fileB but STILL SEES epoch 1 on its first load
+    spark.range(20, 30).selectExpr("id AS x").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    real_load = sm._load_meta
+    calls = {"n": 0}
+
+    def stale_then_real(s, p):
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real_load(s, p)
+
+    monkeypatch.setattr(sm, "_load_meta", stale_then_real)
+    added, removed = sm.refresh_stats_manifest(spark, path, ["x"])
+    monkeypatch.undo()
+    assert calls["n"] >= 2  # the conflict really forced a reload
+    assert (added, removed) == (1, 0)  # recomputed vs the NEW head
+    # every file is recorded — nothing orphaned, manifest fresh
+    assert manifest_file_count(spark, path) == 3
+    got = pruned_scan(spark, path, bounds={"x": (0, 100)}).count()
+    assert got == 30
+    epoch, meta = sm._load_meta(spark, path)
+    assert meta["parent_epoch"] == 2  # lineage records the real parent
+
+
+def test_manifest_writes_bounded_not_single_task(
+    spark, tmp_path, monkeypatch
+):
+    """Full builds and folds write the WHOLE manifest — at a
+    million-file table with 128 KB bloom rows that is ~100 GB, which
+    must never serialize through one coalesce(1) task.  Part count is
+    derived from the known row count; readers union directories, so
+    nothing else changes."""
+    import os
+
+    from osrs_dashboard_elt_spark.sources import stats_manifest as sm
+
+    monkeypatch.setattr(sm, "_MANIFEST_ROWS_PER_FILE", 4)
+    monkeypatch.setattr(sm, "_MAX_SEGMENTS", 2)
+    path = str(tmp_path / "t")
+    spark.range(1000).selectExpr("id AS x").repartition(
+        10
+    ).write.parquet(path)
+    write_stats_manifest(spark, path, ["x"])
+    root = sm._manifest_root(path)
+
+    def parts(epoch):
+        return [
+            f
+            for f in os.listdir(sm._epoch_dir(root, epoch))
+            if f.endswith(".parquet")
+        ]
+
+    # full build: 10 manifest rows / 4 per file -> 3 part files
+    assert len(parts(1)) == 3
+    # force a fold (MAX_SEGMENTS=2): the 2nd append trips the bound
+    # and epoch 3 folds every live row into one fresh segment
+    for i in range(3):
+        spark.range(10).selectExpr(
+            f"id + {2000 + i * 100} AS x"
+        ).coalesce(1).write.mode("append").parquet(path)
+        sm.refresh_stats_manifest(spark, path, ["x"])
+    epoch, meta = sm._load_meta(spark, path)
+    assert meta["segments"] == [3, 4]  # 3 = the fold epoch
+    assert len(parts(3)) == 3  # fold wrote 12 rows / 4 per file
+    # reader behavior unchanged: exact and fresh
+    got = pruned_scan(spark, path, bounds={"x": (0, 10_000)})
+    assert got.count() == 1030
+    assert manifest_file_count(spark, path) == 13
