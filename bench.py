@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "q_stream_topk_entries",
     "q_stats_pruned_scan",
     "q_point_lookup_pruned",
+    "q_pruned_in_list",
     "q_targeted_delete",
     "q_expectations",
     "q_corpus_gate",

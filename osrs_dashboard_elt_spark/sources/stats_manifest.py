@@ -749,13 +749,30 @@ def files_for_values(
             _norm(r["file"]) for r in man.select("file").collect()
         }
         _check_fresh(recorded, current, path)
+    cand = _candidate_files_df(spark, man, meta, col, values)
+    return [
+        r["file"] for r in cand.select("file").distinct().collect()
+    ]
+
+
+def _candidate_files_df(
+    spark: SparkSession,
+    man: DataFrame,
+    meta: dict,
+    col: str,
+    values: list,
+) -> DataFrame:
+    """Manifest rows ('file' column, distinct) that MAY contain any of
+    ``values`` in ``col`` — the join-shaped core shared by
+    :func:`files_for_values` (takedown planning) and IN-list
+    ``pruned_scan`` points."""
     has_stats = col in meta["cols"]
     has_bloom = col in meta["bloom_cols"]
     if not has_stats and not has_bloom:
         raise ValueError(
             f"column {col!r} has neither min/max stats nor a bloom in "
             f"the manifest — rebuild it with the column to plan "
-            "targeted deletes"
+            "value-list probes"
         )
     schema = StructType.fromJson(meta["schema"])
     # JOIN-shaped planning, never an OR-of-ANDs expression tree: a
@@ -826,9 +843,7 @@ def files_for_values(
             )
             .select("file", "v")
         )
-    return [
-        r["file"] for r in cand.select("file").distinct().collect()
-    ]
+    return cand.select("file").distinct()
 
 
 def _prune_condition(
@@ -892,10 +907,56 @@ def _validate_points(points: dict, bounds: dict) -> None:
                 f"point for {c!r} is NULL — equality never matches "
                 "NULL; drop the probe instead"
             )
+        if isinstance(v, (list, tuple, set)) and any(
+            x is None for x in v
+        ):
+            raise ValueError(
+                f"IN-list for {c!r} contains NULL — equality never "
+                "matches NULL; drop it from the list"
+            )
         if c in bounds:
             raise ValueError(
                 f"{c!r} appears in both bounds and points — use one"
             )
+
+
+def _split_points(points: dict) -> tuple[dict, dict]:
+    """(scalar equality points, deduped IN-list points)."""
+    scalar = {
+        c: v
+        for c, v in points.items()
+        if not isinstance(v, (list, tuple, set))
+    }
+    lists = {
+        c: list(dict.fromkeys(v))
+        for c, v in points.items()
+        if isinstance(v, (list, tuple, set))
+    }
+    return scalar, lists
+
+
+def _planned_files(
+    spark: SparkSession,
+    man: DataFrame,
+    meta: dict,
+    bounds: dict,
+    points: dict,
+) -> DataFrame:
+    """Manifest 'file' rows surviving ALL probes: scalar bounds/points
+    via the expression condition, IN-list points via the join-shaped
+    planner (one semi-join per list column — constant plan size in
+    list length, the takedown-planning shape)."""
+    scalar_pts, list_pts = _split_points(points)
+    cand = man.filter(
+        _prune_condition(spark, meta, bounds, scalar_pts)
+    ).select("file")
+    for c, vals in list_pts.items():
+        if not vals:  # IN () matches nothing — exact, not an error
+            return cand.limit(0)
+        cand = cand.join(
+            _candidate_files_df(spark, man, meta, c, vals), "file"
+        )
+    return cand
 
 
 def pruned_scan(
@@ -913,10 +974,15 @@ def pruned_scan(
     predicate yet would still skip all-NULL-stats files, silently
     dropping their rows.  Files with NULL stats for a bounded column
     are skipped (all-NULL column: no row can match a range predicate).
-    ``points`` maps column -> non-null value (equality); pruned via
+    ``points`` maps column -> non-null value (equality) OR a list of
+    values (IN-list — the reference's ``WHERE id IN (...)`` retry-scan
+    shape, /root/reference/src/2_parse_engine.py:358-368); pruned via
     min/max when the column has stats and via its per-file bloom when
     it has one (false positives read extra files; never false
     negatives — membership uses the engine's own hash expressions).
+    IN-lists plan through the same join-shaped planner as
+    ``files_for_values``, so a 10k-id list keeps a constant plan size
+    instead of an OR-of-ANDs tree that breaks codegen.
 
     Freshness: manifests over ``immutable`` snapshots are trusted
     outright (no directory listing — the schema comes from the
@@ -947,8 +1013,11 @@ def pruned_scan(
             _norm(r["file"]) for r in man.select("file").collect()
         }
         _check_fresh(recorded, current, path)
-    cond = _prune_condition(spark, meta, bounds, points)
-    files = [r["file"] for r in man.filter(cond).select("file").collect()]
+    files = [
+        r["file"]
+        for r in _planned_files(spark, man, meta, bounds, points)
+        .collect()
+    ]
     if files:
         # pin the schema so an empty/partial file subset cannot
         # re-infer a narrower one; basePath keeps hive-partition
@@ -966,7 +1035,14 @@ def pruned_scan(
         if hi is not None:
             df = df.filter(F.col(c) <= F.lit(hi))
     for c, v in points.items():
-        df = df.filter(F.col(c) == F.lit(v))
+        if isinstance(v, (list, tuple, set)):
+            vals = list(v)
+            # InSet row filter (hash-set membership, not an In tree)
+            df = df.filter(
+                F.col(c).isin(vals) if vals else F.lit(False)
+            )
+        else:
+            df = df.filter(F.col(c) == F.lit(v))
     return df
 
 
@@ -987,6 +1063,4 @@ def manifest_file_count(
     points = dict(points or {})
     _validate_bounds(bounds)
     _validate_points(points, bounds)
-    return man.filter(
-        _prune_condition(spark, meta, bounds, points)
-    ).count()
+    return _planned_files(spark, man, meta, bounds, points).count()

@@ -1448,7 +1448,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_doc_chunks",
     # —— round-3: TPC-H shapes ——
     "q13_customer_order_dist",
-    "q18_large_orders",
+    # (q18_large_orders moved out of the window for q_pruned_in_list —
+    # TPC-H keeps q01/q13/q_waiting_orders oracle-checked in-window
+    # and all 22 stay green in the local sweep)
+    "q_pruned_in_list",        # join-planned IN-list pruning (round 8)
     "q_waiting_orders",           # Q21 shape
     # (q22_idle_customers moved out of the window for q_pq_ann_topk —
     # TPC-H keeps three oracle-checked representatives in-window and
@@ -3906,6 +3909,52 @@ def q_point_lookup_pruned(spark, sf_dir):
         _BLOOM_PATH_CACHE[sf_dir] = path
     pruned = pruned_scan(
         spark, _BLOOM_PATH_CACHE[sf_dir], points={"event_id": 777}
+    )
+    return pruned.select("event_id", "user_id", "value")
+
+
+_IN_LIST_IDS = [111, 777, 2024, 4096, 9001]
+
+
+@query(
+    "q_pruned_in_list",
+    oracle=f"""
+    SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+    FROM events
+    WHERE event_id IN ({', '.join(str(v) for v in _IN_LIST_IDS)})
+    """,
+)
+def q_pruned_in_list(spark, sf_dir):
+    """IN-list point pruning (round 8): ``pruned_scan`` accepts a
+    VALUE LIST per column and plans it through the same join-shaped
+    planner as the takedown path (``files_for_values`` — broadcast
+    value table x exploded bloom buckets, constant plan size in list
+    length), then applies one InSet row filter.  The reference's
+    ``WHERE id IN (...)`` retry scan
+    (/root/reference/src/2_parse_engine.py:358-368) re-expressed with
+    planning-time file pruning: only files whose bloom can contain AT
+    LEAST ONE listed id are opened (pytest asserts strictly fewer
+    inputFiles).  Reuses q_point_lookup_pruned's memoized z-ordered +
+    bloomed table — same layout, different probe shape."""
+    import tempfile
+
+    from .operators.zorder import write_zordered
+    from .sources.stats_manifest import pruned_scan
+
+    if sf_dir not in _BLOOM_PATH_CACHE:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", F.col("value").cast("double").alias("value")
+        )
+        path = tempfile.mkdtemp(prefix="zbloom_")
+        write_zordered(
+            ev, path, ["user_id", "value"], n_files=16,
+            stats_cols=["user_id", "value"],
+            bloom_cols=["event_id"], bloom_bits=1 << 18,
+        )
+        _BLOOM_PATH_CACHE[sf_dir] = path
+    pruned = pruned_scan(
+        spark, _BLOOM_PATH_CACHE[sf_dir],
+        points={"event_id": _IN_LIST_IDS},
     )
     return pruned.select("event_id", "user_id", "value")
 

@@ -835,3 +835,37 @@ def test_manifest_writes_bounded_not_single_task(
     got = pruned_scan(spark, path, bounds={"x": (0, 10_000)})
     assert got.count() == 1030
     assert manifest_file_count(spark, path) == 13
+
+
+def test_in_list_pruned_scan(spark, bloom_path):
+    """IN-list points plan through the join-shaped takedown planner:
+    strictly fewer files opened, rows exactly equal to the full
+    scan's WHERE col IN (...)."""
+    full = spark.read.parquet(bloom_path)
+    n_files = len(full.inputFiles())
+    vals = [5, 1234, 4000]
+    got = pruned_scan(spark, bloom_path, points={"doc_id": vals})
+    assert 0 < len(got.inputFiles()) < n_files
+    assert manifest_file_count(
+        spark, bloom_path, points={"doc_id": vals}
+    ) == len(got.inputFiles())
+    want = full.filter(F.col("doc_id").isin(vals))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # a scalar point on another column composes with the list
+    both = pruned_scan(
+        spark, bloom_path, points={"doc_id": vals, "sid": "u1234"}
+    )
+    assert [r["doc_id"] for r in both.collect()] == [1234]
+    # empty list: IN () matches nothing — exact, schema-stable
+    empty = pruned_scan(spark, bloom_path, points={"doc_id": []})
+    assert empty.count() == 0 and empty.schema == full.schema
+    # NULL in the list is rejected (equality never matches NULL)
+    with pytest.raises(ValueError, match="NULL"):
+        pruned_scan(spark, bloom_path, points={"doc_id": [1, None]})
+    # duplicates must not break the all-k-probes bloom count
+    dup = pruned_scan(
+        spark, bloom_path, points={"doc_id": [5, 5, 1234]}
+    )
+    assert dup.count() == 2
