@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "q_point_lookup_pruned",
     "q_pruned_in_list",
     "q_targeted_delete",
+    "q_dv_delete",
     "q_expectations",
     "q_corpus_gate",
     "q_metric_drift",

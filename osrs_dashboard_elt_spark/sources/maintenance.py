@@ -369,6 +369,48 @@ def _reconcile_delete_journal(spark: SparkSession, path: str) -> bool:
     return completed
 
 
+def _journal_and_swap(
+    spark: SparkSession,
+    path: str,
+    partials: list[str],
+    removes: list[str],
+    write_partials_fn,
+) -> dict[str, str]:
+    """The crash-safe mutation section shared by ``targeted_delete``
+    and ``apply_deletion_vectors``: journal the intent, let
+    ``write_partials_fn(tmp_dir)`` produce one ``__src=<i>/`` dir per
+    sorted partial file, then swap replacements in with deterministic
+    names (atomic os.replace) and drop originals — metadata-only, no
+    jobs.  Returns the original->replacement map."""
+    rewrites = {
+        _local(f): os.path.join(
+            os.path.dirname(_local(f)), _replacement_name(_local(f))
+        )
+        for f in partials
+    }
+    _write_delete_journal(path, rewrites, removes)
+    tmp = tempfile.mkdtemp(prefix=".delete-batch-")
+    try:
+        if partials:
+            write_partials_fn(tmp)
+        for i, f in enumerate(sorted(partials)):
+            part = next(
+                fn
+                for fn in os.listdir(os.path.join(tmp, f"__src={i}"))
+                if fn.endswith(".parquet")
+            )
+            target = rewrites[_local(f)]
+            if os.path.exists(target):  # stale orphan from a crash
+                os.remove(target)
+            os.replace(os.path.join(tmp, f"__src={i}", part), target)
+            os.remove(_local(f))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    for f in removes:
+        os.remove(f)
+    return rewrites
+
+
 def targeted_delete(
     spark: SparkSession,
     path: str,
@@ -376,6 +418,7 @@ def targeted_delete(
     values: list,
     refresh_stats: bool = True,
     serial: bool = False,
+    mode: str = "rewrite",
 ) -> dict:
     """Delete all rows where ``col`` is one of ``values`` by rewriting
     ONLY the files that can contain them — the takedown/GDPR path.
@@ -416,6 +459,21 @@ def targeted_delete(
     manifest for mutations that completed, so duplicate kept-rows can
     never persist.
 
+    ``mode="dv"`` defers the rewrite entirely: matched (file, value)
+    pairs are recorded as DELETION VECTORS in a new manifest epoch
+    (``stats_manifest.append_deletion_vectors``) and every
+    manifest-aware reader (``pruned_scan``, ``read_table``) anti-joins
+    them — a 1-row takedown in a 1 GB file writes kilobytes instead
+    of rewriting the gigabyte.  Tombstoned rows are invisible to this
+    function's own classification scan too, so re-running a DV delete
+    is a no-op, and a later ``mode="rewrite"`` delete cannot
+    resurrect them.  Once the table's total DV count passes the
+    manifest bound, the delete auto-compacts via
+    :func:`apply_deletion_vectors` (the rewrite is deferred, never
+    unbounded).  Trade: bare ``spark.read.parquet`` readers do not
+    see tombstones — tables using DVs must be read through the
+    manifest-aware readers.
+
     In-place deletes on a live dir are NOT snapshot-isolated — a
     concurrent reader can transiently see both the original and the
     replacement; takedowns needing isolation should re-publish through
@@ -423,13 +481,21 @@ def targeted_delete(
     this function outright).  Rows with a NULL ``col`` never match
     (values are non-null ids).  Partition-column deletes are rejected:
     those are directory drops, not row rewrites.  Returns counts:
-    files_affected / rewritten / removed, rows_deleted.
+    files_affected / rewritten / removed, rows_deleted (plus
+    files_tombstoned / dv_entries / compacted in dv mode).
     """
     from pyspark.sql.types import StructType
 
-    from .stats_manifest import _load_meta, _norm_col, files_for_values
+    from .stats_manifest import (
+        _load_meta,
+        _norm_col,
+        apply_deletion_vectors_df,
+        files_for_values,
+    )
     from .stats_manifest import refresh_stats_manifest as _refresh
 
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"unknown delete mode {mode!r}")
     if not values:
         return {
             "files_affected": 0, "files_rewritten": 0,
@@ -468,94 +534,127 @@ def targeted_delete(
         spark.read.schema(pinned).option("basePath", path)
         .parquet(*affected)
     )
-    # job 1: classify every affected file in one pass
+    # rows already tombstoned by earlier DV deletes are invisible:
+    # they must neither be counted as deleted again nor resurrected
+    # by a rewrite that copies "surviving" rows
+    base = reader.withColumn("__file", _norm_col(F.input_file_name()))
+    live = apply_deletion_vectors_df(
+        spark, path, meta, base, file_col="__file"
+    )
+    # job 1: classify every affected file in one pass (dv mode also
+    # collects WHICH listed values each file actually holds, so the
+    # tombstone pairs are exact, not the full candidate cross product)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(keep_pred, 1).otherwise(0)).alias("k"),
+    ]
+    if mode == "dv":
+        aggs.append(
+            F.collect_set(
+                F.when(F.col(col).isin(values), F.col(col))
+            ).alias("matched")
+        )
     cls = (
-        reader.select(
-            _norm_col(F.input_file_name()).alias("__file"), F.col(col)
-        )
+        live.select("__file", F.col(col))
         .groupBy("__file")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(keep_pred, 1).otherwise(0)).alias("k"),
-        )
+        .agg(*aggs)
         .collect()
     )
     partials: list[str] = []
     removes: list[str] = []
     rows_deleted = 0
+    dv_pairs: list[tuple] = []
     for r in cls:
         n_all, n_keep = int(r["n"]), int(r["k"] or 0)
         if n_keep == n_all:  # bloom false positive — leave untouched
             continue
         rows_deleted += n_all - n_keep
-        if n_keep == 0:
+        if mode == "dv":
+            dv_pairs += [(r["__file"], v) for v in sorted(r["matched"])]
+        elif n_keep == 0:
             removes.append(_local(r["__file"]))
         else:
             partials.append(r["__file"])
+    if mode == "dv":
+        if not dv_pairs:
+            return {
+                "files_affected": len(affected), "files_rewritten": 0,
+                "files_removed": 0, "rows_deleted": 0,
+                "files_tombstoned": 0, "dv_entries": 0,
+                "compacted": False,
+            }
+        from pyspark.sql.types import StringType, StructField
+        from pyspark.sql.types import StructType as _ST
+
+        from .stats_manifest import _MAX_DV_ENTRIES
+        from .stats_manifest import (
+            append_deletion_vectors as _append_dv,
+        )
+
+        pairs_df = spark.createDataFrame(
+            dv_pairs,
+            _ST([
+                StructField("file", StringType(), False),
+                StructField("v", pinned[col].dataType, False),
+            ]),
+        )
+        total = _append_dv(spark, path, col, pairs_df)
+        compacted = False
+        if total > _MAX_DV_ENTRIES:
+            apply_deletion_vectors(spark, path, refresh_stats=True)
+            compacted = True
+        return {
+            "files_affected": len(affected),
+            "files_rewritten": 0,
+            "files_removed": 0,
+            "rows_deleted": rows_deleted,
+            "files_tombstoned": len({f for f, _ in dv_pairs}),
+            "dv_entries": len(dv_pairs),
+            "compacted": compacted,
+        }
     if not partials and not removes:
         return {
             "files_affected": len(affected), "files_rewritten": 0,
             "files_removed": 0, "rows_deleted": 0,
         }
-    rewrites = {
-        _local(f): os.path.join(
-            os.path.dirname(_local(f)), _replacement_name(_local(f))
-        )
-        for f in partials
-    }
-    _write_delete_journal(path, rewrites, removes)
-    tmp = tempfile.mkdtemp(prefix=".delete-batch-")
-    try:
-        if partials:
-            if serial:
-                # measurement baseline (SCALE.md): the round-7 shape —
-                # one count job + one rewrite job PER affected file
-                for i, f in enumerate(sorted(partials)):
-                    one = (
-                        spark.read.schema(pinned)
-                        .option("basePath", path).parquet(f)
-                        .filter(keep_pred)
-                        .select(*data_cols)
-                    )
-                    one.coalesce(1).write.mode("overwrite").parquet(
-                        os.path.join(tmp, f"__src={i}")
-                    )
-            else:
-                # job 2: ONE rewrite shuffled by source file — each
-                # original's kept rows land in exactly one task, which
-                # writes exactly one part file under __src=<i>/
-                src_map = spark.createDataFrame(
-                    [(f, i) for i, f in enumerate(sorted(partials))],
-                    "__file string, __src int",
+
+    def _write_partials(tmp: str) -> None:
+        if serial:
+            # measurement baseline (SCALE.md): the round-7 shape —
+            # one rewrite job PER affected file
+            from .stats_manifest import _norm
+
+            for i, f in enumerate(sorted(partials)):
+                one = (
+                    spark.read.schema(pinned)
+                    .option("basePath", path).parquet(f)
+                    .withColumn("__file", F.lit(_norm(f)))
                 )
-                rw = (
-                    reader.withColumn(
-                        "__file", _norm_col(F.input_file_name())
-                    )
-                    .join(F.broadcast(src_map), "__file")
-                    .filter(keep_pred)
-                    .select(*data_cols, "__src")
-                    .repartition(len(partials), "__src")
+                one = apply_deletion_vectors_df(
+                    spark, path, meta, one, file_col="__file"
                 )
-                rw.write.partitionBy("__src").mode(
-                    "overwrite"
-                ).parquet(tmp)
-        # metadata-only swap loop: rename/unlink, zero Spark jobs
-        for i, f in enumerate(sorted(partials)):
-            part = next(
-                fn
-                for fn in os.listdir(os.path.join(tmp, f"__src={i}"))
-                if fn.endswith(".parquet")
+                one.filter(keep_pred).select(*data_cols).coalesce(
+                    1
+                ).write.mode("overwrite").parquet(
+                    os.path.join(tmp, f"__src={i}")
+                )
+        else:
+            # job 2: ONE rewrite shuffled by source file — each
+            # original's kept rows land in exactly one task, which
+            # writes exactly one part file under __src=<i>/
+            src_map = spark.createDataFrame(
+                [(f, i) for i, f in enumerate(sorted(partials))],
+                "__file string, __src int",
             )
-            target = rewrites[_local(f)]
-            if os.path.exists(target):  # stale orphan from a crash
-                os.remove(target)
-            os.replace(os.path.join(tmp, f"__src={i}", part), target)
-            os.remove(_local(f))
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    for f in removes:
-        os.remove(f)
+            rw = (
+                live.join(F.broadcast(src_map), "__file")
+                .filter(keep_pred)
+                .select(*data_cols, "__src")
+                .repartition(len(partials), "__src")
+            )
+            rw.write.partitionBy("__src").mode("overwrite").parquet(tmp)
+
+    _journal_and_swap(spark, path, partials, removes, _write_partials)
     if refresh_stats:
         # O(rewritten files), not O(table): only the replacement files
         # get stat'd/bloomed; vanished originals drop out
@@ -569,4 +668,119 @@ def targeted_delete(
         "files_rewritten": len(partials),
         "files_removed": len(removes),
         "rows_deleted": rows_deleted,
+    }
+
+
+def apply_deletion_vectors(
+    spark: SparkSession, path: str, refresh_stats: bool = True
+) -> dict:
+    """Compact deletion vectors into REAL rewrites: physically remove
+    every tombstoned row from the files the DVs cite, then clear the
+    DV entries from the manifest — the fold step that keeps the
+    deferred-rewrite trade bounded (``targeted_delete(mode="dv")``
+    auto-calls this past ``_MAX_DV_ENTRIES``).
+
+    Same O(1)-jobs shape as the batched delete: one physical-count
+    scan + one live-count scan classify the cited files, one rewrite
+    job handles all partials, swaps are journaled metadata renames.
+    Entries citing vanished files (their file was since rewritten by
+    a rewrite-mode delete or compaction) are simply cleared — the
+    replacement file was written from DV-filtered rows, so the
+    tombstoned rows are already physically gone.  Ordering is
+    crash-safe: files swap first, the manifest refresh records the
+    replacements, and the DV clear commits LAST — between the two, the
+    stale entries cite old file names and no-op."""
+    from pyspark.sql.types import StructType
+
+    from .stats_manifest import (
+        _load_meta,
+        _norm,
+        _norm_col,
+        apply_deletion_vectors_df,
+        clear_deletion_vectors,
+        deletion_vector_pairs,
+    )
+    from .stats_manifest import refresh_stats_manifest as _refresh
+
+    _reconcile_delete_journal(spark, path)
+    _, meta = _load_meta(spark, path)
+    dv_cols = sorted((meta.get("dv") or {}).keys())
+    if not dv_cols:
+        return {
+            "files_rewritten": 0, "files_removed": 0,
+            "dv_cols_cleared": [], "rows_purged": 0,
+        }
+    cited: set[str] = set()
+    entries = 0
+    for c in dv_cols:
+        pairs = deletion_vector_pairs(spark, path, meta, c)
+        rows = pairs.select("file").distinct().collect()
+        cited |= {r["file"] for r in rows}
+        entries += pairs.count()
+    existing = sorted(f for f in cited if os.path.exists(_local(f)))
+    partials: list[str] = []
+    removes: list[str] = []
+    rows_purged = 0
+    if existing:
+        pinned = StructType.fromJson(meta["schema"])
+        data_cols = spark.read.parquet(existing[0]).columns
+        base = (
+            spark.read.schema(pinned).option("basePath", path)
+            .parquet(*existing)
+            .withColumn("__file", _norm_col(F.input_file_name()))
+        )
+        live = apply_deletion_vectors_df(
+            spark, path, meta, base, file_col="__file"
+        )
+        phys = {
+            r["__file"]: int(r["n"])
+            for r in base.groupBy("__file").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        kept = {
+            r["__file"]: int(r["n"])
+            for r in live.groupBy("__file").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        for f in existing:
+            fn = _norm(f)
+            n_all, n_keep = phys.get(fn, 0), kept.get(fn, 0)
+            if n_keep == n_all:  # stale/no-op entries for this file
+                continue
+            rows_purged += n_all - n_keep
+            if n_keep == 0:
+                removes.append(_local(fn))
+            else:
+                partials.append(fn)
+
+        def _write_partials(tmp: str) -> None:
+            src_map = spark.createDataFrame(
+                [(f, i) for i, f in enumerate(sorted(partials))],
+                "__file string, __src int",
+            )
+            rw = (
+                live.join(F.broadcast(src_map), "__file")
+                .select(*data_cols, "__src")
+                .repartition(max(1, len(partials)), "__src")
+            )
+            rw.write.partitionBy("__src").mode("overwrite").parquet(tmp)
+
+        if partials or removes:
+            _journal_and_swap(
+                spark, path, partials, removes, _write_partials
+            )
+    if refresh_stats and (partials or removes):
+        _refresh(spark, path, meta["cols"])
+    clear_deletion_vectors(spark, path, dv_cols)
+    try:
+        os.remove(_delete_journal_path(path))
+    except FileNotFoundError:
+        pass
+    return {
+        "files_rewritten": len(partials),
+        "files_removed": len(removes),
+        "dv_cols_cleared": dv_cols,
+        "rows_purged": rows_purged,
     }

@@ -116,6 +116,13 @@ def _norm_col(c):
 _MAX_SEGMENTS = 8
 _MAX_TOMBSTONES = 10_000
 
+# Deletion-vector bound: total tombstone ROWS (across columns) a
+# manifest may carry before `maintenance.apply_deletion_vectors`
+# compacts them into real file rewrites — the same
+# amortize-then-fold discipline as segments/tombstones above.
+_MAX_DV_ENTRIES = 10_000
+
+
 # Manifest rows per output part file: bounds how much manifest a
 # single write task serializes.  A bloom-bearing row is ~bloom_bits/8
 # bytes (~128 KB at defaults), so 4096 rows ≈ 512 MB per task — a
@@ -325,6 +332,10 @@ def _commit_epoch(root: str, epoch: int, meta: dict) -> None:
             with open(os.path.join(_epoch_dir(root, e), _META)) as f:
                 m = json.load(f)
             keep |= set(m.get("segments", [e]))
+            # deletion-vector sidecars live in their own epoch dirs
+            # and must survive as long as a retained meta cites them
+            for info in (m.get("dv") or {}).values():
+                keep |= set(info.get("segments", []))
         except FileNotFoundError:
             continue
     for old in committed:
@@ -846,6 +857,179 @@ def _candidate_files_df(
     return cand.select("file").distinct()
 
 
+# ---------------------------------------------------------------------------
+# Deletion vectors: per-file tombstone ROWS riding the epoch protocol
+# ---------------------------------------------------------------------------
+
+
+def _dv_dir(root: str, epoch: int, col: str) -> str:
+    return os.path.join(_epoch_dir(root, epoch), f"dv_{col}")
+
+
+def append_deletion_vectors(
+    spark: SparkSession, path: str, col: str, pairs: DataFrame
+) -> int:
+    """Record tombstone rows — (file, v) pairs meaning "rows of
+    ``file`` whose ``col`` equals ``v`` are deleted" — in a NEW
+    manifest epoch, without touching any data file (the Delta/Iceberg
+    deletion-vector idea re-expressed on the epoch protocol: a 1-row
+    takedown in a 1 GB file writes KBs, not the gigabyte).
+
+    The sidecar parquet lands in the new epoch's dir; the committed
+    meta's ``dv[col]`` lists the sidecar-bearing epochs and the
+    running entry count.  Readers that go through the manifest
+    (``pruned_scan``, ``read_table``) anti-join the pairs; vacuum
+    keeps sidecar epochs as long as a retained meta cites them.
+    Entries are scoped PER FILE so a later legitimate re-ingest of
+    the same value in a NEW file is not silently swallowed.
+
+    Returns the total DV entry count across all columns after the
+    append — the caller compacts via
+    ``maintenance.apply_deletion_vectors`` once it passes
+    ``_MAX_DV_ENTRIES`` (write amplification is only deferred, never
+    unbounded).  Commit-lineage applies: a concurrent writer surfaces
+    as :class:`ManifestCommitConflict`; re-run the delete (it is
+    idempotent — already-tombstoned rows are invisible to the
+    classification scan)."""
+    epoch, meta = _load_meta(spark, path)
+    if meta["immutable"]:
+        raise ValueError(
+            f"{path} is an immutable published snapshot — publish a "
+            "new version without the rows instead"
+        )
+    root = _manifest_root(path)
+    new_epoch = _claim_epoch(root, epoch + 1)
+    edir = _epoch_dir(root, new_epoch)
+    ddir = _dv_dir(root, new_epoch, col)
+    pairs.select(
+        _norm_col(F.col("file")).alias("file"), F.col("v")
+    ).coalesce(1).write.mode("overwrite").parquet(ddir)
+    n_new = spark.read.parquet(ddir).count()
+    dv = dict(meta.get("dv") or {})
+    info = dict(dv.get(col) or {"segments": [], "count": 0})
+    dv[col] = {
+        "segments": list(info["segments"]) + [new_epoch],
+        "count": int(info["count"]) + int(n_new),
+    }
+    new_meta = dict(meta, epoch=new_epoch, dv=dv, parent_epoch=epoch)
+    new_meta.pop("_data_dir", None)
+    try:
+        _commit_epoch(root, new_epoch, new_meta)
+    except ManifestCommitConflict:
+        shutil.rmtree(edir, ignore_errors=True)
+        raise
+    return sum(int(i["count"]) for i in dv.values())
+
+
+def clear_deletion_vectors(
+    spark: SparkSession, path: str, cols: list[str]
+) -> None:
+    """Commit an epoch whose meta drops the DV entries for ``cols`` —
+    called AFTER compaction physically rewrote the tombstoned rows
+    away (``maintenance.apply_deletion_vectors``).  The sidecar dirs
+    age out of the vacuum keep-set once no retained meta cites
+    them."""
+    epoch, meta = _load_meta(spark, path)
+    dv = {
+        c: info
+        for c, info in (meta.get("dv") or {}).items()
+        if c not in cols
+    }
+    root = _manifest_root(path)
+    new_epoch = _claim_epoch(root, epoch + 1)
+    edir = _epoch_dir(root, new_epoch)
+    os.makedirs(edir, exist_ok=True)
+    new_meta = dict(meta, epoch=new_epoch, dv=dv, parent_epoch=epoch)
+    new_meta.pop("_data_dir", None)
+    try:
+        _commit_epoch(root, new_epoch, new_meta)
+    except ManifestCommitConflict:
+        shutil.rmtree(edir, ignore_errors=True)
+        raise
+
+
+def deletion_vector_pairs(
+    spark: SparkSession, path: str, meta: dict, col: str
+) -> DataFrame | None:
+    """The live (file, v) tombstone pairs for ``col``, or None."""
+    info = (meta.get("dv") or {}).get(col)
+    if not info or not info.get("segments"):
+        return None
+    root = _manifest_root(path)
+    return spark.read.parquet(
+        *[_dv_dir(root, e, col) for e in info["segments"]]
+    )
+
+
+def apply_deletion_vectors_df(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    df: DataFrame,
+    file_col: str | None = None,
+) -> DataFrame:
+    """Filter ``df`` (a scan of ``path``'s files) through every DV
+    column's tombstone pairs: one broadcast LEFT ANTI join per DV
+    column on (input file, column value).  DV counts are bounded by
+    ``_MAX_DV_ENTRIES`` before compaction, so the broadcast is always
+    small; rows with a NULL value in the column never match (null-
+    safe-free join condition) — tombstones are non-null by
+    construction.  ``file_col`` names an already-materialized
+    normalized-file column; by default the scan's
+    ``input_file_name()`` is used."""
+    dv_cols = list(meta.get("dv") or {})
+    if not dv_cols:
+        return df
+    # input_file_name() is non-deterministic and rejected inside join
+    # conditions: materialize it as a projection first (dropped after)
+    fc = file_col
+    added = False
+    if fc is None:
+        fc = "__dv_probe_file"
+        df = df.withColumn(fc, _norm_col(F.input_file_name()))
+        added = True
+    for c in dv_cols:
+        pairs = deletion_vector_pairs(spark, path, meta, c)
+        if pairs is None:
+            continue
+        pairs = pairs.select(
+            F.col("file").alias("__dv_file"), F.col("v").alias("__dv_v")
+        )
+        df = df.join(
+            F.broadcast(pairs),
+            (F.col(fc) == F.col("__dv_file"))
+            & (F.col(c) == F.col("__dv_v")),
+            "left_anti",
+        )
+    return df.drop(fc) if added else df
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Manifest-aware FULL scan: pinned schema, freshness check on
+    mutable dirs, and deletion-vector application — the reader every
+    query should use once a table may carry DVs (a bare
+    ``spark.read.parquet`` cannot see tombstones; that is the
+    documented trade of deferring the rewrite)."""
+    epoch, meta = _load_meta(spark, path)
+    schema = StructType.fromJson(meta["schema"])
+    if not meta["immutable"]:
+        full = spark.read.parquet(path)
+        if full.schema != schema:
+            raise ValueError(
+                f"table schema under {path} no longer matches the "
+                "manifest's pinned schema — rebuild with "
+                "write_stats_manifest"
+            )
+        man = _manifest_df(spark, path, epoch, meta)
+        current = {_norm(f) for f in full.inputFiles()}
+        recorded = {
+            _norm(r["file"]) for r in man.select("file").collect()
+        }
+        _check_fresh(recorded, current, path)
+    df = spark.read.schema(schema).option("basePath", path).parquet(path)
+    return apply_deletion_vectors_df(spark, path, meta, df)
+
+
 def _prune_condition(
     spark: SparkSession,
     meta: dict,
@@ -1027,6 +1211,9 @@ def pruned_scan(
             .option("basePath", path)
             .parquet(*files)
         )
+        # tombstoned rows (deletion vectors) are invisible to every
+        # manifest-aware reader, pruned or full
+        df = apply_deletion_vectors_df(spark, path, meta, df)
     else:
         df = spark.createDataFrame([], schema)
     for c, (lo, hi) in bounds.items():

@@ -4007,6 +4007,61 @@ def q_targeted_delete(spark, sf_dir):
     )
 
 
+_DV_PATH_CACHE: dict[str, str] = {}
+
+
+@query(
+    "q_dv_delete",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_id NOT IN (222, 888, 1234)
+    GROUP BY user_id
+    """,
+)
+def q_dv_delete(spark, sf_dir):
+    """Deletion-vector takedown (round 8,
+    sources/maintenance.py::targeted_delete mode="dv"): the matched
+    (file, value) pairs land as tombstone ROWS in a manifest epoch —
+    ZERO data files touched (pytest pins byte-identical files) — and
+    the manifest-aware reader (``stats_manifest.read_table``)
+    anti-joins them, so the table reads exactly as if rewritten.  The
+    write-amplification fix Delta/Iceberg deletion vectors exist for:
+    a 1-row delete in a 1 GB file writes KBs; the fold bound
+    (``_MAX_DV_ENTRIES``) compacts tombstones into real rewrites so
+    the deferral is bounded.  This oracle proves dv-mode equality
+    with the full table minus the target rows; equality with
+    REWRITE-mode output is pinned in tests/test_deletion_vectors.py.
+    Delete memoized per sf_dir (pure function of the immutable
+    input)."""
+    import tempfile
+
+    from .sources.maintenance import targeted_delete
+    from .sources.stats_manifest import read_table, write_stats_manifest
+
+    if sf_dir not in _DV_PATH_CACHE:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", F.col("value").cast("double").alias("value")
+        )
+        path = tempfile.mkdtemp(prefix="dvdel_") + "/tbl"
+        ev.repartition(16, "event_id").write.parquet(path)
+        write_stats_manifest(
+            spark, path, ["user_id"],
+            bloom_cols=["event_id"], bloom_bits=1 << 18,
+        )
+        targeted_delete(
+            spark, path, "event_id", [222, 888, 1234], mode="dv"
+        )
+        _DV_PATH_CACHE[sf_dir] = path
+    remaining = read_table(spark, _DV_PATH_CACHE[sf_dir])
+    return remaining.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("value").alias("sum_value"),
+    )
+
+
 _CHUNK_TOKENS, _CHUNK_OVERLAP = 32, 8
 _CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
 _DOC_CHUNKS_ORACLE = f"""
