@@ -323,6 +323,10 @@ def run_pipeline(
         )
         for name, df in reports.items():
             color = publish_blue_green(df, f"{out_dir}/gold/{name}")
+            # row counts feed the stage-4 drift gate (the deequ
+            # metrics-repository discipline, mirroring the corpus
+            # pipeline's gate at run_corpus_pipeline.py stage 4)
+            counters[f"rows_{name}"] = df.count()
             print(f"[transform] gold/{name} -> {color} ({df.columns})")
 
     # -- stage 4: run summary (S15) + notify (S14) --------------------
@@ -357,6 +361,35 @@ def run_pipeline(
         )
         notify(summary, webhook_transport(None))  # unconfigured -> skipped
         print(f"[summary]   {path}")
+        # drift gate over the gold report row counts: persist this
+        # run's counts into the day-partitioned metrics history
+        # (replay-safe: same day replaces) and fail the run if any
+        # table's count jumped out of its trailing band — a silently
+        # broken upstream feed announces itself HERE, not in the
+        # dashboard (operators/quality.py; the corpus pipeline gates
+        # the same way on rule-violation counts)
+        from osrs_dashboard_elt_spark.operators.quality import (
+            assert_no_drift,
+            metrics_history_append,
+        )
+
+        report_rows = [
+            (k[len("rows_"):], int(v))
+            for k, v in sorted(counters.items())
+            if k.startswith("rows_")
+        ]
+        if report_rows:
+            audit_df = spark.createDataFrame(
+                report_rows, "report string, n_rows long"
+            )
+            run_day = time.strftime("%Y-%m-%d", time.gmtime())
+            hist_path = f"{out_dir}/metrics_history/report_rows"
+            metrics_history_append(audit_df, hist_path, run_day)
+            assert_no_drift(
+                spark.read.parquet(hist_path),
+                ["report"], "day", "n_rows",
+            )
+            print(f"[summary]   drift gate ok over {hist_path}")
 
     # -- stage 5: post PBs (reference 5_post_pbs_to_discord.py) -------
     # Conditional per config like the reference's run_post_pbs_script

@@ -63,3 +63,34 @@ def test_pipeline_survives_price_stage_failure(spark, tmp_path):
         json.load(open(state_path)) if os.path.exists(state_path) else {}
     )
     assert "enrich" not in state  # failure must not register success
+
+
+def test_report_rows_drift_gate_catches_seeded_drift(spark, tmp_path):
+    """Stage 4 persists gold report row counts into the metrics
+    history and fails the run when the latest counts fall outside the
+    trailing band — a deliberately seeded out-of-band history must
+    abort the pipeline, and clearing it must let the same pipeline
+    complete (the gate blocks drift, not recovery)."""
+    import shutil
+
+    import pytest
+
+    from osrs_dashboard_elt_spark.operators.quality import (
+        metrics_history_append,
+    )
+
+    out = str(tmp_path / "lake")
+    hist = f"{out}/metrics_history/report_rows"
+    seed = spark.createDataFrame(
+        [("personal_bests", 1_000_000)], "report string, n_rows long"
+    )
+    for day in ("2020-01-01", "2020-01-02", "2020-01-03"):
+        metrics_history_append(seed, hist, day)
+    with pytest.raises(RuntimeError, match="metric drift"):
+        run_pipeline(spark, SF_DIR, out)
+    # recovery: drop the poisoned history; the replay completes and
+    # records a clean first day
+    shutil.rmtree(f"{out}/metrics_history")
+    run_pipeline(spark, SF_DIR, out)
+    hist_df = spark.read.parquet(hist)
+    assert hist_df.filter("report = 'personal_bests'").count() == 1
