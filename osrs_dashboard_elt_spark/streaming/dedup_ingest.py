@@ -18,8 +18,8 @@ micro-batch the pipeline
 3. **routes** — accepted docs land in
    ``{out_root}/accepted/run_id=R/batch_id=N``, rejects in
    ``{out_root}/quarantine/...`` with a ``reason``
-   (``in_batch_dup`` / ``corpus_dup`` / ``already_ingested``) for
-   audit instead of being silently dropped.  Each micro-batch
+   (``in_batch_dup`` / ``corpus_dup`` / ``already_ingested`` /
+   ``taken_down``) for audit instead of being silently dropped.  Each micro-batch
    DYNAMICALLY OVERWRITES its own (run, batch) partition: a replay
    under the same checkpoint rewrites exactly its prior output, and a
    restart with a FRESH checkpoint (new run id) cannot clobber
@@ -97,6 +97,7 @@ def start_dedup_ingest(
     probe_model: tuple[list[float], float] | None = None,
     ann_index: tuple[list[list[list[float]]], str] | None = None,
     stats_manifest: tuple | None = None,
+    suppress: DataFrame | list | None = None,
 ) -> StreamingQuery:
     """Start the dedup-ingest stream.  ``index_table`` must already
     exist (``write_minhash_index`` over the current corpus — an empty
@@ -111,8 +112,8 @@ def start_dedup_ingest(
     overwrites its own partition; a fresh checkpoint should keep the
     default fresh run id.  ``on_batch`` receives ``(batch_id,
     counts)`` with keys ``n_in``, ``n_same_id_collapsed``,
-    ``n_high_ppl``, ``n_in_batch_dup``, ``n_corpus_dup``,
-    ``n_already_ingested``, ``n_accepted``.
+    ``n_suppressed``, ``n_high_ppl``, ``n_in_batch_dup``,
+    ``n_corpus_dup``, ``n_already_ingested``, ``n_accepted``.
 
     ``lm_model`` + ``max_avg_nll`` arm the QUALITY gate at ingest:
     pass ``(cw, ct, vocab_size)`` from ``operators.lm.bigram_model``
@@ -161,7 +162,21 @@ def start_dedup_ingest(
     restart (the manifest makes re-deletes cheap and idempotent).
     Bootstrap happens on the first batch that ACCEPTS rows; a changed
     bloom column set later raises loudly rather than silently
-    refreshing without the blooms the takedown path needs."""
+    refreshing without the blooms the takedown path needs.
+
+    ``suppress`` is the takedown SUPPRESSION LIST — ids (a list or a
+    one-column DataFrame) quarantined with reason ``taken_down``
+    before any other processing.  It closes the resurrection loop a
+    complete takedown opens: ``maintenance.targeted_delete`` removes
+    the data, ``dedup_index.delete_from_index`` tombstones the
+    derived postings — but tombstoned postings no longer match
+    probes, so an at-least-once REDELIVERY of the taken-down doc
+    would sail through the index check and be re-accepted.  The
+    suppression list is the authoritative "never again" set; only ID
+    + reason are persisted for the audit trail, never the content.
+    Cost is one broadcast anti-join per batch — keep the list to ids
+    under active suppression and fold old entries into periodic
+    corpus audits if it ever outgrows a broadcast."""
     params = dict(
         num_perm=num_perm, bands=bands, seed=seed, shingle_n=shingle_n
     )
@@ -188,11 +203,40 @@ def start_dedup_ingest(
                 if on_batch is not None:
                     on_batch(batch_id, {
                         "n_in": 0, "n_same_id_collapsed": n_same_id,
+                        "n_suppressed": 0,
                         "n_high_ppl": 0, "n_low_quality": 0,
                         "n_in_batch_dup": 0, "n_corpus_dup": 0,
                         "n_already_ingested": 0, "n_accepted": 0,
                     })
                 return
+            # -1. suppression list (takedown "never again" set): the
+            # authoritative gate runs FIRST — a taken-down id must not
+            # reach the pair generators, the index probe, or any
+            # output that stores content
+            suppressed_out = None
+            n_suppressed = 0
+            if suppress is not None:
+                if isinstance(suppress, DataFrame):
+                    sup = suppress.select(
+                        F.col(suppress.columns[0]).alias(id_col)
+                    ).distinct()
+                else:
+                    sup = spark.createDataFrame(
+                        [(v,) for v in suppress],
+                        batch.select(id_col).schema,
+                    ).distinct()
+                suppressed_out = (
+                    batch.select(id_col)
+                    .join(F.broadcast(sup), id_col)
+                    .persist()
+                )
+                persisted.append(suppressed_out)
+                n_suppressed = suppressed_out.count()
+                if n_suppressed:
+                    batch = batch.join(
+                        F.broadcast(sup), id_col, "left_anti"
+                    ).persist()
+                    persisted.append(batch)
             # 0. quality gates (optional), routed through the
             # expectations engine (operators/quality.py): model scores
             # land as COLUMNS first (one O(batch) join each), then
@@ -363,6 +407,14 @@ def start_dedup_ingest(
                         F.lit(None).cast(id_type).alias("matched_corpus_id"),
                     )
                 )
+            if suppressed_out is not None and n_suppressed:
+                quarantined = quarantined.unionByName(
+                    suppressed_out.select(
+                        id_col,
+                        F.lit("taken_down").alias("reason"),
+                        F.lit(None).cast(id_type).alias("matched_corpus_id"),
+                    )
+                )
             route(quarantined, "quarantine")
             # Counts MUST freeze before the index append: writing the
             # table invalidates every cached plan that references it,
@@ -382,6 +434,7 @@ def start_dedup_ingest(
             metrics = {
                 "n_in": n_in,
                 "n_same_id_collapsed": n_same_id,
+                "n_suppressed": n_suppressed,
                 **{
                     k: gate_counts.get(r, 0)
                     for k, r in (

@@ -95,12 +95,14 @@ def test_two_batch_ingest_routes_and_extends_index(spark, ingest_env):
 
     # per-batch funnel counts
     assert counts[0] == {
-        "n_in": 3, "n_same_id_collapsed": 0, "n_high_ppl": 0,
+        "n_in": 3, "n_same_id_collapsed": 0, "n_suppressed": 0,
+        "n_high_ppl": 0,
         "n_low_quality": 0, "n_in_batch_dup": 1,
         "n_corpus_dup": 0, "n_already_ingested": 0, "n_accepted": 2,
     }
     assert counts[1] == {
-        "n_in": 3, "n_same_id_collapsed": 0, "n_high_ppl": 0,
+        "n_in": 3, "n_same_id_collapsed": 0, "n_suppressed": 0,
+        "n_high_ppl": 0,
         "n_low_quality": 0, "n_in_batch_dup": 0,
         "n_corpus_dup": 1, "n_already_ingested": 1, "n_accepted": 1,
     }
@@ -180,7 +182,8 @@ def test_same_id_rows_within_one_batch_collapse(spark, ingest_env):
     assert acc.count() == 2  # exactly one row per id survives
     assert {r.doc_id for r in acc.collect()} == {1, 2}
     assert counts[0] == {
-        "n_in": 2, "n_same_id_collapsed": 2, "n_high_ppl": 0,
+        "n_in": 2, "n_same_id_collapsed": 2, "n_suppressed": 0,
+        "n_high_ppl": 0,
         "n_low_quality": 0,
         "n_in_batch_dup": 0,
         "n_corpus_dup": 0, "n_already_ingested": 0, "n_accepted": 2,
@@ -504,3 +507,91 @@ def test_manifest_bootstrap_survives_all_rejected_first_batch(
         assert got.count() == 1
     finally:
         spark.sql("DROP TABLE IF EXISTS mh_pre")
+
+
+def test_takedown_end_to_end_no_resurrection(spark, ingest_env):
+    """The full takedown loop (round-8 verdict ask #8): docs ingested
+    across several micro-batches are taken down — data via
+    targeted_delete, derived postings via delete_from_index, future
+    deliveries via the suppression list — and a redelivered batch
+    CANNOT resurrect them: the taken-down id routes to quarantine
+    (id + reason only, never content) while fresh docs keep
+    flowing."""
+    from osrs_dashboard_elt_spark.operators.dedup_index import (
+        delete_from_index,
+    )
+    from osrs_dashboard_elt_spark.sources.maintenance import (
+        targeted_delete,
+    )
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        pruned_scan,
+    )
+
+    tmp = ingest_env
+    src = tmp / "src"
+    src.mkdir()
+    out, ckpt = tmp / "out", tmp / "ckpt"
+    counts: list[dict] = []
+    sm_arg = (["doc_id"], ["doc_id"])
+
+    def run(run_id, ckpt_dir, suppress=None):
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).json(str(src))
+        q = start_dedup_ingest(
+            stream, "mh_ingest", str(out), str(ckpt_dir),
+            n_buckets=4, available_now=True, run_id=run_id,
+            on_batch=lambda bid, c: counts.append(c),
+            stats_manifest=sm_arg, suppress=suppress,
+            **PARAMS,
+        )
+        q.awaitTermination(120)
+
+    # two micro-batches build the corpus: docs 1, 2 then 5
+    _write_batch(src, "b1.json", [(1, TEXT_A), (2, TEXT_B)])
+    run("r1", ckpt)
+    _write_batch(src, "b2.json", [(5, TEXT_C)])
+    run("r1", ckpt)
+    acc = f"{out}/accepted"
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(acc).collect()
+    ) == [1, 2, 5]
+
+    # ---- takedown of doc 2: data + derived postings + suppression
+    takedown = [2]
+    res = targeted_delete(spark, acc, "doc_id", takedown)
+    assert res["rows_deleted"] == 1
+    assert delete_from_index(spark, "mh_ingest", takedown) == 1
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(acc).collect()
+    ) == [1, 5]
+
+    # ---- an at-least-once source redelivers doc 2 (fresh checkpoint,
+    # new run id — the worst case: the index tombstone means the probe
+    # no longer recognizes it, so WITHOUT the suppression list it
+    # would be re-accepted) alongside a genuinely new doc 7
+    text_d = (
+        "seventeen lanterns swung from the harbor masts as the tide "
+        "carried crates of salted fish toward the waiting merchants"
+    )
+    _write_batch(src, "b3.json", [(2, TEXT_B), (7, text_d)])
+    run("r2", tmp / "ckpt2", suppress=takedown)
+    last = counts[-1]
+    assert last["n_suppressed"] == 1
+    assert last["n_accepted"] == 1  # the fresh doc keeps flowing
+    accepted_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(acc).collect()
+    )
+    assert accepted_ids == [1, 5, 7]
+    assert 2 not in accepted_ids  # NEVER resurrected
+    quar = spark.read.parquet(f"{out}/quarantine")
+    taken = quar.filter("reason = 'taken_down'").collect()
+    assert [r["doc_id"] for r in taken] == [2]
+    assert "text" not in quar.columns  # audit trail stores no content
+    # manifest stays fresh through the whole loop: point reads work
+    # and the taken-down id reads empty
+    assert pruned_scan(spark, acc, points={"doc_id": 2}).count() == 0
+    assert pruned_scan(spark, acc, points={"doc_id": 5}).count() == 1
+    # replayed takedown is cheap and idempotent
+    res2 = targeted_delete(spark, acc, "doc_id", takedown)
+    assert res2["rows_deleted"] == 0
