@@ -280,13 +280,29 @@ def compact_files(
     width.  ``repartition`` (round-robin) balances rows evenly —
     unlike ``coalesce``, which merges unevenly and can undo the size
     targeting; the shuffle it costs IS the compaction work."""
+    from .stats_manifest import (
+        _MANIFEST_DIR,
+        _load_meta,
+        has_stats_manifest,
+        read_table,
+    )
+
     total = 0
     for dirpath, _dirs, files in os.walk(src):
+        if _MANIFEST_DIR in dirpath:
+            continue  # sidecar manifest bytes are not table data
         for fn in files:
             if fn.endswith(".parquet"):
                 total += os.path.getsize(os.path.join(dirpath, fn))
     n_files = max(1, math.ceil(total / target_bytes))
-    df = spark.read.parquet(src).repartition(n_files)
+    df = spark.read.parquet(src)
+    if has_stats_manifest(src):
+        _, meta = _load_meta(spark, src)
+        if meta.get("dv"):
+            # a dv-carrying table must compact through the DV-aware
+            # reader, or the snapshot would resurrect tombstoned rows
+            df = read_table(spark, src)
+    df = df.repartition(n_files)
     return publish_versioned(
         df, dest_root, checksum_cols=checksum_cols,
         stats_cols=stats_cols, bloom_cols=bloom_cols,

@@ -455,6 +455,20 @@ def write_stats_manifest(
     )
     root = _manifest_root(path)
     epochs = _committed_epochs(root)
+    # a full rebuild REPLACES stats but must never lose deletion
+    # vectors: dropping meta['dv'] would silently resurrect every
+    # tombstoned row for manifest-aware readers — carry them forward
+    # (their sidecar epochs stay in the vacuum keep-set as long as
+    # this meta cites them)
+    prior_dv: dict = {}
+    if epochs:
+        try:
+            with open(
+                os.path.join(_epoch_dir(root, epochs[-1]), _META)
+            ) as f:
+                prior_dv = json.load(f).get("dv") or {}
+        except FileNotFoundError:
+            pass
     epoch = _claim_epoch(root, (epochs[-1] + 1) if epochs else 1)
     edir = _epoch_dir(root, epoch)
     _bounded_write(man, len(reader.inputFiles()), edir)
@@ -472,6 +486,8 @@ def write_stats_manifest(
         "tombstones": [],
         "keep_metas": max(2, int(keep_metas)),
     }
+    if prior_dv:
+        meta["dv"] = prior_dv
     _commit_epoch(root, epoch, meta)
     return n
 

@@ -204,3 +204,39 @@ def test_dv_refuses_immutable_snapshot(spark, tmp_path):
         targeted_delete(
             spark, f"{root}/v{v}", "doc_id", [1], mode="dv"
         )
+
+
+def test_full_rebuild_carries_dv_forward(spark, tmp_path):
+    """write_stats_manifest over a dv-carrying table must carry the
+    tombstones into the new meta — a rebuild that dropped meta['dv']
+    would silently resurrect every tombstoned row."""
+    path = str(tmp_path / "t")
+    _tbl(spark, path, n=1000, files=4)
+    targeted_delete(spark, path, "doc_id", [10, 20], mode="dv")
+    # full rebuild (e.g. healing a stale manifest)
+    write_stats_manifest(
+        spark, path, ["tag"], bloom_cols=["doc_id"], bloom_bits=1 << 15
+    )
+    got = read_table(spark, path)
+    assert got.count() == 998
+    assert got.filter("doc_id IN (10, 20)").count() == 0
+    assert pruned_scan(spark, path, points={"doc_id": 10}).count() == 0
+
+
+def test_compact_files_respects_dv(spark, tmp_path):
+    """Compaction of a dv-carrying dir must route through the DV-aware
+    reader: the published snapshot physically excludes tombstoned
+    rows (and needs no DV of its own)."""
+    from osrs_dashboard_elt_spark.sources.maintenance import (
+        compact_files,
+        read_version,
+    )
+
+    path = str(tmp_path / "t")
+    _tbl(spark, path, n=1000, files=4)
+    targeted_delete(spark, path, "doc_id", [10, 20], mode="dv")
+    dest = str(tmp_path / "compacted")
+    v = compact_files(spark, path, dest, stats_cols=["doc_id"])
+    snap = read_version(spark, dest, v)
+    assert snap.count() == 998
+    assert snap.filter("doc_id IN (10, 20)").count() == 0
