@@ -36,6 +36,8 @@ HEADLINERS = {
     "q_bloom_semijoin": "the kilobyte filter words are a shared binary literal inside the scan-side predicate — the fact rows that reach the confirm join are ~FP+match, not the table; the exact semi-join then proves zero result drift",
     "q_bpe_encode": "pure Arrow map (one ArrowEvalPython/MapInPandas over the scan) — no shuffle anywhere; the merge table rides a broadcast handle, not the closure",
     "q_stats_pruned_scan": "the probe scan lists ONLY the manifest-selected files (planning-time pruning); the aggregate is one partial+final hash agg over the already-filtered rows",
+    "q_pruned_in_list": "IN-list probe: the scan lists only bloom-hit files (planned via the join-shaped value planner — constant plan size in list length, no OR-of-ANDs tree) and the row filter is a single InSet, never an In chain",
+    "q_dv_delete": "post-takedown read via read_table: one broadcast LEFT ANTI against the KB-sized (file, value) tombstone pairs riding the scan stage, then one partial+final hash agg — no data file was rewritten to serve this",
 }
 
 
