@@ -378,10 +378,14 @@ def _reconcile_delete_journal(spark: SparkSession, path: str) -> bool:
     for orig in journal.get("removes", []):
         if not os.path.exists(orig):
             completed = True
-    os.remove(jp)
     if completed:
         _, meta = _load_meta(spark, path)
         _refresh(spark, path, meta["cols"])
+    # the journal is the ONLY record of completed mutations: remove it
+    # AFTER the refresh commits, so a crash (or refresh failure) here
+    # leaves a retryable state instead of a stale manifest with no
+    # breadcrumb
+    os.remove(jp)
     return completed
 
 
@@ -405,7 +409,10 @@ def _journal_and_swap(
         for f in partials
     }
     _write_delete_journal(path, rewrites, removes)
-    tmp = tempfile.mkdtemp(prefix=".delete-batch-")
+    # stage INSIDE the table dir (dot-prefixed: invisible to readers):
+    # os.replace must stay same-device — /tmp is routinely a different
+    # filesystem (tmpfs) and a cross-device rename raises EXDEV
+    tmp = tempfile.mkdtemp(dir=path, prefix=".delete-batch-")
     try:
         if partials:
             write_partials_fn(tmp)
@@ -512,11 +519,24 @@ def targeted_delete(
 
     if mode not in ("rewrite", "dv"):
         raise ValueError(f"unknown delete mode {mode!r}")
-    if not values:
-        return {
-            "files_affected": 0, "files_rewritten": 0,
+
+    def _noop_result(n_affected: int) -> dict:
+        out = {
+            "files_affected": n_affected, "files_rewritten": 0,
             "files_removed": 0, "rows_deleted": 0,
         }
+        if mode == "dv":
+            # the dv-mode contract (files_tombstoned / dv_entries /
+            # compacted) must hold on EVERY return — a takedown
+            # orchestrator replaying an already-purged id list reads
+            # these keys exactly when the blooms prune everything
+            out.update(
+                files_tombstoned=0, dv_entries=0, compacted=False
+            )
+        return out
+
+    if not values:
+        return _noop_result(0)
     if any(v is None for v in values):
         raise ValueError("delete values must be non-null")
     _reconcile_delete_journal(spark, path)
@@ -528,10 +548,7 @@ def targeted_delete(
         )
     affected = files_for_values(spark, path, col, values)
     if not affected:
-        return {
-            "files_affected": 0, "files_rewritten": 0,
-            "files_removed": 0, "rows_deleted": 0,
-        }
+        return _noop_result(0)
     pinned = StructType.fromJson(meta["schema"])
     # data columns = what the parquet FILES contain; a pinned-schema
     # column missing from the footer is a hive partition column, whose
@@ -593,12 +610,7 @@ def targeted_delete(
             partials.append(r["__file"])
     if mode == "dv":
         if not dv_pairs:
-            return {
-                "files_affected": len(affected), "files_rewritten": 0,
-                "files_removed": 0, "rows_deleted": 0,
-                "files_tombstoned": 0, "dv_entries": 0,
-                "compacted": False,
-            }
+            return _noop_result(len(affected))
         from pyspark.sql.types import StringType, StructField
         from pyspark.sql.types import StructType as _ST
 
@@ -629,10 +641,7 @@ def targeted_delete(
             "compacted": compacted,
         }
     if not partials and not removes:
-        return {
-            "files_affected": len(affected), "files_rewritten": 0,
-            "files_removed": 0, "rows_deleted": 0,
-        }
+        return _noop_result(len(affected))
 
     def _write_partials(tmp: str) -> None:
         if serial:
@@ -699,13 +708,22 @@ def apply_deletion_vectors(
     Same O(1)-jobs shape as the batched delete: one physical-count
     scan + one live-count scan classify the cited files, one rewrite
     job handles all partials, swaps are journaled metadata renames.
-    Entries citing vanished files (their file was since rewritten by
-    a rewrite-mode delete or compaction) are simply cleared — the
-    replacement file was written from DV-filtered rows, so the
-    tombstoned rows are already physically gone.  Ordering is
-    crash-safe: files swap first, the manifest refresh records the
-    replacements, and the DV clear commits LAST — between the two, the
-    stale entries cite old file names and no-op."""
+
+    Concurrency + drift safety: the clear drops ONLY the sidecar
+    segments this compaction snapshotted, so tombstones appended by a
+    concurrent dv delete survive for the next compaction instead of
+    being silently discarded.  Entries citing VANISHED files (their
+    file was rewritten by a later delete/compaction after the entry
+    was recorded — the rows may live on under the replacement name)
+    are re-resolved BY VALUE through the manifest planner: a
+    rewrite-mode ``targeted_delete`` of those values physically
+    purges them wherever the rewrites moved them (a dv delete records
+    a value against EVERY file that held it, so value-level re-
+    resolution is exactly the union of its file-scoped entries).
+    Ordering is crash-safe: files swap first, the manifest refresh
+    records the replacements, and the DV clear commits LAST —
+    between the two, the stale entries cite old file names and
+    no-op."""
     from pyspark.sql.types import StructType
 
     from .stats_manifest import (
@@ -726,13 +744,29 @@ def apply_deletion_vectors(
             "files_rewritten": 0, "files_removed": 0,
             "dv_cols_cleared": [], "rows_purged": 0,
         }
+    # snapshot: exactly which sidecar segments this compaction is
+    # processing — the clear at the end drops these and ONLY these
+    snapshot = {
+        c: list(meta["dv"][c].get("segments", [])) for c in dv_cols
+    }
     cited: set[str] = set()
-    entries = 0
+    orphan_values: dict[str, list] = {}
     for c in dv_cols:
-        pairs = deletion_vector_pairs(spark, path, meta, c)
-        rows = pairs.select("file").distinct().collect()
-        cited |= {r["file"] for r in rows}
-        entries += pairs.count()
+        pairs = deletion_vector_pairs(spark, path, meta, c).persist()
+        cited |= {
+            r["file"] for r in pairs.select("file").distinct().collect()
+        }
+        # entries citing files no longer on disk: re-resolve by VALUE
+        # below (their rows may have been copied into replacements by
+        # a later rewrite — skipping them would resurrect rows)
+        orphans = [
+            r["v"]
+            for r in pairs.select("file", "v").distinct().collect()
+            if not os.path.exists(_local(r["file"]))
+        ]
+        if orphans:
+            orphan_values[c] = sorted(set(orphans))
+        pairs.unpersist()
     existing = sorted(f for f in cited if os.path.exists(_local(f)))
     partials: list[str] = []
     removes: list[str] = []
@@ -789,14 +823,21 @@ def apply_deletion_vectors(
             )
     if refresh_stats and (partials or removes):
         _refresh(spark, path, meta["cols"])
-    clear_deletion_vectors(spark, path, dv_cols)
     try:
         os.remove(_delete_journal_path(path))
     except FileNotFoundError:
         pass
+    # orphaned entries: purge by value through the planner (fresh
+    # manifest), BEFORE the clear so a crash in between leaves the
+    # entries in place for a retry rather than silently dropped
+    orphan_purged = 0
+    for c, vals in orphan_values.items():
+        res = targeted_delete(spark, path, c, vals, mode="rewrite")
+        orphan_purged += res["rows_deleted"]
+    clear_deletion_vectors(spark, path, snapshot)
     return {
         "files_rewritten": len(partials),
         "files_removed": len(removes),
         "dv_cols_cleared": dv_cols,
-        "rows_purged": rows_purged,
+        "rows_purged": rows_purged + orphan_purged,
     }

@@ -938,20 +938,31 @@ def append_deletion_vectors(
 
 
 def clear_deletion_vectors(
-    spark: SparkSession, path: str, cols: list[str]
+    spark: SparkSession, path: str, segments_by_col: dict[str, list[int]]
 ) -> None:
-    """Commit an epoch whose meta drops the DV entries for ``cols`` —
-    called AFTER compaction physically rewrote the tombstoned rows
-    away (``maintenance.apply_deletion_vectors``).  The sidecar dirs
-    age out of the vacuum keep-set once no retained meta cites
+    """Commit an epoch whose meta drops ONLY the given sidecar
+    segments per column — the snapshot a compaction actually
+    processed (``maintenance.apply_deletion_vectors``).  Entries
+    appended by a CONCURRENT dv delete after that snapshot keep their
+    segments, so compaction can never silently clear tombstones whose
+    rows were not rewritten.  Columns left with no segments drop out
+    of ``meta['dv']``; surviving counts are recomputed from the
+    remaining sidecars (bounded by ``_MAX_DV_ENTRIES``).  The cleared
+    dirs age out of the vacuum keep-set once no retained meta cites
     them."""
     epoch, meta = _load_meta(spark, path)
-    dv = {
-        c: info
-        for c, info in (meta.get("dv") or {}).items()
-        if c not in cols
-    }
     root = _manifest_root(path)
+    dv: dict = {}
+    for c, info in (meta.get("dv") or {}).items():
+        drop = set(segments_by_col.get(c, []))
+        remaining = [
+            s for s in info.get("segments", []) if s not in drop
+        ]
+        if remaining:
+            n = spark.read.parquet(
+                *[_dv_dir(root, e, c) for e in remaining]
+            ).count()
+            dv[c] = {"segments": remaining, "count": int(n)}
     new_epoch = _claim_epoch(root, epoch + 1)
     edir = _epoch_dir(root, new_epoch)
     os.makedirs(edir, exist_ok=True)

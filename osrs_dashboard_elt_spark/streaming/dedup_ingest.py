@@ -353,6 +353,21 @@ def start_dedup_ingest(
                 )
 
             n_accepted = accepted.count()
+            if n_accepted == 0:
+                # dynamic partition overwrite writes ZERO partitions
+                # for an empty frame, so a replay whose accepted set
+                # shrank to nothing (e.g. the doc was taken down and
+                # suppressed between attempts) would leave the prior
+                # attempt's CONTENT on disk — delete the partition
+                # explicitly; the manifest refresh below records the
+                # removals
+                import shutil as _shutil
+
+                _shutil.rmtree(
+                    f"{out_root}/accepted/run_id={run}"
+                    f"/batch_id={batch_id}",
+                    ignore_errors=True,
+                )
             route(accepted, "accepted")
             if stats_manifest is not None:
                 from ..sources.stats_manifest import (
@@ -447,6 +462,24 @@ def start_dedup_ingest(
                 "n_already_ingested": already.count(),
                 "n_accepted": n_accepted,
             }
+            n_quarantined = (
+                metrics["n_in_batch_dup"]
+                + metrics["n_corpus_dup"]
+                + metrics["n_already_ingested"]
+                + n_suppressed
+                + sum(gate_counts.values())
+            )
+            if n_quarantined == 0:
+                # same stale-partition hazard as accepted above (the
+                # quarantine stores only id + reason, but a stale
+                # partition would misreport docs as rejected)
+                import shutil as _shutil
+
+                _shutil.rmtree(
+                    f"{out_root}/quarantine/run_id={run}"
+                    f"/batch_id={batch_id}",
+                    ignore_errors=True,
+                )
             # 4a. optional ANN freshness: embed the accepted docs and
             # append their PQ codes, so a just-ingested doc is
             # immediately searchable (O(batch) — the codebooks are a
