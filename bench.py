@@ -185,6 +185,9 @@ BENCH_QUERIES = [
     "q_item_copurchase",
     "q_copurchase_pagerank",
     "q_event_transitions",
+    "q_targeted_upsert",
+    "q_change_feed",
+    "q_time_travel",
 ]
 
 

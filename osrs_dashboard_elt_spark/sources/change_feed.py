@@ -1,0 +1,313 @@
+"""Change data feed: row-level CDC for manifest-backed tables.
+
+Delta's Change Data Feed / Iceberg's changelog scan re-expressed on
+the stats-manifest substrate (reference analog: the dashboard's
+incremental consumers re-derive "what changed" by re-scanning and
+diffing whole tables, /root/reference/src/3_transform_data.py — at
+100 TB the diff must be RECORDED at mutation time, not recomputed).
+
+Layout: each mutation that changes reader-visible rows commits one
+change set under ``<table>/_stats_manifest/_changes/c<seq>/`` —
+parquet rows in the table's pinned schema plus a ``_change_type``
+column (``insert`` / ``delete`` / ``update_preimage`` /
+``update_postimage``).  Sequence numbers are claimed with
+O_CREAT|O_EXCL markers (the epoch/version discipline) and a change
+set becomes visible only when its ``_commit.json`` is atomically
+renamed into place, so readers never see a half-written delta.
+
+Two consumers:
+
+- :func:`read_change_feed` — the incremental-downstream shape: every
+  committed change row with ``_commit_seq`` stamped, filterable by
+  ``since_seq`` (exclusive), so a consumer checkpoints one integer
+  and reads O(new changes), never the table.
+- :func:`read_table_as_of` — time travel on a LIVE mutable table:
+  reconstructs the state as of a change-feed sequence number by
+  weighted multiset arithmetic over (current table + inverse
+  deltas), one hash aggregate — no retained data files, no snapshot
+  copies.  ``state(seq) = current - inserts_after(seq) +
+  deletes_after(seq)`` (updates contribute their pre/postimages),
+  which is EXACT when every mutation since ``seq`` recorded its
+  delta — the contract :func:`enable_change_feed` establishes:
+  ``maintenance.targeted_delete`` / ``targeted_upsert`` /
+  ``table_append`` all record deltas once the feed is enabled, and
+  deletion-vector compaction records nothing (tombstoned rows
+  already left the reader-visible state at dv-delete time).
+
+Scale shape: a change set is O(rows changed) parquet — a 3-row
+takedown on a 100 TB table writes 3 rows here.  Reconstruction is
+one union + one hash aggregate + one multiplicity re-expansion:
+2 shuffles over (table + changes), the same cost class as the
+exact-dedup pass, and bounded by vacuuming the feed
+(:func:`vacuum_change_feed`) once downstream consumers have
+checkpointed past it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CHANGE_TYPES = (
+    "insert", "delete", "update_preimage", "update_postimage",
+)
+
+# weight of each change type in the as-of reconstruction: state(seq) =
+# current + sum over deltas after seq of (weight x rows).  Rows the
+# mutation ADDED to the visible state must be subtracted to rewind;
+# rows it REMOVED must be added back.
+_REWIND_WEIGHT = {
+    "insert": -1,
+    "update_postimage": -1,
+    "delete": +1,
+    "update_preimage": +1,
+}
+
+_CHANGES_DIR = "_changes"
+_COMMIT = "_commit.json"
+_ENABLED = "_enabled.json"
+
+
+def _changes_root(path: str) -> str:
+    from .stats_manifest import _manifest_root
+
+    return os.path.join(_manifest_root(path), _CHANGES_DIR)
+
+
+def _change_dir(root: str, seq: int) -> str:
+    return os.path.join(root, f"c{seq:07d}")
+
+
+def enable_change_feed(path: str) -> None:
+    """Mark the table as change-feed-enabled (idempotent).  From this
+    point every ``maintenance`` mutation records its row-level delta;
+    mutations made BEFORE enablement are not reconstructable —
+    ``read_table_as_of`` can only rewind to sequence numbers >= the
+    enablement point (seq 0 = the state at enablement)."""
+    root = _changes_root(path)
+    os.makedirs(root, exist_ok=True)
+    marker = os.path.join(root, _ENABLED)
+    if os.path.exists(marker):
+        return
+    fd, tmp = tempfile.mkstemp(dir=root, prefix=".enabled-")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"enabled": True}, f)
+    os.replace(tmp, marker)
+
+
+def change_feed_enabled(path: str) -> bool:
+    return os.path.exists(os.path.join(_changes_root(path), _ENABLED))
+
+
+def _committed_seqs(root: str) -> list[int]:
+    try:
+        names = os.listdir(root)
+    except FileNotFoundError:
+        return []
+    out = []
+    for n in names:
+        if n.startswith("c") and n[1:].isdigit():
+            if os.path.exists(os.path.join(root, n, _COMMIT)):
+                out.append(int(n[1:]))
+    return sorted(out)
+
+
+def latest_change_seq(path: str) -> int:
+    """Newest committed change sequence (0 = none yet) — the
+    checkpoint value an incremental consumer stores."""
+    seqs = _committed_seqs(_changes_root(path))
+    return seqs[-1] if seqs else 0
+
+
+def _claim_seq(root: str) -> int:
+    """Claim the next change sequence with an O_CREAT|O_EXCL marker so
+    concurrent mutations get distinct change dirs."""
+    os.makedirs(root, exist_ok=True)
+    committed = _committed_seqs(root)
+    seq = (committed[-1] + 1) if committed else 1
+    while True:
+        try:
+            fd = os.open(
+                os.path.join(root, f".claim-c{seq:07d}"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            os.close(fd)
+            return seq
+        except FileExistsError:
+            seq += 1
+
+
+def stage_changes(
+    path: str, parts: list[tuple[DataFrame, str]]
+) -> tuple[int, str] | None:
+    """Write one mutation's change rows (uncommitted) and return
+    (seq, dir), or None when the feed is not enabled or the mutation
+    changed nothing.  ``parts`` pairs a DataFrame (table columns) with
+    its change type.  Staged-but-uncommitted dirs are invisible to
+    readers; :func:`commit_changes` publishes, :func:`abort_changes`
+    discards.  The write happens BEFORE the table mutation (the rows
+    must be captured while they are still readable); the commit
+    happens AFTER it, so a crashed mutation leaves either nothing
+    visible or — via the delete-journal reconcile — a committed delta
+    exactly when the mutation itself completed."""
+    if not change_feed_enabled(path):
+        return None
+    for _df, ct in parts:
+        if ct not in CHANGE_TYPES:
+            raise ValueError(
+                f"unknown change type {ct!r} (one of {CHANGE_TYPES})"
+            )
+    root = _changes_root(path)
+    seq = _claim_seq(root)
+    cdir = _change_dir(root, seq)
+    wrote = False
+    for df, ct in parts:
+        out = df.withColumn("_change_type", F.lit(ct))
+        # O(rows changed): a delta is takedown/batch-sized, so a
+        # single part file per change type keeps the feed compact
+        out.coalesce(1).write.mode("append").parquet(cdir)
+        wrote = True
+    if not wrote:
+        return None
+    # an all-empty delta (e.g. every candidate was a bloom false
+    # positive) must not commit: readers would union a schema-only dir
+    spark = parts[0][0].sparkSession
+    if spark.read.parquet(cdir).isEmpty():
+        shutil.rmtree(cdir, ignore_errors=True)
+        return None
+    return seq, cdir
+
+
+def commit_changes(cdir: str, op: str) -> None:
+    """Publish a staged change set (atomic rename of its commit
+    marker) — call AFTER the table mutation it describes committed."""
+    import time
+
+    fd, tmp = tempfile.mkstemp(dir=cdir, prefix=".commit-")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"op": op, "ts": time.time()}, f)
+    os.replace(tmp, os.path.join(cdir, _COMMIT))
+
+
+def abort_changes(cdir: str | None) -> None:
+    if cdir:
+        shutil.rmtree(cdir, ignore_errors=True)
+
+
+def read_change_feed(
+    spark: SparkSession,
+    path: str,
+    since_seq: int = 0,
+    until_seq: int | None = None,
+) -> DataFrame:
+    """Every committed change row with ``since_seq < _commit_seq <=
+    until_seq``: the table's pinned columns + ``_change_type`` +
+    ``_commit_seq``.  O(changes in range) — no table data is read.
+    Raises when the feed was never enabled (an empty frame would be
+    indistinguishable from "no changes", silently breaking CDC
+    consumers)."""
+    if not change_feed_enabled(path):
+        raise FileNotFoundError(
+            f"no change feed under {path} — call enable_change_feed "
+            "before mutating to record deltas"
+        )
+    root = _changes_root(path)
+    seqs = [
+        s
+        for s in _committed_seqs(root)
+        if s > since_seq and (until_seq is None or s <= until_seq)
+    ]
+    from .stats_manifest import _load_meta
+    from pyspark.sql.types import StructType
+
+    _, meta = _load_meta(spark, path)
+    schema = StructType.fromJson(meta["schema"])
+    empty_cols = [F.col(f.name) for f in schema.fields] + [
+        F.lit(None).cast("string").alias("_change_type"),
+        F.lit(None).cast("long").alias("_commit_seq"),
+    ]
+    if not seqs:
+        return spark.createDataFrame([], schema).select(*empty_cols)
+    out = None
+    for s in seqs:
+        one = spark.read.parquet(_change_dir(root, s)).withColumn(
+            "_commit_seq", F.lit(s).cast("long")
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+def read_table_as_of(
+    spark: SparkSession, path: str, seq: int
+) -> DataFrame:
+    """The table's reader-visible rows as of change sequence ``seq``
+    (0 = the state when the feed was enabled), reconstructed by
+    weighted multiset arithmetic:
+
+    ``state(seq) = current ⊎ Σ_{s>seq} rewind(delta_s)`` where rewind
+    adds back deleted rows / update preimages and subtracts inserted
+    rows / update postimages.  One unionByName + one hash aggregate
+    over every column + one multiplicity re-expansion — plan depth is
+    CONSTANT in the number of mutations (a sequential
+    ``exceptAll``/``union`` chain would grow the plan per mutation
+    and clamp at zero mid-chain, which mis-reconstructs
+    insert-then-delete histories).
+
+    Exact iff every mutation after ``seq`` recorded its delta — the
+    ``enable_change_feed`` contract.  Negative net multiplicities
+    (impossible under a complete feed) raise rather than silently
+    truncating."""
+    from .stats_manifest import read_table
+
+    current = read_table(spark, path)
+    cols = current.columns
+    changes = read_change_feed(spark, path, since_seq=seq)
+    weight = F.when(
+        F.col("_change_type").isin("delete", "update_preimage"), 1
+    ).otherwise(-1)
+    weighted = current.select(
+        *cols, F.lit(1).alias("__w")
+    ).unionByName(changes.select(*cols, weight.alias("__w")))
+    counted = weighted.groupBy(*cols).agg(F.sum("__w").alias("__n"))
+    bad = counted.filter(F.col("__n") < 0)
+    if not bad.isEmpty():
+        sample = bad.limit(3).collect()
+        raise ValueError(
+            f"change feed under {path} is inconsistent with the "
+            f"current table: net multiplicity < 0 for rows like "
+            f"{[r.asDict() for r in sample]} — a mutation bypassed "
+            "the feed or the feed was vacuumed past a live consumer"
+        )
+    return (
+        counted.filter(F.col("__n") > 0)
+        .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .select(*cols)
+    )
+
+
+def vacuum_change_feed(path: str, keep_since_seq: int) -> list[int]:
+    """Drop committed change sets with seq <= ``keep_since_seq`` (all
+    downstream consumers checkpointed past them; as-of reconstruction
+    older than the horizon becomes unavailable — Delta's CDF retention
+    caveat).  Returns the vacuumed sequence numbers."""
+    root = _changes_root(path)
+    out = []
+    for s in _committed_seqs(root):
+        if s <= keep_since_seq:
+            cdir = _change_dir(root, s)
+            try:  # un-commit first so a racing reader skips it cleanly
+                os.remove(os.path.join(cdir, _COMMIT))
+            except FileNotFoundError:
+                pass
+            shutil.rmtree(cdir, ignore_errors=True)
+            try:
+                os.remove(os.path.join(root, f".claim-c{s:07d}"))
+            except FileNotFoundError:
+                pass
+            out.append(s)
+    return out

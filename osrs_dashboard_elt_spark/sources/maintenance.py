@@ -335,31 +335,54 @@ def _delete_journal_path(path: str) -> str:
 
 
 def _write_delete_journal(
-    path: str, rewrites: dict[str, str], removes: list[str]
+    path: str,
+    rewrites: dict[str, str],
+    removes: list[str],
+    adds: list[str] | None = None,
+    changes: tuple[str, str] | None = None,
 ) -> None:
     """Intent record written BEFORE the first file mutation (atomic
     tmp+rename): maps each original to its deterministic replacement
-    so a crashed delete is reconcilable instead of silently
-    duplicating rows."""
+    (plus files the mutation will ADD, and the staged change-feed dir
+    with its op name) so a crashed mutation is reconcilable instead
+    of silently duplicating or losing rows."""
     jp = _delete_journal_path(path)
     os.makedirs(os.path.dirname(jp), exist_ok=True)
     fd, tmp = tempfile.mkstemp(
         dir=os.path.dirname(jp), prefix=".intent-"
     )
+    record = {"rewrites": rewrites, "removes": removes}
+    if adds:
+        record["adds"] = adds
+    if changes:
+        record["changes"] = list(changes)
     with os.fdopen(fd, "w") as f:
-        json.dump({"rewrites": rewrites, "removes": removes}, f)
+        json.dump(record, f)
     os.replace(tmp, jp)
 
 
 def _reconcile_delete_journal(spark: SparkSession, path: str) -> bool:
-    """Repair the table after a crashed ``targeted_delete``: for each
-    journaled rewrite, an (original, replacement) pair BOTH on disk
-    means the crash hit between publish and remove — drop the
-    replacement (the original is untouched and authoritative; the
-    retry rewrites it fresh).  Originals that are gone mean that
-    file's mutation completed; if any did, the manifest is stale and
-    gets refreshed here so planning can proceed.  Returns whether a
-    refresh ran."""
+    """Repair the table after a crashed mutation (``targeted_delete``
+    / ``targeted_upsert`` / ``table_append``): for each journaled
+    rewrite, an (original, replacement) pair BOTH on disk means the
+    crash hit between publish and remove — drop the replacement (the
+    original is untouched and authoritative; the retry rewrites it
+    fresh).  Originals that are gone (or journaled ADDS that landed)
+    mean mutation work completed; if any did, the manifest is stale
+    and gets refreshed here so planning can proceed.  A PURE append
+    that crashed mid-move is rolled BACK instead (adds have no lost
+    originals, so removal restores the exact pre-mutation state and
+    the retry starts clean).
+
+    Staged change-feed rows follow the mutation's fate: committed
+    when EVERY journaled step finished (the crash hit between the
+    last step and the change commit — the delta is exact), discarded
+    otherwise.  A PARTIALLY-completed mutation thus logs no delta;
+    the mandatory retry logs a fresh one computed from the partially-
+    mutated state, so the feed stays multiset-consistent (it reflects
+    the crash-intermediate state the table really passed through —
+    the honest semantics when a multi-file swap dies midway).
+    Returns whether a refresh ran."""
     from .stats_manifest import _load_meta
     from .stats_manifest import refresh_stats_manifest as _refresh
 
@@ -369,18 +392,44 @@ def _reconcile_delete_journal(spark: SparkSession, path: str) -> bool:
             journal = json.load(f)
     except FileNotFoundError:
         return False
+    rewrites = journal.get("rewrites", {})
+    removes = journal.get("removes", [])
+    adds = journal.get("adds", [])
     completed = False
-    for orig, repl in journal.get("rewrites", {}).items():
+    for orig, repl in rewrites.items():
         if os.path.exists(orig) and os.path.exists(repl):
             os.remove(repl)  # orphaned duplicate of the kept rows
         elif not os.path.exists(orig):
             completed = True
-    for orig in journal.get("removes", []):
+    for orig in removes:
         if not os.path.exists(orig):
             completed = True
+    adds_landed = [a for a in adds if os.path.exists(a)]
+    if not rewrites and not removes and adds:
+        if len(adds_landed) < len(adds):
+            for a in adds_landed:  # roll a partial pure append back
+                os.remove(a)
+            adds_landed = []
+    completed = completed or bool(adds_landed)
+    fully = (
+        (rewrites or removes or adds)
+        and all(not os.path.exists(o) for o in rewrites)
+        and all(not os.path.exists(o) for o in removes)
+        and len(adds_landed) == len(adds)
+    )
     if completed:
         _, meta = _load_meta(spark, path)
         _refresh(spark, path, meta["cols"])
+    cj = journal.get("changes")
+    if cj:
+        from .change_feed import abort_changes, commit_changes
+
+        cdir, op = cj
+        if os.path.isdir(cdir):
+            if fully:
+                commit_changes(cdir, op)
+            else:
+                abort_changes(cdir)
     # the journal is the ONLY record of completed mutations: remove it
     # AFTER the refresh commits, so a crash (or refresh failure) here
     # leaves a retryable state instead of a stale manifest with no
@@ -395,26 +444,35 @@ def _journal_and_swap(
     partials: list[str],
     removes: list[str],
     write_partials_fn,
+    adds: list[str] | None = None,
+    changes: tuple[str, str] | None = None,
 ) -> dict[str, str]:
-    """The crash-safe mutation section shared by ``targeted_delete``
-    and ``apply_deletion_vectors``: journal the intent, let
-    ``write_partials_fn(tmp_dir)`` produce one ``__src=<i>/`` dir per
-    sorted partial file, then swap replacements in with deterministic
-    names (atomic os.replace) and drop originals — metadata-only, no
-    jobs.  Returns the original->replacement map."""
+    """The crash-safe mutation section shared by ``targeted_delete``,
+    ``targeted_upsert`` and ``apply_deletion_vectors``: journal the
+    intent, let ``write_partials_fn(tmp_dir)`` produce one
+    ``__src=<i>/`` dir per sorted partial file (plus one ``__ins/``
+    dir when the mutation inserts — ``adds`` names its target files),
+    then swap replacements in with deterministic names (atomic
+    os.replace), drop originals, and move inserts in — metadata-only,
+    no jobs.  ``changes`` is the staged change-feed (dir, op) pair the
+    journal records so a crash commits/aborts the delta with the
+    mutation.  Returns the original->replacement map."""
     rewrites = {
         _local(f): os.path.join(
             os.path.dirname(_local(f)), _replacement_name(_local(f))
         )
         for f in partials
     }
-    _write_delete_journal(path, rewrites, removes)
+    adds = list(adds or [])
+    _write_delete_journal(
+        path, rewrites, removes, adds=adds, changes=changes
+    )
     # stage INSIDE the table dir (dot-prefixed: invisible to readers):
     # os.replace must stay same-device — /tmp is routinely a different
     # filesystem (tmpfs) and a cross-device rename raises EXDEV
     tmp = tempfile.mkdtemp(dir=path, prefix=".delete-batch-")
     try:
-        if partials:
+        if partials or adds:
             write_partials_fn(tmp)
         for i, f in enumerate(sorted(partials)):
             part = next(
@@ -427,6 +485,21 @@ def _journal_and_swap(
                 os.remove(target)
             os.replace(os.path.join(tmp, f"__src={i}", part), target)
             os.remove(_local(f))
+        if adds:
+            ins_parts = sorted(
+                fn
+                for fn in os.listdir(os.path.join(tmp, "__ins"))
+                if fn.endswith(".parquet")
+            )
+            if len(ins_parts) != len(adds):
+                raise RuntimeError(
+                    f"insert writer produced {len(ins_parts)} part "
+                    f"files for {len(adds)} journaled targets"
+                )
+            for part, target in zip(ins_parts, adds):
+                if os.path.exists(target):  # stale orphan from a crash
+                    os.remove(target)
+                os.replace(os.path.join(tmp, "__ins", part), target)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     for f in removes:
@@ -442,9 +515,18 @@ def targeted_delete(
     refresh_stats: bool = True,
     serial: bool = False,
     mode: str = "rewrite",
+    _log_changes: bool = True,
 ) -> dict:
     """Delete all rows where ``col`` is one of ``values`` by rewriting
     ONLY the files that can contain them — the takedown/GDPR path.
+
+    When the table's CHANGE FEED is enabled
+    (``change_feed.enable_change_feed``), the deleted rows are
+    recorded as a ``delete`` delta — staged before the mutation
+    (while still readable), committed after it, and reconciled with
+    the mutation's fate on a crash (``_log_changes=False`` is the
+    internal hook for physical-only rewrites like DV compaction,
+    whose rows already left the visible state at tombstone time).
 
     Planning goes through the stats manifest
     (``stats_manifest.files_for_values``): per-file min/max bounds plus
@@ -614,11 +696,26 @@ def targeted_delete(
         from pyspark.sql.types import StringType, StructField
         from pyspark.sql.types import StructType as _ST
 
+        from .change_feed import (
+            abort_changes,
+            commit_changes,
+            stage_changes,
+        )
         from .stats_manifest import _MAX_DV_ENTRIES
         from .stats_manifest import (
             append_deletion_vectors as _append_dv,
         )
 
+        # tombstoning IS the reader-visible delete: the delta commits
+        # with the dv epoch, and the later physical compaction logs
+        # nothing (the rows already left the visible state here)
+        staged = None
+        if _log_changes:
+            field_names = [f.name for f in pinned.fields]
+            dv_rows = live.filter(F.col(col).isin(values)).select(
+                *field_names
+            )
+            staged = stage_changes(path, [(dv_rows, "delete")])
         pairs_df = spark.createDataFrame(
             dv_pairs,
             _ST([
@@ -626,7 +723,14 @@ def targeted_delete(
                 StructField("v", pinned[col].dataType, False),
             ]),
         )
-        total = _append_dv(spark, path, col, pairs_df)
+        try:
+            total = _append_dv(spark, path, col, pairs_df)
+        except BaseException:
+            if staged:
+                abort_changes(staged[1])
+            raise
+        if staged:
+            commit_changes(staged[1], "targeted_delete_dv")
         compacted = False
         if total > _MAX_DV_ENTRIES:
             apply_deletion_vectors(spark, path, refresh_stats=True)
@@ -642,6 +746,14 @@ def targeted_delete(
         }
     if not partials and not removes:
         return _noop_result(len(affected))
+    staged = None
+    if _log_changes:
+        from .change_feed import stage_changes
+
+        field_names = [f.name for f in pinned.fields]
+        staged = stage_changes(
+            path, [(live.filter(~keep_pred).select(*field_names), "delete")]
+        )
 
     def _write_partials(tmp: str) -> None:
         if serial:
@@ -679,11 +791,21 @@ def targeted_delete(
             )
             rw.write.partitionBy("__src").mode("overwrite").parquet(tmp)
 
-    _journal_and_swap(spark, path, partials, removes, _write_partials)
+    _journal_and_swap(
+        spark, path, partials, removes, _write_partials,
+        changes=(staged[1], "targeted_delete") if staged else None,
+    )
     if refresh_stats:
         # O(rewritten files), not O(table): only the replacement files
         # get stat'd/bloomed; vanished originals drop out
         _refresh(spark, path, meta["cols"])
+    if staged:
+        # change commit BEFORE journal removal: a crash in between is
+        # re-committed by the reconcile (idempotent), whereas the
+        # reverse order could lose a completed mutation's delta
+        from .change_feed import commit_changes
+
+        commit_changes(staged[1], "targeted_delete")
     try:
         os.remove(_delete_journal_path(path))
     except FileNotFoundError:
@@ -832,7 +954,12 @@ def apply_deletion_vectors(
     # entries in place for a retry rather than silently dropped
     orphan_purged = 0
     for c, vals in orphan_values.items():
-        res = targeted_delete(spark, path, c, vals, mode="rewrite")
+        # physical-only: these rows' deletes were logged to the change
+        # feed when they were tombstoned — logging again would double
+        # the delta
+        res = targeted_delete(
+            spark, path, c, vals, mode="rewrite", _log_changes=False
+        )
         orphan_purged += res["rows_deleted"]
     clear_deletion_vectors(spark, path, snapshot)
     return {
@@ -840,4 +967,337 @@ def apply_deletion_vectors(
         "files_removed": len(removes),
         "dv_cols_cleared": dv_cols,
         "rows_purged": rows_purged + orphan_purged,
+    }
+
+
+def _insert_file_name(keys: list) -> str:
+    """Deterministic insert part-file name derived from the inserted
+    key set — the append analog of :func:`_replacement_name`: a
+    crashed upsert's retry either re-lands the same file (same keys
+    still missing) or inserts nothing (the keys arrived), so a
+    landed-then-retried insert can never duplicate rows under a
+    second name."""
+    import hashlib
+
+    h = hashlib.sha1(
+        "\x00".join(str(k) for k in keys).encode()
+    ).hexdigest()[:16]
+    return f"part-ups-{h}.snappy.parquet"
+
+
+def _flat_data_cols(
+    spark: SparkSession, path: str, meta: dict, sample_file: str
+) -> list[str]:
+    """The table's physical data columns, refusing hive-partitioned
+    layouts: an upsert/append would have to route rows into partition
+    DIRS (and a key update across partitions is a move, not a
+    rewrite) — that path belongs to the partitioned writers."""
+    from pyspark.sql.types import StructType
+
+    pinned = StructType.fromJson(meta["schema"])
+    data_cols = spark.read.parquet(sample_file).columns
+    if set(data_cols) != {f.name for f in pinned.fields}:
+        part_cols = sorted(
+            {f.name for f in pinned.fields} - set(data_cols)
+        )
+        raise ValueError(
+            f"{path} is hive-partitioned on {part_cols} — upsert/"
+            "append must route rows through the partitioned writer "
+            "(dedup_append / write path), not the flat-file planner"
+        )
+    return data_cols
+
+
+def table_append(
+    spark: SparkSession,
+    path: str,
+    rows: DataFrame,
+    refresh_stats: bool = True,
+) -> dict:
+    """Append ``rows`` to a manifest-backed table as ONE new part
+    file, journaled and crash-safe: the write stages inside the table
+    dir, the journal names the target, and a crash mid-move rolls the
+    (pure) append back so a retry starts clean.  With the change feed
+    enabled the batch is recorded as an ``insert`` delta.
+
+    This is the CDC-shaped append (batch-sized changesets riding the
+    same journal/refresh machinery as delete/upsert) — bulk loads
+    should use the partitioned/bucketed writers and a manifest
+    refresh instead.  Returns {files_added, rows_inserted}."""
+    from pyspark.sql.types import StructType
+
+    from .change_feed import commit_changes, stage_changes
+    from .stats_manifest import _load_meta
+    from .stats_manifest import refresh_stats_manifest as _refresh
+
+    _reconcile_delete_journal(spark, path)
+    _, meta = _load_meta(spark, path)
+    if meta["immutable"]:
+        raise ValueError(
+            f"{path} is an immutable published snapshot — publish a "
+            "new version with the rows instead of appending in place"
+        )
+    pinned = StructType.fromJson(meta["schema"])
+    first = sorted(spark.read.parquet(path).inputFiles())
+    data_cols = _flat_data_cols(spark, path, meta, first[0])
+    missing = [c for c in data_cols if c not in rows.columns]
+    if missing:
+        raise ValueError(
+            f"append rows are missing table columns {missing}"
+        )
+    shaped = rows.select(
+        *[F.col(c).cast(pinned[c].dataType).alias(c) for c in data_cols]
+    )
+    n = shaped.count()
+    if n == 0:
+        return {"files_added": 0, "rows_inserted": 0}
+    staged = stage_changes(path, [(shaped, "insert")])
+    target = os.path.join(
+        path, _insert_file_name([f"append:{n}", os.urandom(8).hex()])
+    )
+
+    def _write(tmp: str) -> None:
+        shaped.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "__ins")
+        )
+
+    _journal_and_swap(
+        spark, path, [], [], _write, adds=[target],
+        changes=(staged[1], "table_append") if staged else None,
+    )
+    if refresh_stats:
+        _refresh(spark, path, meta["cols"])
+    if staged:
+        commit_changes(staged[1], "table_append")
+    try:
+        os.remove(_delete_journal_path(path))
+    except FileNotFoundError:
+        pass
+    return {"files_added": 1, "rows_inserted": n}
+
+
+def targeted_upsert(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    updates: DataFrame,
+    refresh_stats: bool = True,
+) -> dict:
+    """MERGE a batch-sized changeset into a manifest-backed table,
+    copy-on-write: rows whose ``key_col`` matches an update are
+    REPLACED by the update row (every occurrence — Delta's
+    whenMatchedUpdateAll), keys with no match are INSERTED as one new
+    part file (whenNotMatchedInsertAll).  The Delta/Iceberg ``MERGE
+    INTO`` shape re-expressed on the stats-manifest substrate — the
+    apply-CDC-to-table primitive the reference performs as row-wise
+    SQLite upserts (/root/reference/src/3_transform_data.py, the
+    INSERT OR REPLACE discipline).
+
+    Planning goes through the per-file blooms/min-max
+    (``files_for_values`` on the update keys), so a 100-row merge
+    against a million-file table touches ~|keys| files, and execution
+    keeps the batched-delete O(1)-job shape regardless of how many
+    files match:
+
+    1. ONE classification scan over the affected files counts matched
+       rows per file and collects WHICH keys each file holds — bloom
+       false positives are skipped untouched, and keys matched
+       nowhere become the insert set.
+    2. ONE rewrite job for ALL partial files: live rows left-join the
+       broadcast update set on the key; matched rows take the update's
+       columns, others pass through — shuffled by source file so each
+       original maps to one replacement.  The insert set rides the
+       same job's staging dir as ``__ins/``.
+    3. The shared journal/swap section publishes replacements +
+       the insert file atomically-per-file with crash reconcile.
+
+    ``updates`` is collected to the driver (it is a CHANGESET — the
+    takedown-sized contract shared with the delete value list; bulk
+    rebuilds belong to ``publish_versioned``).  Duplicate or NULL
+    update keys raise: two updates for one key would make the merge
+    non-deterministic (Delta raises the same way).  Rows already
+    tombstoned by deletion vectors are invisible — they are neither
+    updated nor resurrected.  With the change feed enabled the merge
+    records ``update_preimage`` / ``update_postimage`` / ``insert``
+    deltas.  Retry-idempotent after a crash: landed inserts re-plan
+    as updates (same values), landed updates rewrite to the same
+    bytes.
+
+    Returns {files_affected, files_rewritten, rows_updated,
+    rows_inserted}."""
+    from pyspark.sql.types import StructType
+
+    from .change_feed import commit_changes, stage_changes
+    from .stats_manifest import (
+        _load_meta,
+        _norm_col,
+        apply_deletion_vectors_df,
+        files_for_values,
+    )
+    from .stats_manifest import refresh_stats_manifest as _refresh
+
+    _reconcile_delete_journal(spark, path)
+    _, meta = _load_meta(spark, path)
+    if meta["immutable"]:
+        raise ValueError(
+            f"{path} is an immutable published snapshot — publish a "
+            "new version with the merge applied instead"
+        )
+    pinned = StructType.fromJson(meta["schema"])
+    all_files = sorted(spark.read.parquet(path).inputFiles())
+    data_cols = _flat_data_cols(spark, path, meta, all_files[0])
+    if key_col not in data_cols:
+        raise ValueError(f"{key_col!r} is not a column of {path}")
+    missing = [c for c in data_cols if c not in updates.columns]
+    if missing:
+        raise ValueError(
+            f"update rows are missing table columns {missing}"
+        )
+    shaped = updates.select(
+        *[F.col(c).cast(pinned[c].dataType).alias(c) for c in data_cols]
+    )
+    upd_rows = shaped.collect()  # changeset contract: driver-sized
+    keys = [r[key_col] for r in upd_rows]
+    if any(k is None for k in keys):
+        raise ValueError("update keys must be non-null")
+    if len(set(keys)) != len(keys):
+        dupes = sorted(
+            {k for k in keys if keys.count(k) > 1}, key=str
+        )[:3]
+        raise ValueError(
+            f"duplicate update keys (e.g. {dupes}) — a merge with two "
+            "source rows for one key is non-deterministic"
+        )
+    upd_df = spark.createDataFrame(upd_rows, shaped.schema)
+    affected = files_for_values(spark, path, key_col, keys)
+    matched_keys: set = set()
+    partials: list[str] = []
+    rows_updated = 0
+    if affected:
+        reader = (
+            spark.read.schema(pinned).option("basePath", path)
+            .parquet(*affected)
+        )
+        base = reader.withColumn(
+            "__file", _norm_col(F.input_file_name())
+        )
+        live = apply_deletion_vectors_df(
+            spark, path, meta, base, file_col="__file"
+        )
+        hit = F.col(key_col).isin(keys)
+        cls = (
+            live.select("__file", F.col(key_col))
+            .groupBy("__file")
+            .agg(
+                F.sum(F.when(hit, 1).otherwise(0)).alias("m"),
+                F.collect_set(
+                    F.when(hit, F.col(key_col))
+                ).alias("matched"),
+            )
+            .collect()
+        )
+        for r in cls:
+            m = int(r["m"] or 0)
+            if m == 0:  # bloom false positive — leave untouched
+                continue
+            rows_updated += m
+            matched_keys |= set(r["matched"])
+            partials.append(r["__file"])
+    insert_rows = [r for r in upd_rows if r[key_col] not in matched_keys]
+    if not partials and not insert_rows:
+        return {
+            "files_affected": len(affected), "files_rewritten": 0,
+            "rows_updated": 0, "rows_inserted": 0,
+        }
+    adds: list[str] = []
+    ins_df = None
+    if insert_rows:
+        ins_df = spark.createDataFrame(insert_rows, shaped.schema)
+        adds = [
+            os.path.join(
+                path,
+                _insert_file_name(
+                    sorted((r[key_col] for r in insert_rows), key=str)
+                ),
+            )
+        ]
+    # merged view of the partial files: matched rows take the update's
+    # columns (broadcast left join on the key), others pass through
+    upd_marked = F.broadcast(
+        upd_df.select(
+            F.col(key_col).alias("__k"),
+            F.lit(1).alias("__hit"),
+            *[F.col(c).alias(f"__u_{c}") for c in data_cols],
+        )
+    )
+
+    def _merged(src: DataFrame) -> DataFrame:
+        j = src.join(
+            upd_marked, F.col(key_col) == F.col("__k"), "left"
+        )
+        return j.select(
+            *[
+                F.when(F.col("__hit").isNotNull(), F.col(f"__u_{c}"))
+                .otherwise(F.col(c)).alias(c)
+                for c in data_cols
+            ],
+            *[c for c in src.columns if c not in data_cols],
+        )
+
+    staged = None
+    parts = []
+    if partials:
+        live_partials = live.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(f,) for f in partials], "__file string"
+                )
+            ),
+            "__file",
+        )
+        pre = live_partials.filter(F.col(key_col).isin(keys)).select(
+            *[f.name for f in pinned.fields]
+        )
+        post = _merged(
+            live_partials.filter(F.col(key_col).isin(keys))
+        ).select(*[f.name for f in pinned.fields])
+        parts += [(pre, "update_preimage"), (post, "update_postimage")]
+    if ins_df is not None:
+        parts.append((ins_df, "insert"))
+    staged = stage_changes(path, parts)
+
+    def _write(tmp: str) -> None:
+        if partials:
+            src_map = spark.createDataFrame(
+                [(f, i) for i, f in enumerate(sorted(partials))],
+                "__file string, __src int",
+            )
+            rw = _merged(
+                live.join(F.broadcast(src_map), "__file")
+            ).select(*data_cols, "__src").repartition(
+                len(partials), "__src"
+            )
+            rw.write.partitionBy("__src").mode("overwrite").parquet(tmp)
+        if ins_df is not None:
+            ins_df.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(tmp, "__ins")
+            )
+
+    _journal_and_swap(
+        spark, path, partials, [], _write, adds=adds,
+        changes=(staged[1], "targeted_upsert") if staged else None,
+    )
+    if refresh_stats:
+        _refresh(spark, path, meta["cols"])
+    if staged:
+        commit_changes(staged[1], "targeted_upsert")
+    try:
+        os.remove(_delete_journal_path(path))
+    except FileNotFoundError:
+        pass
+    return {
+        "files_affected": len(affected),
+        "files_rewritten": len(partials),
+        "rows_updated": rows_updated,
+        "rows_inserted": len(insert_rows),
     }

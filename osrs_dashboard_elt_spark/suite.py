@@ -1471,7 +1471,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_quality_probe",            # trained linear probe (round 5)
     # —— round-3: retrieval / warehouse / sketches ——
     "q_bm25_search",
-    "q_cdc_merge",
+    # (q_cdc_merge moved out of the window for q_targeted_upsert —
+    # the CDC-apply family keeps its manifest-planned successor, the
+    # bloom-planned MERGE, in-window; the DataFrame-level merge stays
+    # green in the local sweep)
+    "q_targeted_upsert",       # bloom-planned MERGE (round 8)
     "q_scd2_history",
     "q_hll_distinct_users",
     "q_cms_heavy_hitters",
@@ -1483,9 +1487,10 @@ _PRIORITY: tuple[str, ...] = (
     # top-K entry changelog)
     "q_stream_topk_entries",
     # —— round-3: sampling / decontamination / skew / text ——
-    "q_hash_sample",
-    # (q_weighted_sample moved out of the window for q_semantic_dedup
-    # — sampling keeps two oracle-checked representatives)
+    # (q_hash_sample moved out of the window for q_change_feed —
+    # sampling keeps q_global_shuffle_order in-window; hash/weighted
+    # sampling stay green in the local sweep)
+    "q_change_feed",           # row-level CDC deltas (round 8)
     "q_global_shuffle_order",
     "q_contamination_report",
     "q_salted_join",
@@ -8090,4 +8095,191 @@ def q_event_transitions(spark, sf_dir):
         dround(
             F.col("n").cast("double") / F.sum("n").over(row_tot)
         ).alias("p_next"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: table-format substrate — MERGE, change data feed, time travel
+# ---------------------------------------------------------------------------
+
+_CDF_PATH_CACHE: dict[str, str] = {}
+_CDF_DELETE_IDS = [111, 555]           # seq 1: rewrite-mode delete
+_CDF_APPEND_ROWS = [                   # seq 2: journaled append
+    (98000001, 9101, 1.25), (98000002, 9102, 2.5),
+]
+_CDF_UPDATE_ROW = (777, 4242, 9.75)    # seq 3: MERGE — update...
+_CDF_UPSERT_INSERT = (98000003, 9103, 3.75)   # ...plus insert
+_CDF_ROW_SCHEMA = "event_id long, user_id long, value double"
+
+
+def _cdf_table(spark, sf_dir: str) -> str:
+    """A manifest-backed events table with its change feed enabled and
+    THREE recorded mutations (delete -> append -> merge), memoized per
+    sf_dir — one build serves the merge / change-feed / time-travel
+    queries (each a pure function of the immutable input)."""
+    import tempfile
+
+    from .sources.change_feed import enable_change_feed
+    from .sources.maintenance import (
+        table_append,
+        targeted_delete,
+        targeted_upsert,
+    )
+    from .sources.stats_manifest import write_stats_manifest
+
+    if sf_dir not in _CDF_PATH_CACHE:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", F.col("value").cast("double").alias("value")
+        )
+        path = tempfile.mkdtemp(prefix="cdf_") + "/tbl"
+        ev.repartition(16, "event_id").write.parquet(path)
+        write_stats_manifest(
+            spark, path, ["user_id"],
+            bloom_cols=["event_id"], bloom_bits=1 << 18,
+        )
+        enable_change_feed(path)
+        targeted_delete(spark, path, "event_id", _CDF_DELETE_IDS)
+        table_append(
+            spark, path,
+            spark.createDataFrame(_CDF_APPEND_ROWS, _CDF_ROW_SCHEMA),
+        )
+        targeted_upsert(
+            spark, path, "event_id",
+            spark.createDataFrame(
+                [_CDF_UPDATE_ROW, _CDF_UPSERT_INSERT], _CDF_ROW_SCHEMA
+            ),
+        )
+        _CDF_PATH_CACHE[sf_dir] = path
+    return _CDF_PATH_CACHE[sf_dir]
+
+
+_UPS_U = _CDF_UPDATE_ROW
+_UPS_VALUES_SQL = ", ".join(
+    f"(CAST({e} AS BIGINT), CAST({u} AS BIGINT), CAST({v} AS DOUBLE))"
+    for e, u, v in (
+        [_CDF_UPDATE_ROW, _CDF_UPSERT_INSERT] + _CDF_APPEND_ROWS
+    )
+)
+
+
+@query(
+    "q_targeted_upsert",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT event_id, user_id, value FROM events
+      WHERE event_id NOT IN ({_CDF_DELETE_IDS[0]}, {_CDF_DELETE_IDS[1]},
+                             {_CDF_UPDATE_ROW[0]})
+      UNION ALL
+      SELECT * FROM (VALUES {_UPS_VALUES_SQL})
+             t(event_id, user_id, value)
+    )
+    GROUP BY user_id
+    """,
+)
+def q_targeted_upsert(spark, sf_dir):
+    """Bloom-planned MERGE — Delta/Iceberg ``MERGE INTO`` re-expressed
+    on the stats-manifest substrate
+    (sources/maintenance.py::targeted_upsert): the update keys plan
+    their file set through per-file blooms (``files_for_values``),
+    ONE classification scan + ONE rewrite job replace every matched
+    row copy-on-write (journaled deterministic swaps, O(1) jobs in
+    |files touched|), and unmatched keys land as one new part file.
+    The apply-CDC-to-table primitive the reference performs as
+    row-wise SQLite upserts (/root/reference/src/3_transform_data.py,
+    the INSERT OR REPLACE discipline).  The oracle proves the final
+    table equals base-minus-deleted-and-updated plus the exact
+    update/insert/append rows; per-file byte-identity of untouched
+    files and the O(1)-job contract are pinned in
+    tests/test_targeted_upsert.py."""
+    tbl = _cdf_table(spark, sf_dir)
+    remaining = spark.read.parquet(tbl)
+    return remaining.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("value").alias("sum_value"),
+    )
+
+
+@query(
+    "q_change_feed",
+    oracle=f"""
+    SELECT event_id, user_id, value, 'delete' AS change_type
+    FROM events
+    WHERE event_id IN ({_CDF_DELETE_IDS[0]}, {_CDF_DELETE_IDS[1]})
+    UNION ALL
+    SELECT * FROM (VALUES
+      (CAST({_CDF_APPEND_ROWS[0][0]} AS BIGINT), CAST({_CDF_APPEND_ROWS[0][1]} AS BIGINT),
+       CAST({_CDF_APPEND_ROWS[0][2]} AS DOUBLE), 'insert'),
+      (CAST({_CDF_APPEND_ROWS[1][0]} AS BIGINT), CAST({_CDF_APPEND_ROWS[1][1]} AS BIGINT),
+       CAST({_CDF_APPEND_ROWS[1][2]} AS DOUBLE), 'insert'),
+      (CAST({_CDF_UPSERT_INSERT[0]} AS BIGINT), CAST({_CDF_UPSERT_INSERT[1]} AS BIGINT),
+       CAST({_CDF_UPSERT_INSERT[2]} AS DOUBLE), 'insert'),
+      (CAST({_UPS_U[0]} AS BIGINT), CAST({_UPS_U[1]} AS BIGINT),
+       CAST({_UPS_U[2]} AS DOUBLE), 'update_postimage')
+    ) t(event_id, user_id, value, change_type)
+    UNION ALL
+    SELECT event_id, user_id, value, 'update_preimage' AS change_type
+    FROM events
+    WHERE event_id = {_UPS_U[0]}
+    """,
+)
+def q_change_feed(spark, sf_dir):
+    """Change data feed (sources/change_feed.py): every mutation on
+    the manifest-backed table records its row-level delta — full row
+    content + change type — under the claim/commit protocol, so a
+    downstream consumer reads O(changes) increments instead of
+    re-diffing the table (Delta CDF / Iceberg changelog re-expressed
+    on the epoch substrate; the reference's consumers re-scan and
+    re-derive, /root/reference/src/3_transform_data.py).  The oracle
+    reconstructs the exact expected delta set from the base table:
+    the deleted rows' full content, the appended and merge-inserted
+    rows, and the merge's pre/postimage pair.  Commit/crash atomicity
+    (journal reconcile, staged-dir abort) is pinned in
+    tests/test_change_feed.py."""
+    from .sources.change_feed import read_change_feed
+
+    tbl = _cdf_table(spark, sf_dir)
+    feed = read_change_feed(spark, tbl)
+    return feed.select(
+        "event_id", "user_id", "value",
+        F.col("_change_type").alias("change_type"),
+    )
+
+
+@query(
+    "q_time_travel",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_id NOT IN ({_CDF_DELETE_IDS[0]}, {_CDF_DELETE_IDS[1]})
+    GROUP BY user_id
+    """,
+)
+def q_time_travel(spark, sf_dir):
+    """Time travel on a LIVE mutable table
+    (sources/change_feed.py::read_table_as_of): the state as of
+    change-sequence 1 (after the delete, before the append and the
+    merge) reconstructed by weighted multiset arithmetic — current
+    rows weight +1, inverse deltas of later mutations +/-1, one hash
+    aggregate over all columns, multiplicity re-expanded — CONSTANT
+    plan depth in the number of mutations (an exceptAll/union chain
+    would grow the plan per mutation and clamp at zero mid-chain,
+    mis-reconstructing insert-then-delete histories).  No retained
+    data files, no snapshot copies: O(changes) extra storage.  The
+    immutable-snapshot form of time travel
+    (``maintenance.publish_versioned``/``read_version``) is tested in
+    tests/test_maintenance.py; this is the mutable-table complement.
+    The oracle proves the rewound state equals base-minus-the-seq-1
+    delete exactly."""
+    from .sources.change_feed import read_table_as_of
+
+    tbl = _cdf_table(spark, sf_dir)
+    past = read_table_as_of(spark, tbl, 1)
+    return past.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("value").alias("sum_value"),
     )

@@ -74,11 +74,12 @@ def test_priority_window_spans_all_families():
         "tpch": {"q13_customer_order_dist", "q18_large_orders", "q_waiting_orders"},
         "window_fns": {"q_window_functions", "q_rolling_range_window"},
         "bm25": {"q_bm25_search"},
-        "cdc": {"q_cdc_merge"},
+        "cdc": {"q_cdc_merge", "q_targeted_upsert"},
         "scd2": {"q_scd2_history"},
         "sketches": {"q_hll_distinct_users", "q_cms_heavy_hitters"},
         "streaming": {"q_streaming_windowed_rollup", "q_streaming_session_rollup"},
         "sampling": {"q_hash_sample", "q_weighted_sample", "q_global_shuffle_order"},
+        "change_feed": {"q_change_feed"},
         "decontaminate": {"q_contamination_report"},
         "skew": {"q_salted_join"},
         "baskets": {"q_item_copurchase"},

@@ -1,0 +1,289 @@
+"""Change data feed (sources/change_feed.py): mutations on a
+manifest-backed table record row-level deltas (insert / delete /
+update pre+postimage) under the commit protocol; consumers read
+O(changes) increments, and ``read_table_as_of`` reconstructs any past
+visible state by weighted multiset arithmetic over current + inverse
+deltas."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from osrs_dashboard_elt_spark.sources.change_feed import (
+    enable_change_feed,
+    latest_change_seq,
+    read_change_feed,
+    read_table_as_of,
+    vacuum_change_feed,
+)
+from osrs_dashboard_elt_spark.sources.maintenance import (
+    table_append,
+    targeted_delete,
+    targeted_upsert,
+)
+from osrs_dashboard_elt_spark.sources.stats_manifest import (
+    read_table,
+    write_stats_manifest,
+)
+
+
+def _tbl(spark, path, n=2000, files=8):
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 13).alias("tag"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    )
+    df.repartition(files, "doc_id").write.parquet(path)
+    write_stats_manifest(
+        spark, path, ["tag"], bloom_cols=["doc_id"], bloom_bits=1 << 15
+    )
+    enable_change_feed(path)
+
+
+def _rows(df):
+    return sorted(
+        (r["doc_id"], r["tag"], r["text"])
+        for r in df.select("doc_id", "tag", "text").collect()
+    )
+
+
+def test_delete_records_delete_delta(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path)
+    targeted_delete(spark, path, "doc_id", [5, 99, 1500])
+    feed = read_change_feed(spark, path)
+    got = feed.select(
+        "doc_id", "_change_type", "_commit_seq"
+    ).collect()
+    assert sorted(r["doc_id"] for r in got) == [5, 99, 1500]
+    assert {r["_change_type"] for r in got} == {"delete"}
+    assert {r["_commit_seq"] for r in got} == {1}
+    # the delta carries FULL row content (reconstruction needs it)
+    row5 = feed.filter(F.col("doc_id") == 5).collect()[0]
+    assert row5["text"] == "t5" and row5["tag"] == 5
+
+
+def test_dv_delete_records_delta_at_tombstone_time(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path)
+    targeted_delete(spark, path, "doc_id", [7, 8], mode="dv")
+    feed = read_change_feed(spark, path)
+    assert sorted(r["doc_id"] for r in feed.collect()) == [7, 8]
+    # physical compaction of the tombstones logs NOTHING (the rows
+    # already left the visible state at dv time)
+    from osrs_dashboard_elt_spark.sources.maintenance import (
+        apply_deletion_vectors,
+    )
+
+    apply_deletion_vectors(spark, path)
+    assert read_change_feed(spark, path).count() == 2
+    assert latest_change_seq(path) == 1
+
+
+def test_append_and_upsert_deltas(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=100, files=4)
+    table_append(
+        spark, path,
+        spark.createDataFrame(
+            [(1000, 3, "new-a"), (1001, 4, "new-b")],
+            "doc_id long, tag long, text string",
+        ),
+    )
+    ups = spark.createDataFrame(
+        [(7, 99, "patched"), (5000, 1, "inserted")],
+        "doc_id long, tag long, text string",
+    )
+    res = targeted_upsert(spark, path, "doc_id", ups)
+    assert res["rows_updated"] == 1 and res["rows_inserted"] == 1
+    feed = read_change_feed(spark, path)
+    by_type = {
+        (r["_change_type"], r["doc_id"]) for r in feed.collect()
+    }
+    assert ("insert", 1000) in by_type and ("insert", 1001) in by_type
+    assert ("update_preimage", 7) in by_type
+    assert ("update_postimage", 7) in by_type
+    assert ("insert", 5000) in by_type
+    # incremental consumption: since_seq skips the append delta
+    inc = read_change_feed(spark, path, since_seq=1)
+    assert {r["_commit_seq"] for r in inc.collect()} == {2}
+    # postimage content is the update's
+    post = feed.filter(
+        (F.col("_change_type") == "update_postimage")
+        & (F.col("doc_id") == 7)
+    ).collect()[0]
+    assert post["text"] == "patched" and post["tag"] == 99
+
+
+def test_as_of_reconstructs_every_epoch(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=300, files=4)
+    state0 = _rows(read_table(spark, path))
+    targeted_delete(spark, path, "doc_id", [10, 20, 30])  # seq 1
+    state1 = _rows(read_table(spark, path))
+    table_append(
+        spark, path,
+        spark.createDataFrame(
+            [(900, 1, "x")], "doc_id long, tag long, text string"
+        ),
+    )  # seq 2
+    state2 = _rows(read_table(spark, path))
+    targeted_upsert(
+        spark, path, "doc_id",
+        spark.createDataFrame(
+            [(900, 2, "y"), (901, 2, "z")],
+            "doc_id long, tag long, text string",
+        ),
+    )  # seq 3
+    state3 = _rows(read_table(spark, path))
+    assert _rows(read_table_as_of(spark, path, 0)) == state0
+    assert _rows(read_table_as_of(spark, path, 1)) == state1
+    assert _rows(read_table_as_of(spark, path, 2)) == state2
+    assert _rows(read_table_as_of(spark, path, 3)) == state3
+    assert state0 != state1 != state2 != state3
+
+
+def test_as_of_insert_then_delete_of_same_row(spark, tmp_path):
+    # the order-sensitivity trap a clamped exceptAll chain gets wrong:
+    # a row inserted AND deleted after the target seq must net to zero
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=50, files=2)
+    state0 = _rows(read_table(spark, path))
+    table_append(
+        spark, path,
+        spark.createDataFrame(
+            [(700, 1, "ghost")], "doc_id long, tag long, text string"
+        ),
+    )
+    targeted_delete(spark, path, "doc_id", [700])
+    assert _rows(read_table_as_of(spark, path, 0)) == state0
+    ghost = read_table_as_of(spark, path, 0).filter(
+        F.col("doc_id") == 700
+    )
+    assert ghost.isEmpty()
+
+
+def test_as_of_duplicate_row_multiplicity(spark, tmp_path):
+    # multiset semantics: two identical rows deleted together must
+    # BOTH reappear when rewinding
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 0, "dup"), (1, 0, "dup"), (2, 1, "solo")],
+        "doc_id long, tag long, text string",
+    )
+    df.coalesce(1).write.parquet(path)
+    write_stats_manifest(
+        spark, path, ["tag"], bloom_cols=["doc_id"], bloom_bits=1 << 12
+    )
+    enable_change_feed(path)
+    targeted_delete(spark, path, "doc_id", [1])
+    assert read_table(spark, path).count() == 1
+    back = read_table_as_of(spark, path, 0)
+    assert back.count() == 3
+    assert back.filter(F.col("doc_id") == 1).count() == 2
+
+
+def test_feed_disabled_mutations_record_nothing(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).alias("tag"),
+        F.lit("x").alias("text"),
+    )
+    df.repartition(4, "doc_id").write.parquet(path)
+    write_stats_manifest(
+        spark, path, ["tag"], bloom_cols=["doc_id"], bloom_bits=1 << 12
+    )
+    targeted_delete(spark, path, "doc_id", [3])
+    with pytest.raises(FileNotFoundError, match="no change feed"):
+        read_change_feed(spark, path)
+
+
+def test_noop_mutation_commits_no_delta(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=100, files=4)
+    # values absent from the table: blooms may pass files through as
+    # false positives, but zero rows change -> zero deltas
+    targeted_delete(spark, path, "doc_id", [10_000, 10_001])
+    assert latest_change_seq(path) == 0
+    assert read_change_feed(spark, path).count() == 0
+
+
+def test_vacuum_respects_horizon(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=100, files=4)
+    targeted_delete(spark, path, "doc_id", [1])   # seq 1
+    targeted_delete(spark, path, "doc_id", [2])   # seq 2
+    targeted_delete(spark, path, "doc_id", [3])   # seq 3
+    assert vacuum_change_feed(path, keep_since_seq=2) == [1, 2]
+    feed = read_change_feed(spark, path)
+    assert [r["doc_id"] for r in feed.collect()] == [3]
+    # rewinding past the vacuum horizon now under-reconstructs and
+    # the consistency check cannot catch it (deltas are gone) — but
+    # rewinding within the horizon still works
+    assert read_table_as_of(spark, path, 3).count() == 97
+
+
+def test_crash_between_swap_and_change_commit_recommits(
+    spark, tmp_path, monkeypatch
+):
+    """A delete that dies after the file swap but before the change
+    commit must still surface its delta: the journal reconcile on the
+    next mutation commits the staged dir (the mutation fully
+    completed)."""
+    import osrs_dashboard_elt_spark.sources.change_feed as cf
+    import osrs_dashboard_elt_spark.sources.maintenance as mt
+
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path)
+
+    real_commit = cf.commit_changes
+    calls = {"n": 0}
+
+    def dying_commit(cdir, op):
+        calls["n"] += 1
+        raise RuntimeError("crash before change commit")
+
+    monkeypatch.setattr(cf, "commit_changes", dying_commit)
+    # maintenance imports commit_changes inside the function body, so
+    # patching the change_feed module attribute is sufficient
+    with pytest.raises(RuntimeError, match="crash before"):
+        targeted_delete(spark, path, "doc_id", [42])
+    monkeypatch.setattr(cf, "commit_changes", real_commit)
+    # rows are gone but the delta is staged-uncommitted
+    assert read_table(spark, path).filter(
+        F.col("doc_id") == 42
+    ).isEmpty()
+    assert latest_change_seq(path) == 0
+    # next mutation reconciles: the crashed delete's delta commits
+    targeted_delete(spark, path, "doc_id", [43])
+    feed = read_change_feed(spark, path)
+    assert sorted(r["doc_id"] for r in feed.collect()) == [42, 43]
+
+
+def test_as_of_detects_inconsistent_feed(spark, tmp_path):
+    """A feed claiming more inserts than the table holds (a mutation
+    removed rows behind the feed's back, or a delta was duplicated)
+    makes rewind arithmetic go negative — the guard must raise, not
+    silently truncate."""
+    import shutil
+
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=50, files=2)
+    table_append(
+        spark, path,
+        spark.createDataFrame(
+            [(600, 1, "a")], "doc_id long, tag long, text string"
+        ),
+    )
+    # duplicate the committed insert delta: the feed now claims two
+    # inserts of a row the table holds once
+    root = os.path.join(path, "_stats_manifest", "_changes")
+    shutil.copytree(
+        os.path.join(root, "c0000001"), os.path.join(root, "c0000002")
+    )
+    with pytest.raises(ValueError, match="net multiplicity"):
+        read_table_as_of(spark, path, 0).collect()

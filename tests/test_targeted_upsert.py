@@ -1,0 +1,234 @@
+"""Bloom-planned MERGE (sources/maintenance.py::targeted_upsert):
+copy-on-write update-matched + insert-new with the batched-delete
+O(1)-job execution shape, journaled swaps, and DV awareness."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from osrs_dashboard_elt_spark.sources.maintenance import (
+    table_append,
+    targeted_delete,
+    targeted_upsert,
+)
+from osrs_dashboard_elt_spark.sources.stats_manifest import (
+    files_for_values,
+    pruned_scan,
+    read_table,
+    write_stats_manifest,
+)
+
+
+def _tbl(spark, path, n=4000, files=8):
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 13).alias("tag"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    )
+    df.repartition(files, "doc_id").write.parquet(path)
+    write_stats_manifest(
+        spark, path, ["tag"], bloom_cols=["doc_id"], bloom_bits=1 << 15
+    )
+
+
+def _upd(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, tag long, text string"
+    )
+
+
+def _files(path):
+    return sorted(
+        (f, os.path.getmtime(os.path.join(path, f)))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
+
+def test_update_rewrites_only_matching_files(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path)
+    before = dict(_files(path))
+    planned = files_for_values(spark, path, "doc_id", [17, 3999])
+    assert 0 < len(planned) < 8
+    res = targeted_upsert(
+        spark, path, "doc_id",
+        _upd(spark, [(17, 99, "patched-17"), (3999, 98, "patched-3999")]),
+    )
+    assert res["rows_updated"] == 2 and res["rows_inserted"] == 0
+    assert res["files_rewritten"] <= len(planned)
+    after = dict(_files(path))
+    untouched = set(before) & set(after)
+    # every surviving original is byte-untouched (mtime identical)
+    assert all(before[f] == after[f] for f in untouched)
+    assert len(set(before) - set(after)) == res["files_rewritten"]
+    got = spark.read.parquet(path)
+    assert got.count() == 4000  # update never changes row count
+    r17 = got.filter("doc_id = 17").collect()[0]
+    assert r17["text"] == "patched-17" and r17["tag"] == 99
+
+
+def test_insert_new_keys_lands_one_file(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=100, files=4)
+    before = {f for f, _ in _files(path)}
+    res = targeted_upsert(
+        spark, path, "doc_id",
+        _upd(spark, [(5000, 1, "new-a"), (6000, 2, "new-b")]),
+    )
+    assert res["rows_updated"] == 0 and res["rows_inserted"] == 2
+    assert res["files_rewritten"] == 0
+    added = {f for f, _ in _files(path)} - before
+    assert len(added) == 1 and next(iter(added)).startswith("part-ups-")
+    got = spark.read.parquet(path)
+    assert got.count() == 102
+    # manifest stayed fresh: pruned reads see the inserted keys
+    assert pruned_scan(spark, path, points={"doc_id": 5000}).count() == 1
+
+
+def test_mixed_update_insert(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=500, files=4)
+    res = targeted_upsert(
+        spark, path, "doc_id",
+        _upd(spark, [(7, 50, "u7"), (450, 51, "u450"), (9000, 1, "i")]),
+    )
+    assert res["rows_updated"] == 2 and res["rows_inserted"] == 1
+    got = spark.read.parquet(path)
+    assert got.count() == 501
+    assert got.filter("doc_id = 7").collect()[0]["text"] == "u7"
+    assert got.filter("doc_id = 9000").count() == 1
+
+
+def test_update_all_duplicate_table_rows(spark, tmp_path):
+    # Delta's whenMatchedUpdateAll: EVERY occurrence of the key is
+    # replaced, multiplicity preserved
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, 0, "a"), (1, 0, "b"), (2, 1, "c")],
+        "doc_id long, tag long, text string",
+    ).coalesce(1).write.parquet(path)
+    write_stats_manifest(
+        spark, path, ["tag"], bloom_cols=["doc_id"], bloom_bits=1 << 12
+    )
+    res = targeted_upsert(
+        spark, path, "doc_id", _upd(spark, [(1, 9, "upd")])
+    )
+    assert res["rows_updated"] == 2
+    got = spark.read.parquet(path)
+    assert got.count() == 3
+    assert got.filter("doc_id = 1 AND text = 'upd'").count() == 2
+
+
+def test_duplicate_update_keys_raise(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=50, files=2)
+    with pytest.raises(ValueError, match="duplicate update keys"):
+        targeted_upsert(
+            spark, path, "doc_id",
+            _upd(spark, [(1, 0, "a"), (1, 0, "b")]),
+        )
+    with pytest.raises(ValueError, match="non-null"):
+        targeted_upsert(
+            spark, path, "doc_id", _upd(spark, [(None, 0, "a")])
+        )
+
+
+def test_hive_partitioned_refuses(spark, tmp_path):
+    path = str(tmp_path / "ptbl")
+    df = spark.range(100).select(
+        (F.col("id") % 4).alias("day"),
+        F.col("id").alias("doc_id"),
+        F.lit("x").alias("text"),
+    )
+    df.repartition(4, "doc_id").write.partitionBy("day").parquet(path)
+    write_stats_manifest(
+        spark, path, ["day"], bloom_cols=["doc_id"], bloom_bits=1 << 12
+    )
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        targeted_upsert(
+            spark, path, "doc_id", _upd(spark, [(1, 0, "a")])
+        )
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        table_append(spark, path, _upd(spark, [(1000, 0, "a")]))
+
+
+def test_dv_tombstoned_rows_not_updated(spark, tmp_path):
+    """A key tombstoned by a dv delete is INVISIBLE: upserting it must
+    insert a fresh row, never resurrect or update the tombstoned one."""
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=200, files=4)
+    targeted_delete(spark, path, "doc_id", [50], mode="dv")
+    assert read_table(spark, path).filter("doc_id = 50").isEmpty()
+    res = targeted_upsert(
+        spark, path, "doc_id", _upd(spark, [(50, 7, "reborn")])
+    )
+    assert res["rows_updated"] == 0 and res["rows_inserted"] == 1
+    live = read_table(spark, path).filter("doc_id = 50").collect()
+    assert len(live) == 1 and live[0]["text"] == "reborn"
+
+
+def test_retry_after_full_completion_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=100, files=4)
+    upd = [(3, 9, "u3"), (7000, 1, "i")]
+    targeted_upsert(spark, path, "doc_id", _upd(spark, upd))
+    n1 = spark.read.parquet(path).count()
+    res2 = targeted_upsert(spark, path, "doc_id", _upd(spark, upd))
+    # the landed insert re-plans as an update; nothing duplicates
+    assert res2["rows_inserted"] == 0
+    assert spark.read.parquet(path).count() == n1
+    got = spark.read.parquet(path)
+    assert got.filter("doc_id = 7000").count() == 1
+    assert got.filter("doc_id = 3 AND text = 'u3'").count() == 1
+
+
+def _count_jobs(spark, fn):
+    import uuid
+
+    sc = spark.sparkContext
+    g = "jc-" + uuid.uuid4().hex
+    sc.setJobGroup(g, "job-count probe")
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(sc.statusTracker().getJobIdsForGroup(g))
+
+
+def test_job_count_constant_in_affected_files(spark, tmp_path):
+    """The merge keeps the batched-delete execution contract: O(1)
+    Spark jobs regardless of how many files the key set touches."""
+    def build(name, n, files):
+        path = str(tmp_path / name)
+        df = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 13).alias("tag"),
+            F.lit("x").alias("text"),
+        )
+        df.repartition(files, "doc_id").write.parquet(path)
+        write_stats_manifest(
+            spark, path, ["tag"], bloom_cols=["doc_id"],
+            bloom_bits=1 << 15,
+        )
+        return path
+
+    def ups(path, keys):
+        targeted_upsert(
+            spark, path, "doc_id",
+            _upd(spark, [(k, 1, f"u{k}") for k in keys]),
+        )
+
+    small = build("small", 4000, 4)
+    big = build("big", 16000, 16)
+    j_small = _count_jobs(
+        spark, lambda: ups(small, list(range(0, 4000, 997)))
+    )
+    j_big = _count_jobs(
+        spark, lambda: ups(big, list(range(0, 16000, 499)))
+    )
+    assert j_small == j_big, (j_small, j_big)
+    assert j_big <= 30  # planning + classify + rewrite + refresh
