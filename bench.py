@@ -188,6 +188,8 @@ BENCH_QUERIES = [
     "q_targeted_upsert",
     "q_change_feed",
     "q_time_travel",
+    "q_schema_evolution",
+    "q_compact_table",
 ]
 
 

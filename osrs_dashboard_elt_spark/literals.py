@@ -99,3 +99,47 @@ def literal_frame(
             *[F.col(n).cast(t).alias(n) for n, t in zip(names, types)]
         )
     return df
+
+
+_LITERAL_TYPES = (bool, int, float, str, datetime, date)
+
+
+def local_frame(
+    spark: SparkSession,
+    rows: Sequence[Sequence],
+    schema: str,
+) -> DataFrame:
+    """A driver-local row set as a DataFrame, JVM-backed when possible.
+
+    The maintenance/planning machinery builds many SMALL frames (probe
+    value lists, source-file maps, update changesets) that each feed
+    exactly one or two jobs; as ``createDataFrame`` results they are
+    pickled Python RDDs, and EVERY job that touches one pays Python
+    worker startup — measured ~4.5 s fixed per tiny write job in this
+    environment, which dominated the whole mutation path.  Rows whose
+    values are all plain literals (int/float/str/bool/date/datetime/
+    None) become a ``VALUES`` LocalTableScan via :func:`literal_frame`
+    (no Python workers anywhere downstream); anything else (arrays,
+    binaries, Decimals, Rows) falls back to ``createDataFrame``
+    unchanged."""
+    def _lit_ok(v) -> bool:
+        if v is None:
+            return True
+        if type(v) is datetime and v.tzinfo is not None:
+            # sql_lit renders naive session-tz timestamps; an aware
+            # datetime would silently drop its offset
+            return False
+        return type(v) in _LITERAL_TYPES
+
+    literal_ok = all(
+        _lit_ok(v)
+        for r in rows
+        for v in (r if isinstance(r, (list, tuple)) else tuple(r))
+    )
+    if literal_ok:
+        tuples = [
+            tuple(r) if isinstance(r, (list, tuple)) else tuple(r)
+            for r in rows
+        ]
+        return literal_frame(spark, tuples, schema)
+    return spark.createDataFrame([tuple(r) for r in rows], schema)

@@ -175,8 +175,10 @@ def delete_from_index(spark: SparkSession, table: str, ids) -> int:
         ids = list(ids)
         if not ids:
             return 0
-        tomb = spark.createDataFrame(
-            [(i,) for i in ids], f"corpus_id {id_type}"
+        from ..literals import local_frame
+
+        tomb = local_frame(
+            spark, [(i,) for i in ids], f"corpus_id {id_type}"
         )
     tomb = tomb.distinct().persist()
     n = tomb.count()

@@ -348,7 +348,7 @@ def pq_delete_from_index(
         # the long default, the only key type such an index can have
         # gotten ids from so far.
         from pyspark.errors import AnalysisException
-        from pyspark.sql.types import LongType, StructField, StructType
+        from pyspark.sql.types import LongType
 
         try:
             fields = {
@@ -363,9 +363,11 @@ def pq_delete_from_index(
             id_type = fields[id_col]
         except AnalysisException:
             id_type = LongType()
-        tomb = spark.createDataFrame(
-            [(i,) for i in ids],
-            StructType([StructField(id_col, id_type, False)]),
+        from ..literals import local_frame
+
+        tomb = local_frame(
+            spark, [(i,) for i in ids],
+            f"{id_col} {id_type.simpleString()}",
         )
     tomb = tomb.distinct().persist()
     n = tomb.count()

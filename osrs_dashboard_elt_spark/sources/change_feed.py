@@ -233,13 +233,28 @@ def read_change_feed(
     ]
     if not seqs:
         return spark.createDataFrame([], schema).select(*empty_cols)
-    out = None
-    for s in seqs:
-        one = spark.read.parquet(_change_dir(root, s)).withColumn(
-            "_commit_seq", F.lit(s).cast("long")
-        )
-        out = one if out is None else out.unionByName(one)
-    return out
+    # ONE scan over every selected change dir, the sequence recovered
+    # from the dir name — constant plan size in the number of
+    # mutations (a per-dir union would grow the plan linearly: 1,000
+    # recorded mutations is a normal month, not an edge case).  The
+    # read pins the CURRENT table schema + _change_type, so deltas
+    # recorded before an ADD COLUMN evolution read back NULL for the
+    # added columns — consistent with how the old data files read
+    from pyspark.sql.types import StringType, StructField
+
+    feed_schema = StructType(
+        list(schema.fields)
+        + [StructField("_change_type", StringType(), True)]
+    )
+    df = spark.read.schema(feed_schema).parquet(
+        *[_change_dir(root, s) for s in seqs]
+    )
+    return df.withColumn(
+        "_commit_seq",
+        F.regexp_extract(
+            F.input_file_name(), r"/c(\d{7})/", 1
+        ).cast("long"),
+    )
 
 
 def read_table_as_of(

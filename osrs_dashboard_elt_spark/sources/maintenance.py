@@ -405,9 +405,24 @@ def _reconcile_delete_journal(spark: SparkSession, path: str) -> bool:
         if not os.path.exists(orig):
             completed = True
     adds_landed = [a for a in adds if os.path.exists(a)]
-    if not rewrites and not removes and adds:
-        if len(adds_landed) < len(adds):
-            for a in adds_landed:  # roll a partial pure append back
+    if not rewrites and adds:
+        if not removes:
+            if len(adds_landed) < len(adds):
+                for a in adds_landed:  # roll a partial pure append back
+                    os.remove(a)
+                adds_landed = []
+        elif len(adds_landed) == len(adds):
+            # compaction (removes-last ordering): every group output
+            # landed, so the originals are redundant copies — roll
+            # FORWARD by finishing their removal, else a refresh
+            # would record BOTH and duplicate every compacted row
+            for orig in removes:
+                if os.path.exists(orig):
+                    os.remove(orig)
+        else:
+            # some group outputs missing (staging wiped): the intact
+            # originals are authoritative — roll BACK the landed ones
+            for a in adds_landed:
                 os.remove(a)
             adds_landed = []
     completed = completed or bool(adds_landed)
@@ -632,12 +647,8 @@ def targeted_delete(
     if not affected:
         return _noop_result(0)
     pinned = StructType.fromJson(meta["schema"])
-    # data columns = what the parquet FILES contain; a pinned-schema
-    # column missing from the footer is a hive partition column, whose
-    # value lives in the dir path (one driver-side footer read — the
-    # per-file guard this replaces was load-bearing by accident)
-    data_cols = spark.read.parquet(affected[0]).columns
-    if col not in data_cols:
+    data_cols, part_cols = _data_columns(spark, path, meta, affected[0])
+    if col in part_cols:
         raise ValueError(
             f"{col!r} is a partition column of {path} — partition "
             "deletes are directory drops, not row rewrites; remove "
@@ -693,9 +704,6 @@ def targeted_delete(
     if mode == "dv":
         if not dv_pairs:
             return _noop_result(len(affected))
-        from pyspark.sql.types import StringType, StructField
-        from pyspark.sql.types import StructType as _ST
-
         from .change_feed import (
             abort_changes,
             commit_changes,
@@ -716,12 +724,11 @@ def targeted_delete(
                 *field_names
             )
             staged = stage_changes(path, [(dv_rows, "delete")])
-        pairs_df = spark.createDataFrame(
-            dv_pairs,
-            _ST([
-                StructField("file", StringType(), False),
-                StructField("v", pinned[col].dataType, False),
-            ]),
+        from ..literals import local_frame
+
+        pairs_df = local_frame(
+            spark, dv_pairs,
+            f"file string, v {pinned[col].dataType.simpleString()}",
         )
         try:
             total = _append_dv(spark, path, col, pairs_df)
@@ -779,7 +786,10 @@ def targeted_delete(
             # job 2: ONE rewrite shuffled by source file — each
             # original's kept rows land in exactly one task, which
             # writes exactly one part file under __src=<i>/
-            src_map = spark.createDataFrame(
+            from ..literals import local_frame
+
+            src_map = local_frame(
+                spark,
                 [(f, i) for i, f in enumerate(sorted(partials))],
                 "__file string, __src int",
             )
@@ -895,7 +905,9 @@ def apply_deletion_vectors(
     rows_purged = 0
     if existing:
         pinned = StructType.fromJson(meta["schema"])
-        data_cols = spark.read.parquet(existing[0]).columns
+        data_cols, _part = _data_columns(
+            spark, path, meta, existing[0]
+        )
         base = (
             spark.read.schema(pinned).option("basePath", path)
             .parquet(*existing)
@@ -928,7 +940,10 @@ def apply_deletion_vectors(
                 partials.append(fn)
 
         def _write_partials(tmp: str) -> None:
-            src_map = spark.createDataFrame(
+            from ..literals import local_frame
+
+            src_map = local_frame(
+                spark,
                 [(f, i) for i, f in enumerate(sorted(partials))],
                 "__file string, __src int",
             )
@@ -970,6 +985,31 @@ def apply_deletion_vectors(
     }
 
 
+def _data_columns(
+    spark: SparkSession, path: str, meta: dict, sample_file: str
+) -> tuple[list[str], list[str]]:
+    """(data columns, partition columns) of a manifest-backed table.
+    Metas recorded since partition tracking use ``partition_cols``
+    (which also distinguishes evolution-added columns — absent from
+    OLD footers but still data columns, materialized as NULL on
+    rewrite); legacy metas fall back to the footer diff of one file,
+    which predates evolution and is exact for them."""
+    from pyspark.sql.types import StructType
+
+    pinned = StructType.fromJson(meta["schema"])
+    part_cols = meta.get("partition_cols")
+    if part_cols is None:
+        data_cols = spark.read.parquet(sample_file).columns
+        part_cols = [
+            f.name for f in pinned.fields if f.name not in data_cols
+        ]
+        return data_cols, part_cols
+    return (
+        [f.name for f in pinned.fields if f.name not in part_cols],
+        list(part_cols),
+    )
+
+
 def _insert_file_name(keys: list) -> str:
     """Deterministic insert part-file name derived from the inserted
     key set — the append analog of :func:`_replacement_name`: a
@@ -988,22 +1028,19 @@ def _insert_file_name(keys: list) -> str:
 def _flat_data_cols(
     spark: SparkSession, path: str, meta: dict, sample_file: str
 ) -> list[str]:
-    """The table's physical data columns, refusing hive-partitioned
-    layouts: an upsert/append would have to route rows into partition
-    DIRS (and a key update across partitions is a move, not a
-    rewrite) — that path belongs to the partitioned writers."""
-    from pyspark.sql.types import StructType
-
-    pinned = StructType.fromJson(meta["schema"])
-    data_cols = spark.read.parquet(sample_file).columns
-    if set(data_cols) != {f.name for f in pinned.fields}:
-        part_cols = sorted(
-            {f.name for f in pinned.fields} - set(data_cols)
-        )
+    """The table's data columns, refusing hive-partitioned layouts:
+    an upsert/append would have to route rows into partition DIRS
+    (and a key update across partitions is a move, not a rewrite) —
+    that path belongs to the partitioned writers.  Evolution-added
+    columns ARE data columns (old footers lack them; they read back
+    NULL and new writes carry them)."""
+    data_cols, part_cols = _data_columns(spark, path, meta, sample_file)
+    if part_cols:
         raise ValueError(
-            f"{path} is hive-partitioned on {part_cols} — upsert/"
-            "append must route rows through the partitioned writer "
-            "(dedup_append / write path), not the flat-file planner"
+            f"{path} is hive-partitioned on {sorted(part_cols)} — "
+            "upsert/append must route rows through the partitioned "
+            "writer (dedup_append / write path), not the flat-file "
+            "planner"
         )
     return data_cols
 
@@ -1168,7 +1205,14 @@ def targeted_upsert(
             f"duplicate update keys (e.g. {dupes}) — a merge with two "
             "source rows for one key is non-deterministic"
         )
-    upd_df = spark.createDataFrame(upd_rows, shaped.schema)
+    from ..literals import local_frame
+
+    ddl = ", ".join(
+        f"{c} {pinned[c].dataType.simpleString()}" for c in data_cols
+    )
+    # JVM-backed changeset: every downstream job (classification join,
+    # rewrite, staging writes) runs without Python workers
+    upd_df = local_frame(spark, [tuple(r) for r in upd_rows], ddl)
     affected = files_for_values(spark, path, key_col, keys)
     matched_keys: set = set()
     partials: list[str] = []
@@ -1212,7 +1256,9 @@ def targeted_upsert(
     adds: list[str] = []
     ins_df = None
     if insert_rows:
-        ins_df = spark.createDataFrame(insert_rows, shaped.schema)
+        ins_df = local_frame(
+            spark, [tuple(r) for r in insert_rows], ddl
+        )
         adds = [
             os.path.join(
                 path,
@@ -1249,8 +1295,8 @@ def targeted_upsert(
     if partials:
         live_partials = live.join(
             F.broadcast(
-                spark.createDataFrame(
-                    [(f,) for f in partials], "__file string"
+                local_frame(
+                    spark, [(f,) for f in partials], "__file string"
                 )
             ),
             "__file",
@@ -1268,7 +1314,8 @@ def targeted_upsert(
 
     def _write(tmp: str) -> None:
         if partials:
-            src_map = spark.createDataFrame(
+            src_map = local_frame(
+                spark,
                 [(f, i) for i, f in enumerate(sorted(partials))],
                 "__file string, __src int",
             )
@@ -1300,4 +1347,182 @@ def targeted_upsert(
         "files_rewritten": len(partials),
         "rows_updated": rows_updated,
         "rows_inserted": len(insert_rows),
+    }
+
+
+def _compact_group_name(files: list[str]) -> str:
+    """Deterministic output name for a compaction group, derived from
+    the member file names — the crash-recovery handle shared with
+    ``_replacement_name``: a retry recomputes the same groups from the
+    same survivors and finds (drops) a half-landed output instead of
+    duplicating its rows."""
+    import hashlib
+
+    h = hashlib.sha1(
+        "\x00".join(os.path.basename(f) for f in sorted(files)).encode()
+    ).hexdigest()[:16]
+    return f"part-cmp-{h}.snappy.parquet"
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_group: int = 2,
+    sort_cols: list[str] | None = None,
+    refresh_stats: bool = True,
+) -> dict:
+    """Incremental in-place small-file compaction of a manifest-backed
+    table — Delta's ``OPTIMIZE`` re-expressed on the journal/swap
+    machinery.  Files smaller than ``target_bytes`` are bin-packed
+    (first-fit over a size-sorted list) into groups of ~``target_bytes``
+    and each group is rewritten as ONE file; files already at target
+    size are left byte-untouched, so the cost is O(small files), not
+    O(table) — the difference between an OPTIMIZE you run every hour
+    behind a streaming ingest and one you can only afford weekly
+    (``compact_files`` remains the whole-table form, publishing a new
+    immutable version).
+
+    Execution is O(1) Spark jobs: ONE rewrite job shuffled by group id
+    writes every group's output (``repartition(groups) +
+    partitionBy``), swaps ride the shared intent journal with
+    deterministic group names, and originals drop as metadata renames.
+    ``sort_cols`` orders rows within each output file (clustering on
+    write — pair with z-order keys so min/max stats stay tight after
+    compaction).
+
+    Physical-only in every logical sense: rows tombstoned by deletion
+    vectors are dropped during the rewrite (the group read goes
+    through the DV-aware reader) and their sidecar entries become
+    vanished-file no-ops; NO change-feed delta is recorded (the
+    visible row multiset is unchanged, so time travel and CDC
+    consumers are oblivious — pinned by test).  Returns
+    {files_compacted, files_written, rows}."""
+    from pyspark.sql.types import StructType
+
+    from .stats_manifest import (
+        _load_meta,
+        _norm,
+        _norm_col,
+        apply_deletion_vectors_df,
+    )
+    from .stats_manifest import refresh_stats_manifest as _refresh
+
+    _reconcile_delete_journal(spark, path)
+    _, meta = _load_meta(spark, path)
+    if meta["immutable"]:
+        raise ValueError(
+            f"{path} is an immutable published snapshot — compact "
+            "through compact_files into a new version instead"
+        )
+    pinned = StructType.fromJson(meta["schema"])
+    all_files = sorted(spark.read.parquet(path).inputFiles())
+    data_cols, part_cols = _data_columns(
+        spark, path, meta, all_files[0]
+    )
+    if part_cols:
+        raise ValueError(
+            f"{path} is hive-partitioned on {sorted(part_cols)} — "
+            "compact each partition dir separately (cross-partition "
+            "packing would move rows between partitions)"
+        )
+    sized = []
+    for f in all_files:  # f is a URI; size/remove need the local path
+        try:
+            sized.append((os.path.getsize(_local(f)), f))
+        except FileNotFoundError:
+            raise ValueError(
+                f"{f} vanished during compaction planning — another "
+                f"writer is mutating {path}; serialize maintenance"
+            ) from None
+    small = sorted(
+        (s, f) for s, f in sized if s < target_bytes
+    )
+    # first-fit over the size-sorted list: groups close in size, and
+    # deterministic for crash-retry (same survivors -> same groups)
+    groups: list[list[str]] = []
+    sizes: list[int] = []
+    for s, f in small:
+        placed = False
+        for i, tot in enumerate(sizes):
+            if tot + s <= target_bytes:
+                groups[i].append(f)
+                sizes[i] += s
+                placed = True
+                break
+        if not placed:
+            groups.append([f])
+            sizes.append(s)
+    groups = [g for g in groups if len(g) >= min_group]
+    if not groups:
+        return {"files_compacted": 0, "files_written": 0, "rows": 0}
+    removes = [_local(f) for g in groups for f in g]
+    adds = [
+        os.path.join(
+            os.path.dirname(_local(g[0])), _compact_group_name(g)
+        )
+        for g in groups
+    ]
+    from ..literals import local_frame
+
+    grp_map = local_frame(
+        spark,
+        [(_norm(f), i) for i, g in enumerate(groups) for f in g],
+        "__file string, __grp int",
+    )
+    reader = (
+        spark.read.schema(pinned).option("basePath", path)
+        .parquet(*[f for g in groups for f in g])
+        .withColumn("__file", _norm_col(F.input_file_name()))
+    )
+    live = apply_deletion_vectors_df(
+        spark, path, meta, reader, file_col="__file"
+    )
+    n_rows = 0
+
+    def _write(tmp: str) -> None:
+        rw = (
+            live.join(F.broadcast(grp_map), "__file")
+            .select(*data_cols, "__grp")
+            .repartition(len(groups), "__grp")
+        )
+        if sort_cols:
+            rw = rw.sortWithinPartitions(*sort_cols)
+        rw.write.partitionBy("__grp").mode("overwrite").parquet(tmp)
+        # group dirs come back as __grp=<i>; remap to the __ins
+        # contract (one sorted part per add target)
+        ins = os.path.join(tmp, "__ins")
+        os.makedirs(ins, exist_ok=True)
+        for i in range(len(groups)):
+            gdir = os.path.join(tmp, f"__grp={i}")
+            part = next(
+                fn
+                for fn in os.listdir(gdir)
+                if fn.endswith(".parquet")
+            )
+            os.replace(
+                os.path.join(gdir, part),
+                os.path.join(ins, f"{i:07d}.parquet"),
+            )
+
+    _journal_and_swap(
+        spark, path, [], removes, _write, adds=adds
+    )
+    if refresh_stats:
+        _refresh(spark, path, meta["cols"])
+    try:
+        os.remove(_delete_journal_path(path))
+    except FileNotFoundError:
+        pass
+    n_rows = sum(
+        r["n"]
+        for r in spark.read.parquet(*adds)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return {
+        "files_compacted": len(removes),
+        "files_written": len(groups),
+        "rows": int(n_rows),
     }

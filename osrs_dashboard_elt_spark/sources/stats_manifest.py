@@ -471,8 +471,14 @@ def write_stats_manifest(
             pass
     epoch = _claim_epoch(root, (epochs[-1] + 1) if epochs else 1)
     edir = _epoch_dir(root, epoch)
-    _bounded_write(man, len(reader.inputFiles()), edir)
+    files = reader.inputFiles()
+    _bounded_write(man, len(files), edir)
     n = spark.read.parquet(edir).count()
+    # hive partition columns = pinned fields absent from the file
+    # footers (one driver-side footer read); recorded so mutations can
+    # tell a partition column from a column ADDED by schema evolution
+    # (both are absent from old footers — only the meta can tell)
+    footer_cols = set(spark.read.parquet(sorted(files)[0]).columns)
     meta = {
         "epoch": epoch,
         "cols": list(cols),
@@ -481,6 +487,11 @@ def write_stats_manifest(
         "bloom_hashes": bloom_hashes,
         "immutable": bool(immutable),
         "schema": reader.schema.jsonValue(),
+        "partition_cols": [
+            f.name
+            for f in reader.schema.fields
+            if f.name not in footer_cols
+        ],
         "file_count": n,
         "segments": [epoch],
         "tombstones": [],
@@ -490,6 +501,75 @@ def write_stats_manifest(
         meta["dv"] = prior_dv
     _commit_epoch(root, epoch, meta)
     return n
+
+
+def _schema_compatible(
+    spark: SparkSession, path: str, pinned: StructType
+) -> bool:
+    """Whether the data dir's MERGED schema (union of every file's
+    footer + partition columns) is a subset of the pinned schema with
+    identical types — the relaxation that makes ADD COLUMN evolution
+    legal: old files simply lack the added column (read back NULL
+    under the pinned schema), while real drift (renamed columns,
+    changed types, partition-type drift) still fails the check.
+    Called only on the slow path (fast path: exact equality), because
+    mergeSchema reads every footer — one distributed job."""
+    merged = (
+        spark.read.option("mergeSchema", "true").parquet(path).schema
+    )
+    by_name = {f.name: f.dataType for f in pinned.fields}
+    return all(
+        f.name in by_name and by_name[f.name] == f.dataType
+        for f in merged.fields
+    )
+
+
+def evolve_table_schema(
+    spark: SparkSession, path: str, added_ddl: str
+) -> None:
+    """ADD COLUMN on a manifest-backed table: commit a new epoch whose
+    pinned schema carries the added nullable fields (DDL, e.g.
+    ``"note string, score double"``).  NO data file is touched — old
+    files read back NULL for the added columns under the pinned
+    schema (Delta/Iceberg's metadata-only ALTER TABLE ADD COLUMN on
+    the epoch substrate).  New appends/upserts carry the columns;
+    rewrites of old files materialize the NULLs (backfill-on-write).
+    Added columns cannot join the stats/bloom set here — rebuild the
+    manifest to prune on them.  Dropping or retyping columns is NOT
+    supported: that would orphan recorded stats and silently NULL
+    existing data."""
+    epoch, meta = _load_meta(spark, path)
+    if meta["immutable"]:
+        raise ValueError(
+            f"{path} is an immutable published snapshot — publish a "
+            "new version with the new columns instead"
+        )
+    new_fields = StructType.fromDDL(added_ddl).fields
+    pinned = StructType.fromJson(meta["schema"])
+    existing = set(pinned.fieldNames())
+    dupes = [f.name for f in new_fields if f.name in existing]
+    if dupes:
+        raise ValueError(
+            f"columns {dupes} already exist in {path} — evolution is "
+            "ADD COLUMN only (no retype/replace)"
+        )
+    new_schema = StructType(list(pinned.fields) + list(new_fields))
+    root = _manifest_root(path)
+    new_epoch = _claim_epoch(root, epoch + 1)
+    edir = _epoch_dir(root, new_epoch)
+    os.makedirs(edir, exist_ok=True)
+    new_meta = dict(
+        meta,
+        epoch=new_epoch,
+        schema=new_schema.jsonValue(),
+        parent_epoch=epoch,
+    )
+    new_meta.pop("_data_dir", None)
+    try:
+        _commit_epoch(root, new_epoch, new_meta)
+    except ManifestCommitConflict:
+        shutil.rmtree(edir, ignore_errors=True)
+        raise
 
 
 def refresh_stats_manifest(
@@ -582,11 +662,16 @@ def _refresh_once(
         )
     full = spark.read.parquet(path)
     pinned = StructType.fromJson(meta["schema"])
-    if full.schema != pinned:
+    if full.schema != pinned and not _schema_compatible(
+        spark, path, pinned
+    ):
         # partition-column TYPE drift is the dangerous case: a first
         # epoch whose run_id dirs all looked numeric pins int, and a
         # later string run id would read back NULL under the pinned
-        # schema — catch it loudly instead of corrupting pruned reads
+        # schema — catch it loudly instead of corrupting pruned reads.
+        # A merged schema that is a typed SUBSET of pinned is fine:
+        # that is ADD COLUMN evolution (evolve_table_schema), where
+        # old files legitimately lack the added columns
         raise ValueError(
             f"table schema under {path} no longer matches the "
             f"manifest's pinned schema (was {pinned.simpleString()}, "
@@ -645,8 +730,11 @@ def _refresh_once(
         # O(batch) appends (the Delta checkpoint analog)
         keep_df = old
         if removed:
-            gone = spark.createDataFrame(
-                [(f,) for f in sorted(removed)], "gone_file string"
+            from ..literals import local_frame
+
+            gone = local_frame(
+                spark, [(f,) for f in sorted(removed)],
+                "gone_file string",
             )
             keep_df = old.join(
                 F.broadcast(gone),
@@ -735,10 +823,10 @@ def _points_positions(
 ) -> list[list[int]]:
     """Per-value bloom positions for MANY probe values in ONE local
     job (per-value jobs would cost ~100 ms each on a takedown list)."""
-    from pyspark.sql.types import StructField, StructType as _ST
+    from ..literals import local_frame
 
-    df = spark.createDataFrame(
-        [(v,) for v in values], _ST([StructField("v", dtype, False)])
+    df = local_frame(
+        spark, [(v,) for v in values], f"v {dtype.simpleString()}"
     )
     rows = df.select(
         *[
@@ -808,12 +896,11 @@ def _candidate_files_df(
     # interpreted at best.  As joins, the value list is a broadcast
     # probe table and every test is one codegen'd operator evaluated
     # per (manifest row x probe), scaling in DATA not in PLAN SIZE.
-    from pyspark.sql.types import StructField
-    from pyspark.sql.types import StructType as _ST
+    from ..literals import local_frame
 
-    vals_df = spark.createDataFrame(
-        [(v,) for v in values],
-        _ST([StructField("v", schema[col].dataType, False)]),
+    vals_df = local_frame(
+        spark, [(v,) for v in values],
+        f"v {schema[col].dataType.simpleString()}",
     )
     if has_bloom:
         k = meta["bloom_hashes"]
@@ -1041,7 +1128,9 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     schema = StructType.fromJson(meta["schema"])
     if not meta["immutable"]:
         full = spark.read.parquet(path)
-        if full.schema != schema:
+        if full.schema != schema and not _schema_compatible(
+            spark, path, schema
+        ):
             raise ValueError(
                 f"table schema under {path} no longer matches the "
                 "manifest's pinned schema — rebuild with "
@@ -1212,7 +1301,9 @@ def pruned_scan(
     schema = StructType.fromJson(meta["schema"])
     if not meta["immutable"]:
         full = spark.read.parquet(path)
-        if full.schema != schema:
+        if full.schema != schema and not _schema_compatible(
+            spark, path, schema
+        ):
             raise ValueError(
                 f"table schema under {path} no longer matches the "
                 "manifest's pinned schema — partition-column type "

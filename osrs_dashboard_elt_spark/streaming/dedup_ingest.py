@@ -221,9 +221,14 @@ def start_dedup_ingest(
                         F.col(suppress.columns[0]).alias(id_col)
                     ).distinct()
                 else:
-                    sup = spark.createDataFrame(
-                        [(v,) for v in suppress],
-                        batch.select(id_col).schema,
+                    from ..literals import local_frame
+
+                    # JVM VALUES frame: a python-RDD list would spin
+                    # Python workers for the anti-join EVERY batch
+                    id_type = dict(batch.dtypes)[id_col]
+                    sup = local_frame(
+                        spark, [(v,) for v in suppress],
+                        f"{id_col} {id_type}",
                     ).distinct()
                 suppressed_out = (
                     batch.select(id_col)

@@ -8119,6 +8119,7 @@ def _cdf_table(spark, sf_dir: str) -> str:
     queries (each a pure function of the immutable input)."""
     import tempfile
 
+    from .literals import literal_frame
     from .sources.change_feed import enable_change_feed
     from .sources.maintenance import (
         table_append,
@@ -8132,21 +8133,29 @@ def _cdf_table(spark, sf_dir: str) -> str:
             "event_id", "user_id", F.col("value").cast("double").alias("value")
         )
         path = tempfile.mkdtemp(prefix="cdf_") + "/tbl"
-        ev.repartition(16, "event_id").write.parquet(path)
+        # 8 files / 2^16-bit blooms: the mutation sequence pays ~40
+        # small Spark jobs (3 refreshes, 3 delta stages, 2 rewrites);
+        # keep its one-time memoized cost lean — bloom FP rate only
+        # affects files read, never correctness
+        ev.repartition(8, "event_id").write.parquet(path)
         write_stats_manifest(
             spark, path, ["user_id"],
-            bloom_cols=["event_id"], bloom_bits=1 << 18,
+            bloom_cols=["event_id"], bloom_bits=1 << 16,
         )
         enable_change_feed(path)
         targeted_delete(spark, path, "event_id", _CDF_DELETE_IDS)
+        # JVM VALUES frames: a python-RDD changeset makes every job it
+        # feeds launch Python workers (~4.5 s fixed per tiny write job
+        # here — literals.py)
         table_append(
             spark, path,
-            spark.createDataFrame(_CDF_APPEND_ROWS, _CDF_ROW_SCHEMA),
+            literal_frame(spark, _CDF_APPEND_ROWS, _CDF_ROW_SCHEMA),
         )
         targeted_upsert(
             spark, path, "event_id",
-            spark.createDataFrame(
-                [_CDF_UPDATE_ROW, _CDF_UPSERT_INSERT], _CDF_ROW_SCHEMA
+            literal_frame(
+                spark,
+                [_CDF_UPDATE_ROW, _CDF_UPSERT_INSERT], _CDF_ROW_SCHEMA,
             ),
         )
         _CDF_PATH_CACHE[sf_dir] = path
@@ -8280,6 +8289,132 @@ def q_time_travel(spark, sf_dir):
     tbl = _cdf_table(spark, sf_dir)
     past = read_table_as_of(spark, tbl, 1)
     return past.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("value").alias("sum_value"),
+    )
+
+
+_EVOLVE_PATH_CACHE: dict[str, str] = {}
+_EVOLVE_UPDATE = (888, 8424, 7.25, "patched")
+_EVOLVE_INSERTS = [
+    (98000011, 9201, 1.5, "new-a"), (98000012, 9202, 2.5, "new-b"),
+]
+_EVOLVE_VALUES_SQL = ", ".join(
+    f"(CAST({e} AS BIGINT), CAST({u} AS BIGINT), CAST({v} AS DOUBLE),"
+    f" '{n}')"
+    for e, u, v, n in [_EVOLVE_UPDATE] + _EVOLVE_INSERTS
+)
+
+
+@query(
+    "q_schema_evolution",
+    oracle=f"""
+    SELECT event_id, user_id, value, CAST(NULL AS VARCHAR) AS note
+    FROM events
+    WHERE event_id <> {_EVOLVE_UPDATE[0]}
+    UNION ALL
+    SELECT * FROM (VALUES {_EVOLVE_VALUES_SQL})
+           t(event_id, user_id, value, note)
+    """,
+)
+def q_schema_evolution(spark, sf_dir):
+    """ADD COLUMN evolution on a manifest-backed table
+    (stats_manifest.evolve_table_schema): a metadata-only epoch
+    commit extends the pinned schema; NO data file is touched, old
+    files read back NULL for the added column, and the mutation
+    machinery keeps working across the boundary — the append and the
+    merge here carry the new column, the merge's rewrite materializes
+    NULLs for the untouched neighbors it copies (backfill-on-write).
+    Freshness checks relax from schema equality to a typed-subset
+    compatibility test (merged footers ⊆ pinned) ONLY on the unequal
+    path, so real drift (retypes, partition type drift) still fails
+    loudly (tests/test_table_evolution.py).  The oracle proves the
+    evolved table equals base-with-NULL-note plus the exact
+    noted rows."""
+    import tempfile
+
+    from .literals import literal_frame
+    from .sources.maintenance import table_append, targeted_upsert
+    from .sources.stats_manifest import (
+        evolve_table_schema,
+        read_table,
+        write_stats_manifest,
+    )
+
+    if sf_dir not in _EVOLVE_PATH_CACHE:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", F.col("value").cast("double").alias("value")
+        )
+        path = tempfile.mkdtemp(prefix="evolve_") + "/tbl"
+        ev.repartition(8, "event_id").write.parquet(path)
+        write_stats_manifest(
+            spark, path, ["user_id"],
+            bloom_cols=["event_id"], bloom_bits=1 << 16,
+        )
+        evolve_table_schema(spark, path, "note string")
+        ddl = "event_id long, user_id long, value double, note string"
+        table_append(
+            spark, path, literal_frame(spark, _EVOLVE_INSERTS, ddl)
+        )
+        targeted_upsert(
+            spark, path, "event_id",
+            literal_frame(spark, [_EVOLVE_UPDATE], ddl),
+        )
+        _EVOLVE_PATH_CACHE[sf_dir] = path
+    return read_table(spark, _EVOLVE_PATH_CACHE[sf_dir]).select(
+        "event_id", "user_id", "value", "note"
+    )
+
+
+_COMPACT_PATH_CACHE: dict[str, str] = {}
+
+
+@query(
+    "q_compact_table",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_id NOT IN (333, 444)
+    GROUP BY user_id
+    """,
+)
+def q_compact_table(spark, sf_dir):
+    """Incremental in-place small-file compaction — Delta's OPTIMIZE
+    re-expressed on the journal/swap machinery
+    (sources/maintenance.py::compact_table): a 64-small-file table
+    (the streaming-ingest debris shape) bin-packs into ~target_bytes
+    files in ONE rewrite job shuffled by group id; files already at
+    target stay byte-untouched, so the cost is O(small files), not
+    O(table).  A prior dv takedown proves the physical side: the
+    compaction rewrite goes through the DV-aware reader, so
+    tombstoned rows are dropped — the oracle (base minus the
+    taken-down ids) holds against a BARE parquet read after
+    compaction, which is exactly the state deletion vectors defer.
+    Crash windows roll forward/back via the shared intent journal
+    (tests/test_maintenance.py)."""
+    import tempfile
+
+    from .sources.maintenance import compact_table, targeted_delete
+    from .sources.stats_manifest import write_stats_manifest
+
+    if sf_dir not in _COMPACT_PATH_CACHE:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", F.col("value").cast("double").alias("value")
+        )
+        path = tempfile.mkdtemp(prefix="cmp_") + "/tbl"
+        ev.repartition(64, "event_id").write.parquet(path)
+        write_stats_manifest(
+            spark, path, ["user_id"],
+            bloom_cols=["event_id"], bloom_bits=1 << 16,
+        )
+        targeted_delete(spark, path, "event_id", [333, 444], mode="dv")
+        res = compact_table(spark, path, target_bytes=1 << 26)
+        assert res["files_written"] < res["files_compacted"]
+        _COMPACT_PATH_CACHE[sf_dir] = path
+    remaining = spark.read.parquet(_COMPACT_PATH_CACHE[sf_dir])
+    return remaining.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
         dec_sum("value").alias("sum_value"),
     )

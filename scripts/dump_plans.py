@@ -38,6 +38,11 @@ HEADLINERS = {
     "q_stats_pruned_scan": "the probe scan lists ONLY the manifest-selected files (planning-time pruning); the aggregate is one partial+final hash agg over the already-filtered rows",
     "q_pruned_in_list": "IN-list probe: the scan lists only bloom-hit files (planned via the join-shaped value planner — constant plan size in list length, no OR-of-ANDs tree) and the row filter is a single InSet, never an In chain",
     "q_dv_delete": "post-takedown read via read_table: one broadcast LEFT ANTI against the KB-sized (file, value) tombstone pairs riding the scan stage, then one partial+final hash agg — no data file was rewritten to serve this",
+    "q_targeted_upsert": "post-merge read: a plain scan + one partial+final hash agg — the merge itself ran as two O(1) jobs earlier and left ordinary parquet behind; nothing about the read pays for the MERGE machinery",
+    "q_change_feed": "ONE relation scan over every committed change dir (no Union — the commit sequence is a regexp over input_file_name), projection only: CDC consumption costs O(changes), zero table I/O",
+    "q_time_travel": "exactly one Union (current table ⊎ inverse deltas) feeding one partial+final hash aggregate over all columns, then the multiplicity re-expansion — plan depth constant in the number of recorded mutations",
+    "q_compact_table": "post-OPTIMIZE read: a plain scan over the packed files + one partial+final hash agg — compaction left ordinary parquet (fewer, bigger files) and physically dropped the dv-tombstoned rows, so not even the broadcast anti-join remains",
+    "q_schema_evolution": "post-evolution read: one scan under the pinned (evolved) schema — old files yield NULL for the added column inside the scan itself; no cast/backfill operator anywhere",
 }
 
 

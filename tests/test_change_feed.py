@@ -287,3 +287,23 @@ def test_as_of_detects_inconsistent_feed(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="net multiplicity"):
         read_table_as_of(spark, path, 0).collect()
+
+
+def test_feed_read_plan_constant_in_mutation_count(spark, tmp_path):
+    """read_change_feed is ONE scan with the sequence parsed from the
+    file path — the plan must not grow a Union arm per mutation (a
+    per-dir union makes 1,000 recorded mutations a 1,000-node plan)."""
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=200, files=4)
+    for i in range(6):
+        targeted_delete(spark, path, "doc_id", [i * 3 + 1])
+    feed = read_change_feed(spark, path)
+    plan = feed._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation") == 1 and "Union" not in plan
+    assert feed.count() == 6
+    # as-of reconstruction: current + feed -> exactly ONE union arm
+    # regardless of history depth (weighted aggregate, not a chain)
+    past = read_table_as_of(spark, path, 0)
+    pplan = past._jdf.queryExecution().optimizedPlan().toString()
+    assert pplan.count("Union") == 1
+    assert past.count() == 200

@@ -167,3 +167,169 @@ def test_cdc_merge_composes_with_versioned_publish(spark, tmp_path):
     # checksums recorded for both snapshots and differ
     log = list_versions(root)
     assert log[0]["checksum"] != log[1]["checksum"]
+
+
+# ---------------------------------------------------------------------------
+# Round-8: incremental in-place compaction (compact_table — OPTIMIZE)
+# ---------------------------------------------------------------------------
+
+
+def _small_file_tbl(spark, tmp_path, n=2000, files=20, cdf=False):
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        write_stats_manifest,
+    )
+
+    path = str(tmp_path / "ctbl")
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 13).alias("tag"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    )
+    df.repartition(files, "doc_id").write.parquet(path)
+    write_stats_manifest(
+        spark, path, ["tag"], bloom_cols=["doc_id"], bloom_bits=1 << 15
+    )
+    if cdf:
+        from osrs_dashboard_elt_spark.sources.change_feed import (
+            enable_change_feed,
+        )
+
+        enable_change_feed(path)
+    return path
+
+
+def test_compact_table_packs_small_files(spark, tmp_path):
+    import os
+
+    from osrs_dashboard_elt_spark.sources.maintenance import (
+        compact_table,
+    )
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        pruned_scan,
+        read_table,
+    )
+
+    path = _small_file_tbl(spark, tmp_path)
+    before = read_table(spark, path)
+    before_rows = sorted(
+        (r["doc_id"], r["tag"], r["text"]) for r in before.collect()
+    )
+    n_before = len([
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    ])
+    res = compact_table(spark, path, target_bytes=1 << 20)
+    n_after = len([
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    ])
+    assert res["files_compacted"] == n_before
+    assert res["files_written"] < n_before
+    assert n_after == res["files_written"]
+    after = read_table(spark, path)
+    assert sorted(
+        (r["doc_id"], r["tag"], r["text"]) for r in after.collect()
+    ) == before_rows
+    # manifest refreshed: pruned reads still work
+    assert pruned_scan(spark, path, points={"doc_id": 77}).count() == 1
+    # re-run: nothing left to pack below min_group
+    res2 = compact_table(spark, path, target_bytes=1 << 20)
+    assert res2["files_compacted"] == 0 or res2["files_written"] < 2
+
+
+def test_compact_table_leaves_big_files_untouched(spark, tmp_path):
+    import os
+
+    from osrs_dashboard_elt_spark.sources.maintenance import (
+        compact_table,
+    )
+
+    path = _small_file_tbl(spark, tmp_path, n=2000, files=8)
+    sizes = {
+        f: os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    # threshold below every file size: nothing qualifies
+    res = compact_table(spark, path, target_bytes=1)
+    assert res == {
+        "files_compacted": 0, "files_written": 0, "rows": 0
+    }
+    after = {
+        f: os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    assert after == sizes
+
+
+def test_compact_respects_dv_and_feed(spark, tmp_path):
+    """Compaction physically drops DV-tombstoned rows (no
+    resurrection) and records NO change-feed delta — the visible
+    multiset is unchanged, so CDC consumers and time travel are
+    oblivious."""
+    from osrs_dashboard_elt_spark.sources.change_feed import (
+        latest_change_seq,
+        read_table_as_of,
+    )
+    from osrs_dashboard_elt_spark.sources.maintenance import (
+        compact_table,
+        targeted_delete,
+    )
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        read_table,
+    )
+
+    path = _small_file_tbl(spark, tmp_path, cdf=True)
+    targeted_delete(spark, path, "doc_id", [3, 4], mode="dv")  # seq 1
+    assert latest_change_seq(path) == 1
+    res = compact_table(spark, path, target_bytes=1 << 20)
+    assert res["files_compacted"] > 0
+    assert latest_change_seq(path) == 1  # no delta from compaction
+    got = read_table(spark, path)
+    assert got.count() == 1998
+    assert got.filter("doc_id IN (3, 4)").isEmpty()
+    # bare reads agree now: the tombstoned rows are physically gone
+    assert spark.read.parquet(path).filter(
+        "doc_id IN (3, 4)"
+    ).isEmpty()
+    # time travel across the compaction still reconstructs seq 0
+    assert read_table_as_of(spark, path, 0).count() == 2000
+
+
+def test_compact_crash_rolls_forward_or_back(spark, tmp_path):
+    """A compaction that dies between landing its group outputs and
+    removing the originals must NOT double rows: the reconcile
+    finishes the removal (all outputs landed) before any refresh."""
+    import json
+    import os
+
+    from osrs_dashboard_elt_spark.sources.maintenance import (
+        _delete_journal_path,
+        _reconcile_delete_journal,
+        compact_table,
+    )
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        read_table,
+    )
+
+    path = _small_file_tbl(spark, tmp_path, n=500, files=6)
+    res = compact_table(spark, path, target_bytes=1 << 20)
+    assert res["files_written"] >= 1
+    # simulate the crash window: re-create the journal as if removal
+    # never ran, with copies of the originals back on disk
+    adds = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.startswith("part-cmp-")
+    )
+    fake_orig = os.path.join(path, "part-fake-orig.snappy.parquet")
+    import shutil
+
+    shutil.copy(adds[0], fake_orig)
+    jp = _delete_journal_path(path)
+    with open(jp, "w") as f:
+        json.dump(
+            {"rewrites": {}, "removes": [fake_orig], "adds": adds}, f
+        )
+    _reconcile_delete_journal(spark, path)
+    assert not os.path.exists(fake_orig)  # rolled forward
+    read_table(spark, path).count()  # manifest consistent

@@ -1,0 +1,164 @@
+"""ADD COLUMN evolution on manifest-backed tables
+(stats_manifest.evolve_table_schema): metadata-only, old files read
+back NULL under the pinned schema, new writes carry the column, and
+every mutation / feed / pruning path keeps working across the
+boundary."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osrs_dashboard_elt_spark.sources.change_feed import (
+    enable_change_feed,
+    read_change_feed,
+    read_table_as_of,
+)
+from osrs_dashboard_elt_spark.sources.maintenance import (
+    table_append,
+    targeted_delete,
+    targeted_upsert,
+)
+from osrs_dashboard_elt_spark.sources.stats_manifest import (
+    evolve_table_schema,
+    pruned_scan,
+    read_table,
+    refresh_stats_manifest,
+    write_stats_manifest,
+)
+
+
+def _tbl(spark, path, n=400, files=4, cdf=False):
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 13).alias("tag"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    )
+    df.repartition(files, "doc_id").write.parquet(path)
+    write_stats_manifest(
+        spark, path, ["tag"], bloom_cols=["doc_id"], bloom_bits=1 << 15
+    )
+    if cdf:
+        enable_change_feed(path)
+
+
+def test_evolution_is_metadata_only_and_nulls_old_rows(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path)
+    before = sorted(
+        (f, os.path.getmtime(os.path.join(path, f)))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    evolve_table_schema(spark, path, "note string, score double")
+    after = sorted(
+        (f, os.path.getmtime(os.path.join(path, f)))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    assert before == after  # no data file touched
+    got = read_table(spark, path)
+    assert got.columns == ["doc_id", "tag", "text", "note", "score"]
+    assert got.filter(F.col("note").isNotNull()).isEmpty()
+    assert got.count() == 400
+    # pruning still works (stats cols unchanged)
+    assert pruned_scan(spark, path, points={"doc_id": 7}).count() == 1
+
+
+def test_duplicate_or_retype_refuses(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path)
+    with pytest.raises(ValueError, match="already exist"):
+        evolve_table_schema(spark, path, "text string")
+    with pytest.raises(ValueError, match="already exist"):
+        evolve_table_schema(spark, path, "tag double")
+
+
+def test_append_and_upsert_carry_new_column(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=100, files=2)
+    evolve_table_schema(spark, path, "note string")
+    table_append(
+        spark, path,
+        spark.createDataFrame(
+            [(900, 1, "x", "fresh")],
+            "doc_id long, tag long, text string, note string",
+        ),
+    )
+    targeted_upsert(
+        spark, path, "doc_id",
+        spark.createDataFrame(
+            [(7, 9, "patched", "updated")],
+            "doc_id long, tag long, text string, note string",
+        ),
+    )
+    got = read_table(spark, path)
+    assert got.count() == 101
+    assert got.filter("doc_id = 900").collect()[0]["note"] == "fresh"
+    r7 = got.filter("doc_id = 7").collect()[0]
+    assert r7["note"] == "updated" and r7["text"] == "patched"
+    # untouched old rows: NULL note
+    assert got.filter("doc_id = 8").collect()[0]["note"] is None
+    # the rewrite of doc 7's file materialized NULLs for its
+    # neighbors, not garbage
+    assert got.filter(
+        (F.col("note").isNotNull())
+        & ~F.col("doc_id").isin(7, 900)
+    ).isEmpty()
+
+
+def test_delete_and_refresh_across_evolution(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=200, files=4)
+    evolve_table_schema(spark, path, "note string")
+    res = targeted_delete(spark, path, "doc_id", [5, 60])
+    assert res["rows_deleted"] == 2
+    got = read_table(spark, path)
+    assert got.count() == 198
+    assert got.filter("doc_id IN (5, 60)").isEmpty()
+    # a later refresh over the mixed old/new files passes the
+    # compatibility check (not the strict-equality one)
+    refresh_stats_manifest(spark, path, ["tag"])
+    assert pruned_scan(spark, path, points={"doc_id": 61}).count() == 1
+
+
+def test_change_feed_spans_evolution(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=100, files=2, cdf=True)
+    targeted_delete(spark, path, "doc_id", [3])        # seq 1: pre
+    state1 = read_table(spark, path).count()
+    evolve_table_schema(spark, path, "note string")
+    table_append(
+        spark, path,
+        spark.createDataFrame(
+            [(900, 1, "x", "fresh")],
+            "doc_id long, tag long, text string, note string",
+        ),
+    )                                                  # seq 2: post
+    feed = read_change_feed(spark, path)
+    rows = {
+        (r["doc_id"], r["_change_type"], r["note"])
+        for r in feed.collect()
+    }
+    # the pre-evolution delta reads back with NULL note
+    assert (3, "delete", None) in rows
+    assert (900, "insert", "fresh") in rows
+    # time travel across the boundary: rewind past the append
+    past = read_table_as_of(spark, path, 1)
+    assert past.count() == state1
+    assert past.filter("doc_id = 900").isEmpty()
+
+
+def test_real_drift_still_refuses(spark, tmp_path):
+    """The compatibility relaxation must not swallow actual drift: a
+    file with a RETYPED column still fails the freshness check."""
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=50, files=1)
+    # write a drifting file: doc_id as string
+    spark.createDataFrame(
+        [("oops", 1, "x")], "doc_id string, tag long, text string"
+    ).coalesce(1).write.mode("append").parquet(path)
+    with pytest.raises(Exception):
+        read_table(spark, path).collect()
