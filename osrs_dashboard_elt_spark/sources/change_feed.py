@@ -71,6 +71,7 @@ _REWIND_WEIGHT = {
 _CHANGES_DIR = "_changes"
 _COMMIT = "_commit.json"
 _ENABLED = "_enabled.json"
+_STAGING = ".staging"
 
 
 def _changes_root(path: str) -> str:
@@ -165,29 +166,48 @@ def stage_changes(
     root = _changes_root(path)
     seq = _claim_seq(root)
     cdir = _change_dir(root, seq)
+    # parts land in a dot-prefixed staging subdir, INVISIBLE to every
+    # Spark listing (batch readers list committed dirs explicitly;
+    # the STREAMING reader recurses over the whole feed root, and the
+    # dot prefix is what keeps half-written/aborted deltas out of its
+    # view) — commit_changes moves them up next to the marker
+    staging = os.path.join(cdir, _STAGING)
     wrote = False
     for df, ct in parts:
         out = df.withColumn("_change_type", F.lit(ct))
         # O(rows changed): a delta is takedown/batch-sized, so a
         # single part file per change type keeps the feed compact
-        out.coalesce(1).write.mode("append").parquet(cdir)
+        out.coalesce(1).write.mode("append").parquet(staging)
         wrote = True
     if not wrote:
         return None
     # an all-empty delta (e.g. every candidate was a bloom false
     # positive) must not commit: readers would union a schema-only dir
     spark = parts[0][0].sparkSession
-    if spark.read.parquet(cdir).isEmpty():
+    if spark.read.parquet(staging).isEmpty():
         shutil.rmtree(cdir, ignore_errors=True)
         return None
     return seq, cdir
 
 
 def commit_changes(cdir: str, op: str) -> None:
-    """Publish a staged change set (atomic rename of its commit
-    marker) — call AFTER the table mutation it describes committed."""
+    """Publish a staged change set — move its parts out of the
+    dot-staging dir (same-device renames), then atomically rename the
+    commit marker in; call AFTER the table mutation it describes
+    committed.  Idempotent: a crash mid-move is finished by the
+    journal reconcile calling this again (remaining parts move, the
+    marker lands last), and a re-commit of an already-committed dir
+    is a no-op marker rewrite."""
     import time
 
+    staging = os.path.join(cdir, _STAGING)
+    if os.path.isdir(staging):
+        for fn in sorted(os.listdir(staging)):
+            if fn.endswith(".parquet"):
+                os.replace(
+                    os.path.join(staging, fn), os.path.join(cdir, fn)
+                )
+        shutil.rmtree(staging, ignore_errors=True)
     fd, tmp = tempfile.mkstemp(dir=cdir, prefix=".commit-")
     with os.fdopen(fd, "w") as f:
         json.dump({"op": op, "ts": time.time()}, f)
@@ -326,3 +346,46 @@ def vacuum_change_feed(path: str, keep_since_seq: int) -> list[int]:
                 pass
             out.append(s)
     return out
+
+
+def stream_change_feed(spark: SparkSession, path: str) -> DataFrame:
+    """The change feed as a STREAMING source: every committed delta
+    row, with ``_change_type`` and ``_commit_seq``, delivered
+    incrementally to a Structured Streaming query — the CDC-consumer
+    shape (downstream index maintenance, cache invalidation, audit)
+    without polling ``read_change_feed`` and re-checkpointing seqs by
+    hand (the file source's own checkpoint IS the cursor).
+
+    Works because commit order makes files appear atomically: parts
+    stage under a dot-prefixed subdir every Spark listing skips, and
+    ``commit_changes`` renames them up only after the table mutation
+    committed — the stream can never observe a delta whose mutation
+    aborted.  Schema is pinned to the CURRENT table schema (+
+    ``_change_type``), so pre-evolution deltas read back NULL for
+    added columns, same as the batch reader."""
+    if not change_feed_enabled(path):
+        raise FileNotFoundError(
+            f"no change feed under {path} — call enable_change_feed "
+            "before mutating to record deltas"
+        )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from .stats_manifest import _load_meta
+
+    _, meta = _load_meta(spark, path)
+    schema = StructType.fromJson(meta["schema"])
+    feed_schema = StructType(
+        list(schema.fields)
+        + [StructField("_change_type", StringType(), True)]
+    )
+    df = (
+        spark.readStream.schema(feed_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(_changes_root(path))
+    )
+    return df.withColumn(
+        "_commit_seq",
+        F.regexp_extract(
+            F.input_file_name(), r"/c(\d{7})/", 1
+        ).cast("long"),
+    )

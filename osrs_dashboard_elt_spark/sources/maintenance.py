@@ -1116,25 +1116,28 @@ def table_append(
 def targeted_upsert(
     spark: SparkSession,
     path: str,
-    key_col: str,
+    key_col: str | list[str],
     updates: DataFrame,
     refresh_stats: bool = True,
 ) -> dict:
     """MERGE a batch-sized changeset into a manifest-backed table,
-    copy-on-write: rows whose ``key_col`` matches an update are
-    REPLACED by the update row (every occurrence — Delta's
-    whenMatchedUpdateAll), keys with no match are INSERTED as one new
-    part file (whenNotMatchedInsertAll).  The Delta/Iceberg ``MERGE
+    copy-on-write: rows whose key (``key_col`` — one column name or a
+    LIST for composite keys) matches an update are REPLACED by the
+    update row (every occurrence — Delta's whenMatchedUpdateAll),
+    keys with no match are INSERTED as one new part file
+    (whenNotMatchedInsertAll).  The Delta/Iceberg ``MERGE
     INTO`` shape re-expressed on the stats-manifest substrate — the
     apply-CDC-to-table primitive the reference performs as row-wise
     SQLite upserts (/root/reference/src/3_transform_data.py, the
     INSERT OR REPLACE discipline).
 
     Planning goes through the per-file blooms/min-max
-    (``files_for_values`` on the update keys), so a 100-row merge
-    against a million-file table touches ~|keys| files, and execution
-    keeps the batched-delete O(1)-job shape regardless of how many
-    files match:
+    (``files_for_values`` on the update keys; composite keys
+    INTERSECT the candidate sets of every plannable key column —
+    tighter than any single column alone), so a 100-row merge against
+    a million-file table touches ~|keys| files, and execution keeps
+    the batched-delete O(1)-job shape regardless of how many files
+    match:
 
     1. ONE classification scan over the affected files counts matched
        rows per file and collects WHICH keys each file holds — bloom
@@ -1183,8 +1186,12 @@ def targeted_upsert(
     pinned = StructType.fromJson(meta["schema"])
     all_files = sorted(spark.read.parquet(path).inputFiles())
     data_cols = _flat_data_cols(spark, path, meta, all_files[0])
-    if key_col not in data_cols:
-        raise ValueError(f"{key_col!r} is not a column of {path}")
+    key_cols = (
+        [key_col] if isinstance(key_col, str) else list(key_col)
+    )
+    bad = [c for c in key_cols if c not in data_cols]
+    if bad:
+        raise ValueError(f"{bad} are not columns of {path}")
     missing = [c for c in data_cols if c not in updates.columns]
     if missing:
         raise ValueError(
@@ -1194,8 +1201,8 @@ def targeted_upsert(
         *[F.col(c).cast(pinned[c].dataType).alias(c) for c in data_cols]
     )
     upd_rows = shaped.collect()  # changeset contract: driver-sized
-    keys = [r[key_col] for r in upd_rows]
-    if any(k is None for k in keys):
+    keys = [tuple(r[c] for c in key_cols) for r in upd_rows]
+    if any(any(v is None for v in k) for k in keys):
         raise ValueError("update keys must be non-null")
     if len(set(keys)) != len(keys):
         dupes = sorted(
@@ -1213,7 +1220,30 @@ def targeted_upsert(
     # JVM-backed changeset: every downstream job (classification join,
     # rewrite, staging writes) runs without Python workers
     upd_df = local_frame(spark, [tuple(r) for r in upd_rows], ddl)
-    affected = files_for_values(spark, path, key_col, keys)
+    # composite planning: intersect candidates over every key column
+    # the manifest can prune on (each column's value list OR-ed
+    # internally, the columns AND-ed) — at least one must be plannable
+    plannable = [
+        c
+        for c in key_cols
+        if c in meta["cols"] or c in meta["bloom_cols"]
+    ]
+    if not plannable:
+        raise ValueError(
+            f"no key column of {key_cols} has min/max stats or a "
+            "bloom in the manifest — rebuild it with one to plan "
+            "merges"
+        )
+    affected_set: set[str] | None = None
+    for i, c in enumerate(key_cols):
+        if c not in plannable:
+            continue
+        vals = list(dict.fromkeys(k[i] for k in keys))
+        cand = set(files_for_values(spark, path, c, vals))
+        affected_set = (
+            cand if affected_set is None else affected_set & cand
+        )
+    affected = sorted(affected_set or set())
     matched_keys: set = set()
     partials: list[str] = []
     rows_updated = 0
@@ -1228,14 +1258,20 @@ def targeted_upsert(
         live = apply_deletion_vectors_df(
             spark, path, meta, base, file_col="__file"
         )
-        hit = F.col(key_col).isin(keys)
+        upd_keys = F.broadcast(
+            upd_df.select(*key_cols).withColumn("__hit", F.lit(1))
+        )
         cls = (
-            live.select("__file", F.col(key_col))
+            live.select("__file", *key_cols)
+            .join(upd_keys, key_cols, "left")
             .groupBy("__file")
             .agg(
-                F.sum(F.when(hit, 1).otherwise(0)).alias("m"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("m"),
                 F.collect_set(
-                    F.when(hit, F.col(key_col))
+                    F.when(
+                        F.col("__hit").isNotNull(),
+                        F.struct(*key_cols),
+                    )
                 ).alias("matched"),
             )
             .collect()
@@ -1245,9 +1281,13 @@ def targeted_upsert(
             if m == 0:  # bloom false positive — leave untouched
                 continue
             rows_updated += m
-            matched_keys |= set(r["matched"])
+            matched_keys |= {tuple(k) for k in r["matched"]}
             partials.append(r["__file"])
-    insert_rows = [r for r in upd_rows if r[key_col] not in matched_keys]
+    insert_rows = [
+        r
+        for r, k in zip(upd_rows, keys)
+        if k not in matched_keys
+    ]
     if not partials and not insert_rows:
         return {
             "files_affected": len(affected), "files_rewritten": 0,
@@ -1263,24 +1303,32 @@ def targeted_upsert(
             os.path.join(
                 path,
                 _insert_file_name(
-                    sorted((r[key_col] for r in insert_rows), key=str)
+                    sorted(
+                        (
+                            tuple(r[c] for c in key_cols)
+                            for r in insert_rows
+                        ),
+                        key=str,
+                    )
                 ),
             )
         ]
     # merged view of the partial files: matched rows take the update's
-    # columns (broadcast left join on the key), others pass through
+    # columns (broadcast left join on the key columns), others pass
+    # through
     upd_marked = F.broadcast(
         upd_df.select(
-            F.col(key_col).alias("__k"),
             F.lit(1).alias("__hit"),
             *[F.col(c).alias(f"__u_{c}") for c in data_cols],
         )
     )
 
     def _merged(src: DataFrame) -> DataFrame:
-        j = src.join(
-            upd_marked, F.col(key_col) == F.col("__k"), "left"
-        )
+        cond = None
+        for c in key_cols:
+            eq = F.col(c) == F.col(f"__u_{c}")
+            cond = eq if cond is None else cond & eq
+        j = src.join(upd_marked, cond, "left")
         return j.select(
             *[
                 F.when(F.col("__hit").isNotNull(), F.col(f"__u_{c}"))
@@ -1301,12 +1349,13 @@ def targeted_upsert(
             ),
             "__file",
         )
-        pre = live_partials.filter(F.col(key_col).isin(keys)).select(
+        matched_rows = live_partials.join(
+            F.broadcast(upd_df.select(*key_cols)), key_cols, "semi"
+        )
+        pre = matched_rows.select(*[f.name for f in pinned.fields])
+        post = _merged(matched_rows).select(
             *[f.name for f in pinned.fields]
         )
-        post = _merged(
-            live_partials.filter(F.col(key_col).isin(keys))
-        ).select(*[f.name for f in pinned.fields])
         parts += [(pre, "update_preimage"), (post, "update_postimage")]
     if ins_df is not None:
         parts.append((ins_df, "insert"))

@@ -307,3 +307,61 @@ def test_feed_read_plan_constant_in_mutation_count(spark, tmp_path):
     pplan = past._jdf.queryExecution().optimizedPlan().toString()
     assert pplan.count("Union") == 1
     assert past.count() == 200
+
+
+def test_stream_change_feed_incremental(spark, tmp_path):
+    """The feed as a streaming CDC source: committed deltas arrive
+    incrementally (the file-source checkpoint is the cursor), staged/
+    aborted deltas are NEVER visible (dot-staging until commit), and
+    a restart picks up only what landed since."""
+    import time
+
+    from osrs_dashboard_elt_spark.sources.change_feed import (
+        stage_changes,
+        stream_change_feed,
+    )
+
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=200, files=4)
+    targeted_delete(spark, path, "doc_id", [5, 6])        # seq 1
+    # a STAGED-but-uncommitted delta (simulating a mutation that is
+    # mid-flight or crashed pre-commit): must stay invisible
+    staged = stage_changes(
+        path,
+        [(
+            spark.createDataFrame(
+                [(999, 0, "ghost")],
+                "doc_id long, tag long, text string",
+            ),
+            "insert",
+        )],
+    )
+    assert staged is not None
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "cdc_out")
+
+    def drain():
+        q = (
+            stream_change_feed(spark, path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        time.sleep(0.2)
+
+    drain()
+    got = spark.read.parquet(out).collect()
+    assert sorted(r["doc_id"] for r in got) == [5, 6]
+    assert {r["_commit_seq"] for r in got} == {1}
+    assert all(r["doc_id"] != 999 for r in got)
+    # more mutations land; the SAME checkpoint delivers only the new
+    targeted_delete(spark, path, "doc_id", [7])           # seq 3
+    drain()
+    got2 = spark.read.parquet(out).collect()
+    new = sorted(r["doc_id"] for r in got2)
+    assert new == [5, 6, 7]
+    seq7 = [r for r in got2 if r["doc_id"] == 7][0]["_commit_seq"]
+    assert seq7 == 3  # the staged ghost claimed (and wasted) seq 2

@@ -232,3 +232,43 @@ def test_job_count_constant_in_affected_files(spark, tmp_path):
     )
     assert j_small == j_big, (j_small, j_big)
     assert j_big <= 30  # planning + classify + rewrite + refresh
+
+
+def test_composite_key_merge(spark, tmp_path):
+    """MERGE on a composite key (list of columns): candidates
+    intersect across every plannable key column, matching is
+    tuple-exact, and a half-matching key (right doc_id, wrong tag)
+    inserts instead of updating."""
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, 10, "a"), (1, 11, "b"), (2, 10, "c"), (2, 11, "d")],
+        "doc_id long, tag long, text string",
+    ).coalesce(2).write.parquet(path)
+    write_stats_manifest(
+        spark, path, ["tag"], bloom_cols=["doc_id"], bloom_bits=1 << 12
+    )
+    res = targeted_upsert(
+        spark, path, ["doc_id", "tag"],
+        _upd(spark, [(1, 10, "upd-a"), (1, 99, "new")]),
+    )
+    assert res["rows_updated"] == 1 and res["rows_inserted"] == 1
+    got = {
+        (r["doc_id"], r["tag"]): r["text"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got[(1, 10)] == "upd-a"
+    assert got[(1, 11)] == "b"      # same doc_id, other tag untouched
+    assert got[(1, 99)] == "new"
+    assert len(got) == 5
+    # duplicate composite keys refuse
+    with pytest.raises(ValueError, match="duplicate update keys"):
+        targeted_upsert(
+            spark, path, ["doc_id", "tag"],
+            _upd(spark, [(1, 10, "x"), (1, 10, "y")]),
+        )
+    # NULL in any key component refuses
+    with pytest.raises(ValueError, match="non-null"):
+        targeted_upsert(
+            spark, path, ["doc_id", "tag"],
+            _upd(spark, [(1, None, "x")]),
+        )
