@@ -386,6 +386,12 @@ def _reconcile_delete_journal(spark: SparkSession, path: str) -> bool:
     from .stats_manifest import _load_meta
     from .stats_manifest import refresh_stats_manifest as _refresh
 
+    try:
+        for d in os.listdir(path):
+            if d.startswith(".ins-stage-"):
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    except FileNotFoundError:
+        pass
     jp = _delete_journal_path(path)
     try:
         with open(jp) as f:
@@ -453,6 +459,83 @@ def _reconcile_delete_journal(spark: SparkSession, path: str) -> bool:
     return completed
 
 
+
+
+# in-process reentrancy for the mutation gate: auto-compaction calls
+# apply_deletion_vectors from inside a dv delete, and orphan
+# re-resolution calls targeted_delete from inside compaction — the
+# nested acquisition must not self-deadlock
+_GATE_HELD: dict[str, int] = {}
+
+
+class _mutation_gate:
+    """Per-table mutex serializing MUTATIONS (delete / upsert / append
+    / compaction): they share one intent journal and in-place file
+    swaps, so two concurrent mutations would overwrite each other's
+    journal and reconcile each other's in-flight state as crashes.
+    O_CREAT|O_EXCL lock file with bounded spin (the _log_lock /
+    _commit_gate discipline): a writer that died holding it surfaces
+    as a loud timeout naming the lock file, never a silent lost
+    update.  Reentrant within the process (nested maintenance calls);
+    cross-process it is a real mutex."""
+
+    def __init__(self, path: str, timeout: float = 120.0) -> None:
+        from .stats_manifest import _manifest_root
+
+        self.key = os.path.realpath(path)
+        self.lock = os.path.join(_manifest_root(path), ".mutation.lock")
+        self.timeout = timeout
+        self.owned = False
+
+    def __enter__(self) -> None:
+        if _GATE_HELD.get(self.key):
+            _GATE_HELD[self.key] += 1
+            return
+        os.makedirs(os.path.dirname(self.lock), exist_ok=True)
+        deadline = time.time() + self.timeout
+        while True:
+            try:
+                fd = os.open(
+                    self.lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"table mutation gate held for > "
+                        f"{self.timeout}s at {self.lock} — another "
+                        "mutation is running or crashed mid-flight; "
+                        "remove the lock file once no writer is live"
+                    ) from None
+                time.sleep(0.05)
+        _GATE_HELD[self.key] = 1
+        self.owned = True
+
+    def __exit__(self, *exc) -> None:
+        _GATE_HELD[self.key] -= 1
+        if not _GATE_HELD[self.key]:
+            del _GATE_HELD[self.key]
+            try:
+                os.remove(self.lock)
+            except FileNotFoundError:
+                pass
+
+
+def _with_mutation_gate(fn):
+    """Decorator: run the mutation under the table's gate (the first
+    two positional args are (spark, path))."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, path, *args, **kwargs):
+        with _mutation_gate(path):
+            return fn(spark, path, *args, **kwargs)
+
+    return wrapper
+
+
 def _journal_and_swap(
     spark: SparkSession,
     path: str,
@@ -512,6 +595,8 @@ def _journal_and_swap(
                     f"files for {len(adds)} journaled targets"
                 )
             for part, target in zip(ins_parts, adds):
+                # a NEW partition's dir may not exist yet
+                os.makedirs(os.path.dirname(target), exist_ok=True)
                 if os.path.exists(target):  # stale orphan from a crash
                     os.remove(target)
                 os.replace(os.path.join(tmp, "__ins", part), target)
@@ -522,6 +607,7 @@ def _journal_and_swap(
     return rewrites
 
 
+@_with_mutation_gate
 def targeted_delete(
     spark: SparkSession,
     path: str,
@@ -828,6 +914,7 @@ def targeted_delete(
     }
 
 
+@_with_mutation_gate
 def apply_deletion_vectors(
     spark: SparkSession, path: str, refresh_stats: bool = True
 ) -> dict:
@@ -1010,39 +1097,64 @@ def _data_columns(
     )
 
 
-def _insert_file_name(keys: list) -> str:
-    """Deterministic insert part-file name derived from the inserted
-    key set — the append analog of :func:`_replacement_name`: a
-    crashed upsert's retry either re-lands the same file (same keys
-    still missing) or inserts nothing (the keys arrived), so a
-    landed-then-retried insert can never duplicate rows under a
-    second name."""
+def _prestage_inserts(
+    path: str,
+    ins_df: DataFrame,
+    data_cols: list[str],
+    part_cols: list[str],
+    name_seed: str,
+) -> tuple[str, list[str], list[str]]:
+    """Write the insert set into a dot-prefixed staging dir INSIDE the
+    table (invisible to every reader; same-device for the final
+    rename) routed by ``partitionBy`` when the table is
+    hive-partitioned, and derive the (staged file, final target)
+    lists.  Using the writer's own partition dirs gives the correct
+    hive value encoding for free — no driver-side re-implementation
+    of partition-path escaping.  One output file per partition dir
+    (``repartition`` on the partition columns), each with a
+    DETERMINISTIC final name derived from (changeset seed, partition
+    path) so a crashed mutation's retry finds its orphans instead of
+    duplicating rows.  Stale staging dirs from crashes are swept by
+    the journal reconcile (they can only exist under the gate)."""
     import hashlib
 
-    h = hashlib.sha1(
-        "\x00".join(str(k) for k in keys).encode()
-    ).hexdigest()[:16]
-    return f"part-ups-{h}.snappy.parquet"
-
-
-def _flat_data_cols(
-    spark: SparkSession, path: str, meta: dict, sample_file: str
-) -> list[str]:
-    """The table's data columns, refusing hive-partitioned layouts:
-    an upsert/append would have to route rows into partition DIRS
-    (and a key update across partitions is a move, not a rewrite) —
-    that path belongs to the partitioned writers.  Evolution-added
-    columns ARE data columns (old footers lack them; they read back
-    NULL and new writes carry them)."""
-    data_cols, part_cols = _data_columns(spark, path, meta, sample_file)
+    pre = tempfile.mkdtemp(dir=path, prefix=".ins-stage-")
     if part_cols:
-        raise ValueError(
-            f"{path} is hive-partitioned on {sorted(part_cols)} — "
-            "upsert/append must route rows through the partitioned "
-            "writer (dedup_append / write path), not the flat-file "
-            "planner"
+        (
+            ins_df.repartition(*[F.col(c) for c in part_cols])
+            .write.partitionBy(*part_cols)
+            .mode("overwrite").parquet(pre)
         )
-    return data_cols
+    else:
+        ins_df.select(*data_cols).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(pre)
+    by_rel: dict[str, list[str]] = {}
+    for dirpath, _d, files in os.walk(pre):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                rel = os.path.relpath(dirpath, pre)
+                by_rel.setdefault(
+                    "" if rel == "." else rel, []
+                ).append(os.path.join(dirpath, fn))
+    staged, adds = [], []
+    for rel in sorted(by_rel):
+        parts = by_rel[rel]
+        if len(parts) != 1:
+            raise RuntimeError(
+                f"insert staging produced {len(parts)} files for "
+                f"partition {rel!r} — expected exactly one"
+            )
+        h = hashlib.sha1(
+            f"{name_seed}\x00{rel}".encode()
+        ).hexdigest()[:16]
+        staged.append(parts[0])
+        adds.append(
+            os.path.join(
+                path, rel, f"part-ups-{h}.snappy.parquet"
+            )
+        )
+    return pre, staged, adds
 
 
 def table_append(
@@ -1051,11 +1163,15 @@ def table_append(
     rows: DataFrame,
     refresh_stats: bool = True,
 ) -> dict:
-    """Append ``rows`` to a manifest-backed table as ONE new part
-    file, journaled and crash-safe: the write stages inside the table
-    dir, the journal names the target, and a crash mid-move rolls the
-    (pure) append back so a retry starts clean.  With the change feed
-    enabled the batch is recorded as an ``insert`` delta.
+    """Append ``rows`` to a manifest-backed table, journaled and
+    crash-safe: the write stages inside the table dir, the journal
+    names every target, and a crash mid-move rolls the (pure) append
+    back so a retry starts clean.  Flat tables get ONE new part file;
+    hive-partitioned tables route rows into their partition dirs via
+    ``partitionBy`` staging (one file per touched partition, the
+    writer's own dirs supply the hive value encoding).  With the
+    change feed enabled the batch is recorded as an ``insert`` delta
+    (partition values materialized as columns, like every delta).
 
     This is the CDC-shaped append (batch-sized changesets riding the
     same journal/refresh machinery as delete/upsert) — bulk loads
@@ -1076,32 +1192,38 @@ def table_append(
         )
     pinned = StructType.fromJson(meta["schema"])
     first = sorted(spark.read.parquet(path).inputFiles())
-    data_cols = _flat_data_cols(spark, path, meta, first[0])
-    missing = [c for c in data_cols if c not in rows.columns]
+    data_cols, part_cols = _data_columns(spark, path, meta, first[0])
+    all_cols = [f.name for f in pinned.fields]
+    missing = [c for c in all_cols if c not in rows.columns]
     if missing:
         raise ValueError(
             f"append rows are missing table columns {missing}"
         )
     shaped = rows.select(
-        *[F.col(c).cast(pinned[c].dataType).alias(c) for c in data_cols]
+        *[F.col(c).cast(pinned[c].dataType).alias(c) for c in all_cols]
     )
     n = shaped.count()
     if n == 0:
         return {"files_added": 0, "rows_inserted": 0}
     staged = stage_changes(path, [(shaped, "insert")])
-    target = os.path.join(
-        path, _insert_file_name([f"append:{n}", os.urandom(8).hex()])
+    pre, staged_files, adds = _prestage_inserts(
+        path, shaped, data_cols, part_cols,
+        f"append:{n}:{os.urandom(8).hex()}",
     )
 
     def _write(tmp: str) -> None:
-        shaped.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(tmp, "__ins")
-        )
+        ins = os.path.join(tmp, "__ins")
+        os.makedirs(ins, exist_ok=True)
+        for i, sf in enumerate(staged_files):
+            os.replace(sf, os.path.join(ins, f"{i:07d}.parquet"))
 
-    _journal_and_swap(
-        spark, path, [], [], _write, adds=[target],
-        changes=(staged[1], "table_append") if staged else None,
-    )
+    try:
+        _journal_and_swap(
+            spark, path, [], [], _write, adds=adds,
+            changes=(staged[1], "table_append") if staged else None,
+        )
+    finally:
+        shutil.rmtree(pre, ignore_errors=True)
     if refresh_stats:
         _refresh(spark, path, meta["cols"])
     if staged:
@@ -1110,9 +1232,10 @@ def table_append(
         os.remove(_delete_journal_path(path))
     except FileNotFoundError:
         pass
-    return {"files_added": 1, "rows_inserted": n}
+    return {"files_added": len(adds), "rows_inserted": n}
 
 
+@_with_mutation_gate
 def targeted_upsert(
     spark: SparkSession,
     path: str,
@@ -1161,7 +1284,11 @@ def targeted_upsert(
     records ``update_preimage`` / ``update_postimage`` / ``insert``
     deltas.  Retry-idempotent after a crash: landed inserts re-plan
     as updates (same values), landed updates rewrite to the same
-    bytes.
+    bytes.  Hive-partitioned tables are supported: inserts route into
+    their partition dirs via ``partitionBy`` staging, matched-row
+    rewrites stay inside their file's partition, and an update that
+    would CHANGE a partition column refuses (that is a move across
+    directories — delete + append instead).
 
     Returns {files_affected, files_rewritten, rows_updated,
     rows_inserted}."""
@@ -1185,20 +1312,23 @@ def targeted_upsert(
         )
     pinned = StructType.fromJson(meta["schema"])
     all_files = sorted(spark.read.parquet(path).inputFiles())
-    data_cols = _flat_data_cols(spark, path, meta, all_files[0])
+    data_cols, part_cols = _data_columns(
+        spark, path, meta, all_files[0]
+    )
+    all_cols = [f.name for f in pinned.fields]
     key_cols = (
         [key_col] if isinstance(key_col, str) else list(key_col)
     )
-    bad = [c for c in key_cols if c not in data_cols]
+    bad = [c for c in key_cols if c not in all_cols]
     if bad:
         raise ValueError(f"{bad} are not columns of {path}")
-    missing = [c for c in data_cols if c not in updates.columns]
+    missing = [c for c in all_cols if c not in updates.columns]
     if missing:
         raise ValueError(
             f"update rows are missing table columns {missing}"
         )
     shaped = updates.select(
-        *[F.col(c).cast(pinned[c].dataType).alias(c) for c in data_cols]
+        *[F.col(c).cast(pinned[c].dataType).alias(c) for c in all_cols]
     )
     upd_rows = shaped.collect()  # changeset contract: driver-sized
     keys = [tuple(r[c] for c in key_cols) for r in upd_rows]
@@ -1215,7 +1345,7 @@ def targeted_upsert(
     from ..literals import local_frame
 
     ddl = ", ".join(
-        f"{c} {pinned[c].dataType.simpleString()}" for c in data_cols
+        f"{c} {pinned[c].dataType.simpleString()}" for c in all_cols
     )
     # JVM-backed changeset: every downstream job (classification join,
     # rewrite, staging writes) runs without Python workers
@@ -1258,15 +1388,32 @@ def targeted_upsert(
         live = apply_deletion_vectors_df(
             spark, path, meta, base, file_col="__file"
         )
+        # partition columns the update could MOVE a row across: an
+        # update changing one is a delete+insert across dirs, not a
+        # rewrite — detected in the same classification pass, refused
+        guard_cols = [c for c in part_cols if c not in key_cols]
         upd_keys = F.broadcast(
-            upd_df.select(*key_cols).withColumn("__hit", F.lit(1))
+            upd_df.select(
+                *key_cols,
+                *[F.col(c).alias(f"__p_{c}") for c in guard_cols],
+            ).withColumn("__hit", F.lit(1))
         )
+        moved_pred = F.lit(False)
+        for c in guard_cols:
+            moved_pred = moved_pred | ~F.col(c).eqNullSafe(
+                F.col(f"__p_{c}")
+            )
         cls = (
-            live.select("__file", *key_cols)
+            live.select("__file", *key_cols, *guard_cols)
             .join(upd_keys, key_cols, "left")
             .groupBy("__file")
             .agg(
                 F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("m"),
+                F.sum(
+                    F.when(
+                        F.col("__hit").isNotNull() & moved_pred, 1
+                    ).otherwise(0)
+                ).alias("moved"),
                 F.collect_set(
                     F.when(
                         F.col("__hit").isNotNull(),
@@ -1276,6 +1423,14 @@ def targeted_upsert(
             )
             .collect()
         )
+        n_moved = sum(int(r["moved"] or 0) for r in cls)
+        if n_moved:
+            raise ValueError(
+                f"{n_moved} matched rows would change a partition "
+                f"column ({guard_cols}) — a partition-column update "
+                "is a MOVE across directories, not a rewrite; delete "
+                "the rows and append them to the new partition"
+            )
         for r in cls:
             m = int(r["m"] or 0)
             if m == 0:  # bloom false positive — leave untouched
@@ -1295,24 +1450,25 @@ def targeted_upsert(
         }
     adds: list[str] = []
     ins_df = None
+    pre_dir = None
+    ins_staged: list[str] = []
     if insert_rows:
         ins_df = local_frame(
             spark, [tuple(r) for r in insert_rows], ddl
         )
-        adds = [
-            os.path.join(
-                path,
-                _insert_file_name(
-                    sorted(
-                        (
-                            tuple(r[c] for c in key_cols)
-                            for r in insert_rows
-                        ),
-                        key=str,
-                    )
-                ),
+        # seed from the inserted KEYS (not randomness): a crashed
+        # merge's retry re-derives the same targets and reconciles
+        # orphans instead of duplicating rows
+        seed = "\x00".join(
+            str(k)
+            for k in sorted(
+                (tuple(r[c] for c in key_cols) for r in insert_rows),
+                key=str,
             )
-        ]
+        )
+        pre_dir, ins_staged, adds = _prestage_inserts(
+            path, ins_df, data_cols, part_cols, seed
+        )
     # merged view of the partial files: matched rows take the update's
     # columns (broadcast left join on the key columns), others pass
     # through
@@ -1374,15 +1530,20 @@ def targeted_upsert(
                 len(partials), "__src"
             )
             rw.write.partitionBy("__src").mode("overwrite").parquet(tmp)
-        if ins_df is not None:
-            ins_df.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(tmp, "__ins")
-            )
+        if ins_staged:
+            ins = os.path.join(tmp, "__ins")
+            os.makedirs(ins, exist_ok=True)
+            for i, sf in enumerate(ins_staged):
+                os.replace(sf, os.path.join(ins, f"{i:07d}.parquet"))
 
-    _journal_and_swap(
-        spark, path, partials, [], _write, adds=adds,
-        changes=(staged[1], "targeted_upsert") if staged else None,
-    )
+    try:
+        _journal_and_swap(
+            spark, path, partials, [], _write, adds=adds,
+            changes=(staged[1], "targeted_upsert") if staged else None,
+        )
+    finally:
+        if pre_dir:
+            shutil.rmtree(pre_dir, ignore_errors=True)
     if refresh_stats:
         _refresh(spark, path, meta["cols"])
     if staged:
@@ -1413,6 +1574,7 @@ def _compact_group_name(files: list[str]) -> str:
     return f"part-cmp-{h}.snappy.parquet"
 
 
+@_with_mutation_gate
 def compact_table(
     spark: SparkSession,
     path: str,

@@ -333,3 +333,41 @@ def test_compact_crash_rolls_forward_or_back(spark, tmp_path):
     _reconcile_delete_journal(spark, path)
     assert not os.path.exists(fake_orig)  # rolled forward
     read_table(spark, path).count()  # manifest consistent
+
+
+def test_mutation_gate_serializes_and_times_out(spark, tmp_path):
+    """Mutations share one intent journal and in-place swaps — the
+    per-table gate makes concurrent mutations serialize; a stale lock
+    surfaces as a loud timeout naming the file, not a silent journal
+    clobber.  Nested maintenance calls (dv auto-compaction, orphan
+    re-resolution) stay reentrant."""
+    import os
+
+    from osrs_dashboard_elt_spark.sources.maintenance import (
+        _mutation_gate,
+        targeted_delete,
+    )
+
+    path = _small_file_tbl(spark, tmp_path, n=200, files=4)
+    lock = os.path.join(path, "_stats_manifest", ".mutation.lock")
+    # a foreign holder (simulating another process): the mutation
+    # must time out loudly
+    with open(lock, "w") as f:
+        f.write("99999")
+    import pytest as _pt
+
+    with _pt.raises(TimeoutError, match="mutation gate"):
+        with _mutation_gate(path, timeout=0.3):
+            pass
+    os.remove(lock)
+    # reentrant within the process: nested gates do not deadlock and
+    # the lock clears only at the outermost exit
+    with _mutation_gate(path):
+        with _mutation_gate(path):
+            assert os.path.exists(lock)
+        assert os.path.exists(lock)
+    assert not os.path.exists(lock)
+    # a real mutation acquires and releases cleanly
+    res = targeted_delete(spark, path, "doc_id", [3])
+    assert res["rows_deleted"] == 1
+    assert not os.path.exists(lock)

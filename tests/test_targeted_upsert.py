@@ -137,23 +137,65 @@ def test_duplicate_update_keys_raise(spark, tmp_path):
         )
 
 
-def test_hive_partitioned_refuses(spark, tmp_path):
+def test_hive_partitioned_upsert_and_append(spark, tmp_path):
+    """Partitioned tables: inserts route into partition dirs (new
+    partitions created as needed), matched-row rewrites stay in their
+    partition without materializing the partition column, and an
+    update that would MOVE a row across partitions refuses."""
+    import os
+
     path = str(tmp_path / "ptbl")
     df = spark.range(100).select(
         (F.col("id") % 4).alias("day"),
         F.col("id").alias("doc_id"),
-        F.lit("x").alias("text"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
     )
     df.repartition(4, "doc_id").write.partitionBy("day").parquet(path)
     write_stats_manifest(
         spark, path, ["day"], bloom_cols=["doc_id"], bloom_bits=1 << 12
     )
-    with pytest.raises(ValueError, match="hive-partitioned"):
-        targeted_upsert(
-            spark, path, "doc_id", _upd(spark, [(1, 0, "a")])
+
+    def _prow(day, doc, text):
+        return spark.createDataFrame(
+            [(day, doc, text)], "day long, doc_id long, text string"
         )
-    with pytest.raises(ValueError, match="hive-partitioned"):
-        table_append(spark, path, _upd(spark, [(1000, 0, "a")]))
+
+    # append into an existing partition AND a brand-new one
+    res = table_append(
+        spark, path,
+        spark.createDataFrame(
+            [(2, 900, "ap-old"), (7, 901, "ap-new")],
+            "day long, doc_id long, text string",
+        ),
+    )
+    assert res == {"files_added": 2, "rows_inserted": 2}
+    assert os.path.isdir(os.path.join(path, "day=7"))
+    got = spark.read.parquet(path)
+    assert got.count() == 102
+    assert got.filter("doc_id = 901").collect()[0]["day"] == 7
+    # upsert: update stays in its partition (doc 5 lives in day=1)
+    res = targeted_upsert(
+        spark, path, "doc_id", _prow(1, 5, "patched")
+    )
+    assert res["rows_updated"] == 1 and res["rows_inserted"] == 0
+    r5 = spark.read.parquet(path).filter("doc_id = 5").collect()[0]
+    assert r5["text"] == "patched" and r5["day"] == 1
+    # replacement file carries NO partition column
+    for dirpath, _d, files in os.walk(path):
+        for fn in files:
+            if fn.startswith("part-del-"):
+                assert "day" not in spark.read.parquet(
+                    os.path.join(dirpath, fn)
+                ).columns
+    # insert into a partitioned table via upsert
+    res = targeted_upsert(spark, path, "doc_id", _prow(3, 950, "i"))
+    assert res["rows_inserted"] == 1
+    assert spark.read.parquet(path).filter(
+        "doc_id = 950 AND day = 3"
+    ).count() == 1
+    # partition-column MOVE refuses (doc 6 is in day=2, not day=0)
+    with pytest.raises(ValueError, match="partition column"):
+        targeted_upsert(spark, path, "doc_id", _prow(0, 6, "x"))
 
 
 def test_dv_tombstoned_rows_not_updated(spark, tmp_path):
