@@ -389,3 +389,103 @@ def stream_change_feed(spark: SparkSession, path: str) -> DataFrame:
             F.input_file_name(), r"/c(\d{7})/", 1
         ).cast("long"),
     )
+
+
+def apply_takedowns_from_feed(
+    spark: SparkSession,
+    path: str,
+    id_col: str,
+    since_seq: int = 0,
+    dedup_index: str | None = None,
+    pq_index: str | None = None,
+    suppress: bool = False,
+) -> dict:
+    """Propagate the table's DELETE deltas to its derived artifacts —
+    the closing piece of the takedown loop: the corpus table is the
+    source of truth, and every index derived from it (dedup posting
+    index, at-rest PQ/ANN codes) learns about removals FROM THE FEED
+    instead of a hand-maintained id list that drifts the moment one
+    consumer misses a takedown batch.
+
+    Reads the feed once for ``(since_seq, head]``, distincts the
+    deleted ids, and tombstones them in the named indexes
+    (``dedup_index`` is a registered bucketed posting index —
+    ``operators.dedup_index.delete_from_index``; ``pq_index`` is an
+    at-rest PQ path — ``operators.pq.pq_delete_from_index``).  With
+    ``suppress=True`` the ids are also returned under ``"suppress"``
+    for the ingest suppression list (``streaming.dedup_ingest``'s
+    never-again set).  Returns the new checkpoint
+    (``{"last_seq": n, "ids": [...], ...}``) — store ``last_seq`` and
+    pass it back as ``since_seq`` next run; re-running a window is
+    safe (tombstones are idempotent anti-join sets).
+
+    O(changes in window): no table or index data is scanned beyond
+    the tombstone appends themselves."""
+    head = latest_change_seq(path)
+    if head <= since_seq:
+        return {"last_seq": head, "ids": [], "n_tombstoned": 0}
+    feed = read_change_feed(spark, path, since_seq=since_seq)
+    deleted = (
+        feed.filter(F.col("_change_type") == "delete")
+        .select(id_col)
+        .distinct()
+    )
+    ids = sorted(r[id_col] for r in deleted.collect())
+    out: dict = {"last_seq": head, "ids": ids, "n_tombstoned": 0}
+    if not ids:
+        return out
+    if dedup_index is not None:
+        from ..operators.dedup_index import delete_from_index
+
+        out["n_tombstoned"] += delete_from_index(
+            spark, dedup_index, ids
+        )
+    if pq_index is not None:
+        from ..operators.pq import pq_delete_from_index
+
+        out["n_tombstoned"] += pq_delete_from_index(ids, pq_index)
+    if suppress:
+        out["suppress"] = ids
+    return out
+
+
+def apply_inserts_from_feed(
+    spark: SparkSession,
+    path: str,
+    id_col: str,
+    text_col: str,
+    since_seq: int = 0,
+    dedup_index: str | None = None,
+    index_params: dict | None = None,
+) -> dict:
+    """The insert half of feed-driven index maintenance: rows ADDED
+    to the table since ``since_seq`` (``insert`` deltas — merge
+    postimages are NOT new documents, their postings already exist)
+    extend the dedup posting index incrementally
+    (``write_minhash_index(mode="append")`` over just the delta rows,
+    O(batch) — never re-signaturing the corpus).  ``index_params``
+    must MATCH the index's build parameters (num_perm / bands / seed /
+    shingle_n / n_buckets), same contract as the probe.  Returns
+    ``{"last_seq": n, "n_indexed": k}``; replaying a window appends
+    duplicate postings — harmless for candidate generation (the probe
+    dedups pairs) but wasteful, so checkpoint ``last_seq`` like the
+    takedown half."""
+    head = latest_change_seq(path)
+    if head <= since_seq:
+        return {"last_seq": head, "n_indexed": 0}
+    feed = read_change_feed(spark, path, since_seq=since_seq)
+    fresh = (
+        feed.filter(F.col("_change_type") == "insert")
+        .select(id_col, text_col)
+        .distinct()
+    )
+    n = fresh.count()
+    out = {"last_seq": head, "n_indexed": n}
+    if n and dedup_index is not None:
+        from ..operators.dedup_index import write_minhash_index
+
+        write_minhash_index(
+            fresh, dedup_index, id_col, text_col,
+            mode="append", **(index_params or {}),
+        )
+    return out

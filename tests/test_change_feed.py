@@ -365,3 +365,193 @@ def test_stream_change_feed_incremental(spark, tmp_path):
     assert new == [5, 6, 7]
     seq7 = [r for r in got2 if r["doc_id"] == 7][0]["_commit_seq"]
     assert seq7 == 3  # the staged ghost claimed (and wasted) seq 2
+
+
+def test_takedowns_propagate_from_feed_to_indexes(spark, tmp_path):
+    """The takedown loop closed THROUGH the feed: the corpus table is
+    the source of truth; apply_takedowns_from_feed reads its delete
+    deltas and tombstones every derived index — dedup postings stop
+    matching probes, PQ search stops returning the vector — with an
+    integer checkpoint, idempotent re-runs, and O(changes) cost."""
+    from osrs_dashboard_elt_spark.operators.dedup_index import (
+        probe_minhash_index,
+        write_minhash_index,
+    )
+    from osrs_dashboard_elt_spark.operators.pq import (
+        pq_adc_topk_at_rest,
+        pq_train,
+        write_pq_index,
+    )
+    from osrs_dashboard_elt_spark.sources.change_feed import (
+        apply_takedowns_from_feed,
+    )
+
+    PARAMS = dict(num_perm=16, bands=4, seed=42, shingle_n=3)
+    # corpus table: near-dup pairs by construction (doc i and i+100
+    # share text)
+    rows = [
+        (i, f"alpha beta gamma delta epsilon zeta {i % 100} common")
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "corpus")
+    docs.repartition(4, "doc_id").write.parquet(path)
+    write_stats_manifest(
+        spark, path, ["doc_id"],
+        bloom_cols=["doc_id"], bloom_bits=1 << 14,
+    )
+    enable_change_feed(path)
+    # derived artifacts
+    write_minhash_index(
+        docs, "mh_feed_idx", "doc_id", "text",
+        n_buckets=4, path=str(tmp_path / "mhidx"), **PARAMS,
+    )
+    DIM, M_, K_ = 8, 2, 4
+
+    def _vec(i):
+        base = [
+            [1.0, 0.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0, 0.0],
+            [0.0, 0.0, 1.0, 0.0],
+            [0.0, 0.0, 0.0, 1.0],
+        ][i % 4]
+        return [x + 0.0625 * ((i // 4) % 3) for x in base] * M_
+
+    vecs = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(200)],
+        "vec_id bigint, embedding array<double>",
+    )
+    books = pq_train(
+        vecs, "embedding", m=M_, k=K_, n_iter=2,
+        id_col="vec_id", seed=3,
+    )
+    pq_path = str(tmp_path / "pqidx")
+    write_pq_index(vecs, "embedding", books, pq_path, id_col="vec_id")
+    try:
+        # doc 7 (and its near-dup 107) match a probe of doc 7's text
+        probe = spark.createDataFrame(
+            [(9007, rows[7][1])], "doc_id long, text string"
+        )
+        before = {
+            r["corpus_id"]
+            for r in probe_minhash_index(
+                spark, probe, "mh_feed_idx", "doc_id", "text",
+                **PARAMS,
+            ).collect()
+        }
+        assert 7 in before and 107 in before
+        hits_before = {
+            r["vec_id"]
+            for r in pq_adc_topk_at_rest(
+                spark, pq_path, books, _vec(7), k=200
+            ).collect()
+        }
+        assert 7 in hits_before
+        # takedown on the TABLE (dv mode: zero files rewritten)
+        targeted_delete(spark, path, "doc_id", [7], mode="dv")
+        res = apply_takedowns_from_feed(
+            spark, path, "doc_id", since_seq=0,
+            dedup_index="mh_feed_idx", pq_index=pq_path,
+            suppress=True,
+        )
+        assert res["ids"] == [7] and res["last_seq"] == 1
+        assert res["suppress"] == [7]
+        after = {
+            r["corpus_id"]
+            for r in probe_minhash_index(
+                spark, probe, "mh_feed_idx", "doc_id", "text",
+                **PARAMS,
+            ).collect()
+        }
+        assert 7 not in after and 107 in after
+        hits_after = {
+            r["vec_id"]
+            for r in pq_adc_topk_at_rest(
+                spark, pq_path, books, _vec(7), k=200
+            ).collect()
+        }
+        assert 7 not in hits_after and len(hits_after) == 199
+        # checkpointed re-run: nothing to do
+        res2 = apply_takedowns_from_feed(
+            spark, path, "doc_id", since_seq=res["last_seq"],
+            dedup_index="mh_feed_idx", pq_index=pq_path,
+        )
+        assert res2 == {
+            "last_seq": 1, "ids": [], "n_tombstoned": 0
+        }
+        # replaying an OLD window is idempotent (tombstones are sets)
+        res3 = apply_takedowns_from_feed(
+            spark, path, "doc_id", since_seq=0,
+            dedup_index="mh_feed_idx", pq_index=pq_path,
+        )
+        assert res3["ids"] == [7]
+        assert 7 not in {
+            r["vec_id"]
+            for r in pq_adc_topk_at_rest(
+                spark, pq_path, books, _vec(7), k=200
+            ).collect()
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_feed_idx")
+
+
+def test_inserts_propagate_from_feed_to_index(spark, tmp_path):
+    """Insert deltas extend the dedup posting index incrementally: a
+    doc appended to the table becomes probe-visible after the sync,
+    without re-signaturing the corpus."""
+    from osrs_dashboard_elt_spark.operators.dedup_index import (
+        probe_minhash_index,
+        write_minhash_index,
+    )
+    from osrs_dashboard_elt_spark.sources.change_feed import (
+        apply_inserts_from_feed,
+    )
+
+    PARAMS = dict(num_perm=16, bands=4, seed=42, shingle_n=3)
+    rows = [
+        (i, f"kappa lambda mu nu xi omicron {i % 50} shared")
+        for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "corpus")
+    docs.repartition(4, "doc_id").write.parquet(path)
+    write_stats_manifest(
+        spark, path, ["doc_id"],
+        bloom_cols=["doc_id"], bloom_bits=1 << 14,
+    )
+    enable_change_feed(path)
+    write_minhash_index(
+        docs, "mh_ins_idx", "doc_id", "text",
+        n_buckets=4, path=str(tmp_path / "mhidx"), **PARAMS,
+    )
+    try:
+        new_doc = (777, rows[3][1])  # near-dup of doc 3
+        table_append(
+            spark, path,
+            spark.createDataFrame([new_doc], "doc_id long, text string"),
+        )
+        probe = spark.createDataFrame(
+            [(9001, rows[3][1])], "doc_id long, text string"
+        )
+        before = {
+            r["corpus_id"]
+            for r in probe_minhash_index(
+                spark, probe, "mh_ins_idx", "doc_id", "text", **PARAMS
+            ).collect()
+        }
+        assert 777 not in before and 3 in before
+        res = apply_inserts_from_feed(
+            spark, path, "doc_id", "text", since_seq=0,
+            dedup_index="mh_ins_idx",
+            index_params=dict(n_buckets=4, **PARAMS),
+        )
+        assert res == {"last_seq": 1, "n_indexed": 1}
+        after = {
+            r["corpus_id"]
+            for r in probe_minhash_index(
+                spark, probe, "mh_ins_idx", "doc_id", "text", **PARAMS
+            ).collect()
+        }
+        assert 777 in after and 3 in after
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_ins_idx")
