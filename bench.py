@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "q_time_travel",
     "q_schema_evolution",
     "q_compact_table",
+    "q_incremental_view",
 ]
 
 

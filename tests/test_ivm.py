@@ -1,0 +1,183 @@
+"""Incremental view maintenance from the change feed
+(sources/ivm.py): count/sum aggregates fold delta windows instead of
+re-scanning the table, refreshes equal full recomputes exactly, and
+inconsistent feeds surface loudly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osrs_dashboard_elt_spark.sources.change_feed import (
+    enable_change_feed,
+)
+from osrs_dashboard_elt_spark.sources.ivm import (
+    init_view,
+    read_view,
+    refresh_view,
+)
+from osrs_dashboard_elt_spark.sources.maintenance import (
+    table_append,
+    targeted_delete,
+    targeted_upsert,
+)
+from osrs_dashboard_elt_spark.sources.stats_manifest import (
+    read_table,
+    write_stats_manifest,
+)
+
+
+def _tbl(spark, path, n=500, files=4):
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("grp"),
+        (F.col("id") % 100).cast("decimal(18,2)").alias("amount"),
+    )
+    df.repartition(files, "doc_id").write.parquet(path)
+    write_stats_manifest(
+        spark, path, ["grp"], bloom_cols=["doc_id"], bloom_bits=1 << 15
+    )
+    enable_change_feed(path)
+
+
+def _direct(spark, path):
+    return {
+        (r["grp"], r["__n"], float(r["sum_amount"]))
+        for r in read_table(spark, path)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("amount").alias("sum_amount"),
+        )
+        .collect()
+    }
+
+
+def _view(spark, root):
+    return {
+        (r["grp"], r["__n"], float(r["sum_amount"]))
+        for r in read_view(spark, root).collect()
+    }
+
+
+def test_refresh_equals_recompute_across_mutations(spark, tmp_path):
+    path, root = str(tmp_path / "tbl"), str(tmp_path / "view")
+    _tbl(spark, path)
+    res = init_view(spark, path, root, ["grp"], ["amount"])
+    assert res["version"] == 1 and res["last_seq"] == 0
+    assert _view(spark, root) == _direct(spark, path)
+    targeted_delete(spark, path, "doc_id", [3, 10, 17])     # seq 1
+    table_append(
+        spark, path,
+        spark.createDataFrame(
+            [(9000, 2, 55.25), (9001, 99, 1.75)],
+            "doc_id long, grp long, amount double",
+        ).withColumn("amount", F.col("amount").cast("decimal(18,2)")),
+    )                                                        # seq 2
+    targeted_upsert(
+        spark, path, "doc_id",
+        spark.createDataFrame(
+            [(5, 5, 123.50), (9100, 99, 2.25)],
+            "doc_id long, grp long, amount double",
+        ).withColumn("amount", F.col("amount").cast("decimal(18,2)")),
+    )                                                        # seq 3
+    res = refresh_view(spark, path, root)
+    assert res["last_seq"] == 3 and res["version"] == 2
+    assert res["groups_changed"] >= 2
+    assert _view(spark, root) == _direct(spark, path)
+    # grp 99 appeared via inserts only — a brand-new group
+    assert any(g == 99 and n == 2 for g, n, _ in _view(spark, root))
+    # no-op refresh: nothing new
+    res2 = refresh_view(spark, path, root)
+    assert res2 == {
+        "version": 2, "last_seq": 3, "groups_changed": 0
+    }
+
+
+def test_group_vanishes_at_zero_count(spark, tmp_path):
+    path, root = str(tmp_path / "tbl"), str(tmp_path / "view")
+    spark.createDataFrame(
+        [(1, 10, 5.00), (2, 10, 7.00), (3, 20, 9.00)],
+        "doc_id long, grp long, amount double",
+    ).withColumn(
+        "amount", F.col("amount").cast("decimal(18,2)")
+    ).coalesce(1).write.parquet(path)
+    write_stats_manifest(
+        spark, path, ["grp"], bloom_cols=["doc_id"], bloom_bits=1 << 12
+    )
+    enable_change_feed(path)
+    init_view(spark, path, root, ["grp"], ["amount"])
+    targeted_delete(spark, path, "doc_id", [1, 2])
+    refresh_view(spark, path, root)
+    got = _view(spark, root)
+    assert got == {(20, 1, 9.0)}  # grp 10 dropped out entirely
+
+
+def test_inconsistent_feed_raises(spark, tmp_path):
+    """A duplicated delta (or a mutation bypassing the feed) drives a
+    count negative — publish must refuse, not emit garbage."""
+    import shutil
+    import os
+
+    path, root = str(tmp_path / "tbl"), str(tmp_path / "view")
+    spark.createDataFrame(
+        [(1, 10, 5.00), (2, 10, 7.00), (3, 20, 9.00)],
+        "doc_id long, grp long, amount double",
+    ).withColumn(
+        "amount", F.col("amount").cast("decimal(18,2)")
+    ).coalesce(1).write.parquet(path)
+    write_stats_manifest(
+        spark, path, ["grp"], bloom_cols=["doc_id"], bloom_bits=1 << 12
+    )
+    enable_change_feed(path)
+    init_view(spark, path, root, ["grp"], ["amount"])
+    # grp 10 holds 2 rows; the doubled delete delta subtracts 4
+    targeted_delete(spark, path, "doc_id", [1, 2])
+    cr = os.path.join(path, "_stats_manifest", "_changes")
+    shutil.copytree(
+        os.path.join(cr, "c0000001"), os.path.join(cr, "c0000002")
+    )
+    with pytest.raises(ValueError, match="NEGATIVE"):
+        refresh_view(spark, path, root)
+
+
+def test_crash_between_publish_and_checkpoint_is_safe(
+    spark, tmp_path, monkeypatch
+):
+    """The (last_seq, version) pair binds atomically: a crash after
+    the state publish but before the checkpoint write leaves an
+    orphan version; the retry re-reads the RECORDED version and
+    re-derives the same state — never a double-applied window."""
+    import osrs_dashboard_elt_spark.sources.ivm as ivm
+
+    path, root = str(tmp_path / "tbl"), str(tmp_path / "view")
+    _tbl(spark, path, n=100, files=2)
+    init_view(spark, path, root, ["grp"], ["amount"])
+    targeted_delete(spark, path, "doc_id", [4, 11])
+    real = ivm._write_view_meta
+    calls = {"n": 0}
+
+    def dying(state_root, meta):
+        if calls["n"] == 0 and meta.get("last_seq") == 1:
+            calls["n"] += 1
+            raise RuntimeError("crash before checkpoint")
+        real(state_root, meta)
+
+    monkeypatch.setattr(ivm, "_write_view_meta", dying)
+    with pytest.raises(RuntimeError, match="crash before"):
+        refresh_view(spark, path, root)
+    # retry: applies the SAME window onto the recorded version
+    res = refresh_view(spark, path, root)
+    assert res["last_seq"] == 1
+    assert _view(spark, root) == _direct(spark, path)
+
+
+def test_min_max_not_supported_semantics(spark, tmp_path):
+    """Only COUNT/SUM are maintained; the state schema is pinned to
+    __n / sum_<col> — a consumer wanting MIN/MAX recomputes via
+    init_view (documented), it cannot sneak through refresh."""
+    path, root = str(tmp_path / "tbl"), str(tmp_path / "view")
+    _tbl(spark, path, n=20, files=1)
+    init_view(spark, path, root, ["grp"], ["amount"])
+    cols = read_view(spark, root).columns
+    assert cols == ["grp", "__n", "sum_amount"]
