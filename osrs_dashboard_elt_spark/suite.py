@@ -1478,7 +1478,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_targeted_upsert",       # bloom-planned MERGE (round 8)
     "q_scd2_history",
     "q_hll_distinct_users",
-    "q_cms_heavy_hitters",
+    # (q_cms_heavy_hitters moved out of the window for
+    # q_incremental_view — sketches keep q_hll_distinct_users
+    # in-window; CMS stays green in the local sweep)
+    "q_incremental_view",      # CDC-maintained aggregate (round 8)
     # —— round-3: streaming rollups ——
     "q_streaming_windowed_rollup",
     # (q_streaming_session_rollup moved out of the window for

@@ -77,6 +77,7 @@ def test_priority_window_spans_all_families():
         "cdc": {"q_cdc_merge", "q_targeted_upsert"},
         "scd2": {"q_scd2_history"},
         "sketches": {"q_hll_distinct_users", "q_cms_heavy_hitters"},
+        "ivm": {"q_incremental_view"},
         "streaming": {"q_streaming_windowed_rollup", "q_streaming_session_rollup"},
         "sampling": {"q_hash_sample", "q_weighted_sample", "q_global_shuffle_order"},
         "change_feed": {"q_change_feed"},
