@@ -137,9 +137,5 @@ def local_frame(
         for v in (r if isinstance(r, (list, tuple)) else tuple(r))
     )
     if literal_ok:
-        tuples = [
-            tuple(r) if isinstance(r, (list, tuple)) else tuple(r)
-            for r in rows
-        ]
-        return literal_frame(spark, tuples, schema)
+        return literal_frame(spark, [tuple(r) for r in rows], schema)
     return spark.createDataFrame([tuple(r) for r in rows], schema)

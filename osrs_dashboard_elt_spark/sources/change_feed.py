@@ -127,10 +127,23 @@ def latest_change_seq(path: str) -> int:
 
 def _claim_seq(root: str) -> int:
     """Claim the next change sequence with an O_CREAT|O_EXCL marker so
-    concurrent mutations get distinct change dirs."""
+    concurrent mutations get distinct change dirs.  The start probes
+    above BOTH the committed head and the highest existing claim:
+    claim markers survive vacuum precisely so sequence numbers are
+    NEVER reused — a reused seq would silently desynchronize every
+    checkpointed consumer (their since_seq would skip the new
+    deltas) and break as-of monotonicity."""
     os.makedirs(root, exist_ok=True)
     committed = _committed_seqs(root)
-    seq = (committed[-1] + 1) if committed else 1
+    claimed = [
+        int(n[len(".claim-c"):])
+        for n in os.listdir(root)
+        if n.startswith(".claim-c") and n[len(".claim-c"):].isdigit()
+    ]
+    seq = max(
+        committed[-1] if committed else 0,
+        max(claimed) if claimed else 0,
+    ) + 1
     while True:
         try:
             fd = os.open(
@@ -340,10 +353,10 @@ def vacuum_change_feed(path: str, keep_since_seq: int) -> list[int]:
             except FileNotFoundError:
                 pass
             shutil.rmtree(cdir, ignore_errors=True)
-            try:
-                os.remove(os.path.join(root, f".claim-c{s:07d}"))
-            except FileNotFoundError:
-                pass
+            # the claim marker STAYS: it is the permanent record that
+            # this sequence number was used — removing it would let
+            # _claim_seq reuse numbers after a full vacuum, silently
+            # desynchronizing every checkpointed consumer
             out.append(s)
     return out
 

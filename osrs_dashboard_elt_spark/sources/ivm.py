@@ -84,13 +84,19 @@ def init_view(
     (or the next version), checkpointed at the feed head.  The one
     O(table) pass; every refresh after it is O(changes)."""
     from .change_feed import latest_change_seq
-    from .maintenance import publish_versioned
+    from .maintenance import _mutation_gate, publish_versioned
     from .stats_manifest import read_table
 
-    base = read_table(spark, table_path)
-    state = _aggregate(base, group_cols, sum_cols)
-    head = latest_change_seq(table_path)
-    version = publish_versioned(state, state_root)
+    # under the table's mutation gate: a mutation committing between
+    # reading the feed head and scanning the table would be baked
+    # into the state yet carry a LATER seq, so the first refresh
+    # would double-apply it (deletes at least trip the negative-count
+    # guard; inserts would silently double)
+    with _mutation_gate(table_path):
+        head = latest_change_seq(table_path)
+        base = read_table(spark, table_path)
+        state = _aggregate(base, group_cols, sum_cols)
+        version = publish_versioned(state, state_root)
     _write_view_meta(
         state_root,
         {
@@ -200,3 +206,41 @@ def refresh_view(
         "last_seq": head,
         "groups_changed": int(n_changed),
     }
+
+
+def maintain_view_stream(
+    spark: SparkSession,
+    table_path: str,
+    state_root: str,
+    checkpoint: str,
+    **stream_opts,
+):
+    """Keep the aggregate state continuously fresh: a Structured
+    Streaming query over the change feed whose micro-batches TRIGGER
+    :func:`refresh_view` — the streaming materialized view.
+
+    The stream is the wake-up signal, not the data path: each batch
+    calls ``refresh_view``, which reads exactly ``(last_seq, head]``
+    from the feed and advances its own (last_seq, version)
+    checkpoint, so the view's exactly-once story is independent of
+    the stream's (a replayed micro-batch finds ``head <= last_seq``
+    and no-ops; a batch observing a half-committed window folds the
+    committed prefix and the next batch folds the rest).  Returns the
+    started ``StreamingQuery``; pass ``trigger`` kwargs through
+    ``stream_opts`` (e.g. ``availableNow=True`` for catch-up runs,
+    ``processingTime='1 minute'`` for a live view)."""
+    from .change_feed import stream_change_feed
+
+    trigger = stream_opts.pop("trigger", {"availableNow": True})
+
+    def _fold(_batch_df, _batch_id) -> None:
+        refresh_view(spark, table_path, state_root)
+
+    writer = (
+        stream_change_feed(spark, table_path)
+        .writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+    )
+    if stream_opts:  # e.g. queryName / maxFilesPerTrigger — never
+        writer = writer.options(**stream_opts)  # silently dropped
+    return writer.trigger(**trigger).start()

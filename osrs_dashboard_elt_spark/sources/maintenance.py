@@ -340,12 +340,15 @@ def _write_delete_journal(
     removes: list[str],
     adds: list[str] | None = None,
     changes: tuple[str, str] | None = None,
+    dv_check: dict | None = None,
 ) -> None:
     """Intent record written BEFORE the first file mutation (atomic
     tmp+rename): maps each original to its deterministic replacement
-    (plus files the mutation will ADD, and the staged change-feed dir
-    with its op name) so a crashed mutation is reconcilable instead
-    of silently duplicating or losing rows."""
+    (plus files the mutation will ADD, the staged change-feed dir
+    with its op name, and — for dv-mode deletes, which mutate only
+    the manifest — a probe of the tombstone pairs being appended) so
+    a crashed mutation is reconcilable instead of silently
+    duplicating or losing rows."""
     jp = _delete_journal_path(path)
     os.makedirs(os.path.dirname(jp), exist_ok=True)
     fd, tmp = tempfile.mkstemp(
@@ -356,6 +359,8 @@ def _write_delete_journal(
         record["adds"] = adds
     if changes:
         record["changes"] = list(changes)
+    if dv_check:
+        record["dv_check"] = dv_check
     with os.fdopen(fd, "w") as f:
         json.dump(record, f)
     os.replace(tmp, jp)
@@ -398,6 +403,42 @@ def _reconcile_delete_journal(spark: SparkSession, path: str) -> bool:
             journal = json.load(f)
     except FileNotFoundError:
         return False
+    dvc = journal.get("dv_check")
+    if dvc:
+        # a dv-mode delete: the only mutation is the manifest's
+        # tombstone epoch (atomic) — probe whether the sampled pairs
+        # landed to decide the staged delta's fate
+        committed_dv = False
+        try:
+            from .stats_manifest import _load_meta as _lm
+            from .stats_manifest import deletion_vector_pairs
+
+            _, meta = _lm(spark, path)
+            pairs = deletion_vector_pairs(
+                spark, path, meta, dvc["col"]
+            )
+            if pairs is not None:
+                have = {
+                    (r["file"], str(r["v"]))
+                    for r in pairs.select("file", "v").collect()
+                }
+                committed_dv = any(
+                    (f, v) in have for f, v in dvc["pairs"]
+                )
+        except FileNotFoundError:
+            pass
+        cj = journal.get("changes")
+        if cj:
+            from .change_feed import abort_changes, commit_changes
+
+            cdir, op = cj
+            if os.path.isdir(cdir):
+                if committed_dv:
+                    commit_changes(cdir, op)
+                else:
+                    abort_changes(cdir)
+        os.remove(jp)
+        return committed_dv
     rewrites = journal.get("rewrites", {})
     removes = journal.get("removes", [])
     adds = journal.get("adds", [])
@@ -461,11 +502,14 @@ def _reconcile_delete_journal(spark: SparkSession, path: str) -> bool:
 
 
 
-# in-process reentrancy for the mutation gate: auto-compaction calls
+# in-THREAD reentrancy for the mutation gate: auto-compaction calls
 # apply_deletion_vectors from inside a dv delete, and orphan
 # re-resolution calls targeted_delete from inside compaction — the
-# nested acquisition must not self-deadlock
-_GATE_HELD: dict[str, int] = {}
+# nested acquisition must not self-deadlock.  Keyed by (thread, path):
+# a DIFFERENT thread of the same process (e.g. a foreachBatch worker)
+# must contend on the lock file like a foreign process, not ride the
+# first thread's hold
+_GATE_HELD: dict[tuple, int] = {}
 
 
 class _mutation_gate:
@@ -480,9 +524,11 @@ class _mutation_gate:
     cross-process it is a real mutex."""
 
     def __init__(self, path: str, timeout: float = 120.0) -> None:
+        import threading
+
         from .stats_manifest import _manifest_root
 
-        self.key = os.path.realpath(path)
+        self.key = (threading.get_ident(), os.path.realpath(path))
         self.lock = os.path.join(_manifest_root(path), ".mutation.lock")
         self.timeout = timeout
         self.owned = False
@@ -810,6 +856,22 @@ def targeted_delete(
                 *field_names
             )
             staged = stage_changes(path, [(dv_rows, "delete")])
+            if staged:
+                # journal BEFORE the dv commit: a crash between the
+                # tombstone epoch landing and the change commit must
+                # not lose the delta — the reconcile probes whether
+                # the sampled pairs made it into meta['dv'] and
+                # commits/aborts the staged dir accordingly
+                _write_delete_journal(
+                    path, {}, [],
+                    changes=(staged[1], "targeted_delete_dv"),
+                    dv_check={
+                        "col": col,
+                        "pairs": [
+                            [f, str(v)] for f, v in dv_pairs[:3]
+                        ],
+                    },
+                )
         from ..literals import local_frame
 
         pairs_df = local_frame(
@@ -821,9 +883,17 @@ def targeted_delete(
         except BaseException:
             if staged:
                 abort_changes(staged[1])
+                try:
+                    os.remove(_delete_journal_path(path))
+                except FileNotFoundError:
+                    pass
             raise
         if staged:
             commit_changes(staged[1], "targeted_delete_dv")
+            try:
+                os.remove(_delete_journal_path(path))
+            except FileNotFoundError:
+                pass
         compacted = False
         if total > _MAX_DV_ENTRIES:
             apply_deletion_vectors(spark, path, refresh_stats=True)
@@ -1157,6 +1227,7 @@ def _prestage_inserts(
     return pre, staged, adds
 
 
+@_with_mutation_gate
 def table_append(
     spark: SparkSession,
     path: str,
@@ -1199,11 +1270,16 @@ def table_append(
         raise ValueError(
             f"append rows are missing table columns {missing}"
         )
+    # persist: the batch feeds THREE jobs (count, delta stage, insert
+    # prestage) — re-evaluating a non-deterministic source plan per
+    # job could record a feed delta that differs from the rows
+    # actually inserted
     shaped = rows.select(
         *[F.col(c).cast(pinned[c].dataType).alias(c) for c in all_cols]
-    )
+    ).persist()
     n = shaped.count()
     if n == 0:
+        shaped.unpersist()
         return {"files_added": 0, "rows_inserted": 0}
     staged = stage_changes(path, [(shaped, "insert")])
     pre, staged_files, adds = _prestage_inserts(
@@ -1224,6 +1300,7 @@ def table_append(
         )
     finally:
         shutil.rmtree(pre, ignore_errors=True)
+        shaped.unpersist()
     if refresh_stats:
         _refresh(spark, path, meta["cols"])
     if staged:
@@ -1667,13 +1744,6 @@ def compact_table(
     groups = [g for g in groups if len(g) >= min_group]
     if not groups:
         return {"files_compacted": 0, "files_written": 0, "rows": 0}
-    removes = [_local(f) for g in groups for f in g]
-    adds = [
-        os.path.join(
-            os.path.dirname(_local(g[0])), _compact_group_name(g)
-        )
-        for g in groups
-    ]
     from ..literals import local_frame
 
     grp_map = local_frame(
@@ -1689,6 +1759,28 @@ def compact_table(
     live = apply_deletion_vectors_df(
         spark, path, meta, reader, file_col="__file"
     )
+    # one count job: a group whose rows are ALL dv-tombstoned writes
+    # no output file — its originals are pure removes (without this,
+    # the remap below would look for a __grp dir that was never
+    # written and wedge the compaction on every retry)
+    live_counts = {
+        int(r["__grp"]): int(r["n"])
+        for r in live.join(F.broadcast(grp_map), "__file")
+        .groupBy("__grp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    alive = [
+        i for i in range(len(groups)) if live_counts.get(i, 0) > 0
+    ]
+    removes = [_local(f) for g in groups for f in g]
+    adds = [
+        os.path.join(
+            os.path.dirname(_local(groups[i][0])),
+            _compact_group_name(groups[i]),
+        )
+        for i in alive
+    ]
     n_rows = 0
 
     def _write(tmp: str) -> None:
@@ -1701,10 +1793,10 @@ def compact_table(
             rw = rw.sortWithinPartitions(*sort_cols)
         rw.write.partitionBy("__grp").mode("overwrite").parquet(tmp)
         # group dirs come back as __grp=<i>; remap to the __ins
-        # contract (one sorted part per add target)
+        # contract (one sorted part per add target, alive groups only)
         ins = os.path.join(tmp, "__ins")
         os.makedirs(ins, exist_ok=True)
-        for i in range(len(groups)):
+        for j, i in enumerate(alive):
             gdir = os.path.join(tmp, f"__grp={i}")
             part = next(
                 fn
@@ -1713,7 +1805,7 @@ def compact_table(
             )
             os.replace(
                 os.path.join(gdir, part),
-                os.path.join(ins, f"{i:07d}.parquet"),
+                os.path.join(ins, f"{j:07d}.parquet"),
             )
 
     _journal_and_swap(
@@ -1725,15 +1817,16 @@ def compact_table(
         os.remove(_delete_journal_path(path))
     except FileNotFoundError:
         pass
-    n_rows = sum(
-        r["n"]
-        for r in spark.read.parquet(*adds)
-        .groupBy()
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
+    if adds:
+        n_rows = sum(
+            r["n"]
+            for r in spark.read.parquet(*adds)
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
     return {
         "files_compacted": len(removes),
-        "files_written": len(groups),
+        "files_written": len(adds),
         "rows": int(n_rows),
     }

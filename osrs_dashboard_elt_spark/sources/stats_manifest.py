@@ -503,25 +503,60 @@ def write_stats_manifest(
     return n
 
 
-def _schema_compatible(
+def _full_read(
     spark: SparkSession, path: str, pinned: StructType
-) -> bool:
-    """Whether the data dir's MERGED schema (union of every file's
-    footer + partition columns) is a subset of the pinned schema with
-    identical types — the relaxation that makes ADD COLUMN evolution
-    legal: old files simply lack the added column (read back NULL
-    under the pinned schema), while real drift (renamed columns,
-    changed types, partition-type drift) still fails the check.
-    Called only on the slow path (fast path: exact equality), because
-    mergeSchema reads every footer — one distributed job."""
-    merged = (
-        spark.read.option("mergeSchema", "true").parquet(path).schema
-    )
+) -> DataFrame:
+    """The plain listing read used by freshness/drift checks, safe on
+    a table whose every file was deleted or compacted away (a fully
+    taken-down corpus is a legal state): schema inference has nothing
+    to sample, so fall back to an empty frame under the pinned schema
+    (zero inputFiles == the true listing)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return spark.createDataFrame([], pinned)
+        raise
+
+
+def _fields_subset(schema: StructType, pinned: StructType) -> bool:
     by_name = {f.name: f.dataType for f in pinned.fields}
     return all(
         f.name in by_name and by_name[f.name] == f.dataType
-        for f in merged.fields
+        for f in schema.fields
     )
+
+
+def _schema_compatible(
+    spark: SparkSession,
+    path: str,
+    pinned: StructType,
+    sampled: StructType | None = None,
+) -> bool:
+    """Whether the data dir's schema is a typed SUBSET of the pinned
+    schema — the relaxation that makes ADD COLUMN evolution legal:
+    old files simply lack the added column (read back NULL under the
+    pinned schema), while real drift (renamed columns, changed types,
+    partition-type drift) still fails the check.
+
+    Cost discipline: ``sampled`` is the schema the caller already has
+    from the plain read (ONE footer + partition inference — exactly
+    the pre-evolution check's visibility).  If it subsets pinned, the
+    answer is yes without any extra I/O — the steady post-evolution
+    state, so evolution does NOT tax every read with a footer sweep.
+    Only when the sampled schema DISAGREES (possible drift, or a
+    sampled file that already carries the new column while others
+    might be drifted) does the mergeSchema confirmation run — a
+    distributed every-footer read, the same job a rebuild would
+    need."""
+    if sampled is not None and _fields_subset(sampled, pinned):
+        return True
+    merged = (
+        spark.read.option("mergeSchema", "true").parquet(path).schema
+    )
+    return _fields_subset(merged, pinned)
 
 
 def evolve_table_schema(
@@ -660,10 +695,10 @@ def _refresh_once(
             f"{list(bloom_cols)}. Rebuild with write_stats_manifest "
             "to change the bloom column set."
         )
-    full = spark.read.parquet(path)
     pinned = StructType.fromJson(meta["schema"])
+    full = _full_read(spark, path, pinned)
     if full.schema != pinned and not _schema_compatible(
-        spark, path, pinned
+        spark, path, pinned, sampled=full.schema
     ):
         # partition-column TYPE drift is the dangerous case: a first
         # epoch whose run_id dirs all looked numeric pins int, and a
@@ -858,7 +893,9 @@ def files_for_values(
     epoch, meta = _load_meta(spark, path)
     man = _manifest_df(spark, path, epoch, meta)
     if not meta["immutable"]:
-        full = spark.read.parquet(path)
+        full = _full_read(
+            spark, path, StructType.fromJson(meta["schema"])
+        )
         current = {_norm(f) for f in full.inputFiles()}
         recorded = {
             _norm(r["file"]) for r in man.select("file").collect()
@@ -1127,9 +1164,9 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     epoch, meta = _load_meta(spark, path)
     schema = StructType.fromJson(meta["schema"])
     if not meta["immutable"]:
-        full = spark.read.parquet(path)
+        full = _full_read(spark, path, schema)
         if full.schema != schema and not _schema_compatible(
-            spark, path, schema
+            spark, path, schema, sampled=full.schema
         ):
             raise ValueError(
                 f"table schema under {path} no longer matches the "
@@ -1142,7 +1179,16 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
             _norm(r["file"]) for r in man.select("file").collect()
         }
         _check_fresh(recorded, current, path)
-    df = spark.read.schema(schema).option("basePath", path).parquet(path)
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = (
+            spark.read.schema(schema).option("basePath", path)
+            .parquet(path)
+        )
+    except AnalysisException:
+        # zero data files (fully deleted/compacted) — schema pinned
+        df = spark.createDataFrame([], schema)
     return apply_deletion_vectors_df(spark, path, meta, df)
 
 
@@ -1300,9 +1346,9 @@ def pruned_scan(
     man = _manifest_df(spark, path, epoch, meta)
     schema = StructType.fromJson(meta["schema"])
     if not meta["immutable"]:
-        full = spark.read.parquet(path)
+        full = _full_read(spark, path, schema)
         if full.schema != schema and not _schema_compatible(
-            spark, path, schema
+            spark, path, schema, sampled=full.schema
         ):
             raise ValueError(
                 f"table schema under {path} no longer matches the "

@@ -555,3 +555,53 @@ def test_inserts_propagate_from_feed_to_index(spark, tmp_path):
         assert 777 in after and 3 in after
     finally:
         spark.sql("DROP TABLE IF EXISTS mh_ins_idx")
+
+
+def test_vacuum_never_reuses_sequence_numbers(spark, tmp_path):
+    """Claim markers survive vacuum: after vacuuming EVERY committed
+    change set, the next mutation claims a HIGHER sequence — a reused
+    number would silently desynchronize checkpointed consumers."""
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=100, files=2)
+    targeted_delete(spark, path, "doc_id", [1])   # seq 1
+    targeted_delete(spark, path, "doc_id", [2])   # seq 2
+    assert vacuum_change_feed(path, keep_since_seq=2) == [1, 2]
+    assert latest_change_seq(path) == 0  # nothing committed on disk
+    targeted_delete(spark, path, "doc_id", [3])   # must claim seq 3
+    assert latest_change_seq(path) == 3
+    feed = read_change_feed(spark, path, since_seq=2)
+    assert [r["doc_id"] for r in feed.collect()] == [3]
+
+
+def test_dv_crash_between_append_and_change_commit(
+    spark, tmp_path, monkeypatch
+):
+    """A dv delete that dies after the tombstone epoch commits but
+    before the change commit must still surface its delta: the
+    journal's dv probe sees the pairs landed and commits the staged
+    dir on the next mutation."""
+    import osrs_dashboard_elt_spark.sources.change_feed as cf
+
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path)
+    real_commit = cf.commit_changes
+
+    def dying(cdir, op):
+        if op == "targeted_delete_dv":
+            raise RuntimeError("crash before dv change commit")
+        real_commit(cdir, op)
+
+    monkeypatch.setattr(cf, "commit_changes", dying)
+    with pytest.raises(RuntimeError, match="crash before dv"):
+        targeted_delete(spark, path, "doc_id", [42], mode="dv")
+    monkeypatch.setattr(cf, "commit_changes", real_commit)
+    # tombstone landed (row invisible) but the delta is uncommitted
+    assert read_table(spark, path).filter("doc_id = 42").isEmpty()
+    assert latest_change_seq(path) == 0
+    # next mutation reconciles: the dv delta commits
+    targeted_delete(spark, path, "doc_id", [43])
+    feed = read_change_feed(spark, path)
+    assert sorted(r["doc_id"] for r in feed.collect()) == [42, 43]
+    # and time travel across the dv delete is exact again
+    back = read_table_as_of(spark, path, 0)
+    assert back.filter("doc_id IN (42, 43)").count() == 2

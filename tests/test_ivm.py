@@ -181,3 +181,35 @@ def test_min_max_not_supported_semantics(spark, tmp_path):
     init_view(spark, path, root, ["grp"], ["amount"])
     cols = read_view(spark, root).columns
     assert cols == ["grp", "__n", "sum_amount"]
+
+
+def test_streaming_materialized_view(spark, tmp_path):
+    """The stream triggers refresh_view per micro-batch; the view's
+    own (last_seq, version) checkpoint keeps it exactly-once even
+    though the stream is only the wake-up signal."""
+    from osrs_dashboard_elt_spark.sources.ivm import (
+        maintain_view_stream,
+    )
+
+    path, root = str(tmp_path / "tbl"), str(tmp_path / "view")
+    _tbl(spark, path, n=300, files=4)
+    init_view(spark, path, root, ["grp"], ["amount"])
+    targeted_delete(spark, path, "doc_id", [3, 10])
+    targeted_delete(spark, path, "doc_id", [17])
+    q = maintain_view_stream(
+        spark, path, root, str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    assert _view(spark, root) == _direct(spark, path)
+    # another mutation + another catch-up run on the SAME checkpoint
+    targeted_delete(spark, path, "doc_id", [24, 31])
+    q = maintain_view_stream(
+        spark, path, root, str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    assert _view(spark, root) == _direct(spark, path)
+    from osrs_dashboard_elt_spark.sources.ivm import _read_view_meta
+
+    assert _read_view_meta(root)["last_seq"] == 3

@@ -371,3 +371,76 @@ def test_mutation_gate_serializes_and_times_out(spark, tmp_path):
     res = targeted_delete(spark, path, "doc_id", [3])
     assert res["rows_deleted"] == 1
     assert not os.path.exists(lock)
+
+
+def test_compact_fully_tombstoned_group(spark, tmp_path):
+    """A bin-pack group whose rows are ALL dv-tombstoned produces no
+    output file: its originals become pure removes instead of wedging
+    the compaction on a missing group dir."""
+    from osrs_dashboard_elt_spark.sources.maintenance import (
+        compact_table,
+        targeted_delete,
+    )
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        read_table,
+        write_stats_manifest,
+    )
+
+    path = str(tmp_path / "ctbl")
+    df = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).alias("tag"),
+        F.lit("x").alias("text"),
+    )
+    df.repartition(4, "doc_id").write.parquet(path)
+    write_stats_manifest(
+        spark, path, ["tag"], bloom_cols=["doc_id"], bloom_bits=1 << 12
+    )
+    # tombstone EVERY row via dv
+    targeted_delete(
+        spark, path, "doc_id", list(range(40)), mode="dv"
+    )
+    assert read_table(spark, path).isEmpty()
+    res = compact_table(spark, path, target_bytes=1 << 20)
+    assert res["files_compacted"] == 4
+    assert res["files_written"] == 0 and res["rows"] == 0
+    import os
+
+    assert not [
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    ]
+    read_table(spark, path).count()  # manifest consistent (empty)
+
+
+def test_mutation_gate_blocks_other_threads(spark, tmp_path):
+    """Reentrancy is per-THREAD: a second thread of the same process
+    must contend on the lock file like a foreign process (a
+    foreachBatch worker mutating while the main thread holds the gate
+    is exactly the journal-clobber scenario)."""
+    import threading
+
+    from osrs_dashboard_elt_spark.sources.maintenance import (
+        _mutation_gate,
+    )
+
+    path = _small_file_tbl(spark, tmp_path, n=50, files=2)
+    result = {}
+
+    def other():
+        try:
+            with _mutation_gate(path, timeout=0.3):
+                result["entered"] = True
+        except TimeoutError:
+            result["timeout"] = True
+
+    with _mutation_gate(path):
+        t = threading.Thread(target=other)
+        t.start()
+        t.join(10)
+    assert result == {"timeout": True}
+    # after release the other thread can take it
+    result.clear()
+    t = threading.Thread(target=other)
+    t.start()
+    t.join(10)
+    assert result == {"entered": True}
