@@ -8503,3 +8503,67 @@ def q_incremental_view(spark, sf_dir):
         F.col("__n").alias("n"),
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+_CDC_STREAM_CACHE: dict[str, str] = {}
+
+
+@query(
+    "q_cdc_stream",
+    oracle=f"""
+    SELECT event_id, user_id, value, 'delete' AS change_type
+    FROM events
+    WHERE event_id IN ({_CDF_DELETE_IDS[0]}, {_CDF_DELETE_IDS[1]})
+    UNION ALL
+    SELECT * FROM (VALUES
+      (CAST({_CDF_APPEND_ROWS[0][0]} AS BIGINT), CAST({_CDF_APPEND_ROWS[0][1]} AS BIGINT),
+       CAST({_CDF_APPEND_ROWS[0][2]} AS DOUBLE), 'insert'),
+      (CAST({_CDF_APPEND_ROWS[1][0]} AS BIGINT), CAST({_CDF_APPEND_ROWS[1][1]} AS BIGINT),
+       CAST({_CDF_APPEND_ROWS[1][2]} AS DOUBLE), 'insert'),
+      (CAST({_CDF_UPSERT_INSERT[0]} AS BIGINT), CAST({_CDF_UPSERT_INSERT[1]} AS BIGINT),
+       CAST({_CDF_UPSERT_INSERT[2]} AS DOUBLE), 'insert'),
+      (CAST({_UPS_U[0]} AS BIGINT), CAST({_UPS_U[1]} AS BIGINT),
+       CAST({_UPS_U[2]} AS DOUBLE), 'update_postimage')
+    ) t(event_id, user_id, value, change_type)
+    UNION ALL
+    SELECT event_id, user_id, value, 'update_preimage' AS change_type
+    FROM events
+    WHERE event_id = {_UPS_U[0]}
+    """,
+)
+def q_cdc_stream(spark, sf_dir):
+    """STREAMING CDC consumption (change_feed.stream_change_feed):
+    the same mutation history as ⊕q_change_feed, consumed through a
+    Structured Streaming file source instead of the batch reader —
+    deltas stage under a dot-prefixed dir every listing skips and
+    surface atomically at commit, so the stream can never observe an
+    aborted mutation's delta, and the file-source checkpoint is the
+    consumer's cursor.  The drain runs with an availableNow trigger
+    into a parquet sink (memoized per sf_dir); the oracle is the
+    EXACT delta set, proving batch and streaming consumers see the
+    identical feed."""
+    import tempfile
+
+    from .sources.change_feed import stream_change_feed
+
+    tbl = _cdf_table(spark, sf_dir)
+    if sf_dir not in _CDC_STREAM_CACHE:
+        out = tempfile.mkdtemp(prefix="cdcs_") + "/sink"
+        q = (
+            stream_change_feed(spark, tbl)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="cdcs_ck_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        _CDC_STREAM_CACHE[sf_dir] = out
+    drained = spark.read.parquet(_CDC_STREAM_CACHE[sf_dir])
+    return drained.select(
+        "event_id", "user_id", "value",
+        F.col("_change_type").alias("change_type"),
+    )
