@@ -481,6 +481,21 @@ def _reconcile_delete_journal(spark: SparkSession, path: str) -> bool:
     )
     if completed:
         _, meta = _load_meta(spark, path)
+        # a journaled rewrite/remove that finished before the crash
+        # vanished its original through the DV-aware reader — its DV
+        # entries are dead and must be cleared here too, or the crash
+        # window would re-open the orphan-purge data-loss hole the
+        # mutation paths close (round-8 ADVICE high)
+        vanished = [
+            o
+            for o in list(rewrites) + list(removes)
+            if not os.path.exists(o)
+        ]
+        if meta.get("dv") and vanished:
+            from .stats_manifest import clear_deletion_vector_files
+
+            clear_deletion_vector_files(spark, path, vanished)
+            _, meta = _load_meta(spark, path)
         _refresh(spark, path, meta["cols"])
     cj = journal.get("changes")
     if cj:
@@ -961,6 +976,17 @@ def targeted_delete(
         spark, path, partials, removes, _write_partials,
         changes=(staged[1], "targeted_delete") if staged else None,
     )
+    # DV entries citing the rewritten/removed originals are DEAD (the
+    # rewrite ran through the DV-aware reader, physically applying
+    # their tombstones) — clear them NOW, or a later compaction would
+    # mis-read them as orphans and purge the values table-wide,
+    # destroying legitimately re-inserted rows (round-8 ADVICE high)
+    if meta.get("dv"):
+        from .stats_manifest import clear_deletion_vector_files
+
+        clear_deletion_vector_files(
+            spark, path, [_local(f) for f in partials] + removes
+        )
     if refresh_stats:
         # O(rewritten files), not O(table): only the replacement files
         # get stat'd/bloomed; vanished originals drop out
@@ -1001,18 +1027,21 @@ def apply_deletion_vectors(
     Concurrency + drift safety: the clear drops ONLY the sidecar
     segments this compaction snapshotted, so tombstones appended by a
     concurrent dv delete survive for the next compaction instead of
-    being silently discarded.  Entries citing VANISHED files (their
-    file was rewritten by a later delete/compaction after the entry
-    was recorded — the rows may live on under the replacement name)
-    are re-resolved BY VALUE through the manifest planner: a
-    rewrite-mode ``targeted_delete`` of those values physically
-    purges them wherever the rewrites moved them (a dv delete records
-    a value against EVERY file that held it, so value-level re-
-    resolution is exactly the union of its file-scoped entries).
-    Ordering is crash-safe: files swap first, the manifest refresh
-    records the replacements, and the DV clear commits LAST —
-    between the two, the stale entries cite old file names and
-    no-op."""
+    being silently discarded.  Entries citing VANISHED files are dead
+    by invariant: every rewrite/remove path (``targeted_delete`` /
+    ``targeted_upsert`` / ``compact_table`` and the crash reconcile)
+    runs through the DV-aware reader — physically applying the
+    tombstones — and clears the vanished file's entries in the same
+    mutation (``stats_manifest.clear_deletion_vector_files``), so an
+    orphan here means the file left the table entirely (rows gone with
+    it) and its entries simply drop with the snapshot clear.  They are
+    NEVER re-resolved by value: a value-wide purge would destroy rows
+    legitimately re-inserted with a tombstoned value after the dv
+    delete — silent data loss invisible to the change feed (the
+    round-8 ADVICE high finding).  Ordering is crash-safe: files swap
+    first, the manifest refresh records the replacements, and the DV
+    clear commits LAST — between the two, the stale entries cite old
+    file names and no-op."""
     from pyspark.sql.types import StructType
 
     from .stats_manifest import (
@@ -1032,6 +1061,7 @@ def apply_deletion_vectors(
         return {
             "files_rewritten": 0, "files_removed": 0,
             "dv_cols_cleared": [], "rows_purged": 0,
+            "orphan_files_dropped": 0,
         }
     # snapshot: exactly which sidecar segments this compaction is
     # processing — the clear at the end drops these and ONLY these
@@ -1039,23 +1069,19 @@ def apply_deletion_vectors(
         c: list(meta["dv"][c].get("segments", [])) for c in dv_cols
     }
     cited: set[str] = set()
-    orphan_values: dict[str, list] = {}
+    orphan_files = 0
     for c in dv_cols:
-        pairs = deletion_vector_pairs(spark, path, meta, c).persist()
-        cited |= {
+        pairs = deletion_vector_pairs(spark, path, meta, c)
+        files = {
             r["file"] for r in pairs.select("file").distinct().collect()
         }
-        # entries citing files no longer on disk: re-resolve by VALUE
-        # below (their rows may have been copied into replacements by
-        # a later rewrite — skipping them would resurrect rows)
-        orphans = [
-            r["v"]
-            for r in pairs.select("file", "v").distinct().collect()
-            if not os.path.exists(_local(r["file"]))
-        ]
-        if orphans:
-            orphan_values[c] = sorted(set(orphans))
-        pairs.unpersist()
+        cited |= files
+        # entries citing files no longer on disk are DEAD (see the
+        # invariant in the docstring): counted for the result, dropped
+        # with the snapshot clear, never re-resolved by value
+        orphan_files += sum(
+            1 for f in files if not os.path.exists(_local(f))
+        )
     existing = sorted(f for f in cited if os.path.exists(_local(f)))
     partials: list[str] = []
     removes: list[str] = []
@@ -1121,41 +1147,37 @@ def apply_deletion_vectors(
         os.remove(_delete_journal_path(path))
     except FileNotFoundError:
         pass
-    # orphaned entries: purge by value through the planner (fresh
-    # manifest), BEFORE the clear so a crash in between leaves the
-    # entries in place for a retry rather than silently dropped
-    orphan_purged = 0
-    for c, vals in orphan_values.items():
-        # physical-only: these rows' deletes were logged to the change
-        # feed when they were tombstoned — logging again would double
-        # the delta
-        res = targeted_delete(
-            spark, path, c, vals, mode="rewrite", _log_changes=False
-        )
-        orphan_purged += res["rows_deleted"]
     clear_deletion_vectors(spark, path, snapshot)
     return {
         "files_rewritten": len(partials),
         "files_removed": len(removes),
         "dv_cols_cleared": dv_cols,
-        "rows_purged": rows_purged + orphan_purged,
+        "rows_purged": rows_purged,
+        "orphan_files_dropped": orphan_files,
     }
 
 
 def _data_columns(
-    spark: SparkSession, path: str, meta: dict, sample_file: str
+    spark: SparkSession, path: str, meta: dict, sample_file: str | None
 ) -> tuple[list[str], list[str]]:
     """(data columns, partition columns) of a manifest-backed table.
     Metas recorded since partition tracking use ``partition_cols``
     (which also distinguishes evolution-added columns — absent from
     OLD footers but still data columns, materialized as NULL on
     rewrite); legacy metas fall back to the footer diff of one file,
-    which predates evolution and is exact for them."""
+    which predates evolution and is exact for them.  ``sample_file``
+    may be None when the table has zero data files (a fully
+    taken-down corpus is a legal state — ``_full_read``'s contract):
+    modern metas don't need it, and a legacy meta with zero files has
+    no partition dirs left to honor, so every pinned column is a data
+    column."""
     from pyspark.sql.types import StructType
 
     pinned = StructType.fromJson(meta["schema"])
     part_cols = meta.get("partition_cols")
     if part_cols is None:
+        if sample_file is None:
+            return [f.name for f in pinned.fields], []
         data_cols = spark.read.parquet(sample_file).columns
         part_cols = [
             f.name for f in pinned.fields if f.name not in data_cols
@@ -1165,6 +1187,21 @@ def _data_columns(
         [f.name for f in pinned.fields if f.name not in part_cols],
         list(part_cols),
     )
+
+
+def _table_files(
+    spark: SparkSession, path: str, meta: dict
+) -> list[str]:
+    """Sorted data-file listing of a manifest-backed table, legal on a
+    table whose every file was deleted (schema inference would raise
+    UNABLE_TO_INFER_SCHEMA on the bare read) — an emptied table must
+    stay mutable or it can never be repopulated (round-8 ADVICE)."""
+    from pyspark.sql.types import StructType
+
+    from .stats_manifest import _full_read
+
+    pinned = StructType.fromJson(meta["schema"])
+    return sorted(_full_read(spark, path, pinned).inputFiles())
 
 
 def _prestage_inserts(
@@ -1262,8 +1299,10 @@ def table_append(
             "new version with the rows instead of appending in place"
         )
     pinned = StructType.fromJson(meta["schema"])
-    first = sorted(spark.read.parquet(path).inputFiles())
-    data_cols, part_cols = _data_columns(spark, path, meta, first[0])
+    first = _table_files(spark, path, meta)
+    data_cols, part_cols = _data_columns(
+        spark, path, meta, first[0] if first else None
+    )
     all_cols = [f.name for f in pinned.fields]
     missing = [c for c in all_cols if c not in rows.columns]
     if missing:
@@ -1388,9 +1427,9 @@ def targeted_upsert(
             "new version with the merge applied instead"
         )
     pinned = StructType.fromJson(meta["schema"])
-    all_files = sorted(spark.read.parquet(path).inputFiles())
+    all_files = _table_files(spark, path, meta)
     data_cols, part_cols = _data_columns(
-        spark, path, meta, all_files[0]
+        spark, path, meta, all_files[0] if all_files else None
     )
     all_cols = [f.name for f in pinned.fields]
     key_cols = (
@@ -1621,6 +1660,15 @@ def targeted_upsert(
     finally:
         if pre_dir:
             shutil.rmtree(pre_dir, ignore_errors=True)
+    # rewritten originals' DV entries are dead (tombstones physically
+    # applied by the DV-aware rewrite) — clear before they can be
+    # mis-read as orphans (round-8 ADVICE high)
+    if meta.get("dv") and partials:
+        from .stats_manifest import clear_deletion_vector_files
+
+        clear_deletion_vector_files(
+            spark, path, [_local(f) for f in partials]
+        )
     if refresh_stats:
         _refresh(spark, path, meta["cols"])
     if staged:
@@ -1704,7 +1752,9 @@ def compact_table(
             "through compact_files into a new version instead"
         )
     pinned = StructType.fromJson(meta["schema"])
-    all_files = sorted(spark.read.parquet(path).inputFiles())
+    all_files = _table_files(spark, path, meta)
+    if not all_files:
+        return {"files_compacted": 0, "files_written": 0, "rows": 0}
     data_cols, part_cols = _data_columns(
         spark, path, meta, all_files[0]
     )
@@ -1811,6 +1861,15 @@ def compact_table(
     _journal_and_swap(
         spark, path, [], removes, _write, adds=adds
     )
+    # compacted-away files' DV entries are dead (the group read went
+    # through the DV-aware reader, so their tombstoned rows are
+    # physically gone) — clearing them here is what keeps a later
+    # apply_deletion_vectors from purging the values table-wide and
+    # destroying re-inserted rows (round-8 ADVICE high)
+    if meta.get("dv"):
+        from .stats_manifest import clear_deletion_vector_files
+
+        clear_deletion_vector_files(spark, path, removes)
     if refresh_stats:
         _refresh(spark, path, meta["cols"])
     try:

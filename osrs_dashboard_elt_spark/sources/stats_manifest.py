@@ -1099,6 +1099,82 @@ def clear_deletion_vectors(
         raise
 
 
+def clear_deletion_vector_files(
+    spark: SparkSession, path: str, files: set[str] | list[str]
+) -> int:
+    """Drop every DV entry citing one of ``files`` — called by each
+    mutation that rewrites or removes a data file through the DV-aware
+    reader (``maintenance.targeted_delete`` / ``targeted_upsert`` /
+    ``compact_table`` and the crash reconcile).  The rewrite physically
+    applied the tombstones (live rows only were copied), so entries
+    citing the vanished name are DEAD; leaving them behind would let a
+    later ``apply_deletion_vectors`` mis-read them as orphans and purge
+    the value table-wide — silently destroying rows legitimately
+    re-inserted with the same value after the tombstone (the round-8
+    ADVICE data-loss finding).  Surviving entries of a touched column
+    are consolidated into one fresh sidecar segment; columns left empty
+    drop out of ``meta['dv']``.  One epoch commit for all columns;
+    returns the number of entries dropped (0 = no epoch written)."""
+    gone = {
+        _norm(f) if str(f).startswith("file:") else "file://" + str(f)
+        for f in files
+    }
+    epoch, meta = _load_meta(spark, path)
+    dv = dict(meta.get("dv") or {})
+    if not gone or not dv:
+        return 0
+    from ..literals import local_frame
+
+    root = _manifest_root(path)
+    gone_df = local_frame(
+        spark, [(g,) for g in sorted(gone)], "gf string"
+    )
+    new_epoch: int | None = None
+    dropped = 0
+    new_dv: dict = {}
+    for c, info in dv.items():
+        pairs = spark.read.parquet(
+            *[_dv_dir(root, e, c) for e in info["segments"]]
+        )
+        normed = pairs.select(
+            _norm_col(F.col("file")).alias("file"), F.col("v")
+        )
+        n_hit = normed.join(
+            F.broadcast(gone_df), F.col("file") == F.col("gf"), "semi"
+        ).count()
+        if n_hit == 0:
+            new_dv[c] = info
+            continue
+        dropped += n_hit
+        remaining = normed.join(
+            F.broadcast(gone_df),
+            F.col("file") == F.col("gf"),
+            "left_anti",
+        )
+        n_rem = remaining.count()
+        if n_rem:
+            if new_epoch is None:
+                new_epoch = _claim_epoch(root, epoch + 1)
+            remaining.coalesce(1).write.mode("overwrite").parquet(
+                _dv_dir(root, new_epoch, c)
+            )
+            new_dv[c] = {"segments": [new_epoch], "count": int(n_rem)}
+    if not dropped:
+        return 0
+    if new_epoch is None:
+        new_epoch = _claim_epoch(root, epoch + 1)
+    edir = _epoch_dir(root, new_epoch)
+    os.makedirs(edir, exist_ok=True)
+    new_meta = dict(meta, epoch=new_epoch, dv=new_dv, parent_epoch=epoch)
+    new_meta.pop("_data_dir", None)
+    try:
+        _commit_epoch(root, new_epoch, new_meta)
+    except ManifestCommitConflict:
+        shutil.rmtree(edir, ignore_errors=True)
+        raise
+    return dropped
+
+
 def deletion_vector_pairs(
     spark: SparkSession, path: str, meta: dict, col: str
 ) -> DataFrame | None:

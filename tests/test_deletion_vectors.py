@@ -240,3 +240,119 @@ def test_compact_files_respects_dv(spark, tmp_path):
     snap = read_version(spark, dest, v)
     assert snap.count() == 998
     assert snap.filter("doc_id IN (10, 20)").count() == 0
+
+
+def test_compaction_clears_dv_entries_of_removed_files(
+    spark, tmp_path
+):
+    """Round-8 ADVICE (high): compact_table used to remove dv-cited
+    files WITHOUT clearing their sidecar entries; apply_deletion_vectors
+    then treated them as orphans and re-deleted by VALUE table-wide —
+    silently destroying a row legitimately re-inserted with the same
+    value, with no change-feed delta.  Every rewrite/remove path now
+    clears the vanished file's entries in the same mutation."""
+    from osrs_dashboard_elt_spark.literals import local_frame
+    from osrs_dashboard_elt_spark.sources.change_feed import (
+        enable_change_feed,
+        read_table_as_of,
+    )
+    from osrs_dashboard_elt_spark.sources.maintenance import (
+        compact_table,
+        table_append,
+    )
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        _load_meta,
+    )
+
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=200, files=4)
+    enable_change_feed(path)
+    r = targeted_delete(spark, path, "doc_id", [42], mode="dv")
+    assert r["dv_entries"] == 1
+    compact_table(spark, path, target_bytes=1 << 30)
+    # the compacted-away file's entry is dead (tombstone physically
+    # applied by the DV-aware group read) and must be GONE
+    _, meta = _load_meta(spark, path)
+    assert not meta.get("dv")
+    # a legitimate re-insert of the tombstoned value...
+    table_append(
+        spark, path,
+        local_frame(
+            spark, [(42, 0, "resurrected")],
+            "doc_id long, tag long, text string",
+        ),
+    )
+    # ...must SURVIVE a later compaction (the data-loss scenario)
+    res = apply_deletion_vectors(spark, path)
+    assert res["rows_purged"] == 0
+    got = read_table(spark, path).filter("doc_id = 42").collect()
+    assert len(got) == 1 and got[0]["text"] == "resurrected"
+    # and the feed stayed multiset-consistent with the table: the
+    # pre-delete state reconstructs exactly (200 rows, original t42)
+    asof = read_table_as_of(spark, path, 0)
+    assert asof.count() == 200
+    assert (
+        asof.filter("doc_id = 42").collect()[0]["text"] == "t42"
+    )
+
+
+def test_rewrite_delete_clears_dv_entries_of_touched_files(
+    spark, tmp_path
+):
+    """Same invariant for the rewrite path: a rewrite-mode delete of a
+    file carrying dv entries physically applies the tombstones, so the
+    entries are cleared — never left to be mis-read as orphans."""
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        _load_meta,
+    )
+
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=200, files=1)
+    targeted_delete(spark, path, "doc_id", [10, 11], mode="dv")
+    _, meta = _load_meta(spark, path)
+    assert meta["dv"]["doc_id"]["count"] == 2
+    # rewrite-mode delete of ANOTHER value in the same (only) file
+    targeted_delete(spark, path, "doc_id", [50])
+    _, meta = _load_meta(spark, path)
+    assert not meta.get("dv")
+    got = read_table(spark, path)
+    assert got.count() == 197
+    assert got.filter("doc_id IN (10, 11, 50)").count() == 0
+
+
+def test_reconcile_clears_dv_entries_for_vanished_originals(
+    spark, tmp_path
+):
+    """The crash window: swap finished (original vanished) but the
+    mutation died before its dv clear — the journal reconcile must
+    clear the dead entries, or the orphan-purge hole re-opens."""
+    from osrs_dashboard_elt_spark.sources.maintenance import (
+        _local,
+        _reconcile_delete_journal,
+        _write_delete_journal,
+    )
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        _load_meta,
+    )
+
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=100, files=2)
+    targeted_delete(spark, path, "doc_id", [5], mode="dv")
+    _, meta = _load_meta(spark, path)
+    [cited] = [
+        r["file"]
+        for r in spark.read.parquet(
+            *[
+                str(tmp_path / "tbl/_stats_manifest" / f"m{e:07d}/dv_doc_id")
+                for e in meta["dv"]["doc_id"]["segments"]
+            ]
+        ).collect()
+    ]
+    local = _local(cited)
+    # simulate: a delete fully removed the cited file, then crashed
+    # before clearing its dv entries (journal still on disk)
+    os.remove(local)
+    _write_delete_journal(path, {}, [local])
+    _reconcile_delete_journal(spark, path)
+    _, meta = _load_meta(spark, path)
+    assert not meta.get("dv")

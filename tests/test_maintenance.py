@@ -444,3 +444,52 @@ def test_mutation_gate_blocks_other_threads(spark, tmp_path):
     t.start()
     t.join(10)
     assert result == {"entered": True}
+
+
+def test_emptied_table_can_be_repopulated(spark, tmp_path):
+    """Round-8 ADVICE (medium): table_append / targeted_upsert /
+    compact_table did spark.read.parquet(path).inputFiles() + [0],
+    which raises UNABLE_TO_INFER_SCHEMA / IndexError on a
+    zero-data-file table — a state the readers explicitly declare
+    legal — so an emptied table could never be repopulated."""
+    from pyspark.sql import functions as F
+
+    from osrs_dashboard_elt_spark.literals import local_frame
+    from osrs_dashboard_elt_spark.sources.maintenance import (
+        compact_table,
+        table_append,
+        targeted_delete,
+        targeted_upsert,
+    )
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        read_table,
+        write_stats_manifest,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.range(10).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("tag")
+    ).coalesce(1).write.parquet(path)
+    write_stats_manifest(
+        spark, path, ["tag"], bloom_cols=["doc_id"],
+        bloom_bits=1 << 15,
+    )
+    targeted_delete(spark, path, "doc_id", list(range(10)))
+    assert read_table(spark, path).count() == 0
+    # every mutation entry point must accept the empty state
+    assert compact_table(spark, path) == {
+        "files_compacted": 0, "files_written": 0, "rows": 0,
+    }
+    r = table_append(
+        spark, path,
+        local_frame(spark, [(99, 1)], "doc_id long, tag long"),
+    )
+    assert r == {"files_added": 1, "rows_inserted": 1}
+    targeted_delete(spark, path, "doc_id", [99])
+    r = targeted_upsert(
+        spark, path, "doc_id",
+        local_frame(spark, [(7, 2)], "doc_id long, tag long"),
+    )
+    assert r["rows_inserted"] == 1
+    got = read_table(spark, path).collect()
+    assert [(r["doc_id"], r["tag"]) for r in got] == [(7, 2)]
