@@ -60,7 +60,7 @@ _JAVA_WS = _re.compile("[ \t\n\x0b\f\r]+")
 
 
 def java_ws_words(s: str) -> list:
-    """Split exactly like Spark's F.split(col, r"\s+") + empty drop."""
+    r"""Split exactly like Spark's F.split(col, r"\s+") + empty drop."""
     return [w for w in _JAVA_WS.split(s) if w]
 
 # Initial symbolization: first character raw, continuations with the

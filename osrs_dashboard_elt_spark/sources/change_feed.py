@@ -156,6 +156,9 @@ def _claim_seq(root: str) -> int:
             seq += 1
 
 
+SUB_COL = "__sub"
+
+
 def stage_changes(
     path: str, parts: list[tuple[DataFrame, str]]
 ) -> tuple[int, str] | None:
@@ -168,13 +171,31 @@ def stage_changes(
     must be captured while they are still readable); the commit
     happens AFTER it, so a crashed mutation leaves either nothing
     visible or — via the delete-journal reconcile — a committed delta
-    exactly when the mutation itself completed."""
+    exactly when the mutation itself completed.
+
+    SUB-DELTAS: a part carrying a ``__sub`` string column is staged
+    ``partitionBy("__sub")`` — one sub-dir per source file of the
+    mutation — so the reconcile of a PARTIALLY-completed crash can
+    commit exactly the deltas of the files whose swap finished and
+    discard the rest (round-8 ADVICE: aborting the whole set silently
+    dropped the completed files' deltas, so as-of omitted their rows
+    and IVM views overcounted, invisible to the negative-count
+    guard).  All parts of one mutation must agree on carrying
+    ``__sub`` or not — mixing flat files and partition dirs in one
+    staging dir would break its discovery."""
     if not change_feed_enabled(path):
         return None
     for _df, ct in parts:
         if ct not in CHANGE_TYPES:
             raise ValueError(
                 f"unknown change type {ct!r} (one of {CHANGE_TYPES})"
+            )
+    if parts:
+        has_sub = {SUB_COL in df.columns for df, _ct in parts}
+        if len(has_sub) > 1:
+            raise ValueError(
+                "all parts of one staged change set must agree on "
+                f"carrying {SUB_COL!r}"
             )
     root = _changes_root(path)
     seq = _claim_seq(root)
@@ -189,42 +210,92 @@ def stage_changes(
     for df, ct in parts:
         out = df.withColumn("_change_type", F.lit(ct))
         # O(rows changed): a delta is takedown/batch-sized, so a
-        # single part file per change type keeps the feed compact
-        out.coalesce(1).write.mode("append").parquet(staging)
+        # single part file per (change type, sub) keeps the feed
+        # compact; the coalesce(1) task writes every sub dir
+        w = out.coalesce(1).write.mode("append")
+        if SUB_COL in df.columns:
+            w = w.partitionBy(SUB_COL)
+        w.parquet(staging)
         wrote = True
     if not wrote:
         return None
     # an all-empty delta (e.g. every candidate was a bloom false
     # positive) must not commit: readers would union a schema-only dir
+    from pyspark.errors import AnalysisException
+
     spark = parts[0][0].sparkSession
-    if spark.read.parquet(staging).isEmpty():
+    try:
+        empty = spark.read.parquet(staging).isEmpty()
+    except AnalysisException:
+        empty = True  # partitionBy over zero rows writes no files
+    if empty:
         shutil.rmtree(cdir, ignore_errors=True)
         return None
     return seq, cdir
 
 
-def commit_changes(cdir: str, op: str) -> None:
+def commit_changes(
+    cdir: str, op: str, keep_subs: set[str] | None = None
+) -> bool:
     """Publish a staged change set — move its parts out of the
     dot-staging dir (same-device renames), then atomically rename the
     commit marker in; call AFTER the table mutation it describes
     committed.  Idempotent: a crash mid-move is finished by the
     journal reconcile calling this again (remaining parts move, the
     marker lands last), and a re-commit of an already-committed dir
-    is a no-op marker rewrite."""
+    is a no-op marker rewrite.
+
+    ``keep_subs`` commits a SUBSET of a sub-split change set (crash
+    reconcile of a partially-completed mutation): ``__sub=`` dirs
+    outside the set are discarded before the move.  Sub dirs flatten
+    into the change dir with their label prefixed (two subs' part
+    files can share a name — one write task names them identically).
+    Returns whether a commit marker landed (False = everything was
+    filtered out and the set was aborted instead)."""
     import time
 
     staging = os.path.join(cdir, _STAGING)
     if os.path.isdir(staging):
-        for fn in sorted(os.listdir(staging)):
-            if fn.endswith(".parquet"):
-                os.replace(
-                    os.path.join(staging, fn), os.path.join(cdir, fn)
+        if keep_subs is not None:
+            for entry in sorted(os.listdir(staging)):
+                if entry.startswith(SUB_COL + "="):
+                    label = entry[len(SUB_COL) + 1:]
+                    if label not in keep_subs:
+                        shutil.rmtree(
+                            os.path.join(staging, entry),
+                            ignore_errors=True,
+                        )
+        moved_any = False
+        for dirpath, _dirs, files in sorted(os.walk(staging)):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(dirpath, staging)
+                prefix = (
+                    ""
+                    if rel == "."
+                    else rel.replace("=", "-").replace(os.sep, "-")
+                    + "-"
                 )
+                os.replace(
+                    os.path.join(dirpath, fn),
+                    os.path.join(cdir, prefix + fn),
+                )
+                moved_any = True
         shutil.rmtree(staging, ignore_errors=True)
+        already = any(
+            fn.endswith(".parquet") for fn in os.listdir(cdir)
+        )
+        if not moved_any and not already:
+            # a subset commit that kept nothing must not publish a
+            # schema-only dir — readers would choke on it
+            abort_changes(cdir)
+            return False
     fd, tmp = tempfile.mkstemp(dir=cdir, prefix=".commit-")
     with os.fdopen(fd, "w") as f:
         json.dump({"op": op, "ts": time.time()}, f)
     os.replace(tmp, os.path.join(cdir, _COMMIT))
+    return True
 
 
 def abort_changes(cdir: str | None) -> None:
@@ -361,7 +432,9 @@ def vacuum_change_feed(path: str, keep_since_seq: int) -> list[int]:
     return out
 
 
-def stream_change_feed(spark: SparkSession, path: str) -> DataFrame:
+def stream_change_feed(
+    spark: SparkSession, path: str, **source_opts
+) -> DataFrame:
     """The change feed as a STREAMING source: every committed delta
     row, with ``_change_type`` and ``_commit_seq``, delivered
     incrementally to a Structured Streaming query — the CDC-consumer
@@ -391,11 +464,14 @@ def stream_change_feed(spark: SparkSession, path: str) -> DataFrame:
         list(schema.fields)
         + [StructField("_change_type", StringType(), True)]
     )
-    df = (
-        spark.readStream.schema(feed_schema)
-        .option("recursiveFileLookup", "true")
-        .parquet(_changes_root(path))
+    reader = spark.readStream.schema(feed_schema).option(
+        "recursiveFileLookup", "true"
     )
+    # rate-limit / ordering knobs of the FILE SOURCE (e.g.
+    # maxFilesPerTrigger) — they belong on the reader, not the writer
+    for k, v in source_opts.items():
+        reader = reader.option(k, v)
+    df = reader.parquet(_changes_root(path))
     return df.withColumn(
         "_commit_seq",
         F.regexp_extract(

@@ -34,6 +34,22 @@ from pyspark.sql import functions as F
 
 _VIEW_META = "_view.json"
 
+# Structured Streaming FILE-SOURCE options (Spark docs, "Input
+# Sources" table): legal on the readStream, silently ignored on a
+# writer — maintain_view_stream routes them to the right side
+_SOURCE_OPTS = frozenset(
+    {
+        "maxFilesPerTrigger",
+        "maxBytesPerTrigger",
+        "latestFirst",
+        "maxFileAge",
+        "fileNameOnly",
+        "cleanSource",
+        "sourceArchiveDir",
+        "maxCachedFiles",
+    }
+)
+
 
 def _meta_path(state_root: str) -> str:
     return os.path.join(state_root, _VIEW_META)
@@ -124,8 +140,11 @@ def refresh_view(
     """Fold the feed window ``(last_seq, head]`` into the aggregate
     state: ONE aggregate over the delta rows (weights: insert /
     update_postimage +1, delete / update_preimage −1) + ONE
-    outer-join against the |affected groups| slice of the state —
-    never a table scan.  Groups whose count reaches zero drop out; a
+    outer-join against the FULL state — never a table scan.  The
+    join's full-state side is subsumed by the publish (each refresh
+    rewrites the whole state as an immutable version), which bounds
+    this mode to views whose group cardinality fits a rewrite; for
+    O(changes) WRITES use the segmented state mode (below).  Groups whose count reaches zero drop out; a
     negative count means the feed is inconsistent with the recorded
     state (a mutation bypassed it, or the feed was vacuumed past this
     view's checkpoint) and raises rather than publishing garbage.
@@ -228,19 +247,38 @@ def maintain_view_stream(
     committed prefix and the next batch folds the rest).  Returns the
     started ``StreamingQuery``; pass ``trigger`` kwargs through
     ``stream_opts`` (e.g. ``availableNow=True`` for catch-up runs,
-    ``processingTime='1 minute'`` for a live view)."""
+    ``processingTime='1 minute'`` for a live view).
+
+    Options are ROUTED, never silently dropped (round-8 ADVICE low:
+    reader options applied to the writeStream are ignored by Spark):
+    file-source knobs (``maxFilesPerTrigger`` etc.) go to the
+    readStream, ``queryName`` to the writer, and an option neither
+    side knows raises."""
     from .change_feed import stream_change_feed
 
     trigger = stream_opts.pop("trigger", {"availableNow": True})
+    query_name = stream_opts.pop("queryName", None)
+    source_opts = {
+        k: stream_opts.pop(k)
+        for k in list(stream_opts)
+        if k in _SOURCE_OPTS
+    }
+    if stream_opts:
+        raise ValueError(
+            f"unknown stream options {sorted(stream_opts)} — file-"
+            f"source options {sorted(_SOURCE_OPTS)} ride the "
+            "readStream; the writer side takes only queryName / "
+            "trigger (checkpointLocation is the positional arg)"
+        )
 
     def _fold(_batch_df, _batch_id) -> None:
         refresh_view(spark, table_path, state_root)
 
     writer = (
-        stream_change_feed(spark, table_path)
+        stream_change_feed(spark, table_path, **source_opts)
         .writeStream.foreachBatch(_fold)
         .option("checkpointLocation", checkpoint)
     )
-    if stream_opts:  # e.g. queryName / maxFilesPerTrigger — never
-        writer = writer.options(**stream_opts)  # silently dropped
+    if query_name:
+        writer = writer.queryName(query_name)
     return writer.trigger(**trigger).start()

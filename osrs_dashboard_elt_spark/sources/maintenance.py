@@ -341,6 +341,8 @@ def _write_delete_journal(
     adds: list[str] | None = None,
     changes: tuple[str, str] | None = None,
     dv_check: dict | None = None,
+    op: str | None = None,
+    subs: dict[str, str] | None = None,
 ) -> None:
     """Intent record written BEFORE the first file mutation (atomic
     tmp+rename): maps each original to its deterministic replacement
@@ -348,7 +350,11 @@ def _write_delete_journal(
     with its op name, and — for dv-mode deletes, which mutate only
     the manifest — a probe of the tombstone pairs being appended) so
     a crashed mutation is reconcilable instead of silently
-    duplicating or losing rows."""
+    duplicating or losing rows.  ``op`` names the mutation kind
+    (``delete`` / ``upsert`` / ``append`` / ``compact``) so the
+    reconcile applies the right partial-completion policy; ``subs``
+    maps each staged sub-delta label to the original file whose
+    completion it tracks (``change_feed.stage_changes`` sub-deltas)."""
     jp = _delete_journal_path(path)
     os.makedirs(os.path.dirname(jp), exist_ok=True)
     fd, tmp = tempfile.mkstemp(
@@ -361,6 +367,10 @@ def _write_delete_journal(
         record["changes"] = list(changes)
     if dv_check:
         record["dv_check"] = dv_check
+    if op:
+        record["op"] = op
+    if subs:
+        record["subs"] = subs
     with os.fdopen(fd, "w") as f:
         json.dump(record, f)
     os.replace(tmp, jp)
@@ -1588,10 +1598,22 @@ def targeted_upsert(
     # merged view of the partial files: matched rows take the update's
     # columns (broadcast left join on the key columns), others pass
     # through
+    # key columns that are hive PARTITION columns still need a __u_
+    # alias: the merge join condition references __u_<key> for every
+    # key column, and joining on a partition column is safe — moves
+    # across partitions are refused above, so matched rows stay in
+    # their directory (round-8 ADVICE low: composite keys like
+    # (day, id) on a day-partitioned table used to raise an
+    # unresolved-column AnalysisException)
     upd_marked = F.broadcast(
         upd_df.select(
             F.lit(1).alias("__hit"),
             *[F.col(c).alias(f"__u_{c}") for c in data_cols],
+            *[
+                F.col(c).alias(f"__u_{c}")
+                for c in key_cols
+                if c not in data_cols
+            ],
         )
     )
 

@@ -560,7 +560,11 @@ def _schema_compatible(
 
 
 def evolve_table_schema(
-    spark: SparkSession, path: str, added_ddl: str
+    spark: SparkSession,
+    path: str,
+    added_ddl: str = "",
+    drop_cols: list[str] | None = None,
+    renames: dict[str, str] | None = None,
 ) -> None:
     """ADD COLUMN on a manifest-backed table: commit a new epoch whose
     pinned schema carries the added nullable fields (DDL, e.g.
@@ -570,9 +574,34 @@ def evolve_table_schema(
     the epoch substrate).  New appends/upserts carry the columns;
     rewrites of old files materialize the NULLs (backfill-on-write).
     Added columns cannot join the stats/bloom set here — rebuild the
-    manifest to prune on them.  Dropping or retyping columns is NOT
-    supported: that would orphan recorded stats and silently NULL
-    existing data."""
+    manifest to prune on them.
+
+    Evolution is ADD-only BY CONTRACT.  ``drop_cols`` / ``renames``
+    exist solely to refuse LOUDLY: parquet binds columns by NAME, so
+    a metadata rename needs Iceberg-style field ids (out of scope for
+    a name-mapped manifest) — a name-level rename would read the old
+    data back as NULL, which is silent data loss, not evolution; a
+    drop would orphan recorded stats/blooms and un-pin columns that
+    readers project.  The supported path for either is an explicit
+    rewrite: ``select``-reshape + ``publish_versioned`` (new dir),
+    never in place."""
+    if drop_cols:
+        raise NotImplementedError(
+            f"DROP COLUMN ({sorted(drop_cols)}) is not supported on a "
+            "manifest-backed table: parquet footers, recorded stats "
+            "and blooms all bind by name — rewrite through "
+            "publish_versioned with the column projected away instead"
+        )
+    if renames:
+        raise NotImplementedError(
+            f"RENAME COLUMN ({dict(renames)}) is not supported: "
+            "parquet binds by NAME (no Iceberg field ids here), so a "
+            "metadata rename would read existing data back as NULL — "
+            "rewrite through publish_versioned with the column "
+            "aliased instead"
+        )
+    if not added_ddl:
+        raise ValueError("added_ddl is empty — nothing to evolve")
     epoch, meta = _load_meta(spark, path)
     if meta["immutable"]:
         raise ValueError(

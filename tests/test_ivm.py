@@ -213,3 +213,40 @@ def test_streaming_materialized_view(spark, tmp_path):
     from osrs_dashboard_elt_spark.sources.ivm import _read_view_meta
 
     assert _read_view_meta(root)["last_seq"] == 3
+
+
+def test_stream_opts_are_routed_not_dropped(spark, tmp_path):
+    """Round-8 ADVICE (low): reader options (maxFilesPerTrigger)
+    passed to maintain_view_stream were applied to the writeStream,
+    where Spark silently ignores them.  They now ride the readStream;
+    unknown options raise instead of vanishing."""
+    import pytest
+
+    from osrs_dashboard_elt_spark.sources.ivm import (
+        maintain_view_stream,
+    )
+
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=100, files=2)
+    state = str(tmp_path / "state")
+    init_view(spark, path, state, ["grp"], ["amount"])
+    with pytest.raises(ValueError, match="unknown stream options"):
+        maintain_view_stream(
+            spark, path, state, str(tmp_path / "ckpt0"),
+            notAnOption=1,
+        )
+    table_append(
+        spark, path,
+        spark.createDataFrame(
+            [(9000, 1, 10.0)], "doc_id long, grp long, amount double"
+        ).withColumn("amount", F.col("amount").cast("decimal(18,2)")),
+    )
+    q = maintain_view_stream(
+        spark, path, state, str(tmp_path / "ckpt"),
+        maxFilesPerTrigger=1, queryName="ivm-routing",
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    assert _view(spark, state) == _direct(spark, path)

@@ -314,3 +314,48 @@ def test_composite_key_merge(spark, tmp_path):
             spark, path, ["doc_id", "tag"],
             _upd(spark, [(1, None, "x")]),
         )
+
+
+def test_partition_column_merge_key(spark, tmp_path):
+    """Round-8 ADVICE (low): a composite merge key including a hive
+    PARTITION column used to raise an unresolved-column
+    AnalysisException (__u_<key> was aliased only for data columns).
+    Joining on a partition column is safe — partition moves are
+    refused — so (day, doc_id) on a day-partitioned table must work."""
+    from pyspark.sql import functions as F
+
+    from osrs_dashboard_elt_spark.literals import local_frame
+    from osrs_dashboard_elt_spark.sources.maintenance import (
+        targeted_upsert,
+    )
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        read_table,
+        write_stats_manifest,
+    )
+
+    path = str(tmp_path / "ptbl")
+    spark.range(40).select(
+        (F.col("id") % 4).alias("day"),
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    ).repartition(4, "doc_id").write.partitionBy("day").parquet(path)
+    write_stats_manifest(
+        spark, path, ["doc_id"], bloom_cols=["doc_id"],
+        bloom_bits=1 << 15,
+    )
+    res = targeted_upsert(
+        spark, path, ["day", "doc_id"],
+        local_frame(
+            spark,
+            [(1, 5, "updated"), (2, 1000, "inserted")],
+            "day long, doc_id long, text string",
+        ),
+    )
+    assert res["rows_updated"] == 1 and res["rows_inserted"] == 1
+    got = read_table(spark, path)
+    assert got.count() == 41
+    assert (
+        got.filter("doc_id = 5").collect()[0]["text"] == "updated"
+    )
+    [ins] = got.filter("doc_id = 1000").collect()
+    assert (ins["day"], ins["text"]) == (2, "inserted")
