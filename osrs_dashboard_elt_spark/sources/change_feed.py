@@ -271,10 +271,16 @@ def commit_changes(
                 if not fn.endswith(".parquet"):
                     continue
                 rel = os.path.relpath(dirpath, staging)
+                # never start the flat name with "_" or "." — Spark
+                # listings treat those as hidden and would silently
+                # skip the delta rows
                 prefix = (
                     ""
                     if rel == "."
-                    else rel.replace("=", "-").replace(os.sep, "-")
+                    else "d-"
+                    + rel.replace("=", "-")
+                    .replace(os.sep, "-")
+                    .strip("_.")
                     + "-"
                 )
                 os.replace(

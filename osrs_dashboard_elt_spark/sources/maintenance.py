@@ -389,15 +389,21 @@ def _reconcile_delete_journal(spark: SparkSession, path: str) -> bool:
     originals, so removal restores the exact pre-mutation state and
     the retry starts clean).
 
-    Staged change-feed rows follow the mutation's fate: committed
-    when EVERY journaled step finished (the crash hit between the
-    last step and the change commit — the delta is exact), discarded
-    otherwise.  A PARTIALLY-completed mutation thus logs no delta;
-    the mandatory retry logs a fresh one computed from the partially-
-    mutated state, so the feed stays multiset-consistent (it reflects
-    the crash-intermediate state the table really passed through —
-    the honest semantics when a multi-file swap dies midway).
-    Returns whether a refresh ran."""
+    Staged change-feed rows follow the mutation's fate PER FILE:
+    fully-completed mutations commit the whole set; a PARTIALLY-
+    completed one commits exactly the sub-deltas of the files whose
+    swap finished (deltas are staged split by source file —
+    ``change_feed.stage_changes``) and discards the rest, so the feed
+    records precisely the crash-intermediate state the table really
+    passed through.  Partially-landed INSERT files roll back instead
+    (they hold only new rows, so removal restores the pre-insert
+    state and the retry logs a fresh, exact insert delta).  The
+    mandatory retry then logs a delta computed from the partially-
+    mutated state — feed ∪ retry covers the full mutation with no
+    row dropped or doubled (round-8 ADVICE: the old abort-everything
+    policy silently lost completed files' deltas, making as-of reads
+    omit rows and IVM views overcount).  Returns whether a refresh
+    ran."""
     from .stats_manifest import _load_meta
     from .stats_manifest import refresh_stats_manifest as _refresh
 
@@ -452,6 +458,7 @@ def _reconcile_delete_journal(spark: SparkSession, path: str) -> bool:
     rewrites = journal.get("rewrites", {})
     removes = journal.get("removes", [])
     adds = journal.get("adds", [])
+    mut_op = journal.get("op")
     completed = False
     for orig, repl in rewrites.items():
         if os.path.exists(orig) and os.path.exists(repl):
@@ -462,13 +469,28 @@ def _reconcile_delete_journal(spark: SparkSession, path: str) -> bool:
         if not os.path.exists(orig):
             completed = True
     adds_landed = [a for a in adds if os.path.exists(a)]
-    if not rewrites and adds:
-        if not removes:
-            if len(adds_landed) < len(adds):
-                for a in adds_landed:  # roll a partial pure append back
-                    os.remove(a)
-                adds_landed = []
-        elif len(adds_landed) == len(adds):
+    fully = (
+        (rewrites or removes or adds)
+        and all(not os.path.exists(o) for o in rewrites)
+        and all(not os.path.exists(o) for o in removes)
+        and len(adds_landed) == len(adds)
+    )
+    if not fully and adds_landed and (
+        mut_op == "upsert" or (not rewrites and not removes)
+    ):
+        # partial INSERTS roll BACK: the add targets are brand-new
+        # deterministic files holding only inserted rows, so removing
+        # them restores the exact pre-insert state and the retry
+        # re-inserts cleanly, logging a FRESH insert delta.  For an
+        # upsert this is what keeps the feed exact — a retry would
+        # otherwise re-plan landed inserts as UPDATES (pre == post,
+        # net-zero weight) and the feed would never record them as
+        # inserts, silently undercounting IVM views
+        for a in adds_landed:
+            os.remove(a)
+        adds_landed = []
+    elif not fully and not rewrites and removes and adds:
+        if len(adds_landed) == len(adds):
             # compaction (removes-last ordering): every group output
             # landed, so the originals are redundant copies — roll
             # FORWARD by finishing their removal, else a refresh
@@ -476,6 +498,7 @@ def _reconcile_delete_journal(spark: SparkSession, path: str) -> bool:
             for orig in removes:
                 if os.path.exists(orig):
                     os.remove(orig)
+            fully = True
         else:
             # some group outputs missing (staging wiped): the intact
             # originals are authoritative — roll BACK the landed ones
@@ -483,12 +506,6 @@ def _reconcile_delete_journal(spark: SparkSession, path: str) -> bool:
                 os.remove(a)
             adds_landed = []
     completed = completed or bool(adds_landed)
-    fully = (
-        (rewrites or removes or adds)
-        and all(not os.path.exists(o) for o in rewrites)
-        and all(not os.path.exists(o) for o in removes)
-        and len(adds_landed) == len(adds)
-    )
     if completed:
         _, meta = _load_meta(spark, path)
         # a journaled rewrite/remove that finished before the crash
@@ -511,12 +528,28 @@ def _reconcile_delete_journal(spark: SparkSession, path: str) -> bool:
     if cj:
         from .change_feed import abort_changes, commit_changes
 
-        cdir, op = cj
+        cdir, opname = cj
         if os.path.isdir(cdir):
             if fully:
-                commit_changes(cdir, op)
+                commit_changes(cdir, opname)
             else:
-                abort_changes(cdir)
+                # PARTIAL completion: commit exactly the sub-deltas of
+                # files whose swap finished (their original vanished)
+                # and discard the rest — aborting the whole set would
+                # silently drop the completed files' deltas, so as-of
+                # reads omitted their rows and IVM views overcounted
+                # with nothing to trip the negative-count guard
+                # (round-8 ADVICE medium)
+                subs = journal.get("subs") or {}
+                keep = {
+                    lbl
+                    for lbl, orig in subs.items()
+                    if not os.path.exists(orig)
+                }
+                if keep:
+                    commit_changes(cdir, opname, keep_subs=keep)
+                else:
+                    abort_changes(cdir)
     # the journal is the ONLY record of completed mutations: remove it
     # AFTER the refresh commits, so a crash (or refresh failure) here
     # leaves a retryable state instead of a stale manifest with no
@@ -615,6 +648,8 @@ def _journal_and_swap(
     write_partials_fn,
     adds: list[str] | None = None,
     changes: tuple[str, str] | None = None,
+    op: str | None = None,
+    subs: dict[str, str] | None = None,
 ) -> dict[str, str]:
     """The crash-safe mutation section shared by ``targeted_delete``,
     ``targeted_upsert`` and ``apply_deletion_vectors``: journal the
@@ -625,7 +660,9 @@ def _journal_and_swap(
     os.replace), drop originals, and move inserts in — metadata-only,
     no jobs.  ``changes`` is the staged change-feed (dir, op) pair the
     journal records so a crash commits/aborts the delta with the
-    mutation.  Returns the original->replacement map."""
+    mutation; ``op``/``subs`` ride the journal for the reconcile's
+    partial-completion policy.  Returns the original->replacement
+    map."""
     rewrites = {
         _local(f): os.path.join(
             os.path.dirname(_local(f)), _replacement_name(_local(f))
@@ -634,7 +671,8 @@ def _journal_and_swap(
     }
     adds = list(adds or [])
     _write_delete_journal(
-        path, rewrites, removes, adds=adds, changes=changes
+        path, rewrites, removes, adds=adds, changes=changes,
+        op=op, subs=subs,
     )
     # stage INSIDE the table dir (dot-prefixed: invisible to readers):
     # os.replace must stay same-device — /tmp is routinely a different
@@ -844,7 +882,7 @@ def targeted_delete(
         .collect()
     )
     partials: list[str] = []
-    removes: list[str] = []
+    removes_uris: list[str] = []
     rows_deleted = 0
     dv_pairs: list[tuple] = []
     for r in cls:
@@ -855,9 +893,10 @@ def targeted_delete(
         if mode == "dv":
             dv_pairs += [(r["__file"], v) for v in sorted(r["matched"])]
         elif n_keep == 0:
-            removes.append(_local(r["__file"]))
+            removes_uris.append(r["__file"])
         else:
             partials.append(r["__file"])
+    removes = [_local(f) for f in removes_uris]
     if mode == "dv":
         if not dv_pairs:
             return _noop_result(len(affected))
@@ -934,14 +973,30 @@ def targeted_delete(
         }
     if not partials and not removes:
         return _noop_result(len(affected))
+    # sub-delta labels: one per victim file, so a partially-completed
+    # crash commits exactly the deltas of the files it finished
+    victims = sorted(partials + removes_uris)
+    sub_map = {f: str(i) for i, f in enumerate(victims)}
+    subs = {sub_map[f]: _local(f) for f in victims}
     staged = None
     if _log_changes:
+        from ..literals import local_frame
         from .change_feed import stage_changes
 
         field_names = [f.name for f in pinned.fields]
-        staged = stage_changes(
-            path, [(live.filter(~keep_pred).select(*field_names), "delete")]
+        lbl_df = F.broadcast(
+            local_frame(
+                spark,
+                [(f, sub_map[f]) for f in victims],
+                "__file string, __sub string",
+            )
         )
+        delta = (
+            live.filter(~keep_pred)
+            .join(lbl_df, "__file")
+            .select(*field_names, "__sub")
+        )
+        staged = stage_changes(path, [(delta, "delete")])
 
     def _write_partials(tmp: str) -> None:
         if serial:
@@ -985,6 +1040,7 @@ def targeted_delete(
     _journal_and_swap(
         spark, path, partials, removes, _write_partials,
         changes=(staged[1], "targeted_delete") if staged else None,
+        op="delete", subs=subs,
     )
     # DV entries citing the rewritten/removed originals are DEAD (the
     # rewrite ran through the DV-aware reader, physically applying
@@ -1149,7 +1205,8 @@ def apply_deletion_vectors(
 
         if partials or removes:
             _journal_and_swap(
-                spark, path, partials, removes, _write_partials
+                spark, path, partials, removes, _write_partials,
+                op="dv_compact",
             )
     if refresh_stats and (partials or removes):
         _refresh(spark, path, meta["cols"])
@@ -1346,6 +1403,7 @@ def table_append(
         _journal_and_swap(
             spark, path, [], [], _write, adds=adds,
             changes=(staged[1], "table_append") if staged else None,
+            op="append",
         )
     finally:
         shutil.rmtree(pre, ignore_errors=True)
@@ -1634,11 +1692,17 @@ def targeted_upsert(
 
     staged = None
     parts = []
+    # sub-delta labels per rewritten file (plus "ins" for the insert
+    # set) — the crash reconcile commits exactly the completed subset
+    sub_map = {f: str(i) for i, f in enumerate(sorted(partials))}
+    subs = {sub_map[f]: _local(f) for f in partials}
     if partials:
         live_partials = live.join(
             F.broadcast(
                 local_frame(
-                    spark, [(f,) for f in partials], "__file string"
+                    spark,
+                    [(f, sub_map[f]) for f in partials],
+                    "__file string, __sub string",
                 )
             ),
             "__file",
@@ -1646,13 +1710,17 @@ def targeted_upsert(
         matched_rows = live_partials.join(
             F.broadcast(upd_df.select(*key_cols)), key_cols, "semi"
         )
-        pre = matched_rows.select(*[f.name for f in pinned.fields])
+        pre = matched_rows.select(
+            *[f.name for f in pinned.fields], "__sub"
+        )
         post = _merged(matched_rows).select(
-            *[f.name for f in pinned.fields]
+            *[f.name for f in pinned.fields], "__sub"
         )
         parts += [(pre, "update_preimage"), (post, "update_postimage")]
     if ins_df is not None:
-        parts.append((ins_df, "insert"))
+        parts.append(
+            (ins_df.withColumn("__sub", F.lit("ins")), "insert")
+        )
     staged = stage_changes(path, parts)
 
     def _write(tmp: str) -> None:
@@ -1678,6 +1746,7 @@ def targeted_upsert(
         _journal_and_swap(
             spark, path, partials, [], _write, adds=adds,
             changes=(staged[1], "targeted_upsert") if staged else None,
+            op="upsert", subs=subs,
         )
     finally:
         if pre_dir:
@@ -1881,7 +1950,7 @@ def compact_table(
             )
 
     _journal_and_swap(
-        spark, path, [], removes, _write, adds=adds
+        spark, path, [], removes, _write, adds=adds, op="compact"
     )
     # compacted-away files' DV entries are dead (the group read went
     # through the DV-aware reader, so their tombstoned rows are

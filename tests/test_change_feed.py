@@ -605,3 +605,154 @@ def test_dv_crash_between_append_and_change_commit(
     # and time travel across the dv delete is exact again
     back = read_table_as_of(spark, path, 0)
     assert back.filter("doc_id IN (42, 43)").count() == 2
+
+
+def _mk_feed_tbl(spark, path, n=400, files=4):
+    spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    ).repartition(files, "doc_id").write.parquet(path)
+    write_stats_manifest(
+        spark, path, ["grp"], bloom_cols=["doc_id"],
+        bloom_bits=1 << 15,
+    )
+    enable_change_feed(path)
+
+
+def test_partial_delete_crash_commits_completed_sub_deltas(
+    spark, tmp_path, monkeypatch
+):
+    """Round-8 ADVICE (medium): a multi-file delete that crashed
+    half-way used to ABORT its whole staged delta, so the files whose
+    swap completed never recorded their deletes — as-of reads silently
+    omitted those rows and IVM views overcounted (missing deletes
+    cannot trip the negative-count guard).  Deltas are now staged
+    split per source file and the reconcile commits exactly the
+    completed subset; feed ∪ retry covers the full mutation."""
+    import os as _os
+
+    from osrs_dashboard_elt_spark.sources.maintenance import (
+        targeted_delete,
+    )
+
+    path = str(tmp_path / "tbl")
+    _mk_feed_tbl(spark, path)
+    targets = [1, 99, 250, 333]  # spread over >= 2 files
+    real_remove = _os.remove
+    state = {"originals_removed": 0}
+
+    def crashing_remove(p):
+        if "/tbl/" in p and p.endswith(".parquet") and (
+            "part-del-" not in _os.path.basename(p)
+        ):
+            state["originals_removed"] += 1
+            if state["originals_removed"] == 2:
+                raise RuntimeError("simulated crash mid-swap")
+        return real_remove(p)
+
+    monkeypatch.setattr("os.remove", crashing_remove)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        targeted_delete(spark, path, "doc_id", targets)
+    monkeypatch.setattr("os.remove", real_remove)
+    # nothing committed yet (the mutation never reached its commit)
+    assert read_change_feed(spark, path).count() == 0
+    # the retry reconciles: the completed file's sub-delta commits,
+    # the unfinished file's is discarded, and the retry deletes the
+    # remaining rows logging a fresh exact delta
+    res = targeted_delete(spark, path, "doc_id", targets)
+    feed = read_change_feed(spark, path)
+    deleted = feed.filter("_change_type = 'delete'")
+    assert deleted.count() == len(targets)
+    assert sorted(r["doc_id"] for r in deleted.collect()) == targets
+    assert feed.select("_commit_seq").distinct().count() == 2
+    # as-of the pre-delete state is EXACT (the old abort-everything
+    # policy reconstructed it minus the completed file's rows)
+    asof = read_table_as_of(spark, path, 0)
+    assert asof.count() == 400
+    assert asof.filter(
+        F.col("doc_id").isin(targets)
+    ).count() == len(targets)
+    assert read_table(spark, path).count() == 400 - len(targets)
+    assert res["rows_deleted"] > 0
+
+
+def test_partial_upsert_crash_rolls_back_landed_inserts(
+    spark, tmp_path, monkeypatch
+):
+    """The insert half of the same ADVICE: a crashed upsert whose
+    insert files partially landed rolls them BACK (they hold only new
+    rows), because a retry would re-plan landed inserts as UPDATES
+    (pre == post, net-zero weight) and the feed would never record
+    them as inserts — IVM views would undercount forever."""
+    import os as _os
+
+    from osrs_dashboard_elt_spark.literals import local_frame
+    from osrs_dashboard_elt_spark.sources.ivm import (
+        init_view,
+        read_view,
+        refresh_view,
+    )
+    from osrs_dashboard_elt_spark.sources.maintenance import (
+        targeted_upsert,
+    )
+
+    path = str(tmp_path / "ptbl")
+    spark.range(40).select(
+        (F.col("id") % 2).alias("day"),
+        F.col("id").alias("doc_id"),
+        F.lit(1.0).cast("decimal(18,2)").alias("amount"),
+    ).repartition(4, "doc_id").write.partitionBy("day").parquet(path)
+    write_stats_manifest(
+        spark, path, ["doc_id"], bloom_cols=["doc_id"],
+        bloom_bits=1 << 15,
+    )
+    enable_change_feed(path)
+    root = str(tmp_path / "view")
+    init_view(spark, path, root, ["day"], ["amount"])
+    ups = local_frame(
+        spark,
+        # one update + two inserts landing in DIFFERENT partitions
+        [(0, 4, 9.0), (0, 1000, 2.0), (1, 1001, 3.0)],
+        "day long, doc_id long, amount decimal(18,2)",
+    )
+    real_replace = _os.replace
+    state = {"ins": 0}
+
+    def crashing_replace(src, dst):
+        if "part-ups-" in _os.path.basename(str(dst)):
+            state["ins"] += 1
+            if state["ins"] == 2:
+                raise RuntimeError("simulated crash mid-insert")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr("os.replace", crashing_replace)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        targeted_upsert(spark, path, "doc_id", ups)
+    monkeypatch.setattr("os.replace", real_replace)
+    # retry completes; the landed insert was rolled back first
+    targeted_upsert(spark, path, "doc_id", ups)
+    got = read_table(spark, path)
+    assert got.count() == 42
+    assert got.filter("doc_id = 1000").count() == 1
+    assert got.filter("doc_id = 1001").count() == 1
+    # the feed recorded the inserts AS inserts exactly once
+    feed = read_change_feed(spark, path)
+    ins = feed.filter("_change_type = 'insert'")
+    assert sorted(r["doc_id"] for r in ins.collect()) == [1000, 1001]
+    # and the IVM view folds to exactly the direct recompute
+    refresh_view(spark, path, root)
+    view = {
+        (r["day"], r["__n"], float(r["sum_amount"]))
+        for r in read_view(spark, root).collect()
+    }
+    direct = {
+        (r["day"], r["__n"], float(r["sum_amount"]))
+        for r in got.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("amount").alias("sum_amount"),
+        )
+        .collect()
+    }
+    assert view == direct
