@@ -72,6 +72,8 @@ _CHANGES_DIR = "_changes"
 _COMMIT = "_commit.json"
 _ENABLED = "_enabled.json"
 _STAGING = ".staging"
+_FILES = "_files.json"
+_PHYS = "_phys.json"
 
 
 def _changes_root(path: str) -> str:
@@ -235,7 +237,10 @@ def stage_changes(
 
 
 def commit_changes(
-    cdir: str, op: str, keep_subs: set[str] | None = None
+    cdir: str,
+    op: str,
+    keep_subs: set[str] | None = None,
+    files_info: dict | None = None,
 ) -> bool:
     """Publish a staged change set — move its parts out of the
     dot-staging dir (same-device renames), then atomically rename the
@@ -250,8 +255,13 @@ def commit_changes(
     outside the set are discarded before the move.  Sub dirs flatten
     into the change dir with their label prefixed (two subs' part
     files can share a name — one write task names them identically).
-    Returns whether a commit marker landed (False = everything was
-    filtered out and the set was aborted instead)."""
+    ``files_info`` records the mutation's physical file footprint
+    (adds / rewrites / removes with byte sizes, dv segment appends)
+    as ``_files.json`` beside the marker — the per-seq file manifest
+    :func:`read_table_as_of` reverse-replays to serve snapshot reads
+    with zero shuffle.  Returns whether a commit marker landed
+    (False = everything was filtered out and the set was aborted
+    instead)."""
     import time
 
     staging = os.path.join(cdir, _STAGING)
@@ -297,6 +307,11 @@ def commit_changes(
             # schema-only dir — readers would choke on it
             abort_changes(cdir)
             return False
+    if files_info is not None:
+        fd, tmp = tempfile.mkstemp(dir=cdir, prefix=".files-")
+        with os.fdopen(fd, "w") as f:
+            json.dump(files_info, f)
+        os.replace(tmp, os.path.join(cdir, _FILES))
     fd, tmp = tempfile.mkstemp(dir=cdir, prefix=".commit-")
     with os.fdopen(fd, "w") as f:
         json.dump({"op": op, "ts": time.time()}, f)
@@ -367,27 +382,134 @@ def read_change_feed(
     )
 
 
-def read_table_as_of(
+def _snapshot_file_state(
     spark: SparkSession, path: str, seq: int
+) -> tuple[list[str], dict[str, set[int]]] | None:
+    """Reverse-replay the per-seq file manifests to the listing the
+    table had at change seq ``seq``: (snapshot files, dv segments to
+    EXCLUDE per column).  None = not serveable — some mutation after
+    ``seq`` lacks a file manifest, a physical break (compaction /
+    dv-apply / sidecar consolidation) happened at or after ``seq``, or
+    a file of the target listing no longer exists byte-identically
+    (size check against the recorded pre-mutation size; names are
+    content-salted, so (name, size) is identity)."""
+    if not change_feed_enabled(path):
+        return None  # the arithmetic path owns the loud error
+    if physical_break_floor(path) > seq:
+        return None
+    root = _changes_root(path)
+    infos = []
+    for s in _committed_seqs(root):
+        if s <= seq:
+            continue
+        try:
+            with open(os.path.join(_change_dir(root, s), _FILES)) as f:
+                infos.append((s, json.load(f)))
+        except FileNotFoundError:
+            return None  # a mutation with no file manifest — fall back
+    from pyspark.sql.types import StructType
+
+    from .stats_manifest import _full_read, _load_meta, _norm
+
+    _, meta = _load_meta(spark, path)
+    pinned = StructType.fromJson(meta["schema"])
+    working: dict[str, int | None] = {
+        _norm(f): None  # None = untouched since target, size implied
+        for f in _full_read(spark, path, pinned).inputFiles()
+    }
+    dv_exclude: dict[str, set[int]] = {}
+    for s, info in sorted(infos, reverse=True):  # undo newest first
+        for d in info.get("dv", []):
+            dv_exclude.setdefault(d["col"], set()).add(d["epoch"])
+        for a in info.get("adds", {}):
+            working.pop(_norm(a), None)
+        for orig, (repl, _rsize, osize) in info.get(
+            "rewrites", {}
+        ).items():
+            working.pop(_norm(repl), None)
+            working[_norm(orig)] = int(osize)
+        for orig, osize in info.get("removes", {}).items():
+            working[_norm(orig)] = int(osize)
+    local = lambda u: "/" + u[5:].lstrip("/") if u.startswith(
+        "file:"
+    ) else u
+    for f, expect in working.items():
+        lp = local(f)
+        if not os.path.exists(lp):
+            return None
+        if expect is not None and os.path.getsize(lp) != expect:
+            return None
+    return sorted(working), dv_exclude
+
+
+def read_table_as_of(
+    spark: SparkSession, path: str, seq: int, mode: str = "auto"
 ) -> DataFrame:
     """The table's reader-visible rows as of change sequence ``seq``
-    (0 = the state when the feed was enabled), reconstructed by
-    weighted multiset arithmetic:
+    (0 = the state when the feed was enabled).
 
-    ``state(seq) = current ⊎ Σ_{s>seq} rewind(delta_s)`` where rewind
-    adds back deleted rows / update preimages and subtracts inserted
-    rows / update postimages.  One unionByName + one hash aggregate
-    over every column + one multiplicity re-expansion — plan depth is
-    CONSTANT in the number of mutations (a sequential
-    ``exceptAll``/``union`` chain would grow the plan per mutation
-    and clamp at zero mid-chain, which mis-reconstructs
-    insert-then-delete histories).
+    TWO strategies, picked per call (``mode="auto"``):
 
+    - SNAPSHOT-SERVED (zero shuffle): every mutation commits a per-seq
+      file manifest (adds / rewrites / removes with byte sizes, dv
+      segment appends) beside its delta; reverse-replaying them from
+      the current listing yields the exact file set at ``seq``, read
+      directly with the pinned schema plus the dv tombstones as of
+      ``seq`` (later segments excluded) — the Delta/Iceberg snapshot
+      shape, ZERO shuffle and flat in table size.  Legal whenever
+      every target-listing file still exists byte-identically and no
+      physical break (in-place compaction, dv apply, sidecar
+      consolidation — recorded by ``record_physical_break``) happened
+      after ``seq`` — exactly the steady append + dv-delete +
+      insert-merge regime a streaming corpus lives in.
+    - MULTISET ARITHMETIC (the always-correct fallback):
+      ``state(seq) = current ⊎ Σ_{s>seq} rewind(delta_s)`` — one
+      unionByName + one hash aggregate over every column + one
+      multiplicity re-expansion, plan depth CONSTANT in the number of
+      mutations, exact past vacuumed snapshots, compactions and
+      pre-manifest histories.
+
+    ``mode="snapshot"`` raises if the snapshot path is unavailable
+    (plan-pinning tests); ``mode="arithmetic"`` forces the fallback.
     Exact iff every mutation after ``seq`` recorded its delta — the
     ``enable_change_feed`` contract.  Negative net multiplicities
     (impossible under a complete feed) raise rather than silently
     truncating."""
-    from .stats_manifest import read_table
+    from pyspark.sql.types import StructType
+
+    from .stats_manifest import (
+        _load_meta,
+        apply_deletion_vectors_df,
+        read_table,
+    )
+
+    if mode not in ("auto", "snapshot", "arithmetic"):
+        raise ValueError(f"unknown as-of mode {mode!r}")
+    if mode != "arithmetic":
+        snap = _snapshot_file_state(spark, path, seq)
+        if snap is None and mode == "snapshot":
+            raise ValueError(
+                f"snapshot-served as-of unavailable for seq {seq} "
+                f"under {path} (missing per-seq file manifest, "
+                "physical break, or a vanished/changed file) — use "
+                "mode='auto' to fall back to multiset arithmetic"
+            )
+        if snap is not None:
+            files, dv_exclude = snap
+            _, meta = _load_meta(spark, path)
+            pinned = StructType.fromJson(meta["schema"])
+            if not files:
+                df = spark.createDataFrame([], pinned)
+            else:
+                df = (
+                    spark.read.schema(pinned)
+                    .option("basePath", path)
+                    .parquet(*files)
+                )
+            return apply_deletion_vectors_df(
+                spark, path, meta, df,
+                exclude_segments=dv_exclude,
+            )
 
     current = read_table(spark, path)
     cols = current.columns
@@ -436,6 +558,45 @@ def vacuum_change_feed(path: str, keep_since_seq: int) -> list[int]:
             # desynchronizing every checkpointed consumer
             out.append(s)
     return out
+
+
+def record_physical_break(path: str) -> None:
+    """Record that data files changed WITHOUT a feed delta (in-place
+    compaction, deletion-vector apply, dv-sidecar consolidation):
+    snapshot-served as-of reads target file LISTINGS, and a listing
+    older than the break can no longer be reverse-replayed from the
+    per-seq file manifests — :func:`read_table_as_of` falls back to
+    multiset arithmetic for sequence numbers at or before the break
+    floor.  Stores the latest committed seq at break time (atomic
+    tmp+rename under the mutation gate, so no concurrent writer)."""
+    if not change_feed_enabled(path):
+        return
+    root = _changes_root(path)
+    head = latest_change_seq(path)
+    pth = os.path.join(root, _PHYS)
+    try:
+        with open(pth) as f:
+            rec = json.load(f)
+    except FileNotFoundError:
+        rec = {"breaks": []}
+    if head in rec["breaks"]:
+        return
+    rec["breaks"].append(head)
+    fd, tmp = tempfile.mkstemp(dir=root, prefix=".phys-")
+    with os.fdopen(fd, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, pth)
+
+
+def physical_break_floor(path: str) -> int:
+    """The newest physical break's seq (0 = never broken): snapshot
+    serving is legal only for target seqs >= this floor."""
+    try:
+        with open(os.path.join(_changes_root(path), _PHYS)) as f:
+            breaks = json.load(f).get("breaks", [])
+    except FileNotFoundError:
+        return 0
+    return max(breaks, default=0)
 
 
 def stream_change_feed(

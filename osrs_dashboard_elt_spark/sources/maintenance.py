@@ -313,19 +313,30 @@ def _local(uri: str) -> str:
     return "/" + uri[5:].lstrip("/") if uri.startswith("file:") else uri
 
 
-def _replacement_name(original_local: str) -> str:
+def _replacement_name(original_local: str, salt: str = "") -> str:
     """Deterministic replacement part-file name, derived from the
-    ORIGINAL's basename.  Determinism is the crash-recovery handle: a
-    delete that died between publishing the replacement and removing
-    the original leaves both on disk, and a retry can FIND the orphan
-    (recompute the name) and drop it before rewriting — a random name
-    would duplicate the kept rows forever."""
+    ORIGINAL's basename plus a content ``salt`` (the delete's value
+    list / the merge's changeset hash).  Determinism is the
+    crash-recovery handle: a retry of the SAME mutation recomputes the
+    same name, finds the orphan and drops it before rewriting — a
+    random name would duplicate the kept rows forever.  The salt makes
+    names content-addressed across DIFFERENT mutations: two rewrites
+    of a same-named original with different semantics can never
+    produce the same replacement name, which is what lets the per-seq
+    file manifests treat (name, size) as file identity for
+    snapshot-served as-of reads."""
     import hashlib
 
     h = hashlib.sha1(
-        os.path.basename(original_local).encode()
+        (os.path.basename(original_local) + "\x00" + salt).encode()
     ).hexdigest()[:16]
     return f"part-del-{h}.snappy.parquet"
+
+
+def _uri(local: str) -> str:
+    """Inverse of :func:`_local` in normalized form (``file:///x``) —
+    the representation stored by manifests and per-seq file lists."""
+    return "file://" + local if local.startswith("/") else local
 
 
 def _delete_journal_path(path: str) -> str:
@@ -343,6 +354,7 @@ def _write_delete_journal(
     dv_check: dict | None = None,
     op: str | None = None,
     subs: dict[str, str] | None = None,
+    sizes: dict[str, int] | None = None,
 ) -> None:
     """Intent record written BEFORE the first file mutation (atomic
     tmp+rename): maps each original to its deterministic replacement
@@ -371,6 +383,8 @@ def _write_delete_journal(
         record["op"] = op
     if subs:
         record["subs"] = subs
+    if sizes:
+        record["sizes"] = sizes
     with os.fdopen(fd, "w") as f:
         json.dump(record, f)
     os.replace(tmp, jp)
@@ -528,10 +542,41 @@ def _reconcile_delete_journal(spark: SparkSession, path: str) -> bool:
     if cj:
         from .change_feed import abort_changes, commit_changes
 
+        # per-seq file manifest for the committed (sub)set: journaled
+        # pre-sizes + on-disk replacement/add sizes.  None when the
+        # journal predates size recording — as-of then falls back to
+        # arithmetic for this window instead of trusting a hole
+        jsizes = journal.get("sizes") or {}
+
+        def _files_info():
+            fi = {"rewrites": {}, "removes": {}, "adds": {}}
+            ok = True
+            for orig, repl in rewrites.items():
+                if os.path.exists(orig):
+                    continue
+                if orig in jsizes and os.path.exists(repl):
+                    fi["rewrites"][_uri(orig)] = [
+                        _uri(repl),
+                        os.path.getsize(repl),
+                        jsizes[orig],
+                    ]
+                else:
+                    ok = False
+            for orig in removes:
+                if os.path.exists(orig):
+                    continue
+                if orig in jsizes:
+                    fi["removes"][_uri(orig)] = jsizes[orig]
+                else:
+                    ok = False
+            for a in adds_landed:
+                fi["adds"][_uri(a)] = os.path.getsize(a)
+            return fi if ok else None
+
         cdir, opname = cj
         if os.path.isdir(cdir):
             if fully:
-                commit_changes(cdir, opname)
+                commit_changes(cdir, opname, files_info=_files_info())
             else:
                 # PARTIAL completion: commit exactly the sub-deltas of
                 # files whose swap finished (their original vanished)
@@ -547,7 +592,10 @@ def _reconcile_delete_journal(spark: SparkSession, path: str) -> bool:
                     if not os.path.exists(orig)
                 }
                 if keep:
-                    commit_changes(cdir, opname, keep_subs=keep)
+                    commit_changes(
+                        cdir, opname, keep_subs=keep,
+                        files_info=_files_info(),
+                    )
                 else:
                     abort_changes(cdir)
     # the journal is the ONLY record of completed mutations: remove it
@@ -650,7 +698,8 @@ def _journal_and_swap(
     changes: tuple[str, str] | None = None,
     op: str | None = None,
     subs: dict[str, str] | None = None,
-) -> dict[str, str]:
+    name_salt: str = "",
+) -> tuple[dict[str, str], dict[str, int]]:
     """The crash-safe mutation section shared by ``targeted_delete``,
     ``targeted_upsert`` and ``apply_deletion_vectors``: journal the
     intent, let ``write_partials_fn(tmp_dir)`` produce one
@@ -661,18 +710,26 @@ def _journal_and_swap(
     no jobs.  ``changes`` is the staged change-feed (dir, op) pair the
     journal records so a crash commits/aborts the delta with the
     mutation; ``op``/``subs`` ride the journal for the reconcile's
-    partial-completion policy.  Returns the original->replacement
-    map."""
+    partial-completion policy.  Original sizes are captured BEFORE the
+    swap and journaled — the per-seq file manifests need the removed
+    files' byte identity.  Returns (original->replacement map,
+    original->pre-mutation size)."""
     rewrites = {
         _local(f): os.path.join(
-            os.path.dirname(_local(f)), _replacement_name(_local(f))
+            os.path.dirname(_local(f)),
+            _replacement_name(_local(f), name_salt),
         )
         for f in partials
     }
     adds = list(adds or [])
+    pre_sizes = {
+        f: os.path.getsize(f)
+        for f in list(rewrites) + list(removes)
+        if os.path.exists(f)
+    }
     _write_delete_journal(
         path, rewrites, removes, adds=adds, changes=changes,
-        op=op, subs=subs,
+        op=op, subs=subs, sizes=pre_sizes,
     )
     # stage INSIDE the table dir (dot-prefixed: invisible to readers):
     # os.replace must stay same-device — /tmp is routinely a different
@@ -713,7 +770,7 @@ def _journal_and_swap(
         shutil.rmtree(tmp, ignore_errors=True)
     for f in removes:
         os.remove(f)
-    return rewrites
+    return rewrites, pre_sizes
 
 
 @_with_mutation_gate
@@ -943,7 +1000,7 @@ def targeted_delete(
             f"file string, v {pinned[col].dataType.simpleString()}",
         )
         try:
-            total = _append_dv(spark, path, col, pairs_df)
+            total, dv_epoch = _append_dv(spark, path, col, pairs_df)
         except BaseException:
             if staged:
                 abort_changes(staged[1])
@@ -953,7 +1010,10 @@ def targeted_delete(
                     pass
             raise
         if staged:
-            commit_changes(staged[1], "targeted_delete_dv")
+            commit_changes(
+                staged[1], "targeted_delete_dv",
+                files_info={"dv": [{"col": col, "epoch": dv_epoch}]},
+            )
             try:
                 os.remove(_delete_journal_path(path))
             except FileNotFoundError:
@@ -1037,10 +1097,15 @@ def targeted_delete(
             )
             rw.write.partitionBy("__src").mode("overwrite").parquet(tmp)
 
-    _journal_and_swap(
+    import hashlib
+
+    salt = hashlib.sha1(
+        "\x00".join(sorted(map(str, values))).encode()
+    ).hexdigest()[:12]
+    rewritten, pre_sizes = _journal_and_swap(
         spark, path, partials, removes, _write_partials,
         changes=(staged[1], "targeted_delete") if staged else None,
-        op="delete", subs=subs,
+        op="delete", subs=subs, name_salt=salt,
     )
     # DV entries citing the rewritten/removed originals are DEAD (the
     # rewrite ran through the DV-aware reader, physically applying
@@ -1060,10 +1125,25 @@ def targeted_delete(
     if staged:
         # change commit BEFORE journal removal: a crash in between is
         # re-committed by the reconcile (idempotent), whereas the
-        # reverse order could lose a completed mutation's delta
+        # reverse order could lose a completed mutation's delta.  The
+        # per-seq file manifest rides the commit: what this mutation
+        # added/rewrote/removed, with byte sizes — the zero-shuffle
+        # time-travel substrate
         from .change_feed import commit_changes
 
-        commit_changes(staged[1], "targeted_delete")
+        commit_changes(
+            staged[1], "targeted_delete",
+            files_info={
+                "rewrites": {
+                    _uri(o): [_uri(r), os.path.getsize(r), pre_sizes[o]]
+                    for o, r in rewritten.items()
+                },
+                "removes": {
+                    _uri(o): pre_sizes[o] for o in removes
+                },
+                "adds": {},
+            },
+        )
     try:
         os.remove(_delete_journal_path(path))
     except FileNotFoundError:
@@ -1208,6 +1288,12 @@ def apply_deletion_vectors(
                 spark, path, partials, removes, _write_partials,
                 op="dv_compact",
             )
+    if partials or removes:
+        # same no-delta physical change as compaction: break the
+        # snapshot-serving horizon
+        from .change_feed import record_physical_break
+
+        record_physical_break(path)
     if refresh_stats and (partials or removes):
         _refresh(spark, path, meta["cols"])
     try:
@@ -1405,13 +1491,20 @@ def table_append(
             changes=(staged[1], "table_append") if staged else None,
             op="append",
         )
+        append_files_info = {
+            "rewrites": {},
+            "removes": {},
+            "adds": {_uri(a): os.path.getsize(a) for a in adds},
+        }
     finally:
         shutil.rmtree(pre, ignore_errors=True)
         shaped.unpersist()
     if refresh_stats:
         _refresh(spark, path, meta["cols"])
     if staged:
-        commit_changes(staged[1], "table_append")
+        commit_changes(
+            staged[1], "table_append", files_info=append_files_info
+        )
     try:
         os.remove(_delete_journal_path(path))
     except FileNotFoundError:
@@ -1426,6 +1519,8 @@ def targeted_upsert(
     key_col: str | list[str],
     updates: DataFrame,
     refresh_stats: bool = True,
+    max_driver_rows: int = 100_000,
+    distributed: bool | None = None,
 ) -> dict:
     """MERGE a batch-sized changeset into a manifest-backed table,
     copy-on-write: rows whose key (``key_col`` — one column name or a
@@ -1458,9 +1553,27 @@ def targeted_upsert(
     3. The shared journal/swap section publishes replacements +
        the insert file atomically-per-file with crash reconcile.
 
-    ``updates`` is collected to the driver (it is a CHANGESET — the
-    takedown-sized contract shared with the delete value list; bulk
-    rebuilds belong to ``publish_versioned``).  Duplicate or NULL
+    TWO source modes share the same journal/swap machinery:
+
+    - DRIVER-SIZED (default below ``max_driver_rows``): the changeset
+      is collected and becomes a JVM ``VALUES`` literal frame — every
+      downstream job runs without Python workers, the right shape for
+      takedown/CDC-trickle batches.
+    - DISTRIBUTED (auto above ``max_driver_rows``, or forced with
+      ``distributed=True``): the changeset is NEVER collected — key
+      validation is an aggregate, candidate files are planned through
+      the broadcast value-table × bloom-bucket join
+      (``stats_manifest.files_for_values_df``), the insert set is an
+      anti-join against the affected files' live keys, and the
+      rewrite joins the update DataFrame directly (no broadcast hint
+      — AQE picks the strategy).  Only FILE NAMES and per-file counts
+      reach the driver, so a backfill-scale MERGE (millions of update
+      rows) runs without a driver-memory cap while keeping the
+      O(1)-job execution shape.  ``distributed=False`` with a
+      changeset above ``max_driver_rows`` raises loudly instead of
+      risking a driver OOM.
+
+    Duplicate or NULL
     update keys raise: two updates for one key would make the merge
     non-deterministic (Delta raises the same way).  Rows already
     tombstoned by deletion vectors are invisible — they are neither
@@ -1484,6 +1597,7 @@ def targeted_upsert(
         _norm_col,
         apply_deletion_vectors_df,
         files_for_values,
+        files_for_values_df,
     )
     from .stats_manifest import refresh_stats_manifest as _refresh
 
@@ -1514,26 +1628,96 @@ def targeted_upsert(
     shaped = updates.select(
         *[F.col(c).cast(pinned[c].dataType).alias(c) for c in all_cols]
     )
-    upd_rows = shaped.collect()  # changeset contract: driver-sized
-    keys = [tuple(r[c] for c in key_cols) for r in upd_rows]
-    if any(any(v is None for v in k) for k in keys):
-        raise ValueError("update keys must be non-null")
-    if len(set(keys)) != len(keys):
-        dupes = sorted(
-            {k for k in keys if keys.count(k) > 1}, key=str
-        )[:3]
-        raise ValueError(
-            f"duplicate update keys (e.g. {dupes}) — a merge with two "
-            "source rows for one key is non-deterministic"
-        )
     from ..literals import local_frame
 
-    ddl = ", ".join(
-        f"{c} {pinned[c].dataType.simpleString()}" for c in all_cols
-    )
-    # JVM-backed changeset: every downstream job (classification join,
-    # rewrite, staging writes) runs without Python workers
-    upd_df = local_frame(spark, [tuple(r) for r in upd_rows], ddl)
+    dist = bool(distributed)
+    upd_rows: list = []
+    if not distributed:
+        # probe one row past the cap instead of count(): the small
+        # path pays exactly the one collect job it always paid
+        upd_rows = shaped.limit(max_driver_rows + 1).collect()
+        if len(upd_rows) > max_driver_rows:
+            if distributed is False:
+                raise ValueError(
+                    f"update changeset exceeds max_driver_rows="
+                    f"{max_driver_rows} with distributed=False — the "
+                    "driver-sized contract would collect it all; use "
+                    "distributed=True (no-collect MERGE) or raise "
+                    "max_driver_rows deliberately"
+                )
+            dist = True
+            upd_rows = []
+    if dist:
+        # NO-COLLECT path: persist (the changeset feeds validation,
+        # planning, classification, rewrite and staging jobs — a
+        # non-deterministic source plan must evaluate once)
+        shaped = shaped.persist()
+        krow = (
+            shaped.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(
+                F.max("__c").alias("mx"),
+                F.max(
+                    F.when(
+                        sum(
+                            (
+                                F.col(c).isNull().cast("int")
+                                for c in key_cols
+                            ),
+                            F.lit(0),
+                        )
+                        > 0,
+                        1,
+                    ).otherwise(0)
+                ).alias("has_null"),
+            )
+            .collect()[0]
+        )
+        if int(krow["has_null"] or 0):
+            raise ValueError("update keys must be non-null")
+        if int(krow["mx"] or 0) > 1:
+            raise ValueError(
+                "duplicate update keys — a merge with two source "
+                "rows for one key is non-deterministic"
+            )
+        upd_df = shaped
+        # content-addressed changeset salt, engine-side (decimal sum
+        # of full-row xxhash64 — ANSI-safe): a retry of the same
+        # changeset re-derives the same replacement/insert names
+        srow = shaped.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(F.struct(*all_cols)).cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        changeset_salt = f"m:{srow['n']}:{srow['h']}"
+    else:
+        keys = [tuple(r[c] for c in key_cols) for r in upd_rows]
+        if any(any(v is None for v in k) for k in keys):
+            raise ValueError("update keys must be non-null")
+        if len(set(keys)) != len(keys):
+            dupes = sorted(
+                {k for k in keys if keys.count(k) > 1}, key=str
+            )[:3]
+            raise ValueError(
+                f"duplicate update keys (e.g. {dupes}) — a merge "
+                "with two source rows for one key is "
+                "non-deterministic"
+            )
+        ddl = ", ".join(
+            f"{c} {pinned[c].dataType.simpleString()}"
+            for c in all_cols
+        )
+        # JVM-backed changeset: every downstream job (classification
+        # join, rewrite, staging writes) runs without Python workers
+        upd_df = local_frame(spark, [tuple(r) for r in upd_rows], ddl)
+        import hashlib as _hl
+
+        changeset_salt = _hl.sha1(
+            "\x00".join(
+                sorted(str(tuple(r)) for r in upd_rows)
+            ).encode()
+        ).hexdigest()[:16]
     # composite planning: intersect candidates over every key column
     # the manifest can prune on (each column's value list OR-ed
     # internally, the columns AND-ed) — at least one must be plannable
@@ -1552,8 +1736,13 @@ def targeted_upsert(
     for i, c in enumerate(key_cols):
         if c not in plannable:
             continue
-        vals = list(dict.fromkeys(k[i] for k in keys))
-        cand = set(files_for_values(spark, path, c, vals))
+        if dist:
+            cand = set(
+                files_for_values_df(spark, path, c, upd_df.select(c))
+            )
+        else:
+            vals = list(dict.fromkeys(k[i] for k in keys))
+            cand = set(files_for_values(spark, path, c, vals))
         affected_set = (
             cand if affected_set is None else affected_set & cand
         )
@@ -1576,35 +1765,42 @@ def targeted_upsert(
         # update changing one is a delete+insert across dirs, not a
         # rewrite — detected in the same classification pass, refused
         guard_cols = [c for c in part_cols if c not in key_cols]
-        upd_keys = F.broadcast(
-            upd_df.select(
-                *key_cols,
-                *[F.col(c).alias(f"__p_{c}") for c in guard_cols],
-            ).withColumn("__hit", F.lit(1))
-        )
+        upd_keys = upd_df.select(
+            *key_cols,
+            *[F.col(c).alias(f"__p_{c}") for c in guard_cols],
+        ).withColumn("__hit", F.lit(1))
+        if not dist:
+            upd_keys = F.broadcast(upd_keys)
         moved_pred = F.lit(False)
         for c in guard_cols:
             moved_pred = moved_pred | ~F.col(c).eqNullSafe(
                 F.col(f"__p_{c}")
             )
-        cls = (
-            live.select("__file", *key_cols, *guard_cols)
-            .join(upd_keys, key_cols, "left")
-            .groupBy("__file")
-            .agg(
-                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("m"),
-                F.sum(
-                    F.when(
-                        F.col("__hit").isNotNull() & moved_pred, 1
-                    ).otherwise(0)
-                ).alias("moved"),
+        aggs = [
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("m"),
+            F.sum(
+                F.when(
+                    F.col("__hit").isNotNull() & moved_pred, 1
+                ).otherwise(0)
+            ).alias("moved"),
+        ]
+        if not dist:
+            # the matched key SETS are driver-sized only on the
+            # collected path; the distributed path derives the insert
+            # set with an anti-join instead
+            aggs.append(
                 F.collect_set(
                     F.when(
                         F.col("__hit").isNotNull(),
                         F.struct(*key_cols),
                     )
-                ).alias("matched"),
+                ).alias("matched")
             )
+        cls = (
+            live.select("__file", *key_cols, *guard_cols)
+            .join(upd_keys, key_cols, "left")
+            .groupBy("__file")
+            .agg(*aggs)
             .collect()
         )
         n_moved = sum(int(r["moved"] or 0) for r in cls)
@@ -1620,38 +1816,54 @@ def targeted_upsert(
             if m == 0:  # bloom false positive — leave untouched
                 continue
             rows_updated += m
-            matched_keys |= {tuple(k) for k in r["matched"]}
+            if not dist:
+                matched_keys |= {tuple(k) for k in r["matched"]}
             partials.append(r["__file"])
-    insert_rows = [
-        r
-        for r, k in zip(upd_rows, keys)
-        if k not in matched_keys
-    ]
-    if not partials and not insert_rows:
+    n_inserts = 0
+    ins_df = None
+    if dist:
+        # insert set = update keys matched NOWHERE: one anti-join
+        # against the affected files' live keys (no keys collected)
+        if affected:
+            ins_df = upd_df.join(
+                live.select(*key_cols).distinct(), key_cols,
+                "left_anti",
+            )
+        else:
+            ins_df = upd_df
+        n_inserts = ins_df.count()
+        if n_inserts == 0:
+            ins_df = None
+    else:
+        insert_rows = [
+            r
+            for r, k in zip(upd_rows, keys)
+            if k not in matched_keys
+        ]
+        n_inserts = len(insert_rows)
+    if not partials and not n_inserts:
+        if dist:
+            shaped.unpersist()
         return {
             "files_affected": len(affected), "files_rewritten": 0,
             "rows_updated": 0, "rows_inserted": 0,
         }
     adds: list[str] = []
-    ins_df = None
     pre_dir = None
     ins_staged: list[str] = []
-    if insert_rows:
+    if not dist and n_inserts:
         ins_df = local_frame(
             spark, [tuple(r) for r in insert_rows], ddl
         )
-        # seed from the inserted KEYS (not randomness): a crashed
+    if ins_df is not None:
+        # seed from the changeset CONTENT (not randomness): a crashed
         # merge's retry re-derives the same targets and reconciles
-        # orphans instead of duplicating rows
-        seed = "\x00".join(
-            str(k)
-            for k in sorted(
-                (tuple(r[c] for c in key_cols) for r in insert_rows),
-                key=str,
-            )
-        )
+        # orphans instead of duplicating rows; content-addressing also
+        # means two DIFFERENT merges can never reuse a file name, the
+        # identity assumption of the per-seq file manifests
         pre_dir, ins_staged, adds = _prestage_inserts(
-            path, ins_df, data_cols, part_cols, seed
+            path, ins_df, data_cols, part_cols,
+            f"{changeset_salt}:ins",
         )
     # merged view of the partial files: matched rows take the update's
     # columns (broadcast left join on the key columns), others pass
@@ -1663,17 +1875,17 @@ def targeted_upsert(
     # their directory (round-8 ADVICE low: composite keys like
     # (day, id) on a day-partitioned table used to raise an
     # unresolved-column AnalysisException)
-    upd_marked = F.broadcast(
-        upd_df.select(
-            F.lit(1).alias("__hit"),
-            *[F.col(c).alias(f"__u_{c}") for c in data_cols],
-            *[
-                F.col(c).alias(f"__u_{c}")
-                for c in key_cols
-                if c not in data_cols
-            ],
-        )
+    upd_marked = upd_df.select(
+        F.lit(1).alias("__hit"),
+        *[F.col(c).alias(f"__u_{c}") for c in data_cols],
+        *[
+            F.col(c).alias(f"__u_{c}")
+            for c in key_cols
+            if c not in data_cols
+        ],
     )
+    if not dist:
+        upd_marked = F.broadcast(upd_marked)
 
     def _merged(src: DataFrame) -> DataFrame:
         cond = None
@@ -1707,8 +1919,11 @@ def targeted_upsert(
             ),
             "__file",
         )
+        upd_key_probe = upd_df.select(*key_cols)
+        if not dist:
+            upd_key_probe = F.broadcast(upd_key_probe)
         matched_rows = live_partials.join(
-            F.broadcast(upd_df.select(*key_cols)), key_cols, "semi"
+            upd_key_probe, key_cols, "semi"
         )
         pre = matched_rows.select(
             *[f.name for f in pinned.fields], "__sub"
@@ -1743,14 +1958,16 @@ def targeted_upsert(
                 os.replace(sf, os.path.join(ins, f"{i:07d}.parquet"))
 
     try:
-        _journal_and_swap(
+        rewritten, pre_sizes = _journal_and_swap(
             spark, path, partials, [], _write, adds=adds,
             changes=(staged[1], "targeted_upsert") if staged else None,
-            op="upsert", subs=subs,
+            op="upsert", subs=subs, name_salt=changeset_salt,
         )
     finally:
         if pre_dir:
             shutil.rmtree(pre_dir, ignore_errors=True)
+        if dist:
+            shaped.unpersist()
     # rewritten originals' DV entries are dead (tombstones physically
     # applied by the DV-aware rewrite) — clear before they can be
     # mis-read as orphans (round-8 ADVICE high)
@@ -1763,7 +1980,17 @@ def targeted_upsert(
     if refresh_stats:
         _refresh(spark, path, meta["cols"])
     if staged:
-        commit_changes(staged[1], "targeted_upsert")
+        commit_changes(
+            staged[1], "targeted_upsert",
+            files_info={
+                "rewrites": {
+                    _uri(o): [_uri(r), os.path.getsize(r), pre_sizes[o]]
+                    for o, r in rewritten.items()
+                },
+                "removes": {},
+                "adds": {_uri(a): os.path.getsize(a) for a in adds},
+            },
+        )
     try:
         os.remove(_delete_journal_path(path))
     except FileNotFoundError:
@@ -1772,7 +1999,7 @@ def targeted_upsert(
         "files_affected": len(affected),
         "files_rewritten": len(partials),
         "rows_updated": rows_updated,
-        "rows_inserted": len(insert_rows),
+        "rows_inserted": n_inserts,
     }
 
 
@@ -1961,6 +2188,11 @@ def compact_table(
         from .stats_manifest import clear_deletion_vector_files
 
         clear_deletion_vector_files(spark, path, removes)
+    # files changed with NO feed delta: snapshot-served as-of reads
+    # can no longer reverse-replay listings across this point
+    from .change_feed import record_physical_break
+
+    record_physical_break(path)
     if refresh_stats:
         _refresh(spark, path, meta["cols"])
     try:

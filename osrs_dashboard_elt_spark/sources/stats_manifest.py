@@ -919,6 +919,26 @@ def files_for_values(
     values = list(dict.fromkeys(values))
     if not values:
         return []
+    return _files_for_values_any(spark, path, col, values)
+
+
+def files_for_values_df(
+    spark: SparkSession, path: str, col: str, vals_df: DataFrame
+) -> list[str]:
+    """:func:`files_for_values` with the probe values as a DataFRAME
+    column instead of a driver list — the no-collect planning shape
+    for DataFrame-sized changesets (distributed MERGE): the value
+    table stays executor-side through the bloom-bucket join; only
+    FILE NAMES ever reach the driver.  ``vals_df``'s first column is
+    the probe; it is deduplicated and cast to the manifest column's
+    type engine-side (the all-k-probes bloom count needs distinct
+    probe rows, same as the list form)."""
+    return _files_for_values_any(spark, path, col, vals_df)
+
+
+def _files_for_values_any(
+    spark: SparkSession, path: str, col: str, values
+) -> list[str]:
     epoch, meta = _load_meta(spark, path)
     man = _manifest_df(spark, path, epoch, meta)
     if not meta["immutable"]:
@@ -962,12 +982,21 @@ def _candidate_files_df(
     # interpreted at best.  As joins, the value list is a broadcast
     # probe table and every test is one codegen'd operator evaluated
     # per (manifest row x probe), scaling in DATA not in PLAN SIZE.
+    # A DataFrame value set (distributed MERGE planning) is used
+    # as-is — deduplicated and cast engine-side, never collected.
     from ..literals import local_frame
 
-    vals_df = local_frame(
-        spark, [(v,) for v in values],
-        f"v {schema[col].dataType.simpleString()}",
-    )
+    if isinstance(values, DataFrame):
+        vals_df = values.select(
+            F.col(values.columns[0])
+            .cast(schema[col].dataType)
+            .alias("v")
+        ).distinct()
+    else:
+        vals_df = local_frame(
+            spark, [(v,) for v in values],
+            f"v {schema[col].dataType.simpleString()}",
+        )
     if has_bloom:
         k = meta["bloom_hashes"]
         pos_df = (
@@ -1052,14 +1081,16 @@ def append_deletion_vectors(
     Entries are scoped PER FILE so a later legitimate re-ingest of
     the same value in a NEW file is not silently swallowed.
 
-    Returns the total DV entry count across all columns after the
-    append — the caller compacts via
-    ``maintenance.apply_deletion_vectors`` once it passes
-    ``_MAX_DV_ENTRIES`` (write amplification is only deferred, never
-    unbounded).  Commit-lineage applies: a concurrent writer surfaces
-    as :class:`ManifestCommitConflict`; re-run the delete (it is
-    idempotent — already-tombstoned rows are invisible to the
-    classification scan)."""
+    Returns (total DV entry count across all columns after the
+    append, the new epoch number carrying the sidecar) — the caller
+    compacts via ``maintenance.apply_deletion_vectors`` once the
+    count passes ``_MAX_DV_ENTRIES`` (write amplification is only
+    deferred, never unbounded), and records the epoch in its per-seq
+    file manifest so snapshot-served as-of reads know WHEN the
+    segment's tombstones became visible.  Commit-lineage applies: a
+    concurrent writer surfaces as :class:`ManifestCommitConflict`;
+    re-run the delete (it is idempotent — already-tombstoned rows are
+    invisible to the classification scan)."""
     epoch, meta = _load_meta(spark, path)
     if meta["immutable"]:
         raise ValueError(
@@ -1087,7 +1118,7 @@ def append_deletion_vectors(
     except ManifestCommitConflict:
         shutil.rmtree(edir, ignore_errors=True)
         raise
-    return sum(int(i["count"]) for i in dv.values())
+    return sum(int(i["count"]) for i in dv.values()), new_epoch
 
 
 def clear_deletion_vectors(
@@ -1201,19 +1232,41 @@ def clear_deletion_vector_files(
     except ManifestCommitConflict:
         shutil.rmtree(edir, ignore_errors=True)
         raise
+    # surviving entries moved to a NEW segment epoch: the per-seq
+    # dv->epoch mapping snapshot reads rely on is broken for earlier
+    # seqs — record a physical break so they fall back to multiset
+    # arithmetic (in every reachable case the vanished cited file
+    # already forces the fallback; the break closes the theoretical
+    # name-reuse edge airtight)
+    from .change_feed import record_physical_break
+
+    record_physical_break(path)
     return dropped
 
 
 def deletion_vector_pairs(
-    spark: SparkSession, path: str, meta: dict, col: str
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    col: str,
+    exclude_epochs: set[int] | None = None,
 ) -> DataFrame | None:
-    """The live (file, v) tombstone pairs for ``col``, or None."""
+    """The live (file, v) tombstone pairs for ``col``, or None.
+    ``exclude_epochs`` drops sidecar segments appended after a target
+    change-feed seq — the snapshot-served as-of read's dv state."""
     info = (meta.get("dv") or {}).get(col)
     if not info or not info.get("segments"):
         return None
+    segs = [
+        e
+        for e in info["segments"]
+        if not exclude_epochs or e not in exclude_epochs
+    ]
+    if not segs:
+        return None
     root = _manifest_root(path)
     return spark.read.parquet(
-        *[_dv_dir(root, e, col) for e in info["segments"]]
+        *[_dv_dir(root, e, col) for e in segs]
     )
 
 
@@ -1223,6 +1276,7 @@ def apply_deletion_vectors_df(
     meta: dict,
     df: DataFrame,
     file_col: str | None = None,
+    exclude_segments: dict[str, set[int]] | None = None,
 ) -> DataFrame:
     """Filter ``df`` (a scan of ``path``'s files) through every DV
     column's tombstone pairs: one broadcast LEFT ANTI join per DV
@@ -1245,7 +1299,10 @@ def apply_deletion_vectors_df(
         df = df.withColumn(fc, _norm_col(F.input_file_name()))
         added = True
     for c in dv_cols:
-        pairs = deletion_vector_pairs(spark, path, meta, c)
+        pairs = deletion_vector_pairs(
+            spark, path, meta, c,
+            exclude_epochs=(exclude_segments or {}).get(c),
+        )
         if pairs is None:
             continue
         pairs = pairs.select(
