@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "q_schema_evolution",
     "q_compact_table",
     "q_incremental_view",
+    "q_ivm_segmented",
     "q_cdc_stream",
 ]
 

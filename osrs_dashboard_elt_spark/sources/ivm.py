@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -282,3 +283,394 @@ def maintain_view_stream(
     if query_name:
         writer = writer.queryName(query_name)
     return writer.trigger(**trigger).start()
+
+
+# ---------------------------------------------------------------------------
+# Segmented state mode: O(changes) WRITES + min/max/distinct algebra
+# ---------------------------------------------------------------------------
+#
+# The versioned mode above rewrites the FULL state per refresh — right
+# for bounded-cardinality views, wrong for billion-group ones.  The
+# segmented mode writes ONLY the affected groups' new state rows into a
+# fresh segment (the stats-manifest segment/fold discipline): readers
+# take the newest row per group (one max_by aggregate), zero-count rows
+# act as tombstones, and the segment list folds into one full rewrite
+# every _STATE_SEG_MAX refreshes — amortizing the full write over many
+# O(changes) appends.
+#
+# Algebra beyond count/sum (which fold exactly from deltas alone):
+#   min/max  — inserts fold (min/max against the state); a DELETE of a
+#              value at the current extremum cannot be folded (the next
+#              extremum needs the base table), so such groups are
+#              detected per-refresh and REBUILT from the table with a
+#              group-targeted scan (retraction-triggered rebuild).
+#   avg      — derived at read time from sum/count, never stored.
+#   distinct — HLL registers (operators/sketches.py discipline) stored
+#              as a per-group map<bucket,rho>; inserts MAX-merge, any
+#              delete of a non-null value dirties the group (registers
+#              cannot retract) and triggers the same targeted rebuild.
+#              Maintained registers are BIT-EQUAL to a from-scratch
+#              hll_registers over the current table, so the derived
+#              estimate equals direct recomputation exactly.
+
+_STATE_SEG_MAX = 8
+
+
+def _seg_dir(state_root: str, seg: int) -> str:
+    return os.path.join(state_root, f"s{seg:07d}")
+
+
+def _full_state(
+    df: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    minmax_cols: list[str],
+    distinct_cols: list[str],
+    p: int,
+) -> DataFrame:
+    """One-pass count/sum/min/max aggregate (+ one register aggregate
+    per distinct column, joined on the group) — the bootstrap and the
+    dirty-group rebuild shape."""
+    aggs = [F.sum(F.lit(1)).alias("__n")]
+    aggs += [F.sum(F.col(c)).alias(f"sum_{c}") for c in sum_cols]
+    for c in minmax_cols:
+        aggs += [
+            F.min(F.col(c)).alias(f"min_{c}"),
+            F.max(F.col(c)).alias(f"max_{c}"),
+        ]
+    state = df.groupBy(*group_cols).agg(*aggs)
+    for c in distinct_cols:
+        from ..operators.sketches import hll_registers
+
+        regs = (
+            hll_registers(df, list(group_cols), c, p)
+            .groupBy(*group_cols)
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("bucket", "M"))
+                ).alias(f"reg_{c}")
+            )
+        )
+        state = state.join(regs, group_cols, "left")
+    return state
+
+
+def _merge_reg(a, b):
+    """MAX-merge two HLL register maps (either may be NULL — mutual
+    coalesce keeps the map's key/value types intact, where an empty
+    ``map()`` literal would force map<string,string>)."""
+    aa = F.coalesce(a, b)
+    bb = F.coalesce(b, a)
+    return F.when(aa.isNull(), F.lit(None)).otherwise(
+        F.map_zip_with(
+            aa, bb,
+            lambda _k, v1, v2: F.greatest(
+                F.coalesce(v1, F.lit(0)), F.coalesce(v2, F.lit(0))
+            ),
+        )
+    )
+
+
+def init_view_segmented(
+    spark: SparkSession,
+    table_path: str,
+    state_root: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    minmax_cols: list[str] | None = None,
+    distinct_cols: list[str] | None = None,
+    p: int = 9,
+) -> dict:
+    """Bootstrap the segmented state: the one O(table) pass, written
+    as segment 1; every refresh after it writes O(affected groups)."""
+    from .change_feed import latest_change_seq
+    from .maintenance import _mutation_gate
+    from .stats_manifest import read_table
+
+    minmax_cols = list(minmax_cols or [])
+    distinct_cols = list(distinct_cols or [])
+    with _mutation_gate(table_path):
+        head = latest_change_seq(table_path)
+        base = read_table(spark, table_path)
+        state = _full_state(
+            base, group_cols, sum_cols, minmax_cols, distinct_cols, p
+        )
+        os.makedirs(state_root, exist_ok=True)
+        state.withColumn("__seg", F.lit(1)).write.mode(
+            "overwrite"
+        ).parquet(_seg_dir(state_root, 1))
+    _write_view_meta(
+        state_root,
+        {
+            "mode": "segmented",
+            "last_seq": head,
+            "segments": [1],
+            "group_cols": list(group_cols),
+            "sum_cols": list(sum_cols),
+            "minmax_cols": minmax_cols,
+            "distinct_cols": distinct_cols,
+            "p": p,
+        },
+    )
+    return {"segments": [1], "last_seq": head}
+
+
+def _latest_state(spark: SparkSession, state_root: str, meta: dict):
+    df = spark.read.parquet(
+        *[_seg_dir(state_root, s) for s in meta["segments"]]
+    )
+    gcols = meta["group_cols"]
+    scols = [c for c in df.columns if c not in gcols]
+    return (
+        df.groupBy(*gcols)
+        .agg(F.max_by(F.struct(*scols), F.col("__seg")).alias("__s"))
+        .select(*gcols, "__s.*")
+    )
+
+
+def read_view_segmented(
+    spark: SparkSession, state_root: str, finalize: bool = False
+) -> DataFrame:
+    """The maintained aggregate: newest state row per group, zero-count
+    tombstones dropped.  ``finalize=True`` derives the presentation
+    columns — ``avg_<c>`` from sum/count and ``nd_<c>`` HLL estimates
+    from the registers (``sketches.hll_estimate``, bit-equal to direct
+    recomputation) — and drops the raw register maps."""
+    meta = _read_view_meta(state_root)
+    out = (
+        _latest_state(spark, state_root, meta)
+        .filter(F.col("__n") > 0)
+        .drop("__seg")
+    )
+    if not finalize:
+        return out
+    gcols = meta["group_cols"]
+    for c in meta["sum_cols"]:
+        out = out.withColumn(
+            f"avg_{c}", F.col(f"sum_{c}") / F.col("__n")
+        )
+    for c in meta["distinct_cols"]:
+        from ..operators.sketches import hll_estimate
+
+        regs = out.select(
+            *gcols, F.explode(F.col(f"reg_{c}")).alias("bucket", "M")
+        )
+        est = hll_estimate(regs, gcols, meta["p"], out_col=f"nd_{c}")
+        out = out.drop(f"reg_{c}").join(est, gcols, "left")
+    return out
+
+
+def refresh_view_segmented(
+    spark: SparkSession, table_path: str, state_root: str
+) -> dict:
+    """Fold the feed window into the segmented state, writing ONLY the
+    affected groups' new rows (one small segment) — O(changes) in
+    compute AND write.  count/sum fold from deltas alone; min/max and
+    registers fold inserts and REBUILD the groups whose folded form is
+    unknowable (a delete at the extremum / any delete for registers)
+    with one group-targeted table scan.  Folds all segments into one
+    every ``_STATE_SEG_MAX`` refreshes.  Crash-safe like the versioned
+    mode: the meta binds (last_seq, segments) atomically AFTER the
+    segment lands, so a retry re-derives the same segment."""
+    from .change_feed import latest_change_seq, read_change_feed
+    from .stats_manifest import read_table
+
+    meta = _read_view_meta(state_root)
+    if meta.get("mode") != "segmented":
+        raise ValueError(
+            f"{state_root} is not a segmented view — use refresh_view"
+        )
+    gcols = meta["group_cols"]
+    sum_cols = meta["sum_cols"]
+    mm_cols = meta["minmax_cols"]
+    d_cols = meta["distinct_cols"]
+    p = meta["p"]
+    head = latest_change_seq(table_path)
+    if head <= meta["last_seq"]:
+        return {
+            "segments": meta["segments"],
+            "last_seq": meta["last_seq"],
+            "groups_changed": 0,
+        }
+    feed = read_change_feed(
+        spark, table_path,
+        since_seq=meta["last_seq"], until_seq=head,
+    )
+    w = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), 1
+    ).otherwise(-1)
+    ins = F.col("_change_type").isin("insert", "update_postimage")
+    aggs = [F.sum(w).alias("__dn")]
+    aggs += [F.sum(w * F.col(c)).alias(f"__dsum_{c}") for c in sum_cols]
+    for c in mm_cols:
+        aggs += [
+            F.min(F.when(ins, F.col(c))).alias(f"__imin_{c}"),
+            F.max(F.when(ins, F.col(c))).alias(f"__imax_{c}"),
+            F.min(F.when(~ins, F.col(c))).alias(f"__dmin_{c}"),
+            F.max(F.when(~ins, F.col(c))).alias(f"__dmax_{c}"),
+        ]
+    for c in d_cols:
+        aggs.append(
+            F.max(
+                F.when(~ins & F.col(c).isNotNull(), 1).otherwise(0)
+            ).alias(f"__del_{c}")
+        )
+    delta = feed.groupBy(*gcols).agg(*aggs)
+    # insert-only register states fold with MAX-merge
+    for c in d_cols:
+        from ..operators.sketches import hll_registers
+
+        iregs = (
+            hll_registers(feed.filter(ins), gcols, c, p)
+            .groupBy(*gcols)
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("bucket", "M"))
+                ).alias(f"__ireg_{c}")
+            )
+        )
+        delta = delta.join(iregs, gcols, "left")
+    delta = delta.persist()
+    n_changed = delta.count()
+    state = _latest_state(spark, state_root, meta)
+    d = delta.select(
+        *[F.col(c).alias(f"__g_{c}") for c in gcols],
+        *[c for c in delta.columns if c not in gcols],
+    )
+    cond = None
+    for c in gcols:
+        eq = state[c].eqNullSafe(F.col(f"__g_{c}"))
+        cond = eq if cond is None else cond & eq
+    # the |affected groups| slice: RIGHT join keeps exactly the delta's
+    # groups (state side absent for brand-new groups)
+    joined = state.join(d, cond, "right")
+    new_n = F.coalesce(F.col("__n"), F.lit(0)) + F.col("__dn")
+    dirty = F.lit(False)
+    for c in mm_cols:
+        dirty = dirty | (
+            F.col(f"__dmin_{c}").isNotNull()
+            & F.col(f"min_{c}").isNotNull()
+            & (F.col(f"__dmin_{c}") <= F.col(f"min_{c}"))
+        ) | (
+            F.col(f"__dmax_{c}").isNotNull()
+            & F.col(f"max_{c}").isNotNull()
+            & (F.col(f"__dmax_{c}") >= F.col(f"max_{c}"))
+        )
+    for c in d_cols:
+        dirty = dirty | (F.col(f"__del_{c}") == 1)
+    merged_cols = [
+        *[F.col(f"__g_{c}").alias(c) for c in gcols],
+        new_n.alias("__n"),
+        *[
+            (
+                F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+                + F.coalesce(F.col(f"__dsum_{c}"), F.lit(0))
+            )
+            # pin the BOOTSTRAP segment's sum type: decimal addition
+            # widens precision per fold, and segments written at
+            # drifting precisions break the union read
+            .cast(state.schema[f"sum_{c}"].dataType)
+            .alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+        *[
+            e
+            for c in mm_cols
+            for e in (
+                # fold inserts into the extremum; LEAST/GREATEST are
+                # null-tolerant via coalesce (no state row -> take the
+                # insert's; no inserts -> keep the state's)
+                F.coalesce(
+                    F.least(
+                        F.coalesce(
+                            F.col(f"min_{c}"), F.col(f"__imin_{c}")
+                        ),
+                        F.coalesce(
+                            F.col(f"__imin_{c}"), F.col(f"min_{c}")
+                        ),
+                    )
+                ).alias(f"min_{c}"),
+                F.coalesce(
+                    F.greatest(
+                        F.coalesce(
+                            F.col(f"max_{c}"), F.col(f"__imax_{c}")
+                        ),
+                        F.coalesce(
+                            F.col(f"__imax_{c}"), F.col(f"max_{c}")
+                        ),
+                    )
+                ).alias(f"max_{c}"),
+            )
+        ],
+        *[
+            _merge_reg(
+                F.col(f"reg_{c}"), F.col(f"__ireg_{c}")
+            ).alias(f"reg_{c}")
+            for c in d_cols
+        ],
+        dirty.alias("__dirty"),
+    ]
+    merged = joined.select(*merged_cols).persist()
+    bad = merged.filter(F.col("__n") < 0)
+    if not bad.isEmpty():
+        sample = [r.asDict() for r in bad.limit(3).collect()]
+        raise ValueError(
+            f"segmented view under {state_root} went NEGATIVE for "
+            f"groups like {sample} — the feed is inconsistent with "
+            "the recorded state; rebuild with init_view_segmented"
+        )
+    # retraction-triggered rebuild: recompute ONLY the dirty groups'
+    # min/max/registers from the table (group-targeted scan)
+    dirty_groups = merged.filter("__dirty AND __n > 0").select(*gcols)
+    clean = merged.filter("NOT __dirty OR __n <= 0").drop("__dirty")
+    rebuilt = None
+    if (mm_cols or d_cols) and not dirty_groups.isEmpty():
+        base = read_table(spark, table_path).join(
+            dirty_groups, gcols, "semi"
+        )
+        rebuilt = _full_state(
+            base, gcols, sum_cols, mm_cols, d_cols, p
+        )
+        out_rows = clean.unionByName(rebuilt)
+    else:
+        out_rows = clean
+    # zero-count groups stay as TOMBSTONE rows (the newest row per
+    # group wins at read; __n == 0 drops it)
+    segs = list(meta["segments"])
+    new_seg = max(segs) + 1
+    if len(segs) + 1 > _STATE_SEG_MAX:
+        # fold: one full rewrite amortized over _STATE_SEG_MAX appends
+        full = (
+            _latest_state(spark, state_root, meta)
+            .drop("__seg")
+            .join(delta.select(*gcols), gcols, "left_anti")
+            .unionByName(out_rows)
+            .filter(F.col("__n") > 0)
+        )
+        full.withColumn("__seg", F.lit(new_seg)).write.mode(
+            "overwrite"
+        ).parquet(_seg_dir(state_root, new_seg))
+        segs = [new_seg]
+    else:
+        out_rows.withColumn("__seg", F.lit(new_seg)).write.mode(
+            "overwrite"
+        ).parquet(_seg_dir(state_root, new_seg))
+        segs = segs + [new_seg]
+    merged.unpersist()
+    delta.unpersist()
+    old_segs = [s for s in meta["segments"] if s not in segs]
+    _write_view_meta(
+        state_root,
+        dict(meta, last_seq=head, segments=segs),
+    )
+    # folded-away segments are unreferenced after the meta flip
+    for s in old_segs:
+        if len(segs) == 1 and segs[0] != s:
+            shutil.rmtree(
+                _seg_dir(state_root, s), ignore_errors=True
+            )
+    return {
+        "segments": segs,
+        "last_seq": head,
+        "groups_changed": int(n_changed),
+    }
