@@ -52,6 +52,15 @@ _SOURCE_OPTS = frozenset(
 )
 
 
+def _consumer_name(state_root: str) -> str:
+    import hashlib
+
+    h = hashlib.sha1(
+        os.path.realpath(state_root).encode()
+    ).hexdigest()[:12]
+    return f"ivm-{os.path.basename(state_root.rstrip(os.sep))}-{h}"
+
+
 def _meta_path(state_root: str) -> str:
     return os.path.join(state_root, _VIEW_META)
 
@@ -122,6 +131,11 @@ def init_view(
             "group_cols": group_cols,
             "sum_cols": sum_cols,
         },
+    )
+    from .change_feed import register_feed_consumer
+
+    register_feed_consumer(
+        table_path, _consumer_name(state_root), head
     )
     return {"version": version, "last_seq": head}
 
@@ -220,6 +234,11 @@ def refresh_view(
     _write_view_meta(
         state_root,
         dict(meta, last_seq=head, version=version),
+    )
+    from .change_feed import checkpoint_feed_consumer
+
+    checkpoint_feed_consumer(
+        table_path, _consumer_name(state_root), head
     )
     return {
         "version": version,
@@ -399,6 +418,11 @@ def init_view_segmented(
         state.withColumn("__seg", F.lit(1)).write.mode(
             "overwrite"
         ).parquet(_seg_dir(state_root, 1))
+    from .change_feed import register_feed_consumer
+
+    register_feed_consumer(
+        table_path, _consumer_name(state_root), head
+    )
     _write_view_meta(
         state_root,
         {
@@ -662,6 +686,11 @@ def refresh_view_segmented(
     _write_view_meta(
         state_root,
         dict(meta, last_seq=head, segments=segs),
+    )
+    from .change_feed import checkpoint_feed_consumer
+
+    checkpoint_feed_consumer(
+        table_path, _consumer_name(state_root), head
     )
     # folded-away segments are unreferenced after the meta flip
     for s in old_segs:
