@@ -1448,10 +1448,12 @@ _PRIORITY: tuple[str, ...] = (
     "q_doc_chunks",
     # —— round-3: TPC-H shapes ——
     "q13_customer_order_dist",
-    # (q18_large_orders moved out of the window for q_pruned_in_list —
-    # TPC-H keeps q01/q13/q_waiting_orders oracle-checked in-window
-    # and all 22 stay green in the local sweep)
-    "q_pruned_in_list",        # join-planned IN-list pruning (round 8)
+    # (q_pruned_in_list moved out of the window for q_dv_delete —
+    # round-9 rotation: the substrate's most load-bearing new
+    # behavior, deletion vectors, joins the hard gate; file-skipping
+    # keeps q_targeted_delete in-window and the IN-list planner stays
+    # green in the local sweep)
+    "q_dv_delete",             # deletion-vector takedown (round 8)
     "q_waiting_orders",           # Q21 shape
     # (q22_idle_customers moved out of the window for q_pq_ann_topk —
     # TPC-H keeps three oracle-checked representatives in-window and
@@ -1484,11 +1486,12 @@ _PRIORITY: tuple[str, ...] = (
     "q_incremental_view",      # CDC-maintained aggregate (round 8)
     # —— round-3: streaming rollups ——
     "q_streaming_windowed_rollup",
-    # (q_streaming_session_rollup moved out of the window for
-    # q_stream_topk_entries — streaming keeps three in-window:
-    # windowed rollup, timer sessions, and the ListState/MapState
-    # top-K entry changelog)
-    "q_stream_topk_entries",
+    # (q_stream_topk_entries moved out of the window for
+    # q_time_travel — round-9 rotation: live-table time travel joins
+    # the hard gate; streaming keeps two in-window (windowed rollup +
+    # timer sessions) and the top-K changelog stays green in the
+    # local sweep)
+    "q_time_travel",           # as-of reads on a live table (round 8)
     # —— round-3: sampling / decontamination / skew / text ——
     # (q_hash_sample moved out of the window for q_change_feed —
     # sampling keeps q_global_shuffle_order in-window; hash/weighted

@@ -66,6 +66,10 @@ def test_priority_window_spans_all_families():
             "q_stats_pruned_scan",
             "q_point_lookup_pruned",
         },
+        # —— round-9 rotation: the table-format substrate's two most
+        # load-bearing round-8 behaviors join the hard gate ——
+        "deletion_vectors": {"q_dv_delete"},
+        "time_travel": {"q_time_travel"},
         "metrics_drift": {"q_metric_drift"},
         "clusters": {"q_dedup_clusters"},
         "text": {"q_language_id", "q_pii_redaction"},
