@@ -74,6 +74,7 @@ _ENABLED = "_enabled.json"
 _STAGING = ".staging"
 _FILES = "_files.json"
 _PHYS = "_phys.json"
+_VACUUM = "_vacuum.json"
 
 
 def _changes_root(path: str) -> str:
@@ -398,10 +399,9 @@ def _snapshot_file_state(
     if physical_break_floor(path) > seq:
         return None
     root = _changes_root(path)
+    seqs_before = [s for s in _committed_seqs(root) if s > seq]
     infos = []
-    for s in _committed_seqs(root):
-        if s <= seq:
-            continue
+    for s in seqs_before:
         try:
             with open(os.path.join(_change_dir(root, s), _FILES)) as f:
                 infos.append((s, json.load(f)))
@@ -409,13 +409,38 @@ def _snapshot_file_state(
             return None  # a mutation with no file manifest — fall back
     from pyspark.sql.types import StructType
 
-    from .stats_manifest import _full_read, _load_meta, _norm
+    from .stats_manifest import (
+        _full_read,
+        _load_meta,
+        _manifest_df,
+        _norm,
+    )
 
-    _, meta = _load_meta(spark, path)
+    epoch, meta = _load_meta(spark, path)
     pinned = StructType.fromJson(meta["schema"])
-    working: dict[str, int | None] = {
-        _norm(f): None  # None = untouched since target, size implied
+    current = {
+        _norm(f)
         for f in _full_read(spark, path, pinned).inputFiles()
+    }
+    # freshness: the listing must match the manifest exactly (same
+    # guard read_table applies) — a mid-flight mutation's half-swapped
+    # files or a crashed append's orphan must fall back, not serve
+    recorded = {
+        _norm(r["file"])
+        for r in _manifest_df(spark, path, epoch, meta)
+        .select("file")
+        .collect()
+    }
+    if recorded != current:
+        return None
+    # commit-race recheck: a mutation committing between the manifest
+    # collection above and the listing would inject files no collected
+    # manifest can pop — its seq shows up here (self-review finding)
+    if [s for s in _committed_seqs(root) if s > seq] != seqs_before:
+        return None
+    working: dict[str, int | None] = {
+        f: None  # None = untouched since target, size implied
+        for f in current
     }
     dv_exclude: dict[str, set[int]] = {}
     for s, info in sorted(infos, reverse=True):  # undo newest first
@@ -430,11 +455,10 @@ def _snapshot_file_state(
             working[_norm(orig)] = int(osize)
         for orig, osize in info.get("removes", {}).items():
             working[_norm(orig)] = int(osize)
-    local = lambda u: "/" + u[5:].lstrip("/") if u.startswith(
-        "file:"
-    ) else u
+    from .stats_manifest import _local_path
+
     for f, expect in working.items():
-        lp = local(f)
+        lp = _local_path(f)
         if not os.path.exists(lp):
             return None
         if expect is not None and os.path.getsize(lp) != expect:
@@ -485,6 +509,14 @@ def read_table_as_of(
 
     if mode not in ("auto", "snapshot", "arithmetic"):
         raise ValueError(f"unknown as-of mode {mode!r}")
+    horizon = vacuum_horizon(path)
+    if seq < horizon:
+        raise ValueError(
+            f"as-of seq {seq} predates the vacuum horizon {horizon} "
+            f"under {path} — the deltas needed to reconstruct it were "
+            "vacuumed; neither the snapshot nor the arithmetic path "
+            "can be exact (Delta's CDF retention caveat, now loud)"
+        )
     if mode != "arithmetic":
         snap = _snapshot_file_state(spark, path, seq)
         if snap is None and mode == "snapshot":
@@ -653,7 +685,30 @@ def vacuum_change_feed(
             # _claim_seq reuse numbers after a full vacuum, silently
             # desynchronizing every checkpointed consumer
             out.append(s)
+    if out:
+        # the as-of horizon: reconstruction (snapshot OR arithmetic)
+        # needs every delta after the target seq — record the newest
+        # vacuumed seq so read_table_as_of refuses below it loudly
+        # instead of serving a silently wrong state (self-review
+        # finding: the snapshot path would otherwise treat a vacuumed
+        # mutation as "never happened" and pass every file check)
+        wm = os.path.join(root, _VACUUM)
+        prev = vacuum_horizon(path)
+        fd, tmp = tempfile.mkstemp(dir=root, prefix=".vac-")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"horizon": max(prev, max(out))}, f)
+        os.replace(tmp, wm)
     return out
+
+
+def vacuum_horizon(path: str) -> int:
+    """The newest vacuumed change seq (0 = nothing vacuumed): as-of
+    reconstruction is exact only for target seqs >= this."""
+    try:
+        with open(os.path.join(_changes_root(path), _VACUUM)) as f:
+            return int(json.load(f)["horizon"])
+    except FileNotFoundError:
+        return 0
 
 
 def record_physical_break(path: str) -> None:

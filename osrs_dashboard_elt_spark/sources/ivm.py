@@ -146,6 +146,11 @@ def read_view(spark: SparkSession, state_root: str) -> DataFrame:
     from .maintenance import read_version
 
     meta = _read_view_meta(state_root)
+    if meta.get("mode") == "segmented":
+        raise ValueError(
+            f"{state_root} is a SEGMENTED view — use "
+            "read_view_segmented"
+        )
     return read_version(spark, state_root, meta["version"])
 
 
@@ -171,6 +176,11 @@ def refresh_view(
     from .maintenance import publish_versioned, read_version
 
     meta = _read_view_meta(state_root)
+    if meta.get("mode") == "segmented":
+        raise ValueError(
+            f"{state_root} is a SEGMENTED view — use "
+            "refresh_view_segmented / read_view_segmented"
+        )
     group_cols = meta["group_cols"]
     sum_cols = meta["sum_cols"]
     head = latest_change_seq(table_path)
@@ -370,8 +380,26 @@ def _full_state(
                 ).alias(f"reg_{c}")
             )
         )
-        state = state.join(regs, group_cols, "left")
+        state = _ns_join(state, regs, list(group_cols), "left")
     return state
+
+
+def _ns_join(left, right, gcols: list[str], how: str):
+    """Join on NULL-SAFE group-key equality.  NULL group keys are
+    legal (the state merge uses eqNullSafe); a plain column-name join
+    would silently drop them — losing deletes in the dirty-group
+    rebuild and freezing the NULL group's registers (self-review
+    finding)."""
+    r = right
+    for c in gcols:
+        r = r.withColumnRenamed(c, f"__r_{c}")
+    cond = None
+    for c in gcols:
+        eq = left[c].eqNullSafe(F.col(f"__r_{c}"))
+        cond = eq if cond is None else cond & eq
+    return left.join(r, cond, how).drop(
+        *[f"__r_{c}" for c in gcols]
+    )
 
 
 def _merge_reg(a, b):
@@ -495,7 +523,23 @@ def refresh_view_segmented(
     with one group-targeted table scan.  Folds all segments into one
     every ``_STATE_SEG_MAX`` refreshes.  Crash-safe like the versioned
     mode: the meta binds (last_seq, segments) atomically AFTER the
-    segment lands, so a retry re-derives the same segment."""
+    segment lands, so a retry re-derives the same segment.
+
+    Runs under the TABLE's mutation gate: the dirty-group rebuild
+    scans the live table, and a mutation committing between the feed
+    head capture and that scan would be baked into the rebuilt state
+    yet carry a later seq — the next refresh would double-apply it
+    (the same hazard ``init_view`` gates against; always-positive, so
+    the negative-count guard never trips)."""
+    from .maintenance import _mutation_gate
+
+    with _mutation_gate(table_path):
+        return _refresh_segmented_locked(spark, table_path, state_root)
+
+
+def _refresh_segmented_locked(
+    spark: SparkSession, table_path: str, state_root: str
+) -> dict:
     from .change_feed import latest_change_seq, read_change_feed
     from .stats_manifest import read_table
 
@@ -553,135 +597,169 @@ def refresh_view_segmented(
                 ).alias(f"__ireg_{c}")
             )
         )
-        delta = delta.join(iregs, gcols, "left")
+        delta = _ns_join(delta, iregs, gcols, "left")
     delta = delta.persist()
-    n_changed = delta.count()
-    state = _latest_state(spark, state_root, meta)
-    d = delta.select(
-        *[F.col(c).alias(f"__g_{c}") for c in gcols],
-        *[c for c in delta.columns if c not in gcols],
-    )
-    cond = None
-    for c in gcols:
-        eq = state[c].eqNullSafe(F.col(f"__g_{c}"))
-        cond = eq if cond is None else cond & eq
-    # the |affected groups| slice: RIGHT join keeps exactly the delta's
-    # groups (state side absent for brand-new groups)
-    joined = state.join(d, cond, "right")
-    new_n = F.coalesce(F.col("__n"), F.lit(0)) + F.col("__dn")
-    dirty = F.lit(False)
-    for c in mm_cols:
-        dirty = dirty | (
-            F.col(f"__dmin_{c}").isNotNull()
-            & F.col(f"min_{c}").isNotNull()
-            & (F.col(f"__dmin_{c}") <= F.col(f"min_{c}"))
-        ) | (
-            F.col(f"__dmax_{c}").isNotNull()
-            & F.col(f"max_{c}").isNotNull()
-            & (F.col(f"__dmax_{c}") >= F.col(f"max_{c}"))
-        )
-    for c in d_cols:
-        dirty = dirty | (F.col(f"__del_{c}") == 1)
-    merged_cols = [
-        *[F.col(f"__g_{c}").alias(c) for c in gcols],
-        new_n.alias("__n"),
-        *[
-            (
-                F.coalesce(F.col(f"sum_{c}"), F.lit(0))
-                + F.coalesce(F.col(f"__dsum_{c}"), F.lit(0))
+    merged = None
+    try:
+        n_changed = delta.count()
+        state = _latest_state(spark, state_root, meta)
+        # a zero-count TOMBSTONE row must act as ABSENT state: its
+        # min/max/registers describe rows that no longer exist, and a
+        # reborn group folding against them would inherit a dead
+        # extremum and inflated registers (self-review finding);
+        # count/sum fold to exactly 0 at the tombstone, so they stay
+        dead = F.col("__n") <= 0
+        for c in mm_cols:
+            state = state.withColumn(
+                f"min_{c}",
+                F.when(dead, F.lit(None)).otherwise(F.col(f"min_{c}")),
+            ).withColumn(
+                f"max_{c}",
+                F.when(dead, F.lit(None)).otherwise(F.col(f"max_{c}")),
             )
-            # pin the BOOTSTRAP segment's sum type: decimal addition
-            # widens precision per fold, and segments written at
-            # drifting precisions break the union read
-            .cast(state.schema[f"sum_{c}"].dataType)
-            .alias(f"sum_{c}")
-            for c in sum_cols
-        ],
-        *[
-            e
-            for c in mm_cols
-            for e in (
-                # fold inserts into the extremum; LEAST/GREATEST are
-                # null-tolerant via coalesce (no state row -> take the
-                # insert's; no inserts -> keep the state's)
-                F.coalesce(
-                    F.least(
-                        F.coalesce(
-                            F.col(f"min_{c}"), F.col(f"__imin_{c}")
-                        ),
-                        F.coalesce(
-                            F.col(f"__imin_{c}"), F.col(f"min_{c}")
-                        ),
-                    )
-                ).alias(f"min_{c}"),
-                F.coalesce(
-                    F.greatest(
-                        F.coalesce(
-                            F.col(f"max_{c}"), F.col(f"__imax_{c}")
-                        ),
-                        F.coalesce(
-                            F.col(f"__imax_{c}"), F.col(f"max_{c}")
-                        ),
-                    )
-                ).alias(f"max_{c}"),
+        for c in d_cols:
+            state = state.withColumn(
+                f"reg_{c}",
+                F.when(dead, F.lit(None)).otherwise(F.col(f"reg_{c}")),
             )
-        ],
-        *[
-            _merge_reg(
-                F.col(f"reg_{c}"), F.col(f"__ireg_{c}")
-            ).alias(f"reg_{c}")
-            for c in d_cols
-        ],
-        dirty.alias("__dirty"),
-    ]
-    merged = joined.select(*merged_cols).persist()
-    bad = merged.filter(F.col("__n") < 0)
-    if not bad.isEmpty():
-        sample = [r.asDict() for r in bad.limit(3).collect()]
-        raise ValueError(
-            f"segmented view under {state_root} went NEGATIVE for "
-            f"groups like {sample} — the feed is inconsistent with "
-            "the recorded state; rebuild with init_view_segmented"
+        d = delta.select(
+            *[F.col(c).alias(f"__g_{c}") for c in gcols],
+            *[c for c in delta.columns if c not in gcols],
         )
-    # retraction-triggered rebuild: recompute ONLY the dirty groups'
-    # min/max/registers from the table (group-targeted scan)
-    dirty_groups = merged.filter("__dirty AND __n > 0").select(*gcols)
-    clean = merged.filter("NOT __dirty OR __n <= 0").drop("__dirty")
-    rebuilt = None
-    if (mm_cols or d_cols) and not dirty_groups.isEmpty():
-        base = read_table(spark, table_path).join(
-            dirty_groups, gcols, "semi"
+        cond = None
+        for c in gcols:
+            eq = state[c].eqNullSafe(F.col(f"__g_{c}"))
+            cond = eq if cond is None else cond & eq
+        # the |affected groups| slice: RIGHT join keeps exactly the
+        # delta's groups (state side absent for brand-new groups)
+        joined = state.join(d, cond, "right")
+        new_n = F.coalesce(F.col("__n"), F.lit(0)) + F.col("__dn")
+        dirty = F.lit(False)
+        for c in mm_cols:
+            dirty = dirty | (
+                F.col(f"__dmin_{c}").isNotNull()
+                & F.col(f"min_{c}").isNotNull()
+                & (F.col(f"__dmin_{c}") <= F.col(f"min_{c}"))
+            ) | (
+                F.col(f"__dmax_{c}").isNotNull()
+                & F.col(f"max_{c}").isNotNull()
+                & (F.col(f"__dmax_{c}") >= F.col(f"max_{c}"))
+            )
+        for c in d_cols:
+            dirty = dirty | (F.col(f"__del_{c}") == 1)
+        merged_cols = [
+            *[F.col(f"__g_{c}").alias(c) for c in gcols],
+            new_n.alias("__n"),
+            *[
+                (
+                    F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"__dsum_{c}"), F.lit(0))
+                )
+                # pin the BOOTSTRAP segment's sum type: decimal
+                # addition widens precision per fold, and segments
+                # written at drifting precisions break the union read
+                .cast(state.schema[f"sum_{c}"].dataType)
+                .alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+            *[
+                e
+                for c in mm_cols
+                for e in (
+                    # fold inserts into the extremum; LEAST/GREATEST
+                    # are null-tolerant via coalesce (no state row ->
+                    # take the insert's; no inserts -> the state's)
+                    F.coalesce(
+                        F.least(
+                            F.coalesce(
+                                F.col(f"min_{c}"), F.col(f"__imin_{c}")
+                            ),
+                            F.coalesce(
+                                F.col(f"__imin_{c}"), F.col(f"min_{c}")
+                            ),
+                        )
+                    ).alias(f"min_{c}"),
+                    F.coalesce(
+                        F.greatest(
+                            F.coalesce(
+                                F.col(f"max_{c}"), F.col(f"__imax_{c}")
+                            ),
+                            F.coalesce(
+                                F.col(f"__imax_{c}"), F.col(f"max_{c}")
+                            ),
+                        )
+                    ).alias(f"max_{c}"),
+                )
+            ],
+            *[
+                _merge_reg(
+                    F.col(f"reg_{c}"), F.col(f"__ireg_{c}")
+                ).alias(f"reg_{c}")
+                for c in d_cols
+            ],
+            dirty.alias("__dirty"),
+        ]
+        merged = joined.select(*merged_cols).persist()
+        bad = merged.filter(F.col("__n") < 0)
+        if not bad.isEmpty():
+            sample = [r.asDict() for r in bad.limit(3).collect()]
+            raise ValueError(
+                f"segmented view under {state_root} went NEGATIVE "
+                f"for groups like {sample} — the feed is inconsistent "
+                "with the recorded state; rebuild with "
+                "init_view_segmented"
+            )
+        # retraction-triggered rebuild: recompute ONLY the dirty
+        # groups' min/max/registers from the table (group-targeted
+        # scan, null-safe on the group keys)
+        dirty_groups = merged.filter("__dirty AND __n > 0").select(
+            *gcols
         )
-        rebuilt = _full_state(
-            base, gcols, sum_cols, mm_cols, d_cols, p
+        clean = merged.filter("NOT __dirty OR __n <= 0").drop(
+            "__dirty"
         )
-        out_rows = clean.unionByName(rebuilt)
-    else:
-        out_rows = clean
-    # zero-count groups stay as TOMBSTONE rows (the newest row per
-    # group wins at read; __n == 0 drops it)
-    segs = list(meta["segments"])
-    new_seg = max(segs) + 1
-    if len(segs) + 1 > _STATE_SEG_MAX:
-        # fold: one full rewrite amortized over _STATE_SEG_MAX appends
-        full = (
-            _latest_state(spark, state_root, meta)
-            .drop("__seg")
-            .join(delta.select(*gcols), gcols, "left_anti")
-            .unionByName(out_rows)
-            .filter(F.col("__n") > 0)
-        )
-        full.withColumn("__seg", F.lit(new_seg)).write.mode(
-            "overwrite"
-        ).parquet(_seg_dir(state_root, new_seg))
-        segs = [new_seg]
-    else:
-        out_rows.withColumn("__seg", F.lit(new_seg)).write.mode(
-            "overwrite"
-        ).parquet(_seg_dir(state_root, new_seg))
-        segs = segs + [new_seg]
-    merged.unpersist()
-    delta.unpersist()
+        if (mm_cols or d_cols) and not dirty_groups.isEmpty():
+            base = _ns_join(
+                read_table(spark, table_path), dirty_groups, gcols,
+                "semi",
+            )
+            rebuilt = _full_state(
+                base, gcols, sum_cols, mm_cols, d_cols, p
+            )
+            out_rows = clean.unionByName(rebuilt)
+        else:
+            out_rows = clean
+        # zero-count groups stay as TOMBSTONE rows (the newest row
+        # per group wins at read; __n == 0 drops it)
+        segs = list(meta["segments"])
+        new_seg = max(segs) + 1
+        if len(segs) + 1 > _STATE_SEG_MAX:
+            # fold: one full rewrite amortized over the appends
+            full = (
+                _ns_join(
+                    _latest_state(spark, state_root, meta).drop(
+                        "__seg"
+                    ),
+                    delta.select(*gcols),
+                    gcols,
+                    "left_anti",
+                )
+                .unionByName(out_rows)
+                .filter(F.col("__n") > 0)
+            )
+            full.withColumn("__seg", F.lit(new_seg)).write.mode(
+                "overwrite"
+            ).parquet(_seg_dir(state_root, new_seg))
+            segs = [new_seg]
+        else:
+            out_rows.withColumn("__seg", F.lit(new_seg)).write.mode(
+                "overwrite"
+            ).parquet(_seg_dir(state_root, new_seg))
+            segs = segs + [new_seg]
+    finally:
+        delta.unpersist()
+        if merged is not None:
+            merged.unpersist()
     old_segs = [s for s in meta["segments"] if s not in segs]
     _write_view_meta(
         state_root,

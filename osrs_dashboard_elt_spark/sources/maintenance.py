@@ -310,7 +310,9 @@ def compact_files(
 
 
 def _local(uri: str) -> str:
-    return "/" + uri[5:].lstrip("/") if uri.startswith("file:") else uri
+    from .stats_manifest import _local_path
+
+    return _local_path(uri)
 
 
 def _replacement_name(original_local: str, salt: str = "") -> str:
@@ -336,7 +338,9 @@ def _replacement_name(original_local: str, salt: str = "") -> str:
 def _uri(local: str) -> str:
     """Inverse of :func:`_local` in normalized form (``file:///x``) —
     the representation stored by manifests and per-seq file lists."""
-    return "file://" + local if local.startswith("/") else local
+    from .stats_manifest import _as_uri
+
+    return _as_uri(local)
 
 
 def _delete_journal_path(path: str) -> str:
@@ -464,7 +468,35 @@ def _reconcile_delete_journal(spark: SparkSession, path: str) -> bool:
             cdir, op = cj
             if os.path.isdir(cdir):
                 if committed_dv:
-                    commit_changes(cdir, op)
+                    # recover the appended segment's epoch so the
+                    # re-committed delta keeps its per-seq file
+                    # manifest — losing it would permanently disable
+                    # snapshot-served as-of for every earlier seq
+                    # (self-review finding); under the gate nothing
+                    # ran since the crash, so the col's newest
+                    # segment IS this mutation's
+                    fi = None
+                    try:
+                        from .stats_manifest import _load_meta as _lm2
+
+                        _, m2 = _lm2(spark, path)
+                        segs = (
+                            (m2.get("dv") or {})
+                            .get(dvc["col"], {})
+                            .get("segments")
+                        ) or []
+                        if segs:
+                            fi = {
+                                "dv": [
+                                    {
+                                        "col": dvc["col"],
+                                        "epoch": segs[-1],
+                                    }
+                                ]
+                            }
+                    except FileNotFoundError:
+                        pass
+                    commit_changes(cdir, op, files_info=fi)
                 else:
                     abort_changes(cdir)
         os.remove(jp)
@@ -1522,6 +1554,31 @@ def targeted_upsert(
     max_driver_rows: int = 100_000,
     distributed: bool | None = None,
 ) -> dict:
+    # thin cleanup shell: the distributed path persists the shaped
+    # changeset, and EVERY exit (validation ValueError, planning
+    # failure, swap crash) must unpersist it or the cached partitions
+    # stay pinned for the session (self-review finding)
+    persisted: list[DataFrame] = []
+    try:
+        return _targeted_upsert_impl(
+            spark, path, key_col, updates, refresh_stats,
+            max_driver_rows, distributed, persisted,
+        )
+    finally:
+        for df in persisted:
+            df.unpersist()
+
+
+def _targeted_upsert_impl(
+    spark: SparkSession,
+    path: str,
+    key_col: str | list[str],
+    updates: DataFrame,
+    refresh_stats: bool,
+    max_driver_rows: int,
+    distributed: bool | None,
+    _persisted: list,
+) -> dict:
     """MERGE a batch-sized changeset into a manifest-backed table,
     copy-on-write: rows whose key (``key_col`` — one column name or a
     LIST for composite keys) matches an update are REPLACED by the
@@ -1652,6 +1709,7 @@ def targeted_upsert(
         # planning, classification, rewrite and staging jobs — a
         # non-deterministic source plan must evaluate once)
         shaped = shaped.persist()
+        _persisted.append(shaped)
         krow = (
             shaped.groupBy(*key_cols)
             .agg(F.count(F.lit(1)).alias("__c"))
@@ -1842,8 +1900,6 @@ def targeted_upsert(
         ]
         n_inserts = len(insert_rows)
     if not partials and not n_inserts:
-        if dist:
-            shaped.unpersist()
         return {
             "files_affected": len(affected), "files_rewritten": 0,
             "rows_updated": 0, "rows_inserted": 0,
@@ -1966,8 +2022,6 @@ def targeted_upsert(
     finally:
         if pre_dir:
             shutil.rmtree(pre_dir, ignore_errors=True)
-        if dist:
-            shaped.unpersist()
     # rewritten originals' DV entries are dead (tombstones physically
     # applied by the DV-aware rewrite) — clear before they can be
     # mis-read as orphans (round-8 ADVICE high)
@@ -2001,6 +2055,10 @@ def targeted_upsert(
         "rows_updated": rows_updated,
         "rows_inserted": n_inserts,
     }
+
+
+# the public entry point carries the full contract docstring
+targeted_upsert.__doc__ = _targeted_upsert_impl.__doc__
 
 
 def _compact_group_name(files: list[str]) -> str:

@@ -107,6 +107,18 @@ def _norm_col(c):
     return F.regexp_replace(c, "^file:/+", "file:///")
 
 
+def _local_path(uri: str) -> str:
+    """``file:///x`` -> ``/x`` (no-op on plain paths) — the ONE
+    canonical uri->path mapping; every module imports it (three
+    diverging copies would silently break (name, size) identity)."""
+    return "/" + uri[5:].lstrip("/") if uri.startswith("file:") else uri
+
+
+def _as_uri(local: str) -> str:
+    """``/x`` -> ``file:///x`` in :func:`_norm`'s canonical form."""
+    return "file://" + local if local.startswith("/") else _norm(local)
+
+
 # Segment-fold thresholds: a refresh appends ONE segment (the new
 # files' rows) and tombstones removals in meta — O(batch) write — until
 # either bound trips, at which point the refresh folds everything into
@@ -1066,7 +1078,7 @@ def _dv_dir(root: str, epoch: int, col: str) -> str:
 
 def append_deletion_vectors(
     spark: SparkSession, path: str, col: str, pairs: DataFrame
-) -> int:
+) -> tuple[int, int]:
     """Record tombstone rows — (file, v) pairs meaning "rows of
     ``file`` whose ``col`` equals ``v`` are deleted" — in a NEW
     manifest epoch, without touching any data file (the Delta/Iceberg
@@ -1175,10 +1187,7 @@ def clear_deletion_vector_files(
     are consolidated into one fresh sidecar segment; columns left empty
     drop out of ``meta['dv']``.  One epoch commit for all columns;
     returns the number of entries dropped (0 = no epoch written)."""
-    gone = {
-        _norm(f) if str(f).startswith("file:") else "file://" + str(f)
-        for f in files
-    }
+    gone = {_as_uri(str(f)) for f in files}
     epoch, meta = _load_meta(spark, path)
     dv = dict(meta.get("dv") or {})
     if not gone or not dv:

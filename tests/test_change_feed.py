@@ -912,3 +912,117 @@ def test_vacuum_respects_consumer_registry(spark, tmp_path):
     with pytest.raises(ValueError, match="dead-sync"):
         vacuum_change_feed(path, keep_since_seq=4)
     assert vacuum_change_feed(path, keep_since_seq=4, force=True) == [4]
+
+
+def test_asof_refuses_below_vacuum_horizon(spark, tmp_path):
+    """Self-review finding: the snapshot path treated a vacuumed
+    mutation as 'never happened' — every file check passed and it
+    served post-mutation data as the state at an earlier seq.  Vacuum
+    now records a horizon watermark and BOTH as-of paths refuse below
+    it instead of being silently wrong."""
+    from osrs_dashboard_elt_spark.literals import local_frame
+    from osrs_dashboard_elt_spark.sources.change_feed import (
+        vacuum_change_feed,
+    )
+
+    path = str(tmp_path / "tbl")
+    _mk_feed_tbl(spark, path, n=100, files=2)
+    table_append(
+        spark, path,
+        local_frame(
+            spark, [(900, 1, "x")],
+            "doc_id long, grp long, text string",
+        ),
+    )                                                    # seq 1
+    table_append(
+        spark, path,
+        local_frame(
+            spark, [(901, 2, "y")],
+            "doc_id long, grp long, text string",
+        ),
+    )                                                    # seq 2
+    vacuum_change_feed(path, keep_since_seq=1, force=True)
+    with pytest.raises(ValueError, match="vacuum horizon"):
+        read_table_as_of(spark, path, 0)
+    with pytest.raises(ValueError, match="vacuum horizon"):
+        read_table_as_of(spark, path, 0, mode="snapshot")
+    # at-or-after the horizon both paths still work and agree
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    assert rows(
+        read_table_as_of(spark, path, 1, mode="snapshot")
+    ) == rows(read_table_as_of(spark, path, 1, mode="arithmetic"))
+
+
+def test_snapshot_asof_falls_back_on_unlisted_file(spark, tmp_path):
+    """Self-review finding family: the snapshot path now applies the
+    same manifest-freshness guard as read_table — an orphan data file
+    (crashed append debris, mid-flight writer) makes it fall back
+    instead of serving a listing the manifest never blessed."""
+    import shutil as _sh
+
+    from osrs_dashboard_elt_spark.literals import local_frame
+    from osrs_dashboard_elt_spark.sources.change_feed import (
+        _snapshot_file_state,
+    )
+
+    path = str(tmp_path / "tbl")
+    _mk_feed_tbl(spark, path, n=100, files=2)
+    table_append(
+        spark, path,
+        local_frame(
+            spark, [(900, 1, "x")],
+            "doc_id long, grp long, text string",
+        ),
+    )
+    assert _snapshot_file_state(spark, path, 0) is not None
+    # drop an orphan parquet file into the table dir
+    src = next(
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    _sh.copy(
+        os.path.join(path, src),
+        os.path.join(path, "part-orphan.snappy.parquet"),
+    )
+    assert _snapshot_file_state(spark, path, 0) is None
+    os.remove(os.path.join(path, "part-orphan.snappy.parquet"))
+    assert _snapshot_file_state(spark, path, 0) is not None
+
+
+def test_dv_crash_reconcile_preserves_snapshot_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """Self-review finding: the dv-crash reconcile re-committed the
+    staged delta WITHOUT its per-seq file manifest, permanently
+    disabling snapshot-served as-of for all earlier seqs.  The
+    reconcile now recovers the appended dv segment's epoch (under the
+    gate nothing ran since the crash) and records it."""
+    import osrs_dashboard_elt_spark.sources.change_feed as cf
+    from osrs_dashboard_elt_spark.sources.maintenance import (
+        targeted_delete,
+    )
+
+    path = str(tmp_path / "tbl")
+    _mk_feed_tbl(spark, path, n=100, files=2)
+    real_commit = cf.commit_changes
+
+    def dying(cdir, op, **kwargs):
+        raise RuntimeError("crash before dv change commit")
+
+    monkeypatch.setattr(cf, "commit_changes", dying)
+    with pytest.raises(RuntimeError, match="crash before"):
+        targeted_delete(spark, path, "doc_id", [5], mode="dv")
+    monkeypatch.setattr(cf, "commit_changes", real_commit)
+    # the next mutation reconciles and re-commits WITH the manifest
+    table_append(
+        spark, path,
+        spark.createDataFrame(
+            [(900, 1, "x")], "doc_id long, grp long, text string"
+        ),
+    )
+    # snapshot path survives: seq 0 (before the dv delete) serves and
+    # shows the tombstoned row again
+    snap = read_table_as_of(spark, path, 0, mode="snapshot")
+    assert snap.count() == 100
+    assert snap.filter("doc_id = 5").count() == 1

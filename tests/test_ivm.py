@@ -460,3 +460,135 @@ def test_composed_stream_loop_flat_job_count(spark, tmp_path):
     # loop (the feed read is O(window), the refresh O(affected
     # groups), the sync O(batch))
     assert len(set(counts)) == 1, counts
+
+
+def test_segmented_view_killed_group_rebirth(spark, tmp_path):
+    """Self-review finding: a killed group's tombstone row used to
+    feed its dead min/max and HLL registers back into the merge — a
+    reborn group inherited min=old and an inflated distinct.  A
+    zero-count state row now acts as ABSENT."""
+    from osrs_dashboard_elt_spark.sources.ivm import (
+        init_view_segmented,
+        read_view_segmented,
+        refresh_view_segmented,
+    )
+
+    path, root = str(tmp_path / "tbl"), str(tmp_path / "view")
+    spark.createDataFrame(
+        [(1, 7, 1.0)], "doc_id long, grp long, amount double"
+    ).withColumn(
+        "amount", F.col("amount").cast("decimal(18,2)")
+    ).coalesce(1).write.parquet(path)
+    write_stats_manifest(
+        spark, path, ["grp"], bloom_cols=["doc_id"],
+        bloom_bits=1 << 12,
+    )
+    enable_change_feed(path)
+    init_view_segmented(
+        spark, path, root, ["grp"], ["amount"],
+        minmax_cols=["amount"], distinct_cols=["doc_id"],
+    )
+    targeted_delete(spark, path, "doc_id", [1])      # kill group 7
+    refresh_view_segmented(spark, path, root)
+    table_append(
+        spark, path,
+        spark.createDataFrame(
+            [(2, 7, 5.0)], "doc_id long, grp long, amount double"
+        ).withColumn("amount", F.col("amount").cast("decimal(18,2)")),
+    )                                                # rebirth
+    refresh_view_segmented(spark, path, root)
+    [row] = read_view_segmented(
+        spark, root, finalize=True
+    ).collect()
+    assert float(row["min_amount"]) == 5.0  # NOT the dead row's 1.0
+    assert float(row["max_amount"]) == 5.0
+    assert row["__n"] == 1
+    # the estimate equals a from-scratch recompute (1 element, NOT
+    # inflated by the dead id's register)
+    from osrs_dashboard_elt_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    [d] = hll_distinct(
+        read_table(spark, path), "grp", "doc_id"
+    ).collect()
+    assert row["nd_doc_id"] == d["approx_distinct"]
+
+
+def test_segmented_view_null_group_keys(spark, tmp_path):
+    """Self-review finding: NULL group keys rode eqNullSafe in the
+    main merge but plain-equality joins in the register fold, the
+    dirty rebuild, and the fold anti-join — a delete in the NULL group
+    was silently lost.  All group joins are now null-safe."""
+    from osrs_dashboard_elt_spark.sources.ivm import (
+        _full_state,
+        init_view_segmented,
+        read_view_segmented,
+        refresh_view_segmented,
+    )
+
+    path, root = str(tmp_path / "tbl"), str(tmp_path / "view")
+    spark.createDataFrame(
+        [(1, None, 1.0), (2, None, 2.0), (3, 5, 3.0)],
+        "doc_id long, grp long, amount double",
+    ).withColumn(
+        "amount", F.col("amount").cast("decimal(18,2)")
+    ).coalesce(1).write.parquet(path)
+    write_stats_manifest(
+        spark, path, ["amount"], bloom_cols=["doc_id"],
+        bloom_bits=1 << 12,
+    )
+    enable_change_feed(path)
+    init_view_segmented(
+        spark, path, root, ["grp"], ["amount"],
+        minmax_cols=["amount"], distinct_cols=["doc_id"],
+    )
+    # delete the NULL group's minimum (dirty -> rebuild via the
+    # null-safe semi join) and insert into it (register fold via the
+    # null-safe left join)
+    targeted_delete(spark, path, "doc_id", [1])
+    refresh_view_segmented(spark, path, root)
+    table_append(
+        spark, path,
+        spark.createDataFrame(
+            [(9, None, 9.0)], "doc_id long, grp long, amount double"
+        ).withColumn("amount", F.col("amount").cast("decimal(18,2)")),
+    )
+    refresh_view_segmented(spark, path, root)
+    direct = _full_state(
+        read_table(spark, path), ["grp"], ["amount"], ["amount"],
+        ["doc_id"], 9,
+    ).withColumn("sum_amount", F.col("sum_amount").cast("decimal(28,2)"))
+    rows = lambda df: sorted(
+        (
+            (
+                r["grp"],
+                r["__n"],
+                float(r["sum_amount"]),
+                float(r["min_amount"]),
+                tuple(sorted((r["reg_doc_id"] or {}).items())),
+            )
+            for r in df.collect()
+        ),
+        key=str,  # the NULL group sorts too
+    )
+    assert rows(read_view_segmented(spark, root)) == rows(direct)
+
+
+def test_mode_mismatch_raises_descriptively(spark, tmp_path):
+    """Self-review finding: refresh_view on a segmented root died with
+    a bare KeyError deep inside foreachBatch; both directions now
+    raise the targeted mode error."""
+    from osrs_dashboard_elt_spark.sources.ivm import (
+        init_view_segmented,
+        read_view,
+        refresh_view,
+    )
+
+    path, root = str(tmp_path / "tbl"), str(tmp_path / "view")
+    _tbl(spark, path, n=50, files=1)
+    init_view_segmented(spark, path, root, ["grp"], ["amount"])
+    with pytest.raises(ValueError, match="SEGMENTED"):
+        refresh_view(spark, path, root)
+    with pytest.raises(ValueError, match="SEGMENTED"):
+        read_view(spark, root)
