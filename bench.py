@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "q_compact_table",
     "q_incremental_view",
     "q_ivm_segmented",
+    "q_merge_distributed",
     "q_cdc_stream",
 ]
 

@@ -279,6 +279,10 @@ def maintain_view_stream(
     ``stream_opts`` (e.g. ``availableNow=True`` for catch-up runs,
     ``processingTime='1 minute'`` for a live view).
 
+    Works for BOTH state modes: the fold dispatches on the view
+    meta's mode, so a segmented view (O(changes) writes) streams the
+    same way a versioned one does.
+
     Options are ROUTED, never silently dropped (round-8 ADVICE low:
     reader options applied to the writeStream are ignored by Spark):
     file-source knobs (``maxFilesPerTrigger`` etc.) go to the
@@ -301,8 +305,15 @@ def maintain_view_stream(
             "trigger (checkpointLocation is the positional arg)"
         )
 
+    view_meta = _read_view_meta(state_root)
+    fold_fn = (
+        refresh_view_segmented
+        if view_meta.get("mode") == "segmented"
+        else refresh_view
+    )
+
     def _fold(_batch_df, _batch_id) -> None:
-        refresh_view(spark, table_path, state_root)
+        fold_fn(spark, table_path, state_root)
 
     writer = (
         stream_change_feed(spark, table_path, **source_opts)

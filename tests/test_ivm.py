@@ -592,3 +592,35 @@ def test_mode_mismatch_raises_descriptively(spark, tmp_path):
         refresh_view(spark, path, root)
     with pytest.raises(ValueError, match="SEGMENTED"):
         read_view(spark, root)
+
+
+def test_stream_maintains_segmented_view(spark, tmp_path):
+    """maintain_view_stream dispatches on the state mode: a segmented
+    view streams through the same foreachBatch trigger."""
+    from osrs_dashboard_elt_spark.sources.ivm import (
+        init_view_segmented,
+        maintain_view_stream,
+        read_view_segmented,
+    )
+
+    path, root = str(tmp_path / "tbl"), str(tmp_path / "view")
+    _tbl(spark, path, n=100, files=2)
+    init_view_segmented(spark, path, root, ["grp"], ["amount"])
+    table_append(
+        spark, path,
+        spark.createDataFrame(
+            [(9000, 1, 10.0)], "doc_id long, grp long, amount double"
+        ).withColumn("amount", F.col("amount").cast("decimal(18,2)")),
+    )
+    q = maintain_view_stream(
+        spark, path, root, str(tmp_path / "ckpt")
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    got = {
+        (r["grp"], r["__n"], float(r["sum_amount"]))
+        for r in read_view_segmented(spark, root).collect()
+    }
+    assert got == _direct(spark, path)
