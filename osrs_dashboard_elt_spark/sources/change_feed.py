@@ -832,6 +832,12 @@ def apply_takedowns_from_feed(
     the feed's consumer registry: its checkpoint advances with each
     run and holds the vacuum floor while it lags."""
     head = latest_change_seq(path)
+    if since_seq < vacuum_horizon(path):
+        raise ValueError(
+            f"change feed under {path} was vacuumed past since_seq "
+            f"{since_seq} — this sync's window is gone; re-derive the "
+            "index from the table and checkpoint at the head"
+        )
     if consumer:
         register_feed_consumer(path, consumer, since_seq)
     if head <= since_seq:
@@ -889,6 +895,12 @@ def apply_inserts_from_feed(
     takedown half.  ``consumer`` registers this sync in the vacuum
     registry, same contract as the takedown half."""
     head = latest_change_seq(path)
+    if since_seq < vacuum_horizon(path):
+        raise ValueError(
+            f"change feed under {path} was vacuumed past since_seq "
+            f"{since_seq} — this sync's window is gone; re-derive the "
+            "index from the table and checkpoint at the head"
+        )
     if consumer:
         register_feed_consumer(path, consumer, since_seq)
     if head <= since_seq:

@@ -52,6 +52,26 @@ _SOURCE_OPTS = frozenset(
 )
 
 
+def _check_feed_window(
+    table_path: str, state_root: str, last_seq: int
+) -> None:
+    """Refuse to fold a window the vacuum already ate: deltas in
+    ``(last_seq, horizon]`` are GONE, so the fold would silently skip
+    them — missing INSERTS never trip the negative-count guard (a
+    ``force=True`` vacuum past this view's registered checkpoint is
+    the one way to get here)."""
+    from .change_feed import vacuum_horizon
+
+    horizon = vacuum_horizon(table_path)
+    if last_seq < horizon:
+        raise ValueError(
+            f"change feed under {table_path} was vacuumed to seq "
+            f"{horizon}, past this view's checkpoint {last_seq} "
+            f"({state_root}) — the window's deltas are gone; rebuild "
+            "the view (init_view / init_view_segmented)"
+        )
+
+
 def _consumer_name(state_root: str) -> str:
     import hashlib
 
@@ -183,6 +203,7 @@ def refresh_view(
         )
     group_cols = meta["group_cols"]
     sum_cols = meta["sum_cols"]
+    _check_feed_window(table_path, state_root, meta["last_seq"])
     head = latest_change_seq(table_path)
     if head <= meta["last_seq"]:
         return {
@@ -564,6 +585,7 @@ def _refresh_segmented_locked(
     mm_cols = meta["minmax_cols"]
     d_cols = meta["distinct_cols"]
     p = meta["p"]
+    _check_feed_window(table_path, state_root, meta["last_seq"])
     head = latest_change_seq(table_path)
     if head <= meta["last_seq"]:
         return {

@@ -1026,3 +1026,48 @@ def test_dv_crash_reconcile_preserves_snapshot_manifest(
     snap = read_table_as_of(spark, path, 0, mode="snapshot")
     assert snap.count() == 100
     assert snap.filter("doc_id = 5").count() == 1
+
+
+def test_consumers_refuse_vacuumed_windows(spark, tmp_path):
+    """Defense-in-depth behind the registry: if a force=True vacuum
+    DID pass a consumer's checkpoint, the consumer must refuse its
+    next (incomplete) window loudly — missing inserts never trip the
+    negative-count guard, so silence here means permanently wrong
+    views and indexes."""
+    from osrs_dashboard_elt_spark.literals import local_frame
+    from osrs_dashboard_elt_spark.sources.change_feed import (
+        apply_inserts_from_feed,
+        apply_takedowns_from_feed,
+        vacuum_change_feed,
+    )
+    from osrs_dashboard_elt_spark.sources.ivm import (
+        init_view,
+        init_view_segmented,
+        refresh_view,
+        refresh_view_segmented,
+    )
+
+    path = str(tmp_path / "tbl")
+    _mk_feed_tbl(spark, path, n=50, files=1)
+    v1, v2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    init_view(spark, path, v1, ["grp"], [])
+    init_view_segmented(spark, path, v2, ["grp"], [])
+    for i in range(2):
+        table_append(
+            spark, path,
+            local_frame(
+                spark, [(900 + i, 1, "x")],
+                "doc_id long, grp long, text string",
+            ),
+        )
+    vacuum_change_feed(path, keep_since_seq=2, force=True)
+    with pytest.raises(ValueError, match="vacuumed"):
+        refresh_view(spark, path, v1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        refresh_view_segmented(spark, path, v2)
+    with pytest.raises(ValueError, match="vacuumed"):
+        apply_takedowns_from_feed(spark, path, "doc_id", since_seq=0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        apply_inserts_from_feed(
+            spark, path, "doc_id", "text", since_seq=1
+        )
