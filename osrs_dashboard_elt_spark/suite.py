@@ -1428,7 +1428,12 @@ _PRIORITY: tuple[str, ...] = (
     "q01_pricing_summary",        # A1/A2, S5
     "q_dedup_keep_first",         # O5/O6
     "q_skeleton_left_join",       # J3, S8
-    "q_report_personal_bests",    # J5-J7, A8/A9
+    # (q_report_personal_bests moved out of the window for
+    # q_merge_distributed — round-10 rotation: the distributed
+    # no-collect MERGE joins the hard gate; reports keep the flagship
+    # q_leaderboard_periods in-window and the personal-bests
+    # anti-join/backfill stack stays green in the local sweep)
+    "q_merge_distributed",     # no-collect MERGE (round 9)
     "q_duration_parse",           # R8, F-family
     "q_per_key_watermark",        # S9
     # —— LLM-pipeline families ——
@@ -1483,7 +1488,12 @@ _PRIORITY: tuple[str, ...] = (
     # (q_cms_heavy_hitters moved out of the window for
     # q_incremental_view — sketches keep q_hll_distinct_users
     # in-window; CMS stays green in the local sweep)
-    "q_incremental_view",      # CDC-maintained aggregate (round 8)
+    # (q_incremental_view moved out of the window for q_ivm_segmented
+    # — round-10 rotation: the segmented O(changes) IVM with
+    # min/max/avg/HLL algebra supersedes the count/sum view as the
+    # family's hard-gate representative; the full-state view stays
+    # green in the local sweep)
+    "q_ivm_segmented",         # segmented IVM (round 9)
     # —— round-3: streaming rollups ——
     "q_streaming_windowed_rollup",
     # (q_stream_topk_entries moved out of the window for

@@ -79,9 +79,13 @@ def test_priority_window_spans_all_families():
         "window_fns": {"q_window_functions", "q_rolling_range_window"},
         "bm25": {"q_bm25_search"},
         "cdc": {"q_cdc_merge", "q_targeted_upsert"},
+        # —— round-10 rotation: round-9's two headline behaviors join
+        # the hard gate as their own families ——
+        "merge_distributed": {"q_merge_distributed"},
+        "ivm_segmented": {"q_ivm_segmented"},
         "scd2": {"q_scd2_history"},
         "sketches": {"q_hll_distinct_users", "q_cms_heavy_hitters"},
-        "ivm": {"q_incremental_view"},
+        "ivm": {"q_incremental_view", "q_ivm_segmented"},
         "streaming": {"q_streaming_windowed_rollup", "q_streaming_session_rollup"},
         "sampling": {"q_hash_sample", "q_weighted_sample", "q_global_shuffle_order"},
         "change_feed": {"q_change_feed"},
