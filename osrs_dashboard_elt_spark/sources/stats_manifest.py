@@ -1200,6 +1200,7 @@ def clear_deletion_vector_files(
     )
     new_epoch: int | None = None
     dropped = 0
+    remapped = False
     new_dv: dict = {}
     for c, info in dv.items():
         pairs = spark.read.parquet(
@@ -1228,6 +1229,7 @@ def clear_deletion_vector_files(
                 _dv_dir(root, new_epoch, c)
             )
             new_dv[c] = {"segments": [new_epoch], "count": int(n_rem)}
+            remapped = True
     if not dropped:
         return 0
     if new_epoch is None:
@@ -1241,15 +1243,19 @@ def clear_deletion_vector_files(
     except ManifestCommitConflict:
         shutil.rmtree(edir, ignore_errors=True)
         raise
-    # surviving entries moved to a NEW segment epoch: the per-seq
-    # dv->epoch mapping snapshot reads rely on is broken for earlier
-    # seqs — record a physical break so they fall back to multiset
-    # arithmetic (in every reachable case the vanished cited file
-    # already forces the fallback; the break closes the theoretical
-    # name-reuse edge airtight)
-    from .change_feed import record_physical_break
+    # a hard physical break ONLY when surviving entries were
+    # CONSOLIDATED to a new segment epoch: that remap mixes entries
+    # from different feed seqs into one epoch, so per-seq dv exclusion
+    # can no longer partially exclude it — earlier seqs must fall back
+    # to multiset arithmetic.  Pure drops of DEAD entries (everything
+    # cited a vanished file) leave the surviving epoch->seq mapping
+    # intact and must NOT break the horizon — the compaction lineage
+    # path (round-10) relies on exactly this case to keep snapshot
+    # as-of alive across an OPTIMIZE of dv-deleted files
+    if remapped:
+        from .change_feed import record_physical_break
 
-    record_physical_break(path)
+        record_physical_break(path)
     return dropped
 
 
