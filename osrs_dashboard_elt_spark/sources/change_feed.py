@@ -11,9 +11,11 @@ change set under ``<table>/_stats_manifest/_changes/c<seq>/`` —
 parquet rows in the table's pinned schema plus a ``_change_type``
 column (``insert`` / ``delete`` / ``update_preimage`` /
 ``update_postimage``).  Sequence numbers are claimed with
-O_CREAT|O_EXCL markers (the epoch/version discipline) and a change
-set becomes visible only when its ``_commit.json`` is atomically
-renamed into place, so readers never see a half-written delta.
+create-if-absent markers and a change set becomes visible only when
+its ``_commit.json`` is atomically published, so readers never see a
+half-written delta.  Every control-plane atomic primitive goes
+through the injectable ``commitio`` backend — O_EXCL + rename on
+POSIX, conditional PUT on an object store.
 
 Two consumers:
 
@@ -100,10 +102,9 @@ def enable_change_feed(path: str) -> None:
     marker = os.path.join(root, _ENABLED)
     if os.path.exists(marker):
         return
-    fd, tmp = tempfile.mkstemp(dir=root, prefix=".enabled-")
-    with os.fdopen(fd, "w") as f:
-        json.dump({"enabled": True}, f)
-    os.replace(tmp, marker)
+    from . import commitio
+
+    commitio.publish_json(marker, {"enabled": True})
 
 
 def change_feed_enabled(path: str) -> bool:
@@ -131,8 +132,9 @@ def latest_change_seq(path: str) -> int:
 
 
 def _claim_seq(root: str) -> int:
-    """Claim the next change sequence with an O_CREAT|O_EXCL marker so
-    concurrent mutations get distinct change dirs.  The start probes
+    """Claim the next change sequence with a create-if-absent marker
+    (``commitio.claim_slot``) so concurrent mutations get distinct
+    change dirs.  The start probes
     above BOTH the committed head and the highest existing claim:
     claim markers survive vacuum precisely so sequence numbers are
     NEVER reused — a reused seq would silently desynchronize every
@@ -149,16 +151,11 @@ def _claim_seq(root: str) -> int:
         committed[-1] if committed else 0,
         max(claimed) if claimed else 0,
     ) + 1
-    while True:
-        try:
-            fd = os.open(
-                os.path.join(root, f".claim-c{seq:07d}"),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-            os.close(fd)
-            return seq
-        except FileExistsError:
-            seq += 1
+    from . import commitio
+
+    return commitio.claim_slot(
+        os.path.join(root, ".claim-c{:07d}"), seq
+    )
 
 
 SUB_COL = "__sub"
@@ -310,15 +307,14 @@ def commit_changes(
             # schema-only dir — readers would choke on it
             abort_changes(cdir)
             return False
+    from . import commitio
+
     if files_info is not None:
-        fd, tmp = tempfile.mkstemp(dir=cdir, prefix=".files-")
-        with os.fdopen(fd, "w") as f:
-            json.dump(files_info, f)
-        os.replace(tmp, os.path.join(cdir, _FILES))
-    fd, tmp = tempfile.mkstemp(dir=cdir, prefix=".commit-")
-    with os.fdopen(fd, "w") as f:
-        json.dump({"op": op, "ts": time.time()}, f)
-    os.replace(tmp, os.path.join(cdir, _COMMIT))
+        commitio.publish_json(os.path.join(cdir, _FILES), files_info)
+    # the commit point: one atomic blob publish
+    commitio.publish_json(
+        os.path.join(cdir, _COMMIT), {"op": op, "ts": time.time()}
+    )
     return True
 
 
@@ -684,32 +680,21 @@ def checkpoint_feed_consumer(
     """Advance a registered consumer's checkpoint (atomic
     tmp+rename).  Monotonic: a replayed window (or a re-registration)
     cannot drag the vacuum floor backwards.  The read-compare-write is
-    serialized by a per-consumer O_CREAT|O_EXCL lock (the _claim_seq
-    discipline): two concurrent checkpointers sharing a consumer name
+    serialized by a per-consumer create-if-absent lock
+    (``commitio.mutex``, the _claim_seq discipline): two concurrent checkpointers sharing a consumer name
     — e.g. a takedown apply and an insert apply, neither under the
     table mutation gate — could otherwise interleave so the LOWER
     last_seq wins and drags the vacuum floor backward, the exact
     regression the monotonic contract promises to prevent (round-9
     ADVICE low)."""
+    from . import commitio
+
     cp = _consumer_path(path, name)
     os.makedirs(os.path.dirname(cp), exist_ok=True)
-    lock = cp + ".lock"
-    deadline = time.time() + timeout
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-            break
-        except FileExistsError:
-            if time.time() > deadline:
-                raise TimeoutError(
-                    f"feed-consumer checkpoint lock held for > "
-                    f"{timeout}s at {lock} — another checkpointer is "
-                    "running or crashed mid-write; remove the lock "
-                    "file once no writer is live"
-                ) from None
-            time.sleep(0.01)
-    try:
+    with commitio.mutex(
+        cp + ".lock", timeout, "feed-consumer checkpoint lock",
+        poll=0.01,
+    ):
         prev = -1
         try:
             with open(cp) as f:
@@ -718,17 +703,7 @@ def checkpoint_feed_consumer(
             pass
         if prev >= last_seq:
             return
-        fd, tmp = tempfile.mkstemp(
-            dir=os.path.dirname(cp), prefix=".c-"
-        )
-        with os.fdopen(fd, "w") as f:
-            json.dump({"last_seq": int(last_seq)}, f)
-        os.replace(tmp, cp)
-    finally:
-        try:
-            os.remove(lock)
-        except FileNotFoundError:
-            pass
+        commitio.publish_json(cp, {"last_seq": int(last_seq)})
 
 
 def feed_consumers(path: str) -> dict[str, int]:
@@ -807,10 +782,9 @@ def vacuum_change_feed(
         # mutation as "never happened" and pass every file check)
         wm = os.path.join(root, _VACUUM)
         prev = vacuum_horizon(path)
-        fd, tmp = tempfile.mkstemp(dir=root, prefix=".vac-")
-        with os.fdopen(fd, "w") as f:
-            json.dump({"horizon": max(prev, max(out))}, f)
-        os.replace(tmp, wm)
+        from . import commitio
+
+        commitio.publish_json(wm, {"horizon": max(prev, max(out))})
     return out
 
 
@@ -846,10 +820,9 @@ def record_physical_break(path: str) -> None:
     if head in rec["breaks"]:
         return
     rec["breaks"].append(head)
-    fd, tmp = tempfile.mkstemp(dir=root, prefix=".phys-")
-    with os.fdopen(fd, "w") as f:
-        json.dump(rec, f)
-    os.replace(tmp, pth)
+    from . import commitio
+
+    commitio.publish_json(pth, rec)
 
 
 def record_physical_lineage(
@@ -907,10 +880,9 @@ def record_physical_lineage(
     if event in rec["events"]:  # reconcile retry idempotence
         return
     rec["events"].append(event)
-    fd, tmp = tempfile.mkstemp(dir=root, prefix=".lin-")
-    with os.fdopen(fd, "w") as f:
-        json.dump(rec, f)
-    os.replace(tmp, pth)
+    from . import commitio
+
+    commitio.publish_json(pth, rec)
 
 
 def _lineage_events(path: str) -> list[dict]:

@@ -97,10 +97,9 @@ def publish_blue_green(df: DataFrame, root: str) -> str:
     active = _read_manifest(root)
     target = _COLORS[1] if active == _COLORS[0] else _COLORS[0]
     df.write.mode("overwrite").parquet(os.path.join(root, target))
-    fd, tmp = tempfile.mkstemp(dir=root, prefix=".manifest-")
-    with os.fdopen(fd, "w") as f:
-        f.write(target)
-    os.replace(tmp, os.path.join(root, _MANIFEST))
+    from .commitio import publish_bytes
+
+    publish_bytes(os.path.join(root, _MANIFEST), target.encode())
     return target
 
 

@@ -13,8 +13,10 @@ src/3_transform_data.py:771-798):
   of a Delta/Iceberg commit log, kept format-agnostic.  The log
   append is write-temp + atomic rename, same as the manifest flip,
   and concurrent publishers are safe: version numbers are claimed
-  via O_CREAT|O_EXCL markers and the log read-modify-write runs
-  under a short O_EXCL lock (loud bounded-timeout on a stale lock).
+  via create-if-absent markers and the log read-modify-write runs
+  under a short lock (loud bounded-timeout on a stale lock) — all
+  through the injectable ``commitio`` backend (O_EXCL/rename on
+  POSIX, conditional PUT on an object store).
 - ``vacuum_versions`` deletes expired snapshots but never the head or
   an explicitly-retained version — the retention contract that makes
   time travel safe to run on a cron.
@@ -52,8 +54,9 @@ def _claim_version(root: str, start: int) -> int:
     """Atomically claim the next free version number >= ``start``.
 
     A version is claimed by creating ``.claim-v{n}`` with
-    O_CREAT|O_EXCL — a true compare-and-swap on any POSIX filesystem,
-    so two concurrent publishers can never claim the same number (the
+    a create-if-absent claim (``commitio.claim_slot``: O_EXCL on
+    POSIX, conditional PUT on an object store), so two concurrent
+    publishers can never claim the same number (the
     second gets EEXIST and moves on).  Claim markers are never deleted
     for live versions (a 0-byte file per publish); ``vacuum_versions``
     removes the markers of vacuumed snapshots.  A publisher that
@@ -61,56 +64,25 @@ def _claim_version(root: str, start: int) -> int:
     sequence — harmless, and far better than the silent snapshot
     clobber an unclaimed read-modify-write allows.
     """
-    v = start
-    for _ in range(100_000):
-        try:
-            fd = os.open(
-                os.path.join(root, f".claim-v{v}"),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-            os.close(fd)
-            return v
-        except FileExistsError:
-            v += 1
-    raise RuntimeError(
-        f"could not claim a version under {root} after 100000 probes — "
-        "claim markers are not being vacuumed"
+    from . import commitio
+
+    return commitio.claim_slot(
+        os.path.join(root, ".claim-v{}"), start, limit=100_000
     )
 
 
-class _log_lock:
-    """Short-lived mutex around the version-log read-modify-write,
-    via O_CREAT|O_EXCL on a lock file.  Bounded spin: a publisher that
-    died holding the lock surfaces as a loud timeout naming the stale
-    lock file (delete it after confirming no publisher is live) rather
-    than a silent lost update."""
+def _log_lock(root: str, timeout: float = 30.0):
+    """Short-lived mutex around the version-log read-modify-write —
+    ``commitio.mutex`` (O_EXCL on POSIX, conditional PUT on an object
+    store).  Bounded spin: a publisher that died holding the lock
+    surfaces as a loud timeout naming the stale lock blob rather than
+    a silent lost update."""
+    from . import commitio
 
-    def __init__(self, root: str, timeout: float = 30.0) -> None:
-        self.path = os.path.join(root, _LOCK)
-        self.timeout = timeout
-
-    def __enter__(self) -> None:
-        deadline = time.time() + self.timeout
-        while True:
-            try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                return
-            except FileExistsError:
-                if time.time() > deadline:
-                    raise TimeoutError(
-                        f"version log locked for > {self.timeout}s by "
-                        f"{self.path} — a publisher crashed mid-commit; "
-                        "remove the lock file once no publisher is live"
-                    ) from None
-                time.sleep(0.05)
-
-    def __exit__(self, *exc) -> None:
-        try:
-            os.remove(self.path)
-        except FileNotFoundError:
-            pass
+    return commitio.mutex(
+        os.path.join(root, _LOCK), timeout, "version log lock",
+        poll=0.05,
+    )
 
 
 def _read_log(root: str) -> list[dict]:
@@ -126,10 +98,9 @@ def _read_log(root: str) -> list[dict]:
 
 
 def _write_log(root: str, entries: list[dict]) -> None:
-    fd, tmp = tempfile.mkstemp(dir=root, prefix=".versions-")
-    with os.fdopen(fd, "w") as f:
-        json.dump(entries, f, indent=1)
-    os.replace(tmp, os.path.join(root, _LOG))
+    from . import commitio
+
+    commitio.publish_json(os.path.join(root, _LOG), entries)
 
 
 def publish_versioned(
@@ -373,10 +344,6 @@ def _write_delete_journal(
     maps each staged sub-delta label to the original file whose
     completion it tracks (``change_feed.stage_changes`` sub-deltas)."""
     jp = _delete_journal_path(path)
-    os.makedirs(os.path.dirname(jp), exist_ok=True)
-    fd, tmp = tempfile.mkstemp(
-        dir=os.path.dirname(jp), prefix=".intent-"
-    )
     record = {"rewrites": rewrites, "removes": removes}
     if adds:
         record["adds"] = adds
@@ -392,9 +359,9 @@ def _write_delete_journal(
         record["sizes"] = sizes
     if lineage:
         record["lineage"] = lineage
-    with os.fdopen(fd, "w") as f:
-        json.dump(record, f)
-    os.replace(tmp, jp)
+    from . import commitio
+
+    commitio.publish_json(jp, record)
 
 
 def _dv_bound_seq(
@@ -728,8 +695,8 @@ class _mutation_gate:
     / compaction): they share one intent journal and in-place file
     swaps, so two concurrent mutations would overwrite each other's
     journal and reconcile each other's in-flight state as crashes.
-    O_CREAT|O_EXCL lock file with bounded spin (the _log_lock /
-    _commit_gate discipline): a writer that died holding it surfaces
+    Create-if-absent lock blob with bounded spin (the _log_lock /
+    _commit_gate discipline, via ``commitio``): a writer that died holding it surfaces
     as a loud timeout naming the lock file, never a silent lost
     update.  Reentrant within the process (nested maintenance calls);
     cross-process it is a real mutex."""
@@ -745,39 +712,33 @@ class _mutation_gate:
         self.owned = False
 
     def __enter__(self) -> None:
+        from . import commitio
+
         if _GATE_HELD.get(self.key):
             _GATE_HELD[self.key] += 1
             return
-        os.makedirs(os.path.dirname(self.lock), exist_ok=True)
         deadline = time.time() + self.timeout
-        while True:
-            try:
-                fd = os.open(
-                    self.lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+        while not commitio.try_claim(
+            self.lock, str(os.getpid()).encode()
+        ):
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"table mutation gate held for > "
+                    f"{self.timeout}s at {self.lock} — another "
+                    "mutation is running or crashed mid-flight; "
+                    "remove the lock file once no writer is live"
                 )
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                break
-            except FileExistsError:
-                if time.time() > deadline:
-                    raise TimeoutError(
-                        f"table mutation gate held for > "
-                        f"{self.timeout}s at {self.lock} — another "
-                        "mutation is running or crashed mid-flight; "
-                        "remove the lock file once no writer is live"
-                    ) from None
-                time.sleep(0.05)
+            time.sleep(0.05)
         _GATE_HELD[self.key] = 1
         self.owned = True
 
     def __exit__(self, *exc) -> None:
+        from . import commitio
+
         _GATE_HELD[self.key] -= 1
         if not _GATE_HELD[self.key]:
             del _GATE_HELD[self.key]
-            try:
-                os.remove(self.lock)
-            except FileNotFoundError:
-                pass
+            commitio.release(self.lock)
 
 
 def _with_mutation_gate(fn):

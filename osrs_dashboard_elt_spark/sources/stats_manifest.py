@@ -231,20 +231,15 @@ def has_stats_manifest(path: str) -> bool:
 
 
 def _claim_epoch(root: str, start: int) -> int:
-    """Claim the next epoch number with an O_CREAT|O_EXCL marker so
-    concurrent writers get distinct dirs."""
+    """Claim the next epoch number with a create-if-absent marker
+    (``commitio.claim_slot`` — O_EXCL on POSIX, conditional PUT on an
+    object store) so concurrent writers get distinct dirs."""
+    from . import commitio
+
     os.makedirs(root, exist_ok=True)
-    epoch = start
-    while True:
-        try:
-            fd = os.open(
-                os.path.join(root, f".claim-m{epoch:07d}"),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-            os.close(fd)
-            return epoch
-        except FileExistsError:
-            epoch += 1
+    return commitio.claim_slot(
+        os.path.join(root, ".claim-m{:07d}"), start
+    )
 
 
 class ManifestCommitConflict(RuntimeError):
@@ -255,43 +250,18 @@ class ManifestCommitConflict(RuntimeError):
     catches this and retries from the new head."""
 
 
-class _commit_gate:
-    """Short O_CREAT|O_EXCL mutex serializing the check-parent +
-    rename-meta critical section (without it, two refreshers could
-    both pass the lineage check and the second would still orphan the
-    first).  Bounded spin: a writer that died holding the gate
-    surfaces as a loud timeout naming the lock file."""
+def _commit_gate(root: str, timeout: float = 30.0):
+    """Short mutex serializing the check-parent + publish-meta
+    critical section (without it, two refreshers could both pass the
+    lineage check and the second would still orphan the first) —
+    ``commitio.mutex``: claim-blob spin with a loud bounded timeout,
+    O_EXCL on POSIX / conditional PUT on an object store."""
+    from . import commitio
 
-    def __init__(self, root: str, timeout: float = 30.0) -> None:
-        self.path = os.path.join(root, ".commit.lock")
-        self.timeout = timeout
-
-    def __enter__(self) -> None:
-        import time
-
-        deadline = time.time() + self.timeout
-        while True:
-            try:
-                fd = os.open(
-                    self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
-                )
-                os.close(fd)
-                return
-            except FileExistsError:
-                if time.time() > deadline:
-                    raise TimeoutError(
-                        f"manifest commit gate held for > "
-                        f"{self.timeout}s at {self.path} — a writer "
-                        "crashed mid-commit; remove the lock file "
-                        "once no writer is live"
-                    ) from None
-                time.sleep(0.02)
-
-    def __exit__(self, *exc) -> None:
-        try:
-            os.remove(self.path)
-        except FileNotFoundError:
-            pass
+    return commitio.mutex(
+        os.path.join(root, ".commit.lock"), timeout,
+        "manifest commit gate",
+    )
 
 
 def _commit_epoch(root: str, epoch: int, meta: dict) -> None:
@@ -316,23 +286,22 @@ def _commit_epoch(root: str, epoch: int, meta: dict) -> None:
     without ``parent_epoch`` (full builds — they rebuild from the
     current listing, so last-writer-wins IS the correct semantics)
     skip the check."""
+    from . import commitio
+
     edir = _epoch_dir(root, epoch)
-    fd, tmp = tempfile.mkstemp(dir=edir, prefix=".meta-")
-    with os.fdopen(fd, "w") as f:
-        json.dump(meta, f)
     with _commit_gate(root):
         parent = meta.get("parent_epoch")
         if parent is not None:
             pre = _committed_epochs(root)
             head = pre[-1] if pre else 0  # 0 = legacy flat layout
             if head != parent:
-                os.remove(tmp)
                 raise ManifestCommitConflict(
                     f"manifest head under {root} moved from epoch "
                     f"{parent} to {head} while this refresh ran — "
                     "the refresh must recompute from the new head"
                 )
-        os.replace(tmp, os.path.join(edir, _META))
+        # the commit point: one atomic blob publish under the gate
+        commitio.publish_json(os.path.join(edir, _META), meta)
     committed = _committed_epochs(root)
     # keep every epoch dir REFERENCED by the last keep_metas committed
     # metas' segment sets (plus those metas' own dirs): an in-flight

@@ -59,7 +59,7 @@ def test_concurrent_publishers_lose_nothing(spark, tmp_path):
     open(os.path.join(root, "_versions.lock"), "w").close()
     from osrs_dashboard_elt_spark.sources.maintenance import _log_lock
 
-    with pytest.raises(TimeoutError, match="locked"):
+    with pytest.raises(TimeoutError, match="version log lock"):
         with _log_lock(root, timeout=0.2):
             pass
     os.remove(os.path.join(root, "_versions.lock"))
