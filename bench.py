@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "q_incremental_view",
     "q_ivm_segmented",
     "q_merge_distributed",
+    "q_asof_lineage",
     "q_cdc_stream",
 ]
 

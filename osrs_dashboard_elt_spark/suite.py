@@ -8310,6 +8310,107 @@ def q_time_travel(spark, sf_dir):
     )
 
 
+_LIN_PATH_CACHE: dict[str, str] = {}
+_LIN_DELETE_IDS = [12, 77]
+_LIN_APPEND_ROWS = [
+    (97000021, 9301, 4.5), (97000022, 9302, 5.5),
+]
+_LIN_POST_ROWS = [
+    (97000031, 9303, 6.5), (97000032, 9304, 7.5),
+]
+_LIN_VALUES_SQL = ", ".join(
+    f"(CAST({e} AS BIGINT), CAST({u} AS BIGINT), CAST({v} AS DOUBLE))"
+    for e, u, v in _LIN_APPEND_ROWS
+)
+
+
+def _lineage_table(spark, sf_dir: str) -> str:
+    """A manifest-backed events table whose history crosses an
+    in-place COMPACTION: dv delete (seq 1) -> append (seq 2) ->
+    OPTIMIZE folding every file (a physical rewrite with NO feed
+    delta, recorded as a lineage event) -> append (seq 3).  Memoized
+    per sf_dir."""
+    import tempfile
+
+    from .literals import literal_frame
+    from .sources.change_feed import enable_change_feed
+    from .sources.maintenance import (
+        compact_table,
+        table_append,
+        targeted_delete,
+    )
+    from .sources.stats_manifest import write_stats_manifest
+
+    if sf_dir not in _LIN_PATH_CACHE:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id",
+            F.col("value").cast("double").alias("value"),
+        )
+        path = tempfile.mkdtemp(prefix="lin_") + "/tbl"
+        ev.repartition(8, "event_id").write.parquet(path)
+        write_stats_manifest(
+            spark, path, ["user_id"],
+            bloom_cols=["event_id"], bloom_bits=1 << 16,
+        )
+        enable_change_feed(path)
+        targeted_delete(
+            spark, path, "event_id", _LIN_DELETE_IDS, mode="dv"
+        )
+        table_append(
+            spark, path,
+            literal_frame(spark, _LIN_APPEND_ROWS, _CDF_ROW_SCHEMA),
+        )
+        compact_table(spark, path, target_bytes=1 << 30)
+        table_append(
+            spark, path,
+            literal_frame(spark, _LIN_POST_ROWS, _CDF_ROW_SCHEMA),
+        )
+        _LIN_PATH_CACHE[sf_dir] = path
+    return _LIN_PATH_CACHE[sf_dir]
+
+
+@query(
+    "q_asof_lineage",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT event_id, user_id, value FROM events
+      WHERE event_id NOT IN ({_LIN_DELETE_IDS[0]}, {_LIN_DELETE_IDS[1]})
+      UNION ALL
+      SELECT * FROM (VALUES {_LIN_VALUES_SQL})
+             t(event_id, user_id, value)
+    )
+    GROUP BY user_id
+    """,
+)
+def q_asof_lineage(spark, sf_dir):
+    """SNAPSHOT-served time travel ACROSS an in-place compaction
+    (round-10; sources/change_feed.py::record_physical_lineage +
+    _snapshot_file_state): the history is dv-delete -> append ->
+    OPTIMIZE (folds every file, purging the dv tombstones — a
+    physical rewrite with no feed delta) -> append.  The as-of read
+    at seq 2 reverse-replays the seq-3 manifest, then resolves the
+    compaction's lineage event — ALL of the group's input files
+    belong to the target listing and the purged tombstones
+    (dv_max_seq=1) were already invisible at seq 2, so the OUTPUT
+    file substitutes exactly.  ``mode="snapshot"`` makes this a HARD
+    gate: if the lineage path ever breaks, the read raises instead of
+    falling back, and the driver records the failure.  Before round
+    10 a compaction was a permanent break and this read was
+    arithmetic-only.  The oracle recomputes seq-2's state from the
+    base table directly."""
+    from .sources.change_feed import read_table_as_of
+
+    tbl = _lineage_table(spark, sf_dir)
+    past = read_table_as_of(spark, tbl, 2, mode="snapshot")
+    return past.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("value").alias("sum_value"),
+    )
+
+
 _EVOLVE_PATH_CACHE: dict[str, str] = {}
 _EVOLVE_UPDATE = (888, 8424, 7.25, "patched")
 _EVOLVE_INSERTS = [
