@@ -50,7 +50,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -565,7 +564,15 @@ def read_table_as_of(
     Exact iff every mutation after ``seq`` recorded its delta — the
     ``enable_change_feed`` contract.  Negative net multiplicities
     (impossible under a complete feed) raise rather than silently
-    truncating."""
+    truncating.  The guard rides the returned PLAN (``raise_error``
+    in the multiplicity filter, so a fallback read costs one job, not
+    an eager probe plus the read): any action that evaluates the
+    corrupted group's row trips it — counts, writes, aggregates, full
+    collects — while a short-circuiting ``limit()`` that never
+    reaches that row returns its sample without tripping.  Note the
+    guard only ever detects the NEGATIVE inconsistency class either
+    way; a mutation that bypassed the feed entirely is undetectable
+    by any multiset check (its rows are simply wrong at old seqs)."""
     from pyspark.sql.types import StructType
 
     from .stats_manifest import (
@@ -677,8 +684,9 @@ def register_feed_consumer(
 def checkpoint_feed_consumer(
     path: str, name: str, last_seq: int, timeout: float = 30.0
 ) -> None:
-    """Advance a registered consumer's checkpoint (atomic
-    tmp+rename).  Monotonic: a replayed window (or a re-registration)
+    """Advance a registered consumer's checkpoint (atomic blob
+    publish through ``commitio``).  Monotonic: a replayed window (or
+    a re-registration)
     cannot drag the vacuum floor backwards.  The read-compare-write is
     serialized by a per-consumer create-if-absent lock
     (``commitio.mutex``, the _claim_seq discipline): two concurrent checkpointers sharing a consumer name
@@ -1034,7 +1042,10 @@ def apply_takedowns_from_feed(
     if head <= since_seq:
         if consumer:
             checkpoint_feed_consumer(path, consumer, head)
-        return {"last_seq": head, "ids": [], "n_tombstoned": 0}
+        return {
+            "last_seq": head, "ids": [], "n_ids": 0,
+            "n_tombstoned": 0,
+        }
     feed = read_change_feed(spark, path, since_seq=since_seq)
     deleted = (
         feed.filter(F.col("_change_type") == "delete")
@@ -1063,13 +1074,22 @@ def apply_takedowns_from_feed(
         else:
             ids = sorted(r[id_col] for r in probe)
     if dist:
-        deleted = deleted.persist()
-        n_ids = deleted.count()
-        out = {
-            "last_seq": head, "ids": [], "n_ids": n_ids,
-            "n_tombstoned": 0,
-        }
+        if suppress:
+            # the returned frame must outlive this call SAFELY: the
+            # consumer checkpoint below makes the window vacuumable,
+            # and a lazily-evaluated frame would re-read the deleted
+            # feed files later.  An eager localCheckpoint pins the
+            # rows to block storage with a truncated lineage
+            # (round-10 self-review: the persisted frame also leaked)
+            deleted = deleted.localCheckpoint(eager=True)
+        else:
+            deleted = deleted.persist()
         try:
+            n_ids = deleted.count()
+            out = {
+                "last_seq": head, "ids": [], "n_ids": n_ids,
+                "n_tombstoned": 0,
+            }
             if n_ids == 0:
                 return out
             if dedup_index is not None:

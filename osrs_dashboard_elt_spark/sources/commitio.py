@@ -30,8 +30,8 @@ injectable :class:`CommitBackend`, with
   primitive exists and none is used**.  The local implementation
   stores blobs at their real paths (so Spark and plain ``open()``
   reads keep working) and simulates the server-side conditional
-  check under a per-store mutex; it also counts operations, which is
-  what the SCALE.md commit-cost table is measured with.
+  check with an atomic hard-link create; it also counts operations,
+  which is what the SCALE.md commit-cost table is measured with.
 
 The DATA plane needs no rename either: parquet files are written to
 content-salted final names and visibility is defined by the manifest
@@ -52,7 +52,6 @@ from __future__ import annotations
 import json
 import os
 import tempfile
-import threading
 import time
 from contextlib import contextmanager
 
@@ -127,8 +126,9 @@ class ConditionalPutBackend(CommitBackend):
     """Object-store semantics over a local directory: atomic
     whole-object PUT, conditional creation (``If-None-Match: *``),
     NO rename primitive.  The server-side atomicity of the
-    conditional check is simulated with a process-wide mutex — on a
-    real store the service provides it.  Blobs live at their real
+    conditional check is simulated with an atomic hard-link create
+    (EEXIST-atomic across processes) — on a real store the service
+    provides it.  Blobs live at their real
     paths so every plain read in the codebase (and Spark itself)
     keeps working; what changes is that NO caller may rely on
     ``os.replace``/``O_EXCL`` reaching the store.
@@ -141,7 +141,6 @@ class ConditionalPutBackend(CommitBackend):
     name = "conditional_put"
 
     def __init__(self) -> None:
-        self._mutex = threading.Lock()
         self.ops = {
             "put": 0, "cond_put": 0, "get": 0,
             "delete": 0, "head": 0,
@@ -164,11 +163,26 @@ class ConditionalPutBackend(CommitBackend):
 
     def put_if_absent(self, path: str, data: bytes) -> bool:
         self.ops["cond_put"] += 1
-        with self._mutex:  # the store's server-side conditional
-            if os.path.exists(path):
-                return False
-            self._atomic_write(path, data)
+        # the store's server-side conditional, simulated with a hard
+        # LINK onto the final name: link(2) fails with EEXIST
+        # atomically across PROCESSES, which matters because the
+        # env-var mode runs whole multi-process suites over this
+        # backend — a threading.Lock-only check-then-write would let
+        # two processes both "win" a claim (round-10 self-review).
+        # The link is internal simulation machinery, not an app-level
+        # primitive; on a real store the service provides this
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".obj-")
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        try:
+            os.link(tmp, path)
             return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
 
     def get(self, path: str) -> bytes | None:
         self.ops["get"] += 1

@@ -33,7 +33,6 @@ every report table each run — T5 complete-mode publish).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -386,6 +386,60 @@ def _dv_bound_seq(
     return max(seqs)
 
 
+def _dv_segments_citing(
+    spark: SparkSession, path: str, meta: dict, files: list[str]
+) -> list[tuple[str, int]]:
+    """The (col, sidecar epoch) segments whose tombstone entries cite
+    any of ``files`` — the ONLY segments whose rows a rewrite of those
+    files physically drops, hence the only ones that should raise a
+    compaction's ``dv_max_seq``.  Bounding over ALL current segments
+    instead would inflate the bound to near-head whenever an untouched
+    file carries a recent tombstone, forcing every pre-compaction
+    as-of target onto the arithmetic fallback (round-10 self-review).
+    One small job per dv column (segments are takedown-sized)."""
+    from .stats_manifest import _dv_dir, _manifest_root, _norm_col
+
+    dv = meta.get("dv") or {}
+    if not dv or not files:
+        return []
+    from ..literals import local_frame
+
+    root = _manifest_root(path)
+    gone = sorted({_uri(_local(f)) for f in files})
+    gone_df = local_frame(
+        spark, [(g,) for g in gone], "gf string"
+    )
+    out: list[tuple[str, int]] = []
+    for c, info in dv.items():
+        segs = list(info.get("segments", []))
+        if not segs:
+            continue
+        pairs = spark.read.parquet(
+            *[_dv_dir(root, e, c) for e in segs]
+        ).select(
+            _norm_col(F.col("file")).alias("file"),
+            F.input_file_name().alias("__src"),
+        )
+        hit_epochs = {
+            int(r["__e"])
+            for r in pairs.join(
+                F.broadcast(gone_df),
+                F.col("file") == F.col("gf"),
+                "semi",
+            )
+            .select(
+                F.regexp_extract(
+                    F.col("__src"), r"/m(\d{7})/dv_", 1
+                ).alias("__e")
+            )
+            .distinct()
+            .collect()
+            if r["__e"]
+        }
+        out += [(c, int(e)) for e in segs if int(e) in hit_epochs]
+    return out
+
+
 def _record_journal_lineage(path: str, lin: dict) -> None:
     """Materialize a journaled lineage record (group output NAMES +
     input sizes captured pre-swap) into a physical-lineage event,
@@ -717,28 +771,20 @@ class _mutation_gate:
         if _GATE_HELD.get(self.key):
             _GATE_HELD[self.key] += 1
             return
-        deadline = time.time() + self.timeout
-        while not commitio.try_claim(
-            self.lock, str(os.getpid()).encode()
-        ):
-            if time.time() > deadline:
-                raise TimeoutError(
-                    f"table mutation gate held for > "
-                    f"{self.timeout}s at {self.lock} — another "
-                    "mutation is running or crashed mid-flight; "
-                    "remove the lock file once no writer is live"
-                )
-            time.sleep(0.05)
+        # the shared bounded-spin discipline lives in commitio.mutex;
+        # only the reentrancy counter is gate-specific
+        self._cm = commitio.mutex(
+            self.lock, self.timeout, "table mutation gate", poll=0.05
+        )
+        self._cm.__enter__()
         _GATE_HELD[self.key] = 1
         self.owned = True
 
     def __exit__(self, *exc) -> None:
-        from . import commitio
-
         _GATE_HELD[self.key] -= 1
         if not _GATE_HELD[self.key]:
             del _GATE_HELD[self.key]
-            commitio.release(self.lock)
+            self._cm.__exit__(None, None, None)
 
 
 def _with_mutation_gate(fn):
@@ -2325,12 +2371,7 @@ def compact_table(
     # forward by the reconcile, which records the event itself —
     # round-9 ADVICE medium closed the same window for the break)
     dv_bound = _dv_bound_seq(
-        path,
-        [
-            (c, int(e))
-            for c, d in (meta.get("dv") or {}).items()
-            for e in d.get("segments", [])
-        ],
+        path, _dv_segments_citing(spark, path, meta, removes)
     )
     lineage = None
     if dv_bound is not None:

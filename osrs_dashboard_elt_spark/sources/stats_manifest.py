@@ -1152,10 +1152,14 @@ def clear_deletion_vector_files(
     later ``apply_deletion_vectors`` mis-read them as orphans and purge
     the value table-wide — silently destroying rows legitimately
     re-inserted with the same value after the tombstone (the round-8
-    ADVICE data-loss finding).  Surviving entries of a touched column
-    are consolidated into one fresh sidecar segment; columns left empty
-    drop out of ``meta['dv']``.  One epoch commit for all columns;
-    returns the number of entries dropped (0 = no epoch written)."""
+    ADVICE data-loss finding).  PER-SEGMENT surgery (round-10): a
+    segment with no dead entries keeps its epoch untouched — vital
+    because the per-seq dv->epoch mapping snapshot as-of reads rely
+    on survives, and only segments that actually held dead entries
+    AND surviving ones get consolidated (that remap is what forces
+    the hard physical break).  Columns left empty drop out of
+    ``meta['dv']``.  One epoch commit for all columns; returns the
+    number of entries dropped (0 = no epoch written)."""
     gone = {_as_uri(str(f)) for f in files}
     epoch, meta = _load_meta(spark, path)
     dv = dict(meta.get("dv") or {})
@@ -1172,33 +1176,70 @@ def clear_deletion_vector_files(
     remapped = False
     new_dv: dict = {}
     for c, info in dv.items():
+        segs = list(info["segments"])
+        # one pass over all segments with the epoch recovered from the
+        # path: per-epoch (total, dead) counts decide each segment's
+        # fate without touching clean ones
         pairs = spark.read.parquet(
-            *[_dv_dir(root, e, c) for e in info["segments"]]
+            *[_dv_dir(root, e, c) for e in segs]
+        ).select(
+            _norm_col(F.col("file")).alias("file"),
+            F.col("v"),
+            F.regexp_extract(
+                F.input_file_name(), r"/m(\d{7})/dv_", 1
+            ).cast("int").alias("__e"),
         )
-        normed = pairs.select(
-            _norm_col(F.col("file")).alias("file"), F.col("v")
-        )
-        n_hit = normed.join(
-            F.broadcast(gone_df), F.col("file") == F.col("gf"), "semi"
-        ).count()
-        if n_hit == 0:
-            new_dv[c] = info
-            continue
-        dropped += n_hit
-        remaining = normed.join(
-            F.broadcast(gone_df),
-            F.col("file") == F.col("gf"),
-            "left_anti",
-        )
-        n_rem = remaining.count()
-        if n_rem:
+        stats = {
+            int(r["__e"]): (int(r["n"]), int(r["hit"]))
+            for r in pairs.join(
+                F.broadcast(gone_df),
+                F.col("file") == F.col("gf"),
+                "left",
+            )
+            .groupBy("__e")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.col("gf")).alias("hit"),
+            )
+            .collect()
+        }
+        kept_segs, kept_count, hit_segs = [], 0, []
+        for e in segs:
+            n, hit = stats.get(int(e), (0, 0))
+            if hit == 0 and n > 0:
+                kept_segs.append(e)  # epoch untouched, mapping intact
+                kept_count += n
+            elif hit:
+                dropped += hit
+                if n > hit:
+                    hit_segs.append(e)  # has survivors -> remap
+        if hit_segs:
+            survivors = (
+                pairs.filter(
+                    F.col("__e").isin([int(e) for e in hit_segs])
+                )
+                .join(
+                    F.broadcast(gone_df),
+                    F.col("file") == F.col("gf"),
+                    "left_anti",
+                )
+                .select("file", "v")
+            )
             if new_epoch is None:
                 new_epoch = _claim_epoch(root, epoch + 1)
-            remaining.coalesce(1).write.mode("overwrite").parquet(
+            survivors.coalesce(1).write.mode("overwrite").parquet(
                 _dv_dir(root, new_epoch, c)
             )
-            new_dv[c] = {"segments": [new_epoch], "count": int(n_rem)}
+            n_sur = spark.read.parquet(
+                _dv_dir(root, new_epoch, c)
+            ).count()
+            kept_segs.append(new_epoch)
+            kept_count += n_sur
             remapped = True
+        if kept_segs:
+            new_dv[c] = {
+                "segments": kept_segs, "count": int(kept_count),
+            }
     if not dropped:
         return 0
     if new_epoch is None:

@@ -94,18 +94,31 @@ def main() -> None:
     enable_change_feed(table)
     init_view_segmented(spark, table, view, ["grp"], [])
     t0 = time.time()
+    # worker stdout goes to FILES, never a PIPE: a worker blocking on
+    # a full 64 KiB pipe buffer mid-mutation would hold the mutation
+    # gate while the driver still waits on the OTHER process — a
+    # starvation flake unrelated to the gate (round-10 self-review)
+    outs = [
+        open(os.path.join(base, f"w{wid}.log"), "wb")
+        for wid in (1, 2)
+    ]
     procs = [
         subprocess.Popen(
             [
                 sys.executable, os.path.abspath(__file__), "worker",
                 table, view if wid == 1 else "-", str(n), str(wid),
             ],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            stdout=outs[wid - 1], stderr=subprocess.STDOUT,
         )
         for wid in (1, 2)
     ]
-    logs = [p.communicate()[0].decode() for p in procs]
-    rcs = [p.returncode for p in procs]
+    rcs = [p.wait(timeout=600) for p in procs]
+    for fh in outs:
+        fh.close()
+    logs = [
+        open(os.path.join(base, f"w{wid}.log")).read()
+        for wid in (1, 2)
+    ]
     out = {
         "op": "cross_process_contention",
         "batches_per_worker": n,

@@ -7,6 +7,7 @@ deltas."""
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -486,7 +487,7 @@ def test_takedowns_propagate_from_feed_to_indexes(spark, tmp_path):
             dedup_index="mh_feed_idx", pq_index=pq_path,
         )
         assert res2 == {
-            "last_seq": 1, "ids": [], "n_tombstoned": 0
+            "last_seq": 1, "ids": [], "n_ids": 0, "n_tombstoned": 0,
         }
         # replaying an OLD window is idempotent (tombstones are sets)
         res3 = apply_takedowns_from_feed(
@@ -1168,6 +1169,64 @@ def test_snapshot_asof_survives_compaction_and_dv_apply(
     check(3, 10399, served=False)  # purged row still visible at 3
     check(2, 5399, served=True)    # across BOTH events
     check(0, 400, served=False)
+
+
+def test_compaction_dv_bound_scoped_to_compacted_files(
+    spark, tmp_path
+):
+    """Round-10 self-review (high): compact_table bounded dv_max_seq
+    over ALL current dv segments, so a recent tombstone on an
+    UNTOUCHED file inflated the bound to near-head and forced every
+    pre-compaction target onto the arithmetic fallback — defeating the
+    lineage feature on its own target workload.  The bound now scopes
+    to segments citing the compacted files, and the per-segment dv
+    clear keeps the untouched segment's epoch (no remap, no hard
+    break)."""
+    from osrs_dashboard_elt_spark.sources.change_feed import (
+        _LINEAGE,
+        _PHYS,
+        _changes_root,
+    )
+    from osrs_dashboard_elt_spark.sources.maintenance import (
+        compact_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    _mk_feed_tbl(spark, path)  # 400 rows, 4 small files
+    targeted_delete(spark, path, "doc_id", [7], mode="dv")  # seq 1
+    _big = spark.range(1000, 6000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    )
+    table_append(spark, path, _big)                          # seq 2
+    # seq 3: tombstone a row of the BIG file — a segment the
+    # compaction never touches
+    targeted_delete(spark, path, "doc_id", [1005], mode="dv")
+    import glob as _glob
+
+    sizes = sorted(
+        os.path.getsize(f)
+        for f in _glob.glob(os.path.join(path, "*.parquet"))
+    )
+    compact_table(spark, path, target_bytes=sizes[-1])  # originals
+    # the untouched seq-3 segment kept its epoch: no hard break
+    assert not os.path.exists(
+        os.path.join(_changes_root(path), _PHYS)
+    )
+    with open(os.path.join(_changes_root(path), _LINEAGE)) as f:
+        [ev] = json.loads(f.read())["events"]
+    assert ev["dv_max_seq"] == 1  # scoped, NOT 3
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    # seq 2 serves ACROSS the compaction: the seq-3 tombstone is
+    # excluded per-seq (its segment epoch survived), the seq-1
+    # tombstone was purged but was already invisible at 2
+    for s, n in ((3, 5398), (2, 5399), (1, 399)):
+        snap = read_table_as_of(spark, path, s, mode="snapshot")
+        assert len(rows(snap)) == n, s
+        assert rows(snap) == rows(
+            read_table_as_of(spark, path, s, mode="arithmetic")
+        ), s
 
 
 def test_vacuum_respects_consumer_registry(spark, tmp_path):
