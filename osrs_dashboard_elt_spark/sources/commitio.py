@@ -52,7 +52,9 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import threading
 import time
+import uuid
 from contextlib import contextmanager
 
 
@@ -237,11 +239,16 @@ def use_backend(backend: CommitBackend):
 
 
 def publish_json(path: str, obj) -> None:
-    """Atomic publish of a JSON control blob (commit point)."""
+    """Atomic publish of a JSON control blob (commit point).  When a
+    lease-mode lock is held whose directory subtree covers ``path``,
+    the lease is re-verified first — a fenced (broken-lease) holder
+    raises :class:`LockFencedError` instead of committing."""
+    _fence_check(path)
     _BACKEND.put(path, json.dumps(obj).encode())
 
 
 def publish_bytes(path: str, data: bytes) -> None:
+    _fence_check(path)
     _BACKEND.put(path, data)
 
 
@@ -269,22 +276,277 @@ def claim_slot(fmt: str, start: int, limit: int | None = None) -> int:
     )
 
 
+def compare_and_swap(path: str, expect: bytes, new: bytes | None) -> bool:
+    """Content compare-and-swap on a control blob: replace (or, with
+    ``new=None``, delete) the blob iff its current bytes equal
+    ``expect``.  True = this caller's swap won.
+
+    On a real object store this is ONE server-side conditional
+    request (S3 ``If-Match: <etag>`` PUT/DELETE, GCS
+    ``ifGenerationMatch``, ABFS etags) — atomic at the service.  The
+    local simulation brackets read-compare-write with a short-lived
+    create-if-absent guard blob so concurrent local CAS calls (both
+    backends, cross-process via the backend's claim primitive) are
+    serialized; a guard orphaned by a crash inside this
+    microsecond-scale window is swept by mtime, never waited on
+    forever.  The guard is simulation machinery, not part of the
+    protocol a real backend would implement."""
+    guard = path + ".cas"
+    deadline = time.time() + 10.0
+    while not _BACKEND.put_if_absent(guard, str(os.getpid()).encode()):
+        try:
+            if time.time() - os.path.getmtime(guard) > 5.0:
+                _BACKEND.delete(guard)  # corpse from a crashed CAS
+                continue
+        except OSError:
+            continue  # guard vanished between claim and stat — retry
+        if time.time() > deadline:
+            raise TimeoutError(f"CAS guard wedged at {guard}")
+        time.sleep(0.002)
+    try:
+        if _BACKEND.get(path) != expect:
+            return False
+        if new is None:
+            _BACKEND.delete(path)
+        else:
+            _BACKEND.put(path, new)
+        return True
+    finally:
+        _BACKEND.delete(guard)
+
+
+class LockFencedError(RuntimeError):
+    """This process's lease was broken (expired and stolen) while it
+    still believed it held the lock.  Whatever the holder was doing
+    must be treated as a CRASH: stop publishing, let the next
+    writer's journal reconcile repair any half-landed state."""
+
+
+_LEASE_ENV = "SPARK_GRAFT_LOCK_LEASE"
+# held leases keyed by ACQUIRING THREAD, not lock path: fencing asks
+# "is MY lease still good before MY publish", and two holders of the
+# same lock can briefly coexist (a fenced straggler + the thief) —
+# a path-keyed registry would let the thief's valid lease vouch for
+# the straggler's publish (found by the fenced-holder test)
+_THREAD_LEASES: dict[int, list["LeaseHandle"]] = {}
+_ACTIVE_MU = threading.Lock()
+
+
+class LeaseHandle:
+    """A held lease: identity (holder uuid + break generation), the
+    exact blob bytes we last published (CAS expectations), and the
+    fenced flag the heartbeat / verify paths set when the lease is
+    observed stolen."""
+
+    def __init__(self, path: str, what: str, holder: str, gen: int,
+                 lease: float, payload: bytes) -> None:
+        self.path = path
+        self.what = what
+        self.holder = holder
+        self.gen = gen
+        self.lease = lease
+        self.payload = payload
+        self.fenced = threading.Event()
+        self._stop = threading.Event()
+        self._mu = threading.Lock()
+        self._thread: threading.Thread | None = None
+        self._thread_ident = 0  # set at registration time
+
+
+def _lease_blob(holder: str, gen: int, lease: float) -> bytes:
+    return json.dumps(
+        {"holder": holder, "gen": gen,
+         "expires": round(time.time() + lease, 4)},
+        sort_keys=True,
+    ).encode()
+
+
+def _parse_lease(blob: bytes) -> dict | None:
+    """The blob's lease record, or None for a legacy (classic-mode
+    pid) lock blob — mixed classic/lease writers degrade safely to
+    classic never-break behavior."""
+    try:
+        rec = json.loads(blob.decode())
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if isinstance(rec, dict) and "holder" in rec and "expires" in rec:
+        return rec
+    return None
+
+
+def _heartbeat(handle: LeaseHandle) -> None:
+    while not handle._stop.wait(handle.lease / 3.0):
+        with handle._mu:
+            if handle.fenced.is_set():
+                return
+            new = _lease_blob(handle.holder, handle.gen, handle.lease)
+            if compare_and_swap(handle.path, handle.payload, new):
+                handle.payload = new
+            else:
+                handle.fenced.set()
+                return
+
+
+def verify_lease(handle: LeaseHandle) -> None:
+    """Raise :class:`LockFencedError` unless ``handle`` still owns
+    its lock blob.  Best-effort fencing: called automatically by
+    :func:`publish_json` / :func:`publish_bytes` for blobs under the
+    lease's directory scope, it shrinks the paused-holder hazard from
+    the whole mutation to the instants between this check and the
+    publish — the residual window a real store closes with an etag
+    condition on the publish itself."""
+    with handle._mu:
+        if not handle.fenced.is_set():
+            cur = _BACKEND.get(handle.path)
+            if cur != handle.payload:
+                handle.fenced.set()
+    if handle.fenced.is_set():
+        raise LockFencedError(
+            f"{handle.what} lease at {handle.path} was broken while "
+            f"held by {handle.holder} — treat this mutation as "
+            "crashed; the intent-journal reconcile repairs any "
+            "half-landed state on the next writer"
+        )
+
+
+def _fence_check(path: str) -> None:
+    """Verify every lease the CURRENT thread holds whose directory
+    subtree covers ``path`` (the mutation control plane publishes on
+    the thread that acquired the gate — publishes from other threads
+    are outside the fence, as on a real store they would instead be
+    closed by an etag condition on the publish itself)."""
+    if not _THREAD_LEASES:
+        return
+    with _ACTIVE_MU:
+        handles = list(_THREAD_LEASES.get(threading.get_ident(), ()))
+    for h in handles:
+        scope = os.path.dirname(h.path)
+        if os.path.dirname(path) == scope or \
+                path.startswith(scope + os.sep):
+            verify_lease(h)
+
+
+def _teardown_lease(handle: LeaseHandle) -> bool:
+    """Stop the heartbeat, conditionally delete OUR lock blob (never
+    a successor's), deregister.  Returns True if the lease had been
+    fenced (the caller decides whether that is worth raising)."""
+    handle._stop.set()
+    if handle._thread is not None:
+        handle._thread.join(timeout=2.0)
+    with handle._mu:
+        fenced = handle.fenced.is_set()
+        if not fenced and not compare_and_swap(
+                handle.path, handle.payload, None):
+            handle.fenced.set()
+            fenced = True
+    with _ACTIVE_MU:
+        lst = _THREAD_LEASES.get(handle._thread_ident)
+        if lst is not None:
+            if handle in lst:
+                lst.remove(handle)
+            if not lst:
+                del _THREAD_LEASES[handle._thread_ident]
+    return fenced
+
+
 @contextmanager
-def mutex(path: str, timeout: float, what: str, poll: float = 0.02):
+def mutex(path: str, timeout: float, what: str, poll: float = 0.02,
+          lease: float | None = None, heartbeat: bool = True):
     """Bounded-spin mutex on a claim blob — the shared lock
     discipline (_log_lock / _commit_gate / _mutation_gate /
-    checkpoint lock): a holder that died surfaces as a LOUD timeout
-    naming the lock blob, never a silent lost update."""
+    checkpoint lock).
+
+    **Classic mode** (``lease=None`` and ``SPARK_GRAFT_LOCK_LEASE``
+    unset — the default): a holder that died surfaces as a LOUD
+    timeout naming the lock blob, never a silent lost update, and the
+    lock must be removed by hand once no writer is live.
+
+    **Lease mode** (``lease=<seconds>``, or run-wide via the env
+    var): the lock blob carries ``{holder, gen, expires}`` and a
+    daemon heartbeat re-publishes it (CAS on the exact prior bytes)
+    every ``lease/3``, so a LIVE holder is never broken no matter how
+    long the mutation runs.  A waiter that finds the blob EXPIRED
+    breaks it with a single content-CAS — exactly one of N concurrent
+    breakers can win, because each must name the precise bytes it
+    observed — and takes the lock at ``gen+1``.  A broken (paused,
+    not dead) holder is FENCED: its heartbeat flags the steal, every
+    in-scope :func:`publish_json`/:func:`publish_bytes` re-verifies
+    the lease before writing, and a fenced holder raises
+    :class:`LockFencedError` instead of publishing — downstream, the
+    half-done mutation looks exactly like a crash, which the intent
+    journal already repairs.  Lease correctness assumes bounded clock
+    skew between writers (the standard lease caveat); pick leases
+    orders of magnitude above the skew (minutes, not milliseconds,
+    in production — the heartbeat makes long leases cost-free for
+    liveness)."""
+    if lease is None:
+        env = os.environ.get(_LEASE_ENV)
+        if env:
+            lease = float(env)
+    if lease is None:
+        deadline = time.time() + timeout
+        while not try_claim(path, str(os.getpid()).encode()):
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"{what} held for > {timeout}s at {path} — another "
+                    "writer is running or crashed mid-flight; remove "
+                    "the lock once no writer is live"
+                )
+            time.sleep(poll)
+        try:
+            yield None
+        finally:
+            release(path)
+        return
+
+    holder = f"{os.getpid()}:{uuid.uuid4().hex[:12]}"
     deadline = time.time() + timeout
-    while not try_claim(path, str(os.getpid()).encode()):
+    handle: LeaseHandle | None = None
+    while handle is None:
+        blob = _lease_blob(holder, 1, lease)
+        if try_claim(path, blob):
+            handle = LeaseHandle(path, what, holder, 1, lease, blob)
+            break
+        cur = _BACKEND.get(path)
+        if cur is None:
+            continue  # released between claim and read — retry now
+        rec = _parse_lease(cur)
+        if rec is not None and rec["expires"] < time.time():
+            gen = int(rec.get("gen", 0)) + 1
+            blob = _lease_blob(holder, gen, lease)
+            if compare_and_swap(path, cur, blob):
+                handle = LeaseHandle(path, what, holder, gen, lease,
+                                     blob)
+                break
+            continue  # lost the break race — re-observe immediately
         if time.time() > deadline:
             raise TimeoutError(
-                f"{what} held for > {timeout}s at {path} — another "
-                "writer is running or crashed mid-flight; remove the "
-                "lock once no writer is live"
+                f"{what} held for > {timeout}s at {path} by a LIVE "
+                f"(heartbeating) holder — waited past the timeout, "
+                "not past the lease"
             )
         time.sleep(poll)
+    if heartbeat:
+        handle._thread = threading.Thread(
+            target=_heartbeat, args=(handle,), daemon=True,
+            name=f"lease-heartbeat:{os.path.basename(path)}",
+        )
+        handle._thread.start()
+    handle._thread_ident = threading.get_ident()
+    with _ACTIVE_MU:
+        _THREAD_LEASES.setdefault(handle._thread_ident, []).append(
+            handle)
     try:
-        yield
-    finally:
-        release(path)
+        yield handle
+    except BaseException:
+        _teardown_lease(handle)  # body failed: don't mask its error
+        raise
+    else:
+        if _teardown_lease(handle):
+            raise LockFencedError(
+                f"{what} at {path}: this holder's lease was broken "
+                "mid-mutation (paused past its expiry and stolen) — "
+                "the work that completed under the broken lease must "
+                "be treated as a crash; the next writer's journal "
+                "reconcile repairs it"
+            )

@@ -784,7 +784,10 @@ class _mutation_gate:
         _GATE_HELD[self.key] -= 1
         if not _GATE_HELD[self.key]:
             del _GATE_HELD[self.key]
-            self._cm.__exit__(None, None, None)
+            # forward the body's exception so a lease-mode fence
+            # discovered at release never masks it (commitio.mutex
+            # raises LockFencedError only on an otherwise-clean exit)
+            self._cm.__exit__(*(exc or (None, None, None)))
 
 
 def _with_mutation_gate(fn):

@@ -291,3 +291,199 @@ def test_checkpoint_race_over_object_store(tmp_path, spark):
         for t in threads:
             t.join()
         assert feed_consumers(path)["sync"] == 100
+
+
+# ---------------------------------------------------------------------------
+# Lease-mode locking (round-10: the classic mutex's documented gap —
+# "remove the lock by hand once no writer is live" — closed with
+# expiring leases, single-winner CAS breaks, and publish fencing)
+# ---------------------------------------------------------------------------
+
+
+def test_cas_swaps_only_on_exact_bytes(backend, tmp_path):
+    p = str(tmp_path / "blob")
+    commitio.publish_bytes(p, b"v1")
+    assert not commitio.compare_and_swap(p, b"other", b"v2")
+    with open(p, "rb") as f:
+        assert f.read() == b"v1"
+    assert commitio.compare_and_swap(p, b"v1", b"v2")
+    with open(p, "rb") as f:
+        assert f.read() == b"v2"
+    # conditional delete: wrong bytes leave the blob, right bytes drop it
+    assert not commitio.compare_and_swap(p, b"v1", None)
+    assert os.path.exists(p)
+    assert commitio.compare_and_swap(p, b"v2", None)
+    assert not os.path.exists(p)
+
+
+def test_dead_holder_lease_is_broken_not_wedged(backend, tmp_path):
+    """A crashed holder's expired lease is taken over automatically
+    (gen bumped) — the classic mode's manual-removal contract gone."""
+    p = str(tmp_path / "lock")
+    # a holder that died: lease blob already past its expiry
+    dead = commitio._lease_blob("999:deadbeef", 3, 0.0)
+    assert commitio.try_claim(p, dead)
+    acquired = {}
+    with commitio.mutex(p, timeout=2.0, what="t", lease=5.0) as h:
+        acquired["gen"] = h.gen
+    assert acquired["gen"] == 4  # broke the dead gen-3 lease
+    assert not os.path.exists(p)  # clean release deleted our blob
+
+
+def test_classic_mode_dead_holder_still_times_out(backend, tmp_path):
+    p = str(tmp_path / "lock")
+    assert commitio.try_claim(p, b"12345")  # classic pid blob
+    with pytest.raises(TimeoutError, match="remove the lock"):
+        with commitio.mutex(p, timeout=0.2, what="t"):
+            pass
+
+
+def test_lease_waiter_never_breaks_live_holder(backend, tmp_path):
+    """The heartbeat extends a live holder indefinitely: a waiter with
+    timeout < hold duration times out LOUDLY (names the live holder)
+    rather than stealing."""
+    p = str(tmp_path / "lock")
+    release_holder = threading.Event()
+    held = threading.Event()
+
+    def holder():
+        with commitio.mutex(p, timeout=1.0, what="t", lease=0.3):
+            held.set()
+            release_holder.wait(5.0)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert held.wait(2.0)
+    # hold spans several lease expiries — heartbeat must keep it alive
+    with pytest.raises(TimeoutError, match="LIVE"):
+        with commitio.mutex(p, timeout=1.0, what="t", lease=0.3):
+            pass
+    release_holder.set()
+    t.join()
+    # and once released, the waiter gets it promptly
+    with commitio.mutex(p, timeout=1.0, what="t", lease=0.3):
+        pass
+
+
+def test_concurrent_breakers_exactly_one_wins(backend, tmp_path):
+    """N waiters race one EXPIRED lease: the content-CAS admits
+    exactly one breaker at a time — the lock stays mutually exclusive
+    through the break."""
+    p = str(tmp_path / "lock")
+    dead = commitio._lease_blob("999:deadbeef", 1, 0.0)
+    assert commitio.try_claim(p, dead)
+    inside = []
+    overlap = []
+    mu = threading.Lock()
+
+    def worker(i):
+        with commitio.mutex(p, timeout=10.0, what="t", lease=5.0):
+            with mu:
+                inside.append(i)
+                if len(inside) > 1:
+                    overlap.append(tuple(inside))
+            import time as _t
+            _t.sleep(0.02)
+            with mu:
+                inside.remove(i)
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert overlap == []  # never two holders at once
+
+
+def test_fenced_holder_cannot_publish(backend, tmp_path):
+    """The paused-holder hazard: A's lease expires (heartbeat off to
+    simulate a GC/VM pause), B breaks and takes the lock, then A
+    wakes and tries to commit — the in-scope publish raises
+    LockFencedError and A's release never deletes B's blob."""
+    import time as _t
+    p = str(tmp_path / "tbl" / ".mutation.lock")
+    got_fence = {}
+    a_entered = threading.Event()
+    b_done = threading.Event()
+
+    def holder_a():
+        try:
+            with commitio.mutex(p, timeout=1.0, what="gate",
+                                lease=0.25, heartbeat=False):
+                a_entered.set()
+                assert b_done.wait(5.0)  # paused past expiry; B stole
+                commitio.publish_json(
+                    str(tmp_path / "tbl" / "commit.json"), {"by": "A"})
+        except commitio.LockFencedError:
+            got_fence["publish"] = True
+
+    ta = threading.Thread(target=holder_a)
+    ta.start()
+    assert a_entered.wait(2.0)
+    _t.sleep(0.35)  # let A's lease expire
+    with commitio.mutex(p, timeout=2.0, what="gate", lease=5.0) as hb:
+        b_done.set()
+        ta.join(5.0)
+        # A was fenced at its publish — the commit blob never landed
+        assert got_fence.get("publish")
+        assert not os.path.exists(str(tmp_path / "tbl" / "commit.json"))
+        # and B still owns the lock blob untouched by A's release
+        commitio.verify_lease(hb)
+    assert not os.path.exists(p)
+
+
+def test_clean_exit_after_fence_raises(backend, tmp_path):
+    """A fenced holder whose body happens to finish without touching
+    the scope still gets a LOUD LockFencedError at release (its work
+    must be treated as a crash), and its release leaves the thief's
+    blob alone."""
+    import time as _t
+    p = str(tmp_path / "lock")
+    with pytest.raises(commitio.LockFencedError, match="crash"):
+        with commitio.mutex(p, timeout=1.0, what="t", lease=0.2,
+                            heartbeat=False):
+            _t.sleep(0.3)
+            # thief breaks the expired lease while we're paused
+            cur = commitio.get_backend().get(p)
+            assert commitio.compare_and_swap(
+                p, cur, commitio._lease_blob("thief", 9, 30.0))
+    # the thief's blob survived our release
+    rec = json.loads(commitio.get_backend().get(p).decode())
+    assert rec["holder"] == "thief"
+
+
+def test_mutation_family_under_lease_env(spark, tmp_path, monkeypatch):
+    """The real substrate (append → targeted delete → as-of read)
+    runs green with lease-mode locking enabled run-wide over the
+    object-store backend — the deployment configuration a 100 TB
+    cluster would actually use."""
+    monkeypatch.setenv("SPARK_GRAFT_LOCK_LEASE", "30")
+    from osrs_dashboard_elt_spark.sources import change_feed, maintenance
+
+    with commitio.use_backend(ConditionalPutBackend()):
+        tbl = str(tmp_path / "tbl")
+        spark.range(0, 100).select(
+            F.col("id"), (F.col("id") % 7).alias("k")
+        ).write.parquet(tbl)
+        from osrs_dashboard_elt_spark.sources.stats_manifest import (
+            write_stats_manifest,
+        )
+        write_stats_manifest(spark, tbl, cols=["id"], bloom_cols=["id"])
+        change_feed.enable_change_feed(tbl)
+        maintenance.table_append(
+            spark, tbl,
+            spark.range(100, 110).select(
+                F.col("id"), (F.col("id") % 7).alias("k")),
+        )
+        maintenance.targeted_delete(spark, tbl, "id", [5, 105])
+        got = {r.id for r in spark.read.parquet(tbl).collect()}
+        assert got == set(range(110)) - {5, 105}
+        rewound = change_feed.read_table_as_of(spark, tbl, 1)
+        assert rewound.count() == 110
+        # no lock or guard blobs left behind
+        leftovers = [
+            f for f in os.listdir(os.path.join(tbl, "_stats_manifest"))
+            if f.endswith(".lock") or f.endswith(".cas")
+        ]
+        assert leftovers == []
