@@ -78,6 +78,7 @@ _FILES = "_files.json"
 _PHYS = "_phys.json"
 _LINEAGE = "_lineage.json"
 _VACUUM = "_vacuum.json"
+_SEQ_FLOOR = "_seq_floor.json"
 
 
 def _changes_root(path: str) -> str:
@@ -130,15 +131,28 @@ def latest_change_seq(path: str) -> int:
     return seqs[-1] if seqs else 0
 
 
+def _seq_floor(root: str) -> int:
+    """Seqs at or below the floor are PERMANENTLY used: vacuum folds
+    the claim markers it removes into this single blob, so the
+    never-reuse guarantee survives with bounded metadata (one blob
+    instead of one marker per mutation ever made)."""
+    try:
+        with open(os.path.join(root, _SEQ_FLOOR)) as f:
+            return int(json.load(f)["floor"])
+    except FileNotFoundError:
+        return 0
+
+
 def _claim_seq(root: str) -> int:
     """Claim the next change sequence with a create-if-absent marker
     (``commitio.claim_slot``) so concurrent mutations get distinct
-    change dirs.  The start probes
-    above BOTH the committed head and the highest existing claim:
-    claim markers survive vacuum precisely so sequence numbers are
-    NEVER reused — a reused seq would silently desynchronize every
-    checkpointed consumer (their since_seq would skip the new
-    deltas) and break as-of monotonicity."""
+    change dirs.  The start probes above the committed head, the
+    highest existing claim, AND the vacuum-maintained seq floor:
+    sequence numbers are NEVER reused — a reused seq would silently
+    desynchronize every checkpointed consumer (their since_seq would
+    skip the new deltas) and break as-of monotonicity.  Claim markers
+    at or below the floor are folded into the ``_seq_floor.json``
+    blob by vacuum, so the marker directory stays bounded."""
     os.makedirs(root, exist_ok=True)
     committed = _committed_seqs(root)
     claimed = [
@@ -149,6 +163,7 @@ def _claim_seq(root: str) -> int:
     seq = max(
         committed[-1] if committed else 0,
         max(claimed) if claimed else 0,
+        _seq_floor(root),
     ) + 1
     from . import commitio
 
@@ -781,18 +796,71 @@ def vacuum_change_feed(
             # _claim_seq reuse numbers after a full vacuum, silently
             # desynchronizing every checkpointed consumer
             out.append(s)
-    if out:
-        # the as-of horizon: reconstruction (snapshot OR arithmetic)
-        # needs every delta after the target seq — record the newest
-        # vacuumed seq so read_table_as_of refuses below it loudly
-        # instead of serving a silently wrong state (self-review
-        # finding: the snapshot path would otherwise treat a vacuumed
-        # mutation as "never happened" and pass every file check)
-        wm = os.path.join(root, _VACUUM)
-        prev = vacuum_horizon(path)
-        from . import commitio
+    from . import commitio
 
-        commitio.publish_json(wm, {"horizon": max(prev, max(out))})
+    with commitio.mutex(
+        os.path.join(root, ".vacuum.lock"), 30.0,
+        "feed vacuum metadata lock", poll=0.01,
+    ):
+        # serialized so two concurrent vacuums cannot interleave the
+        # read-max-publish below and drag a watermark backward
+        if out:
+            # the as-of horizon: reconstruction (snapshot OR
+            # arithmetic) needs every delta after the target seq —
+            # record the newest vacuumed seq so read_table_as_of
+            # refuses below it loudly instead of serving a silently
+            # wrong state (self-review finding: the snapshot path
+            # would otherwise treat a vacuumed mutation as "never
+            # happened" and pass every file check)
+            wm = os.path.join(root, _VACUUM)
+            prev = vacuum_horizon(path)
+            commitio.publish_json(wm, {"horizon": max(prev, max(out))})
+        # fold claim markers <= horizon into the seq floor: the
+        # never-reuse guarantee previously kept one marker blob per
+        # mutation EVER — unbounded directory growth on a table
+        # mutating every minute for years.  Floor first (covers the
+        # markers), deletes second: a crash between leaves extra
+        # markers, never a reusable seq.
+        drop = [
+            n for n in os.listdir(root)
+            if n.startswith(".claim-c")
+            and n[len(".claim-c"):].isdigit()
+            and int(n[len(".claim-c"):]) <= keep_since_seq
+        ]
+        if drop:
+            floor = max(
+                _seq_floor(root),
+                max(int(n[len(".claim-c"):]) for n in drop),
+            )
+            commitio.publish_json(
+                os.path.join(root, _SEQ_FLOOR), {"floor": floor})
+            for n in drop:
+                commitio.release(os.path.join(root, n))
+    # prune lineage events the horizon made unreachable: an event at
+    # at_seq <= horizon only matters to targets BELOW at_seq, and
+    # every target <= horizon already refuses — without this a table
+    # that compacts daily accretes its full old->new file maps
+    # forever.  Content-CAS (not the vacuum lock) because appenders
+    # (record_physical_lineage, under the MUTATION gate) don't take
+    # the vacuum lock; a lost prune is retried next vacuum, never a
+    # lost append.
+    horizon = vacuum_horizon(path)
+    pth = os.path.join(root, _LINEAGE)
+    for _ in range(8):
+        cur = commitio.get_backend().get(pth)
+        if cur is None:
+            break
+        rec = json.loads(cur.decode())
+        kept = [
+            ev for ev in rec.get("events", [])
+            if ev["at_seq"] > horizon
+        ]
+        if len(kept) == len(rec.get("events", [])):
+            break
+        new = dict(rec, events=kept)
+        if commitio.compare_and_swap(
+                pth, cur, json.dumps(new).encode()):
+            break
     return out
 
 

@@ -1454,3 +1454,79 @@ def test_consumers_refuse_vacuumed_windows(spark, tmp_path):
         apply_inserts_from_feed(
             spark, path, "doc_id", "text", since_seq=1
         )
+
+
+def test_vacuum_folds_claim_markers_into_seq_floor(spark, tmp_path):
+    """Bounded control-plane metadata: vacuum folds the claim markers
+    it covers into ONE _seq_floor.json blob and deletes them — the
+    never-reuse guarantee no longer costs a marker per mutation ever
+    made (unbounded directory growth on a minutely-mutating table)."""
+    import osrs_dashboard_elt_spark.sources.change_feed as cf
+
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=100, files=2)
+    for v in (1, 2, 3):
+        targeted_delete(spark, path, "doc_id", [v])  # seqs 1-3
+    root = cf._changes_root(path)
+
+    def markers():
+        return sorted(
+            n for n in os.listdir(root) if n.startswith(".claim-c")
+        )
+
+    assert len(markers()) == 3
+    assert vacuum_change_feed(path, keep_since_seq=2) == [1, 2]
+    assert markers() == [".claim-c0000003"]
+    assert cf._seq_floor(root) == 2
+    targeted_delete(spark, path, "doc_id", [4])  # must claim seq 4
+    assert latest_change_seq(path) == 4
+    # vacuum EVERYTHING: all markers fold into the floor, and the
+    # next mutation still claims a strictly higher seq off the floor
+    assert vacuum_change_feed(path, keep_since_seq=4) == [3, 4]
+    assert markers() == []
+    assert cf._seq_floor(root) == 4
+    targeted_delete(spark, path, "doc_id", [5])
+    assert latest_change_seq(path) == 5
+
+
+def test_vacuum_prunes_unreachable_lineage_events(spark, tmp_path):
+    """Lineage events at_seq <= horizon can only serve refused
+    targets; vacuum drops them so a daily-compacting table doesn't
+    accrete its full old->new file maps forever.  Events newer than
+    the horizon survive and keep serving snapshot as-of."""
+    import osrs_dashboard_elt_spark.sources.change_feed as cf
+    from osrs_dashboard_elt_spark.sources.maintenance import (
+        compact_table,
+    )
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 13).alias("tag"),
+            F.concat(F.lit("t"), F.col("id")).alias("text"),
+        )
+
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=400, files=8)
+    compact_table(spark, path, target_bytes=1 << 30)      # event@0 (victim)
+    targeted_delete(spark, path, "doc_id", [2], mode="dv")  # seq 1
+    table_append(spark, path, mk(400, 420))               # seq 2: small a1
+    table_append(spark, path, mk(1000, 51000))            # seq 3: BIG file A
+    # seq 4: dv tombstone living ONLY in A (excluded from the next
+    # compaction by size), so the compaction drops no tombstone newer
+    # than target 3 and dv_max_seq stays at 1
+    targeted_delete(spark, path, "doc_id", [1500], mode="dv")  # seq 4
+    compact_table(spark, path, target_bytes=64 << 10)     # event@4
+    assert [e["at_seq"] for e in cf._lineage_events(path)] == [0, 4]
+    expect_at_3 = _rows(read_table_as_of(spark, path, 3))
+
+    vacuum_change_feed(path, keep_since_seq=3)
+    assert [e["at_seq"] for e in cf._lineage_events(path)] == [4]
+    # target == horizon still serves THROUGH the surviving event@4 on
+    # the zero-shuffle snapshot path: the compaction group's inputs
+    # all existed at seq 3 and its purged tombstones predate it
+    got = read_table_as_of(spark, path, 3, mode="snapshot")
+    assert _rows(got) == expect_at_3
+    # and a target the pruned event would have served refuses loudly
+    with pytest.raises(ValueError, match="vacuum horizon"):
+        read_table_as_of(spark, path, 2)
