@@ -79,6 +79,7 @@ _PHYS = "_phys.json"
 _LINEAGE = "_lineage.json"
 _VACUUM = "_vacuum.json"
 _SEQ_FLOOR = "_seq_floor.json"
+_VACUUM_LOCK_TIMEOUT = 30.0
 
 
 def _changes_root(path: str) -> str:
@@ -782,39 +783,43 @@ def vacuum_change_feed(
                 "checkpoints or force=True to decommission them"
             )
     root = _changes_root(path)
+    from . import commitio
+
+    victims = [
+        s for s in _committed_seqs(root) if s <= keep_since_seq
+    ]
     out = []
-    for s in _committed_seqs(root):
-        if s <= keep_since_seq:
+    with commitio.mutex(
+        os.path.join(root, ".vacuum.lock"), _VACUUM_LOCK_TIMEOUT,
+        "feed vacuum metadata lock", poll=0.01,
+    ):
+        # serialized so two concurrent vacuums cannot interleave the
+        # read-max-publish below and drag a watermark backward; taken
+        # BEFORE any delta is destroyed so a wedged lock (or a crash
+        # here) leaves the feed fully intact
+        if victims:
+            # the as-of horizon publishes FIRST: reconstruction
+            # (snapshot OR arithmetic) needs every delta after the
+            # target seq, so read_table_as_of must refuse below the
+            # horizon loudly instead of serving a silently wrong
+            # state.  Deltas are destroyed only after the horizon
+            # covers them — a crash mid-delete leaves an
+            # over-covering horizon (conservative refusals), never a
+            # stale one over a gutted feed (round-10 self-review: the
+            # delete-then-publish order let a crash or lock timeout
+            # between the two resurrect deleted rows in as-of reads)
+            wm = os.path.join(root, _VACUUM)
+            prev = vacuum_horizon(path)
+            commitio.publish_json(
+                wm, {"horizon": max(prev, max(victims))})
+        for s in victims:
             cdir = _change_dir(root, s)
             try:  # un-commit first so a racing reader skips it cleanly
                 os.remove(os.path.join(cdir, _COMMIT))
             except FileNotFoundError:
                 pass
             shutil.rmtree(cdir, ignore_errors=True)
-            # the claim marker STAYS: it is the permanent record that
-            # this sequence number was used — removing it would let
-            # _claim_seq reuse numbers after a full vacuum, silently
-            # desynchronizing every checkpointed consumer
             out.append(s)
-    from . import commitio
-
-    with commitio.mutex(
-        os.path.join(root, ".vacuum.lock"), 30.0,
-        "feed vacuum metadata lock", poll=0.01,
-    ):
-        # serialized so two concurrent vacuums cannot interleave the
-        # read-max-publish below and drag a watermark backward
-        if out:
-            # the as-of horizon: reconstruction (snapshot OR
-            # arithmetic) needs every delta after the target seq —
-            # record the newest vacuumed seq so read_table_as_of
-            # refuses below it loudly instead of serving a silently
-            # wrong state (self-review finding: the snapshot path
-            # would otherwise treat a vacuumed mutation as "never
-            # happened" and pass every file check)
-            wm = os.path.join(root, _VACUUM)
-            prev = vacuum_horizon(path)
-            commitio.publish_json(wm, {"horizon": max(prev, max(out))})
         # fold claim markers <= horizon into the seq floor: the
         # never-reuse guarantee previously kept one marker blob per
         # mutation EVER — unbounded directory growth on a table
@@ -935,11 +940,6 @@ def record_physical_lineage(
         return
     root = _changes_root(path)
     pth = os.path.join(root, _LINEAGE)
-    try:
-        with open(pth) as f:
-            rec = json.load(f)
-    except FileNotFoundError:
-        rec = {"events": []}
     event = {
         "at_seq": latest_change_seq(path),
         "dv_max_seq": int(dv_max_seq),
@@ -953,12 +953,26 @@ def record_physical_lineage(
             for g in groups
         ],
     }
-    if event in rec["events"]:  # reconcile retry idempotence
-        return
-    rec["events"].append(event)
     from . import commitio
 
-    commitio.publish_json(pth, rec)
+    # append via content-CAS, not a plain publish: vacuum's prune of
+    # this blob CASes concurrently WITHOUT the mutation gate, and a
+    # plain put landing inside its read-compare-write would be
+    # silently overwritten — a lost lineage event turns every
+    # snapshot as-of across that compaction silently wrong (round-10
+    # self-review).  The appender retries until its event lands.
+    while True:
+        cur = commitio.get_backend().get(pth)
+        rec = (
+            json.loads(cur.decode()) if cur is not None
+            else {"events": []}
+        )
+        if event in rec["events"]:  # reconcile retry idempotence
+            return
+        new = dict(rec, events=rec["events"] + [event])
+        if commitio.compare_and_swap(
+                pth, cur, json.dumps(new).encode()):
+            return
 
 
 def _lineage_events(path: str) -> list[dict]:

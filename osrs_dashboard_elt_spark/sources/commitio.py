@@ -276,10 +276,13 @@ def claim_slot(fmt: str, start: int, limit: int | None = None) -> int:
     )
 
 
-def compare_and_swap(path: str, expect: bytes, new: bytes | None) -> bool:
+def compare_and_swap(
+    path: str, expect: bytes | None, new: bytes | None
+) -> bool:
     """Content compare-and-swap on a control blob: replace (or, with
     ``new=None``, delete) the blob iff its current bytes equal
-    ``expect``.  True = this caller's swap won.
+    ``expect`` (``expect=None`` = iff the blob is ABSENT — a guarded
+    create).  True = this caller's swap won.
 
     On a real object store this is ONE server-side conditional
     request (S3 ``If-Match: <etag>`` PUT/DELETE, GCS
@@ -293,13 +296,41 @@ def compare_and_swap(path: str, expect: bytes, new: bytes | None) -> bool:
     protocol a real backend would implement."""
     guard = path + ".cas"
     deadline = time.time() + 10.0
-    while not _BACKEND.put_if_absent(guard, str(os.getpid()).encode()):
+    my_guard = f"{os.getpid()}:{uuid.uuid4().hex[:12]}".encode()
+    while not _BACKEND.put_if_absent(guard, my_guard):
         try:
-            if time.time() - os.path.getmtime(guard) > 5.0:
-                _BACKEND.delete(guard)  # corpse from a crashed CAS
-                continue
+            stale = time.time() - os.path.getmtime(guard) > 5.0
         except OSError:
             continue  # guard vanished between claim and stat — retry
+        if stale:
+            # corpse from a crashed CAS.  The sweep must not race: two
+            # sweepers both holding a pending unconditional delete
+            # could remove each other's FRESH replacement guard and
+            # admit two callers into the critical section (round-10
+            # self-review).  So: (a) exactly one sweeper per corpse
+            # wins a sweep marker named by the corpse BYTES (every
+            # guard carries a uuid, so marker names never repeat),
+            # (b) the winner re-verifies the corpse is still those
+            # bytes before deleting — a fresh guard can never match a
+            # >=5s-old corpse's uuid.
+            corpse = _BACKEND.get(guard)
+            if corpse is None:
+                continue
+            import hashlib
+
+            marker = guard + ".sweep-" + hashlib.sha1(
+                corpse).hexdigest()[:16]
+            if _BACKEND.put_if_absent(marker, my_guard):
+                if _BACKEND.get(guard) == corpse:
+                    _BACKEND.delete(guard)
+                _BACKEND.delete(marker)
+            else:
+                try:  # a sweeper that crashed holding its marker
+                    if time.time() - os.path.getmtime(marker) > 10.0:
+                        _BACKEND.delete(marker)
+                except OSError:
+                    pass
+            continue
         if time.time() > deadline:
             raise TimeoutError(f"CAS guard wedged at {guard}")
         time.sleep(0.002)
@@ -421,9 +452,21 @@ def _fence_check(path: str) -> None:
         handles = list(_THREAD_LEASES.get(threading.get_ident(), ()))
     for h in handles:
         scope = os.path.dirname(h.path)
-        if os.path.dirname(path) == scope or \
-                path.startswith(scope + os.sep):
+        if path.startswith(scope + os.sep):
             verify_lease(h)
+
+
+def fence_point(path: str) -> None:
+    """Explicit fence check for NON-publish effects (the data-plane
+    file swaps in ``_journal_and_swap``): raises
+    :class:`LockFencedError` when the current thread holds a broken
+    lease whose scope covers ``path``.  Publishes through
+    :func:`publish_json`/:func:`publish_bytes` fence automatically;
+    os.replace/remove effects don't flow through this module, so the
+    swap loop calls this before each batch of irreversible moves —
+    shrinking (not closing: see ``verify_lease``) the paused-holder
+    window on the data plane too."""
+    _fence_check(path)
 
 
 def _teardown_lease(handle: LeaseHandle) -> bool:
@@ -479,10 +522,19 @@ def mutex(path: str, timeout: float, what: str, poll: float = 0.02,
     orders of magnitude above the skew (minutes, not milliseconds,
     in production — the heartbeat makes long leases cost-free for
     liveness)."""
+    if lease is not None and lease <= 0:
+        raise ValueError(
+            f"lease must be positive (got {lease}) — a non-positive "
+            "lease would be born expired and continuously breakable, "
+            "silently voiding mutual exclusion; use lease=None for "
+            "classic mode"
+        )
     if lease is None:
         env = os.environ.get(_LEASE_ENV)
         if env:
             lease = float(env)
+            if lease <= 0:  # "=0" means OFF, not instantly-expired
+                lease = None
     if lease is None:
         deadline = time.time() + timeout
         while not try_claim(path, str(os.getpid()).encode()):
@@ -503,6 +555,16 @@ def mutex(path: str, timeout: float, what: str, poll: float = 0.02,
     deadline = time.time() + timeout
     handle: LeaseHandle | None = None
     while handle is None:
+        # the deadline binds EVERY path through the loop (the
+        # just-released and lost-break-race retries included), so the
+        # bounded-spin contract the call sites rely on holds even
+        # under a flapping lock (round-10 self-review)
+        if time.time() > deadline:
+            raise TimeoutError(
+                f"{what} held for > {timeout}s at {path} by a LIVE "
+                f"(heartbeating) holder — waited past the timeout, "
+                "not past the lease"
+            )
         blob = _lease_blob(holder, 1, lease)
         if try_claim(path, blob):
             handle = LeaseHandle(path, what, holder, 1, lease, blob)
@@ -519,12 +581,6 @@ def mutex(path: str, timeout: float, what: str, poll: float = 0.02,
                                      blob)
                 break
             continue  # lost the break race — re-observe immediately
-        if time.time() > deadline:
-            raise TimeoutError(
-                f"{what} held for > {timeout}s at {path} by a LIVE "
-                f"(heartbeating) holder — waited past the timeout, "
-                "not past the lease"
-            )
         time.sleep(poll)
     if heartbeat:
         handle._thread = threading.Thread(

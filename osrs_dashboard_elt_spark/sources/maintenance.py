@@ -854,12 +854,27 @@ def _journal_and_swap(
     try:
         if partials or adds:
             write_partials_fn(tmp)
+        # data-plane fence point: the Spark write above is the LONG
+        # window a paused holder sleeps through; in lease mode,
+        # re-verify the lease before the first irreversible
+        # os.replace so a fenced straggler aborts here (its staged
+        # tmp dir is swept, its journal reconciled as a crash)
+        # instead of clobbering the thief's in-flight swaps.  The
+        # publishes are fenced automatically; raw renames are not.
+        from . import commitio
+        from .stats_manifest import _manifest_root
+
+        fence = os.path.join(_manifest_root(path), "x")
+        commitio.fence_point(fence)
         for i, f in enumerate(sorted(partials)):
             part = next(
                 fn
                 for fn in os.listdir(os.path.join(tmp, f"__src={i}"))
                 if fn.endswith(".parquet")
             )
+            # per-swap fence: one tiny local read per file, and only
+            # when a lease is actually held (classic mode early-outs)
+            commitio.fence_point(fence)
             target = rewrites[_local(f)]
             if os.path.exists(target):  # stale orphan from a crash
                 os.remove(target)
@@ -877,6 +892,7 @@ def _journal_and_swap(
                     f"files for {len(adds)} journaled targets"
                 )
             for part, target in zip(ins_parts, adds):
+                commitio.fence_point(fence)
                 # a NEW partition's dir may not exist yet
                 os.makedirs(os.path.dirname(target), exist_ok=True)
                 if os.path.exists(target):  # stale orphan from a crash
@@ -885,6 +901,7 @@ def _journal_and_swap(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     for f in removes:
+        commitio.fence_point(fence)
         os.remove(f)
     return rewrites, pre_sizes
 

@@ -1530,3 +1530,64 @@ def test_vacuum_prunes_unreachable_lineage_events(spark, tmp_path):
     # and a target the pruned event would have served refuses loudly
     with pytest.raises(ValueError, match="vacuum horizon"):
         read_table_as_of(spark, path, 2)
+
+
+def test_wedged_vacuum_lock_destroys_nothing(spark, tmp_path,
+                                             monkeypatch):
+    """Vacuum takes its metadata lock BEFORE destroying any delta and
+    publishes the as-of horizon BEFORE the deletes: a wedged lock (a
+    vacuum that crashed holding it) aborts loudly with the feed fully
+    intact — the delete-then-publish order would have gutted the feed
+    and left the stale horizon serving silently wrong as-of reads."""
+    import osrs_dashboard_elt_spark.sources.change_feed as cf
+    from osrs_dashboard_elt_spark.sources import commitio
+
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=100, files=2)
+    targeted_delete(spark, path, "doc_id", [1])   # seq 1
+    targeted_delete(spark, path, "doc_id", [2])   # seq 2
+    root = cf._changes_root(path)
+    assert commitio.try_claim(
+        os.path.join(root, ".vacuum.lock"), b"crashed-vacuum")
+    monkeypatch.setattr(cf, "_VACUUM_LOCK_TIMEOUT", 0.3)
+    with pytest.raises(TimeoutError, match="vacuum metadata lock"):
+        vacuum_change_feed(path, keep_since_seq=2)
+    # nothing was destroyed and the horizon did not move
+    assert latest_change_seq(path) == 2
+    assert cf.vacuum_horizon(path) == 0
+    assert read_change_feed(spark, path, since_seq=0).count() == 2
+    # unwedge and the same vacuum completes
+    commitio.release(os.path.join(root, ".vacuum.lock"))
+    assert vacuum_change_feed(path, keep_since_seq=2) == [1, 2]
+    assert cf.vacuum_horizon(path) == 2
+
+
+def test_concurrent_lineage_appends_never_lost(spark, tmp_path):
+    """record_physical_lineage appends via content-CAS: concurrent
+    appenders (and vacuum's concurrent prune) can never overwrite
+    each other — a lost lineage event turns snapshot as-of across
+    that compaction silently wrong."""
+    import threading
+
+    import osrs_dashboard_elt_spark.sources.change_feed as cf
+
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=50, files=1)
+    def appender(i):
+        cf.record_physical_lineage(
+            path,
+            [{"adds": {f"n{i}": 1}, "removes": {f"o{i}": 1}}],
+            dv_max_seq=0,
+        )
+
+    threads = [threading.Thread(target=appender, args=(i,))
+               for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    got = sorted(
+        list(e["groups"][0]["adds"])[0]
+        for e in cf._lineage_events(path)
+    )
+    assert got == [f"n{i}" for i in range(8)]

@@ -487,3 +487,71 @@ def test_mutation_family_under_lease_env(spark, tmp_path, monkeypatch):
             if f.endswith(".lock") or f.endswith(".cas")
         ]
         assert leftovers == []
+
+
+def test_cas_corpse_sweep_single_sweeper(backend, tmp_path):
+    """A crashed CAS's orphaned guard is swept safely: the sweep is
+    serialized through a per-corpse marker and re-verifies the corpse
+    bytes before deleting, so a racing sweeper can never remove a
+    FRESH guard and admit two callers into the critical section."""
+    import time as _t
+    p = str(tmp_path / "blob")
+    commitio.publish_bytes(p, b"v1")
+    guard = p + ".cas"
+    assert commitio.try_claim(guard, b"corpse-from-a-crash")
+    old = _t.time() - 30.0
+    os.utime(guard, (old, old))
+    # many concurrent CAS callers all contend on the corpse; exactly
+    # one swap per expected-value can win, and nobody wedges
+    results = []
+
+    def worker(i):
+        results.append(
+            commitio.compare_and_swap(p, b"v1", f"v2-{i}".encode()))
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sum(results) == 1  # one winner, no double-admission
+    # no guard or sweep-marker debris
+    leftovers = [
+        n for n in os.listdir(str(tmp_path)) if ".cas" in n
+    ]
+    assert leftovers == []
+
+
+def test_lease_env_zero_means_classic_mode(backend, tmp_path,
+                                           monkeypatch):
+    """SPARK_GRAFT_LOCK_LEASE=0 must mean OFF, not lease=0.0 (a lock
+    born expired is continuously breakable — mutual exclusion gone)."""
+    monkeypatch.setenv("SPARK_GRAFT_LOCK_LEASE", "0")
+    p = str(tmp_path / "lock")
+    assert commitio.try_claim(p, b"12345")  # classic dead holder
+    with pytest.raises(TimeoutError, match="remove the lock"):
+        with commitio.mutex(p, timeout=0.2, what="t"):
+            pass
+    with pytest.raises(ValueError, match="positive"):
+        with commitio.mutex(p, timeout=0.2, what="t", lease=-1.0):
+            pass
+
+
+def test_fence_point_covers_data_plane(backend, tmp_path):
+    """commitio.fence_point — the explicit check _journal_and_swap
+    runs before its first irreversible os.replace — raises for a
+    thread whose lease was stolen, and passes for a live one."""
+    import time as _t
+    p = str(tmp_path / "tbl" / "_m" / ".mutation.lock")
+    effect = str(tmp_path / "tbl" / "_m" / "part-x")
+    with pytest.raises(commitio.LockFencedError):
+        with commitio.mutex(p, timeout=1.0, what="gate", lease=0.2,
+                            heartbeat=False):
+            commitio.fence_point(effect)  # live: passes
+            _t.sleep(0.3)
+            cur = commitio.get_backend().get(p)
+            assert commitio.compare_and_swap(
+                p, cur, commitio._lease_blob("thief", 9, 30.0))
+            commitio.fence_point(effect)  # stolen: must raise
+            raise AssertionError("fence_point did not fence")
