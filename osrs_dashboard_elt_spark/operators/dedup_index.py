@@ -42,7 +42,6 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -90,7 +89,7 @@ def _base_path(location: str) -> str:
 def _write_meta(
     spark: SparkSession, table: str, n_buckets: int
 ) -> None:
-    """Atomically (write-temp + rename) record the index's CURRENT
+    """Atomically record the index's CURRENT
     location, schema and bucket spec at ``{base}__meta.json`` so a
     fresh process can re-register the table without guessing —
     re-registering the original path after a compaction moved the data
@@ -120,11 +119,14 @@ def _write_meta(
         "bucket_keys": ["band_key"],
         "n_buckets": n_buckets,
     }
-    parent = os.path.dirname(base) or "."
-    fd, tmp = tempfile.mkstemp(dir=parent, prefix=".idxmeta-")
-    with os.fdopen(fd, "w") as f:
-        json.dump(meta, f, indent=1)
-    os.replace(tmp, f"{base}__meta.json")
+    # the sidecar meta is a control-plane blob (re-registration reads
+    # it to find the CURRENT data location) — publish through the
+    # injectable commit protocol, not a raw rename (round-10 ADVICE)
+    from ..sources import commitio
+
+    commitio.publish_bytes(
+        f"{base}__meta.json", json.dumps(meta, indent=1).encode()
+    )
 
 
 def register_index(spark: SparkSession, base_path: str, table: str | None = None) -> str:

@@ -262,18 +262,53 @@ def release(path: str) -> None:
 
 
 def claim_slot(fmt: str, start: int, limit: int | None = None) -> int:
-    """Probe-increment slot claim: the first ``fmt.format(n)`` blob
-    this caller creates wins slot ``n`` (versions, epochs, change
-    seqs).  One conditional PUT per probe."""
+    """Probe-increment slot claim: the first ``fmt``-named blob this
+    caller creates wins slot ``n`` (versions, epochs, change seqs).
+    One conditional PUT per probe.  Only the BASENAME of ``fmt`` is a
+    format template — the directory part is used verbatim, so a table
+    rooted at a path containing ``{`` or ``}`` claims normally
+    (round-10 ADVICE: formatting the full joined path raised
+    ValueError/KeyError on every claim for such roots)."""
+    root, base = os.path.split(fmt)
     n = start
     while limit is None or n < start + limit:
-        if try_claim(fmt.format(n), str(os.getpid()).encode()):
+        if try_claim(
+            os.path.join(root, base.format(n)),
+            str(os.getpid()).encode(),
+        ):
             return n
         n += 1
     raise RuntimeError(
         f"could not claim a slot for {fmt!r} after {limit} probes — "
         "claim markers are not being vacuumed"
     )
+
+
+_CAS_GUARD_STALE = 5.0  # seconds before an unrefreshed guard is a corpse
+
+
+def _guard_blob(owner: str) -> bytes:
+    """Guard/marker bytes carry their own creation timestamp so the
+    staleness sweep works on ANY backend — the previous sweep statted
+    the guard with ``os.path.getmtime``, which silently never detects
+    a crashed guard under a non-filesystem backend (round-10 ADVICE),
+    wedging every CAS caller into the 10 s timeout."""
+    return json.dumps(
+        {"owner": owner, "ts": round(time.time(), 4)}
+    ).encode()
+
+
+def _guard_age(blob: bytes | None) -> float:
+    """Age in seconds of a guard blob from its embedded timestamp.
+    Absent or unparseable bytes count as infinitely old: every guard
+    is written by this module, so malformed bytes are themselves a
+    corpse (a torn legacy write), never a live guard."""
+    if blob is None:
+        return float("inf")
+    try:
+        return time.time() - float(json.loads(blob.decode())["ts"])
+    except (ValueError, KeyError, TypeError, UnicodeDecodeError):
+        return float("inf")
 
 
 def compare_and_swap(
@@ -291,45 +326,40 @@ def compare_and_swap(
     create-if-absent guard blob so concurrent local CAS calls (both
     backends, cross-process via the backend's claim primitive) are
     serialized; a guard orphaned by a crash inside this
-    microsecond-scale window is swept by mtime, never waited on
-    forever.  The guard is simulation machinery, not part of the
-    protocol a real backend would implement."""
+    microsecond-scale window is swept by the timestamp embedded in
+    its OWN bytes (backend-portable — no filesystem stat), never
+    waited on forever.  The guard is simulation machinery, not part
+    of the protocol a real backend would implement."""
     guard = path + ".cas"
     deadline = time.time() + 10.0
-    my_guard = f"{os.getpid()}:{uuid.uuid4().hex[:12]}".encode()
-    while not _BACKEND.put_if_absent(guard, my_guard):
-        try:
-            stale = time.time() - os.path.getmtime(guard) > 5.0
-        except OSError:
-            continue  # guard vanished between claim and stat — retry
-        if stale:
+    owner = f"{os.getpid()}:{uuid.uuid4().hex[:12]}"
+    while not _BACKEND.put_if_absent(guard, _guard_blob(owner)):
+        corpse = _BACKEND.get(guard)
+        if corpse is None:
+            continue  # guard vanished between claim and read — retry
+        if _guard_age(corpse) > _CAS_GUARD_STALE:
             # corpse from a crashed CAS.  The sweep must not race: two
             # sweepers both holding a pending unconditional delete
             # could remove each other's FRESH replacement guard and
             # admit two callers into the critical section (round-10
             # self-review).  So: (a) exactly one sweeper per corpse
             # wins a sweep marker named by the corpse BYTES (every
-            # guard carries a uuid, so marker names never repeat),
-            # (b) the winner re-verifies the corpse is still those
-            # bytes before deleting — a fresh guard can never match a
-            # >=5s-old corpse's uuid.
-            corpse = _BACKEND.get(guard)
-            if corpse is None:
-                continue
+            # guard carries a uuid + its creation ts, so marker names
+            # never repeat), (b) the winner re-verifies the corpse is
+            # still those bytes before deleting — a fresh guard can
+            # never carry a >=5s-old corpse's timestamp.
             import hashlib
 
             marker = guard + ".sweep-" + hashlib.sha1(
                 corpse).hexdigest()[:16]
-            if _BACKEND.put_if_absent(marker, my_guard):
+            if _BACKEND.put_if_absent(marker, _guard_blob(owner)):
                 if _BACKEND.get(guard) == corpse:
                     _BACKEND.delete(guard)
                 _BACKEND.delete(marker)
-            else:
-                try:  # a sweeper that crashed holding its marker
-                    if time.time() - os.path.getmtime(marker) > 10.0:
-                        _BACKEND.delete(marker)
-                except OSError:
-                    pass
+            elif _guard_age(_BACKEND.get(marker)) > 10.0:
+                # a sweeper that crashed holding its marker — age from
+                # the marker's own bytes, same backend-portable probe
+                _BACKEND.delete(marker)
             continue
         if time.time() > deadline:
             raise TimeoutError(f"CAS guard wedged at {guard}")

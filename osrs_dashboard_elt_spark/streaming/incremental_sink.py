@@ -49,10 +49,12 @@ def _read_manifest(state_dir: str) -> dict:
 
 
 def _write_manifest(state_dir: str, manifest: dict) -> None:
-    tmp = _manifest_path(state_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, _manifest_path(state_dir))
+    """The state manifest is the blue/green commit point — publish it
+    through the injectable commit protocol (atomic on object stores,
+    lease-fenced), not a raw rename (round-10 ADVICE)."""
+    from ..sources import commitio
+
+    commitio.publish_json(_manifest_path(state_dir), manifest)
 
 
 def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:

@@ -32,7 +32,6 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 from typing import Callable, Protocol
 
 from pyspark.sql import DataFrame
@@ -99,18 +98,14 @@ def _load_state(path: str) -> dict:
 
 
 def _save_state(path: str, state: dict) -> None:
-    """Atomic replace: a crash mid-save can never corrupt the map."""
-    d = os.path.dirname(path) or "."
-    os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-    try:
-        with os.fdopen(fd, "w", encoding="utf-8") as f:
-            json.dump(state, f, indent=2)
-        os.replace(tmp, path)
-    except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-        raise
+    """Atomic publish through the injectable commit protocol (a crash
+    mid-save can never corrupt the map; atomic on object stores, no
+    rename — round-10 ADVICE moved this off raw mkstemp+replace)."""
+    from ..sources import commitio
+
+    commitio.publish_bytes(
+        path, json.dumps(state, indent=2).encode("utf-8")
+    )
 
 
 class ExternalUpsertSink:
