@@ -55,6 +55,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import dataio
+
 CHANGE_TYPES = (
     "insert", "delete", "update_preimage", "update_postimage",
 )
@@ -308,7 +310,7 @@ def commit_changes(
                     .strip("_.")
                     + "-"
                 )
-                os.replace(
+                dataio.place_file(
                     os.path.join(dirpath, fn),
                     os.path.join(cdir, prefix + fn),
                 )
@@ -1156,6 +1158,18 @@ def apply_takedowns_from_feed(
         else:
             ids = sorted(r[id_col] for r in probe)
     if dist:
+        # probe emptiness BEFORE materializing: a delete-free window
+        # must still advance the consumer checkpoint (it was fully
+        # processed — leaving it behind pins the vacuum floor across
+        # every delete-free window, round-10 ADVICE) and must not
+        # leave an eagerly-checkpointed frame nobody will ever read
+        if deleted.isEmpty():
+            if consumer:
+                checkpoint_feed_consumer(path, consumer, head)
+            return {
+                "last_seq": head, "ids": [], "n_ids": 0,
+                "n_tombstoned": 0,
+            }
         if suppress:
             # the returned frame must outlive this call SAFELY: the
             # consumer checkpoint below makes the window vacuumable,
@@ -1172,8 +1186,6 @@ def apply_takedowns_from_feed(
                 "last_seq": head, "ids": [], "n_ids": n_ids,
                 "n_tombstoned": 0,
             }
-            if n_ids == 0:
-                return out
             if dedup_index is not None:
                 from ..operators.dedup_index import delete_from_index
 
@@ -1199,6 +1211,10 @@ def apply_takedowns_from_feed(
         "n_tombstoned": 0,
     }
     if not ids:
+        # same contract as the distributed path: a delete-free window
+        # was fully processed, so the consumer checkpoint advances
+        if consumer:
+            checkpoint_feed_consumer(path, consumer, head)
         return out
     if dedup_index is not None:
         from ..operators.dedup_index import delete_from_index

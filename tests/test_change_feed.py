@@ -649,22 +649,26 @@ def test_partial_delete_crash_commits_completed_sub_deltas(
     path = str(tmp_path / "tbl")
     _mk_feed_tbl(spark, path)
     targets = [1, 99, 250, 333]  # spread over >= 2 files
-    real_remove = _os.remove
-    state = {"originals_removed": 0}
+    # inject at the data-plane seam (both rename and no_rename modes
+    # flow through place_file): the 2nd replacement PLACEMENT crashes,
+    # so file 1 completed (replacement live, original gone) and file
+    # 2 never started — the exact partial state the reconcile splits
+    from osrs_dashboard_elt_spark.sources import dataio as _dio
 
-    def crashing_remove(p):
-        if "/tbl/" in p and p.endswith(".parquet") and (
-            "part-del-" not in _os.path.basename(p)
-        ):
-            state["originals_removed"] += 1
-            if state["originals_removed"] == 2:
+    real_place = _dio.place_file
+    state = {"placed": 0}
+
+    def crashing_place(src, dst):
+        if "part-del-" in _os.path.basename(dst):
+            state["placed"] += 1
+            if state["placed"] == 2:
                 raise RuntimeError("simulated crash mid-swap")
-        return real_remove(p)
+        return real_place(src, dst)
 
-    monkeypatch.setattr("os.remove", crashing_remove)
+    monkeypatch.setattr(_dio, "place_file", crashing_place)
     with pytest.raises(RuntimeError, match="simulated crash"):
         targeted_delete(spark, path, "doc_id", targets)
-    monkeypatch.setattr("os.remove", real_remove)
+    monkeypatch.setattr(_dio, "place_file", real_place)
     # nothing committed yet (the mutation never reached its commit)
     assert read_change_feed(spark, path).count() == 0
     # the retry reconciles: the completed file's sub-delta commits,
@@ -726,20 +730,25 @@ def test_partial_upsert_crash_rolls_back_landed_inserts(
         [(0, 4, 9.0), (0, 1000, 2.0), (1, 1001, 3.0)],
         "day long, doc_id long, amount decimal(18,2)",
     )
-    real_replace = _os.replace
+    # inject at the data-plane seam (works in rename AND no_rename
+    # modes): the 2nd insert PLACEMENT at its final part-ups name
+    # crashes — one insert landed, one didn't
+    from osrs_dashboard_elt_spark.sources import dataio as _dio
+
+    real_place = _dio.place_file
     state = {"ins": 0}
 
-    def crashing_replace(src, dst):
+    def crashing_place(src, dst):
         if "part-ups-" in _os.path.basename(str(dst)):
             state["ins"] += 1
             if state["ins"] == 2:
                 raise RuntimeError("simulated crash mid-insert")
-        return real_replace(src, dst)
+        return real_place(src, dst)
 
-    monkeypatch.setattr("os.replace", crashing_replace)
+    monkeypatch.setattr(_dio, "place_file", crashing_place)
     with pytest.raises(RuntimeError, match="simulated crash"):
         targeted_upsert(spark, path, "doc_id", ups)
-    monkeypatch.setattr("os.replace", real_replace)
+    monkeypatch.setattr(_dio, "place_file", real_place)
     # retry completes; the landed insert was rolled back first
     targeted_upsert(spark, path, "doc_id", ups)
     got = read_table(spark, path)
@@ -1591,3 +1600,47 @@ def test_concurrent_lineage_appends_never_lost(spark, tmp_path):
         for e in cf._lineage_events(path)
     )
     assert got == [f"n{i}" for i in range(8)]
+
+
+def test_takedown_delete_free_window_advances_checkpoint(
+    spark, tmp_path
+):
+    """Round-10 ADVICE (low): a takedown-only consumer processing a
+    window with NO deletes must still advance its checkpoint — both
+    driver and distributed paths previously returned early without
+    checkpointing, pinning the vacuum floor across every delete-free
+    window; the distributed+suppress path also abandoned an eagerly
+    materialized localCheckpoint frame nobody would ever read."""
+    from osrs_dashboard_elt_spark.sources.change_feed import (
+        apply_takedowns_from_feed,
+        feed_consumers,
+    )
+
+    path = str(tmp_path / "tbl")
+    _tbl(spark, path, n=40, files=2)
+    # an insert-only window: seq 1 carries zero delete deltas
+    table_append(
+        spark, path,
+        spark.range(2000, 2010).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 13).alias("tag"),
+            F.concat(F.lit("t"), F.col("id")).alias("text"),
+        ),
+    )
+    res = apply_takedowns_from_feed(  # driver path
+        spark, path, "doc_id", since_seq=0, consumer="sync_drv"
+    )
+    assert res["n_ids"] == 0 and res["last_seq"] == 1
+    assert feed_consumers(path)["sync_drv"] == 1
+    res2 = apply_takedowns_from_feed(  # forced distributed + suppress
+        spark, path, "doc_id", since_seq=0, distributed=True,
+        suppress=True, consumer="sync_dist",
+    )
+    assert res2["n_ids"] == 0 and "suppress" not in res2
+    assert feed_consumers(path)["sync_dist"] == 1
+    # and the head<=since fast path still checkpoints (pre-existing)
+    res3 = apply_takedowns_from_feed(
+        spark, path, "doc_id", since_seq=1, consumer="sync_head"
+    )
+    assert res3["n_ids"] == 0
+    assert feed_consumers(path)["sync_head"] == 1
