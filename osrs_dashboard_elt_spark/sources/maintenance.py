@@ -912,6 +912,33 @@ def _occ_validate(
         )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _occ_scan_guard(occ: bool):
+    """An UNGATED occ planning/staging scan can race a concurrent
+    rewrite that removes one of its input files mid-job — Spark
+    surfaces that as a task FileNotFound failure.  Translate it into
+    the retryable conflict it is (replanning sees the new file set);
+    everything else propagates."""
+    try:
+        yield
+    except _OccConflict:
+        raise
+    except Exception as e:
+        msg = str(e)
+        if occ and (
+            "FileNotFoundException" in msg
+            or "PATH_NOT_FOUND" in msg
+            or "does not exist" in msg
+        ):
+            raise _OccConflict(
+                f"planned file vanished mid-scan: {msg[:200]}"
+            ) from None
+        raise
+
+
 def _occ_retry(op: str, path: str, attempt_fn):
     """Run ``attempt_fn()`` retrying on :class:`_OccConflict` up to
     ``_OCC_RETRIES`` times — each retry replans against the table
@@ -1041,7 +1068,6 @@ def _journal_and_swap(
     return rewrites, pre_sizes
 
 
-@_with_mutation_gate
 def targeted_delete(
     spark: SparkSession,
     path: str,
@@ -1051,9 +1077,21 @@ def targeted_delete(
     serial: bool = False,
     mode: str = "rewrite",
     _log_changes: bool = True,
+    occ: bool = False,
 ) -> dict:
     """Delete all rows where ``col`` is one of ``values`` by rewriting
     ONLY the files that can contain them — the takedown/GDPR path.
+
+    ``occ=True`` runs OPTIMISTICALLY (rewrite mode only): planning
+    scans and the rewrite job stage outside the mutation gate, and
+    only a short validate-journal-swap-commit window takes it — so a
+    takedown no longer queues behind a multi-minute OPTIMIZE when
+    their file sets are disjoint.  An overlapping writer fails the
+    commit-time validation and this call retries from planning
+    (``_OCC_RETRIES`` attempts, then
+    :class:`ConcurrentMutationError`).  ``mode="dv"`` ignores ``occ``
+    — a DV delete is already metadata-only, the gate was never its
+    ceiling.
 
     When the table's CHANGE FEED is enabled
     (``change_feed.enable_change_feed``), the deleted rows are
@@ -1124,6 +1162,34 @@ def targeted_delete(
     files_affected / rewritten / removed, rows_deleted (plus
     files_tombstoned / dv_entries / compacted in dv mode).
     """
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"unknown delete mode {mode!r}")
+    if occ and mode == "rewrite":
+        return _occ_retry(
+            "targeted_delete", path,
+            lambda: _targeted_delete_impl(
+                spark, path, col, values, refresh_stats, serial,
+                mode, _log_changes, occ=True,
+            ),
+        )
+    with _mutation_gate(path):
+        return _targeted_delete_impl(
+            spark, path, col, values, refresh_stats, serial, mode,
+            _log_changes, occ=False,
+        )
+
+
+def _targeted_delete_impl(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values: list,
+    refresh_stats: bool,
+    serial: bool,
+    mode: str,
+    _log_changes: bool,
+    occ: bool,
+) -> dict:
     from pyspark.sql.types import StructType
 
     from .stats_manifest import (
@@ -1133,9 +1199,6 @@ def targeted_delete(
         files_for_values,
     )
     from .stats_manifest import refresh_stats_manifest as _refresh
-
-    if mode not in ("rewrite", "dv"):
-        raise ValueError(f"unknown delete mode {mode!r}")
 
     def _noop_result(n_affected: int) -> dict:
         out = {
@@ -1156,7 +1219,13 @@ def targeted_delete(
         return _noop_result(0)
     if any(v is None for v in values):
         raise ValueError("delete values must be non-null")
-    _reconcile_delete_journal(spark, path)
+    if occ:
+        # reconcile needs the gate (it repairs shared state); take it
+        # briefly, then plan and stage with the gate RELEASED
+        with _mutation_gate(path):
+            _reconcile_delete_journal(spark, path)
+    else:
+        _reconcile_delete_journal(spark, path)
     _, meta = _load_meta(spark, path)
     if meta["immutable"]:
         raise ValueError(
@@ -1200,12 +1269,13 @@ def targeted_delete(
                 F.when(F.col(col).isin(values), F.col(col))
             ).alias("matched")
         )
-    cls = (
-        live.select("__file", F.col(col))
-        .groupBy("__file")
-        .agg(*aggs)
-        .collect()
-    )
+    with _occ_scan_guard(occ):
+        cls = (
+            live.select("__file", F.col(col))
+            .groupBy("__file")
+            .agg(*aggs)
+            .collect()
+        )
     partials: list[str] = []
     removes_uris: list[str] = []
     rows_deleted = 0
@@ -1301,6 +1371,20 @@ def targeted_delete(
         }
     if not partials and not removes:
         return _noop_result(len(affected))
+    read_fp: dict[str, int] = {}
+    meta_fp = ""
+    if occ:
+        # the optimistic read set: every victim at its plan-time size
+        # (files are immutable once written, so existence+size at
+        # commit proves the staged rewrite is still exact)
+        for f in [_local(x) for x in partials] + removes:
+            try:
+                read_fp[f] = os.path.getsize(f)
+            except OSError:
+                raise _OccConflict(
+                    f"planned file vanished mid-plan: {f}"
+                ) from None
+        meta_fp = _occ_meta_fingerprint(meta, _OCC_META_FIELDS_REWRITE)
     # sub-delta labels: one per victim file, so a partially-completed
     # crash commits exactly the deltas of the files it finished
     victims = sorted(partials + removes_uris)
@@ -1324,7 +1408,8 @@ def targeted_delete(
             .join(lbl_df, "__file")
             .select(*field_names, "__sub")
         )
-        staged = stage_changes(path, [(delta, "delete")])
+        with _occ_scan_guard(occ):
+            staged = stage_changes(path, [(delta, "delete")])
 
     def _write_partials(tmp: str) -> None:
         if serial:
@@ -1370,58 +1455,100 @@ def targeted_delete(
     salt = hashlib.sha1(
         "\x00".join(sorted(map(str, values))).encode()
     ).hexdigest()[:12]
+
+    def _commit_tail(rewritten: dict, pre_sizes: dict) -> dict:
+        # post-swap bookkeeping — runs under the gate on both paths.
+        # DV entries citing the rewritten/removed originals are DEAD
+        # (the rewrite ran through the DV-aware reader, physically
+        # applying their tombstones) — clear them NOW, or a later
+        # compaction would mis-read them as orphans and purge the
+        # values table-wide, destroying legitimately re-inserted rows
+        # (round-8 ADVICE high)
+        if meta.get("dv"):
+            from .stats_manifest import clear_deletion_vector_files
+
+            clear_deletion_vector_files(
+                spark, path, [_local(f) for f in partials] + removes
+            )
+        if refresh_stats:
+            # O(rewritten files), not O(table): only the replacement
+            # files get stat'd/bloomed; vanished originals drop out
+            _refresh(spark, path, meta["cols"])
+        if staged:
+            # change commit BEFORE journal removal: a crash in between
+            # is re-committed by the reconcile (idempotent), whereas
+            # the reverse order could lose a completed mutation's
+            # delta.  The per-seq file manifest rides the commit: what
+            # this mutation added/rewrote/removed, with byte sizes —
+            # the zero-shuffle time-travel substrate
+            from .change_feed import commit_changes
+
+            commit_changes(
+                staged[1], "targeted_delete",
+                files_info={
+                    "rewrites": {
+                        _uri(o): [
+                            _uri(r), os.path.getsize(r), pre_sizes[o]
+                        ]
+                        for o, r in rewritten.items()
+                    },
+                    "removes": {
+                        _uri(o): pre_sizes[o] for o in removes
+                    },
+                    "adds": {},
+                },
+            )
+        try:
+            os.remove(_delete_journal_path(path))
+        except FileNotFoundError:
+            pass
+        return {
+            "files_affected": len(affected),
+            "files_rewritten": len(partials),
+            "files_removed": len(removes),
+            "rows_deleted": rows_deleted,
+        }
+
+    if occ:
+        # stage the rewrite UNGATED (the long Spark job), then take
+        # the gate only for validate + journal + swap + commit
+        occ_tmp = tempfile.mkdtemp(dir=path, prefix=_OCC_STAGE_PREFIX)
+        try:
+            if partials:
+                with _occ_scan_guard(True):
+                    _write_partials(occ_tmp)
+            with _mutation_gate(path):
+                _reconcile_delete_journal(spark, path)
+                _occ_validate(
+                    spark, path, read_fp, meta_fp,
+                    _OCC_META_FIELDS_REWRITE,
+                )
+                rewritten, pre_sizes = _journal_and_swap(
+                    spark, path, partials, removes, _write_partials,
+                    changes=(
+                        (staged[1], "targeted_delete")
+                        if staged else None
+                    ),
+                    op="delete", subs=subs, name_salt=salt,
+                    staged_tmp=occ_tmp,
+                )
+                return _commit_tail(rewritten, pre_sizes)
+        except _OccConflict:
+            # the staged delta belongs to the LOSING plan — abort it;
+            # the retry restages against the new table state
+            if staged:
+                from .change_feed import abort_changes
+
+                abort_changes(staged[1])
+            raise
+        finally:
+            shutil.rmtree(occ_tmp, ignore_errors=True)
     rewritten, pre_sizes = _journal_and_swap(
         spark, path, partials, removes, _write_partials,
         changes=(staged[1], "targeted_delete") if staged else None,
         op="delete", subs=subs, name_salt=salt,
     )
-    # DV entries citing the rewritten/removed originals are DEAD (the
-    # rewrite ran through the DV-aware reader, physically applying
-    # their tombstones) — clear them NOW, or a later compaction would
-    # mis-read them as orphans and purge the values table-wide,
-    # destroying legitimately re-inserted rows (round-8 ADVICE high)
-    if meta.get("dv"):
-        from .stats_manifest import clear_deletion_vector_files
-
-        clear_deletion_vector_files(
-            spark, path, [_local(f) for f in partials] + removes
-        )
-    if refresh_stats:
-        # O(rewritten files), not O(table): only the replacement files
-        # get stat'd/bloomed; vanished originals drop out
-        _refresh(spark, path, meta["cols"])
-    if staged:
-        # change commit BEFORE journal removal: a crash in between is
-        # re-committed by the reconcile (idempotent), whereas the
-        # reverse order could lose a completed mutation's delta.  The
-        # per-seq file manifest rides the commit: what this mutation
-        # added/rewrote/removed, with byte sizes — the zero-shuffle
-        # time-travel substrate
-        from .change_feed import commit_changes
-
-        commit_changes(
-            staged[1], "targeted_delete",
-            files_info={
-                "rewrites": {
-                    _uri(o): [_uri(r), os.path.getsize(r), pre_sizes[o]]
-                    for o, r in rewritten.items()
-                },
-                "removes": {
-                    _uri(o): pre_sizes[o] for o in removes
-                },
-                "adds": {},
-            },
-        )
-    try:
-        os.remove(_delete_journal_path(path))
-    except FileNotFoundError:
-        pass
-    return {
-        "files_affected": len(affected),
-        "files_rewritten": len(partials),
-        "files_removed": len(removes),
-        "rows_deleted": rows_deleted,
-    }
+    return _commit_tail(rewritten, pre_sizes)
 
 
 @_with_mutation_gate
@@ -1676,6 +1803,7 @@ def _prestage_inserts(
     data_cols: list[str],
     part_cols: list[str],
     name_seed: str,
+    prefix: str = ".ins-stage-",
 ) -> tuple[str, list[str], list[str]]:
     """Write the insert set into a dot-prefixed staging dir INSIDE the
     table (invisible to every reader; same-device for the final
@@ -1691,7 +1819,7 @@ def _prestage_inserts(
     the journal reconcile (they can only exist under the gate)."""
     import hashlib
 
-    pre = tempfile.mkdtemp(dir=path, prefix=".ins-stage-")
+    pre = tempfile.mkdtemp(dir=path, prefix=prefix)
     if part_cols:
         (
             ins_df.repartition(*[F.col(c) for c in part_cols])
@@ -1730,12 +1858,12 @@ def _prestage_inserts(
     return pre, staged, adds
 
 
-@_with_mutation_gate
 def table_append(
     spark: SparkSession,
     path: str,
     rows: DataFrame,
     refresh_stats: bool = True,
+    occ: bool = False,
 ) -> dict:
     """Append ``rows`` to a manifest-backed table, journaled and
     crash-safe: the write stages inside the table dir, the journal
@@ -1747,17 +1875,47 @@ def table_append(
     change feed enabled the batch is recorded as an ``insert`` delta
     (partition values materialized as columns, like every delta).
 
+    ``occ=True`` stages the batch OUTSIDE the mutation gate (an
+    append reads no existing file, so only a schema evolution or an
+    immutability flip can invalidate it) and takes the gate only for
+    the journal-move-commit window — a streaming append no longer
+    queues behind a long compaction.
+
     This is the CDC-shaped append (batch-sized changesets riding the
     same journal/refresh machinery as delete/upsert) — bulk loads
     should use the partitioned/bucketed writers and a manifest
     refresh instead.  Returns {files_added, rows_inserted}."""
+    if occ:
+        return _occ_retry(
+            "table_append", path,
+            lambda: _table_append_impl(
+                spark, path, rows, refresh_stats, occ=True
+            ),
+        )
+    with _mutation_gate(path):
+        return _table_append_impl(
+            spark, path, rows, refresh_stats, occ=False
+        )
+
+
+def _table_append_impl(
+    spark: SparkSession,
+    path: str,
+    rows: DataFrame,
+    refresh_stats: bool,
+    occ: bool,
+) -> dict:
     from pyspark.sql.types import StructType
 
     from .change_feed import commit_changes, stage_changes
     from .stats_manifest import _load_meta
     from .stats_manifest import refresh_stats_manifest as _refresh
 
-    _reconcile_delete_journal(spark, path)
+    if occ:
+        with _mutation_gate(path):
+            _reconcile_delete_journal(spark, path)
+    else:
+        _reconcile_delete_journal(spark, path)
     _, meta = _load_meta(spark, path)
     if meta["immutable"]:
         raise ValueError(
@@ -1779,6 +1937,7 @@ def table_append(
     # prestage) — re-evaluating a non-deterministic source plan per
     # job could record a feed delta that differs from the rows
     # actually inserted
+    meta_fp = _occ_meta_fingerprint(meta, _OCC_META_FIELDS_APPEND)
     shaped = rows.select(
         *[F.col(c).cast(pinned[c].dataType).alias(c) for c in all_cols]
     ).persist()
@@ -1790,6 +1949,7 @@ def table_append(
     pre, staged_files, adds = _prestage_inserts(
         path, shaped, data_cols, part_cols,
         f"append:{n}:{os.urandom(8).hex()}",
+        prefix=_OCC_STAGE_PREFIX if occ else ".ins-stage-",
     )
 
     def _write(tmp: str) -> None:
@@ -1798,7 +1958,7 @@ def table_append(
         for i, sf in enumerate(staged_files):
             dataio.place_file(sf, os.path.join(ins, f"{i:07d}.parquet"))
 
-    try:
+    def _commit() -> dict:
         _journal_and_swap(
             spark, path, [], [], _write, adds=adds,
             changes=(staged[1], "table_append") if staged else None,
@@ -1809,20 +1969,42 @@ def table_append(
             "removes": {},
             "adds": {_uri(a): os.path.getsize(a) for a in adds},
         }
+        if refresh_stats:
+            _refresh(spark, path, meta["cols"])
+        if staged:
+            commit_changes(
+                staged[1], "table_append",
+                files_info=append_files_info,
+            )
+        try:
+            os.remove(_delete_journal_path(path))
+        except FileNotFoundError:
+            pass
+        return {"files_added": len(adds), "rows_inserted": n}
+
+    try:
+        if occ:
+            # commit window: an append stages only NEW files, so the
+            # validation is just the metadata fingerprint (schema /
+            # immutability); the journal-move-commit is metadata-fast
+            try:
+                with _mutation_gate(path):
+                    _reconcile_delete_journal(spark, path)
+                    _occ_validate(
+                        spark, path, {}, meta_fp,
+                        _OCC_META_FIELDS_APPEND,
+                    )
+                    return _commit()
+            except _OccConflict:
+                from .change_feed import abort_changes
+
+                if staged:
+                    abort_changes(staged[1])
+                raise
+        return _commit()
     finally:
         shutil.rmtree(pre, ignore_errors=True)
         shaped.unpersist()
-    if refresh_stats:
-        _refresh(spark, path, meta["cols"])
-    if staged:
-        commit_changes(
-            staged[1], "table_append", files_info=append_files_info
-        )
-    try:
-        os.remove(_delete_journal_path(path))
-    except FileNotFoundError:
-        pass
-    return {"files_added": len(adds), "rows_inserted": n}
 
 
 @_with_mutation_gate
@@ -2358,7 +2540,6 @@ def _compact_group_name(files: list[str]) -> str:
     return f"part-cmp-{h}.snappy.parquet"
 
 
-@_with_mutation_gate
 def compact_table(
     spark: SparkSession,
     path: str,
@@ -2366,10 +2547,16 @@ def compact_table(
     min_group: int = 2,
     sort_cols: list[str] | None = None,
     refresh_stats: bool = True,
+    occ: bool = False,
 ) -> dict:
     """Incremental in-place small-file compaction of a manifest-backed
     table — Delta's ``OPTIMIZE`` re-expressed on the journal/swap
-    machinery.  Files smaller than ``target_bytes`` are bin-packed
+    machinery.  ``occ=True`` runs the (long) group rewrite OUTSIDE
+    the mutation gate and commits under a short validated window —
+    the compaction's inputs are SEALED files, so concurrent appends
+    and disjoint deletes proceed while it packs; a writer that
+    touches one of its inputs fails the commit-time validation and
+    the compaction replans.  Files smaller than ``target_bytes`` are bin-packed
     (first-fit over a size-sorted list) into groups of ~``target_bytes``
     and each group is rewritten as ONE file; files already at target
     size are left byte-untouched, so the cost is O(small files), not
@@ -2393,6 +2580,30 @@ def compact_table(
     visible row multiset is unchanged, so time travel and CDC
     consumers are oblivious — pinned by test).  Returns
     {files_compacted, files_written, rows}."""
+    if occ:
+        return _occ_retry(
+            "compact_table", path,
+            lambda: _compact_table_impl(
+                spark, path, target_bytes, min_group, sort_cols,
+                refresh_stats, occ=True,
+            ),
+        )
+    with _mutation_gate(path):
+        return _compact_table_impl(
+            spark, path, target_bytes, min_group, sort_cols,
+            refresh_stats, occ=False,
+        )
+
+
+def _compact_table_impl(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int,
+    min_group: int,
+    sort_cols: list[str] | None,
+    refresh_stats: bool,
+    occ: bool,
+) -> dict:
     from pyspark.sql.types import StructType
 
     from .stats_manifest import (
@@ -2403,7 +2614,11 @@ def compact_table(
     )
     from .stats_manifest import refresh_stats_manifest as _refresh
 
-    _reconcile_delete_journal(spark, path)
+    if occ:
+        with _mutation_gate(path):
+            _reconcile_delete_journal(spark, path)
+    else:
+        _reconcile_delete_journal(spark, path)
     _, meta = _load_meta(spark, path)
     if meta["immutable"]:
         raise ValueError(
@@ -2428,6 +2643,10 @@ def compact_table(
         try:
             sized.append((os.path.getsize(_local(f)), f))
         except FileNotFoundError:
+            if occ:  # a concurrent writer won this file — replan
+                raise _OccConflict(
+                    f"{f} vanished during compaction planning"
+                ) from None
             raise ValueError(
                 f"{f} vanished during compaction planning — another "
                 f"writer is mutating {path}; serialize maintenance"
@@ -2472,13 +2691,14 @@ def compact_table(
     # no output file — its originals are pure removes (without this,
     # the remap below would look for a __grp dir that was never
     # written and wedge the compaction on every retry)
-    live_counts = {
-        int(r["__grp"]): int(r["n"])
-        for r in live.join(F.broadcast(grp_map), "__file")
-        .groupBy("__grp")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    with _occ_scan_guard(occ):
+        live_counts = {
+            int(r["__grp"]): int(r["n"])
+            for r in live.join(F.broadcast(grp_map), "__file")
+            .groupBy("__grp")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
     alive = [
         i for i in range(len(groups)) if live_counts.get(i, 0) > 0
     ]
@@ -2490,6 +2710,17 @@ def compact_table(
         )
         for i in alive
     ]
+    read_fp: dict[str, int] = {}
+    meta_fp = ""
+    if occ:
+        for f in removes:
+            try:
+                read_fp[f] = os.path.getsize(f)
+            except OSError:
+                raise _OccConflict(
+                    f"planned file vanished mid-plan: {f}"
+                ) from None
+        meta_fp = _occ_meta_fingerprint(meta, _OCC_META_FIELDS_REWRITE)
     n_rows = 0
 
     def _write(tmp: str) -> None:
@@ -2548,31 +2779,55 @@ def compact_table(
                 for i, g in enumerate(groups)
             ],
         }
+    def _commit() -> None:
+        if lineage is None:
+            from .change_feed import record_physical_break
+
+            record_physical_break(path)  # pre-swap: conservative
+        _journal_and_swap(
+            spark, path, [], removes, _write, adds=adds,
+            op="compact", lineage=lineage,
+            staged_tmp=occ_tmp if occ else None,
+        )
+        if lineage is not None:
+            _record_journal_lineage(path, lineage)
+        # compacted-away files' DV entries are dead (the group read
+        # went through the DV-aware reader, so their tombstoned rows
+        # are physically gone) — clearing them here is what keeps a
+        # later apply_deletion_vectors from purging the values
+        # table-wide and destroying re-inserted rows (round-8 ADVICE
+        # high)
+        if meta.get("dv"):
+            from .stats_manifest import clear_deletion_vector_files
+
+            clear_deletion_vector_files(spark, path, removes)
+        if refresh_stats:
+            _refresh(spark, path, meta["cols"])
+        try:
+            os.remove(_delete_journal_path(path))
+        except FileNotFoundError:
+            pass
+
+    if occ:
+        # stage the group rewrite UNGATED; commit under a short
+        # validated window — inputs are sealed files, so appends and
+        # disjoint deletes proceed while the pack job runs
+        occ_tmp = tempfile.mkdtemp(dir=path, prefix=_OCC_STAGE_PREFIX)
+        try:
+            with _occ_scan_guard(True):
+                _write(occ_tmp)
+            with _mutation_gate(path):
+                _reconcile_delete_journal(spark, path)
+                _occ_validate(
+                    spark, path, read_fp, meta_fp,
+                    _OCC_META_FIELDS_REWRITE,
+                )
+                _commit()
+        finally:
+            shutil.rmtree(occ_tmp, ignore_errors=True)
     else:
-        from .change_feed import record_physical_break
-
-        record_physical_break(path)  # pre-swap: conservative
-    _journal_and_swap(
-        spark, path, [], removes, _write, adds=adds, op="compact",
-        lineage=lineage,
-    )
-    if lineage is not None:
-        _record_journal_lineage(path, lineage)
-    # compacted-away files' DV entries are dead (the group read went
-    # through the DV-aware reader, so their tombstoned rows are
-    # physically gone) — clearing them here is what keeps a later
-    # apply_deletion_vectors from purging the values table-wide and
-    # destroying re-inserted rows (round-8 ADVICE high)
-    if meta.get("dv"):
-        from .stats_manifest import clear_deletion_vector_files
-
-        clear_deletion_vector_files(spark, path, removes)
-    if refresh_stats:
-        _refresh(spark, path, meta["cols"])
-    try:
-        os.remove(_delete_journal_path(path))
-    except FileNotFoundError:
-        pass
+        occ_tmp = None
+        _commit()
     if adds:
         n_rows = sum(
             r["n"]

@@ -10,10 +10,16 @@ final row count, one committed feed seq per append with no gaps or
 double-claims, an exact as-of read at seq 0, and the maintained view
 equal to a direct recompute.
 
+With ``occ`` as the final argument the workers append with
+``occ=True`` (optimistic concurrency: staging outside the gate,
+validated commit window) — the cross-process extension of the
+round-11 OCC work: two real processes stage simultaneously and must
+still commit contiguous seqs with exact rows/as-of/view.
+
 Usage:
-  python scripts/probe_cross_process.py [batches_per_worker]
+  python scripts/probe_cross_process.py [batches_per_worker] [occ]
   python scripts/probe_cross_process.py worker <table> <view|-> \
-      <n> <worker_id>            (internal)
+      <n> <worker_id> <classic|occ>            (internal)
 """
 
 from __future__ import annotations
@@ -29,7 +35,9 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def worker(table: str, view: str, n: int, wid: int) -> None:
+def worker(
+    table: str, view: str, n: int, wid: int, mode: str = "classic"
+) -> None:
     from pyspark.sql import functions as F  # noqa: F401
 
     from osrs_dashboard_elt_spark.literals import local_frame
@@ -51,14 +59,16 @@ def worker(table: str, view: str, n: int, wid: int) -> None:
             [(base, base % 13, "w"), (base + 1, (base + 1) % 13, "w")],
             "doc_id long, grp long, text string",
         )
-        table_append(spark, table, df)
+        table_append(spark, table, df, occ=(mode == "occ"))
         if view != "-":
             refresh_view_segmented(spark, table, view)
     print(f"WORKER {wid} DONE")
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    args = [a for a in sys.argv[1:] if a != "occ"]
+    mode = "occ" if "occ" in sys.argv[1:] else "classic"
+    n = int(args[0]) if args else 5
     from pyspark.sql import functions as F
 
     from osrs_dashboard_elt_spark.session import get_spark
@@ -107,6 +117,7 @@ def main() -> None:
             [
                 sys.executable, os.path.abspath(__file__), "worker",
                 table, view if wid == 1 else "-", str(n), str(wid),
+                mode,
             ],
             stdout=outs[wid - 1], stderr=subprocess.STDOUT,
         )
@@ -121,6 +132,7 @@ def main() -> None:
     ]
     out = {
         "op": "cross_process_contention",
+        "mode": mode,
         "batches_per_worker": n,
         "worker_rcs": rcs,
         "wall_s": round(time.time() - t0, 2),
@@ -168,6 +180,7 @@ if __name__ == "__main__":
         worker(
             sys.argv[2], sys.argv[3], int(sys.argv[4]),
             int(sys.argv[5]),
+            sys.argv[6] if len(sys.argv) > 6 else "classic",
         )
     else:
         main()
