@@ -1434,7 +1434,13 @@ _PRIORITY: tuple[str, ...] = (
     # q_leaderboard_periods in-window and the personal-bests
     # anti-join/backfill stack stays green in the local sweep)
     "q_merge_distributed",     # no-collect MERGE (round 9)
-    "q_duration_parse",           # R8, F-family
+    # (q_duration_parse moved out of the window for q_asof_lineage —
+    # round-11 rotation: the compaction-surviving snapshot as-of
+    # (round-10's headline behavior, previously verified only by the
+    # local sweep) joins the hard gate; the duration scalar family
+    # stays exercised by q_leaderboard_periods in-window and
+    # q_duration_parse stays green in the local sweep)
+    "q_asof_lineage",          # snapshot as-of across OPTIMIZE (r10)
     "q_per_key_watermark",        # S9
     # —— LLM-pipeline families ——
     "q_minhash_lsh_pairs",

