@@ -1213,12 +1213,14 @@ def _refresh_segmented_locked(
             *ring_exprs,
             *[
                 (
-                    # a foldable exact map is the register's source of
-                    # truth (bit-equal to recompute over the surviving
-                    # values); only spilled groups fall back to the
-                    # insert-only MAX-merge
+                    # registers re-derive from the exact map ONLY
+                    # when the window actually retracted (and the map
+                    # folded) — insert-only windows keep the cheap
+                    # MAX-merge, bit-equal either way; deletes with
+                    # no foldable map go dirty and are rebuilt
                     F.when(
-                        vals_folds[c].isNotNull(),
+                        vals_folds[c].isNotNull()
+                        & (F.col(f"__del_{c}") == 1),
                         _reg_from_vals(vals_folds[c], p),
                     ).otherwise(
                         _merge_reg(

@@ -515,14 +515,31 @@ def _reconcile_delete_journal(spark: SparkSession, path: str) -> bool:
             elif d.startswith(_OCC_STAGE_PREFIX):
                 # occ staging runs OUTSIDE the gate: a live stager's
                 # dir must survive another mutation's commit-window
-                # reconcile.  Only age marks a crash (mtime bumps as
-                # the staging write lands files) — sweep past the TTL
+                # reconcile.  Age by the NEWEST mtime in the whole
+                # tree — Spark lands task output in SUBDIRS
+                # (__src=i/, _temporary/), which never bump the top
+                # dir's mtime, so a top-dir-only probe would sweep a
+                # LIVE long-running stager (round-11 self-review);
+                # the walk short-circuits on the first fresh entry
                 full = os.path.join(path, d)
+                now = time.time()
+                aged = True
                 try:
-                    aged = (
-                        time.time() - os.path.getmtime(full)
-                        > _OCC_STAGE_TTL
-                    )
+                    for dp, _dn, fns in os.walk(full):
+                        for e in [dp] + [
+                            os.path.join(dp, fn) for fn in fns
+                        ]:
+                            try:
+                                if (
+                                    now - os.path.getmtime(e)
+                                    <= _OCC_STAGE_TTL
+                                ):
+                                    aged = False
+                                    break
+                            except OSError:
+                                continue
+                        if not aged:
+                            break
                 except OSError:
                     continue
                 if aged:
@@ -927,11 +944,16 @@ def _occ_scan_guard(occ: bool):
     except _OccConflict:
         raise
     except Exception as e:
+        # match Spark's FILE-read error classes only — a broad
+        # "does not exist" substring converted unrelated analysis
+        # errors into 3x-retried "concurrent writer" misdiagnoses
+        # (round-11 self-review)
         msg = str(e)
         if occ and (
             "FileNotFoundException" in msg
             or "PATH_NOT_FOUND" in msg
-            or "does not exist" in msg
+            or "FAILED_READ_FILE" in msg
+            or "FILE_NOT_EXIST" in msg
         ):
             raise _OccConflict(
                 f"planned file vanished mid-scan: {msg[:200]}"
@@ -1219,14 +1241,24 @@ def _targeted_delete_impl(
         return _noop_result(0)
     if any(v is None for v in values):
         raise ValueError("delete values must be non-null")
+    plan_head = None
     if occ:
         # reconcile needs the gate (it repairs shared state); take it
         # briefly, then plan and stage with the gate RELEASED
         with _mutation_gate(path):
             _reconcile_delete_journal(spark, path)
+        # feed head at plan time: the commit window scans deltas
+        # AFTER this for concurrently-inserted rows matching the
+        # delete's values (the victims check can't see brand-new
+        # files — round-11 self-review; Delta raises
+        # ConcurrentAppendException for the same overlap)
+        from .change_feed import change_feed_enabled, latest_change_seq
+
+        if change_feed_enabled(path):
+            plan_head = latest_change_seq(path)
     else:
         _reconcile_delete_journal(spark, path)
-    _, meta = _load_meta(spark, path)
+    plan_epoch, meta = _load_meta(spark, path)
     if meta["immutable"]:
         raise ValueError(
             f"{path} is an immutable published snapshot — publish a "
@@ -1523,6 +1555,39 @@ def _targeted_delete_impl(
                     spark, path, read_fp, meta_fp,
                     _OCC_META_FIELDS_REWRITE,
                 )
+                # rows matching this delete inserted AFTER planning
+                # live in files the victims check never saw: scan the
+                # (small) newer deltas for matching inserts and
+                # conflict — the retry's plan then covers them.  A
+                # feedless table can't be scanned this way; there,
+                # any epoch advance (every mutation refreshes)
+                # conflicts conservatively
+                if plan_head is not None:
+                    from .change_feed import read_change_feed as _rcf
+
+                    hit = _rcf(
+                        spark, path, since_seq=plan_head
+                    ).filter(
+                        F.col("_change_type").isin(
+                            "insert", "update_postimage"
+                        )
+                        & F.col(col).isin(values)
+                    )
+                    if not hit.isEmpty():
+                        raise _OccConflict(
+                            "a concurrent mutation inserted rows "
+                            f"matching this delete's values under "
+                            f"{path} after planning"
+                        )
+                else:
+                    from .stats_manifest import _load_meta as _lm
+
+                    if _lm(spark, path)[0] != plan_epoch:
+                        raise _OccConflict(
+                            f"manifest epoch advanced under {path} "
+                            "after planning (no change feed to "
+                            "pinpoint the overlap)"
+                        )
                 rewritten, pre_sizes = _journal_and_swap(
                     spark, path, partials, removes, _write_partials,
                     changes=(
@@ -2721,7 +2786,12 @@ def _compact_table_impl(
                     f"planned file vanished mid-plan: {f}"
                 ) from None
         meta_fp = _occ_meta_fingerprint(meta, _OCC_META_FIELDS_REWRITE)
-    n_rows = 0
+    # rows written = the live (post-DV) counts already computed for
+    # the alive/remove split — no post-commit read job, and in occ
+    # mode no read AFTER the gate released (a concurrent rewrite of a
+    # fresh output file would turn a committed OPTIMIZE into a
+    # spurious hard error — round-11 self-review)
+    n_rows = sum(live_counts.get(i, 0) for i in alive)
 
     def _write(tmp: str) -> None:
         rw = (
@@ -2828,14 +2898,6 @@ def _compact_table_impl(
     else:
         occ_tmp = None
         _commit()
-    if adds:
-        n_rows = sum(
-            r["n"]
-            for r in spark.read.parquet(*adds)
-            .groupBy()
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
     return {
         "files_compacted": len(removes),
         "files_written": len(adds),

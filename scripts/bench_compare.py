@@ -111,24 +111,35 @@ def _query_modules(name: str, suite_lines: set[int]) -> set[str]:
 
 
 def flag_mode(argv: list[str]) -> None:
-    args = [a for a in argv if not a.startswith("--")]
-    opts = {
-        a.split("=")[0]: (a.split("=", 1)[1] if "=" in a else True)
-        for a in argv
-        if a.startswith("--")
-    }
-
-    def opt(name, default):
-        v = opts.get(name, default)
-        if v is True:  # space-separated form: --ref HEAD~1
-            i = argv.index(name)
-            v = argv[i + 1]
-            args.remove(v)
-        return v
-
-    threshold = float(opt("--threshold", 1.25))
-    floor = float(opt("--floor", 0.15))
-    ref = str(opt("--ref", "HEAD~1"))
+    args: list[str] = []
+    opts = {"--threshold": "1.25", "--floor": "0.15",
+            "--ref": "HEAD~1"}
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--"):
+            if "=" in a:
+                k, v = a.split("=", 1)
+            else:
+                k = a
+                i += 1
+                if i >= len(argv):
+                    print(f"missing value for {k}")
+                    raise SystemExit(2)
+                v = argv[i]
+            if k not in opts:
+                print(f"unknown option {k}")
+                raise SystemExit(2)
+            opts[k] = v
+        else:
+            args.append(a)
+        i += 1
+    if len(args) != 2:
+        print(__doc__)
+        raise SystemExit(2)
+    threshold = float(opts["--threshold"])
+    floor = float(opts["--floor"])
+    ref = str(opts["--ref"])
     old, new = load(args[0]), load(args[1])
     touched = _touched_files(ref)
     suite_lines = (

@@ -289,3 +289,163 @@ def test_cross_process_occ_contention():
     assert rec["ok"] is True, rec
     assert rec["mode"] == "occ"
     assert rec["seqs_contiguous"] and rec["committed_seqs"] == 6
+
+
+def test_occ_delete_conflicts_on_concurrent_matching_append(
+    spark, tmp_path, monkeypatch
+):
+    """Round-11 self-review (high): an occ delete's victims check
+    cannot see files ADDED after planning — a concurrent append of
+    rows MATCHING the delete's values must conflict the commit (the
+    retry's plan then covers them), or a takedown reports success
+    while matching rows stay live (Delta raises
+    ConcurrentAppendException for the same overlap)."""
+    path = str(tmp_path / "tbl")
+    _mk_tbl(spark, path, n=100, files=2)
+    staged_ev = threading.Event()
+    release_ev = threading.Event()
+    real_mkdtemp = maintenance.tempfile.mkdtemp
+
+    def pausing(*a, **k):
+        d = real_mkdtemp(*a, **k)
+        if str(k.get("prefix", "")).startswith(
+            maintenance._OCC_STAGE_PREFIX
+        ) and not staged_ev.is_set():
+            staged_ev.set()
+            assert release_ev.wait(120)
+        return d
+
+    monkeypatch.setattr(maintenance.tempfile, "mkdtemp", pausing)
+    attempts = []
+    real_retry = maintenance._occ_retry
+
+    def counting_retry(op, path_, fn):
+        def counted():
+            attempts.append(op)
+            return fn()
+
+        return real_retry(op, path_, counted)
+
+    monkeypatch.setattr(maintenance, "_occ_retry", counting_retry)
+    out = {}
+    t = threading.Thread(
+        target=lambda: out.update(
+            r=targeted_delete(spark, path, "doc_id", [7], occ=True)
+        )
+    )
+    t.start()
+    assert staged_ev.wait(120)
+    # while the delete is staged (victims validated-to-be), append a
+    # BRAND-NEW row with the same doc_id it is deleting
+    table_append(
+        spark, path,
+        spark.range(1).select(
+            F.lit(7).cast("long").alias("doc_id"),
+            F.lit(0).cast("long").alias("grp"),
+            F.lit("reborn").alias("text"),
+        ),
+    )
+    release_ev.set()
+    t.join(timeout=600)
+    assert "r" in out, "occ delete never finished"
+    assert len(attempts) >= 2, "append overlap did not force a retry"
+    # the retry covered BOTH copies: no doc_id=7 row survives
+    assert read_table(spark, path).filter("doc_id = 7").isEmpty()
+    feed = read_change_feed(spark, path)
+    dels = feed.filter(
+        "_change_type = 'delete' AND doc_id = 7"
+    )
+    assert dels.count() == 2  # the original row AND the reborn one
+
+
+def test_occ_stage_ttl_judges_whole_tree(spark, tmp_path):
+    """Round-11 self-review: Spark lands staging output in SUBDIRS
+    that never bump the top dir's mtime — the TTL sweep must age by
+    the NEWEST entry in the tree, or a live long-running stager gets
+    rmtree'd by a concurrent writer's reconcile."""
+    import time as _t
+
+    path = str(tmp_path / "tbl")
+    _mk_tbl(spark, path, n=30, files=1)
+    old = _t.time() - maintenance._OCC_STAGE_TTL - 3600
+    # dir A: old top dir, FRESH nested task file (a live stager)
+    live = os.path.join(path, ".occ-stage-live")
+    os.makedirs(os.path.join(live, "__src=0"))
+    with open(os.path.join(live, "__src=0", "part-0.parquet"), "w"):
+        pass
+    os.utime(live, (old, old))
+    # dir B: everything old (a crashed stager)
+    deadd = os.path.join(path, ".occ-stage-dead")
+    os.makedirs(os.path.join(deadd, "__src=0"))
+    f = os.path.join(deadd, "__src=0", "part-0.parquet")
+    with open(f, "w"):
+        pass
+    for p in (f, os.path.join(deadd, "__src=0"), deadd):
+        os.utime(p, (old, old))
+    # any mutation's reconcile runs the sweep
+    table_append(
+        spark, path,
+        spark.range(1).select(
+            F.lit(9000).cast("long").alias("doc_id"),
+            F.lit(0).cast("long").alias("grp"),
+            F.lit("x").alias("text"),
+        ),
+    )
+    assert os.path.isdir(live), "LIVE stager swept by TTL"
+    assert not os.path.isdir(deadd), "crashed stager not swept"
+
+
+def test_asof_arithmetic_stable_under_concurrent_occ_appends(
+    spark, tmp_path
+):
+    """Round-11 self-review (high): the as-of window-completeness
+    guard and the delta scan now share ONE committed-seq listing —
+    a mutation committing between two separate listings used to fire
+    the mid-read poison on a healthy read.  Hammer arithmetic as-of
+    at seq 0 while occ appends commit: every read returns the exact
+    seq-0 count or trips the (legitimate) consistency guard — never
+    the spurious lost-deltas error."""
+    from osrs_dashboard_elt_spark.sources.change_feed import (
+        read_table_as_of as rta,
+    )
+
+    path = str(tmp_path / "tbl")
+    _mk_tbl(spark, path, n=120, files=2)
+    n0 = 120
+    spurious: list = []
+    wrongs: list = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                n = rta(spark, path, 0, mode="arithmetic").count()
+                if n != n0:
+                    wrongs.append(n)
+            except Exception as e:
+                msg = str(e)
+                if "lost deltas MID-READ" in msg:
+                    spurious.append(msg[:200])
+                # negative-multiplicity / freshness refusals are the
+                # designed loud outcome for a read racing a commit
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(4):
+            table_append(
+                spark, path,
+                spark.range(3).select(
+                    (F.lit(7000 + 10 * i) + F.col("id")).alias(
+                        "doc_id"
+                    ),
+                    F.lit(0).cast("long").alias("grp"),
+                    F.lit("w").alias("text"),
+                ),
+                occ=True,
+            )
+    finally:
+        stop.set()
+        t.join(timeout=300)
+    assert not spurious, f"spurious mid-read failures: {spurious[:2]}"
+    assert not wrongs, f"wrong as-of counts: {wrongs[:5]}"
