@@ -2072,7 +2072,6 @@ def _table_append_impl(
         shaped.unpersist()
 
 
-@_with_mutation_gate
 def targeted_upsert(
     spark: SparkSession,
     path: str,
@@ -2081,6 +2080,7 @@ def targeted_upsert(
     refresh_stats: bool = True,
     max_driver_rows: int = 100_000,
     distributed: bool | None = None,
+    occ: bool = False,
 ) -> dict:
     # thin cleanup shell: the distributed path persists the shaped
     # changeset, and EVERY exit (validation ValueError, planning
@@ -2088,10 +2088,25 @@ def targeted_upsert(
     # stay pinned for the session (self-review finding)
     persisted: list[DataFrame] = []
     try:
-        return _targeted_upsert_impl(
-            spark, path, key_col, updates, refresh_stats,
-            max_driver_rows, distributed, persisted,
-        )
+        if occ:
+            # occ=True: classification + rewrite + insert staging run
+            # OUTSIDE the gate; a short validated commit window takes
+            # it (the delete/compact OCC discipline, incl. the
+            # concurrent-matching-append conflict — Delta's
+            # ConcurrentAppendException shape for MERGE)
+            return _occ_retry(
+                "targeted_upsert", path,
+                lambda: _targeted_upsert_impl(
+                    spark, path, key_col, updates, refresh_stats,
+                    max_driver_rows, distributed, persisted,
+                    occ=True,
+                ),
+            )
+        with _mutation_gate(path):
+            return _targeted_upsert_impl(
+                spark, path, key_col, updates, refresh_stats,
+                max_driver_rows, distributed, persisted, occ=False,
+            )
     finally:
         for df in persisted:
             df.unpersist()
@@ -2106,6 +2121,7 @@ def _targeted_upsert_impl(
     max_driver_rows: int,
     distributed: bool | None,
     _persisted: list,
+    occ: bool = False,
 ) -> dict:
     """MERGE a batch-sized changeset into a manifest-backed table,
     copy-on-write: rows whose key (``key_col`` — one column name or a
@@ -2186,8 +2202,17 @@ def _targeted_upsert_impl(
     )
     from .stats_manifest import refresh_stats_manifest as _refresh
 
-    _reconcile_delete_journal(spark, path)
-    _, meta = _load_meta(spark, path)
+    plan_head = None
+    if occ:
+        with _mutation_gate(path):
+            _reconcile_delete_journal(spark, path)
+        from .change_feed import change_feed_enabled, latest_change_seq
+
+        if change_feed_enabled(path):
+            plan_head = latest_change_seq(path)
+    else:
+        _reconcile_delete_journal(spark, path)
+    plan_epoch, meta = _load_meta(spark, path)
     if meta["immutable"]:
         raise ValueError(
             f"{path} is an immutable published snapshot — publish a "
@@ -2382,13 +2407,14 @@ def _targeted_upsert_impl(
                     )
                 ).alias("matched")
             )
-        cls = (
-            live.select("__file", *key_cols, *guard_cols)
-            .join(upd_keys, key_cols, "left")
-            .groupBy("__file")
-            .agg(*aggs)
-            .collect()
-        )
+        with _occ_scan_guard(occ):
+            cls = (
+                live.select("__file", *key_cols, *guard_cols)
+                .join(upd_keys, key_cols, "left")
+                .groupBy("__file")
+                .agg(*aggs)
+                .collect()
+            )
         n_moved = sum(int(r["moved"] or 0) for r in cls)
         if n_moved:
             raise ValueError(
@@ -2405,6 +2431,17 @@ def _targeted_upsert_impl(
             if not dist:
                 matched_keys |= {tuple(k) for k in r["matched"]}
             partials.append(r["__file"])
+    read_fp: dict[str, int] = {}
+    meta_fp = ""
+    if occ:
+        for f in [_local(x) for x in partials]:
+            try:
+                read_fp[f] = os.path.getsize(f)
+            except OSError:
+                raise _OccConflict(
+                    f"planned file vanished mid-plan: {f}"
+                ) from None
+        meta_fp = _occ_meta_fingerprint(meta, _OCC_META_FIELDS_REWRITE)
     n_inserts = 0
     ins_df = None
     if dist:
@@ -2417,7 +2454,8 @@ def _targeted_upsert_impl(
             )
         else:
             ins_df = upd_df
-        n_inserts = ins_df.count()
+        with _occ_scan_guard(occ):
+            n_inserts = ins_df.count()
         if n_inserts == 0:
             ins_df = None
     else:
@@ -2445,10 +2483,12 @@ def _targeted_upsert_impl(
         # orphans instead of duplicating rows; content-addressing also
         # means two DIFFERENT merges can never reuse a file name, the
         # identity assumption of the per-seq file manifests
-        pre_dir, ins_staged, adds = _prestage_inserts(
-            path, ins_df, data_cols, part_cols,
-            f"{changeset_salt}:ins",
-        )
+        with _occ_scan_guard(occ):
+            pre_dir, ins_staged, adds = _prestage_inserts(
+                path, ins_df, data_cols, part_cols,
+                f"{changeset_salt}:ins",
+                prefix=_OCC_STAGE_PREFIX if occ else ".ins-stage-",
+            )
     # merged view of the partial files: matched rows take the update's
     # columns (broadcast left join on the key columns), others pass
     # through
@@ -2520,7 +2560,8 @@ def _targeted_upsert_impl(
         parts.append(
             (ins_df.withColumn("__sub", F.lit("ins")), "insert")
         )
-    staged = stage_changes(path, parts)
+    with _occ_scan_guard(occ):
+        staged = stage_changes(path, parts)
 
     def _write(tmp: str) -> None:
         if partials:
@@ -2543,48 +2584,123 @@ def _targeted_upsert_impl(
                     sf, os.path.join(ins, f"{i:07d}.parquet")
                 )
 
+    def _commit_tail(rewritten: dict, pre_sizes: dict) -> dict:
+        # rewritten originals' DV entries are dead (tombstones
+        # physically applied by the DV-aware rewrite) — clear before
+        # they can be mis-read as orphans (round-8 ADVICE high)
+        if meta.get("dv") and partials:
+            from .stats_manifest import clear_deletion_vector_files
+
+            clear_deletion_vector_files(
+                spark, path, [_local(f) for f in partials]
+            )
+        if refresh_stats:
+            _refresh(spark, path, meta["cols"])
+        if staged:
+            commit_changes(
+                staged[1], "targeted_upsert",
+                files_info={
+                    "rewrites": {
+                        _uri(o): [
+                            _uri(r), os.path.getsize(r), pre_sizes[o]
+                        ]
+                        for o, r in rewritten.items()
+                    },
+                    "removes": {},
+                    "adds": {
+                        _uri(a): os.path.getsize(a) for a in adds
+                    },
+                },
+            )
+        try:
+            os.remove(_delete_journal_path(path))
+        except FileNotFoundError:
+            pass
+        return {
+            "files_affected": len(affected),
+            "files_rewritten": len(partials),
+            "rows_updated": rows_updated,
+            "rows_inserted": n_inserts,
+        }
+
     try:
+        if occ:
+            occ_tmp = tempfile.mkdtemp(
+                dir=path, prefix=_OCC_STAGE_PREFIX
+            )
+            try:
+                with _occ_scan_guard(True):
+                    _write(occ_tmp)
+                with _mutation_gate(path):
+                    _reconcile_delete_journal(spark, path)
+                    _occ_validate(
+                        spark, path, read_fp, meta_fp,
+                        _OCC_META_FIELDS_REWRITE,
+                    )
+                    # a row whose key matches this changeset inserted
+                    # AFTER planning would silently dodge the merge
+                    # (classified neither update nor insert) — scan
+                    # the newer deltas and conflict, like the delete
+                    if plan_head is not None:
+                        from .change_feed import (
+                            read_change_feed as _rcf,
+                        )
+
+                        hit = (
+                            _rcf(spark, path, since_seq=plan_head)
+                            .filter(
+                                F.col("_change_type").isin(
+                                    "insert", "update_postimage"
+                                )
+                            )
+                            .join(
+                                upd_df.select(*key_cols).distinct(),
+                                key_cols, "semi",
+                            )
+                        )
+                        if not hit.isEmpty():
+                            raise _OccConflict(
+                                "a concurrent mutation inserted rows "
+                                "matching this merge's keys under "
+                                f"{path} after planning"
+                            )
+                    else:
+                        from .stats_manifest import _load_meta as _lm
+
+                        if _lm(spark, path)[0] != plan_epoch:
+                            raise _OccConflict(
+                                f"manifest epoch advanced under "
+                                f"{path} after planning (no change "
+                                "feed to pinpoint the overlap)"
+                            )
+                    rewritten, pre_sizes = _journal_and_swap(
+                        spark, path, partials, [], _write, adds=adds,
+                        changes=(
+                            (staged[1], "targeted_upsert")
+                            if staged else None
+                        ),
+                        op="upsert", subs=subs,
+                        name_salt=changeset_salt,
+                        staged_tmp=occ_tmp,
+                    )
+                    return _commit_tail(rewritten, pre_sizes)
+            except _OccConflict:
+                if staged:
+                    from .change_feed import abort_changes
+
+                    abort_changes(staged[1])
+                raise
+            finally:
+                shutil.rmtree(occ_tmp, ignore_errors=True)
         rewritten, pre_sizes = _journal_and_swap(
             spark, path, partials, [], _write, adds=adds,
             changes=(staged[1], "targeted_upsert") if staged else None,
             op="upsert", subs=subs, name_salt=changeset_salt,
         )
+        return _commit_tail(rewritten, pre_sizes)
     finally:
         if pre_dir:
             shutil.rmtree(pre_dir, ignore_errors=True)
-    # rewritten originals' DV entries are dead (tombstones physically
-    # applied by the DV-aware rewrite) — clear before they can be
-    # mis-read as orphans (round-8 ADVICE high)
-    if meta.get("dv") and partials:
-        from .stats_manifest import clear_deletion_vector_files
-
-        clear_deletion_vector_files(
-            spark, path, [_local(f) for f in partials]
-        )
-    if refresh_stats:
-        _refresh(spark, path, meta["cols"])
-    if staged:
-        commit_changes(
-            staged[1], "targeted_upsert",
-            files_info={
-                "rewrites": {
-                    _uri(o): [_uri(r), os.path.getsize(r), pre_sizes[o]]
-                    for o, r in rewritten.items()
-                },
-                "removes": {},
-                "adds": {_uri(a): os.path.getsize(a) for a in adds},
-            },
-        )
-    try:
-        os.remove(_delete_journal_path(path))
-    except FileNotFoundError:
-        pass
-    return {
-        "files_affected": len(affected),
-        "files_rewritten": len(partials),
-        "rows_updated": rows_updated,
-        "rows_inserted": n_inserts,
-    }
 
 
 # the public entry point carries the full contract docstring

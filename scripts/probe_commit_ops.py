@@ -44,7 +44,9 @@ def main() -> None:
     base = tempfile.mkdtemp(prefix="commit_ops_")
     path = os.path.join(base, "tbl")
     backend = commitio.ConditionalPutBackend()
-    with commitio.use_backend(backend):
+    from osrs_dashboard_elt_spark.sources import dataio
+
+    with commitio.use_backend(backend), dataio.use_mode("no_rename"):
         spark.range(100_000).select(
             F.col("id").alias("doc_id"),
             (F.col("id") % 97).alias("grp"),
@@ -57,12 +59,19 @@ def main() -> None:
         enable_change_feed(path)
 
         def snap():
-            return dict(backend.ops)
+            s = dict(backend.ops)
+            # data-plane ops ride the same table: in no_rename mode
+            # every staged parquet lands via one PUT, zero renames —
+            # reported per mutation alongside the control-plane ops
+            s["data_put"] = dataio.OPS["put"]
+            s["data_replace"] = dataio.OPS["replace"]
+            return s
 
         def diff(b, a):
             return {k: a[k] - b[k] for k in a if a[k] - b[k]}
 
-        out = {"op": "commit_ops", "backend": backend.name}
+        out = {"op": "commit_ops", "backend": backend.name,
+               "data_plane": dataio.mode()}
         b0 = snap()
         table_append(
             spark, path,

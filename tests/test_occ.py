@@ -449,3 +449,93 @@ def test_asof_arithmetic_stable_under_concurrent_occ_appends(
         t.join(timeout=300)
     assert not spurious, f"spurious mid-read failures: {spurious[:2]}"
     assert not wrongs, f"wrong as-of counts: {wrongs[:5]}"
+
+
+def test_occ_upsert_overlaps_append_and_conflicts_on_matching_keys(
+    spark, tmp_path, monkeypatch
+):
+    """OCC completes the writer surface with MERGE: an occ upsert and
+    an occ append of UNRELATED rows overlap and both commit; a
+    concurrent append whose rows match the merge's keys forces a
+    conflict-retry so the merge's semantics hold over the final
+    state (Delta's ConcurrentAppendException shape)."""
+    from osrs_dashboard_elt_spark.sources.maintenance import (
+        targeted_upsert,
+    )
+
+    path = str(tmp_path / "tbl")
+    _mk_tbl(spark, path, n=200, files=4)
+    _stage_rendezvous(monkeypatch, parties=2)
+    ups = spark.createDataFrame(
+        [(5, 1, "updated"), (9000, 2, "inserted")],
+        "doc_id long, grp long, text string",
+    )
+    unrelated = spark.range(7000, 7010).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("grp"),
+        F.lit("w").alias("text"),
+    )
+    res = _run_threads(
+        lambda: targeted_upsert(
+            spark, path, "doc_id", ups, occ=True
+        ),
+        lambda: table_append(spark, path, unrelated, occ=True),
+    )
+    assert res[0]["rows_updated"] == 1
+    assert res[0]["rows_inserted"] == 1
+    assert res[1]["rows_inserted"] == 10
+    got = read_table(spark, path)
+    assert got.count() == 200 + 1 + 10
+    assert got.filter("doc_id = 5").collect()[0]["text"] == "updated"
+    assert latest_change_seq(path) == 2
+    # ---- overlap case: append a row with a MERGE key mid-staging
+    staged_ev = threading.Event()
+    release_ev = threading.Event()
+    real_mkdtemp = maintenance.tempfile.mkdtemp
+
+    def pausing(*a, **k):
+        d = real_mkdtemp(*a, **k)
+        if str(k.get("prefix", "")).startswith(
+            maintenance._OCC_STAGE_PREFIX
+        ) and not staged_ev.is_set():
+            staged_ev.set()
+            assert release_ev.wait(120)
+        return d
+
+    monkeypatch.setattr(maintenance.tempfile, "mkdtemp", pausing)
+    attempts = []
+    real_retry = maintenance._occ_retry
+
+    def counting_retry(op, path_, fn):
+        def counted():
+            attempts.append(op)
+            return fn()
+
+        return real_retry(op, path_, counted)
+
+    monkeypatch.setattr(maintenance, "_occ_retry", counting_retry)
+    ups2 = spark.createDataFrame(
+        [(17, 3, "v2")], "doc_id long, grp long, text string"
+    )
+    out = {}
+    t = threading.Thread(
+        target=lambda: out.update(
+            r=targeted_upsert(spark, path, "doc_id", ups2, occ=True)
+        )
+    )
+    t.start()
+    assert staged_ev.wait(120)
+    table_append(  # a SECOND row with the merge's key appears
+        spark, path,
+        spark.createDataFrame(
+            [(17, 0, "sneaky")], "doc_id long, grp long, text string"
+        ),
+    )
+    release_ev.set()
+    t.join(timeout=600)
+    assert "r" in out
+    assert len(attempts) >= 2, "matching append did not force retry"
+    # the retry's merge covered BOTH copies of key 17
+    rows17 = read_table(spark, path).filter("doc_id = 17").collect()
+    assert {r["text"] for r in rows17} == {"v2"}
+    assert out["r"]["rows_updated"] == 2
