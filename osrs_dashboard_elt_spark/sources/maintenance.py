@@ -961,6 +961,98 @@ def _occ_scan_guard(occ: bool):
         raise
 
 
+def _occ_listing_fingerprint(path: str) -> str:
+    """(relpath, size) fingerprint of every visible data file under
+    the table — the FEEDLESS-table conflict detector.  A
+    ``refresh_stats=False`` append advances neither the manifest
+    epoch nor any planned victim, so an epoch compare misses it
+    (round-11 self-review); the listing catches any add, rewrite or
+    remove.  Dot/underscore dirs (staging, manifests, feed) are
+    pruned exactly like Spark's listing rules."""
+    import hashlib
+
+    h = hashlib.sha1()
+    # NOT sorted(os.walk(...)): sorting would consume the generator
+    # before the dns[:] pruning runs, so hidden staging dirs (this
+    # very mutation's .occ-stage-*) would leak into the fingerprint
+    # and every commit would self-conflict; in-place dns sorting
+    # keeps the traversal deterministic instead
+    for dp, dns, fns in os.walk(path):
+        dns[:] = sorted(
+            d for d in dns if not d.startswith((".", "_"))
+        )
+        for fn in sorted(fns):
+            if fn.endswith(".parquet") and not fn.startswith(
+                (".", "_")
+            ):
+                fp = os.path.join(dp, fn)
+                try:
+                    h.update(
+                        f"{os.path.relpath(fp, path)}:"
+                        f"{os.path.getsize(fp)}\x00".encode()
+                    )
+                except OSError:
+                    h.update(b"?\x00")
+    return h.hexdigest()
+
+
+def _occ_commit_window(
+    spark: SparkSession,
+    path: str,
+    read_fp: dict[str, int],
+    meta_fp: str,
+    plan_head: int | None,
+    plan_listing: str,
+    match_fn,
+    commit_fn,
+):
+    """The short gated OCC commit shared by delete and upsert:
+    reconcile, validate the plan, detect concurrently-INSERTED rows
+    that would dodge the staged mutation, then run the caller's
+    journal-swap-commit body under the gate.
+
+    The insert detector: with a change feed, scan the deltas
+    committed after ``plan_head`` through the caller's ``match_fn``
+    — and skip the scan entirely when no new seq committed, so the
+    common uncontended commit runs NO Spark job under the gate (an
+    empty-feed probe would be a createDataFrame-backed job, ~4.5 s
+    of Python-worker spin-up in this environment — the exact trap
+    ``literals.local_frame`` exists for).  Feedless tables compare
+    the full file-listing fingerprint instead, which a
+    ``refresh_stats=False`` append cannot slip past."""
+    with _mutation_gate(path):
+        _reconcile_delete_journal(spark, path)
+        _occ_validate(
+            spark, path, read_fp, meta_fp, _OCC_META_FIELDS_REWRITE
+        )
+        if plan_head is not None:
+            from .change_feed import latest_change_seq, read_change_feed
+
+            if (
+                match_fn is not None
+                and latest_change_seq(path) > plan_head
+            ):
+                newer = read_change_feed(
+                    spark, path, since_seq=plan_head
+                ).filter(
+                    F.col("_change_type").isin(
+                        "insert", "update_postimage"
+                    )
+                )
+                if not match_fn(newer).isEmpty():
+                    raise _OccConflict(
+                        "a concurrent mutation inserted rows "
+                        "matching this mutation's plan under "
+                        f"{path} after planning"
+                    )
+        elif _occ_listing_fingerprint(path) != plan_listing:
+            raise _OccConflict(
+                f"table file set changed under {path} after "
+                "planning (no change feed to pinpoint the overlap)"
+            )
+        return commit_fn()
+
+
 def _occ_retry(op: str, path: str, attempt_fn):
     """Run ``attempt_fn()`` retrying on :class:`_OccConflict` up to
     ``_OCC_RETRIES`` times — each retry replans against the table
@@ -1242,6 +1334,7 @@ def _targeted_delete_impl(
     if any(v is None for v in values):
         raise ValueError("delete values must be non-null")
     plan_head = None
+    plan_listing = ""
     if occ:
         # reconcile needs the gate (it repairs shared state); take it
         # briefly, then plan and stage with the gate RELEASED
@@ -1251,14 +1344,17 @@ def _targeted_delete_impl(
         # AFTER this for concurrently-inserted rows matching the
         # delete's values (the victims check can't see brand-new
         # files — round-11 self-review; Delta raises
-        # ConcurrentAppendException for the same overlap)
+        # ConcurrentAppendException for the same overlap).  Feedless
+        # tables fingerprint the full file listing instead
         from .change_feed import change_feed_enabled, latest_change_seq
 
         if change_feed_enabled(path):
             plan_head = latest_change_seq(path)
+        else:
+            plan_listing = _occ_listing_fingerprint(path)
     else:
         _reconcile_delete_journal(spark, path)
-    plan_epoch, meta = _load_meta(spark, path)
+    _, meta = _load_meta(spark, path)
     if meta["immutable"]:
         raise ValueError(
             f"{path} is an immutable published snapshot — publish a "
@@ -1549,45 +1645,7 @@ def _targeted_delete_impl(
             if partials:
                 with _occ_scan_guard(True):
                     _write_partials(occ_tmp)
-            with _mutation_gate(path):
-                _reconcile_delete_journal(spark, path)
-                _occ_validate(
-                    spark, path, read_fp, meta_fp,
-                    _OCC_META_FIELDS_REWRITE,
-                )
-                # rows matching this delete inserted AFTER planning
-                # live in files the victims check never saw: scan the
-                # (small) newer deltas for matching inserts and
-                # conflict — the retry's plan then covers them.  A
-                # feedless table can't be scanned this way; there,
-                # any epoch advance (every mutation refreshes)
-                # conflicts conservatively
-                if plan_head is not None:
-                    from .change_feed import read_change_feed as _rcf
-
-                    hit = _rcf(
-                        spark, path, since_seq=plan_head
-                    ).filter(
-                        F.col("_change_type").isin(
-                            "insert", "update_postimage"
-                        )
-                        & F.col(col).isin(values)
-                    )
-                    if not hit.isEmpty():
-                        raise _OccConflict(
-                            "a concurrent mutation inserted rows "
-                            f"matching this delete's values under "
-                            f"{path} after planning"
-                        )
-                else:
-                    from .stats_manifest import _load_meta as _lm
-
-                    if _lm(spark, path)[0] != plan_epoch:
-                        raise _OccConflict(
-                            f"manifest epoch advanced under {path} "
-                            "after planning (no change feed to "
-                            "pinpoint the overlap)"
-                        )
+            def _do_commit() -> dict:
                 rewritten, pre_sizes = _journal_and_swap(
                     spark, path, partials, removes, _write_partials,
                     changes=(
@@ -1598,6 +1656,15 @@ def _targeted_delete_impl(
                     staged_tmp=occ_tmp,
                 )
                 return _commit_tail(rewritten, pre_sizes)
+
+            return _occ_commit_window(
+                spark, path, read_fp, meta_fp, plan_head,
+                plan_listing,
+                # rows matching this delete inserted AFTER planning
+                # live in files the victims check never saw
+                lambda newer: newer.filter(F.col(col).isin(values)),
+                _do_commit,
+            )
         except _OccConflict:
             # the staged delta belongs to the LOSING plan — abort it;
             # the retry restages against the new table state
@@ -2094,14 +2161,24 @@ def targeted_upsert(
             # it (the delete/compact OCC discipline, incl. the
             # concurrent-matching-append conflict — Delta's
             # ConcurrentAppendException shape for MERGE)
-            return _occ_retry(
-                "targeted_upsert", path,
-                lambda: _targeted_upsert_impl(
-                    spark, path, key_col, updates, refresh_stats,
-                    max_driver_rows, distributed, persisted,
-                    occ=True,
-                ),
-            )
+            def _attempt():
+                try:
+                    return _targeted_upsert_impl(
+                        spark, path, key_col, updates, refresh_stats,
+                        max_driver_rows, distributed, persisted,
+                        occ=True,
+                    )
+                except _OccConflict:
+                    # release the LOSING attempt's cached changeset
+                    # now — a conflicting backfill-scale MERGE would
+                    # otherwise pin up to _OCC_RETRIES multi-GB
+                    # copies at once (round-11 self-review)
+                    for df in persisted:
+                        df.unpersist()
+                    persisted.clear()
+                    raise
+
+            return _occ_retry("targeted_upsert", path, _attempt)
         with _mutation_gate(path):
             return _targeted_upsert_impl(
                 spark, path, key_col, updates, refresh_stats,
@@ -2203,6 +2280,7 @@ def _targeted_upsert_impl(
     from .stats_manifest import refresh_stats_manifest as _refresh
 
     plan_head = None
+    plan_listing = ""
     if occ:
         with _mutation_gate(path):
             _reconcile_delete_journal(spark, path)
@@ -2210,9 +2288,11 @@ def _targeted_upsert_impl(
 
         if change_feed_enabled(path):
             plan_head = latest_change_seq(path)
+        else:
+            plan_listing = _occ_listing_fingerprint(path)
     else:
         _reconcile_delete_journal(spark, path)
-    plan_epoch, meta = _load_meta(spark, path)
+    _, meta = _load_meta(spark, path)
     if meta["immutable"]:
         raise ValueError(
             f"{path} is an immutable published snapshot — publish a "
@@ -2631,48 +2711,7 @@ def _targeted_upsert_impl(
             try:
                 with _occ_scan_guard(True):
                     _write(occ_tmp)
-                with _mutation_gate(path):
-                    _reconcile_delete_journal(spark, path)
-                    _occ_validate(
-                        spark, path, read_fp, meta_fp,
-                        _OCC_META_FIELDS_REWRITE,
-                    )
-                    # a row whose key matches this changeset inserted
-                    # AFTER planning would silently dodge the merge
-                    # (classified neither update nor insert) — scan
-                    # the newer deltas and conflict, like the delete
-                    if plan_head is not None:
-                        from .change_feed import (
-                            read_change_feed as _rcf,
-                        )
-
-                        hit = (
-                            _rcf(spark, path, since_seq=plan_head)
-                            .filter(
-                                F.col("_change_type").isin(
-                                    "insert", "update_postimage"
-                                )
-                            )
-                            .join(
-                                upd_df.select(*key_cols).distinct(),
-                                key_cols, "semi",
-                            )
-                        )
-                        if not hit.isEmpty():
-                            raise _OccConflict(
-                                "a concurrent mutation inserted rows "
-                                "matching this merge's keys under "
-                                f"{path} after planning"
-                            )
-                    else:
-                        from .stats_manifest import _load_meta as _lm
-
-                        if _lm(spark, path)[0] != plan_epoch:
-                            raise _OccConflict(
-                                f"manifest epoch advanced under "
-                                f"{path} after planning (no change "
-                                "feed to pinpoint the overlap)"
-                            )
+                def _do_commit() -> dict:
                     rewritten, pre_sizes = _journal_and_swap(
                         spark, path, partials, [], _write, adds=adds,
                         changes=(
@@ -2684,6 +2723,19 @@ def _targeted_upsert_impl(
                         staged_tmp=occ_tmp,
                     )
                     return _commit_tail(rewritten, pre_sizes)
+
+                return _occ_commit_window(
+                    spark, path, read_fp, meta_fp, plan_head,
+                    plan_listing,
+                    # a row whose key matches this changeset inserted
+                    # AFTER planning would silently dodge the merge
+                    # (classified neither update nor insert)
+                    lambda newer: newer.join(
+                        upd_df.select(*key_cols).distinct(),
+                        key_cols, "semi",
+                    ),
+                    _do_commit,
+                )
             except _OccConflict:
                 if staged:
                     from .change_feed import abort_changes

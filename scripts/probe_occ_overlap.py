@@ -80,11 +80,29 @@ def main() -> None:
         (F.col("id") % 13).alias("grp"),
         F.lit("appended").alias("text"),
     )
+    # count occ retries: a DISJOINT pair must validate clean on the
+    # first attempt — a retry here means the measurement is of
+    # conflict behavior, not overlap (round-11 self-review: pair B
+    # used to run AFTER the compaction had packed every id into ONE
+    # file, making the "disjoint" deletes collide)
+    from osrs_dashboard_elt_spark.sources import maintenance as mnt
+
+    attempts: list[str] = []
+    real_retry = mnt._occ_retry
+
+    def counting_retry(op, path_, fn):
+        def counted():
+            attempts.append(op)
+            return fn()
+
+        return real_retry(op, path_, counted)
+
+    mnt._occ_retry = counting_retry
     for label, concurrent in (("serial", False), ("occ", True)):
-        base = tempfile.mkdtemp(prefix=f"occp_{label}_")
+        # pair A: append + compact of sealed files (fresh table)
+        base = tempfile.mkdtemp(prefix=f"occp_{label}_a_")
         path = os.path.join(base, "tbl")
         _mk(spark, path, n)
-        # pair A: append + compact of sealed files
         out[f"append_compact_{label}_s"] = _timed_pair(
             [
                 lambda: table_append(
@@ -97,7 +115,13 @@ def main() -> None:
             ],
             concurrent,
         )
-        # pair B: disjoint deletes (ids from different range blocks)
+        got_a = sm.read_table(spark, path).count()
+        shutil.rmtree(base, ignore_errors=True)
+        # pair B: disjoint deletes on a FRESH range-partitioned table
+        # (8 id-block files; the two id sets live in different files)
+        base = tempfile.mkdtemp(prefix=f"occp_{label}_b_")
+        path = os.path.join(base, "tbl")
+        _mk(spark, path, n)
         a_ids = list(range(10, 60))
         b_ids = list(range(n - 60, n - 10))
         out[f"disjoint_deletes_{label}_s"] = _timed_pair(
@@ -111,12 +135,16 @@ def main() -> None:
             ],
             concurrent,
         )
-        # exactness after each pair set
-        got = sm.read_table(spark, path).count()
+        got_b = sm.read_table(spark, path).count()
         out[f"rows_exact_{label}"] = (
-            got == n + n // 20 - len(a_ids) - len(b_ids)
+            got_a == n + n // 20
+            and got_b == n - len(a_ids) - len(b_ids)
         )
         shutil.rmtree(base, ignore_errors=True)
+    mnt._occ_retry = real_retry
+    # 4 occ mutations total; each counted once = no conflict retries
+    out["occ_attempts"] = len(attempts)
+    out["occ_retries"] = len(attempts) - 4
     out["append_compact_speedup"] = round(
         out["append_compact_serial_s"] / out["append_compact_occ_s"],
         2,

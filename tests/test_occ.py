@@ -539,3 +539,93 @@ def test_occ_upsert_overlaps_append_and_conflicts_on_matching_keys(
     rows17 = read_table(spark, path).filter("doc_id = 17").collect()
     assert {r["text"] for r in rows17} == {"v2"}
     assert out["r"]["rows_updated"] == 2
+
+
+def test_occ_feedless_table_never_misses_silent_append(
+    spark, tmp_path, monkeypatch
+):
+    """Round-11 self-review: on a FEEDLESS table the occ commit
+    window cannot scan deltas for concurrently-inserted matching
+    rows, and a refresh_stats=False append advances no manifest
+    epoch — the full file-LISTING fingerprint is the detector.  The
+    occ delete must conflict; its retry then either covers the new
+    row (fresh manifest) or refuses loudly on the stale one — never
+    a 'successful' takedown leaving matching rows live."""
+    from osrs_dashboard_elt_spark.sources.stats_manifest import (
+        write_stats_manifest,
+    )
+
+    def mk_feedless(p):
+        spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 7).alias("grp"),
+            F.concat(F.lit("t"), F.col("id")).alias("text"),
+        ).repartitionByRange(2, "doc_id").write.parquet(p)
+        write_stats_manifest(
+            spark, p, ["doc_id"], bloom_cols=["doc_id"],
+            bloom_bits=1 << 14,
+        )
+
+    def run_case(p, refresh_stats):
+        staged_ev = threading.Event()
+        release_ev = threading.Event()
+        real_mkdtemp = tempfile_mod.mkdtemp
+
+        def pausing(*a, **k):
+            d = real_mkdtemp(*a, **k)
+            if str(k.get("prefix", "")).startswith(
+                maintenance._OCC_STAGE_PREFIX
+            ) and not staged_ev.is_set():
+                staged_ev.set()
+                assert release_ev.wait(120)
+            return d
+
+        monkeypatch.setattr(
+            maintenance.tempfile, "mkdtemp", pausing
+        )
+        out: dict = {}
+
+        def worker():
+            try:
+                out["r"] = targeted_delete(
+                    spark, p, "doc_id", [7], occ=True
+                )
+            except Exception as e:
+                out["err"] = e
+
+        t = threading.Thread(target=worker)
+        t.start()
+        assert staged_ev.wait(120)
+        table_append(
+            spark, p,
+            spark.createDataFrame(
+                [(7, 0, "sneaky")],
+                "doc_id long, grp long, text string",
+            ),
+            refresh_stats=refresh_stats,
+        )
+        release_ev.set()
+        t.join(timeout=600)
+        monkeypatch.setattr(
+            maintenance.tempfile, "mkdtemp", real_mkdtemp
+        )
+        return out
+
+    import tempfile as tempfile_mod
+
+    # fresh-manifest append: the conflict retry replans over the new
+    # file and removes BOTH copies
+    p1 = str(tmp_path / "t1")
+    mk_feedless(p1)
+    out = run_case(p1, refresh_stats=True)
+    assert "err" not in out, out.get("err")
+    assert out["r"]["rows_deleted"] == 2
+    assert read_table(spark, p1).filter("doc_id = 7").isEmpty()
+    # stale-manifest append: the retry's planning refuses LOUDLY
+    # (files_for_values freshness) instead of reporting success with
+    # the sneaky row alive
+    p2 = str(tmp_path / "t2")
+    mk_feedless(p2)
+    out = run_case(p2, refresh_stats=False)
+    assert "err" in out
+    assert "stale" in str(out["err"])
