@@ -145,6 +145,8 @@ def main() -> None:
     # gaps/double-claims, exact as-of, view == direct recompute
     seqs = _committed_seqs(_changes_root(table))
     out["committed_seqs"] = len(seqs)
+    out["seqs"] = seqs  # the raw list — a rare failure must be
+    # diagnosable from the one emitted record (round-11 flake note)
     out["seqs_contiguous"] = seqs == list(range(1, 2 * n + 1))
     out["rows_exact"] = (
         read_table(spark, table).count() == 500 + 4 * n

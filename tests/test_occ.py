@@ -284,11 +284,15 @@ def test_cross_process_occ_contention():
         ln for ln in out.stdout.splitlines()
         if ln.startswith('{"op"')
     ]
-    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-500:])
-    rec = json.loads(lines[-1])
+    # parse the record BEFORE the rc assert: a failure must surface
+    # the probe's own per-check verdicts (incl. the raw seq list),
+    # not a progress-bar-filled stdout tail (round-11 flake note: one
+    # full-suite run failed with the diagnostic truncated away)
+    rec = json.loads(lines[-1]) if lines else None
+    assert out.returncode == 0, (rec, out.stderr[-500:])
     assert rec["ok"] is True, rec
     assert rec["mode"] == "occ"
-    assert rec["seqs_contiguous"] and rec["committed_seqs"] == 6
+    assert rec["seqs_contiguous"] and rec["committed_seqs"] == 6, rec
 
 
 def test_occ_delete_conflicts_on_concurrent_matching_append(
