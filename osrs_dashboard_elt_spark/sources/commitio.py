@@ -333,7 +333,9 @@ def compare_and_swap(
     guard = path + ".cas"
     deadline = time.time() + 10.0
     owner = f"{os.getpid()}:{uuid.uuid4().hex[:12]}"
-    while not _BACKEND.put_if_absent(guard, _guard_blob(owner)):
+    blob = _guard_blob(owner)
+    while not _BACKEND.put_if_absent(guard, blob):
+        blob = _guard_blob(owner)  # fresh ts for the next attempt
         corpse = _BACKEND.get(guard)
         if corpse is None:
             continue  # guard vanished between claim and read — retry
@@ -367,13 +369,32 @@ def compare_and_swap(
     try:
         if _BACKEND.get(path) != expect:
             return False
+        # The guard is a LEASE, not a lock: a holder stalled past the
+        # staleness sweep is legitimately evicted, and proceeding with
+        # the swap after eviction is exactly the double-admission that
+        # loses a concurrent writer's update (measured: an 8-thread
+        # lineage-append loop on a loaded host lost one event when a
+        # holder's in-section stall crossed _CAS_GUARD_STALE).  So
+        # re-verify ownership immediately before the swap and abandon
+        # — returning False, indistinguishable from losing the CAS, so
+        # every caller's retry loop handles it — when the guard is no
+        # longer ours OR is old enough that a sweeper could evict us
+        # before the put lands (half the stale window of margin).
+        g = _BACKEND.get(guard)
+        if g != blob or _guard_age(g) > _CAS_GUARD_STALE * 0.5:
+            return False
         if new is None:
             _BACKEND.delete(path)
         else:
             _BACKEND.put(path, new)
         return True
     finally:
-        _BACKEND.delete(guard)
+        # delete only OUR guard: after an eviction the blob at this
+        # name belongs to the next caller, and deleting it would
+        # re-open their critical section to a third writer (the
+        # cascading form of the same double-admission)
+        if _BACKEND.get(guard) == blob:
+            _BACKEND.delete(guard)
 
 
 class LockFencedError(RuntimeError):

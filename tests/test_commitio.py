@@ -570,6 +570,40 @@ def test_claim_slot_brace_safe_root(backend, tmp_path):
     assert os.path.exists(str(root / ".claim-c0001"))
 
 
+def test_cas_evicted_holder_abandons_and_spares_new_guard(
+    backend, tmp_path, monkeypatch
+):
+    """A CAS holder stalled past the staleness sweep is EVICTED — a
+    sweeper deletes its guard and another caller claims the section.
+    The woken holder must (a) NOT perform its swap (double admission
+    loses the other writer's update — the measured 8-thread lineage
+    loss under host load) and (b) NOT delete the new owner's guard in
+    its cleanup (which would re-open the section to a third writer)."""
+    p = str(tmp_path / "blob")
+    commitio.publish_bytes(p, b"v1")
+    guard = p + ".cas"
+    thief_blob = commitio._guard_blob("thief:cafecafe")
+    orig_get = backend.get
+    fired = {"done": False}
+
+    def get_with_eviction(path):
+        out = orig_get(path)
+        if path == p and not fired["done"]:
+            fired["done"] = True
+            # simulate the sweep+reclaim landing inside the holder's
+            # critical section: the guard now belongs to someone else
+            backend.delete(guard)
+            backend.put(guard, thief_blob)
+        return out
+
+    monkeypatch.setattr(backend, "get", get_with_eviction)
+    assert commitio.compare_and_swap(p, b"v1", b"v2") is False
+    # the swap did not land and the thief's guard survived cleanup
+    assert orig_get(p) == b"v1"
+    assert orig_get(guard) == thief_blob
+    backend.delete(guard)
+
+
 def test_cas_guard_staleness_from_guard_bytes(backend, tmp_path):
     """Round-10 ADVICE (low): the CAS corpse sweep statted the guard
     with os.path.getmtime — meaningless under a non-filesystem
