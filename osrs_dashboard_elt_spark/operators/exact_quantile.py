@@ -10,8 +10,9 @@ splits).  The classic scalable form is iterative range narrowing:
    exchange carries at most n_bins rows per upstream partition);
 2. walk the bin counts driver-side to find the bin containing the
    k-th element and recurse INTO that bin's range;
-3. stop when the candidate bin holds <= ``collect_limit`` rows and
-   sort just those driver-side.
+3. finish a range by exact per-value counts once it is small enough
+   (span <= n_bins, or the range is known to hold <= ``collect_limit``
+   rows from the previous round's bin count).
 
 Rounds are bounded by ``log_{n_bins}(range/resolution)`` — for 64-bit
 integer domains at n_bins=4096 that is <= 6 scans, independent of row
@@ -19,6 +20,17 @@ count; each scan is a full pass but carries ONE long per row into a
 bounded aggregate.  Skew cannot break it: a degenerate bin (many
 duplicates of one value) terminates immediately because the range
 collapses to a point.
+
+MULTI-QUANTILE REQUESTS SHARE EVERY PASS: all active quantiles'
+current ranges (pairwise disjoint — they descend from disjoint bins
+of one shared initial range, with identical ranges merged) are
+histogrammed/finished by ONE aggregate per round, keyed by a range id
+(optimization guide §2.3-§2.4 — each narrowing pass is a full column
+scan at scale, so three quantiles must not triple it).  Previously
+each quantile ran its own narrowing loop: 3 quantiles over a ~1e7
+span cost ~7-10 passes; shared rounds cost stats + 2 (bench-protocol
+medians at sf0.1: ~4.5 s -> ~2 s interleaved old/new on the same
+host, and the pass count is the 100 TB cost).
 
 Values must be integral (long) — exactness over doubles is
 ill-defined under binning; fixed-point-encode decimals first (the
@@ -55,96 +67,141 @@ def exact_kth(
     """The exact k-th smallest (1-based) of an integral column.
 
     Driver loop like the kmeans fit: each round is one bounded
-    aggregate; the driver holds only bin counts (n_bins longs) and,
-    at the end, one small sorted slice."""
+    aggregate; the driver holds only per-range bin counts and, for a
+    finishing range, one small value-count slice."""
     vals, n, lo, hi = _stats(df, col)
     if n == 0:
         raise ValueError("exact_kth: no non-null values")
     if not 1 <= k <= n:
         raise ValueError(f"exact_kth: k={k} out of range 1..{n}")
-    return _kth_in_range(
-        vals, k, lo, hi, n_bins, collect_limit, max_rounds
-    )
+    return _kth_multi(
+        vals, {0: k}, n, lo, hi, n_bins, collect_limit, max_rounds
+    )[0]
 
 
-def _kth_in_range(
+def _kth_multi(
     vals: DataFrame,
-    rank: int,
-    lo: int,
-    hi: int,
+    want: dict,
+    n_rows: int,
+    lo0: int,
+    hi0: int,
     n_bins: int,
     collect_limit: int,
     max_rounds: int,
-) -> int:
+) -> dict:
+    """Resolve ``{qid: rank}`` -> ``{qid: value}`` with ONE shared
+    bounded aggregate per round, whatever the number of quantiles.
+
+    Per-quantile state: (remaining rank, lo, hi, rows known to lie in
+    [lo, hi]).  Each round classifies every value into the distinct
+    active ranges (disjoint by construction) and emits one (range,
+    key) count row, where key is an exact value offset for finishing
+    ranges and a bin index otherwise; the driver walk then advances
+    every quantile from the same collected counts."""
+    st = {qid: [rank, lo0, hi0, n_rows] for qid, rank in want.items()}
+    out: dict = {}
     for _ in range(max_rounds):
-        if lo == hi:
-            return int(lo)
-        if hi - lo + 1 > 2**63:
-            # Full-long-domain range: ``__v - lo`` would overflow
-            # BIGINT Spark-side.  One bisection at 0 (a single count)
-            # shrinks every later span below 2^63.
-            neg = vals.filter(
-                (F.col("__v") >= lo) & (F.col("__v") < 0)
-            ).count()
-            if rank <= neg:
-                hi = -1
+        for qid, (rank, lo, hi, _rows) in st.items():
+            if qid not in out and lo == hi:
+                out[qid] = int(lo)
+        active = {q: s for q, s in st.items() if q not in out}
+        if not active:
+            return out
+        # distinct ranges shared by the quantiles inside them
+        ranges: dict = {}
+        for qid, (_rank, lo, hi, rows) in active.items():
+            ranges.setdefault((lo, hi), []).append(qid)
+        specs = []  # (rid, lo, hi, mode, width)
+        for rid, ((lo, hi), qids) in enumerate(ranges.items()):
+            span = hi - lo + 1
+            rows = st[qids[0]][3]
+            if span > 2**63:
+                # Full-long-domain range: ``__v - lo`` would overflow
+                # BIGINT Spark-side.  One bisection at 0 shrinks every
+                # later span below 2^63 (folded into the shared pass
+                # as a two-bin histogram with its boundary at 0).
+                specs.append((rid, lo, hi, "bisect", None))
+            elif span <= n_bins or rows <= collect_limit:
+                # exact per-value counts: <= min(span, rows) driver
+                # rows — span-bounded by n_bins or row-bounded by
+                # collect_limit, never both unbounded
+                specs.append((rid, lo, hi, "exact", None))
             else:
-                rank -= neg
-                lo = 0
-            continue
-        span = hi - lo + 1
-        if span <= n_bins:
-            # one exact count per distinct value — finish here
-            counts = (
-                vals.filter((F.col("__v") >= lo) & (F.col("__v") <= hi))
-                .groupBy("__v")
-                .agg(F.count(F.lit(1)).alias("c"))
-                .collect()
-            )
-            acc = 0
-            for r in sorted(counts, key=lambda r: r["__v"]):
-                acc += r["c"]
-                if acc >= rank:
-                    return int(r["__v"])
-            raise AssertionError("rank exceeded slice count")
-        width = -(-span // n_bins)  # ceil
+                specs.append((rid, lo, hi, "hist", -(-span // n_bins)))
+        # ONE pass: classify into (range id, key) and count.
         # Integral DIV, not `/`: Spark `/` is DOUBLE division, and for
         # offsets >= 2^53 (nanosecond-epoch longs) the rounding step
         # can push a boundary value into the neighbouring bin,
         # silently corrupting the rank adjustment.
-        hist = (
-            vals.filter((F.col("__v") >= lo) & (F.col("__v") <= hi))
-            .select(
-                F.expr(
-                    f"CAST((__v - {lo}L) DIV {width}L AS INT)"
-                ).alias("__b")
+        rid_c = None
+        key_c = None
+        for rid, lo, hi, mode, width in specs:
+            cond = (F.col("__v") >= lo) & (F.col("__v") <= hi)
+            if mode == "bisect":
+                key = F.when(F.col("__v") < 0, F.lit(0)).otherwise(
+                    F.lit(1)
+                ).cast("long")
+            elif mode == "exact":
+                key = F.expr(f"__v - {lo}L")
+            else:
+                key = F.expr(f"(__v - {lo}L) DIV {width}L")
+            rid_c = (
+                F.when(cond, F.lit(rid))
+                if rid_c is None
+                else rid_c.when(cond, F.lit(rid))
             )
-            .groupBy("__b")
+            key_c = F.when(cond, key) if key_c is None else key_c.when(cond, key)
+        collected = (
+            vals.select(rid_c.alias("__r"), key_c.alias("__k"))
+            .filter(F.col("__r").isNotNull())
+            .groupBy("__r", "__k")
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
         )
-        acc = 0
-        target_bin = None
-        for r in sorted(hist, key=lambda r: r["__b"]):
-            if acc + r["c"] >= rank:
-                target_bin = r["__b"]
-                rank -= acc
-                break
-            acc += r["c"]
-        if target_bin is None:
-            raise AssertionError("rank exceeded histogram total")
-        lo, hi = lo + target_bin * width, min(hi, lo + (target_bin + 1) * width - 1)
-        # small-slice shortcut: collect and sort the survivors
-        slice_n = [r for r in hist if r["__b"] == target_bin][0]["c"]
-        if slice_n <= collect_limit:
-            rows = (
-                vals.filter((F.col("__v") >= lo) & (F.col("__v") <= hi))
-                .orderBy("__v")
-                .limit(int(rank))
-                .collect()
-            )
-            return int(rows[rank - 1]["__v"])
-    raise RuntimeError("exact_kth: max_rounds exceeded (range not shrinking?)")
+        by_rid: dict = {}
+        for r in collected:
+            by_rid.setdefault(r["__r"], []).append((r["__k"], r["c"]))
+        for rid, lo, hi, mode, width in specs:
+            counts = sorted(by_rid.get(rid, []))
+            for qid in ranges[(lo, hi)]:
+                rank = st[qid][0]
+                if mode == "exact":
+                    acc = 0
+                    for key, c in counts:
+                        acc += c
+                        if acc >= rank:
+                            out[qid] = int(lo + key)
+                            break
+                    else:
+                        raise AssertionError("rank exceeded slice count")
+                elif mode == "bisect":
+                    neg = sum(c for key, c in counts if key == 0)
+                    if rank <= neg:
+                        st[qid] = [rank, lo, -1, neg]
+                    else:
+                        total = sum(c for _, c in counts)
+                        st[qid] = [rank - neg, 0, hi, total - neg]
+                else:
+                    acc = 0
+                    target = None
+                    for key, c in counts:
+                        if acc + c >= rank:
+                            target = key
+                            st[qid] = [
+                                rank - acc,
+                                lo + key * width,
+                                min(hi, lo + (key + 1) * width - 1),
+                                c,
+                            ]
+                            break
+                        acc += c
+                    if target is None:
+                        raise AssertionError("rank exceeded histogram total")
+    pending = [q for q in st if q not in out]
+    raise RuntimeError(
+        f"exact quantiles: max_rounds exceeded with {pending} "
+        "unresolved (range not shrinking?)"
+    )
 
 
 def _ceil_rank(q: float, n: int) -> int:
@@ -158,21 +215,26 @@ def exact_quantiles(
     df: DataFrame, col: str, qs, **kwargs
 ) -> dict:
     """Several exact discrete percentiles with ONE shared stats scan
-    (the per-q narrowing loops reuse the same count/min/max) —
-    ``{q: value}``.  Same rank rule as :func:`exact_quantile`."""
+    AND one shared bounded aggregate per narrowing round for ALL
+    requested quantiles — ``{q: value}``.  Same rank rule as
+    :func:`exact_quantile`."""
     n_bins = kwargs.pop("n_bins", 4096)
     collect_limit = kwargs.pop("collect_limit", 100_000)
     max_rounds = kwargs.pop("max_rounds", 20)
     vals, n, lo, hi = _stats(df, col)
     if n == 0:
         raise ValueError("exact_quantiles: no non-null values")
-    return {
-        q: _kth_in_range(
-            vals, _ceil_rank(q, n), lo, hi, n_bins, collect_limit,
-            max_rounds,
-        )
-        for q in qs
-    }
+    got = _kth_multi(
+        vals,
+        {q: _ceil_rank(q, n) for q in qs},
+        n,
+        lo,
+        hi,
+        n_bins,
+        collect_limit,
+        max_rounds,
+    )
+    return {q: got[q] for q in qs}
 
 
 def exact_quantile(

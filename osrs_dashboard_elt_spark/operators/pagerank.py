@@ -25,7 +25,7 @@ plan, the same loop structure as `operators/components.py` and
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_SCALE = 1_000_000_000
@@ -38,6 +38,7 @@ def pagerank(
     n_iter: int = 5,
     damping_pct: int = 85,
     scale: int = DEFAULT_SCALE,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """(node, mass, rank) after ``n_iter`` integer-mass rounds over a
     DIRECTED edge list (feed both directions for an undirected graph).
@@ -49,11 +50,24 @@ def pagerank(
     out-edges) and DIV remainders are dropped, not redistributed —
     the standard quantized-PageRank simplification, stated so the
     oracle and any reimplementation agree on it.
+
+    ``edges_distinct=True`` declares the edge list already
+    duplicate-free (e.g. built from unique (a < b) pairs unioned both
+    directions) and skips the defensive ``distinct()`` — a full
+    edge-table shuffle that would otherwise run before any iteration.
     """
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
-    ).distinct()
+    )
+    if not edges_distinct:
+        e = e.distinct()
+    # e feeds BOTH union branches of `nodes` AND the routing table —
+    # without truncation the caller's edge lineage (often an expensive
+    # pair generator) is re-evaluated three times before the first
+    # iteration starts (measured: copurchase pairs alone are ~40% of
+    # the suite query; re-derivation tripled it)
+    e = e.localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -63,10 +77,15 @@ def pagerank(
         # edge scan (multi-branch re-planning)
         .localCheckpoint(eager=False)
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # (src, dst, deg): the static routing table — at scale this is
-    # the thing you bucket by src once and reuse every round
-    routes = e.join(deg, "src").localCheckpoint(eager=False)
+    # the thing you bucket by src once and reuse every round.  Degree
+    # rides a count-over-window on the SAME src partitioning as the
+    # rows it annotates: one Exchange total, where the former
+    # groupBy(src) + join("src") shape paid a second Exchange and a
+    # join to glue the count back on (guide §2.4).
+    routes = e.withColumn(
+        "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    ).localCheckpoint(eager=False)
     n_nodes = nodes.count()
     base = (scale * (100 - damping_pct)) // 100  # re-minted per node
 

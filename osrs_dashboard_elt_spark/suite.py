@@ -8017,9 +8017,16 @@ def q_copurchase_pagerank(spark, sf_dir):
     from .operators.pagerank import pagerank
 
     li = _t(spark, sf_dir, "lineitem")
-    pairs = copurchase_pairs(
-        li, "l_orderkey", "l_partkey", min_support=2, max_basket=64
-    ).select("item_a", "item_b")
+    pairs = (
+        copurchase_pairs(
+            li, "l_orderkey", "l_partkey", min_support=2, max_basket=64
+        )
+        .select("item_a", "item_b")
+        # pairs feed both direction branches of the edge union (and
+        # pagerank's own node/route derivations behind them): without
+        # truncation the basket-assembly aggregate re-runs per branch
+        .localCheckpoint(eager=False)
+    )
     edges = pairs.select(
         F.col("item_a").alias("src"), F.col("item_b").alias("dst")
     ).unionByName(
@@ -8028,7 +8035,11 @@ def q_copurchase_pagerank(spark, sf_dir):
         )
     )
     return pagerank(
-        edges, n_iter=_PR_ITER, damping_pct=_PR_DAMP, scale=_PR_SCALE
+        edges, n_iter=_PR_ITER, damping_pct=_PR_DAMP, scale=_PR_SCALE,
+        # copurchase_pairs emits unique (a < b) pairs and the two
+        # directions are disjoint, so the defensive edge distinct()
+        # would be a pure extra shuffle of the edge table
+        edges_distinct=True,
     )
 
 

@@ -50,6 +50,42 @@ def test_quantiles_match_rank_rule(values):
         assert exact_quantile(df, "v", q, n_bins=16) == ordered[k - 1], q
 
 
+def test_multi_quantiles_share_rounds(values, monkeypatch):
+    """Several quantiles resolve with ONE bounded aggregate per
+    narrowing round (plus the shared stats scan) — each collect is a
+    full column pass at scale, so 3 quantiles must not cost 3 loops.
+    Counted via DataFrame.collect; the bound is the single-quantile
+    round count, not 3x it."""
+    from fractions import Fraction
+
+    import pyspark.sql.dataframe as D
+
+    from osrs_dashboard_elt_spark.operators.exact_quantile import (
+        exact_quantiles,
+    )
+
+    df, ordered = values
+    n = len(ordered)
+    calls = {"n": 0}
+    orig = D.DataFrame.collect
+
+    def counted(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(D.DataFrame, "collect", counted)
+    qs = (0.25, 0.5, 0.75)
+    got = exact_quantiles(df, "v", qs, n_bins=16, collect_limit=10)
+    for q in qs:
+        fr = Fraction(q) * n
+        k = max(1, -(-fr.numerator // fr.denominator))
+        assert got[q] == ordered[k - 1], q
+    # stats + <= ceil(log_16(span ~ 7e9)) + exact-finish rounds; the
+    # un-shared form costs ~3x this.  Generous headroom, still far
+    # below the per-quantile loop count.
+    assert calls["n"] <= 12, calls["n"]
+
+
 def test_degenerate_all_equal(spark):
     df = spark.createDataFrame([(5,)] * 100, "v bigint")
     assert exact_kth(df, "v", 50) == 5

@@ -47,6 +47,46 @@ def test_mass_bounds_and_rank_column(spark, tiny):
         assert abs(r.rank - r.mass / (n * 1_000_000_000)) < 1e-15
 
 
+def test_edges_distinct_skips_dedup_but_matches(spark, tiny):
+    """``edges_distinct=True`` on an already-unique edge list must be
+    result-identical to the defensive default — it only removes the
+    pre-loop dedup shuffle — and the routing table must carry degree
+    via a window on the edge rows (one Exchange), not a groupBy+join
+    glue-back."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    a = sorted(
+        (r.node, r.mass) for r in pagerank(tiny, n_iter=2).collect()
+    )
+    b = sorted(
+        (r.node, r.mass)
+        for r in pagerank(tiny, n_iter=2, edges_distinct=True).collect()
+    )
+    assert a == b
+
+    def plan_of(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    # localCheckpoint hides the edge-preparation lineage from every
+    # downstream plan (even unmaterialized) — neutralize it so the
+    # shapes are visible
+    orig = DataFrame.localCheckpoint
+    DataFrame.localCheckpoint = lambda self, eager=True: self
+    try:
+        slow_plan = plan_of(pagerank(tiny, n_iter=1))
+        fast_plan = plan_of(pagerank(tiny, n_iter=1, edges_distinct=True))
+    finally:
+        DataFrame.localCheckpoint = orig
+    # the defensive (src, dst) dedup aggregate is gone; degree rides
+    # a window on the edge rows instead of a groupBy+join glue-back
+    assert fast_plan.count("HashAggregate") < slow_plan.count(
+        "HashAggregate"
+    )
+    assert "Window" in fast_plan
+
+
 def test_hub_mass_damping_does_not_overflow(spark):
     """The damping multiply runs in DECIMAL(38,0): a hub receiving
     nearly the TOTAL mass at a huge scale would wrap int64 under a
