@@ -56,14 +56,23 @@ def connected_components(
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
-    both = edges.select(
+    # truncate the CALLER's edge lineage once before mirroring: the
+    # two union branches below would otherwise each re-derive it (a
+    # pair generator — LSH join + dedup — is the typical input, and
+    # re-deriving it per branch doubles the pre-loop WORK; on an
+    # under-loaded local box the two branches merely ran in parallel,
+    # but a saturated cluster pays both).  `both` itself is NOT
+    # checkpointed: mirroring a materialized RDD is a trivial
+    # re-plan per iteration, and a second checkpoint here would add a
+    # sequential materialization barrier before the first round
+    # (measured: the two-checkpoint form regressed the crossmodal
+    # clusters query ~20%).
+    e0 = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).unionByName(
-        edges.select(
-            F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
-        )
+    ).localCheckpoint(eager=False)
+    both = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    both = both.localCheckpoint(eager=False)
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     ).localCheckpoint(eager=False)

@@ -403,8 +403,10 @@ def write_hll_registers(
     so a double-appended day changes nothing (sketch idempotency —
     no dedup bookkeeping needed).  At 100 TB the table is bounded by
     calendar x 2^p rows; day partitioning makes any window query a
-    partition-pruned scan."""
-    daily.write.mode(mode).partitionBy("day").parquet(path)
+    partition-pruned scan.  Clustered by day before the write so each
+    day lands as ONE file instead of a sliver per upstream shuffle
+    partition (~days x partitions tiny files otherwise)."""
+    daily.repartition("day").write.mode(mode).partitionBy("day").parquet(path)
 
 
 def read_hll_registers(
@@ -854,7 +856,14 @@ def _write_day_replaced(daily: DataFrame, path: str) -> None:
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        daily.write.mode("overwrite").partitionBy("day").parquet(path)
+        # cluster by day before the partitioned write: without it every
+        # upstream shuffle partition writes a sliver into every day
+        # directory (~days x shuffle-partitions files of a few rows —
+        # measured ~900 at sf0.1); clustered, each day is ONE file,
+        # which is also what the per-day replacement contract wants
+        daily.repartition("day").write.mode("overwrite").partitionBy(
+            "day"
+        ).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 

@@ -192,8 +192,7 @@ def changelog_via_stream(
     # query's start only — see streaming/drive.py for why restoring
     # right after start() is safe.
     return drive_available_now(
-        out, "pb_changelog", ckpt_dir,
-        timeout_sec=timeout_sec, shuffle_partitions=4,
+        out, "pb_changelog", ckpt_dir, timeout_sec=timeout_sec,
         rocksdb=(engine == "tws"),
     )
 

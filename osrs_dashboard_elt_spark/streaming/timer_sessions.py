@@ -335,11 +335,16 @@ def sessions_via_stream(
     from .drive import drive_available_now
 
     # per-key state-server round trips dominate (4 RPCs per key per
-    # batch): spread keys across workers — 16 stateful partitions,
-    # each its own Python state-server client
+    # batch, every key in the corpus): 4x the derived base width
+    # (session shuffle width / 2 here — see
+    # drive.default_state_partitions) spreads those RPCs across
+    # workers; the lighter drives (topk, changelog) use the plain
+    # derived width
+    from .drive import default_state_partitions
+
     sink = drive_available_now(
-        out, "timer_sessions", f"{root}/ckpt",
-        timeout_sec=timeout_sec, shuffle_partitions=16,
+        out, "timer_sessions", f"{root}/ckpt", timeout_sec=timeout_sec,
+        shuffle_partitions=4 * default_state_partitions(df.sparkSession),
     )
     # null-safe: a NULL key (cast miss or genuine null) forms its own
     # group and must survive this filter, same as batch sessionize

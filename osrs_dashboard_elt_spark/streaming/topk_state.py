@@ -313,7 +313,10 @@ def topk_via_stream(
     )
     from .drive import drive_available_now
 
+    # the per-first-seen-id MapState writes are the per-row cost,
+    # spread across the derived stateful width (session shuffle
+    # width / 8 — the warm-protocol optimum; see
+    # drive.default_state_partitions)
     return drive_available_now(
-        out, "topk_state", f"{root}/ckpt",
-        timeout_sec=timeout_sec, shuffle_partitions=4,
+        out, "topk_state", f"{root}/ckpt", timeout_sec=timeout_sec,
     )
