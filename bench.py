@@ -29,6 +29,39 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Host-noise calibration (round 13): this VM exhibits multi-minute
+# interference bursts (identical code measured 0.40 s and 16.8 s
+# minutes apart — OPTIMIZATION_r12.md "Host noise").  A fixed tiny
+# reference job timed immediately before and after the suite gives
+# every bench artifact a per-run noise normalizer: `host_factor` =
+# min(ref_before, ref_after) / REF_NOMINAL_SEC, where the nominal is
+# the min-of-many reference time measured on this host while idle
+# (committed below; re-calibrate if the hardware changes).  A
+# comparison between two runs should divide each run's seconds by its
+# own host_factor before flagging regressions.  The job is pinned at
+# 8 partitions so it measures per-core interference identically on
+# the driver's 32-core and 8-core passes.
+REF_NOMINAL_SEC = 0.14  # idle-host calibration, this round's protocol
+
+
+def _host_ref_sec(spark) -> float:
+    """Reference-job seconds under the calibration protocol: 3 warm
+    runs (JIT/codegen) then min-of-5 timed runs of a 1e7-row local
+    range aggregate (integer multiply/mod chain) — no I/O, no
+    shuffle, so its time moves only with CPU/scheduler interference."""
+    import time as _time
+
+    def one() -> float:
+        t0 = _time.time()
+        spark.range(0, 10_000_000, 1, 8).selectExpr(
+            "count(if(((id * 2654435761) % 1000003) % 7 = 0, 1, null)) as c"
+        ).collect()
+        return _time.time() - t0
+
+    for _ in range(3):
+        one()
+    return min(one() for _ in range(5))
+
 # Headline queries: the FULL oracle-checked set — BENCH and
 # CORRECTNESS cover the same names, so every correctness row has a
 # matching timing.
@@ -200,6 +233,7 @@ BENCH_QUERIES = [
 
 def main() -> None:
     from osrs_dashboard_elt_spark.session import get_spark
+    from osrs_dashboard_elt_spark.suite import reset_memos
     import __spark_entry__ as entrymod
 
     spark = get_spark(
@@ -248,6 +282,7 @@ def main() -> None:
         else:
             only = {s.strip() for s in flt.split(",") if s.strip()}
 
+    ref_before = round(_host_ref_sec(spark), 3)
     timings: dict[str, float] = {}
     t_all = 0.0
     for name in BENCH_QUERIES:
@@ -259,10 +294,17 @@ def main() -> None:
             pass
         samples: list[float] = []
         for _ in range(reps):
+            # Clear the result/artifact memos (trained models, built
+            # filters/indexes/layouts) so EVERY timed rep pays its
+            # query's full build — round 12's verdict flagged the
+            # warm-run-populates-memo pattern as a timing blind spot
+            # (training/index/bloom builds escaped the timed region).
+            reset_memos()
             t0 = time.time()
             qs[name](spark, SF_DIR).count()
             samples.append(time.time() - t0)
         if max(samples) > disagree * min(samples):
+            reset_memos()
             t0 = time.time()
             qs[name](spark, SF_DIR).count()
             samples.append(time.time() - t0)
@@ -277,11 +319,21 @@ def main() -> None:
         # suite than alone).
         spark.sparkContext._jvm.System.gc()  # noqa: SLF001
     total = round(t_all, 3)
-
+    ref_after = round(_host_ref_sec(spark), 3)
+    host = {
+        "host_ref_sec_before": ref_before,
+        "host_ref_sec_after": ref_after,
+        # min of the two probes: the least-interfered estimate of this
+        # run's CPU tax.  ~1.0 on an idle host; divide this run's
+        # seconds by it before comparing against another run.
+        "host_factor": round(
+            max(min(ref_before, ref_after), 1e-3) / REF_NOMINAL_SEC, 3
+        ),
+    }
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf else None
     full_line, compact_line = format_output(
-        timings, total, sf_val, filtered=only is not None
+        timings, total, sf_val, filtered=only is not None, host=host
     )
     # Full per-query record: archived to a file AND printed on an
     # early line (human/archive view).
@@ -310,10 +362,14 @@ def format_output(
     total: float,
     sf_val: float | None,
     filtered: bool = False,
+    host: dict | None = None,
 ) -> tuple[str, str]:
     """(full_json_line, compact_json_line) — the compact line carries
     the headline metric + the 15 slowest queries and stays well under
-    2 KB no matter how large the suite grows."""
+    2 KB no matter how large the suite grows.  ``host`` carries the
+    noise-calibration fields (host_ref_sec_before/after, host_factor)
+    emitted on BOTH lines."""
+    host = host or {}
     full = json.dumps(
         {
             "metric": "suite_wall_clock",
@@ -321,6 +377,7 @@ def format_output(
             "unit": "sec",
             "queries": timings,
             "sf": sf_val,
+            **host,
             **({"filter": True} if filtered else {}),
         }
     )
@@ -337,6 +394,7 @@ def format_output(
             "n_queries": len(timings),
             "sec_per_query": round(total / max(len(timings), 1), 3),
             "queries_file": "BENCH_QUERIES.json",
+            **host,
             **({"filter": True} if filtered else {}),
         },
         separators=(",", ":"),

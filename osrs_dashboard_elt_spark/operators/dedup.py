@@ -503,6 +503,54 @@ def simhash_pairs(
     bits=48 (the suite's setting) or bits=60 (the md5-hash ceiling:
     the token hash must cover the fingerprint width and stay inside
     a signed int64, so 60 is the maximum)."""
+    base = simhash_fingerprints(
+        df, id_col, text_col, bits, drop_empty=drop_empty
+    ).localCheckpoint(eager=False)
+    # ^ materialize the (tiny: id, fp) table once: the chunk self-join
+    # and hot-key guard would otherwise re-run the explode+aggregate
+    # lineage per reference
+    return hamming_blocked_pairs(base, bits, max_hamming, max_bucket_size)
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int,
+    drop_empty: bool = True,
+    packed: bool = True,
+) -> DataFrame:
+    """(id, fp) SimHash fingerprints via explode + integer SUM
+    aggregates — the same posting-table shape as the MinHash
+    signatures, fully inside whole-stage codegen with map-side partial
+    combine.  (The array-fold form ``simhash_from_hashes`` walks the
+    token array once per bit in an INTERPRETED lambda — measured ~10s
+    at sf0.1 vs sub-second for this shape.)  The vote is pure integer
+    arithmetic — bit b set iff 2*count(bit set) > n_tokens, i.e.
+    set-votes outnumber clear-votes — so it is order-independent and
+    engine-exact.  Empty docs (explode_outer null) produce null sums
+    -> no bits set -> fp = 0, matching the fold semantics.  The hash
+    width MUST cover the fingerprint width: with a narrower hash the
+    high fingerprint bits are never set, the chunk covering them
+    becomes one universal bucket, and blocking degenerates to an
+    all-pairs join.
+
+    ``packed=True`` (default) counts THREE bits per aggregate in
+    21-bit lanes of one long instead of one SUM per bit (48
+    accumulators and 48 shift+mask expressions per token row at the
+    suite's width): the 3-bit group ``(h >> 3g) & 7`` is spread to
+    lane offsets 0/21/42 by a multiply-and-mask (``v * (1 + 2^20 +
+    2^40)`` places bit j of v at position 21*j; the mask keeps
+    exactly those three positions), and SUM accumulates the three
+    per-bit counts carry-free — ceil(bits/3) aggregates with the
+    IDENTICAL integer counts decoded from the lanes.  Exact while
+    every doc has fewer than 2^21 tokens (the lane capacity: a lane
+    count below 2^21 cannot carry into the next, and the top lane
+    stays below 2^63); a doc at or past the bound fails LOUDLY via a
+    raise_error guard on the token count rather than silently
+    mis-voting.  ``packed=False`` keeps the one-SUM-per-bit reference
+    form; bit-equivalence of the two is pinned by
+    tests/test_dedup_guards.py::test_simhash_packed_lanes_match_per_bit_form."""
     toks = df.select(
         F.col(id_col).alias("id"), tokens_col(text_col).alias("toks")
     )
@@ -510,40 +558,66 @@ def simhash_pairs(
         # post-projection filter on the staged attribute (pushing it
         # into the scan would re-inline the tokenization expression)
         toks = toks.filter(F.size("toks") > 0)
-    # Fingerprint via explode + ``bits`` integer SUM aggregates — the
-    # same posting-table shape as the MinHash signatures, fully inside
-    # whole-stage codegen with map-side partial combine.  (The
-    # array-fold form ``simhash_from_hashes`` walks the token array
-    # once per bit in an INTERPRETED lambda — measured ~10s at sf0.1
-    # vs sub-second for this shape.)  The vote is pure integer
-    # arithmetic — bit b set iff 2*count(bit set) > n_tokens, i.e.
-    # set-votes outnumber clear-votes — so it is order-independent and
-    # engine-exact.  Empty docs (explode_outer null) produce null sums
-    # -> no bits set -> fp = 0, matching the fold semantics.
-    # hash width MUST cover the fingerprint width: with a narrower
-    # hash the high fingerprint bits are never set, the chunk covering
-    # them becomes one universal bucket, and blocking degenerates to
-    # an all-pairs join
     posts = toks.select("id", F.explode_outer("toks").alias("tok")).select(
         "id", token_hash(F.col("tok"), bits).alias("h")
     )
+    if not packed:
+        agg = posts.groupBy("id").agg(
+            F.count(F.col("h")).alias("__n"),
+            *[
+                F.sum(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+                ).alias(f"__c{b}")
+                for b in range(bits)
+            ],
+        )
+        fp = F.lit(0).cast("long")
+        for b in range(bits):
+            fp = fp + F.when(
+                F.lit(2) * F.col(f"__c{b}") > F.col("__n"),
+                F.lit(2**b).cast("long"),
+            ).otherwise(F.lit(0))
+        return agg.select("id", fp.alias("fp"))
+    spread = 1 + (1 << 20) + (1 << 40)
+    lanes = 1 + (1 << 21) + (1 << 42)
+    lane_mask = (1 << 21) - 1
+    n_groups = (bits + 2) // 3
     agg = posts.groupBy("id").agg(
         F.count(F.col("h")).alias("__n"),
         *[
-            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"__c{b}")
-            for b in range(bits)
+            F.sum(
+                (
+                    F.shiftright(F.col("h"), 3 * g).bitwiseAND(F.lit(7))
+                    * F.lit(spread)
+                ).bitwiseAND(F.lit(lanes))
+            ).alias(f"__s{g}")
+            for g in range(n_groups)
         ],
     )
     fp = F.lit(0).cast("long")
     for b in range(bits):
+        g, lane = divmod(b, 3)
+        c_b = F.shiftright(F.col(f"__s{g}"), 21 * lane).bitwiseAND(
+            F.lit(lane_mask)
+        )
         fp = fp + F.when(
-            F.lit(2) * F.col(f"__c{b}") > F.col("__n"), F.lit(2**b).cast("long")
+            F.lit(2) * c_b > F.col("__n"), F.lit(2**b).cast("long")
         ).otherwise(F.lit(0))
-    # Materialize the (tiny: id, fp) table once: the chunk self-join
-    # and hot-key guard would otherwise re-run the explode+aggregate
-    # lineage per reference.
-    base = agg.select("id", fp.alias("fp")).localCheckpoint(eager=False)
-    return hamming_blocked_pairs(base, bits, max_hamming, max_bucket_size)
+    # loud guard: a token count at or past the lane capacity could
+    # have carried between lanes — refuse rather than mis-vote (no
+    # realistic doc holds 2M+ tokens; the guard states the bound, it
+    # is not a branch the data ever takes)
+    fp = F.when(
+        F.col("__n") >= F.lit(1 << 21),
+        F.raise_error(
+            F.lit(
+                "simhash fingerprint: document exceeds the 2^21-token "
+                "packed-vote capacity; split the document or use "
+                "packed=False"
+            )
+        ).cast("long"),
+    ).otherwise(fp)
+    return agg.select("id", fp.alias("fp"))
 
 
 def hamming_blocked_pairs(

@@ -104,6 +104,7 @@ def kmeans_iterate(
     df: DataFrame,
     vec_col: str,
     centroids: list[list[float]],
+    floor_out: dict | None = None,
 ) -> list[list[float]]:
     """One Lloyd's round: assign to the nearest current centroid, then
     exact element means per cell (integerized sums).  Empty cells
@@ -112,12 +113,33 @@ def kmeans_iterate(
     NULL, wrong-length, or null-element vectors take no part in
     training (a NULL assignment would otherwise surface as a
     ``new[None]`` TypeError mid-fit — the scores array over any
-    invalid vector is NULL)."""
+    invalid vector is NULL).
+
+    ``floor_out``: when a dict is passed, the round's aggregate ALSO
+    computes the global min |nonzero element| (the exact-mean
+    magnitude guard) and stores it under ``floor_out["floor"]`` —
+    the fit folds its validation scan into round 1 this way instead
+    of paying a separate full pass (round 13; guide §1.2: don't add
+    passes the pipeline already makes)."""
     dim = len(centroids[0])
     assigned = _with_cell(
         df.select(vd_cast(vec_col).alias("__vd")).filter(valid_vec(dim)),
         centroids,
     )
+    floor_cols = []
+    if floor_out is not None:
+        # min over the row's nonzero |elements| (NULL when none), then
+        # MIN-aggregated per cell — rides the same scan + exchange
+        floor_cols = [
+            F.min(
+                F.array_min(
+                    F.transform(
+                        F.col("__vd"),
+                        lambda x: F.when(x != 0.0, F.abs(x)),
+                    )
+                )
+            ).alias("__floor")
+        ]
     # one aggregate row per cell, one sum column per dim: no row
     # amplification (vs posexplode'ing dim x rows through the agg)
     # and the exchange carries k rows x (dim+1) columns per partition
@@ -125,6 +147,7 @@ def kmeans_iterate(
         assigned.groupBy("__cell")
         .agg(
             F.count(F.lit(1)).alias("__n"),
+            *floor_cols,
             *[
                 F.sum(
                     (
@@ -136,6 +159,7 @@ def kmeans_iterate(
         )
         .select(
             "__cell",
+            *(["__floor"] if floor_cols else []),
             *[
                 (
                     (F.col(f"__s{d}").cast("double") / F.col("__n"))
@@ -151,6 +175,9 @@ def kmeans_iterate(
     # unaffected; the fixed per-iteration planning cost dominates at
     # test scale either way (SCALE.md "serialized expression trees").
     stats = agg_df.collect()
+    if floor_out is not None:
+        floors = [r["__floor"] for r in stats if r["__floor"] is not None]
+        floor_out["floor"] = min(floors) if floors else None
     new = [list(c) for c in centroids]  # empty cells keep old
     for r in stats:
         new[r["__cell"]] = [float(r[f"__m{d}"]) for d in range(dim)]
@@ -257,30 +284,36 @@ def kmeans_fit(
     final centroids (driver-side floats, ready to hand to
     ``ivf_assign``/``write_ivf_index`` after unit-normalizing if the
     index uses dot-product cells).  ``check_floor=False`` skips the
-    exact-mean magnitude scan — for callers that already validated
+    exact-mean magnitude guard — for callers that already validated
     the SAME elements (e.g. ``pq_train`` checks the full vector once
-    instead of paying one scan per subspace slice)."""
-    floor = None
-    if check_floor:
-        floor = (
-            df.select(vd_cast(vec_col).alias("__vd"))
-            .select(F.explode("__vd").alias("__x"))
-            .filter(F.col("__x") != 0.0)
-            .agg(F.min(F.abs(F.col("__x"))).alias("mn"))
-            .collect()[0]["mn"]
-        )
-    if floor is not None and floor < _MIN_EXACT_ABS:
+    instead of paying one check per subspace slice).  The guard no
+    longer costs its own corpus scan: it rides round 1's aggregate
+    (round 13) and raises before any trained centroid is returned —
+    the training rows a bad corpus would corrupt are exactly the rows
+    the folded guard inspects."""
+    if n_iter < 1 and check_floor:
         raise ValueError(
-            f"kmeans_fit exact-mean contract: nonzero |element| "
-            f"{floor!r} < 2^-27 — x*2^50 would not be an integer and "
-            "the centroid means would pick up engine-dependent "
-            "rounding.  Rescale the embeddings (or lower _SCALE_UP)."
+            "kmeans_fit: check_floor requires n_iter >= 1 (the guard "
+            "rides round 1's aggregate)"
         )
     cents = init if init is not None else kmeans_init(df, vec_col, k, id_col, seed)
     if len(cents) < k:
         raise ValueError(f"need >= {k} vectors to init, got {len(cents)}")
-    for _ in range(n_iter):
-        cents = kmeans_iterate(df, vec_col, cents)
+    floor_out: dict | None = {} if check_floor else None
+    for i in range(n_iter):
+        cents = kmeans_iterate(
+            df, vec_col, cents, floor_out=floor_out if i == 0 else None
+        )
+        if i == 0 and floor_out is not None:
+            floor = floor_out.get("floor")
+            if floor is not None and floor < _MIN_EXACT_ABS:
+                raise ValueError(
+                    f"kmeans_fit exact-mean contract: nonzero |element| "
+                    f"{floor!r} < 2^-27 — x*2^50 would not be an integer "
+                    "and the centroid means would pick up "
+                    "engine-dependent rounding.  Rescale the embeddings "
+                    "(or lower _SCALE_UP)."
+                )
     return cents
 
 

@@ -46,8 +46,9 @@ from pyspark.sql import functions as F
 
 from .kmeans import (
     _MIN_EXACT_ABS,
+    _SCALE_DOWN,
+    _SCALE_UP,
     _with_cell,
-    kmeans_fit,
     kmeans_init,
     valid_vec,
 )
@@ -108,33 +109,116 @@ def pq_train(
         raise ValueError(
             f"pq_train: need >= {k} valid vectors, got {len(full_init)}"
         )
-    floor = (
-        base.select(F.explode("__fv").alias("__x"))
-        .filter(F.col("__x") != 0.0)
-        .agg(F.min(F.abs(F.col("__x"))).alias("mn"))
-        .collect()[0]["mn"]
-    )
-    if floor is not None and floor < _MIN_EXACT_ABS:
-        raise ValueError(
-            f"pq_train exact-mean contract: nonzero |element| {floor!r} "
-            "< 2^-27 — subspace centroid means would pick up "
-            "engine-dependent rounding.  Rescale the embeddings."
+    # Shared-pass subspace training (round 13): every round updates
+    # ALL m codebooks from ONE scan — the per-subspace Lloyd's rounds
+    # are independent given the current codebooks, so their m
+    # assignment expressions ride the same pass and one aggregate
+    # keyed (subspace, cell) carries every codebook's sums (the same
+    # share-the-pass move as the round-12 multi-quantile narrowing:
+    # n_iter passes total instead of m * n_iter, identical at any
+    # scale because each pass is a full corpus scan).  Bit-exact to
+    # the per-subspace form: assignments use the same _with_cell
+    # chunked argmax over the same slices, sums integerize through
+    # the same decimal path, and empty cells keep their codeword —
+    # pinned by tests/test_pq.py::test_pq_train_shared_pass_matches_
+    # per_subspace.
+    books = [
+        [v[j * sub : (j + 1) * sub] for v in full_init] for j in range(m)
+    ]
+    floor_out: dict = {}
+    for i in range(n_iter):
+        books = _pq_iterate_all(
+            base, books, sub, floor_out=floor_out if i == 0 else None
         )
-    books: list[list[list[float]]] = []
-    for j in range(m):
-        sliced = base.select(
-            F.col(id_col),
-            F.slice("__fv", j * sub + 1, sub).alias("__subv"),
-        )
-        books.append(
-            kmeans_fit(
-                sliced, "__subv", k, n_iter=n_iter, id_col=id_col,
-                seed=seed,
-                init=[v[j * sub : (j + 1) * sub] for v in full_init],
-                check_floor=False,  # the full-vector floor scan above
-            )
-        )
+        if i == 0:
+            # exact-mean magnitude guard, folded into round 1's
+            # aggregate (the union of the subspace slices IS the full
+            # element set) — raises before any trained codeword is
+            # returned, same as the former standalone scan
+            floor = floor_out.get("floor")
+            if floor is not None and floor < _MIN_EXACT_ABS:
+                raise ValueError(
+                    f"pq_train exact-mean contract: nonzero |element| "
+                    f"{floor!r} < 2^-27 — subspace centroid means would "
+                    "pick up engine-dependent rounding.  Rescale the "
+                    "embeddings."
+                )
     return books
+
+
+def _pq_iterate_all(
+    base: DataFrame,
+    books: list[list[list[float]]],
+    sub: int,
+    floor_out: dict | None = None,
+) -> list[list[list[float]]]:
+    """One Lloyd's round for EVERY subspace in one pass: assign each
+    row to its nearest codeword per subspace (m chunked-codegen
+    argmaxes in the same projection), explode to (subspace, cell,
+    elements) rows, and aggregate exact integerized sums per
+    (subspace, cell) — one scan, one m*k-bounded shuffle.
+    ``floor_out`` rides the exact-mean magnitude guard on the same
+    aggregate (see pq_train)."""
+    m = len(books)
+    out = base
+    for j, cb in enumerate(books):
+        out = _with_cell(
+            out.withColumn("__vd", F.slice("__fv", j * sub + 1, sub)), cb
+        ).withColumnRenamed("__cell", f"__cj{j}").drop("__vd")
+    structs = [
+        F.struct(
+            F.lit(j).alias("j"),
+            F.col(f"__cj{j}").alias("cell"),
+            *[
+                F.element_at(F.col("__fv"), j * sub + d + 1).alias(f"e{d}")
+                for d in range(sub)
+            ],
+        )
+        for j in range(m)
+    ]
+    rows = out.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+    floor_cols = []
+    if floor_out is not None:
+        nz_min = F.least(
+            *[
+                F.when(F.col(f"e{d}") != 0.0, F.abs(F.col(f"e{d}")))
+                for d in range(sub)
+            ]
+        ) if sub > 1 else F.when(F.col("e0") != 0.0, F.abs(F.col("e0")))
+        floor_cols = [F.min(nz_min).alias("__floor")]
+    agg = (
+        rows.groupBy("j", "cell")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            *floor_cols,
+            *[
+                F.sum(
+                    (F.col(f"e{d}") * F.lit(_SCALE_UP)).cast("decimal(38,0)")
+                ).alias(f"__s{d}")
+                for d in range(sub)
+            ],
+        )
+        .select(
+            "j",
+            "cell",
+            *(["__floor"] if floor_cols else []),
+            *[
+                (
+                    (F.col(f"__s{d}").cast("double") / F.col("__n"))
+                    * F.lit(_SCALE_DOWN)
+                ).alias(f"__m{d}")
+                for d in range(sub)
+            ],
+        )
+    )
+    stats = agg.collect()
+    if floor_out is not None:
+        floors = [r["__floor"] for r in stats if r["__floor"] is not None]
+        floor_out["floor"] = min(floors) if floors else None
+    new = [[list(cw) for cw in cb] for cb in books]  # empty cells keep old
+    for r in stats:
+        new[r["j"]][r["cell"]] = [float(r[f"__m{d}"]) for d in range(sub)]
+    return new
 
 
 def pq_encode(

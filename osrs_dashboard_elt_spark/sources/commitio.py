@@ -392,8 +392,14 @@ def compare_and_swap(
         # delete only OUR guard: after an eviction the blob at this
         # name belongs to the next caller, and deleting it would
         # re-open their critical section to a third writer (the
-        # cascading form of the same double-admission)
-        if _BACKEND.get(guard) == blob:
+        # cascading form of the same double-admission).  The get→delete
+        # here is itself non-atomic, so apply the same half-stale-window
+        # age margin as the swap path: an own guard old enough that a
+        # sweeper may already be evicting it is the SWEEPER's to remove
+        # — deleting it ourselves could land after the sweep + the next
+        # caller's fresh claim and re-open their section.
+        g = _BACKEND.get(guard)
+        if g == blob and _guard_age(g) < _CAS_GUARD_STALE * 0.5:
             _BACKEND.delete(guard)
 
 

@@ -55,12 +55,21 @@ def default_state_partitions(spark) -> int:
     that know their key cardinality)."""
     env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
     if env:
-        return max(1, int(env))
+        # malformed override falls through to the derived width (same
+        # defensive posture as the conf read below) instead of aborting
+        # every streaming drive with an uncaught ValueError
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
     try:
         sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except Exception:
         sp = 16
-    return max(2, min(sp, sp // 8))
+    # floor of 2, never wider than the session width itself (the
+    # clamp order matters only for tiny sessions: sp=1 must give 1,
+    # not a width above the session's own parallelism)
+    return min(max(sp, 1), max(2, sp // 8))
 
 
 def drive_available_now(

@@ -28,11 +28,14 @@ suite drives the corpus through a real stream with a final
 watermark-advancing sentinel so even the trailing open sessions
 flush.
 
-Scale: session state is O(open sessions) x ~40 bytes — expiry CLEARS
-it; what survives a close is only the 8-byte per-key id counter (so
-the key's next session numbers on), kept in its own ValueState.  The
-counter is retained for every key ever seen — an explicit, stated
-cost of 8 bytes/key, not a full session record.  It CANNOT be
+Scale: session state is O(open sessions) x ~40 bytes — expiry flips
+the record to a closed-key marker (n_events=0) carrying only the id
+counter (so the key's next session numbers on), in the SAME
+ValueState (merged in round 13: one state get per key per batch, one
+write per close — per-key state-server round trips are the one-shot
+drive's measured cost).  The marker is retained for every key ever
+seen — an explicit, stated cost of 4 longs/key, not live session
+data.  It CANNOT be
 TTL-bounded on this operator: Spark state TTL requires
 timeMode=ProcessingTime (StatefulProcessorHandleImpl.validateTTLConfig
 throws otherwise), while event-time TIMERS — the whole point here —
@@ -64,7 +67,16 @@ SESSION_OUT_SCHEMA = T.StructType(
     ]
 )
 
-# open session: id counter + bounds (epoch micros) + event count.
+# ONE state record per key: open-session bounds + the id counter,
+# merged (round 13).  ``n_events > 0`` ⇒ an OPEN session with id
+# ``session_id``; ``n_events == 0`` ⇒ a CLOSED-KEY marker whose
+# ``session_id`` is the last closed id (so the key's next session
+# numbers on).  Merging the former separate ``next_sid`` ValueState
+# into this record removes one state-server round trip per key per
+# batch (the get) and one per session close (the counter update) —
+# the per-key RPCs are the measured cost of the one-shot drive
+# (state probe: allUpdatesTimeMs tracks RPC count, not row bytes).
+# Cost: a closed key retains 4 longs instead of 1 — still O(1).
 # Primitives only — it round-trips through the state store.
 _SESSION_STATE_SCHEMA = T.StructType(
     [
@@ -76,9 +88,6 @@ _SESSION_STATE_SCHEMA = T.StructType(
 )
 
 _US = 1_000_000
-
-
-_NEXT_SID_SCHEMA = T.StructType([T.StructField("next_sid", T.LongType())])
 
 
 def timer_sessionize(
@@ -105,9 +114,9 @@ def timer_sessionize(
     state footprint:
 
     - ``"counter"`` (default): per-key ids numbered from 1 in time
-      order, matching the batch ``sessionize`` exactly.  Cost: an
-      8-byte per-key counter survives every close, for every key ever
-      seen (it cannot be TTL-bounded here — state TTL requires
+      order, matching the batch ``sessionize`` exactly.  Cost: a
+      closed-key marker (4 longs) survives every close, for every key
+      ever seen (it cannot be TTL-bounded here — state TTL requires
       timeMode=ProcessingTime, event-time timers require EventTime).
     - ``"start_time"``: the session id IS the session's start (epoch
       micros) — unique per key (a key's sessions are time-disjoint),
@@ -136,15 +145,13 @@ def timer_sessionize(
 
     class GapSessions(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
+            # ONE merged record (open session OR closed-key counter
+            # marker — see _SESSION_STATE_SCHEMA): one get per (key,
+            # batch) instead of two, one write per close instead of
+            # two.  It cannot carry a TTL either way (state TTL needs
+            # ProcessingTime, timers need EventTime); start_time mode
+            # leaves NO closed-key state at all.
             self._open = handle.getValueState("open", _SESSION_STATE_SCHEMA)
-            if use_counter:
-                # Closed sessions leave behind ONLY this 8-byte counter
-                # (see module doc for why it cannot carry a TTL here:
-                # state TTL needs ProcessingTime, timers need EventTime);
-                # start_time mode registers NO counter state at all
-                self._next = handle.getValueState(
-                    "next_sid", _NEXT_SID_SCHEMA
-                )
             self._handle = handle
 
         def _emit(self, key, sid, n, start_us, end_us) -> pd.DataFrame:
@@ -198,13 +205,13 @@ def timer_sessionize(
             )
 
             stored = self._open.get()
-            if stored is not None:
+            if stored is not None and stored[1] > 0:
                 sid0, n0, start0, end0 = stored
                 self._handle.deleteTimer(_us_to_ms_ceil(end0 + gap_us))
-            elif use_counter:
-                nxt = self._next.get()
-                sid0 = (nxt[0] - 1) if nxt is not None else 0
-                n0 = 0
+            elif stored is not None:
+                # closed-key marker (counter mode): session_id is the
+                # last CLOSED id, so numbering continues from it
+                sid0, n0 = stored[0], 0
             else:
                 sid0, n0 = 0, 0
             # The stored open session joins the segment list as a peer
@@ -260,21 +267,23 @@ def timer_sessionize(
             self, key, timerValues, expiredTimerInfo
         ) -> Iterator[pd.DataFrame]:
             stored = self._open.get()
-            if stored is None:
-                return
+            if stored is None or stored[1] == 0:
+                return  # no open session (never seen, or closed marker)
             sid, n, start_us, end_us = stored
             # a stale timer (session rolled since) never matches the
             # live session's own expiry
             if _us_to_ms_ceil(end_us + gap_us) != expiredTimerInfo.getExpiryTimeInMs():
                 return
             yield self._emit(key[0], sid, n, start_us, end_us)
-            # CLEAR the session record.  counter mode: only the id
-            # counter survives (so the key's next session numbers on)
-            # — 8 bytes per closed key; start_time mode: NOTHING
+            # counter mode: ONE write replaces the former clear +
+            # counter update — the record flips to the closed-key
+            # marker (n_events=0, session_id = the closed id) so the
+            # key's next session numbers on; start_time mode: NOTHING
             # survives — a closed key's state is zero rows.
-            self._open.clear()
             if use_counter:
-                self._next.update((sid + 1,))
+                self._open.update((sid, 0, 0, 0))
+            else:
+                self._open.clear()
 
         def close(self) -> None:
             pass
@@ -326,7 +335,13 @@ def sessions_via_stream(
         F.lit(sentinel_key).alias("key"),
         F.lit("2199-01-01 00:00:00").cast("timestamp").alias("ts"),
     )
-    src.unionByName(sentinel).write.mode("overwrite").parquet(f"{root}/src")
+    # coalesce(1): the drive's source is read once by one availableNow
+    # batch — one file instead of a sliver per scan split cuts the
+    # write's task count, the source listing, and matches the other
+    # drives' single-file contract
+    src.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(
+        f"{root}/src"
+    )
 
     stream = spark.readStream.schema("key long, ts timestamp").parquet(
         f"{root}/src"
@@ -336,7 +351,8 @@ def sessions_via_stream(
 
     # per-key state-server round trips dominate (4 RPCs per key per
     # batch, every key in the corpus): 4x the derived base width
-    # (session shuffle width / 2 here — see
+    # (sp/2 at the bench's 32-partition session; the 4x multiple, not
+    # a fixed fraction, is what's pinned — see
     # drive.default_state_partitions) spreads those RPCs across
     # workers; the lighter drives (topk, changelog) use the plain
     # derived width

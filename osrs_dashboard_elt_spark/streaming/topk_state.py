@@ -42,11 +42,16 @@ and the batch twin share one pure-Python core
 (:func:`_entries_in_order`), so engine equality is by construction.
 
 Scale shape: one shuffle on the key per micro-batch; per-(key, batch)
-state I/O is ONE ListState read+write, one MapState probe per distinct
-incoming id, and one MapState insert per first-seen id.  State per key
-is K entries + the seen-id map; the map is the unavoidable cost of
-exactly-once-per-id and is TTL-boundable.  Hot keys batch-sort in
-pandas, same discipline as timer_sessions.
+state I/O is ONE ListState read+write plus, in the default BUCKETED
+dedup layout (round 13), one MapState getValue+updateValue per
+TOUCHED id-bucket (ids grouped by ``event_id DIV seen_bucket_ids``)
+— B-fold fewer state-server round trips than the former
+per-id containsKey/insert at the cost of rewriting a bucket's id
+list when any of its ids arrives.  The TTL'd layout stays per-id
+(TTL expiry is per map entry; bucketing would coarsen it).  State
+per key is K entries + the seen-id map; the map is the unavoidable
+cost of exactly-once-per-id.  Hot keys batch-sort in pandas, same
+discipline as timer_sessions.
 """
 
 from __future__ import annotations
@@ -72,6 +77,16 @@ TOPK_OUT_SCHEMA = T.StructType(
 _TOPK_ENTRY_SCHEMA = "value double, seq long"
 _SEEN_KEY_SCHEMA = "event_id long"
 _SEEN_VAL_SCHEMA = "one tinyint"
+# Bucketed seen-id layout (round 13): map key = event_id DIV bucket
+# width, value = the sorted id list within the bucket.  One
+# getValue/updateValue round trip per TOUCHED BUCKET per (key, batch)
+# instead of one containsKey per id + one updateValue per first-seen
+# id — the per-id writes were the measured per-row cost of the
+# one-shot drive (state probe: ~10k updateValue RPCs at ~0.8 ms
+# each).  Used whenever no TTL is configured; a TTL keeps the
+# per-id layout (bucketing would coarsen per-id expiry to per-bucket).
+_SEEN_BUCKET_KEY_SCHEMA = "bucket long"
+_SEEN_BUCKET_VAL_SCHEMA = "ids array<long>"
 
 
 def _entries_in_order(
@@ -115,11 +130,18 @@ def streaming_topk_entries(
     k: int,
     seen_ttl_ms: int | None = None,
     require_runtime: bool = True,
+    seen_bucket_ids: int = 16384,
 ) -> DataFrame:
     """The transformWithState form (ListState top-K + MapState seen
     ids).  Same runtime dependency story as
     ``running_best_changelog_tws``: the state server speaks protobuf;
-    ``require_runtime`` probes loudly at call time."""
+    ``require_runtime`` probes loudly at call time.
+
+    ``seen_bucket_ids`` sets the bucketed dedup-map width (ids per
+    map entry = one state-server round trip per touched bucket
+    instead of per id — see _SEEN_BUCKET_KEY_SCHEMA).  Ignored when
+    ``seen_ttl_ms`` is set: TTL expiry is per map entry, so exact
+    per-id TTL semantics require the per-id layout."""
     if require_runtime:
         from ..compat import ensure_protobuf
 
@@ -145,12 +167,20 @@ def streaming_topk_entries(
         F.col(ts_col).alias("ts"),
     )
 
+    bucketed = seen_ttl_ms is None
+    bucket_w = max(1, int(seen_bucket_ids))
+
     class TopKEntries(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._topk = handle.getListState("topk", _TOPK_ENTRY_SCHEMA)
-            self._seen = handle.getMapState(
-                "seen", _SEEN_KEY_SCHEMA, _SEEN_VAL_SCHEMA, seen_ttl_ms
-            )
+            if bucketed:
+                self._seen = handle.getMapState(
+                    "seen", _SEEN_BUCKET_KEY_SCHEMA, _SEEN_BUCKET_VAL_SCHEMA
+                )
+            else:
+                self._seen = handle.getMapState(
+                    "seen", _SEEN_KEY_SCHEMA, _SEEN_VAL_SCHEMA, seen_ttl_ms
+                )
 
         def handleInputRows(
             self, key, rows, timerValues
@@ -164,12 +194,24 @@ def streaming_topk_entries(
             )
             topk = [tuple(t) for t in self._topk.get()]
             # exists() short-circuit: a key's FIRST batch has no seen
-            # map, so skip the per-id containsKey RPCs entirely — the
+            # map, so skip the per-id/bucket probe RPCs entirely — the
             # probes are point lookups through the protobuf state
             # server, and they're the per-event cost that matters on
             # a bulk drive (measured: they dominated the one-shot
             # bench entry before this guard).
-            if self._seen.exists():
+            seen_exists = self._seen.exists()
+            buckets: dict[int, set] = {}
+            if bucketed:
+                def load_bucket(b: int) -> set:
+                    s = buckets.get(b)
+                    if s is None:
+                        v = self._seen.getValue((b,)) if seen_exists else None
+                        s = set(v[0]) if v is not None else set()
+                        buckets[b] = s
+                    return s
+
+                is_seen = lambda eid: int(eid) in load_bucket(int(eid) // bucket_w)  # noqa: E731
+            elif seen_exists:
                 is_seen = lambda eid: self._seen.containsKey((int(eid),))  # noqa: E731
             else:
                 is_seen = lambda eid: False  # noqa: E731
@@ -186,8 +228,20 @@ def streaming_topk_entries(
                 set(),
                 is_seen,
             )
-            for eid in new_ids:
-                self._seen.updateValue((int(eid),), (1,))
+            if bucketed:
+                # ONE write per touched bucket: merge the batch's new
+                # ids into each bucket's (already-probed) set and put
+                # the sorted list back
+                touched: set[int] = set()
+                for eid in new_ids:
+                    b = int(eid) // bucket_w
+                    load_bucket(b).add(int(eid))
+                    touched.add(b)
+                for b in sorted(touched):
+                    self._seen.updateValue((b,), (sorted(buckets[b]),))
+            else:
+                for eid in new_ids:
+                    self._seen.updateValue((int(eid),), (1,))
             self._topk.put([(float(v), int(s)) for v, s in topk])
             if emitted:
                 yield pd.DataFrame(
@@ -313,10 +367,11 @@ def topk_via_stream(
     )
     from .drive import drive_available_now
 
-    # the per-first-seen-id MapState writes are the per-row cost,
-    # spread across the derived stateful width (session shuffle
-    # width / 8 — the warm-protocol optimum; see
-    # drive.default_state_partitions)
+    # the dedup-map state writes are the per-row cost — one RPC per
+    # touched id-bucket under the bucketed layout (see
+    # _SEEN_BUCKET_KEY_SCHEMA) — spread across the derived stateful
+    # width (session shuffle width / 8 — the warm-protocol optimum;
+    # see drive.default_state_partitions)
     return drive_available_now(
         out, "topk_state", f"{root}/ckpt", timeout_sec=timeout_sec,
     )

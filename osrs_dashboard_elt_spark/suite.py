@@ -1575,6 +1575,36 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_leaderboard_periods(spark, sf_dir)
 
 
+def reset_memos() -> None:
+    """Clear the per-process RESULT/ARTIFACT memos (trained models,
+    built Bloom filters, written index/layout paths) so a caller that
+    times a query — ``bench.py`` calls this before every timed rep —
+    charges the training/index/filter build to the query's timed
+    seconds instead of letting an earlier untimed warm run absorb it.
+
+    Scope: exactly the memos that cache COMPUTED artifacts keyed on
+    the input dir.  ``_T_CACHE`` stays: it holds only the lazy
+    analyzed relation (no data, no results).  The table-format
+    mutation fixtures (``_DELETE_PATH_CACHE`` etc.) stay too: they
+    cache a fixture TABLE the query then reads — rebuilding one per
+    rep would re-run a mutation on a fresh copy, which is setup, not
+    the declared computation (their build cost is reported once via
+    the warm run instead).  Cross-query sharing (kmeans centroids
+    feeding q_kmeans_centroids, q_semantic_dedup, q_ivfpq_topk) is a
+    per-PROCESS design for production reuse; clearing between timed
+    reps makes each query's bench entry self-contained."""
+    for memo in (
+        _KM_CENTS_CACHE,
+        _PQ_BOOKS_CACHE,
+        _IVFPQ_PATH_CACHE,
+        _BLOOM_CACHE,
+        _PROBE_W_CACHE,
+        _ZORDER_PATH_CACHE,
+        _BLOOM_PATH_CACHE,
+    ):
+        memo.clear()
+
+
 # ---------------------------------------------------------------------------
 # The parse engine (R1-R5) driven end-to-end: messages synthesized
 # deterministically FROM the events table, parsed by the full

@@ -115,6 +115,61 @@ def test_simhash_bucket_cap_bounds_candidates(spark):
     assert uncapped.count() == 60 * 59 // 2 + 1
 
 
+def test_simhash_packed_lanes_match_per_bit_form(spark):
+    """The packed 3-bit-lane vote aggregate (round-13 optimization:
+    ceil(bits/3) SUMs instead of one per bit) must produce
+    bit-identical fingerprints to the per-bit reference form on a
+    corpus exercising every vote path: empty docs, single tokens,
+    heavy repetition (ties: 2c == n must NOT set the bit), and
+    shared/disjoint vocabulary — at a bits width NOT divisible by 3
+    (the partial top group) and the suite's bits=48."""
+    from osrs_dashboard_elt_spark.operators.dedup import (
+        simhash_fingerprints,
+    )
+
+    rows = [
+        (0, ""),  # empty -> fp 0
+        (1, "one"),  # single token: every hash bit wins its vote
+        (2, "tie tie other other"),  # 2c == n on shared bits -> unset
+        (3, "alpha beta gamma delta epsilon"),
+        (4, "alpha alpha alpha beta"),  # repetition skews votes
+        (5, " ".join(f"w{i}" for i in range(97))),  # wide vocabulary
+        (6, "alpha beta gamma delta epsilon"),  # exact dup of 3
+    ]
+    docs = _docs(spark, rows)
+    for bits in (32, 48):
+        packed = {
+            r["id"]: r["fp"]
+            for r in simhash_fingerprints(
+                docs, "doc_id", "text", bits, drop_empty=False
+            ).collect()
+        }
+        ref = {
+            r["id"]: r["fp"]
+            for r in simhash_fingerprints(
+                docs, "doc_id", "text", bits, drop_empty=False,
+                packed=False,
+            ).collect()
+        }
+        assert packed == ref, f"packed/per-bit fingerprints differ at bits={bits}"
+
+
+def test_simhash_packed_aggregate_count_shrinks(spark):
+    """The plan must carry ceil(bits/3) + 1 aggregate buffers, not
+    bits + 1 — the point of the packing (fewer accumulators and
+    per-row updates in the signature aggregate)."""
+    from osrs_dashboard_elt_spark.operators.dedup import (
+        simhash_fingerprints,
+    )
+
+    docs = _docs(spark, [(1, "alpha beta"), (2, "gamma delta")])
+    plan = simhash_fingerprints(
+        docs, "doc_id", "text", 48
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "__s15" in plan and "__s16" not in plan
+    assert "__c0" not in plan
+
+
 # ---------------------------------------------------------------------------
 # MinHash LSH: band-bucket cap
 # ---------------------------------------------------------------------------

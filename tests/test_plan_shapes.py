@@ -60,11 +60,43 @@ def all_queries(spark):
     return e.queries()
 
 
-def test_no_cartesian_or_nested_loop_joins(spark, all_queries):
-    """Every suite query must plan without cartesian or nested-loop
-    joins — the two shapes that melt down at 100x data."""
+# Builders that EXECUTE driver-side work when called (streaming
+# drives, iterative trainings/loops that collect per round, mutation
+# fixtures, at-rest register/layout writes) — measured 1-19 s apiece
+# at sf0.001, ~160 s of the former 353 s sweep.  Their RETURNED
+# frames are bounded reads/rollups (memory-sink tables, parquet
+# re-reads of a mutated fixture, LocalTableScan of resolved scalars):
+# the join shapes their pipelines execute live BEHIND checkpoints or
+# driver loops and never appeared in the returned frame's plan, so
+# sweeping them cost the full execution and checked nothing the
+# cheap-side sweep doesn't.  The full sweep (every query) stays
+# available under SPARK_GRAFT_SOAK=1 via the soak twin below.
+_EXECUTING_BUILDERS = {
+    # one-shot stream drives (real streaming engine per call)
+    "q_stream_sessionize_timers", "q_stream_topk_entries",
+    "q_running_best_changelog", "q_running_best_changelog_tws",
+    "q_cdc_stream",
+    # driver-side training / iterative loops (collect per round)
+    "q_kmeans_centroids", "q_pq_ann_topk", "q_ivfpq_topk",
+    "q_quality_probe", "q_probe_calibration", "q_exact_quantiles",
+    "q_dedup_clusters", "q_crossmodal_dedup_clusters",
+    "q_leakage_safe_split",
+    # mutation/layout fixtures (write + mutate at build)
+    "q_stats_pruned_scan", "q_point_lookup_pruned", "q_pruned_in_list",
+    "q_targeted_delete", "q_dv_delete", "q_incremental_view",
+    "q_merge_distributed", "q_targeted_upsert", "q_asof_lineage",
+    "q_compact_table", "q_schema_evolution", "q_time_travel",
+    "q_event_transitions", "q_change_feed", "q_ivm_segmented",
+    # at-rest register writes / other executing builders
+    "q_hll_rolling_at_rest", "q_cms_window_at_rest",
+    "q_histogram_window_at_rest", "q_bpe_merges", "q_bpe_encode",
+    "q_rest_timeseries", "q_parse_engine",
+}
+
+
+def _sweep_join_shapes(spark, queries) -> dict:
     offenders = {}
-    for name, fn in all_queries.items():
+    for name, fn in queries.items():
         plan = _executed_plan(fn(spark, SF_DIR))
         bad = [
             op
@@ -73,6 +105,34 @@ def test_no_cartesian_or_nested_loop_joins(spark, all_queries):
         ]
         if bad:
             offenders[name] = bad
+    return offenders
+
+
+def test_no_cartesian_or_nested_loop_joins(spark, all_queries):
+    """Every suite query whose builder is plan-only must plan without
+    cartesian or nested-loop joins — the two shapes that melt down at
+    100x data.  (Executing builders are swept by the soak twin.)"""
+    cheap = {
+        n: fn for n, fn in all_queries.items()
+        if n not in _EXECUTING_BUILDERS
+    }
+    offenders = _sweep_join_shapes(spark, cheap)
+    assert not offenders, f"scale-hostile join shapes: {offenders}"
+
+
+@pytest.mark.soak
+def test_no_cartesian_or_nested_loop_joins_full(spark, all_queries):
+    """The FULL sweep including executing builders — soak-gated (the
+    builders run streams/trainings/mutations; ~160 s of execution for
+    plans that are bounded reads)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SOAK") != "1":
+        pytest.skip("soak test — opt in with SPARK_GRAFT_SOAK=1")
+    offenders = _sweep_join_shapes(
+        spark,
+        {n: fn for n, fn in all_queries.items() if n in _EXECUTING_BUILDERS},
+    )
     assert not offenders, f"scale-hostile join shapes: {offenders}"
 
 

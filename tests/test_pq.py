@@ -61,6 +61,37 @@ def test_train_rejects_bad_m(corpus):
         pq_train(corpus, "embedding", m=3, k=2, id_col="vec_id")
 
 
+def test_pq_train_shared_pass_matches_per_subspace(corpus, books):
+    """The round-13 shared-pass training (one scan updates all m
+    codebooks per round) must be BIT-IDENTICAL to m independent
+    ``kmeans_fit`` runs over the slices — same init, same chunked
+    argmax assignment, same integerized decimal means."""
+    from osrs_dashboard_elt_spark.operators.kmeans import (
+        kmeans_fit,
+        kmeans_init,
+        valid_vec,
+    )
+    from osrs_dashboard_elt_spark.operators.similarity import vd_cast
+
+    base = corpus.select(
+        F.col("vec_id"), vd_cast("embedding").alias("__fv")
+    ).filter(valid_vec(DIM, "__fv"))
+    full_init = kmeans_init(base, "__fv", K, "vec_id", 3)
+    reference = []
+    for j in range(M):
+        sliced = base.select(
+            "vec_id", F.slice("__fv", j * SUB + 1, SUB).alias("__subv")
+        )
+        reference.append(
+            kmeans_fit(
+                sliced, "__subv", K, n_iter=2, id_col="vec_id", seed=3,
+                init=[v[j * SUB : (j + 1) * SUB] for v in full_init],
+                check_floor=False,
+            )
+        )
+    assert books == reference
+
+
 def test_encode_codes_and_validity(spark, corpus, books):
     bad = spark.createDataFrame(
         [
