@@ -63,6 +63,22 @@ _SOAK = {
     ("test_topk_state.py", "test_map_state_ttl_expires_dedup_horizon"),
     ("test_topk_state.py", "test_tws_recovers_both_states_across_restart"),
     ("test_dedup_ingest.py", "test_takedown_end_to_end_no_resurrection"),
+    # —— second tranche: real-engine restart/crash/e2e drives whose
+    # behaviors keep a faster representative in the default run ——
+    ("test_streaming.py", "test_stream_parse_routes_and_is_idempotent"),
+    ("test_streaming.py", "test_retry_unparsed_drains_dead_letter"),
+    ("test_stats_manifest.py", "test_segments_fold_at_bound"),
+    ("test_stateful_tws.py", "test_tws_streaming_carries_state_across_restarts"),
+    ("test_timer_sessions.py", "test_cross_batch_merge_and_timer_close"),
+    ("test_timer_sessions.py", "test_session_ids_continue_after_timer_close"),
+    ("test_timer_sessions.py", "test_late_event_bridges_open_session"),
+    ("test_dedup_ingest.py", "test_crash_between_pq_and_minhash_appends_converges"),
+    ("test_dedup_ingest.py", "test_manifest_bootstrap_survives_all_rejected_first_batch"),
+    ("test_dedup_ingest.py", "test_ingest_maintains_takedown_ready_manifest"),
+    ("test_upsert_sink.py", "test_upsert_state_survives_corruption"),
+    ("test_upsert_sink.py", "test_upsert_reposts_on_external_loss"),
+    ("test_stream_join.py", "test_left_outer_stream_emits_null_pad_after_watermark"),
+    ("test_maintenance.py", "test_mutation_gate_blocks_other_threads"),
 }
 
 
