@@ -79,6 +79,42 @@ _SOAK = {
     ("test_upsert_sink.py", "test_upsert_reposts_on_external_loss"),
     ("test_stream_join.py", "test_left_outer_stream_emits_null_pad_after_watermark"),
     ("test_maintenance.py", "test_mutation_gate_blocks_other_threads"),
+    # —— third tranche (durations-measured on an idle host, ~630 s):
+    # every gated behavior keeps either a faster sibling in its file
+    # or an oracle-gated suite query covering the same semantics
+    # (ANN equality → q_ivf/pq/ivfpq oracles; BPE trajectory →
+    # q_bpe_merges oracle; bloom equality → q_bloom_semijoin oracle;
+    # feed/vacuum/as-of → q_change_feed/q_time_travel/q_asof_lineage
+    # oracles plus the remaining fast change-feed tests) ——
+    ("test_ivm.py", "test_composed_stream_loop_flat_job_count"),
+    ("test_ivm.py", "test_segmented_view_killed_group_rebirth"),
+    ("test_ivm.py", "test_segmented_view_born_and_partially_deleted"),
+    ("test_ivm.py", "test_stream_opts_are_routed_not_dropped"),
+    ("test_ivm.py", "test_streaming_materialized_view"),
+    ("test_ivm.py", "test_segmented_view_null_group_keys"),
+    ("test_change_feed.py", "test_vacuum_respects_horizon"),
+    ("test_change_feed.py", "test_feed_read_plan_constant_in_mutation_count"),
+    ("test_change_feed.py", "test_crash_between_swap_and_change_commit_recommits"),
+    ("test_change_feed.py", "test_vacuum_never_reuses_sequence_numbers"),
+    ("test_change_feed.py", "test_takedowns_propagate_from_feed_to_indexes"),
+    ("test_change_feed.py", "test_as_of_reconstructs_every_epoch"),
+    ("test_change_feed.py", "test_dv_crash_between_append_and_change_commit"),
+    ("test_change_feed.py", "test_noop_mutation_commits_no_delta"),
+    ("test_change_feed.py", "test_compaction_dv_bound_scoped_to_compacted_files"),
+    ("test_change_feed.py", "test_vacuum_prunes_unreachable_lineage_events"),
+    ("test_commitio.py", "test_mutation_family_over_object_store"),
+    ("test_ann_at_rest.py", "test_ivf_at_rest_matches_flat_probe"),
+    ("test_ann_at_rest.py", "test_multi_probe_widens_recall"),
+    ("test_ann_at_rest.py", "test_at_rest_matches_flat_probe"),
+    ("test_bpe.py", "test_trajectory_matches_duckdb_on_synthetic_corpus"),
+    ("test_bloom.py", "test_semi_join_equality"),
+    ("test_bloom.py", "test_no_false_negatives"),
+    ("test_dedup_ingest.py", "test_ann_index_freshness"),
+    ("test_dedup_ingest.py", "test_probe_quality_gate_quarantines_low_scores"),
+    ("test_dedup_ingest.py", "test_lm_quality_gate_quarantines_gibberish"),
+    ("test_stats_manifest.py", "test_refresh_bloom_mismatch_raises"),
+    ("test_stats_manifest.py", "test_compacted_snapshot_serves_bloom_point_reads"),
+    ("test_stats_manifest.py", "test_refresh_writes_only_a_batch_segment"),
 }
 
 
